@@ -1,0 +1,294 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, AgnosticEncoders, ToAgnosticEncoder}
+import org.apache.spark.storage.StorageLevel
+
+import scala.reflect.ClassTag
+
+import graft.api.alg._
+
+/** A homogeneous distributed bag (unordered, duplicates allowed) backed by a
+  * Spark `Dataset[A]`.
+  *
+  * This is the Spark-native re-expression of the reference's `DataBag[A]`
+  * algebra (emma-language api/DataBag.scala:25-366): monad ops, structural
+  * recursion over commutative monoids ([[graft.api.alg.Alg]]), grouping with
+  * fused per-group folds, equi/cross/outer joins, set ops, deterministic
+  * sampling and indexing, CSV/Parquet/text IO.
+  *
+  * Design stance (SURVEY.md §7.1): no macros — where the reference recovers
+  * relational structure from quoted lambdas, this API *requests* structure:
+  * every op has a typed-lambda form and, where it matters for Catalyst
+  * (filter/project/join keys), a `Column` fast path so predicate pushdown,
+  * column pruning and whole-stage codegen apply.
+  */
+final class DataBag[A](val ds: Dataset[A]) extends Serializable {
+
+  private implicit def enc: Encoder[A] = ds.encoder
+
+  def spark: SparkSession = ds.sparkSession
+
+  // ---------------------------------------------------------------- monad ops
+
+  /** Typed projection. Prefer [[select]]/[[project]] when the mapping is columnar. */
+  def map[B: Encoder](f: A => B): DataBag[B] = new DataBag(ds.map(f))
+
+  /** Monadic bind; the inner collection is local (reference semantics:
+    * SparkRDD.scala:55-56 — inner bags are local per element). */
+  def flatMap[B: Encoder](f: A => IterableOnce[B]): DataBag[B] =
+    new DataBag(ds.flatMap(f))
+
+  /** For-comprehension filter. Prefer [[where]] for Column predicates. */
+  def withFilter(p: A => Boolean): DataBag[A] = new DataBag(ds.filter(p))
+  def filter(p: A => Boolean): DataBag[A] = withFilter(p)
+
+  // ------------------------------------------------- Column fast paths (§4.5)
+  // The reference compiles whitelisted lambdas to Catalyst expressions
+  // (SparkSpecializeOps.scala:36-130); we expose the Column form directly so
+  // pushdown / pruning / whole-stage codegen apply without any analysis.
+
+  /** Catalyst-native filter. */
+  def where(cond: Column): DataBag[A] = new DataBag(ds.filter(cond))
+
+  /** Catalyst-native projection to an untyped frame. */
+  def select(cols: Column*): DataFrame = ds.select(cols: _*)
+
+  /** Catalyst-native projection back into a typed bag. */
+  def project[B: Encoder](cols: Column*): DataBag[B] =
+    new DataBag(ds.select(cols: _*).as[B])
+
+  def toDF: DataFrame = ds.toDF()
+
+  // ------------------------------------------------------------------- folds
+
+  /** Structural recursion over a commutative monoid: executes as map-side
+    * partial aggregation per partition, then a driver-side combine of one
+    * value per partition (same physics as the reference's
+    * `rdd.map(alg.init).fold(alg.zero)(alg.plus)`, SparkRDD.scala:45-46). */
+  def fold[B](alg: Alg[A, B]): B = {
+    implicit val ct: ClassTag[B] = ClassTag.AnyRef.asInstanceOf[ClassTag[B]]
+    ds.rdd
+      .mapPartitions { it =>
+        Iterator.single(it.foldLeft(alg.zero)((b, a) => alg.plus(b, alg.init(a))))
+      }
+      .collect()
+      .foldLeft(alg.zero)(alg.plus)
+  }
+
+  def fold[B](zero: B)(init: A => B, plus: (B, B) => B): B =
+    fold(Fold(zero, init, plus))
+
+  def reduce(zero: A)(p: (A, A) => A): A = fold(Reduce(zero, p))
+  def reduceOption(p: (A, A) => A): Option[A] = fold(ReduceOpt(p))
+  def isEmpty: Boolean = ds.isEmpty
+  def nonEmpty: Boolean = !isEmpty
+  def size: Long = ds.count()
+  def count(p: A => Boolean): Long = ds.filter(p).count()
+  def min(implicit ord: Ordering[A]): A = fold(Min(ord)).get
+  def max(implicit ord: Ordering[A]): A = fold(Max(ord)).get
+  def minBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Min(Ordering.by(k)))
+  def maxBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Max(Ordering.by(k)))
+  def sum(implicit num: Numeric[A]): A = fold(Sum(num))
+  def product(implicit num: Numeric[A]): A = fold(Product(num))
+  def exists(p: A => Boolean): Boolean = ds.filter(p).head(1).nonEmpty
+  def forall(p: A => Boolean): Boolean = ds.filter(x => !p(x)).head(1).isEmpty
+  def find(p: A => Boolean): Option[A] = ds.filter(p).head(1).headOption
+  def bottom(n: Int)(implicit ord: Ordering[A]): List[A] = fold(Bottom(n, ord))
+  def top(n: Int)(implicit ord: Ordering[A]): List[A] = fold(Top(n, ord))
+
+  // ---------------------------------------------------------------- grouping
+
+  /** Nested grouping: materializes each group as a local Seq. This is the
+    * fallback form — prefer [[foldGroup]] (fused, partial-aggregating)
+    * whenever groups are only folded. The reference performs that rewrite
+    * automatically (FoldGroupFusion.scala:49-82); here the fused form is the
+    * API's primary path. */
+  def groupBy[K: Encoder](k: A => K)(
+      implicit encG: Encoder[Group[K, Seq[A]]]): DataBag[Group[K, Seq[A]]] =
+    new DataBag(ds.groupByKey(k).mapGroups((key, it) => Group(key, it.toSeq)))
+
+  /** Fused group-aggregate (the reference's `foldGroup` combinator,
+    * SparkOps.scala:61-68 = reduceByKey): partial (map-side) aggregation,
+    * never materializes groups. */
+  def foldGroup[K: Encoder, B: Encoder](k: A => K, alg: Alg[A, B])(
+      implicit encG: Encoder[Group[K, B]]): DataBag[Group[K, B]] =
+    new DataBag(
+      ds.groupByKey(k)
+        .mapValues(alg.init)
+        .reduceGroups(alg.plus)
+        .map { case (key, b) => Group(key, b) })
+
+  // --------------------------------------------------------- joins / products
+
+  /** Inner equi-join on extracted keys (reference equiJoin,
+    * ComprehensionCombinators.scala:31-33; SparkNtv.scala:60-70). Catalyst
+    * picks broadcast/hash/sort-merge on the key columns. */
+  def equiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[(A, B)] = {
+    val encK = implicitly[Encoder[K]]
+    val encB = that.ds.encoder
+    val lt = ds.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
+    val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
+    implicit val out: Encoder[(A, B)] = Encoders.tuple(enc, encB)
+    new DataBag(
+      lt.joinWith(rt, lt("_1") === rt("_1"), "inner").map(p => (p._1._2, p._2._2)))
+  }
+
+  def leftOuterJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K)(
+      implicit out: Encoder[(A, Option[B])]): DataBag[(A, Option[B])] = {
+    val encK = implicitly[Encoder[K]]
+    val encB = that.ds.encoder
+    val lt = ds.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
+    val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
+    new DataBag(
+      lt.joinWith(rt, lt("_1") === rt("_1"), "left_outer")
+        .map(p => (p._1._2, Option(p._2).map(_._2))))
+  }
+
+  def semiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] = {
+    val encK = implicitly[Encoder[K]]
+    val tupEnc = Encoders.tuple(encK, enc)
+    val lt = ds.map(x => (kx(x), x))(tupEnc)
+    val rt = that.ds.map(ky)(encK).toDF("_k")
+    new DataBag(lt.join(rt, lt("_1") === rt("_k"), "left_semi").as(tupEnc).map(_._2))
+  }
+
+  def antiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] = {
+    val encK = implicitly[Encoder[K]]
+    val tupEnc = Encoders.tuple(encK, enc)
+    val lt = ds.map(x => (kx(x), x))(tupEnc)
+    val rt = that.ds.map(ky)(encK).toDF("_k")
+    new DataBag(lt.join(rt, lt("_1") === rt("_k"), "left_anti").as(tupEnc).map(_._2))
+  }
+
+  /** Cartesian product (reference cross, SparkNtv.scala:72-77). */
+  def cross[B](that: DataBag[B]): DataBag[(A, B)] = {
+    implicit val out: Encoder[(A, B)] = Encoders.tuple(enc, that.ds.encoder)
+    new DataBag(ds.joinWith(that.ds, F.lit(true), "cross").map(p => (p._1, p._2)))
+  }
+
+  /** Broadcast hint for the small side of a subsequent join
+    * (reference SparkNtv.broadcast, SparkNtv.scala:88-97). */
+  def broadcasted: DataBag[A] = new DataBag(F.broadcast(ds))
+
+  // ----------------------------------------------------------------- set ops
+
+  /** Bag union — respects duplicates (UNION ALL; api/DataBag.scala:112-122). */
+  def union(that: DataBag[A]): DataBag[A] = new DataBag(ds.union(that.ds))
+  def distinct: DataBag[A] = new DataBag(ds.distinct())
+  /** Reference-absent freebies (SURVEY §2.4). */
+  def intersect(that: DataBag[A]): DataBag[A] = new DataBag(ds.intersect(that.ds))
+  def except(that: DataBag[A]): DataBag[A] = new DataBag(ds.except(that.ds))
+
+  // ----------------------------------------------------------- partition ops
+
+  /** Deterministic k-element random sample: per-partition seeded reservoirs
+    * merged on the driver. Same contract as the reference's distributed
+    * reservoir (SparkRDD.scala:86-107): deterministic given seed and
+    * partitioning; original implementation. */
+  def sample(k: Int, seed: Long = 5394826801L): Vector[A] = {
+    implicit val ct: ClassTag[(Long, Vector[A])] =
+      ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[(Long, Vector[A])]]
+    val partials: Array[(Long, Vector[A])] = ds.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rng = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        val buf = new scala.collection.mutable.ArrayBuffer[A](k)
+        var n = 0L
+        it.foreach { x =>
+          n += 1
+          if (buf.size < k) buf += x
+          else {
+            val j = (rng.nextDouble() * n).toLong
+            if (j < k) buf(j.toInt) = x
+          }
+        }
+        Iterator.single((n, buf.toVector))
+      }
+      .collect()
+    // driver-side weighted merge of per-partition reservoirs
+    val rng = new java.util.Random(seed ^ 0x5DEECE66DL)
+    partials.foldLeft((0L, Vector.empty[A])) { case ((n1, r1), (n2, r2)) =>
+      if (n2 == 0) (n1, r1)
+      else if (n1 == 0) (n2, r2)
+      else {
+        val n = n1 + n2
+        val kk = math.min(k, r1.size + r2.size)
+        val merged = Vector.tabulate(kk) { _ =>
+          if (rng.nextDouble() * n < n1) r1(rng.nextInt(r1.size)) else r2(rng.nextInt(r2.size))
+        }
+        (n, merged)
+      }
+    }._2
+  }
+
+  /** Dense unique 0-based index (reference zipWithIndex, SparkRDD.scala:109-110).
+    * No total order implied — indices are unique and contiguous. */
+  def zipWithIndex(): DataBag[(A, Long)] = {
+    implicit val out: Encoder[(A, Long)] = Encoders.tuple(enc, Encoders.scalaLong)
+    new DataBag(ds.sparkSession.createDataset(ds.rdd.zipWithIndex()))
+  }
+
+  // ---------------------------------------------------------------- sinks etc
+
+  def writeCSV(path: String, format: CSV = CSV()): Unit =
+    ds.write.options(format.writerOptions).mode("overwrite").csv(path)
+  def writeText(path: String): Unit =
+    ds.toDF().write.mode("overwrite").text(path)
+  def writeParquet(path: String, format: Parquet = Parquet()): Unit =
+    ds.write.options(format.options).mode("overwrite").parquet(path)
+
+  def collect(): Seq[A] = ds.collect().toSeq
+
+  /** Escape hatch to the native representation (reference `as[DColl]`). */
+  def asDataset: Dataset[A] = ds
+  def asRDD: org.apache.spark.rdd.RDD[A] = ds.rdd
+
+  /** Multiply-used / loop-carried bags should be cached. The reference inserts
+    * this automatically (Caching.scala:74-139); here it is explicit plus the
+    * [[graft.api.Iterate]] helper for loops. */
+  def cache(): DataBag[A] = new DataBag(ds.persist(StorageLevel.MEMORY_AND_DISK))
+  def unpersist(): DataBag[A] = new DataBag(ds.unpersist())
+
+  /** Order-insensitive multiset equality (reference api/DataBag.scala:352-366). */
+  def bagEquals(that: DataBag[A]): Boolean = {
+    val l = collect().groupBy(identity).view.mapValues(_.size).toMap
+    val r = that.collect().groupBy(identity).view.mapValues(_.size).toMap
+    l == r
+  }
+}
+
+object DataBag {
+
+  def empty[A: Encoder](implicit spark: SparkSession): DataBag[A] =
+    new DataBag(spark.emptyDataset[A])
+
+  def apply[A: Encoder](values: Seq[A])(implicit spark: SparkSession): DataBag[A] =
+    new DataBag(spark.createDataset(values))
+
+  def from[A](ds: Dataset[A]): DataBag[A] = new DataBag(ds)
+
+  def readText(path: String)(implicit spark: SparkSession): DataBag[String] =
+    new DataBag(spark.read.textFile(path))
+
+  def readCSV[A: Encoder](path: String, format: CSV = CSV())(
+      implicit spark: SparkSession): DataBag[A] =
+    new DataBag(
+      spark.read.options(format.readerOptions)
+        .schema(implicitly[Encoder[A]].schema).csv(path).as[A])
+
+  def readParquet[A: Encoder](path: String, format: Parquet = Parquet())(
+      implicit spark: SparkSession): DataBag[A] =
+    new DataBag(spark.read.schema(implicitly[Encoder[A]].schema).parquet(path).as[A])
+
+  // --------------------------------------------------------- encoder helpers
+
+  private[graft] def agnostic[T](e: Encoder[T]): AgnosticEncoder[T] = e match {
+    case a: AgnosticEncoder[T @unchecked]   => a
+    case t: ToAgnosticEncoder[T @unchecked] => t.encoder
+    case other => throw new IllegalArgumentException(s"unsupported encoder: $other")
+  }
+
+  def optionEncoder[T](e: Encoder[T]): Encoder[Option[T]] =
+    AgnosticEncoders.OptionEncoder(agnostic(e))
+}

@@ -1,0 +1,57 @@
+package graft.api
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Driver-side fixpoint iteration with automatic persistence management.
+  *
+  * Plays the role of the reference's auto-cache insertion
+  * (compiler/opt/Caching.scala:74-139: cache loop-carried / multiply-used
+  * bags) plus Flink's native bulk `iterate` (FlinkNtv.scala:38-44), expressed
+  * as an explicit combinator: each iteration's result is persisted, the
+  * previous iteration unpersisted, and lineage is truncated with a local
+  * checkpoint every `checkpointEvery` steps so long fixpoints (connected
+  * components, transitive closure) don't accumulate unbounded plan depth.
+  */
+object Iterate {
+
+  def fixpoint[A](init: Dataset[A], maxIter: Int = 100, checkpointEvery: Int = 3)(
+      step: Dataset[A] => Dataset[A])(
+      converged: (Dataset[A], Dataset[A]) => Boolean): Dataset[A] = {
+    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      var next = step(cur)
+      next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+             else next.persist(StorageLevel.MEMORY_AND_DISK)
+      done = converged(cur, next)
+      cur.unpersist()
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  /** Fixpoint on bags, converging when the size stops changing (the shape of
+    * the reference's transitiveClosure loop, lib/graphs/transitiveClosure.scala:22-44). */
+  def fixpointBySize[A](init: DataBag[A], maxIter: Int = 100)(
+      step: DataBag[A] => DataBag[A]): DataBag[A] = {
+    var cur = init.cache()
+    var n = cur.size
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val next = (if ((i + 1) % 3 == 0)
+        DataBag.from(step(cur).ds.localCheckpoint(true))
+      else step(cur).cache())
+      val m = next.size
+      done = m == n
+      cur.unpersist()
+      cur = next
+      n = m
+      i += 1
+    }
+    cur
+  }
+}

@@ -1,0 +1,84 @@
+package graft.lib
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's kMeans over an `array<float>` embedding column (reference
+  * emma-lib ml/clustering/kMeans.scala:26-93 — loops over iterations,
+  * per-point nearest centroid, groupBy+fold centroid update). Original
+  * Spark-first implementation:
+  *
+  *  - centroids are a driver-side array, broadcast into a Column literal each
+  *    iteration (k·dim doubles — tiny), so assignment is a narrow map;
+  *  - the centroid update is one map-side-combinable aggregation per
+  *    iteration (`posexplode` + groupBy(cluster, dim) → avg);
+  *  - deterministic init: the k lowest-id vectors (seedable but reproducible
+  *    across engines, unlike random init).
+  *
+  * At 100 TB: per iteration = one scan + one shuffle of k·dim partial sums
+  * per partition. No per-row UDF, no driver collect of points.
+  */
+object KMeans {
+
+  def fit(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    val pts = vectors.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v")).persist()
+
+    var centroids: Array[(Int, Seq[Double])] = pts
+      .orderBy("id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val cLit = array(centroids.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+      }: _*)
+      // nearest centroid per point: argmin over the (small) centroid array
+      val assigned = pts.select(col("id"), col("v"),
+        aggregate(cLit,
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+          (acc, c) => {
+            val d = aggregate(
+              zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (s, x) => s + x)
+            when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }).getField("cid").as("cluster"))
+      // new centroids: mean per (cluster, dim) — one shuffled aggregation
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .groupBy("cluster").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cluster"), col("dims.m").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      moved = upd.exists { case (cid, v) =>
+        val old = centroids(cid)._2
+        v.zip(old).map { case (a, b) => math.abs(a - b) }.max > 1e-9
+      }
+      centroids = upd
+      iter += 1
+    }
+    val cLit = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    val out = pts.select(col("id").as(idCol), col("v"),
+      aggregate(cLit,
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+        (acc, c) => {
+          val d = aggregate(
+            zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (s, x) => s + x)
+          when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
+            .otherwise(acc)
+        }).getField("cid").as("cluster"))
+      .drop("v")
+    pts.unpersist()
+    out
+  }
+}

@@ -1,0 +1,52 @@
+package graft.lib
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.DataBag
+import graft.api.alg.{Alg2, Size, Sum}
+
+/** Text workloads from the reference's example suite. */
+object TextPipelines {
+
+  /** WordCount (reference emma-examples text/WordCount.scala:24-37):
+    * readText → flatMap(split) → groupBy word → count. Columnar fast path:
+    * explode + hash aggregate (map-side combine). */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Typed DataBag formulation of the same pipeline (the reference's exact
+    * shape), used by the differential spec to pin both paths to one result. */
+  def wordCountTyped(lines: DataBag[String]): DataBag[(String, Long)] = {
+    val spark = lines.spark
+    import spark.implicits._
+    lines
+      .flatMap(_.split("\\s+").toSeq)
+      .withFilter(_.nonEmpty)
+      .foldGroup[String, Long](identity, Size)
+      .map(g => (g.key, g.values))
+  }
+}
+
+/** Single-pass multi-statistic folds (reference emma-lib stats/stat.scala:23-67;
+  * the AlgN banana-fusion use case — N statistics, one job). */
+object Stats {
+
+  /** count/mean/variance/stddev/min/max of a numeric column in ONE pass
+    * (columnar: one hash-free partial aggregation). */
+  def describe(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      count(col(c)).as("n"),
+      round(avg(col(c)), 4).as("mean"),
+      round(var_samp(col(c)), 2).as("variance"),
+      round(stddev_samp(col(c)), 4).as("stddev"),
+      min(col(c)).as("mn"),
+      max(col(c)).as("mx"))
+
+  /** Typed single-pass (count, sum) via a product algebra — demonstrates the
+    * Alg2 fusion path on arbitrary Scala monoids. */
+  def countAndSum(bag: DataBag[Double]): (Long, Double) =
+    bag.fold(Alg2(Size, Sum(implicitly[Numeric[Double]])))
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: every variant is a pure Column pipeline ending in one
+  * hash-partitioned aggregation or equi-join on a hash/bucket key —
+  * map-side-combinable, skew-resistant (hash keys are uniform by
+  * construction), and broadcast-free. At 100 TB the dominant cost is the
+  * single shuffle on the dedup key, which is the information-theoretic
+  * minimum for global dedup.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on md5(text); keeps the smallest doc_id as the
+    * canonical representative. One shuffle on a uniform 128-bit key. */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Word n-gram shingles of a text column (default 3-gram), as an array. */
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** Exploded distinct (doc_id, shingle) pairs; inputs with fewer than n
+    * tokens produce no shingles. */
+  def shingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    docs.where(size(split(trim(col(textCol)), "\\s+")) >= n)
+      .select(col("doc_id"), explode(array_distinct(shingleArray(col(textCol), n))).as("shingle"))
+
+  /** MinHash signature: `numHashes` independent permutations simulated by
+    * seeded md5 (engine-portable, deterministic). Signature columns mh0..mhK. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+      numHashes: Int = 4, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(docs, textCol, shingleN)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit("-"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (here: one band = all K hashes
+    * concatenated — at production scale use B bands of R rows each by calling
+    * this with `bandCols` subsets) and self-join on the band key. The join is
+    * an equi-join on a uniform hash key → sort-merge/hash join, no skew. */
+  def lshCandidatePairs(signatures: DataFrame, bandCols: Seq[String]): DataFrame = {
+    val band = signatures.select(
+      col("doc_id"), sha2(concat_ws("|", bandCols.map(col): _*), 256).as("band"))
+    val a = band.as("a")
+    val b = band.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs constrained by a
+    * bounded doc_id window (`maxIdGap`) — the verification step after LSH.
+    * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. */
+  def ngramJaccard(docs: DataFrame, textCol: String = "text", shingleN: Int = 3,
+      maxIdGap: Long = 5): DataFrame = {
+    val sh = shingles(docs, textCol, shingleN)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("s1").join(sh.as("s2"),
+        col("s1.shingle") === col("s2.shingle") &&
+        col("s2.doc_id") > col("s1.doc_id") &&
+        col("s2.doc_id") - col("s1.doc_id") <= maxIdGap)
+      .groupBy(col("s1.doc_id").as("id1"), col("s2.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.as("c1"), col("id1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("id2") === col("c2.doc_id"))
+      .select(col("id1"), col("id2"),
+        round(col("c").cast("double") /
+          (col("c1.n") + col("c2.n") - col("c")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token take xxhash64(token);
+    * for each bit position sum +1/-1 weighted by token frequency; simhash bit
+    * = sign. Columnar (explode + 1 aggregation), no UDFs. */
+  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs over SimHash (bounded id window to keep
+    * the candidate set linear; production: multi-probe over rotated bands). */
+  def simhashNearDups(docs: DataFrame, textCol: String = "text",
+      maxHamming: Int = 8, maxIdGap: Long = 5): DataFrame = {
+    val s = simhash64(docs, textCol)
+    val a = s.as("a"); val b = s.as("b")
+    a.join(b, col("b.doc_id") > col("a.doc_id") &&
+        col("b.doc_id") - col("a.doc_id") <= maxIdGap)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

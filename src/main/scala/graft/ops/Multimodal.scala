@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque `binary`
+  * columns with typed metadata structs. Decode/feature-extract runs as a
+  * partition-local batch transform (`mapPartitions` over rows — the Scala
+  * analogue of `mapInPandas`): schema, partitioning, and batch shape are real;
+  * the codec itself is STUBBED with a deterministic fake (media libraries are
+  * not available in this environment — swap [[decodeStub]] for a real decoder
+  * in production).
+  *
+  * Scale design: payloads never pass through a shuffle — feature extraction is
+  * narrow (per-partition), and downstream joins/groupBys carry only the small
+  * extracted-feature columns, not the blobs. Partition sizing is governed by
+  * `spark.sql.files.maxPartitionBytes`, so executor memory bounds hold no
+  * matter how large the corpus is.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true))), nullable = true)))
+
+  /** Wrap a text corpus as a fake media table: payload = UTF-8 bytes. Stands
+    * in for `spark.read.format("binaryFile")` in production. */
+  def asMediaTable(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("image/fake").as("media_type"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        (length(col(textCol)) % 640).cast("int").as("width"),
+        (length(col(textCol)) % 480).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+
+  /** STUB decoder: a real implementation would decode the image/audio payload
+    * here (e.g. via javax.imageio / a JNI codec). The fake is deterministic:
+    * "decoded" features are derived from the raw bytes only. */
+  private[ops] def decodeStub(payload: Array[Byte]): (Int, Long, Double) = {
+    if (payload == null) (0, 0L, 0.0)
+    else {
+      var checksum = 0L
+      var lum = 0.0
+      var i = 0
+      while (i < payload.length) {
+        checksum = checksum * 31 + (payload(i) & 0xff)
+        lum += (payload(i) & 0xff)
+        i += 1
+      }
+      (payload.length, checksum, if (payload.length == 0) 0.0 else lum / payload.length)
+    }
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Partition-local batch feature extraction over the binary column (the
+    * mapInPandas-shaped step: one iterator of rows in, one iterator out, no
+    * shuffle, blobs dropped from the output). */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val (n, checksum, luma) = decodeStub(payload)
+        Row(id, n, checksum, luma)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame-sampling shape for video-like payloads: split the payload into
+    * fixed-size "frames" and keep every `stride`-th one (columnar, no UDF). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    media.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), (length(col("payload")) - 1) / frameBytes, lit(stride)),
+        i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame")
+}

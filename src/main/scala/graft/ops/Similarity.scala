@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), for training-data curation (near-dup detection by
+  * embedding cosine, semantic search).
+  *
+  * Two strategies:
+  *  - [[cosineTopK]] — brute-force baseline: broadcast the (small) query set,
+  *    one pass over the corpus, per-query top-k via window rank. Exact.
+  *  - [[bucketedTopK]] — scale path: coarse sign-bit quantization (an
+  *    IVF/LSH-style bucketing) so each query only scans its bucket; at 100 TB
+  *    the corpus is hash-partitioned by bucket and only 1/2^bits of it is read
+  *    per query batch.
+  *
+  * Dot products are pure Column expressions (`zip_with` + `aggregate`), so the
+  * whole pipeline stays in whole-stage codegen — no UDF boxing per element.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a Column expression over two array<float> columns (computed in
+    * double precision). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. The query side is
+    * broadcast (it is small by construction); ranking rounds the similarity
+    * to 4 decimals and tie-breaks on neighbor id so results are deterministic
+    * across engines and partitionings. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"))
+    val scored = q.join(c, col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), round(cosine(col("qv"), col("dv")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Coarse quantizer: bucket id from the sign bits of the first `bits`
+    * dimensions (deterministic, engine-portable). */
+  def signBucket(v: Column, bits: Int = 4): Column =
+    (0 until bits).map(i =>
+      when(element_at(v, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN top-k restricted to the query's coarse bucket (IVF-style). Recall is
+    * traded for a 2^bits scan reduction; increase overlap with multi-probe by
+    * unioning neighboring buckets if needed. */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      signBucket(col("embedding"), bits).as("bucket")))
+    val c = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), round(cosine(col("qv"), col("dv")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

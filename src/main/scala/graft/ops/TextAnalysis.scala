@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are pure Column expressions (whole-stage-codegen friendly; no
+  * UDFs, no shuffles except where an aggregation is the point), so they scale
+  * linearly with input splits on a large cluster.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword pre-tokenization: letter runs, single digits, or single
+    * non-alphanumeric marks (a deterministic, regex-only approximation of a
+    * byte-level BPE pre-tokenizer). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))
+
+  /** Per-document token statistics: whitespace tokens + BPE-ish token count. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(bpeTokens(col(textCol))).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_distinct_tokens"))
+
+  /** Quality-scoring signals: length, mean token length, punctuation ratio,
+    * stopword ratio, alphabetic ratio, uniqueness ratio. */
+  def qualitySignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      round((nChars - size(toks).cast("double") + lit(1)) / nTok, 4).as("mean_token_len"),
+      round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / nChars, 4)
+        .as("punct_ratio"),
+      round(size(filter(toks, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+        .cast("double") / nTok, 4).as("stopword_ratio"),
+      round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nChars, 4)
+        .as("alpha_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("uniqueness"))
+  }
+
+  /** Language-marker stopword sets used by [[languageId]]; kept tiny and
+    * deterministic so the identical heuristic is expressible in ANSI SQL. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  /** N-gram/stopword-heuristic language ID: score = count of marker-word hits
+    * per language; argmax with deterministic tie-break (language name asc),
+    * score 0 → "und" (undetermined). */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = langMarkers.map { case (lang, ws) =>
+      struct(
+        size(filter(toks, x => x.isin(ws.map(_.asInstanceOf[Any]): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max picks (max score, then max lang); to tie-break by lang ASC we
+    // order on (score, reversed-lang) — with a fixed 2-char code set, flipping
+    // sort order via a sortable complement: use negative of lang rank.
+    val ranked = langMarkers.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(
+        size(filter(toks, x => x.isin(ws.map(_.asInstanceOf[Any]): _*))).as("score"),
+        lit(-i).as("nrank"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(ranked: _*))
+    docs.select(
+      col("doc_id"),
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+        .as("pred_lang"),
+      best.getField("score").cast("long").as("lang_score"))
+  }
+
+  /** Document fingerprint: md5 of case-folded, punctuation-stripped,
+    * whitespace-collapsed text — a deterministic rolling-hash stand-in that is
+    * reproducible in any engine. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.api._
+import graft.api.alg._
+import graft.ops._
+import graft.lib._
+
+/** Manual end-to-end drive of the public library surface on real testdata. */
+object DriveDemo {
+  def main(args: Array[String]): Unit = {
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+
+    // 1. typed DataBag over parquet lineitem
+    val li = DataBag.from(spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_quantity", "l_returnflag").as[(Long, Double, String)])
+    println("lineitem size = " + li.size)
+    println("sum qty = " + li.map(_._2).sum)
+    println("top3 qty = " + li.map(_._2).top(3))
+    println("foldGroup by flag = " +
+      li.foldGroup[String, Long](_._3, Size).collect().sortBy(_.key).mkString(", "))
+
+    // 2. equiJoin orders x customer
+    val ord = DataBag.from(spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey").as[(Long, Long)])
+    val cust = DataBag.from(spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "c_name").as[(Long, String)])
+    val joined = ord.equiJoin(cust)(_._2, _._1)
+    println("join size = " + joined.size)
+    println("join sample = " + joined.collect().take(2).mkString("; "))
+
+    // 3. deterministic sample
+    val s1 = li.sample(5, seed = 42L).map(_._1)
+    val s2 = li.sample(5, seed = 42L).map(_._1)
+    println("sample deterministic = " + (s1 == s2) + " " + s1)
+
+    // 4. wordCount typed + columnar agree
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wcCol = TextPipelines.wordCount(docs).orderBy(org.apache.spark.sql.functions.desc("cnt")).limit(3)
+    println("wordCount columnar top3:")
+    wcCol.show(false)
+
+    // 5. dedup + text analysis + similarity on real tables
+    println("exact dedup groups with n>1 = " +
+      Dedup.exactGroups(docs).filter("n > 1").count())
+    TextAnalysis.languageId(docs).groupBy("pred_lang").count().show(false)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    println("embeddings schema: " + emb.schema.simpleString)
+    val qs = emb.limit(2)
+    Similarity.cosineTopK(emb, qs, k = 2).show(false)
+
+    // 6. graphs: connected components on a toy edge list
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    Graphs.connectedComponents(edges, spark).orderBy("vertex").show(false)
+
+    // 7. MutableBag update semantics
+    val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
+    val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(
+      (k, vOpt, m) => Some(vOpt.getOrElse(0L) + m))
+    println("mutablebag delta = " + delta.collect().sortBy(_._1).mkString(", "))
+    println("mutablebag state = " + state.bag().collect().sortBy(_._1).mkString(", "))
+
+    spark.stop()
+  }
+}
