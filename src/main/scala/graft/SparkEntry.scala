@@ -1,13 +1,450 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{CSV, DataBag}
+import graft.lib.{Graphs, KMeans, TextPipelines}
+import graft.ops.{Dedup, Multimodal, Portable, Similarity, TextAnalysis}
+
+/** Row type used by the CSV round-trip query. */
+case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB oracle in [[SparkEntry.oracleSql]]
+  * where SQL-expressible.
+  *
+  * Determinism rules shared by the Spark side and the oracle SQL:
+  *  - decimal sums: cast addends to DECIMAL before summing (exact, order-
+  *    independent), cast the result back to double;
+  *  - rounding: `floor(x*10^d + 0.5)/10^d` ([[graft.ops.Portable.round]]) —
+  *    identical IEEE-754 ops in both engines;
+  *  - every ranking has a total-order tie-break;
+  *  - timestamps are formatted to strings before output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec2 = "decimal(18,2)"
+
+  /** Exact discounted revenue: price * (1 - discount) in decimal. */
+  private def revenueDec: Column =
+    col("l_extendedprice").cast(dec2) * (lit(1).cast(dec2) - col("l_discount").cast(dec2))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q12_join5")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ monad ops (SURVEY §2.2)
+    "q01_map" -> ((s, d) =>
+      tbl(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))),
+
+    "q02_filter" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").as("qty"))),
+
+    "q03_flatmap" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)),
+
+    // ------------------------------------------------- set ops (SURVEY §2.4)
+    "q04_union" -> ((s, d) =>
+      tbl(s, d, "customer").where(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        .union(tbl(s, d, "supplier")
+          .select(col("s_suppkey").as("id"), col("s_name").as("name")))),
+
+    "q05_distinct" -> ((s, d) =>
+      tbl(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+
+    "q06_intersect" -> ((s, d) =>
+      tbl(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nk")))),
+
+    "q07_except" -> ((s, d) =>
+      tbl(s, d, "customer").where(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("k"))
+        .except(tbl(s, d, "orders").where(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")))),
+
+    // -------------------------------------- grouping & folds (SURVEY §2.3/2.5)
+    "q08_groupagg" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec2)).cast("double").as("sum_base"),
+        sum(revenueDec).cast("double").as("sum_disc"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt"))),
+
+    "q09_global_agg" -> ((s, d) =>
+      tbl(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").as("sum_qty"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+        ((sum(col("l_quantity") * col("l_quantity")) / count(lit(1))) -
+          (sum(col("l_quantity")) / count(lit(1))) *
+          (sum(col("l_quantity")) / count(lit(1)))).as("var_qty"))),
+
+    "q10_topk" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // ------------------------------------------- joins & cross (SURVEY §2.4)
+    "q11_join" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))),
+
+    "q12_join5" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(revenueDec).cast("double").as("revenue"))),
+
+    "q13_left_outer" -> ((s, d) =>
+      tbl(s, d, "customer")
+        .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+
+    "q14_semi" -> ((s, d) =>
+      tbl(s, d, "customer")
+        .join(tbl(s, d, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    "q15_anti" -> ((s, d) =>
+      tbl(s, d, "customer")
+        .join(tbl(s, d, "orders").where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    "q16_cross" -> ((s, d) =>
+      tbl(s, d, "region").crossJoin(tbl(s, d, "nation"))
+        .select("r_name", "n_name")),
+
+    // ------------------------------ beyond-reference relational (SURVEY §2.8)
+    "q17_rollup" -> ((s, d) =>
+      tbl(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("cnt"), col("sum_qty"))),
+
+    "q18_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, d, "orders").withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    "q19_window_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec2)).over(w).cast("double").as("running_total"))
+    }),
+
+    "q20_events_hourly" -> ((s, d) => {
+      // events.parquet uses INT64(TIMESTAMP_NANOS); Spark reads it as long ns
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, d, "events")
+        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+          date_format(date_trunc("hour", col("tsx")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    }),
+
+    // ------------------------------------------------------- text workloads
+    "q21_wordcount" -> ((s, d) =>
+      TextPipelines.wordCount(tbl(s, d, "documents"))),
+
+    "q22_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(tbl(s, d, "documents"))),
+
+    "q23_quality" -> ((s, d) =>
+      TextAnalysis.qualitySignals(tbl(s, d, "documents").where(col("n_chars") > 0))),
+
+    "q24_langid" -> ((s, d) =>
+      TextAnalysis.languageId(tbl(s, d, "documents"))),
+
+    "q25_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(tbl(s, d, "documents"))),
+
+    // ------------------------------------------------------------------ dedup
+    "q26_exact_dedup" -> ((s, d) =>
+      Dedup.exactGroups(tbl(s, d, "documents"))),
+
+    "q29_minhash" -> ((s, d) =>
+      Dedup.minhashSignatures(tbl(s, d, "documents"), numHashes = 4)),
+
+    "q30_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(tbl(s, d, "documents"), maxIdGap = 5)),
+
+    "q35_simhash" -> ((s, d) =>
+      Dedup.simhash64(tbl(s, d, "documents"))),
+
+    // ------------------------------------------------------------- similarity
+    "q27_cosine_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Similarity.cosineTopK(emb, emb.where(col("vec_id") < 8), k = 3)
+    }),
+
+    "q28_bucketed_ann" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Similarity.bucketedTopK(emb, emb.where(col("vec_id") < 8), k = 3, bits = 4)
+    }),
+
+    // ------------------------------------------------------- graph workloads
+    "q31_cc" -> ((s, d) => {
+      val e = tbl(s, d, "orders").where(col("o_orderkey") % 5 === 0)
+        .select((col("o_custkey") % 37).as("src"), (col("o_orderkey") % 37).as("dst"))
+        .where(col("src") =!= col("dst"))
+      Graphs.connectedComponents(e, s)
+    }),
+
+    "q32_tc" -> ((s, d) => {
+      import s.implicits._
+      val e = tbl(s, d, "nation").where(col("n_nationkey") % 5 =!= 4)
+        .select(col("n_nationkey").cast("long").as("src"),
+          (col("n_nationkey") + 1).cast("long").as("dst"))
+        .as[(Long, Long)]
+      Graphs.transitiveClosure(e).toDF("src", "dst")
+    }),
+
+    "q33_triangles" -> ((s, d) =>
+      Graphs.triangles(tbl(s, d, "lineitem")
+        .select((col("l_suppkey") % 30).as("src"), (col("l_partkey") % 30).as("dst")))),
+
+    // ----------------------------------------------------------- sources/sinks
+    "q34_csv_roundtrip" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      implicit val enc: org.apache.spark.sql.Encoder[Nation] = Encoders.product[Nation]
+      val dir = "/tmp/graft_scratch/nation_csv"
+      DataBag.from(tbl(s, d, "nation").as[Nation]).writeCSV(dir, CSV(header = true))
+      DataBag.readCSV[Nation](dir, CSV(header = true)).toDF.agg(
+        count(lit(1)).as("cnt"),
+        min(col("n_nationkey")).as("min_key"),
+        sum(col("n_regionkey")).cast("long").as("sum_region"))
+    }),
+
+    // ------------------------------------- rows-only checks (no SQL oracle)
+    "q36_zipindex" -> ((s, d) => {
+      val b = DataBag.from(tbl(s, d, "lineitem")
+        .select("l_orderkey").as[Long](Encoders.scalaLong))
+      b.zipWithIndex().ds.toDF("key", "idx")
+    }),
+
+    "q37_sample" -> ((s, d) => {
+      import s.implicits._
+      val b = DataBag.from(tbl(s, d, "lineitem")
+        .select("l_orderkey").as[Long](Encoders.scalaLong))
+      b.sample(10, seed = 42L).toDF("key")
+    }),
+
+    "q38_kmeans" -> ((s, d) =>
+      KMeans.fit(tbl(s, d, "embeddings"), k = 4, maxIter = 5)),
+
+    "q39_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents"))))
+  )
+
+  /** DuckDB oracle for each SQL-expressible query (same parquet tables
+    * registered by table name). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_map" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem",
+
+    "q02_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS qty FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'",
+
+    "q03_flatmap" ->
+      "SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t WHERE length(token) > 0",
+
+    "q04_union" ->
+      "SELECT c_custkey AS id, c_name AS name FROM customer WHERE c_acctbal > 0 UNION ALL SELECT s_suppkey AS id, s_name AS name FROM supplier",
+
+    "q05_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q06_intersect" ->
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
+
+    "q07_except" ->
+      "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0 EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000",
+
+    "q08_groupagg" ->
+      ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc, " +
+        "SUM(l_quantity) / COUNT(*) AS avg_qty, COUNT(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+    "q09_global_agg" ->
+      ("SELECT COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty, " +
+        "strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship, " +
+        "strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship, " +
+        "SUM(l_quantity * l_quantity) / COUNT(*) - (SUM(l_quantity) / COUNT(*)) * (SUM(l_quantity) / COUNT(*)) AS var_qty " +
+        "FROM lineitem"),
+
+    "q10_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q11_join" ->
+      "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
+
+    "q12_join5" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"),
+
+    "q13_left_outer" ->
+      "SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+
+    "q14_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)",
+
+    "q15_anti" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)",
+
+    "q16_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q17_rollup" ->
+      "SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+
+    "q18_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 3"),
+
+    "q19_window_sum" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total " +
+        "FROM orders"),
+
+    "q20_events_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2"),
+
+    "q21_wordcount" ->
+      ("SELECT token AS word, COUNT(*) AS cnt FROM " +
+        "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t " +
+        "WHERE length(token) > 0 GROUP BY token"),
+
+    "q22_token_counts" ->
+      ("SELECT doc_id, " +
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens, " +
+        "CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_distinct_tokens " +
+        "FROM documents"),
+
+    "q23_quality" ->
+      ("SELECT doc_id, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "floor((CAST(length(text) AS DOUBLE) - CAST(len(toks) AS DOUBLE) + 1) / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_token_len, " +
+        "floor(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS punct_ratio, " +
+        "floor(CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio, " +
+        "floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio, " +
+        "floor(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS uniqueness " +
+        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE n_chars > 0) t"),
+
+    "q24_langid" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
+        "len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
+        "len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, " +
+        "len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr FROM t) " +
+        "SELECT doc_id, " +
+        "CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
+        "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' " +
+        "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang, " +
+        "CAST(greatest(s_en, s_es, s_de, s_fr) AS BIGINT) AS lang_score FROM s"),
+
+    "q25_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents",
+
+    "q26_exact_dedup" ->
+      "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
+
+    "q29_minhash" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3) " +
+        "SELECT doc_id, MIN(md5('0-' || shingle)) AS mh0, MIN(md5('1-' || shingle)) AS mh1, " +
+        "MIN(md5('2-' || shingle)) AS mh2, MIN(md5('3-' || shingle)) AS mh3 FROM sh GROUP BY doc_id"),
+
+    "q30_jaccard" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS c FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s2.doc_id > s1.doc_id AND s2.doc_id - s1.doc_id <= 5 GROUP BY s1.doc_id, s2.doc_id) " +
+        "SELECT id1, id2, floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
+        "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id"),
+
+    "q27_cosine_topk" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS did, embedding AS dv FROM embeddings), " +
+        "p AS (SELECT qid, did, " +
+        "list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))) AS dot, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nq, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(dv)), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))) AS nd " +
+        "FROM q CROSS JOIN c WHERE qid <> did), " +
+        "r AS (SELECT qid, did, floor(dot / (nq * nd) * 10000.0 + 0.5) / 10000.0 AS sim FROM p) " +
+        "SELECT qid, did, sim, rank FROM (SELECT qid, did, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rank FROM r) x WHERE rank <= 3"),
+
+    "q28_bucketed_ann" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + " +
+        "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS did, embedding AS dv, bucket FROM b), " +
+        "p AS (SELECT qid, did, " +
+        "list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))) AS dot, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nq, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(dv)), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))) AS nd " +
+        "FROM q JOIN c USING (bucket) WHERE qid <> did), " +
+        "r AS (SELECT qid, did, floor(dot / (nq * nd) * 10000.0 + 0.5) / 10000.0 AS sim FROM p) " +
+        "SELECT qid, did, sim, rank FROM (SELECT qid, did, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rank FROM r) x WHERE rank <= 3"),
+
+    "q31_cc" ->
+      ("WITH RECURSIVE ed AS (SELECT DISTINCT o_custkey % 37 AS src, o_orderkey % 37 AS dst FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey % 37 <> o_orderkey % 37), " +
+        "und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed), " +
+        "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src) " +
+        "SELECT v AS vertex, MIN(u) AS label FROM r GROUP BY v"),
+
+    "q32_tc" ->
+      ("WITH RECURSIVE e AS (SELECT CAST(n_nationkey AS BIGINT) AS src, CAST(n_nationkey + 1 AS BIGINT) AS dst FROM nation WHERE n_nationkey % 5 <> 4), " +
+        "p AS (SELECT src, dst FROM e UNION SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src) " +
+        "SELECT src, dst FROM p"),
+
+    "q33_triangles" ->
+      ("WITH raw AS (SELECT l_suppkey % 30 AS src, l_partkey % 30 AS dst FROM lineitem), " +
+        "e AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM raw WHERE least(src, dst) <> greatest(src, dst)) " +
+        "SELECT xy.s AS x, xy.d AS y, yz.d AS z FROM e xy JOIN e yz ON xy.d = yz.s JOIN e xz ON xz.s = xy.s AND xz.d = yz.d"),
+
+    "q34_csv_roundtrip" ->
+      "SELECT COUNT(*) AS cnt, MIN(n_nationkey) AS min_key, CAST(SUM(n_regionkey) AS BIGINT) AS sum_region FROM nation"
+  )
 }

@@ -75,7 +75,7 @@ object Dedup {
       .join(cnt.as("c1"), col("id1") === col("c1.doc_id"))
       .join(cnt.as("c2"), col("id2") === col("c2.doc_id"))
       .select(col("id1"), col("id2"),
-        round(col("c").cast("double") /
+        Portable.round(col("c").cast("double") /
           (col("c1.n") + col("c2.n") - col("c")).cast("double"), 6).as("jaccard"))
   }
 

@@ -39,7 +39,7 @@ object Similarity {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"))
     val scored = q.join(c, col("qid") =!= col("did"))
-      .select(col("qid"), col("did"), round(cosine(col("qv"), col("dv")), 4).as("sim"))
+      .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -61,7 +61,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"),
       signBucket(col("embedding"), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("did"))
-      .select(col("qid"), col("did"), round(cosine(col("qv"), col("dv")), 4).as("sim"))
+      .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -41,14 +41,14 @@ object TextAnalysis {
       col("doc_id"),
       length(t).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
-      round((nChars - size(toks).cast("double") + lit(1)) / nTok, 4).as("mean_token_len"),
-      round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / nChars, 4)
+      Portable.round((nChars - size(toks).cast("double") + lit(1)) / nTok, 4).as("mean_token_len"),
+      Portable.round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / nChars, 4)
         .as("punct_ratio"),
-      round(size(filter(toks, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
+      Portable.round(size(filter(toks, x => x.isin(stopwords.map(_.asInstanceOf[Any]): _*)))
         .cast("double") / nTok, 4).as("stopword_ratio"),
-      round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nChars, 4)
+      Portable.round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / nChars, 4)
         .as("alpha_ratio"),
-      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("uniqueness"))
+      Portable.round(size(array_distinct(toks)).cast("double") / nTok, 4).as("uniqueness"))
   }
 
   /** Language-marker stopword sets used by [[languageId]]; kept tiny and

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: read Verify's parquet outputs,
+run each oracle SQL in DuckDB over the same sf tables, compare row/schema/values
+after sorting columns by name and rows by all columns."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracle:
+            print(f"ROWS {name}: rows={len(got)}" + (" (EMPTY!)" if len(got) == 0 else ""))
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        ok = True
+        for c in g.columns:
+            a, b = g[c].to_numpy(), e[c].to_numpy()
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                same = np.array_equal(a.astype(float), b.astype(float), equal_nan=True)
+            else:
+                same = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
+            if not same:
+                mism = None
+                try:
+                    idx = np.where(a != b)[0][:3]
+                    mism = [(int(i), a[i], b[i]) for i in idx]
+                except Exception:
+                    pass
+                print(f"FAIL {name}: column {c} differs; first mismatches {mism}")
+                ok = False; break
+        if ok:
+            print(f"PASS {name}: rows={len(g)}"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {len(names)} total")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
