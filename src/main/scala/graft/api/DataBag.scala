@@ -206,20 +206,19 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
         Iterator.single((n, buf.toVector))
       }
       .collect()
-    // driver-side weighted merge of per-partition reservoirs
+    // Driver-side merge without replacement (A-Res weighted reservoir):
+    // each surviving element represents n_i/|r_i| source rows; keep the k
+    // largest u^(1/w) keys. Deterministic given seed and partitioning.
     val rng = new java.util.Random(seed ^ 0x5DEECE66DL)
-    partials.foldLeft((0L, Vector.empty[A])) { case ((n1, r1), (n2, r2)) =>
-      if (n2 == 0) (n1, r1)
-      else if (n1 == 0) (n2, r2)
-      else {
-        val n = n1 + n2
-        val kk = math.min(k, r1.size + r2.size)
-        val merged = Vector.tabulate(kk) { _ =>
-          if (rng.nextDouble() * n < n1) r1(rng.nextInt(r1.size)) else r2(rng.nextInt(r2.size))
-        }
-        (n, merged)
-      }
-    }._2
+    val weighted = partials.toVector.flatMap { case (n, r) =>
+      if (n == 0) Vector.empty
+      else { val w = n.toDouble / r.size; r.map(x => (x, w)) }
+    }
+    weighted
+      .map { case (x, w) => (math.pow(rng.nextDouble(), 1.0 / w), x) }
+      .sortBy(-_._1)
+      .take(k)
+      .map(_._2)
   }
 
   /** Dense unique 0-based index (reference zipWithIndex, SparkRDD.scala:109-110).

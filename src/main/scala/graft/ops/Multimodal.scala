@@ -86,7 +86,7 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
     media.select(col("doc_id"),
       posexplode(transform(
-        sequence(lit(0), (length(col("payload")) - 1) / frameBytes, lit(stride)),
+        sequence(lit(0), ((length(col("payload")) - 1) / frameBytes).cast("int"), lit(stride)),
         i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")

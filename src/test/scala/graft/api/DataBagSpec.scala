@@ -1,0 +1,179 @@
+package graft.api
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.api.alg._
+
+/** Backend-parametric op spec in the spirit of the reference DataBagSpec:
+  * every engine op is asserted equal to the straightforward Scala-collections
+  * formulation (order-insensitive bag equality). */
+class DataBagSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val xs = Seq(1, 2, 2, 3, 4, 5, 5, 5)
+  private val ys = Seq(4, 5, 6, 7)
+  private def bag(s: Seq[Int]): DataBag[Int] = DataBag(s)
+  private def asBag[A](s: Seq[A]): Map[A, Int] =
+    s.groupBy(identity).view.mapValues(_.size).toMap
+
+  "empty/apply/collect" should "round-trip" in {
+    DataBag.empty[Int].collect() shouldBe empty
+    asBag(bag(xs).collect()) shouldBe asBag(xs)
+  }
+
+  "map" should "match Seq.map" in {
+    asBag(bag(xs).map(_ * 10).collect()) shouldBe asBag(xs.map(_ * 10))
+  }
+
+  "flatMap" should "match Seq.flatMap" in {
+    asBag(bag(xs).flatMap(x => Seq(x, -x)).collect()) shouldBe
+      asBag(xs.flatMap(x => Seq(x, -x)))
+  }
+
+  "withFilter" should "support for-comprehensions" in {
+    val r = for { x <- bag(xs) if x % 2 == 0 } yield x + 1
+    asBag(r.collect()) shouldBe asBag(xs.filter(_ % 2 == 0).map(_ + 1))
+  }
+
+  "where/select Column fast path" should "agree with lambda path" in {
+    val a = bag(xs).where(org.apache.spark.sql.functions.col("value") > 2)
+    val b = bag(xs).filter(_ > 2)
+    a.bagEquals(b) shouldBe true
+  }
+
+  "union" should "respect duplicates (UNION ALL)" in {
+    asBag(bag(xs).union(bag(ys)).collect()) shouldBe asBag(xs ++ ys)
+  }
+
+  "distinct" should "dedup" in {
+    bag(xs).distinct.collect().sorted shouldBe xs.distinct.sorted
+  }
+
+  "intersect/except" should "use distinct set semantics" in {
+    bag(xs).intersect(bag(ys)).collect().sorted shouldBe
+      xs.distinct.intersect(ys.distinct).sorted
+    bag(xs).except(bag(ys)).collect().sorted shouldBe
+      xs.distinct.diff(ys.distinct).sorted
+  }
+
+  "folds" should "match Seq equivalents incl. empty-bag edge cases" in {
+    val b = bag(xs)
+    b.size shouldBe xs.size
+    b.count(_ > 2) shouldBe xs.count(_ > 2)
+    b.sum shouldBe xs.sum
+    b.product shouldBe xs.product
+    b.min shouldBe xs.min
+    b.max shouldBe xs.max
+    b.isEmpty shouldBe false
+    b.nonEmpty shouldBe true
+    b.exists(_ == 5) shouldBe true
+    b.exists(_ == 9) shouldBe false
+    b.forall(_ > 0) shouldBe true
+    b.find(_ == 3) shouldBe Some(3)
+    b.find(_ == 9) shouldBe None
+    b.top(3) shouldBe List(5, 5, 5)
+    b.bottom(2) shouldBe List(1, 2)
+    b.reduce(0)(_ + _) shouldBe xs.sum
+    b.reduceOption(math.max) shouldBe Some(xs.max)
+    b.fold(Alg2(Size, Sum(implicitly[Numeric[Int]]))) shouldBe ((xs.size.toLong, xs.sum))
+
+    val e = DataBag.empty[Int]
+    e.size shouldBe 0
+    e.isEmpty shouldBe true
+    e.sum shouldBe 0
+    e.reduceOption(_ + _) shouldBe None
+    e.top(3) shouldBe Nil
+    an[Exception] should be thrownBy e.min
+  }
+
+  "groupBy (nested)" should "materialize groups" in {
+    val groups = bag(xs).groupBy(_ % 2).collect()
+      .map(g => g.key -> g.values.sorted).toMap
+    groups shouldBe xs.groupBy(_ % 2).view.mapValues(_.sorted).toMap
+  }
+
+  "foldGroup" should "fuse per-group aggregation" in {
+    val r = bag(xs).foldGroup[Int, Int](_ % 2, Sum(implicitly[Numeric[Int]]))
+      .collect().map(g => g.key -> g.values).toMap
+    r shouldBe xs.groupBy(_ % 2).view.mapValues(_.sum).toMap
+  }
+
+  "equiJoin" should "match Seq join incl. duplicates" in {
+    val l = Seq((1, "a"), (2, "b"), (2, "B"), (3, "c"))
+    val r = Seq((2, 20.0), (3, 30.0), (3, 33.0), (4, 40.0))
+    val got = DataBag(l).equiJoin(DataBag(r))(_._1, _._1).collect()
+    val exp = for { a <- l; b <- r if a._1 == b._1 } yield (a, b)
+    asBag(got) shouldBe asBag(exp)
+  }
+
+  "leftOuterJoin" should "keep unmatched left rows as None" in {
+    val l = Seq((1, "a"), (2, "b"))
+    val r = Seq((2, 20.0))
+    val got = DataBag(l).leftOuterJoin(DataBag(r))(_._1, _._1).collect()
+    asBag(got) shouldBe asBag(Seq(((1, "a"), None), ((2, "b"), Some((2, 20.0)))))
+  }
+
+  "semiJoin/antiJoin" should "filter by key existence" in {
+    val l = Seq((1, "a"), (2, "b"), (3, "c"))
+    val r = Seq((2, "x"), (2, "y"))
+    DataBag(l).semiJoin(DataBag(r))(_._1, _._1).collect().sorted shouldBe Seq((2, "b"))
+    DataBag(l).antiJoin(DataBag(r))(_._1, _._1).collect().sorted shouldBe
+      Seq((1, "a"), (3, "c"))
+  }
+
+  "cross" should "produce the cartesian product" in {
+    val got = bag(Seq(1, 2)).cross(bag(Seq(3, 4))).collect()
+    asBag(got) shouldBe asBag(Seq((1, 3), (1, 4), (2, 3), (2, 4)))
+  }
+
+  "sample" should "be deterministic under a fixed seed and bounded by k" in {
+    val b = bag((1 to 1000).toSeq)
+    val s1 = b.sample(7, 123L)
+    val s2 = b.sample(7, 123L)
+    s1 shouldBe s2
+    s1.size shouldBe 7
+    s1.toSet.subsetOf((1 to 1000).toSet) shouldBe true
+    bag(Seq(1, 2)).sample(10, 1L).sorted shouldBe Vector(1, 2)
+  }
+
+  "zipWithIndex" should "assign dense unique indices" in {
+    val r = bag(xs).zipWithIndex().collect()
+    r.map(_._2).sorted shouldBe (0L until xs.size).toVector
+    asBag(r.map(_._1)) shouldBe asBag(xs)
+  }
+
+  "bagEquals" should "be order-insensitive multiset equality" in {
+    bag(Seq(1, 2, 2)).bagEquals(bag(Seq(2, 1, 2))) shouldBe true
+    bag(Seq(1, 2, 2)).bagEquals(bag(Seq(1, 2))) shouldBe false
+  }
+
+  "CSV and Parquet IO" should "round-trip typed records" in {
+    // note: empty strings don't survive CSV (written unquoted-empty, read back
+    // as null via nullValue="") — same ambiguity the reference CSV codec has;
+    // null/None round-trips via Option fields.
+    val recs = Seq(Rec(1, "a,b", Some(1.5)), Rec(2, "c", None), Rec(3, "d", Some(-2.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    implicit val enc: org.apache.spark.sql.Encoder[Rec] = Encoders.product[Rec]
+
+    DataBag.from(spark.createDataset(recs)).writeCSV(s"$dir/csv", CSV(header = true))
+    val csvBack = DataBag.readCSV[Rec](s"$dir/csv", CSV(header = true)).collect()
+    asBag(csvBack.map(r => (r.id, r.s))) shouldBe asBag(recs.map(r => (r.id, r.s)))
+
+    DataBag.from(spark.createDataset(recs)).writeParquet(s"$dir/pq")
+    val pqBack = DataBag.readParquet[Rec](s"$dir/pq").collect()
+    asBag(pqBack) shouldBe asBag(recs)
+  }
+
+  "readText" should "read lines" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    DataBag(Seq("line one", "line two")).writeText(s"$dir/t")
+    DataBag.readText(s"$dir/t").collect().sorted shouldBe Seq("line one", "line two")
+  }
+}
+
+case class Rec(id: Int, s: String, d: Option[Double])

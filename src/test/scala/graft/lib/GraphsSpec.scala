@@ -1,0 +1,48 @@
+package graft.lib
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Golden-graph acceptance tests (reference: fixed 7-node CC graph,
+  * triangle/TC fixtures). */
+class GraphsSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  "connectedComponents" should "label the reference-style 7-node graph" in {
+    // components {1,2,3,4}, {5,6}, isolated-with-self? 7 connects via 7-7? use 7-8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("src", "dst")
+    val got = Graphs.connectedComponents(edges, spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 5L), (6L, 5L), (7L, 7L), (8L, 7L))
+  }
+
+  "connectedComponentsMutable" should "agree with the DataFrame formulation" in {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+    val a = Graphs.connectedComponentsMutable(edges.toDS(), spark)
+      .collect().sorted
+    val b = Graphs.connectedComponents(edges.toDF("src", "dst"), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    a shouldBe b
+  }
+
+  "transitiveClosure" should "close a chain" in {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDS()
+    Graphs.transitiveClosure(edges).collect().sorted shouldBe
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+  }
+
+  "triangles" should "enumerate each triangle once" in {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L),
+      (5L, 6L)).toDF("src", "dst")
+    val got = Graphs.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    got shouldBe Seq((1L, 2L, 3L), (1L, 3L, 4L))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Unit specs for the training-data operators, against hand-computed goldens. */
+class OpsSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"),   // exact dup of 1
+    (3L, "the quick brown fox leaps"),   // near dup of 1 (4/5 tokens)
+    (4L, "completely different text here"),
+    (5L, "El la de que es hoy")
+  ).toDF("doc_id", "text")
+
+  "Dedup.exactGroups" should "group exact duplicates" in {
+    val g = Dedup.exactGroups(docs).collect()
+    g.length shouldBe 4
+    val dup = g.find(_.getLong(2) == 2).get
+    dup.getLong(1) shouldBe 1L // keep_id = min doc_id
+  }
+
+  "Dedup.shingles" should "produce n-2 distinct shingles per n-token doc" in {
+    val sh = Dedup.shingles(docs).where(col("doc_id") === 1).collect()
+    sh.map(_.getString(1)).sorted shouldBe
+      Seq("brown fox jumps", "quick brown fox", "the quick brown")
+  }
+
+  "Dedup.minhashSignatures + lshCandidatePairs" should "pair exact dups, not near dups" in {
+    val sig = Dedup.minhashSignatures(docs, numHashes = 4)
+    sig.columns.toSeq shouldBe Seq("doc_id", "mh0", "mh1", "mh2", "mh3")
+    val pairs = Dedup.lshCandidatePairs(sig, Seq("mh0", "mh1", "mh2", "mh3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 2L)) // identical signature only for the exact dup
+  }
+
+  "Dedup.ngramJaccard" should "score near duplicates" in {
+    val j = Dedup.ngramJaccard(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    j((1L, 2L)) shouldBe 1.0 // identical docs
+    // doc1 vs doc3: shingles {tqb,qbf,bfj} vs {tqb,qbf,bfl}: |∩|=2 |∪|=4
+    j((1L, 3L)) shouldBe 0.5
+  }
+
+  "Dedup.simhash64 + simhashNearDups" should "give identical hash to identical docs" in {
+    val s = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    s(1L) shouldBe s(2L)
+    val nd = Dedup.simhashNearDups(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    nd should contain((1L, 2L))
+  }
+
+  "TextAnalysis.tokenCounts" should "count whitespace and bpe-ish tokens" in {
+    val r = TextAnalysis.tokenCounts(docs).where(col("doc_id") === 1).head()
+    r.getLong(1) shouldBe 5L  // n_tokens
+    r.getLong(3) shouldBe 5L  // n_distinct_tokens
+  }
+
+  "TextAnalysis.qualitySignals" should "compute deterministic ratios" in {
+    val oneWord = Seq((1L, "hello")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualitySignals(oneWord).head()
+    r.getLong(1) shouldBe 5L   // n_chars
+    r.getLong(2) shouldBe 1L   // n_tokens
+    r.getDouble(4) shouldBe 0.0 // punct_ratio
+    r.getDouble(6) shouldBe 1.0 // alpha_ratio
+    r.getDouble(7) shouldBe 1.0 // uniqueness
+  }
+
+  "TextAnalysis.languageId" should "identify marker languages with tie-break" in {
+    val r = TextAnalysis.languageId(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    r(1L) shouldBe "en"
+    r(5L) shouldBe "es"
+    r(4L) shouldBe "und"
+  }
+
+  "TextAnalysis.fingerprints" should "normalize case/punct/whitespace" in {
+    val d = Seq((1L, "Hello,  World!"), (2L, "hello world")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getString(1))
+    fp(0) shouldBe fp(1)
+  }
+
+  "Similarity.cosineTopK" should "rank an identical vector first" in {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.where(col("vec_id") === 0), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    top(0) shouldBe ((1L, 1.0))
+    top(1)._1 shouldBe 2L
+  }
+
+  "Similarity.bucketedTopK" should "only search within the sign bucket" in {
+    val vecs = Seq(
+      (0L, Array(1f, 1f, 1f, 1f)),
+      (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(-1f, -1f, -1f, -1f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bucketedTopK(vecs, vecs.where(col("vec_id") === 0), k = 5)
+      .collect().map(_.getLong(1))
+    r shouldBe Array(1L) // vec 2 is in another bucket
+  }
+
+  "Multimodal.extractFeatures" should "be deterministic over the binary column" in {
+    val media = Multimodal.asMediaTable(docs)
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    f(1L) shouldBe f(2L) // identical payloads -> identical features
+    f(1L)._1 shouldBe "the quick brown fox jumps".getBytes("UTF-8").length
+  }
+
+  "Multimodal.sampleFrames" should "keep every stride-th fixed-size frame" in {
+    val media = Multimodal.asMediaTable(Seq((1L, "a" * 300)).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
+    frames.length shouldBe 3 // offsets 0,128,256
+  }
+}
