@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surface of the engine.
+  *
+  * The reference's streaming story is the experimental Labyrinth backend
+  * (emma-mitos LabyrinthCompiler.scala — same bag operators compiled to a
+  * streaming runtime: map/flatMap/filter/fold/foldGroup/join). The
+  * Spark-native re-expression is Structured Streaming: the same DataFrame
+  * transformations run incrementally, with watermarks bounding state.
+  *
+  * Scale design: every operator here keeps state bounded — watermarks expire
+  * window/session/dedup state, and the keyed-state operator uses event-time
+  * timeouts — so a 1000-executor job over an unbounded stream holds only
+  * (active keys × state size), never the history.
+  */
+object Streams {
+
+  // ------------------------------------------------------------- sources
+
+  /** File-drop streaming source (exactly the batch reader, incremental). */
+  def readParquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  def readCsvStream(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.readStream.schema(schema).option("header", header.toString).csv(path)
+
+  // --------------------------------------------------- windowed aggregation
+
+  /** Tumbling-window count+sum per key with a watermark bounding state. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("cnt"), col("sum_value"))
+
+  /** Sliding-window variant (windowLen, slide). */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(keyCol), col("cnt"), col("sum_value"))
+
+  /** Session windows with an inactivity gap (native session_window — state
+    * merges adjacent events server-side, no custom state function needed). */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col(keyCol), col("n_events"))
+
+  // ------------------------------------------------------- streaming dedup
+
+  /** Exact streaming dedup on a key expression; watermark expires seen-keys
+    * state (the streaming twin of Dedup.exactGroups). */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  // --------------------------------------------------- custom keyed state
+
+  case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)
+  case class RunningState(n: Long, total: Double)
+  case class RunningOut(key: String, n: Long, total: Double, mean: Double)
+
+  /** Per-key running aggregate via mapGroupsWithState — the streaming
+    * analogue of MutableBag.update (keyed mutable state with point updates;
+    * reference api/MutableBag.scala:26-44). ProcessingTimeTimeout-free:
+    * state lives for the life of the query; with event-time watermarking the
+    * caller can switch to EventTimeTimeout to expire idle keys. */
+  def runningAgg(events: Dataset[KeyedEvent]): Dataset[RunningOut] = {
+    implicit val stateEnc: Encoder[RunningState] = Encoders.product[RunningState]
+    implicit val outEnc: Encoder[RunningOut] = Encoders.product[RunningOut]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[RunningState, RunningOut](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          val batch = rows.toSeq
+          val next = RunningState(prev.n + batch.size, prev.total + batch.map(_.value).sum)
+          state.update(next)
+          RunningOut(key, next.n, next.total, if (next.n == 0) 0.0 else next.total / next.n)
+      }
+  }
+
+  // ----------------------------------------------------------------- sinks
+
+  /** Standard sink wiring: parquet out with checkpointing (exactly-once). */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String,
+      outputMode: OutputMode = OutputMode.Append()) =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+}

@@ -61,6 +61,26 @@ object DriveDemo {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
     Graphs.connectedComponents(edges, spark).orderBy("vertex").show(false)
 
+    // 6b. streaming: file-drop source -> tumbling window agg -> parquet sink
+    {
+      import graft.streaming.Streams
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_demo").toString
+      val src = s"$dir/in"; val dst = s"$dir/out"; val cp = s"$dir/cp"
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf/events.parquet")
+        .selectExpr("timestamp_micros(ts div 1000) as ts", "event_type as k", "value as v")
+        .limit(2000).write.parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val q = Streams.writeParquetStream(
+        Streams.tumblingAgg(Streams.readParquetStream(spark, src, schema),
+          "ts", "k", "v", "1 hour", "10 minutes"),
+        dst, cp).start()
+      q.processAllAvailable(); q.stop()
+      println("streaming sink files = " +
+        new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet")) +
+        ", exception = " + q.exception)
+    }
+
     // 7. MutableBag update semantics
     val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
     val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(

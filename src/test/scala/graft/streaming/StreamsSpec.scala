@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.streaming.Streams.KeyedEvent
+
+/** Drives the streaming operators through MemoryStream batches and asserts
+  * on the materialized memory-sink tables. */
+class StreamsSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  implicit lazy val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  "tumblingAgg" should "aggregate per 10-minute window and key" in {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.tumblingAgg(in.toDF.toDF("ts", "k", "v"),
+      "ts", "k", "v", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "a", 4.0), (ts(3), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("w_start", "k", "cnt", "sum_value").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sorted
+      rows shouldBe Array(
+        ("2024-01-01 10:00:00.0", "a", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "b", 1L, 8.0),
+        ("2024-01-01 10:10:00.0", "a", 1L, 4.0))
+    } finally q.stop()
+  }
+
+  "sessionAgg" should "merge events within the gap into one session" in {
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streams.sessionAgg(in.toDF.toDF("ts", "k"), "ts", "k",
+      gap = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two bursts for key a separated by > gap; one event for b
+      in.addData((ts(0), "a"), (ts(2), "a"), (ts(20), "a"), (ts(1), "b"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("k", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted
+      rows shouldBe Array(("a", 1L), ("a", 2L), ("b", 1L))
+    } finally q.stop()
+  }
+
+  "dedupStream" should "drop duplicate keys within the watermark" in {
+    val in = MemoryStream[(Timestamp, String)]
+    val dd = Streams.dedupStream(in.toDF.toDF("ts", "k"), "ts",
+      watermark = "10 minutes", keyCols = Seq("k"))
+    val q = dd.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "x"), (ts(0), "x"), (ts(1), "y"))
+      q.processAllAvailable()
+      spark.table("dedup").select("k").as[String].collect().sorted shouldBe Array("x", "y")
+    } finally q.stop()
+  }
+
+  "runningAgg" should "carry keyed state across batches (MutableBag analogue)" in {
+    val in = MemoryStream[KeyedEvent]
+    val out = Streams.runningAgg(in.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(KeyedEvent("a", ts(0), 1.0), KeyedEvent("a", ts(1), 3.0))
+      q.processAllAvailable()
+      in.addData(KeyedEvent("a", ts(2), 5.0), KeyedEvent("b", ts(2), 7.0))
+      q.processAllAvailable()
+      val last = spark.table("running").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      last("a") shouldBe (("a", 3L, 9.0, 3.0)) // state carried: 2 then +1 events
+      last("b") shouldBe (("b", 1L, 7.0, 7.0))
+    } finally q.stop()
+  }
+
+  "readParquetStream + writeParquetStream" should "process a file drop end-to-end" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$dir/in"; val dst = s"$dir/out"; val cp = s"$dir/cp"
+    Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0)).toDF("ts", "k", "v")
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = Streams.readParquetStream(spark, src, schema)
+    val q = Streams.writeParquetStream(
+      Streams.tumblingAgg(stream, "ts", "k", "v", "10 minutes", "0 seconds"),
+      dst, cp, OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    // append-mode windows emit once the watermark passes; with a 0s watermark
+    // and a finite file the first batch may stay pending — what we assert is
+    // the wiring: checkpoint written, query progressed without error
+    new java.io.File(cp).exists() shouldBe true
+    q.exception shouldBe None
+  }
+}
