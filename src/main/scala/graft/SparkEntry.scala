@@ -263,7 +263,24 @@ object SparkEntry {
       KMeans.fit(tbl(s, d, "embeddings"), k = 4, maxIter = 5)),
 
     "q39_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents"))))
+      Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents")))),
+
+    // --------------------------------------------- feature/ML layer (§2.9)
+    "q40_dict" -> ((s, d) =>
+      graft.lib.Features.dictionary(tbl(s, d, "orders"), "o_orderpriority")),
+
+    "q41_kfold" -> ((s, d) => {
+      val folded = graft.lib.Features.kfold(tbl(s, d, "customer"), "c_custkey", 5)
+      folded.groupBy("fold").agg(count(lit(1)).as("n"))
+    }),
+
+    "q42_tfidf" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val toks = docs.select(col("doc_id").as("id"),
+        graft.lib.Features.tokenizeGaps(col("text")).as("toks"))
+      val tf = graft.lib.Features.hashTF(toks, "id", "toks", numFeatures = 1 << 12)
+      graft.lib.Features.tfIdf(tf, docs.count())
+    })
   )
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
@@ -445,6 +462,10 @@ object SparkEntry {
         "SELECT xy.s AS x, xy.d AS y, yz.d AS z FROM e xy JOIN e yz ON xy.d = yz.s JOIN e xz ON xz.s = xy.s AND xz.d = yz.d"),
 
     "q34_csv_roundtrip" ->
-      "SELECT COUNT(*) AS cnt, MIN(n_nationkey) AS min_key, CAST(SUM(n_regionkey) AS BIGINT) AS sum_region FROM nation"
+      "SELECT COUNT(*) AS cnt, MIN(n_nationkey) AS min_key, CAST(SUM(n_regionkey) AS BIGINT) AS sum_region FROM nation",
+
+    "q40_dict" ->
+      ("SELECT value, CAST(row_number() OVER (ORDER BY cnt DESC, value) - 1 AS INT) AS code " +
+        "FROM (SELECT o_orderpriority AS value, COUNT(*) AS cnt FROM orders GROUP BY 1) t")
   )
 }

@@ -52,6 +52,17 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   /** Catalyst-native filter. */
   def where(cond: Column): DataBag[A] = new DataBag(ds.filter(cond))
 
+  /** [[Expr]]-DSL filter (lowers to a Column — pushdown applies). */
+  def where(e: Expr): DataBag[A] = where(e.col)
+
+  /** [[Expr]]-DSL projection into a typed bag. A top-level Struct projects
+    * its fields as top-level columns (what a product encoder expects). */
+  def project[B: Encoder](e: Expr): DataBag[B] = e match {
+    case Expr.Struct(fields) =>
+      new DataBag(ds.select(fields.map { case (n, x) => x.col.as(n) }: _*).as[B])
+    case other => new DataBag(ds.select(other.col).as[B])
+  }
+
   /** Catalyst-native projection to an untyped frame. */
   def select(cols: Column*): DataFrame = ds.select(cols: _*)
 

@@ -1,0 +1,75 @@
+package graft.lib
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering pipeline (reference emma-lib ml/feature/tokenize.scala,
+  * nGrams.scala, encode.scala — string → sparse-vector hashing-trick
+  * pipeline). Original columnar formulation: the sparse representation is the
+  * distributed-friendly long form `(id, index, value)` — one row per nonzero —
+  * so at 100 TB the encode stage is explode + one hash aggregation, never a
+  * per-row dense vector.
+  */
+object Features {
+
+  /** Split on a gap pattern (reference tokenize.gaps). */
+  def tokenizeGaps(text: Column, gapPattern: String = "\\s+"): Column =
+    filter(split(trim(text), gapPattern), t => length(t) > 0)
+
+  /** Keep word matches (reference tokenize.words). */
+  def tokenizeWords(text: Column, wordPattern: String = "[a-zA-Z0-9']+"): Column =
+    regexp_extract_all(text, lit(wordPattern), lit(0))
+
+  /** Word n-grams of a token array (reference nGrams.scala:22-45). */
+  def nGrams(tokens: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+
+  /** Hashing-trick term frequencies in long form: (id, index, tf) with
+    * index = pmod(xxhash64(token), numFeatures) (reference encode.freq —
+    * hashing-trick encoder). */
+  def hashTF(docs: DataFrame, idCol: String, tokensCol: String,
+      numFeatures: Int = 1 << 18): DataFrame =
+    docs.select(col(idCol).as("id"), explode(col(tokensCol)).as("tok"))
+      .select(col("id"), pmod(xxhash64(col("tok")), lit(numFeatures.toLong)).as("index"))
+      .groupBy("id", "index").agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Binary (presence) encoding (reference encode.bin). */
+  def hashBin(docs: DataFrame, idCol: String, tokensCol: String,
+      numFeatures: Int = 1 << 18): DataFrame =
+    hashTF(docs, idCol, tokensCol, numFeatures)
+      .withColumn("tf", lit(1.0))
+
+  /** TF-IDF over the long form: idf = ln((N+1)/(df+1)) + 1. */
+  def tfIdf(tf: DataFrame, nDocs: Long): DataFrame = {
+    val df = tf.groupBy("index").agg(countDistinct("id").as("df"))
+    tf.join(broadcast(df), "index")
+      .select(col("id"), col("index"),
+        (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tf"))
+  }
+
+  /** Dictionary (index) encoding of a categorical column: dense 0-based codes
+    * by frequency desc then value asc (reference encode.dict/index —
+    * deterministic). Returns (value, code); broadcast-join it onto data. */
+  def dictionary(docs: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cnt").desc, col("value").asc)
+    docs.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("cnt"))
+      .select(col("value"), (row_number().over(w) - 1).as("code"))
+  }
+
+  /** k-fold assignment (reference ml/kfold.scala:24-50 — seeded deterministic
+    * fold per element): fold = pmod(xxhash64(id, seed), k). */
+  def kfold(docs: DataFrame, idCol: String, k: Int, seed: Long = 42L): DataFrame =
+    docs.withColumn("fold",
+      pmod(xxhash64(col(idCol), lit(seed)), lit(k.toLong)).cast("int"))
+
+  /** Training split for fold i (reference kfold.except). */
+  def kfoldExcept(withFolds: DataFrame, i: Int): DataFrame =
+    withFolds.where(col("fold") =!= i)
+
+  /** Validation split for fold i (reference kfold.select). */
+  def kfoldSelect(withFolds: DataFrame, i: Int): DataFrame =
+    withFolds.where(col("fold") === i)
+}

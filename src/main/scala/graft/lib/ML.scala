@@ -1,0 +1,145 @@
+package graft.lib
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML algorithms from the reference's `@emma.lib` layer, re-expressed
+  * Spark-first (reference emma-lib ml/classification/naiveBayes.scala,
+  * ml/regression/linreg.scala, ml/classification/logreg.scala,
+  * ml/optimization/solver/sgd.scala, ml/classification/eval.scala).
+  *
+  * Scale design: models are tiny (per-label stats, a weight vector) and live
+  * on the driver / in broadcasts; training data is only ever scanned and
+  * aggregated — one shuffle of k·dim partial sums per pass, no per-row UDF
+  * loops, no driver collect of rows.
+  */
+object ML {
+
+  // ------------------------------------------------------------ naive Bayes
+
+  /** Multinomial naive Bayes over long-form features (id, index, tf) +
+    * labels (id, label). Returns the model in long form:
+    * (label, index, log_cond) plus per-label priors via [[nbPriors]]. */
+  def naiveBayesFit(features: DataFrame, labels: DataFrame,
+      numFeatures: Long, smoothing: Double = 1.0): DataFrame = {
+    val joined = features.join(labels, "id")
+    val perLabelIdx = joined.groupBy("label", "index").agg(sum("tf").as("cnt"))
+    val perLabel = perLabelIdx.groupBy("label").agg(sum("cnt").as("total"))
+    perLabelIdx.join(broadcast(perLabel), "label")
+      .select(col("label"), col("index"),
+        log((col("cnt") + smoothing) / (col("total") + smoothing * numFeatures))
+          .as("log_cond"))
+  }
+
+  def nbPriors(labels: DataFrame): DataFrame = {
+    val n = labels.count()
+    labels.groupBy("label").agg(log(count(lit(1)) / n.toDouble).as("log_prior"))
+  }
+
+  /** Score test docs: argmax over labels of log_prior + Σ tf·log_cond.
+    * Unseen (label,index) pairs contribute 0 (consistent smoothing floor is
+    * folded into training counts). One join on index + one aggregation. */
+  def naiveBayesPredict(features: DataFrame, model: DataFrame,
+      priors: DataFrame): DataFrame = {
+    val scored = features.join(model, "index")
+      .groupBy("id", "label").agg(sum(col("tf") * col("log_cond")).as("ll"))
+      .join(broadcast(priors), "label")
+      .select(col("id"), col("label"), (col("ll") + col("log_prior")).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("label").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("label").as("pred"), col("score"))
+  }
+
+  // ------------------------------------------- linear models via batch GD
+
+  /** One gradient pass: features = (id, x: array<double>), target (id, y).
+    * Returns (grad: Array[Double], loss). The per-dimension sums run as a
+    * single posexplode + (dim)-keyed aggregation — k·dim partial sums per
+    * partition, map-side combined. */
+  private def gradientPass(data: DataFrame, w: Array[Double], bias: Double,
+      logistic: Boolean): (Array[Double], Double, Double) = {
+    val spark = data.sparkSession
+    val dim = w.length
+    val wLit = array(w.map(lit): _*)
+    val margin = aggregate(
+      zip_with(col("x"), wLit, (xi, wi) => xi * wi), lit(bias), (a, b) => a + b)
+    val pred = if (logistic) lit(1.0) / (lit(1.0) + exp(-margin)) else margin
+    val err = (pred - col("y")).as("err")
+    val scored = data.select(col("x"), col("y"), err,
+      (if (logistic)
+        -(col("y") * log(greatest(pred, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - pred, lit(1e-12))))
+      else (pred - col("y")) * (pred - col("y")) * 0.5).as("loss"))
+    val agg = scored
+      .select(col("err"), col("loss"), posexplode(col("x")).as(Seq("dim", "xi")))
+      .groupBy("dim")
+      .agg(sum(col("err") * col("xi")).as("g"), sum("err").as("eb"), sum("loss").as("l"),
+        count(lit(1)).as("n"))
+      .collect()
+    val n = data.count().toDouble
+    val grad = new Array[Double](dim)
+    var gb = 0.0; var loss = 0.0
+    agg.foreach { r =>
+      grad(r.getInt(0)) = r.getAs[Double]("g") / n
+      if (r.getInt(0) == 0) { gb = r.getAs[Double]("eb") / n; loss = r.getAs[Double]("l") / n }
+    }
+    (grad, gb, loss)
+  }
+
+  /** Batch gradient descent (the reference's sgd.scala solver shape: loop,
+    * learning rate decay; full-batch here for determinism — mini-batches via
+    * [[graft.api.DataBag.sample]] at scale). Returns (weights, bias, losses). */
+  def gd(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
+      logistic: Boolean = false): (Array[Double], Double, Seq[Double]) = {
+    var w = new Array[Double](dim)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cached = data.persist()
+    var i = 0
+    while (i < iters) {
+      val rate = lr / math.sqrt(i + 1.0)
+      val (grad, gb, loss) = gradientPass(cached, w, b, logistic)
+      var j = 0
+      while (j < dim) { w(j) -= rate * grad(j); j += 1 }
+      b -= rate * gb
+      losses += loss
+      i += 1
+    }
+    cached.unpersist()
+    (w, b, losses.toSeq)
+  }
+
+  /** Linear regression: data (id, x array<double>, y). */
+  def linreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50) =
+    gd(data, dim, lr, iters, logistic = false)
+
+  /** Logistic regression: y ∈ {0,1}. */
+  def logreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50) =
+    gd(data, dim, lr, iters, logistic = true)
+
+  def predictLinear(data: DataFrame, w: Array[Double], bias: Double,
+      logistic: Boolean = false): DataFrame = {
+    val wLit = array(w.map(lit): _*)
+    val margin = aggregate(
+      zip_with(col("x"), wLit, (xi, wi) => xi * wi), lit(bias), (a, b) => a + b)
+    val pred = if (logistic) lit(1.0) / (lit(1.0) + exp(-margin)) else margin
+    data.select(col("id"), pred.as("pred"))
+  }
+
+  // -------------------------------------------------------------- metrics
+
+  /** Classification metrics from (label, pred) — confusion-style folds
+    * (reference ml/classification/eval.scala) in one aggregation. */
+  def evalBinary(scored: DataFrame): DataFrame =
+    scored.agg(
+      sum(when(col("label") === 1 && col("pred") === 1, 1).otherwise(0)).as("tp"),
+      sum(when(col("label") === 0 && col("pred") === 1, 1).otherwise(0)).as("fp"),
+      sum(when(col("label") === 1 && col("pred") === 0, 1).otherwise(0)).as("fn"),
+      sum(when(col("label") === 0 && col("pred") === 0, 1).otherwise(0)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("tn") + col("fp") + col("fn"))).as("accuracy"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+}
