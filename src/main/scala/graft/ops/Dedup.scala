@@ -63,7 +63,11 @@ object Dedup {
     * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. */
   def ngramJaccard(docs: DataFrame, textCol: String = "text", shingleN: Int = 3,
       maxIdGap: Long = 5): DataFrame = {
-    val sh = shingles(docs, textCol, shingleN)
+    // The shingle relation feeds three consumers (both join sides + the
+    // per-doc counts); localCheckpoint materializes it once instead of
+    // re-running tokenize+shingle 3x. Blocks are freed by the ContextCleaner
+    // when the plan is GC'd.
+    val sh = shingles(docs, textCol, shingleN).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("s1").join(sh.as("s2"),
         col("s1.shingle") === col("s2.shingle") &&
