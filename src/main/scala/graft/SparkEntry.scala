@@ -280,7 +280,45 @@ object SparkEntry {
         graft.lib.Features.tokenizeGaps(col("text")).as("toks"))
       val tf = graft.lib.Features.hashTF(toks, "id", "toks", numFeatures = 1 << 12)
       graft.lib.Features.tfIdf(tf, docs.count())
-    })
+    }),
+
+    // ----------------------------------- more analytic coverage (§2.8)
+    "q43_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+    }),
+
+    "q44_cube" -> ((s, d) =>
+      tbl(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("cnt"), col("sum_qty"))),
+
+    "q45_countd" -> ((s, d) =>
+      tbl(s, d, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("nd"), count(lit(1)).as("cnt"))),
+
+    "q46_sessions" -> ((s, d) => {
+      // batch-mode session windows: same semantics as the streaming operator
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, d, "events")
+        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(session_window(col("tsx"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("user_id"), col("n_events"))
+    }),
+
+    "q47_salted_join" -> ((s, d) =>
+      graft.ops.Skew.saltedJoin(
+        tbl(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
+        tbl(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+        "l_suppkey", salt = 8)
+        .groupBy("s_name").agg(sum("l_quantity").as("sum_qty")))
   )
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
@@ -466,6 +504,30 @@ object SparkEntry {
 
     "q40_dict" ->
       ("SELECT value, CAST(row_number() OVER (ORDER BY cnt DESC, value) - 1 AS INT) AS code " +
-        "FROM (SELECT o_orderpriority AS value, COUNT(*) AS cnt FROM orders GROUP BY 1) t")
+        "FROM (SELECT o_orderpriority AS value, COUNT(*) AS cnt FROM orders GROUP BY 1) t"),
+
+    "q43_lag_lead" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price, " +
+        "lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price " +
+        "FROM orders"),
+
+    "q44_cube" ->
+      "SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+
+    "q45_countd" ->
+      "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS nd, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority",
+
+    "q46_sessions" ->
+      ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+        "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM l), " +
+        "g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
+        "strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end, " +
+        "user_id, COUNT(*) AS n_events FROM g GROUP BY user_id, sid"),
+
+    "q47_salted_join" ->
+      ("SELECT s_name, SUM(l_quantity) AS sum_qty FROM lineitem " +
+        "JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name")
   )
 }
