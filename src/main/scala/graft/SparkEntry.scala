@@ -318,7 +318,19 @@ object SparkEntry {
         tbl(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity"),
         tbl(s, d, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name")),
         "l_suppkey", salt = 8)
-        .groupBy("s_name").agg(sum("l_quantity").as("sum_qty")))
+        .groupBy("s_name").agg(sum("l_quantity").as("sum_qty"))),
+
+    "q48_top_fold" -> ((s, d) => {
+      import s.implicits._
+      val prices = DataBag.from(
+        tbl(s, d, "orders").select("o_totalprice").as[Double](Encoders.scalaDouble))
+      prices.top(5).toDF("price")
+    }),
+
+    "q49_group_nested" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy(col("l_returnflag").as("rf"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("cnt")))
   )
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
@@ -528,6 +540,13 @@ object SparkEntry {
 
     "q47_salted_join" ->
       ("SELECT s_name, SUM(l_quantity) AS sum_qty FROM lineitem " +
-        "JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name")
+        "JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name"),
+
+    "q48_top_fold" ->
+      "SELECT o_totalprice AS price FROM orders ORDER BY o_totalprice DESC LIMIT 5",
+
+    "q49_group_nested" ->
+      ("SELECT l_returnflag AS rf, list_sort(list_distinct(list(l_linestatus))) AS statuses, COUNT(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag")
   )
 }

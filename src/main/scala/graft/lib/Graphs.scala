@@ -45,12 +45,14 @@ object Graphs {
     result
   }
 
-  /** Transitive closure: iterate pairs ∪ (pairs ⋈ edges) to fixpoint by size
-    * (shape of the reference's do-while at transitiveClosure.scala:22-44). */
+  /** Transitive closure by path doubling: p ← p ∪ (p ⋈ p), reaching paths of
+    * length 2^i after i rounds — O(log diameter) shuffles instead of the
+    * reference's O(diameter) edge-join do-while
+    * (transitiveClosure.scala:22-44); same fixpoint-by-size convergence. */
   def transitiveClosure(edges: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
     import edges.sparkSession.implicits._
     val bag = Iterate.fixpointBySize(DataBag.from(edges)) { cur =>
-      val next = cur.equiJoin(DataBag.from(edges))(_._2, _._1)
+      val next = cur.equiJoin(cur)(_._2, _._1)
         .map { case ((s, _), (_, d)) => (s, d) }
       cur.union(next).distinct
     }

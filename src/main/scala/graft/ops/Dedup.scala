@@ -39,7 +39,11 @@ object Dedup {
     * seeded md5 (engine-portable, deterministic). Signature columns mh0..mhK. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
       numHashes: Int = 4, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(docs, textCol, shingleN)
+    // min is insensitive to duplicates — skip the array_distinct shingles()
+    // performs, saving a per-row dedup over the hot path
+    val sh = docs.where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
+      .select(col("doc_id"),
+        explode(shingleArray(col(textCol), shingleN)).as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit("-"), col("shingle")))).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)

@@ -9,6 +9,9 @@ import numpy as np
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if isinstance(v, (list, np.ndarray)) else str(v))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
