@@ -28,7 +28,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed (built-ins-only) cosine — reference formulation; walks the
+    * arrays three times and allocates the zipped intermediate. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused cosine ([[graft.functions.CosineSim]]): one allocation-free
+    * codegen loop, bit-identical to [[cosineComposed]] (same left-to-right
+    * summation). */
+  def cosine(a: Column, b: Column): Column = graft.functions.Native.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. The query side is
     * broadcast (it is small by construction); ranking rounds the similarity

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.ops.Similarity
+
+class NativeSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 64).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v").persist()
+  }
+
+  "CosineSim" should "be bit-identical to the composed Column formulation" in {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+    val diff = pairs.select(
+      Native.cosineSim(col("a.v"), col("b.v")).as("native"),
+      Similarity.cosineComposed(col("a.v"), col("b.v")).as("composed"))
+      .where(col("native") =!= col("composed"))
+    diff.count() shouldBe 0L
+  }
+
+  it should "run inside whole-stage codegen" in {
+    val plan = vecs.select(Native.cosineSim(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage; an interpreted
+    // fallback would render a bare Project
+    plan should include("*(1) Project")
+  }
+
+  it should "null out on null input" in {
+    val df = Seq((Array(1f, 2f), null.asInstanceOf[Array[Float]])).toDF("a", "b")
+    df.select(Native.cosineSim(col("a"), col("b"))).head().isNullAt(0) shouldBe true
+  }
+
+  "register / GraftExtensions" should "expose cosine_sim to SQL" in {
+    Native.register(spark)
+    vecs.createOrReplaceTempView("native_vecs")
+    val r = spark.sql(
+      "SELECT cosine_sim(v, v) AS c FROM native_vecs LIMIT 3")
+      .collect().map(_.getDouble(0))
+    all(r) shouldBe 1.0 +- 1e-9
+  }
+}
