@@ -330,7 +330,16 @@ object SparkEntry {
     "q49_group_nested" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy(col("l_returnflag").as("rf"))
         .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-          count(lit(1)).as("cnt")))
+          count(lit(1)).as("cnt"))),
+
+    "q50_embed_dups" -> ((s, d) =>
+      Dedup.embeddingNearDups(tbl(s, d, "embeddings"), threshold = 0.3, bits = 4)),
+
+    // HLL sketch vs exact: rows-only (sketch estimates are engine-specific)
+    "q51_approx_distinct" -> ((s, d) =>
+      tbl(s, d, "lineitem").agg(
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders")))
   )
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
@@ -547,6 +556,18 @@ object SparkEntry {
 
     "q49_group_nested" ->
       ("SELECT l_returnflag AS rf, list_sort(list_distinct(list(l_linestatus))) AS statuses, COUNT(*) AS cnt " +
-        "FROM lineitem GROUP BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "q50_embed_dups" ->
+      ("WITH b AS (SELECT vec_id AS id, embedding AS v, " +
+        "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + " +
+        "CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM embeddings), " +
+        "p AS (SELECT a.id AS id1, b.id AS id2, " +
+        "list_sum(list_transform(generate_series(1, len(a.v)), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) AS dot, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))) AS na, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))) AS nb " +
+        "FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id) " +
+        "SELECT id1, id2, sim FROM (SELECT id1, id2, floor(dot / (na * nb) * 10000.0 + 0.5) / 10000.0 AS sim FROM p) x " +
+        "WHERE sim >= 0.3")
   )
 }

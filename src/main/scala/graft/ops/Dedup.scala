@@ -103,6 +103,21 @@ object Dedup {
     sums.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidate generation by sign-bit
+    * bucketing (only 1/2^bits of the corpus pairs up), exact verification by
+    * the native fused cosine. At 100 TB the self-join is an equi-join on a
+    * uniform bucket key; raise `bits` to shrink candidate sets. */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9, bits: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.signBucket(col(vecCol), bits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        Portable.round(Similarity.cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Hamming-distance near-dup pairs over SimHash (bounded id window to keep
     * the candidate set linear; production: multi-probe over rotated bands). */
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
