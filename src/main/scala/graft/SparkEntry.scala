@@ -339,7 +339,17 @@ object SparkEntry {
     "q51_approx_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem").agg(
         approx_count_distinct("l_orderkey").as("approx_orders"),
-        countDistinct("l_orderkey").as("exact_orders")))
+        countDistinct("l_orderkey").as("exact_orders"))),
+
+    "q52_cc_alt" -> ((s, d) => {
+      val e = tbl(s, d, "orders").where(col("o_orderkey") % 3 === 0)
+        .select((col("o_custkey") % 53).as("src"), (col("o_orderkey") % 53).as("dst"))
+        .where(col("src") =!= col("dst"))
+      Graphs.connectedComponentsAlternating(e, s)
+    }),
+
+    "q53_lsh" -> ((s, d) =>
+      Dedup.minhashLSH(tbl(s, d, "documents"), bands = 4, rowsPerBand = 2))
   )
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
@@ -568,6 +578,25 @@ object SparkEntry {
         "sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))) AS nb " +
         "FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id) " +
         "SELECT id1, id2, sim FROM (SELECT id1, id2, floor(dot / (na * nb) * 10000.0 + 0.5) / 10000.0 AS sim FROM p) x " +
-        "WHERE sim >= 0.3")
+        "WHERE sim >= 0.3"),
+
+    "q52_cc_alt" ->
+      ("WITH RECURSIVE ed AS (SELECT DISTINCT o_custkey % 53 AS src, o_orderkey % 53 AS dst FROM orders WHERE o_orderkey % 3 = 0 AND o_custkey % 53 <> o_orderkey % 53), " +
+        "und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed), " +
+        "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src) " +
+        "SELECT v AS vertex, MIN(u) AS label FROM r GROUP BY v"),
+
+    "q53_lsh" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
+        "sig AS (SELECT doc_id, MIN(md5('0-' || shingle)) AS mh0, MIN(md5('1-' || shingle)) AS mh1, " +
+        "MIN(md5('2-' || shingle)) AS mh2, MIN(md5('3-' || shingle)) AS mh3, MIN(md5('4-' || shingle)) AS mh4, " +
+        "MIN(md5('5-' || shingle)) AS mh5, MIN(md5('6-' || shingle)) AS mh6, MIN(md5('7-' || shingle)) AS mh7 FROM sh GROUP BY doc_id), " +
+        "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
+        "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
+        "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
+        "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig) " +
+        "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id")
   )
 }

@@ -72,6 +72,59 @@ object Graphs {
       .select(col("xy.s").as("x"), col("xy.d").as("y"), col("yz.d").as("z"))
   }
 
+  /** Connected components by the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds independent of graph diameter —
+    * the scale path when components can be long chains. [[connectedComponents]]
+    * (min-label propagation, O(diameter) rounds) stays as the simple variant.
+    *
+    * Each round is two shuffles (a groupBy-min and a join per star phase);
+    * at convergence every non-root points directly at its component minimum.
+    */
+  def connectedComponentsAlternating(edges: DataFrame, spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+
+    // large-star: for each center u, m = min(N(u) ∪ {u}); link each LARGER
+    // neighbor v > u to m
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src")
+        .agg(min(least(col("dst"), col("src"))).as("m"))
+      sym.join(m, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    // small-star: orient edges downward (u ≥ v); for each center u,
+    // m = min of its smaller neighbors; link u and each smaller neighbor to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val orient = e.where(col("src") =!= col("dst")).select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val m = orient.groupBy("src").agg(min(col("dst")).as("m"))
+      val joined = orient.join(m, "src")
+      joined.select(col("dst").as("src"), col("m").as("dst"))
+        .union(joined.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    val init = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    // both sides are distinct() relations, so |prev| = |next| plus
+    // next ⊆ prev implies set equality — one anti-join instead of two
+    val stars = Iterate.fixpoint[org.apache.spark.sql.Row](init)(
+      step = cur => smallStar(largeStar(cur)))(
+      converged = (prev, next) =>
+        prev.count() == next.count() && next.except(prev).isEmpty)
+    // stars: (non-root vertex -> component min); roots map to themselves
+    val roots = stars.select(col("dst").as("vertex")).distinct()
+      .join(stars.select(col("src").as("vertex")), Seq("vertex"), "left_anti")
+      .select(col("vertex"), col("vertex").as("label"))
+    stars.select(col("src").as("vertex"), col("dst").as("label")).union(roots)
+  }
+
   /** Connected components via keyed mutable state ([[MutableBag]]) — the
     * reference's formulation (ConnectedComponents.scala:27-53): seed state
     * with vertex→vertex, then push min labels along edges until no update. */

@@ -62,6 +62,29 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
   }
 
+  /** Full banded MinHash LSH (shingle → minhash → band → bucket-join):
+    * `bands` bands of `rowsPerBand` signature rows; a pair is a candidate if
+    * ANY band matches (collision prob 1-(1-s^r)^b for Jaccard s). One long
+    * relation (doc, band_id, band_key), one self-equi-join on the uniform
+    * (band_id, band_key) key, distinct — scales as a plain hash join. */
+  def minhashLSH(docs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(docs, textCol, numHashes, shingleN).localCheckpoint()
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(b).as("band_id"),
+        concat_ws("|", cols: _*).as("band_key"))
+    }.reduce(_ union _)
+    val a = bandRows.as("a")
+    val b = bandRows.as("b")
+    a.join(b, col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs constrained by a
     * bounded doc_id window (`maxIdGap`) — the verification step after LSH.
     * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. */

@@ -32,6 +32,29 @@ class GraphsSpec extends AnyFlatSpec with Matchers {
     a shouldBe b
   }
 
+  "connectedComponentsAlternating" should "agree with min-label CC on random graphs" in {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("src", "dst")
+      val simple = Graphs.connectedComponents(df, spark)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val alt = Graphs.connectedComponentsAlternating(df, spark)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      withClue(s"trial $trial (n=$n): ") { alt shouldBe simple }
+    }
+  }
+
+  it should "handle a long chain in few rounds" in {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graphs.connectedComponentsAlternating(chain, spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.length shouldBe 64
+    got.forall(_._2 == 0L) shouldBe true
+  }
+
   "transitiveClosure" should "close a chain" in {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDS()
     Graphs.transitiveClosure(edges).collect().sorted shouldBe
