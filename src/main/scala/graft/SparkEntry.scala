@@ -478,8 +478,8 @@ object SparkEntry {
     "q29_minhash" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3) " +
-        "SELECT doc_id, MIN(md5('0-' || shingle)) AS mh0, MIN(md5('1-' || shingle)) AS mh1, " +
-        "MIN(md5('2-' || shingle)) AS mh2, MIN(md5('3-' || shingle)) AS mh3 FROM sh GROUP BY doc_id"),
+        "SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
+        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3 FROM sh GROUP BY doc_id"),
 
     "q30_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
@@ -589,9 +589,9 @@ object SparkEntry {
     "q53_lsh" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
-        "sig AS (SELECT doc_id, MIN(md5('0-' || shingle)) AS mh0, MIN(md5('1-' || shingle)) AS mh1, " +
-        "MIN(md5('2-' || shingle)) AS mh2, MIN(md5('3-' || shingle)) AS mh3, MIN(md5('4-' || shingle)) AS mh4, " +
-        "MIN(md5('5-' || shingle)) AS mh5, MIN(md5('6-' || shingle)) AS mh6, MIN(md5('7-' || shingle)) AS mh7 FROM sh GROUP BY doc_id), " +
+        "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
+        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
+        "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id), " +
         "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
         "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
         "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +

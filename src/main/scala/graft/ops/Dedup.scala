@@ -35,8 +35,12 @@ object Dedup {
     docs.where(size(split(trim(col(textCol)), "\\s+")) >= n)
       .select(col("doc_id"), explode(array_distinct(shingleArray(col(textCol), n))).as("shingle"))
 
-  /** MinHash signature: `numHashes` independent permutations simulated by
-    * seeded md5 (engine-portable, deterministic). Signature columns mh0..mhK. */
+  /** MinHash signature: engine-portable, deterministic. Hash functions come
+    * in groups of four per md5 — hash i is the 8-hex-char (32-bit) chunk
+    * `i%4` of `md5(i/4 || '-' || shingle)` — so K hashes cost ceil(K/4) md5
+    * evaluations per shingle instead of K (hashing dominates minhash cost at
+    * corpus scale). Fixed-width lowercase hex compares like the 32-bit value.
+    * Signature columns mh0..mhK. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
       numHashes: Int = 4, shingleN: Int = 3): DataFrame = {
     // min is insensitive to duplicates — skip the array_distinct shingles()
@@ -44,8 +48,10 @@ object Dedup {
     val sh = docs.where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
       .select(col("doc_id"),
         explode(shingleArray(col(textCol), shingleN)).as("shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("-"), col("shingle")))).as(s"mh$i"))
+    val aggs = (0 until numHashes).map { i =>
+      val base = md5(concat(lit((i / 4).toString), lit("-"), col("shingle")))
+      min(substring(base, 1 + 8 * (i % 4), 8)).as(s"mh$i")
+    }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
