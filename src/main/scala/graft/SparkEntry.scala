@@ -349,7 +349,14 @@ object SparkEntry {
     }),
 
     "q53_lsh" -> ((s, d) =>
-      Dedup.minhashLSH(tbl(s, d, "documents"), bands = 4, rowsPerBand = 2))
+      Dedup.minhashLSH(tbl(s, d, "documents"), bands = 4, rowsPerBand = 2)),
+
+    // IVF quantizer trains through float means (partition-order-sensitive)
+    // -> rows-only check
+    "q54_ivf_ann" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nlist = 8, nprobe = 2)
+    })
   )
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables

@@ -1,6 +1,6 @@
 package graft.lib
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lloyd's kMeans over an `array<float>` embedding column (reference
@@ -20,13 +20,31 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  def fit(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = vectors.sparkSession
+  private def centroidLit(centroids: Array[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+
+  /** Nearest-centroid id for a double-array column: argmin over the (small)
+    * centroid array literal. */
+  private def nearestExpr(cLit: Column, v: Column): Column =
+    aggregate(cLit,
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(v, c.getField("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (s, x) => s + x)
+        when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  /** Train the centroids (Lloyd iterations, deterministic init). */
+  def centroids(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Seq[Double])] = {
     val pts = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
 
-    var centroids: Array[(Int, Seq[Double])] = pts
+    var cents: Array[(Int, Seq[Double])] = pts
       .orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
@@ -34,20 +52,8 @@ object KMeans {
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      val cLit = array(centroids.map { case (cid, v) =>
-        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-      }: _*)
-      // nearest centroid per point: argmin over the (small) centroid array
-      val assigned = pts.select(col("id"), col("v"),
-        aggregate(cLit,
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
-          (acc, c) => {
-            val d = aggregate(
-              zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (s, x) => s + x)
-            when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
-              .otherwise(acc)
-          }).getField("cid").as("cluster"))
+      val assigned = pts.select(col("v"),
+        nearestExpr(centroidLit(cents), col("v")).as("cluster"))
       // new centroids: mean per (cluster, dim) — one shuffled aggregation
       val upd = assigned
         .select(col("cluster"), posexplode(col("v")))
@@ -57,28 +63,27 @@ object KMeans {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1)
+      val oldByCid = cents.toMap
       moved = upd.exists { case (cid, v) =>
-        val old = centroids(cid)._2
-        v.zip(old).map { case (a, b) => math.abs(a - b) }.max > 1e-9
+        oldByCid.get(cid).forall(old =>
+          v.zip(old).map { case (a, b) => math.abs(a - b) }.max > 1e-9)
       }
-      centroids = upd
+      cents = upd
       iter += 1
     }
-    val cLit = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
-    val out = pts.select(col("id").as(idCol), col("v"),
-      aggregate(cLit,
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
-        (acc, c) => {
-          val d = aggregate(
-            zip_with(col("v"), c.getField("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (s, x) => s + x)
-          when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
-            .otherwise(acc)
-        }).getField("cid").as("cluster"))
-      .drop("v")
     pts.unpersist()
-    out
+    cents
   }
+
+  /** Assign each vector to its nearest centroid: (idCol, cluster). */
+  def assign(vectors: DataFrame, cents: Array[(Int, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol),
+      nearestExpr(centroidLit(cents),
+        transform(col(vecCol), _.cast("double"))).as("cluster"))
+
+  /** Train + assign in one call. */
+  def fit(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(vectors, centroids(vectors, k, maxIter, idCol, vecCol), idCol, vecCol)
 }

@@ -87,11 +87,14 @@ object ML {
     (grad, gb, loss)
   }
 
-  /** Batch gradient descent (the reference's sgd.scala solver shape: loop,
-    * learning rate decay; full-batch here for determinism — mini-batches via
-    * [[graft.api.DataBag.sample]] at scale). Returns (weights, bias, losses). */
+  /** Gradient descent (the reference's sgd.scala solver shape: loop,
+    * learning-rate decay, seeded mini-batch sampling). `batchFraction` < 1
+    * turns each pass into SGD over a deterministic per-iteration sample —
+    * the scale path when one full pass per step is too expensive. Returns
+    * (weights, bias, losses). */
   def gd(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
-      logistic: Boolean = false): (Array[Double], Double, Seq[Double]) = {
+      logistic: Boolean = false, batchFraction: Double = 1.0,
+      seed: Long = 42L): (Array[Double], Double, Seq[Double]) = {
     var w = new Array[Double](dim)
     var b = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -99,7 +102,9 @@ object ML {
     var i = 0
     while (i < iters) {
       val rate = lr / math.sqrt(i + 1.0)
-      val (grad, gb, loss) = gradientPass(cached, w, b, logistic)
+      val batch = if (batchFraction >= 1.0) cached
+        else cached.sample(withReplacement = false, batchFraction, seed + i)
+      val (grad, gb, loss) = gradientPass(batch, w, b, logistic)
       var j = 0
       while (j < dim) { w(j) -= rate * grad(j); j += 1 }
       b -= rate * gb

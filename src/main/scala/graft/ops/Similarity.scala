@@ -51,6 +51,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarse-quantized into `nlist`
+    * kMeans cells; each query probes only its `nprobe` nearest cells —
+    * an `nlist/nprobe`-fold scan reduction with recall controlled by nprobe.
+    * At 100 TB: train the quantizer on a sample, partition the corpus by
+    * cell once, and every query batch touches only the probed cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+      nlist: Int = 8, nprobe: Int = 2, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = graft.lib.KMeans.centroids(corpus, nlist, maxIter)
+    val cLit = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+    // probe list per query: the nprobe nearest centroids (struct sort on
+    // (distance, cid) — natural struct ordering)
+    def distTo(c: Column, v: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (s, x) => s + x)
+    val probes = slice(array_sort(transform(cLit, c =>
+      struct(distTo(c.getField("cv"), col("qv")).as("d"), c.getField("cid").as("cid")))),
+      1, nprobe).getField("cid")
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("cell", explode(probes)))
+    // assign corpus rows to cells inline (same nearest-centroid expression)
+    val cAssigned = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"),
+      slice(array_sort(transform(cLit, cc =>
+        struct(distTo(cc.getField("cv"), col("dv")).as("d"), cc.getField("cid").as("cid")))),
+        1, 1).getField("cid")(0).as("cell"))
+    val scored = q.join(cAssigned, Seq("cell")).where(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Coarse quantizer: bucket id from the sign bits of the first `bits`
     * dimensions (deterministic, engine-portable). */
   def signBucket(v: Column, bits: Int = 4): Column =

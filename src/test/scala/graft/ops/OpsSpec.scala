@@ -113,6 +113,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r shouldBe Array(1L) // vec 2 is in another bucket
   }
 
+  "Similarity.ivfTopK" should "find in-blob neighbors with nprobe=1 on separable blobs" in {
+    val rnd = new scala.util.Random(5)
+    def blob(base: Float, ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(8)(base + rnd.nextFloat() * 0.1f)))
+    val corpus = (blob(5f, 0 until 20) ++ blob(-5f, 100 until 120))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id").isin(0L, 100L))
+    val got = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every neighbor comes from the query's own blob
+    got.foreach { case (qid, did) =>
+      if (qid < 100) did should be < 100L else did should be >= 100L
+    }
+    got.groupBy(_._1).values.foreach(_.length shouldBe 3)
+  }
+
   "Multimodal.extractFeatures" should "be deterministic over the binary column" in {
     val media = Multimodal.asMediaTable(docs)
     media.schema("payload").dataType.typeName shouldBe "binary"
