@@ -356,6 +356,32 @@ object SparkEntry {
     "q54_ivf_ann" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nlist = 8, nprobe = 2)
+    }),
+
+    "q55_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tbl(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        Portable.round(percent_rank().over(w), 6).as("pr"),
+        first("o_orderkey").over(full).as("cheapest_order"))
+    }),
+
+    "q56_date_funcs" -> ((s, d) =>
+      tbl(s, d, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"))),
+
+    "q57_json" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, d, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
     })
   )
 
@@ -604,6 +630,25 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
         "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig) " +
         "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
-        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id")
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"),
+
+    "q55_window_funcs" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "ntile(4) OVER w AS quartile, " +
+        "floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pr, " +
+        "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_order " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"),
+
+    "q56_date_funcs" ->
+      ("SELECT o_orderkey, " +
+        "CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, " +
+        "CAST(day(o_orderdate) AS INT) AS dom, CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow, " +
+        "CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since, " +
+        "strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m " +
+        "FROM orders"),
+
+    "q57_json" ->
+      ("SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, COUNT(*) AS cnt " +
+        "FROM events GROUP BY event_type")
   )
 }
