@@ -382,6 +382,24 @@ object SparkEntry {
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
+    }),
+
+    // Pearson correlation from decimal-exact sums (built-in corr streams
+    // doubles and is partition-order-sensitive; this is deterministic)
+    "q58_corr" -> ((s, d) => {
+      val q = col("l_quantity").cast(dec2)
+      val p = col("l_extendedprice").cast(dec2)
+      tbl(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"),
+        sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+        .select(col("l_returnflag"),
+          Portable.round(
+            (col("n") * col("sqp").cast("double") - col("sq").cast("double") * col("sp").cast("double")) /
+              sqrt((col("n") * col("sqq").cast("double") - col("sq").cast("double") * col("sq").cast("double")) *
+                (col("n") * col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double"))), 6)
+            .as("corr_qty_price"),
+          col("n"))
     })
   )
 
@@ -649,6 +667,18 @@ object SparkEntry {
 
     "q57_json" ->
       ("SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, COUNT(*) AS cnt " +
-        "FROM events GROUP BY event_type")
+        "FROM events GROUP BY event_type"),
+
+    "q58_corr" ->
+      ("SELECT l_returnflag, " +
+        "floor((n * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / " +
+        "sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * " +
+        "(n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price, n " +
+        "FROM (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp, " +
+        "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp " +
+        "FROM lineitem GROUP BY l_returnflag) t")
   )
 }
