@@ -99,6 +99,59 @@ object Streams {
       }
   }
 
+  case class SessionEvent(key: String, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(key: String, s_start: java.sql.Timestamp,
+      s_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionizer via flatMapGroupsWithState with an EVENT-TIME
+    * timeout: sessions close when the watermark passes last-event + gap, and
+    * closed sessions are emitted exactly once (Append semantics). This is the
+    * fully-custom-state alternative to [[sessionAgg]]'s native
+    * session_window — use it when session logic goes beyond gap merging
+    * (e.g. cart-abandonment rules, per-session caps). */
+  def sessionizeCustom(events: Dataset[SessionEvent], gapMs: Long,
+      watermark: String): Dataset[SessionOut] = {
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n))
+          } else {
+            val ts = rows.map(_.ts.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(key,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   // ----------------------------------------------------------------- sinks
 
   /** Standard sink wiring: parquet out with checkpointing (exactly-once). */

@@ -81,6 +81,24 @@ object DriveDemo {
         ", exception = " + q.exception)
     }
 
+    // 6c. custom sessionizer on real events (file-drop stream)
+    {
+      import graft.streaming.Streams
+      val dir = java.nio.file.Files.createTempDirectory("graft_sess_demo").toString
+      spark.read.parquet(s"$sf/events.parquet")
+        .selectExpr("event_type as key", "timestamp_micros(ts div 1000) as ts")
+        .limit(3000).write.parquet(s"$dir/in")
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val src = Streams.readParquetStream(spark, s"$dir/in", schema)
+        .as[Streams.SessionEvent](org.apache.spark.sql.Encoders.product[Streams.SessionEvent])
+      val out = Streams.sessionizeCustom(src, gapMs = 10 * 60 * 1000, watermark = "0 seconds")
+      val q = out.writeStream.format("memory").queryName("drive_sessions")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+      println("custom sessions closed = " + spark.table("drive_sessions").count() +
+        ", exception = " + q.exception)
+    }
+
     // 7. MutableBag update semantics
     val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
     val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(

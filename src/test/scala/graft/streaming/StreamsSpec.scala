@@ -90,6 +90,55 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "sessionizeCustom" should "close sessions on gap and on watermark timeout" in {
+    import graft.streaming.Streams.SessionEvent
+    val in = MemoryStream[SessionEvent]
+    val out = Streams.sessionizeCustom(in.toDS(), gapMs = 5 * 60 * 1000, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("csessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // burst 1 (10:00,10:02), then an event at 10:20 in the SAME batch ->
+      // first session closes by gap; advancing watermark far closes the rest
+      in.addData(SessionEvent("a", ts(0)), SessionEvent("a", ts(2)), SessionEvent("a", ts(20)))
+      q.processAllAvailable()
+      in.addData(SessionEvent("zz", ts(59))) // push watermark to 10:59
+      q.processAllAvailable()
+      in.addData(SessionEvent("zzz", ts(59, 30))) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("csessions")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).sortBy(x => (x._1, x._2))
+      rows.filter(_._1 == "a") shouldBe Array(
+        ("a", "2024-01-01 10:00:00.0", "2024-01-01 10:07:00.0", 2L),
+        ("a", "2024-01-01 10:20:00.0", "2024-01-01 10:25:00.0", 1L))
+    } finally q.stop()
+  }
+
+  "streaming sessionAgg" should "agree with the batch session_window formulation" in {
+    val data = Seq(
+      (ts(0), "u1"), (ts(2), "u1"), (ts(20), "u1"),
+      (ts(1), "u2"), (ts(30), "u2"), (ts(33), "u2"))
+    // batch: session_window groupBy (same operator the gate oracle-checks)
+    val batch = Streams.sessionAgg(data.toDF("ts", "k"), "ts", "k",
+      gap = "5 minutes", watermark = "0 seconds")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getString(2), r.getLong(3))).sorted
+    // streaming: same operator over a MemoryStream, Complete mode
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streams.sessionAgg(in.toDF.toDF("ts", "k"), "ts", "k",
+      gap = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("diff_sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("diff_sessions")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getString(2), r.getLong(3))).sorted
+      streaming shouldBe batch
+    } finally q.stop()
+  }
+
   "readParquetStream + writeParquetStream" should "process a file drop end-to-end" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val dst = s"$dir/out"; val cp = s"$dir/cp"
