@@ -157,21 +157,23 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
         .map(p => (p._1._2, Option(p._2).map(_._2))))
   }
 
-  def semiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] = {
+  /** Keys the right side as a single (possibly struct) column so composite
+    * key types work — a flat `toDF("_k")` would mis-arity on tuple keys. */
+  private def semiAntiJoin[B, K: Encoder](that: DataBag[B], joinType: String)(
+      kx: A => K, ky: B => K): DataBag[A] = {
     val encK = implicitly[Encoder[K]]
+    val encB = that.ds.encoder
     val tupEnc = Encoders.tuple(encK, enc)
     val lt = ds.map(x => (kx(x), x))(tupEnc)
-    val rt = that.ds.map(ky)(encK).toDF("_k")
-    new DataBag(lt.join(rt, lt("_1") === rt("_k"), "left_semi").as(tupEnc).map(_._2))
+    val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
+    new DataBag(lt.join(rt, lt("_1") === rt("_1"), joinType).as(tupEnc).map(_._2))
   }
 
-  def antiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] = {
-    val encK = implicitly[Encoder[K]]
-    val tupEnc = Encoders.tuple(encK, enc)
-    val lt = ds.map(x => (kx(x), x))(tupEnc)
-    val rt = that.ds.map(ky)(encK).toDF("_k")
-    new DataBag(lt.join(rt, lt("_1") === rt("_k"), "left_anti").as(tupEnc).map(_._2))
-  }
+  def semiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] =
+    semiAntiJoin(that, "left_semi")(kx, ky)
+
+  def antiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] =
+    semiAntiJoin(that, "left_anti")(kx, ky)
 
   /** Cartesian product (reference cross, SparkNtv.scala:72-77). */
   def cross[B](that: DataBag[B]): DataBag[(A, B)] = {

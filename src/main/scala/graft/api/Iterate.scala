@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.graft.bridge
 import org.apache.spark.storage.StorageLevel
 
 /** Driver-side fixpoint iteration with automatic persistence management.
@@ -9,11 +10,18 @@ import org.apache.spark.storage.StorageLevel
   * (compiler/opt/Caching.scala:74-139: cache loop-carried / multiply-used
   * bags) plus Flink's native bulk `iterate` (FlinkNtv.scala:38-44), expressed
   * as an explicit combinator: each iteration's result is persisted, the
-  * previous iteration unpersisted, and lineage is truncated with a local
+  * previous iteration freed, and lineage is truncated with a local
   * checkpoint every `checkpointEvery` steps so long fixpoints (connected
   * components, transitive closure) don't accumulate unbounded plan depth.
+  * Checkpointed state is freed through [[bridge.freeLocalCheckpoint]] —
+  * plain `unpersist()` is a no-op for localCheckpoint'ed Datasets.
   */
 object Iterate {
+
+  private def free(ds: Dataset[_]): Unit = {
+    ds.unpersist()
+    bridge.freeLocalCheckpoint(ds)
+  }
 
   def fixpoint[A](init: Dataset[A], maxIter: Int = 100, checkpointEvery: Int = 3)(
       step: Dataset[A] => Dataset[A])(
@@ -26,7 +34,7 @@ object Iterate {
       next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
       done = converged(cur, next)
-      cur.unpersist()
+      free(cur)
       cur = next
       i += 1
     }
@@ -47,7 +55,7 @@ object Iterate {
       else step(cur).cache())
       val m = next.size
       done = m == n
-      cur.unpersist()
+      free(cur.ds)
       cur = next
       n = m
       i += 1

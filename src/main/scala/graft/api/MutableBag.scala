@@ -50,6 +50,10 @@ final class MutableBag[K, V] private (
 
     val old = state
     state = newState.localCheckpoint(true)
+    // NOTE: old's checkpoint blocks are NOT freed eagerly — copy() hands out
+    // snapshots sharing the state Dataset, and a truncated-lineage snapshot
+    // cannot be recomputed once its blocks are gone. The ContextCleaner frees
+    // them when the last reference is collected.
     old.unpersist()
     DataBag.from(deltaCached)
   }

@@ -24,7 +24,7 @@ object ClickCountDiffs {
     today.select(col("page"), col("cnt").as("c1"))
       .join(yesterday.select(col("page"), col("cnt").as("c0")), Seq("page"), "full_outer")
       .select(abs(coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L))).as("d"))
-      .agg(sum("d")).head().getLong(0)
+      .agg(coalesce(sum("d"), lit(0L))).head().getLong(0)
 
   /** The reference's driver loop: for days 1..n read `<inDir>/clicks_<i>`
     * (parquet, column `page`), write per-day counts to

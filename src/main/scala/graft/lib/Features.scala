@@ -22,9 +22,7 @@ object Features {
 
   /** Word n-grams of a token array (reference nGrams.scala:22-45). */
   def nGrams(tokens: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(tokens) - n),
-      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    graft.ops.Dedup.nGramsOfTokens(tokens, n)
 
   /** Hashing-trick term frequencies in long form: (id, index, tf) with
     * index = pmod(xxhash64(token), numFeatures) (reference encode.freq —

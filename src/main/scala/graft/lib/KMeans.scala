@@ -63,12 +63,15 @@ object KMeans {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1)
-      val oldByCid = cents.toMap
-      moved = upd.exists { case (cid, v) =>
-        oldByCid.get(cid).forall(old =>
-          v.zip(old).map { case (a, b) => math.abs(a - b) }.max > 1e-9)
+      // a cluster that loses all points keeps its previous centroid (it may
+      // re-acquire points later) — dropping it would silently shrink k and
+      // could fake convergence
+      val updByCid = upd.toMap
+      val merged = cents.map { case (cid, old) => (cid, updByCid.getOrElse(cid, old)) }
+      moved = merged.zip(cents).exists { case ((_, v), (_, old)) =>
+        v.zip(old).map { case (a, b) => math.abs(a - b) }.max > 1e-9
       }
-      cents = upd
+      cents = merged
       iter += 1
     }
     pts.unpersist()

@@ -17,34 +17,47 @@ object ML {
 
   // ------------------------------------------------------------ naive Bayes
 
-  /** Multinomial naive Bayes over long-form features (id, index, tf) +
-    * labels (id, label). Returns the model in long form:
-    * (label, index, log_cond) plus per-label priors via [[nbPriors]]. */
+  /** Multinomial naive Bayes model in long form: `cond` = (label, index,
+    * log_cond) for OBSERVED pairs, `labelInfo` = (label, log_prior,
+    * log_floor) where log_floor is the smoothed probability of any index the
+    * label never saw — predict must apply it to unseen terms or labels with
+    * sparse coverage get systematically over-scored. */
+  case class NBModel(cond: DataFrame, labelInfo: DataFrame)
+
+  /** Fit over long-form features (id, index, tf) + labels (id, label). */
   def naiveBayesFit(features: DataFrame, labels: DataFrame,
-      numFeatures: Long, smoothing: Double = 1.0): DataFrame = {
+      numFeatures: Long, smoothing: Double = 1.0): NBModel = {
     val joined = features.join(labels, "id")
     val perLabelIdx = joined.groupBy("label", "index").agg(sum("tf").as("cnt"))
     val perLabel = perLabelIdx.groupBy("label").agg(sum("cnt").as("total"))
-    perLabelIdx.join(broadcast(perLabel), "label")
+    val cond = perLabelIdx.join(broadcast(perLabel), "label")
       .select(col("label"), col("index"),
         log((col("cnt") + smoothing) / (col("total") + smoothing * numFeatures))
           .as("log_cond"))
-  }
-
-  def nbPriors(labels: DataFrame): DataFrame = {
     val n = labels.count()
-    labels.groupBy("label").agg(log(count(lit(1)) / n.toDouble).as("log_prior"))
+    val labelInfo = labels.groupBy("label")
+      .agg(log(count(lit(1)) / n.toDouble).as("log_prior"))
+      .join(broadcast(perLabel), "label")
+      .select(col("label"), col("log_prior"),
+        log(lit(smoothing) / (col("total") + smoothing * numFeatures)).as("log_floor"))
+    NBModel(cond, labelInfo)
   }
 
-  /** Score test docs: argmax over labels of log_prior + Σ tf·log_cond.
-    * Unseen (label,index) pairs contribute 0 (consistent smoothing floor is
-    * folded into training counts). One join on index + one aggregation. */
-  def naiveBayesPredict(features: DataFrame, model: DataFrame,
-      priors: DataFrame): DataFrame = {
-    val scored = features.join(model, "index")
-      .groupBy("id", "label").agg(sum(col("tf") * col("log_cond")).as("ll"))
-      .join(broadcast(priors), "label")
-      .select(col("id"), col("label"), (col("ll") + col("log_prior")).as("score"))
+  /** Score test docs: argmax over labels of
+    * log_prior + Σ_seen tf·log_cond + (doc_tf − seen_tf)·log_floor.
+    * One index join + one aggregation; the (doc × label) base is built by a
+    * broadcast cross join with the tiny label table. */
+  def naiveBayesPredict(features: DataFrame, model: NBModel): DataFrame = {
+    val obs = features.join(model.cond, "index")
+      .groupBy("id", "label")
+      .agg(sum(col("tf") * col("log_cond")).as("ll_obs"), sum("tf").as("seen_tf"))
+    val docTf = features.groupBy("id").agg(sum("tf").as("doc_tf"))
+    val scored = docTf.crossJoin(broadcast(model.labelInfo))
+      .join(obs, Seq("id", "label"), "left_outer")
+      .select(col("id"), col("label"),
+        (coalesce(col("ll_obs"), lit(0.0)) +
+          (col("doc_tf") - coalesce(col("seen_tf"), lit(0.0))) * col("log_floor") +
+          col("log_prior")).as("score"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("label").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -71,13 +84,16 @@ object ML {
         -(col("y") * log(greatest(pred, lit(1e-12))) +
           (lit(1.0) - col("y")) * log(greatest(lit(1.0) - pred, lit(1e-12))))
       else (pred - col("y")) * (pred - col("y")) * 0.5).as("loss"))
+    // one job: per-dim sums carry the (identical) row count, so no separate
+    // data.count() pass; rows with an empty x vanish from posexplode and are
+    // deliberately excluded from n as well
     val agg = scored
       .select(col("err"), col("loss"), posexplode(col("x")).as(Seq("dim", "xi")))
       .groupBy("dim")
       .agg(sum(col("err") * col("xi")).as("g"), sum("err").as("eb"), sum("loss").as("l"),
         count(lit(1)).as("n"))
       .collect()
-    val n = data.count().toDouble
+    val n = agg.headOption.map(_.getAs[Long]("n").toDouble).getOrElse(1.0)
     val grad = new Array[Double](dim)
     var gb = 0.0; var loss = 0.0
     agg.foreach { r =>

@@ -21,13 +21,16 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Word n-gram shingles of a text column (default 3-gram), as an array. */
-  def shingleArray(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(text), "\\s+")
+  /** Word n-grams of a token-array column, as an array of space-joined
+    * strings (shared by dedup shingling and Features.nGrams). */
+  def nGramsOfTokens(tokens: Column, n: Int): Column =
     transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-  }
+      sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+
+  /** Word n-gram shingles of a text column (default 3-gram), as an array. */
+  def shingleArray(text: Column, n: Int = 3): Column =
+    nGramsOfTokens(split(trim(text), "\\s+"), n)
 
   /** Exploded distinct (doc_id, shingle) pairs; inputs with fewer than n
     * tokens produce no shingles. */

@@ -84,7 +84,8 @@ object Multimodal {
   /** Frame-sampling shape for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th one (columnar, no UDF). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
-    media.select(col("doc_id"),
+    media.where(length(col("payload")) > 0) // empty payload -> no frames, not one phantom frame
+      .select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), ((length(col("payload")) - 1) / frameBytes).cast("int"), lit(stride)),
         i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))

@@ -60,8 +60,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "est"))
 
   /** N-gram/stopword-heuristic language ID: score = count of marker-word hits
-    * per language; argmax with deterministic tie-break (language name asc),
-    * score 0 → "und" (undetermined). */
+    * per language; argmax with deterministic tie-break by [[langMarkers]]
+    * list position (earlier entry wins — en, es, de, fr), score 0 → "und"
+    * (undetermined). */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val scored = langMarkers.map { case (lang, ws) =>

@@ -10,4 +10,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the blocks held by a localCheckpoint'ed Dataset. `Dataset.unpersist`
+    * is a no-op for these (the RDD is persisted directly, not through the
+    * CacheManager), so iterative algorithms would otherwise leak one state
+    * snapshot per checkpoint until GC. */
+  def freeLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

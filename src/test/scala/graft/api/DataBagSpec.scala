@@ -126,6 +126,15 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
       Seq((1, "a"), (3, "c"))
   }
 
+  it should "support composite (tuple) keys" in {
+    val l = Seq((1, "a"), (2, "b"), (2, "c"))
+    val r = Seq((2, "b", 9.0), (7, "z", 1.0))
+    DataBag(l).semiJoin(DataBag(r))(x => (x._1, x._2), y => (y._1, y._2))
+      .collect() shouldBe Seq((2, "b"))
+    DataBag(l).antiJoin(DataBag(r))(x => (x._1, x._2), y => (y._1, y._2))
+      .collect().sorted shouldBe Seq((1, "a"), (2, "c"))
+  }
+
   "cross" should "produce the cartesian product" in {
     val got = bag(Seq(1, 2)).cross(bag(Seq(3, 4))).collect()
     asBag(got) shouldBe asBag(Seq((1, 3), (1, 4), (2, 3), (2, 4)))

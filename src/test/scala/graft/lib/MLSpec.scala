@@ -53,15 +53,18 @@ class MLSpec extends AnyFlatSpec with Matchers {
       train.select(col("id"), Features.tokenizeGaps(col("text")).as("toks")),
       "id", "toks", numFeatures = 256)
     val model = ML.naiveBayesFit(feats, labels, numFeatures = 256)
-    val priors = ML.nbPriors(labels)
-    val test = Seq((10L, "buy cheap now"), (11L, "project meeting agenda")).toDF("id", "text")
+    val test = Seq((10L, "buy cheap now"), (11L, "project meeting agenda"),
+      (12L, "unknownword otherunknown")).toDF("id", "text")
     val testFeats = Features.hashTF(
       test.select(col("id"), Features.tokenizeGaps(col("text")).as("toks")),
       "id", "toks", numFeatures = 256)
-    val pred = ML.naiveBayesPredict(testFeats, model, priors).collect()
+    val pred = ML.naiveBayesPredict(testFeats, model).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     pred(10L) shouldBe "spam"
     pred(11L) shouldBe "ham"
+    // doc of entirely-unseen tokens scores via the smoothing floor for BOTH
+    // labels (not silently 0) and still yields a prediction
+    pred.contains(12L) shouldBe true
   }
 
   "ML.linreg" should "recover y = 2x + 1" in {

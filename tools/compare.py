@@ -28,7 +28,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
         got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if name not in oracle:
-            print(f"ROWS {name}: rows={len(got)}" + (" (EMPTY!)" if len(got) == 0 else ""))
+            if len(got) == 0:
+                print(f"FAIL {name}: rows-only query returned 0 rows"); n_fail += 1
+            else:
+                print(f"ROWS {name}: rows={len(got)}")
             continue
         try:
             exp = con.execute(oracle[name]).df()
