@@ -384,6 +384,26 @@ object SparkEntry {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
     }),
 
+    // typed DataBag pipeline (flatMap/withFilter/foldGroup) under the oracle
+    "q59_typed_wordcount" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      val lines = DataBag.from(tbl(s, d, "documents").select("text").as[String])
+      TextPipelines.wordCountTyped(lines).ds.toDF("word", "cnt")
+    }),
+
+    // MutableBag-backed connected components (typed equiJoin + foldGroup +
+    // keyed point updates), same labels as the recursive SQL closure
+    "q60_cc_mutable" -> ((s, d) => {
+      import s.implicits._
+      val e = tbl(s, d, "supplier")
+        .select((col("s_suppkey") % 23).cast("long").as("src"),
+          (col("s_nationkey") % 23).cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .as[(Long, Long)]
+      Graphs.connectedComponentsMutable(e, s).toDF("vertex", "label")
+    }),
+
     // Pearson correlation from decimal-exact sums (built-in corr streams
     // doubles and is partition-order-sensitive; this is deterministic)
     "q58_corr" -> ((s, d) => {
@@ -679,6 +699,17 @@ object SparkEntry {
         "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq, " +
         "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp, " +
         "SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp " +
-        "FROM lineitem GROUP BY l_returnflag) t")
+        "FROM lineitem GROUP BY l_returnflag) t"),
+
+    "q59_typed_wordcount" ->
+      ("SELECT token AS word, COUNT(*) AS cnt FROM " +
+        "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t " +
+        "WHERE length(token) > 0 GROUP BY token"),
+
+    "q60_cc_mutable" ->
+      ("WITH RECURSIVE ed AS (SELECT DISTINCT s_suppkey % 23 AS src, s_nationkey % 23 AS dst FROM supplier WHERE s_suppkey % 23 <> s_nationkey % 23), " +
+        "und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed), " +
+        "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src) " +
+        "SELECT v AS vertex, MIN(u) AS label FROM r GROUP BY v")
   )
 }
