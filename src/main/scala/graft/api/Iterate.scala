@@ -23,7 +23,11 @@ object Iterate {
     bridge.freeLocalCheckpoint(ds)
   }
 
-  def fixpoint[A](init: Dataset[A], maxIter: Int = 100, checkpointEvery: Int = 3)(
+  /** `minRounds`: skip the (potentially expensive) convergence check for the
+    * first rounds an algorithm is known to need — e.g. alternating-star CC
+    * never converges in round 1, so checking there only burns jobs. */
+  def fixpoint[A](init: Dataset[A], maxIter: Int = 100, checkpointEvery: Int = 3,
+      minRounds: Int = 1)(
       step: Dataset[A] => Dataset[A])(
       converged: (Dataset[A], Dataset[A]) => Boolean): Dataset[A] = {
     var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
@@ -33,7 +37,7 @@ object Iterate {
       var next = step(cur)
       next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
-      done = converged(cur, next)
+      done = i + 1 >= minRounds && converged(cur, next)
       free(cur)
       cur = next
       i += 1

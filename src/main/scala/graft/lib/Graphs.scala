@@ -113,8 +113,9 @@ object Graphs {
     val init = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
     // both sides are distinct() relations, so |prev| = |next| plus
-    // next ⊆ prev implies set equality — one anti-join instead of two
-    val stars = Iterate.fixpoint[org.apache.spark.sql.Row](init)(
+    // next ⊆ prev implies set equality — one anti-join instead of two;
+    // round 1 never converges (the first star pass always rewrites edges)
+    val stars = Iterate.fixpoint[org.apache.spark.sql.Row](init, minRounds = 2)(
       step = cur => smallStar(largeStar(cur)))(
       converged = (prev, next) =>
         prev.count() == next.count() && next.except(prev).isEmpty)
