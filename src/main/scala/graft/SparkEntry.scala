@@ -355,7 +355,8 @@ object SparkEntry {
     // -> rows-only check
     "q54_ivf_ann" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nlist = 8, nprobe = 2)
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nlist = 8, nprobe = 2,
+        maxIter = 4)
     }),
 
     "q55_window_funcs" -> ((s, d) => {
