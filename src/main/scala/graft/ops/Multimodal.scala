@@ -65,12 +65,19 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("mean_luma", DoubleType, nullable = false)))
 
-  /** Partition-local batch feature extraction over the binary column (the
-    * mapInPandas-shaped step: one iterator of rows in, one iterator out, no
-    * shuffle, blobs dropped from the output). */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { rows =>
+  /** Generic partition-local batch transform — the mapInPandas-shaped
+    * extension point: one iterator of rows in, one iterator out, no shuffle.
+    * Use for any decode/feature-extract stage whose logic lives outside
+    * Column expressions (codecs, model inference, external libs). */
+  def transformBatches(df: DataFrame, outSchema: StructType)(
+      f: Iterator[Row] => Iterator[Row]): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd.mapPartitions(f), outSchema)
+
+  /** Partition-local batch feature extraction over the binary column (built
+    * on [[transformBatches]]; blobs are dropped from the output so nothing
+    * downstream shuffles payload bytes). */
+  def extractFeatures(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), featureSchema) { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
@@ -78,8 +85,6 @@ object Multimodal {
         Row(id, n, checksum, luma)
       }
     }
-    spark.createDataFrame(rdd, featureSchema)
-  }
 
   /** Frame-sampling shape for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th one (columnar, no UDF). */

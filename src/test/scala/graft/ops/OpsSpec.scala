@@ -143,4 +143,21 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
     frames.length shouldBe 3 // offsets 0,128,256
   }
+
+  "Multimodal.transformBatches" should "run arbitrary per-partition row transforms" in {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "ab"), (2L, "xyz")).toDF("id", "s")
+    val out = Multimodal.transformBatches(df,
+      StructType(Seq(StructField("id", LongType), StructField("len", IntegerType)))) {
+      rows => rows.map(r => Row(r.getLong(0), r.getString(1).length))
+    }
+    out.collect().map(r => (r.getLong(0), r.getInt(1))).sorted shouldBe
+      Array((1L, 2), (2L, 3))
+  }
+
+  "RichDataset.toBag" should "wrap a Dataset as a DataBag" in {
+    import graft.api._
+    Seq(1, 2, 3).toDS().toBag.sum shouldBe 6
+  }
 }
