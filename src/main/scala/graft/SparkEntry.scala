@@ -327,9 +327,11 @@ object SparkEntry {
       prices.top(5).toDF("price")
     }),
 
+    // nested group materialized then serialized to a string — list-typed
+    // output columns are a compare-harness wildcard, strings are not
     "q49_group_nested" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy(col("l_returnflag").as("rf"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
           count(lit(1)).as("cnt"))),
 
     "q50_embed_dups" -> ((s, d) =>
@@ -395,6 +397,12 @@ object SparkEntry {
 
     // MutableBag-backed connected components (typed equiJoin + foldGroup +
     // keyed point updates), same labels as the recursive SQL closure
+    "q61_percentile" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"))),
+
     "q60_cc_mutable" -> ((s, d) => {
       import s.implicits._
       val e = tbl(s, d, "supplier")
@@ -637,7 +645,7 @@ object SparkEntry {
       "SELECT o_totalprice AS price FROM orders ORDER BY o_totalprice DESC LIMIT 5",
 
     "q49_group_nested" ->
-      ("SELECT l_returnflag AS rf, list_sort(list_distinct(list(l_linestatus))) AS statuses, COUNT(*) AS cnt " +
+      ("SELECT l_returnflag AS rf, array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, COUNT(*) AS cnt " +
         "FROM lineitem GROUP BY l_returnflag"),
 
     "q50_embed_dups" ->
@@ -706,6 +714,10 @@ object SparkEntry {
       ("SELECT token AS word, COUNT(*) AS cnt FROM " +
         "(SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) t " +
         "WHERE length(token) > 0 GROUP BY token"),
+
+    "q61_percentile" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90, " +
+        "quantile_cont(l_extendedprice, 0.25) AS price_p25 FROM lineitem GROUP BY l_returnflag"),
 
     "q60_cc_mutable" ->
       ("WITH RECURSIVE ed AS (SELECT DISTINCT s_suppkey % 23 AS src, s_nationkey % 23 AS dst FROM supplier WHERE s_suppkey % 23 <> s_nationkey % 23), " +
