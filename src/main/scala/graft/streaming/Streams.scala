@@ -72,6 +72,27 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // ------------------------------------------------------- streaming joins
+
+  /** Stream-static enrichment: the dimension is broadcast, so every
+    * micro-batch joins map-side with no stateful join state at all. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left_outer")
+
+  /** Stream-stream inner join on a key within a ± time bound. Both sides are
+    * watermarked so join state is purged once the bound can no longer be
+    * satisfied — state is O(events inside the watermark window), not O(stream). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, tsLeft: String, tsRight: String,
+      watermark: String, boundSeconds: Long): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermark)
+    val r = right.withWatermark(tsRight, watermark)
+    l.join(r, expr(
+      s"""$key = ${key}_r AND
+         |$tsRight >= $tsLeft - INTERVAL $boundSeconds SECONDS AND
+         |$tsRight <= $tsLeft + INTERVAL $boundSeconds SECONDS""".stripMargin))
+  }
+
   // --------------------------------------------------- custom keyed state
 
   case class KeyedEvent(key: String, ts: java.sql.Timestamp, value: Double)

@@ -139,6 +139,41 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  "enrich" should "broadcast-join a static dimension onto a stream" in {
+    val in = MemoryStream[(Timestamp, String)]
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "name")
+    val q = Streams.enrich(in.toDF.toDF("ts", "k"), dim, Seq("k"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("k", "name").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).sortBy(_._1)
+      rows shouldBe Array(("a", Some("Alpha")), ("zz", None))
+    } finally q.stop()
+  }
+
+  "intervalJoin" should "match stream pairs within the time bound only" in {
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String, Double)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF.toDF("ts", "k"),
+      buys.toDF.toDF("ts_r", "k_r", "amount"),
+      key = "k", tsLeft = "ts", tsRight = "ts_r",
+      watermark = "10 minutes", boundSeconds = 120)
+    val q = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((ts(0), "a"), (ts(0), "b"))
+      buys.addData((ts(1), "a", 9.0), (ts(9), "b", 5.0)) // b is 9min late: out of bound
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin").select("k", "amount").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+      rows shouldBe Array(("a", 9.0))
+    } finally q.stop()
+  }
+
   "readParquetStream + writeParquetStream" should "process a file drop end-to-end" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$dir/in"; val dst = s"$dir/out"; val cp = s"$dir/cp"
