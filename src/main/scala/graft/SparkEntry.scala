@@ -397,6 +397,13 @@ object SparkEntry {
 
     // MutableBag-backed connected components (typed equiJoin + foldGroup +
     // keyed point updates), same labels as the recursive SQL closure
+    "q62_near_dups" -> ((s, d) =>
+      graft.ops.Curation.nearDuplicates(tbl(s, d, "documents"), minJaccard = 0.2)),
+
+    "q63_keep_list" -> ((s, d) =>
+      graft.ops.Curation.keepList(tbl(s, d, "documents"),
+        lang = "en", minTokens = 10, maxTokens = 1000, minAlpha = 0.5)),
+
     "q61_percentile" -> ((s, d) =>
       tbl(s, d, "lineitem").groupBy("l_returnflag").agg(
         expr("percentile(l_quantity, 0.5)").as("p50"),
@@ -718,6 +725,44 @@ object SparkEntry {
     "q61_percentile" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90, " +
         "quantile_cont(l_extendedprice, 0.25) AS price_p25 FROM lineitem GROUP BY l_returnflag"),
+
+    "q62_near_dups" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
+        "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
+        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
+        "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id), " +
+        "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
+        "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
+        "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
+        "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT id1, id2, COUNT(*) AS c FROM cand " +
+        "JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id AND s1.shingle = s2.shingle GROUP BY id1, id2) " +
+        "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
+        "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
+        "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= 0.2"),
+
+    "q63_keep_list" ->
+      ("WITH q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio " +
+        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE n_chars > 0) t), " +
+        "lt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+        "ls AS (SELECT doc_id, " +
+        "len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
+        "len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
+        "len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, " +
+        "len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr FROM lt), " +
+        "lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
+        "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' " +
+        "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang FROM ls), " +
+        "k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) " +
+        "SELECT d.doc_id, q.n_tokens, q.alpha_ratio, lang.pred_lang FROM documents d " +
+        "JOIN k ON d.doc_id = k.doc_id JOIN q ON d.doc_id = q.doc_id JOIN lang ON d.doc_id = lang.doc_id " +
+        "WHERE lang.pred_lang = 'en' AND q.n_tokens BETWEEN 10 AND 1000 AND q.alpha_ratio >= 0.5"),
 
     "q60_cc_mutable" ->
       ("WITH RECURSIVE ed AS (SELECT DISTINCT s_suppkey % 23 AS src, s_nationkey % 23 AS dst FROM supplier WHERE s_suppkey % 23 <> s_nationkey % 23), " +

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composed training-data curation pipelines — the end-to-end shapes a
+  * 100 TB corpus pass actually runs, built from the individual operators.
+  */
+object Curation {
+
+  /** Full near-duplicate pipeline: banded MinHash LSH candidates → exact
+    * n-gram Jaccard verification on ONLY the candidate pairs → threshold.
+    * At corpus scale the expensive exact step touches candidate pairs
+    * (≈ linear) instead of the quadratic pair space. */
+  def nearDuplicates(docs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val cands = Dedup.minhashLSH(docs, textCol, bands, rowsPerBand, shingleN)
+    val sh = Dedup.shingles(docs, textCol, shingleN).localCheckpoint()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("id2") === col("s2.doc_id") &&
+        col("s1.shingle") === col("s2.shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.as("c1"), col("id1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("id2") === col("c2.doc_id"))
+      .select(col("id1"), col("id2"),
+        Portable.round(col("c").cast("double") /
+          (col("c1.n") + col("c2.n") - col("c")).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Keep-list for a pretraining corpus: language + quality thresholds +
+    * exact-dedup canonical representative. One pass for signals, one
+    * aggregation for dedup, one join — returns the surviving doc_ids with
+    * their signals. */
+  def keepList(docs: DataFrame, textCol: String = "text",
+      lang: String = "en", minTokens: Long = 5, maxTokens: Long = 100000,
+      minAlpha: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.qualitySignals(docs.where(col("n_chars") > 0), textCol)
+    val langs = TextAnalysis.languageId(docs, textCol)
+    val canonical = Dedup.exactGroups(docs, textCol)
+      .select(col("keep_id").as("doc_id"))
+    docs.select("doc_id")
+      .join(canonical, "doc_id") // exact-dup survivors only
+      .join(quality, "doc_id")
+      .join(langs, "doc_id")
+      .where(col("pred_lang") === lang &&
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("alpha_ratio") >= minAlpha)
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("pred_lang"))
+  }
+}
