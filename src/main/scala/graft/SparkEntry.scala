@@ -397,6 +397,13 @@ object SparkEntry {
 
     // MutableBag-backed connected components (typed equiJoin + foldGroup +
     // keyed point updates), same labels as the recursive SQL closure
+    // custom LogicalPlan+Strategy+SparkPlan operator: bounded-heap top-k per
+    // key (partial before shuffle, no sort) — same rows as the window form
+    "q64_topk_native" -> ((s, d) =>
+      graft.plans.TopK.perKey(tbl(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")),
+
     "q62_near_dups" -> ((s, d) =>
       graft.ops.Curation.nearDuplicates(tbl(s, d, "documents"), minJaccard = 0.2)),
 
@@ -725,6 +732,11 @@ object SparkEntry {
     "q61_percentile" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90, " +
         "quantile_cont(l_extendedprice, 0.25) AS price_p25 FROM lineitem GROUP BY l_returnflag"),
+
+    "q64_topk_native" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 3"),
 
     "q62_near_dups" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Whole-operator extension (build-plan tier (c)): per-key top-k as a custom
+  * LogicalPlan + Strategy + SparkPlan pair.
+  *
+  * The Window formulation (`row_number().over(partitionBy(key).orderBy(ord))
+  * <= k`) must fully sort every partition of every key group before ranking.
+  * This operator instead keeps a bounded k-element heap per key: a PARTIAL
+  * stage reduces each input partition to ≤k candidate rows per key before the
+  * shuffle (the only rows that can survive globally), and a FINAL stage after
+  * hash-partitioning re-heaps the candidates — O(n log k) work, shuffle
+  * traffic of candidates only, no full sort anywhere. The same
+  * partial/final shape as HashAggregate, applied to order statistics.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k,
+        org.apache.spark.sql.execution.PlanLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val schema = child.output
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val ord = GenerateOrdering.generate(sortOrder, schema)
+      // per key: a max-heap (by sort position) of the best k rows — the head
+      // is the worst survivor and is evicted when something better arrives
+      val heaps = new scala.collection.mutable.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
+      it.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          new scala.collection.mutable.PriorityQueue[InternalRow]()(ord))
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.toSeq.sorted(ord).iterator)
+    }
+  }
+}
+
+object TopK {
+
+  /** Best-k rows per key under `orderBy` (ascending semantics of the given
+    * SortOrder columns — pass `col.desc` for largest-first). Registers the
+    * planning strategy on the session idempotently. */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val keys = keyCols.map(c => bridge.eagerExpression(df(c)))
+    val order = orderBy.map(c => bridge.eagerExpression(c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    bridge.ofRows(spark, TopKPerKeyNode(keys, order, k, bridge.logicalPlan(df)))
+  }
+}

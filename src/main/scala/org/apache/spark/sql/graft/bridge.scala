@@ -11,6 +11,14 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column to a catalyst Expression. The lazy
+    * `ColumnNodeExpression` wrapper `expression` returns holds a
+    * non-serializable ColumnNode — fine inside normal planning (the analyzer
+    * unwraps it) but fatal when an expression is shipped inside a custom
+    * SparkPlan's closure. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Free the blocks held by a localCheckpoint'ed Dataset. `Dataset.unpersist`
     * is a no-op for these (the RDD is persisted directly, not through the
     * CacheManager), so iterative algorithms would otherwise leak one state
@@ -20,4 +28,14 @@ object bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Build a DataFrame from a custom LogicalPlan (entry point for custom
+    * operators planned by injected strategies). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def logicalPlan(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
