@@ -80,11 +80,14 @@ object Native {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the native
-  * functions at session build time (the SparkSessionExtensions path). */
+  * functions AND the custom operator strategies at session build time (the
+  * SparkSessionExtensions path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
