@@ -407,6 +407,9 @@ object SparkEntry {
     "q62_near_dups" -> ((s, d) =>
       graft.ops.Curation.nearDuplicates(tbl(s, d, "documents"), minJaccard = 0.2)),
 
+    "q65_dup_clusters" -> ((s, d) =>
+      graft.ops.Curation.duplicateClusters(tbl(s, d, "documents"), minJaccard = 0.2)),
+
     "q63_keep_list" -> ((s, d) =>
       graft.ops.Curation.keepList(tbl(s, d, "documents"),
         lang = "en", minTokens = 10, maxTokens = 1000, minAlpha = 0.5)),
@@ -756,6 +759,28 @@ object SparkEntry {
         "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
         "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
         "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= 0.2"),
+
+    "q65_dup_clusters" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
+        "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
+        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
+        "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id), " +
+        "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
+        "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
+        "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
+        "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT id1, id2, COUNT(*) AS c FROM cand " +
+        "JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id AND s1.shingle = s2.shingle GROUP BY id1, id2), " +
+        "pairs AS (SELECT id1, id2 FROM (SELECT id1, id2, " +
+        "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
+        "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= 0.2), " +
+        "und AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2 AS src, id1 AS dst FROM pairs), " +
+        "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src) " +
+        "SELECT v AS doc_id, MIN(u) AS canonical_id FROM r GROUP BY v"),
 
     "q63_keep_list" ->
       ("WITH q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

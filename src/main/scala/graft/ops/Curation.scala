@@ -32,6 +32,18 @@ object Curation {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Duplicate clusters: near-duplicate pairs form a graph whose connected
+    * components are the duplicate groups; every member maps to the group's
+    * minimum doc_id (the canonical representative to keep). Composes the LSH
+    * pipeline with the O(log n) alternating-star components. */
+  def duplicateClusters(docs: DataFrame, textCol: String = "text",
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = nearDuplicates(docs, textCol, minJaccard = minJaccard)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    graft.lib.Graphs.connectedComponentsAlternating(pairs, docs.sparkSession)
+      .select(col("vertex").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Keep-list for a pretraining corpus: language + quality thresholds +
     * exact-dedup canonical representative. One pass for signals, one
     * aggregation for dedup, one join — returns the surviving doc_ids with
