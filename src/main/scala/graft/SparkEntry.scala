@@ -407,6 +407,16 @@ object SparkEntry {
     "q62_near_dups" -> ((s, d) =>
       graft.ops.Curation.nearDuplicates(tbl(s, d, "documents"), minJaccard = 0.2)),
 
+    "q66_text_roundtrip" -> ((s, d) => {
+      implicit val ss: SparkSession = s
+      val dir = "/tmp/graft_scratch/docs_text"
+      DataBag.from(tbl(s, d, "documents").select("text").as[String](Encoders.STRING))
+        .writeText(dir)
+      DataBag.readText(dir).toDF.agg(
+        count(lit(1)).as("cnt"),
+        sum(length(col("value"))).as("total_chars"))
+    }),
+
     "q65_dup_clusters" -> ((s, d) =>
       graft.ops.Curation.duplicateClusters(tbl(s, d, "documents"), minJaccard = 0.2)),
 
@@ -759,6 +769,9 @@ object SparkEntry {
         "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
         "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
         "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= 0.2"),
+
+    "q66_text_roundtrip" ->
+      "SELECT COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents",
 
     "q65_dup_clusters" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
