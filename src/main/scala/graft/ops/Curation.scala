@@ -38,8 +38,12 @@ object Curation {
     * pipeline with the O(log n) alternating-star components. */
   def duplicateClusters(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.5): DataFrame = {
+    // materialize the (expensive) near-dup pipeline ONCE before the iterative
+    // components pass — otherwise every fixpoint round would re-run the full
+    // LSH + jaccard DAG (the reference's auto-cache rule, applied by hand)
     val pairs = nearDuplicates(docs, textCol, minJaccard = minJaccard)
       .select(col("id1").as("src"), col("id2").as("dst"))
+      .localCheckpoint()
     graft.lib.Graphs.connectedComponentsAlternating(pairs, docs.sparkSession)
       .select(col("vertex").as("doc_id"), col("label").as("canonical_id"))
   }

@@ -86,6 +86,28 @@ object Multimodal {
       }
     }
 
+  /** STUB resize: a real implementation would decode + rescale the image
+    * here; the stand-in keeps every `factor`-th payload byte (deterministic,
+    * shape-preserving: binary in, smaller binary out) and scales the metadata
+    * dims, exercising the exact plumbing a real resizer needs. */
+  def resizeStub(media: DataFrame, factor: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    transformBatches(media.select(
+        col("doc_id"), col("payload"), col("meta.width"), col("meta.height")), outSchema) {
+      rows => rows.map { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val resized = if (payload == null) null
+          else payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+        def scaled(i: Int) = if (r.isNullAt(i)) null else Int.box(r.getInt(i) / factor)
+        Row(r.getLong(0), resized, scaled(2), scaled(3))
+      }
+    }
+  }
+
   /** Frame-sampling shape for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th one (columnar, no UDF). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =

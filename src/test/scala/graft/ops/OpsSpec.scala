@@ -144,6 +144,13 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     frames.length shouldBe 3 // offsets 0,128,256
   }
 
+  "Multimodal.resizeStub" should "shrink payload and metadata dims by the factor" in {
+    val media = Multimodal.asMediaTable(Seq((1L, "abcdefgh")).toDF("doc_id", "text"))
+    val r = Multimodal.resizeStub(media, factor = 2).head()
+    r.getAs[Array[Byte]](1).length shouldBe 4
+    r.getAs[Array[Byte]](1) shouldBe "aceg".getBytes("UTF-8")
+  }
+
   "Multimodal.transformBatches" should "run arbitrary per-partition row transforms" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
