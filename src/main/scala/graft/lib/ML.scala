@@ -163,4 +163,6 @@ object ML {
           (col("tp") + col("tn") + col("fp") + col("fn"))).as("accuracy"),
         (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
         (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+      .withColumn("f1",
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
 }

@@ -88,5 +88,6 @@ class MLSpec extends AnyFlatSpec with Matchers {
         when(col("pred") > 0.5, 1).otherwise(0).as("pred"))
     val m = ML.evalBinary(scored).head()
     m.getAs[Double]("accuracy") should be > 0.9
+    m.getAs[Double]("f1") should be > 0.9
   }
 }
