@@ -407,6 +407,15 @@ object SparkEntry {
     "q62_near_dups" -> ((s, d) =>
       graft.ops.Curation.nearDuplicates(tbl(s, d, "documents"), minJaccard = 0.2)),
 
+    "q67_grouping_sets" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("cnt"), col("sum_qty"))),
+
     "q66_text_roundtrip" -> ((s, d) => {
       implicit val ss: SparkSession = s
       val dir = "/tmp/graft_scratch/docs_text"
@@ -772,6 +781,10 @@ object SparkEntry {
 
     "q66_text_roundtrip" ->
       "SELECT COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents",
+
+    "q67_grouping_sets" ->
+      ("SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
 
     "q65_dup_clusters" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
