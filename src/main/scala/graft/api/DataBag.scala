@@ -143,7 +143,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
     implicit val out: Encoder[(A, B)] = Encoders.tuple(enc, encB)
     new DataBag(
-      lt.joinWith(rt, lt("_1") === rt("_1"), "inner").map(p => (p._1._2, p._2._2)))
+      lt.joinWith(rt, lt("_1") <=> rt("_1"), "inner").map(p => (p._1._2, p._2._2)))
   }
 
   def leftOuterJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K)(
@@ -153,7 +153,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     val lt = ds.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
     val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
     new DataBag(
-      lt.joinWith(rt, lt("_1") === rt("_1"), "left_outer")
+      lt.joinWith(rt, lt("_1") <=> rt("_1"), "left_outer")
         .map(p => (p._1._2, Option(p._2).map(_._2))))
   }
 
@@ -166,7 +166,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     val tupEnc = Encoders.tuple(encK, enc)
     val lt = ds.map(x => (kx(x), x))(tupEnc)
     val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
-    new DataBag(lt.join(rt, lt("_1") === rt("_1"), joinType).as(tupEnc).map(_._2))
+    new DataBag(lt.join(rt, lt("_1") <=> rt("_1"), joinType).as(tupEnc).map(_._2))
   }
 
   def semiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] =

@@ -126,6 +126,18 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
       Seq((1, "a"), (3, "c"))
   }
 
+  "joins" should "match None keys null-safely (reference Scala == semantics)" in {
+    // the reference derives joins from Scala `k1(x) == k2(y)` guards, where
+    // None == None is true; generated joins use eqNullSafe (SparkExp.scala:87-90)
+    val l = Seq((Some(1), "a"), (None: Option[Int], "b"))
+    val r = Seq((Some(1), 1.0), (None: Option[Int], 2.0))
+    val got = DataBag(l).equiJoin(DataBag(r))(_._1, _._1).collect()
+    asBag(got.map { case (x, y) => (x._2, y._2) })  shouldBe
+      asBag(Seq(("a", 1.0), ("b", 2.0)))
+    DataBag(l).semiJoin(DataBag(r.filter(_._1.isEmpty)))(_._1, _._1)
+      .collect().map(_._2) shouldBe Seq("b")
+  }
+
   it should "support composite (tuple) keys" in {
     val l = Seq((1, "a"), (2, "b"), (2, "c"))
     val r = Seq((2, "b", 9.0), (7, "z", 1.0))
