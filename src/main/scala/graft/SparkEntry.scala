@@ -407,6 +407,9 @@ object SparkEntry {
     "q62_near_dups" -> ((s, d) =>
       graft.ops.Curation.nearDuplicates(tbl(s, d, "documents"), minJaccard = 0.2)),
 
+    "q68_simhash_portable" -> ((s, d) =>
+      Dedup.simhashPortable(tbl(s, d, "documents"), bits = 16)),
+
     "q67_grouping_sets" -> ((s, d) =>
       tbl(s, d, "lineitem")
         .groupingSets(
@@ -785,6 +788,21 @@ object SparkEntry {
     "q67_grouping_sets" ->
       ("SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+
+    "q68_simhash_portable" -> {
+      // 16-bit md5-derived simhash: hv = value of the first 4 hex chars
+      val hv = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+        .mkString(" + ")
+      val bitSums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+      val assemble = (0 until 16).map(b =>
+        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      "WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+        s"h AS (SELECT doc_id, $hv AS hv FROM tk), " +
+        s"s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id) " +
+        s"SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM s"
+    },
 
     "q65_dup_clusters" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +

@@ -150,6 +150,26 @@ object Dedup {
       .where(col("sim") >= threshold)
   }
 
+  /** Engine-portable SimHash over `bits` ≤ 16 bit positions: the per-token
+    * hash is the first ceil(bits/4) hex chars of md5 (so any engine with md5
+    * reproduces it bit-for-bit). [[simhash64]] (xxhash64) stays the fast
+    * wide-fingerprint path; this is the cross-engine-verifiable variant. */
+  def simhashPortable(docs: DataFrame, textCol: String = "text", bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 16)
+    val hexChars = (bits + 3) / 4
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, hexChars), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until bits).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sim.as("simhash"))
+  }
+
   /** Hamming-distance near-dup pairs over SimHash (bounded id window to keep
     * the candidate set linear; production: multi-probe over rotated bands). */
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
