@@ -471,6 +471,34 @@ object SparkEntry {
     })
   )
 
+  // ------------- shared oracle CTE fragments (ONE definition each;
+  // q29/q53/q62/q65 all build on the same shingle/signature/band pipeline)
+  private val shingleCtes =
+    "t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+    "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3)"
+
+  private val sigCte =
+    "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
+    "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
+    "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id)"
+
+  private val bandCtes =
+    "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
+    "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
+    "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
+    "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+    "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+
+  /** cand pairs -> `pairs` CTE: (id1, id2, rounded jaccard) at `threshold`. */
+  private def jaccardVerifySql(threshold: Double) =
+    "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+    "inter AS (SELECT id1, id2, COUNT(*) AS c FROM cand " +
+    "JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id AND s1.shingle = s2.shingle GROUP BY id1, id2), " +
+    "pairs AS (SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
+    "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
+    s"FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= $threshold)"
+
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
     * registered by table name). */
   def oracleSql: Map[String, String] = Map(
@@ -595,10 +623,8 @@ object SparkEntry {
       "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)",
 
     "q29_minhash" ->
-      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3) " +
-        "SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
-        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3 FROM sh GROUP BY doc_id"),
+      (s"WITH $shingleCtes, $sigCte " +
+        "SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig"),
 
     "q30_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
@@ -706,17 +732,8 @@ object SparkEntry {
         "SELECT v AS vertex, MIN(u) AS label FROM r GROUP BY v"),
 
     "q53_lsh" ->
-      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
-        "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
-        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
-        "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id), " +
-        "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
-        "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
-        "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
-        "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig) " +
-        "SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
-        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id"),
+      (s"WITH $shingleCtes, $sigCte, $bandCtes " +
+        "SELECT id1, id2 FROM cand"),
 
     "q55_window_funcs" ->
       ("SELECT o_custkey, o_orderkey, " +
@@ -764,23 +781,8 @@ object SparkEntry {
         "WHERE rn <= 3"),
 
     "q62_near_dups" ->
-      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
-        "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
-        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
-        "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id), " +
-        "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
-        "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
-        "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
-        "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
-        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
-        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT id1, id2, COUNT(*) AS c FROM cand " +
-        "JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id AND s1.shingle = s2.shingle GROUP BY id1, id2) " +
-        "SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
-        "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
-        "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= 0.2"),
+      (s"WITH $shingleCtes, $sigCte, $bandCtes, ${jaccardVerifySql(0.2)} " +
+        "SELECT id1, id2, jaccard FROM pairs"),
 
     "q66_text_roundtrip" ->
       "SELECT COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents",
@@ -805,23 +807,7 @@ object SparkEntry {
     },
 
     "q65_dup_clusters" ->
-      ("WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
-        "sig AS (SELECT doc_id, MIN(substr(md5('0-' || shingle), 1, 8)) AS mh0, MIN(substr(md5('0-' || shingle), 9, 8)) AS mh1, " +
-        "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
-        "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id), " +
-        "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
-        "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
-        "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
-        "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
-        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id), " +
-        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT id1, id2, COUNT(*) AS c FROM cand " +
-        "JOIN sh s1 ON id1 = s1.doc_id JOIN sh s2 ON id2 = s2.doc_id AND s1.shingle = s2.shingle GROUP BY id1, id2), " +
-        "pairs AS (SELECT id1, id2 FROM (SELECT id1, id2, " +
-        "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
-        "FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= 0.2), " +
+      (s"WITH RECURSIVE $shingleCtes, $sigCte, $bandCtes, ${jaccardVerifySql(0.2)}, " +
         "und AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2 AS src, id1 AS dst FROM pairs), " +
         "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src) " +
         "SELECT v AS doc_id, MIN(u) AS canonical_id FROM r GROUP BY v"),
@@ -829,7 +815,7 @@ object SparkEntry {
     "q63_keep_list" ->
       ("WITH q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
         "floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio " +
-        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE n_chars > 0) t), " +
+        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE length(text) > 0) t), " +
         "lt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
         "ls AS (SELECT doc_id, " +
         "len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en, " +

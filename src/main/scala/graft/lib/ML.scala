@@ -164,5 +164,7 @@ object ML {
         (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
         (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
       .withColumn("f1",
-        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0))) // degenerate all-negative/all-wrong case: F1 = 0, not NaN
 }

@@ -17,19 +17,7 @@ object Curation {
       minJaccard: Double = 0.5): DataFrame = {
     val cands = Dedup.minhashLSH(docs, textCol, bands, rowsPerBand, shingleN)
     val sh = Dedup.shingles(docs, textCol, shingleN).localCheckpoint()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("id2") === col("s2.doc_id") &&
-        col("s1.shingle") === col("s2.shingle"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
-    inter
-      .join(cnt.as("c1"), col("id1") === col("c1.doc_id"))
-      .join(cnt.as("c2"), col("id2") === col("c2.doc_id"))
-      .select(col("id1"), col("id2"),
-        Portable.round(col("c").cast("double") /
-          (col("c1.n") + col("c2.n") - col("c")).cast("double"), 6).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
   }
 
   /** Duplicate clusters: near-duplicate pairs form a graph whose connected
@@ -55,7 +43,8 @@ object Curation {
   def keepList(docs: DataFrame, textCol: String = "text",
       lang: String = "en", minTokens: Long = 5, maxTokens: Long = 100000,
       minAlpha: Double = 0.5): DataFrame = {
-    val quality = TextAnalysis.qualitySignals(docs.where(col("n_chars") > 0), textCol)
+    val quality = TextAnalysis.qualitySignals(
+      docs.where(length(col(textCol)) > 0), textCol)
     val langs = TextAnalysis.languageId(docs, textCol)
     val canonical = Dedup.exactGroups(docs, textCol)
       .select(col("keep_id").as("doc_id"))

@@ -94,6 +94,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Rounded Jaccard |A∩B| / (|A|+|B|-|A∩B|) from intersection and per-set
+    * counts — ONE definition shared by every verification path (the oracle
+    * SQL depends on bit-level agreement with this exact formula). */
+  private def jaccardCol: Column =
+    Portable.round(col("c").cast("double") /
+      (col("c1.n") + col("c2.n") - col("c")).cast("double"), 6)
+
+  /** Attach per-pair counts + jaccard to an intersection-count relation
+    * (id1, id2, c) given per-doc shingle counts. */
+  private def scorePairs(inter: DataFrame, cnt: DataFrame): DataFrame =
+    inter
+      .join(cnt.as("c1"), col("id1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("id2") === col("c2.doc_id"))
+      .select(col("id1"), col("id2"), jaccardCol.as("jaccard"))
+
+  /** Exact Jaccard for an explicit candidate-pair relation (id1, id2) — the
+    * verification step after any candidate generator (LSH bands, id windows,
+    * embedding buckets). */
+  def verifyJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("id2") === col("s2.doc_id") &&
+        col("s1.shingle") === col("s2.shingle"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("c"))
+    scorePairs(inter, cnt)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs constrained by a
     * bounded doc_id window (`maxIdGap`) — the verification step after LSH.
     * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|-|A∩B|. */
@@ -111,25 +139,27 @@ object Dedup {
         col("s2.doc_id") - col("s1.doc_id") <= maxIdGap)
       .groupBy(col("s1.doc_id").as("id1"), col("s2.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
-    inter
-      .join(cnt.as("c1"), col("id1") === col("c1.doc_id"))
-      .join(cnt.as("c2"), col("id2") === col("c2.doc_id"))
-      .select(col("id1"), col("id2"),
-        Portable.round(col("c").cast("double") /
-          (col("c1.n") + col("c2.n") - col("c")).cast("double"), 6).as("jaccard"))
+    scorePairs(inter, cnt)
   }
 
   /** 64-bit SimHash over whitespace tokens: per token take xxhash64(token);
     * for each bit position sum +1/-1 weighted by token frequency; simhash bit
     * = sign. Columnar (explode + 1 aggregation), no UDFs. */
-  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def simhash64(docs: DataFrame, textCol: String = "text"): DataFrame =
+    simhashBits(docs, textCol, 64, tok => xxhash64(tok))
+
+  /** Shared simhash core: per-token hash column -> per-bit ±1 sums -> sign
+    * fingerprint. Both the fast (xxhash64) and portable (md5) variants ride
+    * on this one implementation. */
+  private def simhashBits(docs: DataFrame, textCol: String, bits: Int,
+      tokenHash: Column => Column): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+    val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map(b =>
+    val sim = (0 until bits).map(b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     sums.select(col("doc_id"), sim.as("simhash"))
@@ -157,17 +187,8 @@ object Dedup {
   def simhashPortable(docs: DataFrame, textCol: String = "text", bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 16)
     val hexChars = (bits + 3) / 4
-    val tok = docs.select(col("doc_id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, hexChars), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until bits).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until bits).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sim.as("simhash"))
+    simhashBits(docs, textCol, bits,
+      tok => conv(substring(md5(tok), 1, hexChars), 16, 10).cast("long"))
   }
 
   /** Hamming-distance near-dup pairs over SimHash (bounded id window to keep

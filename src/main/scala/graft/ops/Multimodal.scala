@@ -91,6 +91,7 @@ object Multimodal {
     * shape-preserving: binary in, smaller binary out) and scales the metadata
     * dims, exercising the exact plumbing a real resizer needs. */
   def resizeStub(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true),

@@ -66,8 +66,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
       it.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new scala.collection.mutable.PriorityQueue[InternalRow]()(ord))
+        // probe with the reused row; copy the key only on first insert (the
+        // common case is a hash hit — no per-row allocation)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
@@ -84,10 +91,17 @@ object TopK {
     * SortOrder columns — pass `col.desc` for largest-first). Registers the
     * planning strategy on the session idempotently. */
   def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // also covered when GraftExtensions injected the strategy at session
+    // build; synchronize the read-modify-write on extraStrategies
+    TopK.synchronized {
+      val registered = spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy) ||
+        spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)
+      if (!registered)
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     val keys = keyCols.map(c => bridge.eagerExpression(df(c)))
     val order = orderBy.map(c => bridge.eagerExpression(c) match {
       case s: SortOrder => s

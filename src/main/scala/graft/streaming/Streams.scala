@@ -81,16 +81,24 @@ object Streams {
 
   /** Stream-stream inner join on a key within a ± time bound. Both sides are
     * watermarked so join state is purged once the bound can no longer be
-    * satisfied — state is O(events inside the watermark window), not O(stream). */
+    * satisfied — state is O(events inside the watermark window), not
+    * O(stream). The right side's key/timestamp columns are renamed to
+    * `<leftKey>_r` / `<tsLeft>_r` in the output, so naturally-named inputs
+    * (both sides "k"/"ts") just work. */
   def intervalJoin(left: DataFrame, right: DataFrame,
-      key: String, tsLeft: String, tsRight: String,
+      leftKey: String, rightKey: String, tsLeft: String, tsRight: String,
       watermark: String, boundSeconds: Long): DataFrame = {
+    val rk = s"${leftKey}_r"
+    val rts = s"${tsLeft}_r"
     val l = left.withWatermark(tsLeft, watermark)
-    val r = right.withWatermark(tsRight, watermark)
-    l.join(r, expr(
-      s"""$key = ${key}_r AND
-         |$tsRight >= $tsLeft - INTERVAL $boundSeconds SECONDS AND
-         |$tsRight <= $tsLeft + INTERVAL $boundSeconds SECONDS""".stripMargin))
+    val r = right
+      .withColumnRenamed(rightKey, rk)
+      .withColumnRenamed(tsRight, rts)
+      .withWatermark(rts, watermark)
+    val bound = expr(s"INTERVAL $boundSeconds SECONDS")
+    l.join(r, col(leftKey) === col(rk) &&
+      col(rts) >= col(tsLeft) - bound &&
+      col(rts) <= col(tsLeft) + bound)
   }
 
   // --------------------------------------------------- custom keyed state

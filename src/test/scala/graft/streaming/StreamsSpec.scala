@@ -157,10 +157,11 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
   "intervalJoin" should "match stream pairs within the time bound only" in {
     val clicks = MemoryStream[(Timestamp, String)]
     val buys = MemoryStream[(Timestamp, String, Double)]
+    // both sides naturally named — the operator renames the right side itself
     val joined = Streams.intervalJoin(
       clicks.toDF.toDF("ts", "k"),
-      buys.toDF.toDF("ts_r", "k_r", "amount"),
-      key = "k", tsLeft = "ts", tsRight = "ts_r",
+      buys.toDF.toDF("ts", "k", "amount"),
+      leftKey = "k", rightKey = "k", tsLeft = "ts", tsRight = "ts",
       watermark = "10 minutes", boundSeconds = 120)
     val q = joined.writeStream.format("memory").queryName("ivjoin")
       .outputMode(OutputMode.Append()).start()
