@@ -190,6 +190,22 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
     asBag(pqBack) shouldBe asBag(recs)
   }
 
+  "Parquet IO" should "round-trip randomized nested/Option/Seq records (reference codec coverage)" in {
+    val rnd = new scala.util.Random(99)
+    def str() = rnd.alphanumeric.take(rnd.nextInt(8)).mkString
+    val recs = Seq.fill(200)(RichRec(
+      rnd.nextLong(),
+      Inner(rnd.nextInt(), str()),
+      Seq.fill(rnd.nextInt(4))(str()),
+      Seq.fill(rnd.nextInt(4))(rnd.nextInt()),
+      if (rnd.nextBoolean()) Some(Inner(rnd.nextInt(), str())) else None))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rich").toString
+    implicit val enc: org.apache.spark.sql.Encoder[RichRec] = Encoders.product[RichRec]
+    DataBag.from(spark.createDataset(recs)).writeParquet(s"$dir/pq")
+    val back = DataBag.readParquet[RichRec](s"$dir/pq").collect()
+    asBag(back) shouldBe asBag(recs)
+  }
+
   "readText" should "read lines" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
     DataBag(Seq("line one", "line two")).writeText(s"$dir/t")
@@ -198,3 +214,5 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
 }
 
 case class Rec(id: Int, s: String, d: Option[Double])
+case class Inner(a: Int, b: String)
+case class RichRec(id: Long, inner: Inner, tags: Seq[String], xs: Seq[Int], opt: Option[Inner])
