@@ -219,19 +219,36 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
         Iterator.single((n, buf.toVector))
       }
       .collect()
-    // Driver-side merge without replacement (A-Res weighted reservoir):
-    // each surviving element represents n_i/|r_i| source rows; keep the k
-    // largest u^(1/w) keys. Deterministic given seed and partitioning.
+    // Driver-side EXACT merge: a uniform k-sample of the whole bag allocates
+    // per-partition counts by a multivariate hypergeometric over the true
+    // partition sizes n_i (simulated by drawing k distinct global positions),
+    // then takes that many elements from each partial reservoir (each partial
+    // is itself a uniform subset of its partition; shuffled first because
+    // reservoir buffer POSITIONS are not exchangeable). Deterministic given
+    // seed and partitioning.
     val rng = new java.util.Random(seed ^ 0x5DEECE66DL)
-    val weighted = partials.toVector.flatMap { case (n, r) =>
-      if (n == 0) Vector.empty
-      else { val w = n.toDouble / r.size; r.map(x => (x, w)) }
+    val sizes = partials.map(_._1)
+    val total = sizes.sum
+    val take = math.min(k.toLong, total).toInt
+    // k distinct global positions in [0, total) — exact hypergeometric counts.
+    val chosen = new scala.collection.mutable.HashSet[Long]
+    while (chosen.size < take) chosen += math.floorMod(rng.nextLong(), total)
+    val bounds = sizes.scanLeft(0L)(_ + _) // partition i owns [bounds(i), bounds(i+1))
+    val counts = Array.fill(partials.length)(0)
+    chosen.foreach { pos =>
+      var i = java.util.Arrays.binarySearch(bounds, pos)
+      if (i < 0) i = -i - 2
+      counts(i) += 1
     }
-    weighted
-      .map { case (x, w) => (math.pow(rng.nextDouble(), 1.0 / w), x) }
-      .sortBy(-_._1)
-      .take(k)
-      .map(_._2)
+    partials.toVector.zipWithIndex.flatMap { case ((_, r), i) =>
+      if (counts(i) == 0) Vector.empty
+      else {
+        val buf = r.toArray[Any]
+        var j = buf.length - 1 // Fisher-Yates: uniform order within the reservoir
+        while (j > 0) { val m = rng.nextInt(j + 1); val t = buf(j); buf(j) = buf(m); buf(m) = t; j -= 1 }
+        buf.take(counts(i)).toVector.asInstanceOf[Vector[A]]
+      }
+    }
   }
 
   /** Dense unique 0-based index (reference zipWithIndex, SparkRDD.scala:109-110).

@@ -38,7 +38,10 @@ object Iterate {
       next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
       done = i + 1 >= minRounds && converged(cur, next)
-      free(cur)
+      // Never free the caller's init (persist() returned the same object):
+      // unpersisting it here would silently invalidate a Dataset the caller
+      // may still be using.
+      if (!(cur eq init)) free(cur)
       cur = next
       i += 1
     }
@@ -59,7 +62,7 @@ object Iterate {
       else step(cur).cache())
       val m = next.size
       done = m == n
-      free(cur.ds)
+      if (!(cur.ds eq init.ds)) free(cur.ds)
       cur = next
       n = m
       i += 1

@@ -22,11 +22,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
   /** Word n-grams of a token-array column, as an array of space-joined
-    * strings (shared by dedup shingling and Features.nGrams). */
+    * strings (shared by dedup shingling and Features.nGrams). Inputs with
+    * fewer than n tokens yield an empty array, matching the reference's
+    * nGrams semantics (an unguarded descending `sequence` would make
+    * `slice` throw at runtime). */
   def nGramsOfTokens(tokens: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(tokens) - n),
-      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    when(size(tokens) >= n,
+      transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Word n-gram shingles of a text column (default 3-gram), as an array. */
   def shingleArray(text: Column, n: Int = 3): Column =

@@ -162,6 +162,14 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
     bag(Seq(1, 2)).sample(10, 1L).sorted shouldBe Vector(1, 2)
   }
 
+  it should "sample without replacement, roughly uniformly across the range" in {
+    val b = bag((1 to 1000).toSeq)
+    val draws = (1 to 20).flatMap { s => val v = b.sample(50, s.toLong); v.size shouldBe 50; v.distinct.size shouldBe 50; v }
+    // 1000 draws from Uniform(1,1000): mean 500.5, sd of the mean ~9.1
+    val mean = draws.sum.toDouble / draws.size
+    mean shouldBe 500.5 +- 50.0
+  }
+
   "zipWithIndex" should "assign dense unique indices" in {
     val r = bag(xs).zipWithIndex().collect()
     r.map(_._2).sorted shouldBe (0L until xs.size).toVector

@@ -42,6 +42,12 @@ class NativeSpec extends AnyFlatSpec with Matchers {
     df.select(Native.cosineSim(col("a"), col("b"))).head().isNullAt(0) shouldBe true
   }
 
+  it should "reject non-float arrays at analysis time" in {
+    val dd = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      dd.select(Native.cosineSim(col("a"), col("b"))).collect()
+  }
+
   "register / GraftExtensions" should "expose cosine_sim to SQL" in {
     Native.register(spark)
     vecs.createOrReplaceTempView("native_vecs")

@@ -34,6 +34,15 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Seq("brown fox jumps", "quick brown fox", "the quick brown")
   }
 
+  "Dedup.nGramsOfTokens" should "yield an empty array for inputs shorter than n" in {
+    val short = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val out = short.select(col("doc_id"), Dedup.shingleArray(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    out(1L) shouldBe Seq.empty
+    out(2L) shouldBe Seq.empty
+    out(3L) shouldBe Seq("a b c")
+  }
+
   "Dedup.minhashSignatures + lshCandidatePairs" should "pair exact dups, not near dups" in {
     val sig = Dedup.minhashSignatures(docs, numHashes = 4)
     sig.columns.toSeq shouldBe Seq("doc_id", "mh0", "mh1", "mh2", "mh3")
