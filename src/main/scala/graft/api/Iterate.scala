@@ -48,6 +48,37 @@ object Iterate {
     cur
   }
 
+  /** Fixpoint converging when a caller-supplied DIGEST of the state stops
+    * changing. The digest (e.g. `(count, bit_xor(hash(cols)))`) is ONE small
+    * aggregate job per round on the already-persisted state — versus the
+    * join/except between consecutive states a structural comparison costs
+    * (two extra shuffles per round, which dominates iterative algorithms once
+    * the state is small). Digest equality is probabilistic in principle
+    * (a 64-bit hash-set collision, ~2⁻⁶⁴ per round) and exact in practice.
+    */
+  def fixpointDigest[A](init: Dataset[A], maxIter: Int = 100,
+      checkpointEvery: Int = 3, minRounds: Int = 1)(
+      step: Dataset[A] => Dataset[A])(
+      digest: Dataset[A] => Seq[Any]): Dataset[A] = {
+    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+    // Only pay for the init digest if convergence can trigger in round 1.
+    var curDig: Seq[Any] = if (minRounds <= 1) digest(cur) else null
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      var next = step(cur)
+      next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+             else next.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextDig = digest(next)
+      done = i + 1 >= minRounds && curDig != null && curDig == nextDig
+      if (!(cur eq init)) free(cur)
+      cur = next
+      curDig = nextDig
+      i += 1
+    }
+    cur
+  }
+
   /** Fixpoint on bags, converging when the size stops changing (the shape of
     * the reference's transitiveClosure loop, lib/graphs/transitiveClosure.scala:22-44). */
   def fixpointBySize[A](init: DataBag[A], maxIter: Int = 100)(

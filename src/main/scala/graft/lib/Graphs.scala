@@ -29,18 +29,17 @@ object Graphs {
       .distinct().persist()
     val init = und.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
-    val result = Iterate.fixpoint[org.apache.spark.sql.Row](init)(
+    // (vertex, label) is a key→value map: unchanged digest ⇔ no label moved
+    // (one tiny agg job per round instead of a join between states)
+    val result = Iterate.fixpointDigest[org.apache.spark.sql.Row](init)(
       step = cur => {
         // propagate each vertex's label to its neighbors; keep the min
         val prop = cur.as("c").join(und.as("e"), col("c.vertex") === col("e.src"))
           .select(col("e.dst").as("vertex"), col("c.label").as("label"))
         cur.union(prop).groupBy("vertex").agg(min("label").as("label"))
       })(
-      converged = (prev, next) => {
-        // converged when no label changed
-        next.as("n").join(prev.as("p"), col("n.vertex") === col("p.vertex"))
-          .where(col("n.label") =!= col("p.label")).isEmpty
-      })
+      digest = st => st.agg(count(lit(1)),
+        sum(bitwise_not(xxhash64(col("vertex"), col("label"))))).collect()(0).toSeq)
     und.unpersist()
     result
   }
