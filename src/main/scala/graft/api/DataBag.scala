@@ -238,6 +238,10 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     chosen.foreach { pos =>
       var i = java.util.Arrays.binarySearch(bounds, pos)
       if (i < 0) i = -i - 2
+      // Exact hits are ambiguous when empty partitions duplicate a bound:
+      // binarySearch may land on a zero-size partition whose [b, b) range
+      // can't own pos — the true owner is the next non-empty partition.
+      else while (sizes(i) == 0L) i += 1
       counts(i) += 1
     }
     partials.toVector.zipWithIndex.flatMap { case ((_, r), i) =>

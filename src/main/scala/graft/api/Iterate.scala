@@ -30,6 +30,9 @@ object Iterate {
       minRounds: Int = 1)(
       step: Dataset[A] => Dataset[A])(
       converged: (Dataset[A], Dataset[A]) => Boolean): Dataset[A] = {
+    // If the caller already persisted init, they own its storage; only a
+    // persist WE added may be undone once the loop has moved past init.
+    val initSelfPersisted = init.storageLevel == StorageLevel.NONE
     var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
     var i = 0
     var done = false
@@ -38,13 +41,13 @@ object Iterate {
       next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
       done = i + 1 >= minRounds && converged(cur, next)
-      // Never free the caller's init (persist() returned the same object):
-      // unpersisting it here would silently invalidate a Dataset the caller
-      // may still be using.
+      // Never free the caller's init mid-loop (persist() returned the same
+      // object): the caller may still be using it.
       if (!(cur eq init)) free(cur)
       cur = next
       i += 1
     }
+    if (!(cur eq init) && initSelfPersisted) init.unpersist()
     cur
   }
 
@@ -60,6 +63,7 @@ object Iterate {
       checkpointEvery: Int = 3, minRounds: Int = 1)(
       step: Dataset[A] => Dataset[A])(
       digest: Dataset[A] => Seq[Any]): Dataset[A] = {
+    val initSelfPersisted = init.storageLevel == StorageLevel.NONE
     var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
     // Only pay for the init digest if convergence can trigger in round 1.
     var curDig: Seq[Any] = if (minRounds <= 1) digest(cur) else null
@@ -76,6 +80,7 @@ object Iterate {
       curDig = nextDig
       i += 1
     }
+    if (!(cur eq init) && initSelfPersisted) init.unpersist()
     cur
   }
 
@@ -83,6 +88,7 @@ object Iterate {
     * the reference's transitiveClosure loop, lib/graphs/transitiveClosure.scala:22-44). */
   def fixpointBySize[A](init: DataBag[A], maxIter: Int = 100)(
       step: DataBag[A] => DataBag[A]): DataBag[A] = {
+    val initSelfPersisted = init.ds.storageLevel == StorageLevel.NONE
     var cur = init.cache()
     var n = cur.size
     var i = 0
@@ -98,6 +104,7 @@ object Iterate {
       n = m
       i += 1
     }
+    if (!(cur.ds eq init.ds) && initSelfPersisted) init.ds.unpersist()
     cur
   }
 }

@@ -39,7 +39,9 @@ object Graphs {
         cur.union(prop).groupBy("vertex").agg(min("label").as("label"))
       })(
       digest = st => st.agg(count(lit(1)),
-        sum(bitwise_not(xxhash64(col("vertex"), col("label"))))).collect()(0).toSeq)
+        // bit_xor is order-insensitive AND overflow-free — summing full-range
+        // 64-bit hashes throws ARITHMETIC_OVERFLOW under Spark 4's ANSI default
+        expr("bit_xor(xxhash64(vertex, label))")).collect()(0).toSeq)
     und.unpersist()
     result
   }

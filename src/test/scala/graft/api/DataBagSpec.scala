@@ -162,6 +162,17 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
     bag(Seq(1, 2)).sample(10, 1L).sorted shouldBe Vector(1, 2)
   }
 
+  it should "keep the k-element contract when partitions are empty" in {
+    // Regression: empty partitions duplicate values in the cumulative bounds
+    // array, and an exact binarySearch hit could attribute a chosen position
+    // to an empty reservoir — silently returning fewer than k elements.
+    // parallelize(3 elems, 10 slices) yields sizes [0,0,0,1,0,0,1,0,0,1].
+    val ds = spark.createDataset(spark.sparkContext.parallelize(Seq(1, 2, 3), 10))
+    for (seed <- 1L to 20L)
+      DataBag.from(ds).sample(3, seed).sorted shouldBe Vector(1, 2, 3)
+    DataBag.from(ds).sample(2, 9L).size shouldBe 2
+  }
+
   it should "sample without replacement, roughly uniformly across the range" in {
     val b = bag((1 to 1000).toSeq)
     val draws = (1 to 20).flatMap { s => val v = b.sample(50, s.toLong); v.size shouldBe 50; v.distinct.size shouldBe 50; v }

@@ -23,6 +23,25 @@ class GraphsSpec extends AnyFlatSpec with Matchers {
       (5L, 5L), (6L, 5L), (7L, 7L), (8L, 7L))
   }
 
+  it should "survive ANSI mode on a few hundred vertices" in {
+    // Regression: the convergence digest once summed full-range 64-bit hashes,
+    // which throws ARITHMETIC_OVERFLOW under Spark 4's ANSI default as soon as
+    // the graph is non-trivial. 400 vertices in rings + chains exercises it.
+    val rnd = new scala.util.Random(7)
+    val rings = (0 until 10).flatMap { c =>
+      val base = c * 30L
+      (0 until 30).map(i => (base + i, base + (i + 1) % 30))
+    }
+    val chains = (0 until 100).map(i => (300L + i, 300L + rnd.nextInt(100)))
+    val got = Graphs.connectedComponents(
+        (rings ++ chains).toDF("src", "dst"), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each ring labels to its minimum
+    for (c <- 0 until 10; i <- 0 until 30)
+      got.find(_._1 == c * 30L + i).get._2 shouldBe c * 30L
+    got.length should be >= 400
+  }
+
   "connectedComponentsMutable" should "agree with the DataFrame formulation" in {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
     val a = Graphs.connectedComponentsMutable(edges.toDS(), spark)
