@@ -113,13 +113,15 @@ object Graphs {
 
     val init = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-    // both sides are distinct() relations, so |prev| = |next| plus
-    // next ⊆ prev implies set equality — one anti-join instead of two;
-    // round 1 never converges (the first star pass always rewrites edges)
-    val stars = Iterate.fixpoint[org.apache.spark.sql.Row](init, minRounds = 2)(
+    // States are distinct() relations, so (count, bit_xor of row hashes)
+    // equality ⇔ set equality (up to a 2⁻⁶⁴ collision) — ONE small aggregate
+    // per round instead of the count+count+except (two extra shuffles) a
+    // structural comparison costs. Round 1 never converges (the first star
+    // pass always rewrites edges), so skip its digest.
+    val stars = Iterate.fixpointDigest[org.apache.spark.sql.Row](init, minRounds = 2)(
       step = cur => smallStar(largeStar(cur)))(
-      converged = (prev, next) =>
-        prev.count() == next.count() && next.except(prev).isEmpty)
+      digest = st => st.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).collect()(0).toSeq)
     // stars: (non-root vertex -> component min); roots map to themselves
     val roots = stars.select(col("dst").as("vertex")).distinct()
       .join(stars.select(col("src").as("vertex")), Seq("vertex"), "left_anti")

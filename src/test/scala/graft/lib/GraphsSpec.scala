@@ -74,6 +74,24 @@ class GraphsSpec extends AnyFlatSpec with Matchers {
     got.forall(_._2 == 0L) shouldBe true
   }
 
+  it should "survive ANSI mode on a few hundred vertices" in {
+    // Same regression class as the min-label variant: the convergence digest
+    // must not sum full-range 64-bit hashes (ANSI ARITHMETIC_OVERFLOW).
+    val rnd = new scala.util.Random(11)
+    val rings = (0 until 8).flatMap { c =>
+      val base = c * 40L
+      (0 until 40).map(i => (base + i, base + (i + 1) % 40))
+    }
+    val chains = (0 until 120).map(i => (320L + i, 320L + rnd.nextInt(120)))
+    val got = Graphs.connectedComponentsAlternating(
+        (rings ++ chains).toDF("src", "dst"), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (c <- 0 until 8; i <- 0 until 40)
+      got.find(_._1 == c * 40L + i).get._2 shouldBe c * 40L
+    // a few chain edges may be self-loops (rnd hits its own index) and drop
+    got.length should be >= 430
+  }
+
   "transitiveClosure" should "close a chain" in {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDS()
     Graphs.transitiveClosure(edges).collect().sorted shouldBe
