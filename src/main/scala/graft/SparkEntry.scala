@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{CSV, DataBag}
 import graft.lib.{Graphs, KMeans, TextPipelines}
-import graft.ops.{Dedup, Multimodal, Portable, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Multimodal, Portable, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Row type used by the CSV round-trip query. */
 case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
@@ -245,22 +245,36 @@ object SparkEntry {
         sum(col("n_regionkey")).cast("long").as("sum_region"))
     }),
 
-    // ------------------------------------- rows-only checks (no SQL oracle)
+    // zipWithIndex is partition-layout-dependent, but its CONTRACT is fully
+    // checkable: the index set must be exactly {0..n-1} (count = distinct =
+    // n, min 0, max n-1, sum n(n-1)/2)
     "q36_zipindex" -> ((s, d) => {
       val b = DataBag.from(tbl(s, d, "lineitem")
         .select("l_orderkey").as[Long](Encoders.scalaLong))
-      b.zipWithIndex().ds.toDF("key", "idx")
+      b.zipWithIndex().ds.toDF("key", "idx").agg(
+        count(lit(1)).as("n"), countDistinct("idx").as("n_idx"),
+        min("idx").as("min_idx"), max("idx").as("max_idx"), sum("idx").as("sum_idx"))
     }),
 
+    // reservoir algorithm is engine-specific, but the k-element contract and
+    // source containment are oracle-checkable
     "q37_sample" -> ((s, d) => {
       import s.implicits._
       val b = DataBag.from(tbl(s, d, "lineitem")
         .select("l_orderkey").as[Long](Encoders.scalaLong))
-      b.sample(10, seed = 42L).toDF("key")
+      val sampled = b.sample(10, seed = 42L).toDF("key")
+      val src = tbl(s, d, "lineitem").select(col("l_orderkey").as("key"))
+      sampled.agg(count(lit(1)).as("n_sampled")).crossJoin(
+        sampled.join(src, Seq("key"), "left_semi")
+          .agg(count(lit(1)).as("n_in_source")))
     }),
 
+    // centroids are data-dependent, but the assignment contract is checkable:
+    // every vector assigned exactly once, cluster ids within [0, k)
     "q38_kmeans" -> ((s, d) =>
-      KMeans.fit(tbl(s, d, "embeddings"), k = 4, maxIter = 5)),
+      KMeans.fit(tbl(s, d, "embeddings"), k = 4, maxIter = 5).agg(
+        count(lit(1)).as("n"), countDistinct("vec_id").as("n_ids"),
+        every(col("cluster") >= 0 && col("cluster") < 4).as("in_range"))),
 
     "q39_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents")))),
@@ -269,9 +283,13 @@ object SparkEntry {
     "q40_dict" -> ((s, d) =>
       graft.lib.Features.dictionary(tbl(s, d, "orders"), "o_orderpriority")),
 
+    // fold assignment hashes with xxhash64 (not portable), but the partition
+    // contract is checkable: 5 non-empty folds 0..4 covering every row
     "q41_kfold" -> ((s, d) => {
       val folded = graft.lib.Features.kfold(tbl(s, d, "customer"), "c_custkey", 5)
       folded.groupBy("fold").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_folds"), sum("n").as("total"),
+          min("fold").cast("long").as("min_fold"), max("fold").cast("long").as("max_fold"))
     }),
 
     "q42_tfidf" -> ((s, d) => {
@@ -337,11 +355,15 @@ object SparkEntry {
     "q50_embed_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(tbl(s, d, "embeddings"), threshold = 0.3, bits = 4)),
 
-    // HLL sketch vs exact: rows-only (sketch estimates are engine-specific)
+    // HLL estimate is engine-specific, but its error contract is checkable:
+    // exact count matches and the sketch lands within 3σ (rsd 0.05 → 15%)
     "q51_approx_distinct" -> ((s, d) =>
       tbl(s, d, "lineitem").agg(
-        approx_count_distinct("l_orderkey").as("approx_orders"),
-        countDistinct("l_orderkey").as("exact_orders"))),
+        approx_count_distinct("l_orderkey").as("a"),
+        countDistinct("l_orderkey").as("exact_orders"))
+        .select(col("exact_orders"),
+          (abs(col("a") - col("exact_orders")) <=
+            col("exact_orders").cast("double") * 0.15).as("approx_ok"))),
 
     "q52_cc_alt" -> ((s, d) => {
       val e = tbl(s, d, "orders").where(col("o_orderkey") % 3 === 0)
@@ -468,7 +490,64 @@ object SparkEntry {
                 (col("n") * col("spp").cast("double") - col("sp").cast("double") * col("sp").cast("double"))), 6)
             .as("corr_qty_price"),
           col("n"))
-    })
+    }),
+
+    // ------------------------- temporal joins + portable sampling (round 3)
+    // As-of join: each click gets the latest at-or-before purchase per user
+    // (union + one window pass — no range-join blow-up; see ops.AsOf)
+    "q69_asof" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts",
+          Seq("value"), prefix = "p_")
+        .select(col("click_id"), col("user_id"),
+          expr("p_pts div 1000").as("purchase_us"),
+          Portable.round(col("p_value"), 4).as("purchase_value"))
+    }),
+
+    // Interval join via bucket expansion: clicks falling in 1-hour windows
+    // after sampled signups (ops.RangeJoin — equi-join on bucket, no cross)
+    "q70_range_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events")
+      val hourUs = 3600000000L
+      val iv = ev.where(col("event_type") === "signup" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("iv_id"), expr("ts div 1000").as("start_us"),
+          (expr("ts div 1000") + hourUs).as("end_us"))
+      val pts = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), expr("ts div 1000").as("t_us"),
+          col("value"))
+      RangeJoin.intervalJoin(pts, iv, "t_us", "start_us", "end_us", hourUs)
+        .groupBy("iv_id").agg(count(lit(1)).as("n_clicks"),
+          // integerize before summing: floor(v*100) is portable and the
+          // BIGINT sum is order-independent (double sums are neither)
+          sum(floor(col("value") * 100.0).cast("long")).as("sum_cents"))
+    }),
+
+    // Term-level TF-IDF (interpretable feature key -> full value oracle;
+    // q42 keeps the hashing-trick variant)
+    "q71_tfidf_terms" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      graft.lib.Features.tfIdfTerms(docs, "doc_id", "text", docs.count())
+    }),
+
+    // Stratified deterministic sample: per-stratum fractions, md5-draw
+    // membership (engine-portable -> exact oracle; see ops.Sampling)
+    "q72_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(tbl(s, d, "lineitem"), col("l_returnflag"),
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+          Map("R" -> 0.25, "A" -> 0.125, "N" -> 0.0625))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+
+    // Plain Bernoulli hash sample: row-level exact oracle
+    "q73_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(tbl(s, d, "documents"), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("n_chars")))
   )
 
   // ------------- shared oracle CTE fragments (ONE definition each;
@@ -835,6 +914,60 @@ object SparkEntry {
       ("WITH RECURSIVE ed AS (SELECT DISTINCT s_suppkey % 23 AS src, s_nationkey % 23 AS dst FROM supplier WHERE s_suppkey % 23 <> s_nationkey % 23), " +
         "und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed), " +
         "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src) " +
-        "SELECT v AS vertex, MIN(u) AS label FROM r GROUP BY v")
+        "SELECT v AS vertex, MIN(u) AS label FROM r GROUP BY v"),
+
+    // contract oracles for engine-specific internals (index set, sample
+    // containment, assignment shape, fold partition, sketch tolerance)
+    "q36_zipindex" ->
+      ("SELECT COUNT(*) AS n, COUNT(*) AS n_idx, CAST(0 AS BIGINT) AS min_idx, " +
+        "COUNT(*) - 1 AS max_idx, COUNT(*) * (COUNT(*) - 1) // 2 AS sum_idx FROM lineitem"),
+
+    "q37_sample" ->
+      "SELECT CAST(10 AS BIGINT) AS n_sampled, CAST(10 AS BIGINT) AS n_in_source",
+
+    "q38_kmeans" ->
+      "SELECT COUNT(*) AS n, COUNT(*) AS n_ids, true AS in_range FROM embeddings",
+
+    "q41_kfold" ->
+      ("SELECT CAST(5 AS BIGINT) AS n_folds, COUNT(*) AS total, " +
+        "CAST(0 AS BIGINT) AS min_fold, CAST(4 AS BIGINT) AS max_fold FROM customer"),
+
+    "q51_approx_distinct" ->
+      "SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, true AS approx_ok FROM lineitem",
+
+    "q69_asof" ->
+      ("WITH a AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT a.click_id, a.user_id, a.ts, MAX(b.pts) AS bts FROM a " +
+        "LEFT JOIN b ON a.user_id = b.user_id AND b.pts <= a.ts GROUP BY 1, 2, 3) " +
+        "SELECT m.click_id, m.user_id, epoch_us(CAST(m.bts AS TIMESTAMP)) AS purchase_us, " +
+        "floor(MAX(b.value) * 10000.0 + 0.5) / 10000.0 AS purchase_value " +
+        "FROM m LEFT JOIN b ON m.user_id = b.user_id AND m.bts = b.pts GROUP BY 1, 2, 3"),
+
+    "q70_range_join" ->
+      ("WITH iv AS (SELECT event_id AS iv_id, epoch_us(CAST(ts AS TIMESTAMP)) AS start_us, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS end_us " +
+        "FROM events WHERE event_type = 'signup' AND event_id % 20 = 0), " +
+        "pt AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value FROM events WHERE event_type = 'click') " +
+        "SELECT iv_id, COUNT(*) AS n_clicks, SUM(CAST(floor(value * 100.0) AS BIGINT)) AS sum_cents " +
+        "FROM pt JOIN iv ON t_us >= start_us AND t_us <= end_us GROUP BY 1"),
+
+    "q71_tfidf_terms" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS term FROM t), " +
+        "tf AS (SELECT doc_id AS id, term, COUNT(*) AS tf FROM tok WHERE length(term) > 0 GROUP BY 1, 2), " +
+        "dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS n FROM documents) " +
+        "SELECT id, tf.term, floor(CAST(tf AS DOUBLE) * (ln((n + 1.0) / (df + 1.0)) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS w " +
+        "FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n"),
+
+    "q72_stratified_sample" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty FROM lineitem " +
+        "WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8) < " +
+        "CASE l_returnflag WHEN 'R' THEN '40000000' WHEN 'A' THEN '20000000' WHEN 'N' THEN '10000000' END " +
+        "GROUP BY 1"),
+
+    "q73_hash_sample" ->
+      "SELECT doc_id, n_chars FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"
   )
 }

@@ -47,6 +47,23 @@ object Features {
         (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tf"))
   }
 
+  /** Term-level TF-IDF (no hashing trick): one row per (doc, term) with
+    * weight tf·(ln((N+1)/(df+1))+1), rounded for cross-engine comparison.
+    * Same shuffle shape as [[hashTF]]+[[tfIdf]] — two aggregations and an
+    * equi-join on the term — but the feature key is the term itself, so the
+    * result is directly interpretable (and oracle-checkable). */
+  def tfIdfTerms(docs: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokenizeGaps(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfr, "term")
+      .select(col("id"), col("term"),
+        graft.ops.Portable.round(
+          col("tf").cast("double") *
+            (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6).as("w"))
+  }
+
   /** Dictionary (index) encoding of a categorical column: dense 0-based codes
     * by frequency desc then value asc (reference encode.dict/index —
     * deterministic). Returns (value, code); broadcast-join it onto data. */

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling — membership is a pure function of
+  * a key column, so the SAME rows are selected on any engine, any partition
+  * layout, any cluster size. Complements `DataBag.sample` (the reference's
+  * seeded reservoir, exact-k but engine-specific): these are the samplers a
+  * training-data pipeline wants at 100 TB — no shuffle, no driver state, no
+  * coordination; the filter is a codegen'd Column predicate evaluated at the
+  * scan, and the expected fraction holds per-partition.
+  *
+  * Mechanism: the first 8 hex chars of `md5(key)` are a uniform 32-bit value;
+  * comparing the FIXED-WIDTH lowercase hex string lexicographically against a
+  * threshold prefix equals comparing the numbers — and `md5` + string compare
+  * reproduce bit-for-bit in any engine (DuckDB, Trino, Spark...).
+  */
+object Sampling {
+
+  /** 8-hex-char lowercase threshold for a fraction in [0, 1]. */
+  private[ops] def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** The uniform hex draw for a key column (shared with the oracle SQL:
+    * `substring(md5(cast(key as varchar)), 1, 8)`). */
+  def hashDraw(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Bernoulli sample: keep each row with probability ~`fraction`,
+    * deterministically by `key`. Rows sharing a key are kept or dropped
+    * together (handy for leakage-free train/eval splits). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.where(hashDraw(key) < lit(thresholdHex(fraction)))
+
+  /** Stratified Bernoulli sample: per-stratum fractions, same deterministic
+    * draw. Strata missing from `fractions` are dropped. */
+  def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must not be empty")
+    val threshold = fractions.foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, f)) =>
+        when(strata === stratum, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.where(hashDraw(key) < threshold)
+  }
+}
