@@ -29,7 +29,8 @@ object Features {
     * hashing-trick encoder). */
   def hashTF(docs: DataFrame, idCol: String, tokensCol: String,
       numFeatures: Int = 1 << 18): DataFrame =
-    docs.select(col(idCol).as("id"), explode(col(tokensCol)).as("tok"))
+    graft.ops.Par.spread(docs)
+      .select(col(idCol).as("id"), explode(col(tokensCol)).as("tok"))
       .select(col("id"), pmod(xxhash64(col("tok")), lit(numFeatures.toLong)).as("index"))
       .groupBy("id", "index").agg(count(lit(1)).cast("double").as("tf"))
 
@@ -53,7 +54,7 @@ object Features {
     * equi-join on the term — but the feature key is the term itself, so the
     * result is directly interpretable (and oracle-checkable). */
   def tfIdfTerms(docs: DataFrame, idCol: String, textCol: String, nDocs: Long): DataFrame = {
-    val tf = docs
+    val tf = graft.ops.Par.spread(docs)
       .select(col(idCol).as("id"), explode(tokenizeGaps(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -23,10 +23,14 @@ object Graphs {
     * co-located across iterations.
     */
   def connectedComponents(edges: DataFrame, spark: SparkSession): DataFrame = {
-    // undirected closure of the edge set
+    // undirected closure of the edge set, pre-partitioned by the join key:
+    // the per-round join is cur.vertex === und.src, and cur (a groupBy(vertex)
+    // output) is already hash-partitioned by vertex — partitioning und by src
+    // once means NO exchange of the (large) edge relation in any round; only
+    // the small label state moves
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     val init = und.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
     // (vertex, label) is a key→value map: unchanged digest ⇔ no label moved
@@ -92,9 +96,11 @@ object Graphs {
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = sym.groupBy("src")
         .agg(min(least(col("dst"), col("src"))).as("m"))
+      // no distinct here: duplicate (dst, m) links only arise from neighbors
+      // sharing a minimum, and smallStar's terminal distinct dedups the round
+      // anyway — dropping it saves one full shuffle per round
       sym.join(m, "src").where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
 
     // small-star: orient edges downward (u ≥ v); for each center u,

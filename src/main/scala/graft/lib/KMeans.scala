@@ -41,7 +41,7 @@ object KMeans {
   /** Train the centroids (Lloyd iterations, deterministic init). */
   def centroids(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Seq[Double])] = {
-    val pts = vectors.select(col(idCol).as("id"),
+    val pts = graft.ops.Par.spread(vectors).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
 
     var cents: Array[(Int, Seq[Double])] = pts
@@ -81,7 +81,7 @@ object KMeans {
   /** Assign each vector to its nearest centroid: (idCol, cluster). */
   def assign(vectors: DataFrame, cents: Array[(Int, Seq[Double])],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    vectors.select(col(idCol),
+    graft.ops.Par.spread(vectors).select(col(idCol),
       nearestExpr(centroidLit(cents),
         transform(col(vecCol), _.cast("double"))).as("cluster"))
 

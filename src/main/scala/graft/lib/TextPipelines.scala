@@ -13,7 +13,8 @@ object TextPipelines {
     * readText → flatMap(split) → groupBy word → count. Columnar fast path:
     * explode + hash aggregate (map-side combine). */
   def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    graft.ops.Par.spread(docs)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 

@@ -22,8 +22,13 @@ object Curation {
 
   /** Duplicate clusters: near-duplicate pairs form a graph whose connected
     * components are the duplicate groups; every member maps to the group's
-    * minimum doc_id (the canonical representative to keep). Composes the LSH
-    * pipeline with the O(log n) alternating-star components. */
+    * minimum doc_id (the canonical representative to keep).
+    *
+    * Uses min-label propagation, not the alternating-star variant: similarity
+    * graphs are near-cliques with O(1) diameter by construction, so min-label
+    * converges in ~diameter rounds of TWO shuffles each, while alternating-star
+    * pays 4-5 shuffles per round to win only when components are long chains
+    * (which duplicate clusters never are). */
   def duplicateClusters(docs: DataFrame, textCol: String = "text",
       minJaccard: Double = 0.5): DataFrame = {
     // materialize the (expensive) near-dup pipeline ONCE before the iterative
@@ -32,7 +37,7 @@ object Curation {
     val pairs = nearDuplicates(docs, textCol, minJaccard = minJaccard)
       .select(col("id1").as("src"), col("id2").as("dst"))
       .localCheckpoint()
-    graft.lib.Graphs.connectedComponentsAlternating(pairs, docs.sparkSession)
+    graft.lib.Graphs.connectedComponents(pairs, docs.sparkSession)
       .select(col("vertex").as("doc_id"), col("label").as("canonical_id"))
   }
 

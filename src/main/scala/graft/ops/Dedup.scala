@@ -40,7 +40,7 @@ object Dedup {
   /** Exploded distinct (doc_id, shingle) pairs; inputs with fewer than n
     * tokens produce no shingles. */
   def shingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
-    docs.where(size(split(trim(col(textCol)), "\\s+")) >= n)
+    Par.spread(docs).where(size(split(trim(col(textCol)), "\\s+")) >= n)
       .select(col("doc_id"), explode(array_distinct(shingleArray(col(textCol), n))).as("shingle"))
 
   /** MinHash signature: engine-portable, deterministic. Hash functions come
@@ -53,7 +53,7 @@ object Dedup {
       numHashes: Int = 4, shingleN: Int = 3): DataFrame = {
     // min is insensitive to duplicates — skip the array_distinct shingles()
     // performs, saving a per-row dedup over the hot path
-    val sh = docs.where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
+    val sh = Par.spread(docs).where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
       .select(col("doc_id"),
         explode(shingleArray(col(textCol), shingleN)).as("shingle"))
     val aggs = (0 until numHashes).map { i =>
@@ -158,7 +158,7 @@ object Dedup {
     * on this one implementation. */
   private def simhashBits(docs: DataFrame, textCol: String, bits: Int,
       tokenHash: Column => Column): DataFrame = {
-    val tok = docs.select(col("doc_id"),
+    val tok = Par.spread(docs).select(col("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .select(col("doc_id"), tokenHash(col("tok")).as("h"))
     val bitSums = (0 until bits).map(b =>
@@ -176,7 +176,7 @@ object Dedup {
     * uniform bucket key; raise `bits` to shrink candidate sets. */
   def embeddingNearDups(corpus: DataFrame, threshold: Double = 0.9, bits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = Par.spread(corpus).select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.signBucket(col(vecCol), bits).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

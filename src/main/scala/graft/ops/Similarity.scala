@@ -44,7 +44,7 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
-    val c = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"))
+    val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"))
     val scored = q.join(c, col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
@@ -75,7 +75,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("cell", explode(probes)))
     // assign corpus rows to cells inline (same nearest-centroid expression)
-    val cAssigned = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"),
+    val cAssigned = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"),
       slice(array_sort(transform(cLit, cc =>
         struct(distTo(cc.getField("cv"), col("dv")).as("d"), cc.getField("cid").as("cid")))),
         1, 1).getField("cid")(0).as("cell"))
@@ -99,7 +99,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       signBucket(col("embedding"), bits).as("bucket")))
-    val c = corpus.select(col("vec_id").as("did"), col("embedding").as("dv"),
+    val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"),
       signBucket(col("embedding"), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))

@@ -23,7 +23,7 @@ object TextAnalysis {
 
   /** Per-document token statistics: whitespace tokens + BPE-ish token count. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
       size(bpeTokens(col(textCol))).cast("long").as("n_bpe_tokens"),
@@ -37,7 +37,7 @@ object TextAnalysis {
     val nTok = size(toks).cast("double")
     val nChars = length(t).cast("double")
     val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"),
       length(t).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
@@ -80,7 +80,7 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     val best = array_max(array(ranked: _*))
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"),
       when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
         .as("pred_lang"),
@@ -94,5 +94,5 @@ object TextAnalysis {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+    Par.spread(docs).select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 }
