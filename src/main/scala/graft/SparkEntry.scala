@@ -375,12 +375,18 @@ object SparkEntry {
     "q53_lsh" -> ((s, d) =>
       Dedup.minhashLSH(tbl(s, d, "documents"), bands = 4, rowsPerBand = 2)),
 
-    // IVF quantizer trains through float means (partition-order-sensitive)
-    // -> rows-only check
+    // IVF centroids are data-dependent, but the ANN contract is checkable:
+    // full k results per query and recall >= 0.9 against the exact top-k
+    // (both pipelines are deterministic, so the check cannot flake)
     "q54_ivf_ann" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), k = 3, nlist = 8, nprobe = 2,
-        maxIter = 4)
+      val qs = emb.where(col("vec_id") < 8)
+      val ivf = Similarity.ivfTopK(emb, qs, k = 3, nlist = 8, nprobe = 2, maxIter = 4)
+        .select("qid", "did")
+      val brute = Similarity.cosineTopK(emb, qs, k = 3).select("qid", "did")
+      ivf.agg(count(lit(1)).as("n_results")).crossJoin(
+        ivf.join(brute, Seq("qid", "did"), "left_semi")
+          .agg((count(lit(1)).cast("double") >= 24 * 0.9).as("recall_ok")))
     }),
 
     "q55_window_funcs" -> ((s, d) => {
@@ -547,7 +553,14 @@ object SparkEntry {
     // Plain Bernoulli hash sample: row-level exact oracle
     "q73_hash_sample" -> ((s, d) =>
       Sampling.hashSample(tbl(s, d, "documents"), col("doc_id"), 0.25)
-        .select(col("doc_id"), col("n_chars")))
+        .select(col("doc_id"), col("n_chars"))),
+
+    // Media plumbing, row-level: the mapPartitions batch transform must
+    // preserve ids and report exact payload byte counts (checksum/luma stay
+    // covered by q39's full-featured rows-only output)
+    "q74_media_bytes" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents")))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes")))
   )
 
   // ------------- shared oracle CTE fragments (ONE definition each;
@@ -968,6 +981,12 @@ object SparkEntry {
         "GROUP BY 1"),
 
     "q73_hash_sample" ->
-      "SELECT doc_id, n_chars FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"
+      "SELECT doc_id, n_chars FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'",
+
+    "q54_ivf_ann" ->
+      "SELECT CAST(24 AS BIGINT) AS n_results, true AS recall_ok",
+
+    "q74_media_bytes" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
   )
 }

@@ -54,14 +54,18 @@ object KMeans {
     while (iter < maxIter && moved) {
       val assigned = pts.select(col("v"),
         nearestExpr(centroidLit(cents), col("v")).as("cluster"))
-      // new centroids: mean per (cluster, dim) — one shuffled aggregation
+      // new centroids: mean per (cluster, dim) — ONE shuffled aggregation per
+      // iteration; the k·dim result rows assemble into vectors on the driver
+      // (collecting k·dim scalars is strictly cheaper than a second shuffle
+      // to re-nest them)
       val upd = assigned
         .select(col("cluster"), posexplode(col("v")))
         .groupBy("cluster", "pos").agg(avg("col").as("m"))
-        .groupBy("cluster").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("cluster"), col("dims.m").as("centroid"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+        .toArray
         .sortBy(_._1)
       // a cluster that loses all points keeps its previous centroid (it may
       // re-acquire points later) — dropping it would silently shrink k and
