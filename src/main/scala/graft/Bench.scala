@@ -17,10 +17,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the JVM/codegen/file-index paths so the first timed query
-    // doesn't absorb session startup.
-    spark.read.parquet(s"$sfDir/nation.parquet").write.format("noop")
-      .mode("overwrite").save()
+    // Warm up the JVM/codegen/file-index paths so the first timed queries
+    // don't absorb session startup and cold JIT: exercise the common physical
+    // operators (scan, hash agg, sort-merge/broadcast join, window, higher-
+    // order functions, shuffle) once on the tiny nation/region tables.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.write.format("noop").mode("overwrite").save()
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)), min("n_name"))
+        .write.format("noop").mode("overwrite").save()
+      n.select(col("n_nationkey"),
+          row_number().over(Window.partitionBy("n_regionkey").orderBy("n_name")),
+          aggregate(transform(split(col("n_name"), ""),
+            s => length(s).cast("long")), lit(0L), (a, x) => a + x),
+          md5(col("n_name")), xxhash64(col("n_name")))
+        .write.format("noop").mode("overwrite").save()
+      n.repartition(4).distinct().write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
