@@ -89,6 +89,25 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     got shouldBe Array(1L)
   }
 
+  it should "plan as an equi-join on the bucket, never a cartesian" in {
+    val ivs = (0 until 100).map(i => (i.toLong, i * 10L, i * 10L + 25L)).toDF("iv", "s", "e")
+    val pts = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("pid", "t")
+    val plan = RangeJoin.intervalJoin(pts, ivs, "t", "s", "e", 16L)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoop"
+  }
+
+  it should "plan the as-of join as one shuffle, not a range join" in {
+    val l = (0 until 100).map(i => (i.toLong, s"k${i % 5}", i.toLong)).toDF("id", "k", "t")
+    val r = (0 until 100).map(i => (s"k${i % 7}", i.toLong, i.toLong)).toDF("k", "rt", "v")
+    val plan = AsOf.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Join" // union + window, no join operator at all
+    // exactly one exchange: the window's hash partitioning on the key
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
   behavior of "Sampling"
 
   it should "compute the documented hex thresholds" in {
