@@ -560,7 +560,21 @@ object SparkEntry {
     // covered by q39's full-featured rows-only output)
     "q74_media_bytes" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents")))
-        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes")))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"))),
+
+    // Pivot (explicit value list -> deterministic columns, single shuffle
+    // with map-side partial aggregation)
+    "q75_pivot" -> ((s, d) =>
+      tbl(s, d, "orders").groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        // a (status, priority) combo with no rows pivots to null; the SQL
+        // FILTER count yields 0 — align on 0
+        .select(col("o_orderstatus") +:
+          Seq("1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+            "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5").map { case (v, n) =>
+            coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*))
   )
 
   // ------------- shared oracle CTE fragments (ONE definition each;
@@ -987,6 +1001,15 @@ object SparkEntry {
       "SELECT CAST(24 AS BIGINT) AS n_results, true AS recall_ok",
 
     "q74_media_bytes" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents",
+
+    "q75_pivot" ->
+      ("SELECT o_orderstatus, " +
+        "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1, " +
+        "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2, " +
+        "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3, " +
+        "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4, " +
+        "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5 " +
+        "FROM orders GROUP BY o_orderstatus")
   )
 }

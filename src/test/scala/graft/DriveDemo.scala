@@ -61,6 +61,28 @@ object DriveDemo {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
     Graphs.connectedComponents(edges, spark).orderBy("vertex").show(false)
 
+    // 5b. temporal joins + portable sampling on real events
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      val asof = AsOf.asofJoin(clicks, buys, Seq("user_id"), "ts", "pts", Seq("value"))
+      println("asof matched = " + asof.where(col("r_pts").isNotNull).count() +
+        " of " + asof.count())
+      val iv = ev.where(col("event_type") === "signup").limit(20)
+        .select(col("event_id").as("iv_id"), expr("ts div 1000").as("s"),
+          (expr("ts div 1000") + 3600000000L).as("e"))
+      val pt = ev.select(col("event_id").as("pid"), expr("ts div 1000").as("t"))
+      println("range-join pairs = " +
+        RangeJoin.intervalJoin(pt, iv, "t", "s", "e", 3600000000L).count())
+      println("hash sample 25% of events = " +
+        Sampling.hashSample(ev, col("event_id"), 0.25).count())
+    }
+
     // 6b. streaming: file-drop source -> tumbling window agg -> parquet sink
     {
       import graft.streaming.Streams
