@@ -44,7 +44,11 @@ object AsOf {
         col(leftTime).as("__t"), lit(1).as("__side"),
         struct(lCols.map(col): _*).as("__l"),
         lit(null).cast(rType).as("__r")): _*)
-    val rSide = right.select(
+    // a null right time has no place on the time axis (it would sort first
+    // and wrongly match every later left row) — such rows can never be the
+    // "latest at-or-before" anything, so drop them; left rows with null time
+    // sort before all right rows and correctly match nothing
+    val rSide = right.where(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         lit(null).cast(lSide.schema("__l").dataType).as("__l"),

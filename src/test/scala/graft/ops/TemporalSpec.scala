@@ -43,6 +43,19 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     got.head.getAs[Double]("r_v") shouldBe 5.0
   }
 
+  it should "ignore null times on both sides" in {
+    val l = Seq((1L, "A", Some(10L)), (2L, "A", None))
+      .toDF("id", "k", "t")
+    val r = Seq(("A", Some(5L), 1.0), ("A", None, 99.0))
+      .toDF("k", "rt", "v")
+    val got = AsOf.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(4)) -1.0 else x.getDouble(4))).sortBy(_._1)
+    // null-time right row (v=99) must never match; null-time left row
+    // matches nothing
+    got shouldBe Seq((1L, 1.0), (2L, -1.0))
+  }
+
   it should "agree with the brute-force formulation on random data" in {
     val rnd = new scala.util.Random(3)
     val left = (0 until 200).map(i =>
