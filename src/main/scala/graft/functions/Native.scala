@@ -84,15 +84,29 @@ object Native {
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
 
+  /** Column API for the fused MinHash signature over a shingle array. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    bridge.column(MinHashSig(bridge.expression(shingles), numHashes))
+
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSim].getName, "cosine_sim")
 
+  private val minhashInfo = new ExpressionInfo(
+    classOf[MinHashSig].getName, "minhash_sig")
+
+  private def minhashFromSql(children: Seq[Expression]): MinHashSig =
+    MinHashSig(children(0),
+      children(1).eval().asInstanceOf[Number].intValue()) // foldable literal K
+
   /** Runtime registration so `expr("cosine_sim(a, b)")` / SQL works on an
     * existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo,
       (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"), minhashInfo, minhashFromSql _)
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the native
@@ -104,6 +118,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -48,11 +48,30 @@ object Dedup {
     * `i%4` of `md5(i/4 || '-' || shingle)` — so K hashes cost ceil(K/4) md5
     * evaluations per shingle instead of K (hashing dominates minhash cost at
     * corpus scale). Fixed-width lowercase hex compares like the 32-bit value.
-    * Signature columns mh0..mhK. */
+    * Signature columns mh0..mhK.
+    *
+    * Runs on the fused native [[graft.functions.MinHashSig]] expression: the
+    * whole signature is ONE narrow pass over each document's shingle array —
+    * no explode, no shuffle — so at corpus scale this is a pure map stage.
+    * [[minhashSignaturesViaAgg]] keeps the composed explode+groupBy
+    * formulation as the differential reference. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
       numHashes: Int = 4, shingleN: Int = 3): DataFrame = {
-    // min is insensitive to duplicates — skip the array_distinct shingles()
-    // performs, saving a per-row dedup over the hot path
+    val base = Par.spread(docs)
+      .where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
+      // min is insensitive to duplicates — no array_distinct needed
+      .select(col("doc_id"),
+        graft.functions.Native.minhashSig(
+          shingleArray(col(textCol), shingleN), numHashes).as("__sig"))
+    base.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** Composed (built-ins-only) signature formulation — explode + groupBy with
+    * K min(substring(md5)) aggregates. Bit-identical to [[minhashSignatures]]
+    * (NativeSpec pins the differential); kept as the reference path. */
+  def minhashSignaturesViaAgg(docs: DataFrame, textCol: String = "text",
+      numHashes: Int = 4, shingleN: Int = 3): DataFrame = {
     val sh = Par.spread(docs).where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
       .select(col("doc_id"),
         explode(shingleArray(col(textCol), shingleN)).as("shingle"))

@@ -56,4 +56,45 @@ class NativeSpec extends AnyFlatSpec with Matchers {
       .collect().map(_.getDouble(0))
     all(r) shouldBe 1.0 +- 1e-9
   }
+
+  private lazy val sigDocs = {
+    val rnd = new scala.util.Random(13)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    (0L until 40L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  "MinHashSig" should "be bit-identical to the explode+groupBy formulation" in {
+    for (k <- Seq(1, 4, 8, 9)) {
+      val fused = graft.ops.Dedup.minhashSignatures(sigDocs, numHashes = k)
+        .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val agg = graft.ops.Dedup.minhashSignaturesViaAgg(sigDocs, numHashes = k)
+        .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+      withClue(s"numHashes=$k: ") { fused shouldBe agg }
+    }
+  }
+
+  it should "run inside whole-stage codegen and null out empty arrays" in {
+    // range() keeps the input non-foldable so the projection can't be
+    // constant-folded away at plan time
+    val df = spark.range(4).select(col("id"),
+      when(col("id") === 2, array().cast("array<string>"))
+        .otherwise(split(concat_ws(" ", col("id").cast("string"), lit("a b")), " "))
+        .as("sh"))
+    val got = df.select(col("id"), Native.minhashSig(col("sh"), 2).as("s"))
+    got.queryExecution.executedPlan.toString should include("*(1) Project")
+    val rows = got.collect().sortBy(_.getLong(0))
+    rows(0).getSeq[String](1).length shouldBe 2
+    rows(0).getSeq[String](1).foreach(_ should fullyMatch regex "[0-9a-f]{8}")
+    rows(2).isNullAt(1) shouldBe true // empty shingle array -> null signature
+  }
+
+  it should "expose minhash_sig to SQL via registration" in {
+    Native.register(spark)
+    Seq((1L, Seq("x y z"))).toDF("doc_id", "sh").createOrReplaceTempView("native_sh")
+    val r = spark.sql("SELECT minhash_sig(sh, 4) AS s FROM native_sh")
+      .collect()(0).getSeq[String](0)
+    r.length shouldBe 4
+  }
 }
