@@ -94,9 +94,15 @@ object Native {
   private val minhashInfo = new ExpressionInfo(
     classOf[MinHashSig].getName, "minhash_sig")
 
-  private def minhashFromSql(children: Seq[Expression]): MinHashSig =
-    MinHashSig(children(0),
-      children(1).eval().asInstanceOf[Number].intValue()) // foldable literal K
+  private[functions] def minhashFromSql(children: Seq[Expression]): MinHashSig = {
+    if (children.size != 2)
+      throw new IllegalArgumentException(
+        s"minhash_sig(shingles, k) takes exactly 2 arguments, got ${children.size}")
+    if (!children(1).foldable)
+      throw new IllegalArgumentException(
+        "minhash_sig(shingles, k): k must be a literal integer")
+    MinHashSig(children(0), children(1).eval().asInstanceOf[Number].intValue())
+  }
 
   /** Runtime registration so `expr("cosine_sim(a, b)")` / SQL works on an
     * existing session. */
@@ -121,8 +127,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSig(children(0),
-        children(1).eval().asInstanceOf[Number].intValue())))
+      Native.minhashFromSql _))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

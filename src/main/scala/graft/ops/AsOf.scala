@@ -47,8 +47,13 @@ object AsOf {
     // a null right time has no place on the time axis (it would sort first
     // and wrongly match every later left row) — such rows can never be the
     // "latest at-or-before" anything, so drop them; left rows with null time
-    // sort before all right rows and correctly match nothing
-    val rSide = right.where(col(rightTime).isNotNull).select(
+    // sort before all right rows and correctly match nothing. Null join keys
+    // never match under SQL equi-join semantics, but Window.partitionBy
+    // groups nulls together — so drop null-key right rows too; null-key left
+    // rows then partition alone and pass through unmatched.
+    val rSide = right
+      .where(keys.map(k => col(k).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
         lit(null).cast(lSide.schema("__l").dataType).as("__l"),

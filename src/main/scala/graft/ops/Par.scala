@@ -18,10 +18,22 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Repartition `df` to the default parallelism iff it currently has fewer
-    * partitions; identity otherwise. */
+  /** Repartition `df` to the default parallelism iff its PLANNING-TIME size
+    * estimate says the scan would open with fewer partitions; identity
+    * otherwise.
+    *
+    * The estimate comes from `optimizedPlan.stats.sizeInBytes` — pure
+    * planning, never executes the plan. (A `df.rdd.getNumPartitions` probe
+    * would materialize AQE's final plan, eagerly RUNNING every upstream
+    * shuffle stage just to read a partition count, then the real query would
+    * re-execute the same stages.) Unknown sizes default to huge → no-op,
+    * which is the safe direction: a genuinely large input already scans in
+    * many splits. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val perPartition = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(target) * perPartition) df.repartition(target) else df
   }
 }

@@ -28,21 +28,29 @@ object Sampling {
     * `substring(md5(cast(key as varchar)), 1, 8)`). */
   def hashDraw(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
 
+  /** Keep-predicate for one fraction. `fraction >= 1.0` must keep EVERY row —
+    * the strict `<` against the clamped max threshold would silently drop keys
+    * whose draw is exactly "ffffffff" (~1 per 4.3e9 rows; thousands at 100 TB,
+    * and a split built from f and 1-f would no longer partition the data). */
+  private def keep(key: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else hashDraw(key) < lit(thresholdHex(fraction))
+
   /** Bernoulli sample: keep each row with probability ~`fraction`,
     * deterministically by `key`. Rows sharing a key are kept or dropped
     * together (handy for leakage-free train/eval splits). */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.where(hashDraw(key) < lit(thresholdHex(fraction)))
+    df.where(keep(key, fraction))
 
   /** Stratified Bernoulli sample: per-stratum fractions, same deterministic
     * draw. Strata missing from `fractions` are dropped. */
   def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
       fractions: Map[String, Double]): DataFrame = {
     require(fractions.nonEmpty, "fractions must not be empty")
-    val threshold = fractions.foldLeft(lit(null).cast("string")) {
+    val pred = fractions.foldLeft(lit(false)) {
       case (acc, (stratum, f)) =>
-        when(strata === stratum, lit(thresholdHex(f))).otherwise(acc)
+        when(strata === stratum, keep(key, f)).otherwise(acc)
     }
-    df.where(hashDraw(key) < threshold)
+    df.where(pred)
   }
 }
