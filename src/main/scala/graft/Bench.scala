@@ -38,7 +38,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       n.repartition(4).distinct().write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q30_jaccard,q52_cc_alt — debug aid for timing a
+    // subset while iterating; the driver leaves it unset (full run).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

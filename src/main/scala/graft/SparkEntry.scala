@@ -976,7 +976,9 @@ object SparkEntry {
         "epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS end_us " +
         "FROM events WHERE event_type = 'signup' AND event_id % 20 = 0), " +
         "pt AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value FROM events WHERE event_type = 'click') " +
-        "SELECT iv_id, COUNT(*) AS n_clicks, SUM(CAST(floor(value * 100.0) AS BIGINT)) AS sum_cents " +
+        // CAST the SUM itself: DuckDB SUM(BIGINT) yields HUGEINT, which the
+        // driver's value hash treats as a different value than Spark's int64
+        "SELECT iv_id, COUNT(*) AS n_clicks, CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM pt JOIN iv ON t_us >= start_us AND t_us <= end_us GROUP BY 1"),
 
     "q71_tfidf_terms" ->

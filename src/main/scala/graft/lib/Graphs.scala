@@ -117,14 +117,23 @@ object Graphs {
         .distinct()
     }
 
+    // distinct up front: the rounds operate on edge SETS anyway (smallStar
+    // ends in distinct), and raw inputs often repeat edges heavily — dedup
+    // once so round 1 doesn't drag the full multiset through 4 shuffles
     val init = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
     // States are distinct() relations, so (count, bit_xor of row hashes)
     // equality ⇔ set equality (up to a 2⁻⁶⁴ collision) — ONE small aggregate
     // per round instead of the count+count+except (two extra shuffles) a
     // structural comparison costs. Round 1 never converges (the first star
     // pass always rewrites edges), so skip its digest.
-    val stars = Iterate.fixpointDigest[org.apache.spark.sql.Row](init, minRounds = 2)(
+    // checkpointEvery=1: each round is ~10 Catalyst operators deep, so by
+    // round 2 the un-truncated plan costs multiple SECONDS of driver-side
+    // planning per action while the actual jobs take milliseconds. The state
+    // is the (small) edge relation, so an eager per-round localCheckpoint is
+    // far cheaper than re-optimizing a growing plan every round.
+    val stars = Iterate.fixpointDigest[org.apache.spark.sql.Row](init,
+      checkpointEvery = 1, minRounds = 2)(
       step = cur => smallStar(largeStar(cur)))(
       digest = st => st.agg(count(lit(1)),
         expr("bit_xor(xxhash64(src, dst))")).collect()(0).toSeq)

@@ -157,7 +157,18 @@ object Dedup {
     // when the plan is GC'd.
     val sh = shingles(docs, textCol, shingleN).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("s1").join(sh.as("s2"),
+    // Band ids into width-maxIdGap buckets and make the bucket part of the
+    // join key: a hot shingle shared by k docs otherwise pairs k² rows before
+    // the gap filter prunes them (join on shingle alone is quadratic in
+    // shingle frequency). A pair with 0 < id2-id1 <= maxIdGap has id2's
+    // bucket in {b1, b1+1}, so exploding s1 into those two buckets makes
+    // each qualifying pair match exactly once — 2x row duplication buys
+    // candidate sets bounded by bucket occupancy instead of corpus frequency.
+    val s1 = sh.withColumn("__b", explode(array(
+      expr(s"doc_id div $maxIdGap"), expr(s"doc_id div $maxIdGap + 1"))))
+    val s2 = sh.withColumn("__b", expr(s"doc_id div $maxIdGap"))
+    val inter = s1.as("s1").join(s2.as("s2"),
+        col("s1.__b") === col("s2.__b") &&
         col("s1.shingle") === col("s2.shingle") &&
         col("s2.doc_id") > col("s1.doc_id") &&
         col("s2.doc_id") - col("s1.doc_id") <= maxIdGap)

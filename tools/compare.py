@@ -34,7 +34,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"ROWS {name}: rows={len(got)}")
             continue
         try:
-            exp = con.execute(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            # HUGEINT/UHUGEINT don't round-trip to int64 in the driver's value
+            # hash (pandas maps them to float64/object) — treat as failure here
+            # so it's caught before the driver does.
+            bad_types = {c: str(t) for c, t in zip(rel.columns, rel.types)
+                         if str(t) in ("HUGEINT", "UHUGEINT")}
+            if bad_types:
+                print(f"FAIL {name}: oracle emits {bad_types}; CAST the aggregate"); n_fail += 1; continue
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         g, e = canon(got), canon(exp)
