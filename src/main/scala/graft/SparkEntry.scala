@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{CSV, DataBag}
 import graft.lib.{Graphs, KMeans, TextPipelines}
-import graft.ops.{AsOf, Dedup, Multimodal, Portable, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Curation, Dedup, Multimodal, Portable, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Row type used by the CSV round-trip query. */
 case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
@@ -574,7 +574,19 @@ object SparkEntry {
         .select(col("o_orderstatus") +:
           Seq("1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
             "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5").map { case (v, n) =>
-            coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*))
+            coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*)),
+
+    // Gopher-style repetition quality signals (duplicate n-gram mass)
+    "q77_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
+
+    // Benchmark decontamination: 3-gram overlap of every doc against a
+    // deterministic "eval set" slice (doc_id % 97 == 0), eval shingles
+    // broadcast so the corpus side never shuffles
+    "q78_contamination" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
+    })
   )
 
   // ------------- shared oracle CTE fragments (ONE definition each;
@@ -1012,6 +1024,33 @@ object SparkEntry {
         "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3, " +
         "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4, " +
         "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5 " +
-        "FROM orders GROUP BY o_orderstatus")
+        "FROM orders GROUP BY o_orderstatus"),
+
+    "q77_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))) AS g FROM t), " +
+        "c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2), " +
+        "s2 AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS total, CAST(MAX(c) AS DOUBLE) AS maxc, " +
+        "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) AS dupmass FROM c2 GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS g FROM t), " +
+        "c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2), " +
+        "s3 AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS total, " +
+        "CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) AS dupmass FROM c3 GROUP BY 1) " +
+        "SELECT d.doc_id, " +
+        "COALESCE(floor(s2.maxc / s2.total * 10000.0 + 0.5) / 10000.0, 0.0) AS top_2gram_frac, " +
+        "COALESCE(floor(s2.dupmass / s2.total * 10000.0 + 0.5) / 10000.0, 0.0) AS dup_2gram_frac, " +
+        "COALESCE(floor(s3.dupmass / s3.total * 10000.0 + 0.5) / 10000.0, 0.0) AS dup_3gram_frac " +
+        "FROM documents d LEFT JOIN s2 ON d.doc_id = s2.doc_id LEFT JOIN s3 ON d.doc_id = s3.doc_id"),
+
+    "q78_contamination" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "shraw AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle FROM t), " +
+        "sh AS (SELECT DISTINCT doc_id, shingle FROM shraw), " +
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1), " +
+        "hit AS (SELECT sh.doc_id, COUNT(*) AS n_hit FROM sh JOIN ev ON sh.shingle = ev.shingle GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(cnt.n_shingles, 0) AS n_shingles, " +
+        "COALESCE(floor(CAST(hit.n_hit AS DOUBLE) / CAST(cnt.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS contam_frac " +
+        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id")
   )
 }

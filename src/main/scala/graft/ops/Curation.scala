@@ -62,4 +62,31 @@ object Curation {
         col("alpha_ratio") >= minAlpha)
       .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("pred_lang"))
   }
+
+  /** Benchmark-contamination check (decontamination pass): for every corpus
+    * document, the fraction of its word n-gram shingles that appear anywhere
+    * in the evaluation set. Documents scoring above a threshold are training
+    * data that would leak the benchmark.
+    *
+    * The eval shingle set is distinct'd and BROADCAST — benchmarks are tiny
+    * next to a 100 TB corpus, so the hit-count join runs map-side with no
+    * shuffle of the corpus shingles; the only wide operations are the per-doc
+    * counts, keyed by doc_id (uniform). */
+  def contamination(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, textCol, shingleN).localCheckpoint()
+    val evalSh = Dedup.shingles(evalDocs, textCol, shingleN)
+      .select("shingle").distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = sh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    docs.select("doc_id")
+      .join(cnt, Seq("doc_id"), "left").join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(
+          Portable.round(
+            col("n_hit").cast("double") / col("n_shingles").cast("double"), 4),
+          lit(0.0)).as("contam_frac"))
+  }
 }

@@ -95,4 +95,38 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     Par.spread(docs).select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetitious
+    * documents are ... removed" via duplicate n-gram fractions): per document,
+    * the mass of the most common word n-gram and of all duplicated n-grams,
+    * as fractions of the n-gram total.
+    *
+    * Output: (doc_id, top_2gram_frac, dup_2gram_frac, dup_3gram_frac); docs
+    * too short to form an n-gram score 0.0. Two explode→count→agg passes —
+    * each is one map-side-combinable shuffle keyed by (doc_id, gram), so
+    * skew is bounded by document length, not corpus size.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def gramStats(n: Int, cols: Seq[(String, Column => Column)]): DataFrame =
+      Par.spread(docs)
+        .select(col("doc_id"), explode(Dedup.shingleArray(col(textCol), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum("c").as("total"), max("c").as("maxc"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
+        .select(col("doc_id") +: cols.map { case (name, f) =>
+          f(col("total")).as(name)
+        }: _*)
+    val frac = (num: Column) => (total: Column) =>
+      Portable.round(num.cast("double") / total.cast("double"), 4)
+    val g2 = gramStats(2, Seq(
+      "top_2gram_frac" -> frac(col("maxc")), "dup_2gram_frac" -> frac(col("dupmass"))))
+    val g3 = gramStats(3, Seq("dup_3gram_frac" -> frac(col("dupmass"))))
+    docs.select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"),
+        coalesce(col("dup_2gram_frac"), lit(0.0)).as("dup_2gram_frac"),
+        coalesce(col("dup_3gram_frac"), lit(0.0)).as("dup_3gram_frac"))
+  }
 }

@@ -176,4 +176,31 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     import graft.api._
     Seq(1, 2, 3).toDS().toBag.sum shouldBe 6
   }
+
+  "TextAnalysis.repetitionSignals" should "score duplicated n-gram mass" in {
+    val d = Seq(
+      (1L, "a b a b a b"),   // 2-grams: [a b, b a, a b, b a, a b] -> top=3/5, dup=5/5
+      (2L, "w x y z"),       // 3 unique 2-grams -> top=1/3, dup=0.0
+      (3L, "solo")           // too short for any gram -> 0.0 (via left join)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    r(1L) shouldBe ((0.6, 1.0, 1.0))
+    r(2L) shouldBe ((0.3333, 0.0, 0.0))
+    r(3L) shouldBe ((0.0, 0.0, 0.0))
+  }
+
+  "Curation.contamination" should "measure eval-set shingle overlap" in {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),  // shares 2 of 3 shingles with eval
+      (2L, "completely different text entirely here"),
+      (3L, "hi")                          // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox leaps")).toDF("doc_id", "text")
+    val r = Curation.contamination(corpus, eval_).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    r(1L) shouldBe ((3L, 0.6667))
+    r(2L) shouldBe ((3L, 0.0))
+    r(3L) shouldBe ((0L, 0.0))
+  }
 }
