@@ -586,8 +586,20 @@ object SparkEntry {
     "q78_contamination" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
-    })
+    }),
+
+    // Domain mixing: sample toward a target per-source distribution; the
+    // per-domain fractions are computed in-plan (no driver collect) and the
+    // md5-threshold membership is engine-portable
+    "q79_domain_mix" -> ((s, d) =>
+      Sampling.domainMix(tbl(s, d, "documents"), "source", col("doc_id"),
+          mixTargets.toMap, 200L)
+        .select(col("doc_id"), col("source"), col("n_chars")))
   )
+
+  /** Shared by q79's query and oracle so the two always agree. */
+  private val mixTargets: Seq[(String, Double)] = Seq(
+    "src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.20, "src3" -> 0.15, "src4" -> 0.10)
 
   // ------------- shared oracle CTE fragments (ONE definition each;
   // q29/q53/q62/q65 all build on the same shingle/signature/band pipeline)
@@ -1051,6 +1063,18 @@ object SparkEntry {
         "hit AS (SELECT sh.doc_id, COUNT(*) AS n_hit FROM sh JOIN ev ON sh.shingle = ev.shingle GROUP BY 1) " +
         "SELECT d.doc_id, COALESCE(cnt.n_shingles, 0) AS n_shingles, " +
         "COALESCE(floor(CAST(hit.n_hit AS DOUBLE) / CAST(cnt.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS contam_frac " +
-        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id")
+        "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id"),
+
+    "q79_domain_mix" -> {
+      val values = mixTargets
+        .map { case (dom, w) => s"('$dom', $w)" }.mkString(", ")
+      s"WITH tg(domain, w) AS (VALUES $values), " +
+        "cnt AS (SELECT source AS domain, COUNT(*) AS c FROM documents GROUP BY 1), " +
+        "fr AS (SELECT cnt.domain, least(1.0, (w * 200.0) / CAST(c AS DOUBLE)) AS f " +
+        "FROM cnt JOIN tg ON cnt.domain = tg.domain) " +
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN fr ON d.source = fr.domain " +
+        "WHERE f >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
+        "printf('%08x', least(CAST(floor(f * 4294967296.0) AS BIGINT), 4294967295))"
+    }
   )
 }

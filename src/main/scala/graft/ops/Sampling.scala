@@ -53,4 +53,36 @@ object Sampling {
     }
     df.where(pred)
   }
+
+  /** Domain mixing: sample the corpus toward a TARGET distribution —
+    * `targets(domain)` is the desired weight of each domain in an output of
+    * ~`targetTotal` rows, so each domain keeps fraction
+    * `min(1, weight * targetTotal / count(domain))` of its rows. Domains
+    * without a target weight are dropped.
+    *
+    * Per-domain fractions are computed IN the plan (tiny count aggregate +
+    * broadcast join back) — no driver collect, no coordination — and
+    * membership stays a pure function of (domain stats, key), so the same
+    * rows are kept on any engine at any parallelism. The fraction→threshold
+    * arithmetic (`least(1, (w * total) / cnt)`, then
+    * `least(floor(f * 2^32), 2^32-1)` rendered as 8 lowercase hex chars) is
+    * written in the exact operation order an ANSI oracle can replicate. */
+  def domainMix(df: DataFrame, domainCol: String, key: Column,
+      targets: Map[String, Double], targetTotal: Long): DataFrame = {
+    require(targets.nonEmpty, "targets must not be empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tg = targets.toSeq.toDF("__domain", "__w")
+    val frac = df.groupBy(col(domainCol).as("__domain"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(tg, "__domain")
+      .select(col("__domain"),
+        least(lit(1.0), col("__w") * lit(targetTotal.toDouble) /
+          col("__cnt").cast("double")).as("__f"))
+    val thresholdHexCol = format_string("%08x",
+      least(floor(col("__f") * lit(4294967296.0)).cast("long"), lit(4294967295L)))
+    df.join(broadcast(frac), col(domainCol) === col("__domain"))
+      .where(col("__f") >= 1.0 || hashDraw(key) < thresholdHexCol)
+      .drop("__domain", "__w", "__f")
+  }
 }

@@ -203,4 +203,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r(2L) shouldBe ((3L, 0.0))
     r(3L) shouldBe ((0L, 0.0))
   }
+
+  "Sampling.domainMix" should "keep targeted domains at their computed fractions, deterministically" in {
+    val df = (1L to 400L).map(i => (i, if (i <= 200) "a" else "b"))
+      .toDF("id", "dom")
+    // a: w=0.5, total=100 -> f=0.25 of 200 rows; b: w=2.0 -> f=1.0 (all 200)
+    val out = Sampling.domainMix(df, "dom", col("id"),
+      Map("a" -> 0.5, "b" -> 2.0), 100L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.count(_._2 == "b") shouldBe 200      // f >= 1 keeps every row
+    val aCount = rows.count(_._2 == "a")
+    aCount should (be > 20 and be < 80)        // ~50 expected at f=0.25
+    // untargeted domains are dropped, and the draw is deterministic
+    Sampling.domainMix(df, "dom", col("id"), Map("a" -> 0.5), 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      rows.filter(_._2 == "a").toSet
+  }
 }
