@@ -576,6 +576,29 @@ object SparkEntry {
             "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5").map { case (v, n) =>
             coalesce(col(s"`$v`"), lit(0L)).as(n) }: _*)),
 
+    // A REAL Structured Streaming query in the correctness gate: file-source
+    // events drained with Trigger.AvailableNow through a stateful hourly
+    // aggregation (state store + Complete mode), pinned to the same oracle as
+    // the batch formulation (q20). Streaming and batch must agree exactly.
+    "q76_stream_hourly" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // the streaming file source lists a DIRECTORY; testdata ships single
+      // parquet FILES, so expose the file through a symlink in a temp dir
+      val dir = java.nio.file.Files.createTempDirectory("q76_stream")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val agg = graft.streaming.Streams.readParquetStream(s, dir.toString, schema)
+        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(
+          date_format(date_trunc("hour", col("tsx")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      graft.streaming.Streams.runToCompletion(agg, s"q76_mem_${System.nanoTime}")
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1037,6 +1060,11 @@ object SparkEntry {
         "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4, " +
         "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5 " +
         "FROM orders GROUP BY o_orderstatus"),
+
+    "q76_stream_hourly" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2"),
 
     "q77_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +

@@ -191,4 +191,20 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .format("parquet")
       .option("path", path)
+
+  /** Drain a streaming aggregation over already-present input to completion
+    * (`Trigger.AvailableNow` — process everything, then stop) and return the
+    * final Complete-mode result as a batch DataFrame. This is the
+    * batch-equivalence bridge: the same plan that runs open-ended in
+    * production can be pinned against a batch oracle in tests/gates. */
+  def runToCompletion(agg: DataFrame, queryName: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    agg.sparkSession.table(queryName)
+  }
 }

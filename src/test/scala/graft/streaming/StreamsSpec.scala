@@ -192,4 +192,17 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
     new java.io.File(cp).exists() shouldBe true
     q.exception shouldBe None
   }
+
+  "runToCompletion" should "drain a file-source aggregation to its batch answer" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val data = Seq((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(2), "b", 5.0))
+    data.toDF("ts", "k", "v").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val agg = Streams.readParquetStream(spark, dir, schema)
+      .groupBy("k").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    val out = Streams.runToCompletion(agg, s"avnow_${System.nanoTime}")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    out shouldBe Array(("a", 2L, 3.0), ("b", 1L, 5.0))
+  }
 }
