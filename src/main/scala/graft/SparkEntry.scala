@@ -611,6 +611,22 @@ object SparkEntry {
       Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
     }),
 
+    // PII scrub: typed redaction over deterministic PII-bearing text derived
+    // from the documents table (testdata has no native PII), full-value oracle
+    "q80_pii_scrub" -> ((s, d) => {
+      val pii = tbl(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".com ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" tel +1 (555) 123-45"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("text"))
+      TextAnalysis.scrubPii(pii).select(col("doc_id"),
+        md5(col("clean_text")).as("clean_fp"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
+    }),
+
     // Domain mixing: sample toward a target per-source distribution; the
     // per-domain fractions are computed in-plan (no driver collect) and the
     // md5-threshold membership is engine-portable
@@ -1092,6 +1108,22 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(cnt.n_shingles, 0) AS n_shingles, " +
         "COALESCE(floor(CAST(hit.n_hit AS DOUBLE) / CAST(cnt.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS contam_frac " +
         "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id"),
+
+    "q80_pii_scrub" -> {
+      val em = TextAnalysis.emailRe
+      val ip = TextAnalysis.ipv4Re
+      val ph = TextAnalysis.phoneRe
+      "WITH pii AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.' || CAST(doc_id % 100 AS VARCHAR) || ' tel +1 (555) 123-45' || " +
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t FROM documents), " +
+        s"s1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1 FROM pii), " +
+        s"s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1) " +
+        s"SELECT doc_id, md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) AS clean_fp, " +
+        s"CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips, " +
+        s"CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phones FROM s2"
+    },
 
     "q79_domain_mix" -> {
       val values = mixTargets

@@ -96,6 +96,31 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     Par.spread(docs).select(col("doc_id"), fingerprint(col(textCol)).as("fp"))
 
+  /** PII patterns used by [[scrubPii]]: POSIX-class-only regexes (no
+    * lookaround, no shorthand classes) so Java regex (Spark) and RE2-style
+    * engines (DuckDB, Trino) match identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val phoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, then
+    * phone-like digit runs are replaced with typed placeholders, in that
+    * fixed order (each count is taken on the text AFTER the previous
+    * substitution, so an address never double-counts as a phone number).
+    * Pure per-row Column expressions — no shuffle, scales with splits. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val s0 = col(textCol)
+    val s1 = regexp_replace(s0, emailRe, "<EMAIL>")
+    val s2 = regexp_replace(s1, ipv4Re, "<IP>")
+    val s3 = regexp_replace(s2, phoneRe, "<PHONE>")
+    Par.spread(docs).select(
+      col("doc_id"),
+      s3.as("clean_text"),
+      regexp_count(s0, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(s1, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(s2, lit(phoneRe)).cast("long").as("n_phones"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetitious
     * documents are ... removed" via duplicate n-gram fractions): per document,
     * the mass of the most common word n-gram and of all duplicated n-grams,

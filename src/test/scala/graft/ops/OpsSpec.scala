@@ -204,6 +204,19 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r(3L) shouldBe ((0L, 0.0))
   }
 
+  "TextAnalysis.scrubPii" should "redact emails, IPs, and phone numbers with typed tokens" in {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.com or call +1 (555) 123-4567"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 are up"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scrubPii(d).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    r(1L) shouldBe (("mail me at <EMAIL> or call <PHONE>", 1L, 0L, 1L))
+    r(2L) shouldBe (("server <IP> and <IP> are up", 0L, 2L, 0L))
+    r(3L) shouldBe (("nothing sensitive here", 0L, 0L, 0L))
+  }
+
   "Sampling.domainMix" should "keep targeted domains at their computed fractions, deterministically" in {
     val df = (1L to 400L).map(i => (i, if (i <= 200) "a" else "b"))
       .toDF("id", "dom")
