@@ -611,6 +611,14 @@ object SparkEntry {
       Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
     }),
 
+    // PageRank in scaled integer arithmetic — bit-identical across engines
+    // (10 fixed iterations on an orders-derived directed graph)
+    "q81_pagerank" -> ((s, d) => {
+      val e = tbl(s, d, "orders").where(col("o_orderkey") % 5 === 0)
+        .select((col("o_custkey") % 101).as("src"), (col("o_orderkey") % 101).as("dst"))
+      Graphs.pageRankScaled(e, iterations = 10)
+    }),
+
     // PII scrub: typed redaction over deterministic PII-bearing text derived
     // from the documents table (testdata has no native PII), full-value oracle
     "q80_pii_scrub" -> ((s, d) => {
@@ -1108,6 +1116,26 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(cnt.n_shingles, 0) AS n_shingles, " +
         "COALESCE(floor(CAST(hit.n_hit AS DOUBLE) / CAST(cnt.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS contam_frac " +
         "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id"),
+
+    "q81_pagerank" -> {
+      // 10 unrolled rank CTEs (DuckDB's recursive CTEs disallow aggregates
+      // in the recursive term); integer fixed-point matches Graphs
+      // .pageRankScaled round for round. DuckDB SUM/mult promote to HUGEINT
+      // mid-CTE — harmless, the final CAST lands on BIGINT.
+      val iters = (1 to 10).map { i =>
+        s"r$i AS (SELECT v.vertex, 150000000 + (85 * COALESCE(s.s, 0)) // 100 AS r " +
+          s"FROM v LEFT JOIN (SELECT e.dst AS vertex, SUM(r.r // od.odeg) AS s " +
+          s"FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON r.vertex = e.src " +
+          "GROUP BY 1) s ON v.vertex = s.vertex)"
+      }.mkString(", ")
+      "WITH raw AS (SELECT o_custkey % 101 AS src, o_orderkey % 101 AS dst FROM orders WHERE o_orderkey % 5 = 0), " +
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), " +
+        "od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1), " +
+        "v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e), " +
+        "r0 AS (SELECT vertex, CAST(1000000000 AS BIGINT) AS r FROM v), " +
+        s"$iters " +
+        "SELECT vertex, CAST(r AS BIGINT) AS rank_scaled FROM r10"
+    },
 
     "q80_pii_scrub" -> {
       val em = TextAnalysis.emailRe

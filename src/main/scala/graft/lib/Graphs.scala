@@ -144,6 +144,48 @@ object Graphs {
     stars.select(col("src").as("vertex"), col("dst").as("label")).union(roots)
   }
 
+  /** PageRank over the DISTINCT directed edge set, in scaled 64-bit integer
+    * arithmetic so every engine computes bit-identical ranks (double-sum
+    * PageRank is order-sensitive in the last ulp and can never hash-match a
+    * foreign oracle). `scale` is the fixed-point unit: rank 1.0 ≡ `scale`;
+    * each of the fixed `iterations` rounds computes
+    * `r'(v) = (15*scale) div 100 + (85 * Σ_{u→v} (r(u) div outdeg(u))) div 100`
+    * — dangling-vertex mass leaks, as in the simplified formulation.
+    *
+    * Pick `scale` so the heaviest vertex's incoming mass times 85 stays under
+    * 2^63 (default 10^9 leaves headroom for ~10^8-vertex components); larger
+    * `scale` buys precision, smaller buys overflow headroom — Spark runs ANSI
+    * so an overflow throws rather than corrupting ranks silently.
+    *
+    * One shuffle per round (the contribution aggregation keyed by dst) plus
+    * the left join back onto the rank-carrying vertex set; the degree-annotated
+    * edge relation is materialized once and reused by every round. */
+  def pageRankScaled(edges: DataFrame, iterations: Int = 10,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1 && scale >= 100)
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val withDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("odeg")), "src")
+      .localCheckpoint()
+    val verts = withDeg.select(col("src").as("vertex"))
+      .union(withDeg.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint()
+    val base = lit(15L * scale / 100L)
+    var rank = verts.withColumn("r", lit(scale)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(rank, withDeg("src") === rank("vertex"))
+        .select(col("dst").as("vertex"), expr("r div odeg").as("c"))
+        .groupBy("vertex").agg(sum("c").as("s"))
+      val next = verts.join(contrib, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (base + expr("(85 * coalesce(s, cast(0 as bigint))) div 100")).as("r"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(rank)
+      rank = next
+    }
+    rank.select(col("vertex"), col("r").as("rank_scaled"))
+  }
+
   /** Connected components via keyed mutable state ([[MutableBag]]) — the
     * reference's formulation (ConnectedComponents.scala:27-53): seed state
     * with vertex→vertex, then push min labels along edges until no update. */

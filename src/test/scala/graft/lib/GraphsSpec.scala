@@ -98,6 +98,21 @@ class GraphsSpec extends AnyFlatSpec with Matchers {
       Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
   }
 
+  "pageRankScaled" should "hold a cycle at the fixed point and match hand-computed ranks" in {
+    // 3-cycle: every vertex forwards its full rank, so rank stays exactly
+    // 1.0*scale forever (0.15*S + (85*S) div 100 == S with S = 10^9)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    Graphs.pageRankScaled(cycle, iterations = 5).collect()
+      .map(_.getLong(1)).toSeq shouldBe Seq.fill(3)(1000000000L)
+    // star: b->a, c->a, a->b; two hand-computed rounds
+    val star = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = Graphs.pageRankScaled(star, iterations = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(1L) shouldBe 1127500000L
+    r(2L) shouldBe 1722500000L
+    r(3L) shouldBe 150000000L
+  }
+
   "triangles" should "enumerate each triangle once" in {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L),
       (5L, 6L)).toDF("src", "dst")
