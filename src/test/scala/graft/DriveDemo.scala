@@ -121,6 +121,31 @@ object DriveDemo {
         ", exception = " + q.exception)
     }
 
+    // 6d. round-4 curation layer: repetition, contamination, domain mix,
+    // PII scrub, integer PageRank
+    {
+      import org.apache.spark.sql.functions.{avg, col, concat, lit, sum}
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val rep = TextAnalysis.repetitionSignals(docs)
+      println("repetition mean dup2 = " + rep.agg(avg("dup_2gram_frac")).head().getDouble(0))
+      val contam = Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
+      println("contaminated docs (frac>0.5) = " +
+        contam.where(col("contam_frac") > 0.5).count())
+      val mixed = Sampling.domainMix(docs, "source", col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.5), 40L)
+      println("domain mix kept = " + mixed.groupBy("source").count().collect().toSeq)
+      val scrubbed = TextAnalysis.scrubPii(docs.select(col("doc_id"),
+        concat(col("text"), lit(" reach me: a"), col("doc_id").cast("string"),
+          lit("@x.io")).as("text")))
+      println("pii emails scrubbed = " + scrubbed.agg(sum("n_emails")).head().get(0))
+      val pr = graft.lib.Graphs.pageRankScaled(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .select((col("o_custkey") % 31).as("src"), (col("o_orderkey") % 31).as("dst")),
+        iterations = 5)
+      println("pagerank top vertex = " +
+        pr.orderBy(col("rank_scaled").desc, col("vertex")).head().toSeq)
+    }
+
     // 7. MutableBag update semantics
     val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
     val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(

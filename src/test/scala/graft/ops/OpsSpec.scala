@@ -204,6 +204,33 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r(3L) shouldBe ((0L, 0.0))
   }
 
+  "round-4 curation ops" should "plan with the intended scale shapes" in {
+    val corpus = (1L to 200L).map(i => (i, s"tok${i % 9} tok${i % 7} tok${i % 5} tok$i"))
+      .toDF("doc_id", "text")
+    // contamination: eval shingles broadcast — the corpus side must not
+    // shuffle for the hit count
+    val contamPlan = Curation.contamination(corpus, corpus.limit(10))
+      .queryExecution.executedPlan.toString
+    contamPlan should include("BroadcastHashJoin")
+    // domain mix: fraction map broadcast back, no cartesian anywhere
+    val mixed = Sampling.domainMix(
+      corpus.withColumn("dom", concat(lit("d"), col("doc_id") % 3)),
+      "dom", col("doc_id"), Map("d0" -> 0.5, "d1" -> 0.5), 50L)
+    val mixPlan = mixed.queryExecution.executedPlan.toString
+    mixPlan should include("BroadcastHashJoin")
+    mixPlan should not include "CartesianProduct"
+    // banded jaccard: equi-join (sort-merge or hash), never a nested loop
+    val jacPlan = Dedup.ngramJaccard(corpus, maxIdGap = 5)
+      .queryExecution.executedPlan.toString
+    jacPlan should not include "BroadcastNestedLoop"
+    jacPlan should not include "CartesianProduct"
+    // scrubPii is pure projection: no hash shuffle (Par.spread may add a
+    // round-robin exchange on small inputs — that's the adaptivity helper,
+    // not the operator)
+    val piiPlan = TextAnalysis.scrubPii(corpus).queryExecution.executedPlan.toString
+    piiPlan should not include "Exchange hashpartitioning"
+  }
+
   "TextAnalysis.scrubPii" should "redact emails, IPs, and phone numbers with typed tokens" in {
     val d = Seq(
       (1L, "mail me at jo.doe+x@corp.example.com or call +1 (555) 123-4567"),
