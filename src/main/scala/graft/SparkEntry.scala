@@ -599,6 +599,25 @@ object SparkEntry {
       graft.streaming.Streams.runToCompletion(agg, s"q76_mem_${System.nanoTime}")
     }),
 
+    // Streaming stateful dedup in the gate: dropDuplicatesWithinWatermark
+    // over the event stream (state outlives every event via a huge watermark
+    // delay, so the emitted key set is exactly the distinct set), Append mode
+    "q82_stream_dedup" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$d/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val dir = java.nio.file.Files.createTempDirectory("q82_stream")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val src = graft.streaming.Streams.readParquetStream(s, dir.toString, schema)
+        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      val dd = graft.streaming.Streams.dedupStream(
+        src, "tsx", "36500 days", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      graft.streaming.Streams.runToCompletion(dd, s"q82_mem_${System.nanoTime}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -610,6 +629,13 @@ object SparkEntry {
       val docs = tbl(s, d, "documents")
       Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
     }),
+
+    // Z-order (Morton) clustering value — the write-side half of 100 TB scan
+    // pruning; pure bit arithmetic, exact oracle
+    "q83_zorder" -> ((s, d) =>
+      tbl(s, d, "orders").select(col("o_orderkey"),
+        graft.ops.Layout.zorderValue(
+          Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024), 10).as("z"))),
 
     // PageRank in scaled integer arithmetic — bit-identical across engines
     // (10 fixed iterations on an orders-derived directed graph)
@@ -1085,6 +1111,9 @@ object SparkEntry {
         "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5 " +
         "FROM orders GROUP BY o_orderstatus"),
 
+    "q82_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
     "q76_stream_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
@@ -1116,6 +1145,16 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(cnt.n_shingles, 0) AS n_shingles, " +
         "COALESCE(floor(CAST(hit.n_hit AS DOUBLE) / CAST(cnt.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS contam_frac " +
         "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id"),
+
+    "q83_zorder" -> {
+      // disjoint-bit terms, so + is exactly the bit interleave OR; every
+      // shift gets its own parens — '<<' binds LOOSER than '+' in DuckDB,
+      // so an unparenthesized chain becomes x << (0 + y) << (1 + ...)
+      val terms = (0 until 10).flatMap(b => Seq(
+        s"((((o_custkey % 1024) >> $b) & 1) << ${2 * b})",
+        s"((((o_orderkey % 1024) >> $b) & 1) << ${2 * b + 1})"))
+      s"SELECT o_orderkey, CAST(${terms.mkString(" + ")} AS BIGINT) AS z FROM orders"
+    },
 
     "q81_pagerank" -> {
       // 10 unrolled rank CTEs (DuckDB's recursive CTEs disallow aggregates

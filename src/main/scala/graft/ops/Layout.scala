@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan locality at scale. A 100 TB table is only
+  * as fast as what a query can SKIP: range-partitioning and sorting files by
+  * a space-filling curve gives every file a narrow min/max envelope in every
+  * interleaved dimension, so predicate pushdown on any of them prunes files.
+  * Beyond-reference addition (the reference has no storage layout control).
+  */
+object Layout {
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of each
+    * non-negative integral column — bit `b` of column `j` lands at position
+    * `b * cols.size + j`. Pure bit arithmetic on longs, codegen-friendly,
+    * reproducible in any engine with shifts and AND. Requires
+    * `bits * cols.size <= 62`. */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 62,
+      s"need 1..62/${cols.size} bits, got $bits")
+    val k = cols.size
+    val terms = for {
+      b <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(1L), b * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Cluster a frame by the Z-order of `cols` into `numFiles` range
+    * partitions, each sorted internally — the write-side half of scan
+    * pruning: per-file z ranges are disjoint, and every interleaved
+    * dimension's per-file min/max envelope narrows with file count. */
+  def zorderBy(df: DataFrame, cols: Seq[Column], bits: Int,
+      numFiles: Int): DataFrame = {
+    val z = zorderValue(cols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -197,9 +197,10 @@ object Streams {
     * final Complete-mode result as a batch DataFrame. This is the
     * batch-equivalence bridge: the same plan that runs open-ended in
     * production can be pinned against a batch oracle in tests/gates. */
-  def runToCompletion(agg: DataFrame, queryName: String): DataFrame = {
+  def runToCompletion(agg: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -231,6 +231,23 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     piiPlan should not include "Exchange hashpartitioning"
   }
 
+  "Layout.zorderValue" should "interleave bits and cluster into disjoint z ranges" in {
+    // x=3 (011), y=5 (101), 3 bits: z bits [x0 y0 x1 y1 x2 y2] = 1 1 1 0 0 1 -> 39
+    val one = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zorderValue(Seq(col("x"), col("y")), 3)).head().getLong(0)
+    one shouldBe 39L
+    // zorderBy: range partitions carry disjoint z intervals (the file-pruning
+    // property a z-ordered write relies on)
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val parts = Layout.zorderBy(pts, Seq(col("x"), col("y")), 5, 8)
+      .select(spark_partition_id().as("p"),
+        Layout.zorderValue(Seq(col("x"), col("y")), 5).as("z"))
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    parts.length should be > 1
+    parts.sliding(2).foreach { case Array((_, hi1), (lo2, _)) => lo2 should be > hi1 }
+  }
+
   "TextAnalysis.scrubPii" should "redact emails, IPs, and phone numbers with typed tokens" in {
     val d = Seq(
       (1L, "mail me at jo.doe+x@corp.example.com or call +1 (555) 123-4567"),
