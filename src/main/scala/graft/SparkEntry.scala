@@ -630,6 +630,16 @@ object SparkEntry {
       Curation.contamination(docs, docs.where(col("doc_id") % 97 === 0))
     }),
 
+    // Sequence packing: boundary-cut pack assignment (~2048 tokens/pack)
+    // inside independent hash buckets — window cumsum, no global order
+    "q84_packing" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      graft.ops.Packing.packByTokens(docs, col("doc_id"),
+          size(split(trim(col("text")), "\\s+")), targetTokens = 2048L,
+          numBuckets = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"))
+    }),
+
     // Z-order (Morton) clustering value — the write-side half of 100 TB scan
     // pruning; pure bit arithmetic, exact oracle
     "q83_zorder" -> ((s, d) =>
@@ -1145,6 +1155,13 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(cnt.n_shingles, 0) AS n_shingles, " +
         "COALESCE(floor(CAST(hit.n_hit AS DOUBLE) / CAST(cnt.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0, 0.0) AS contam_frac " +
         "FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id"),
+
+    "q84_packing" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "doc_id % 8 AS bucket FROM documents) " +
+        "SELECT doc_id, n_tokens, bucket, " +
+        "CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS BIGINT) // 2048 AS pack " +
+        "FROM t"),
 
     "q83_zorder" -> {
       // disjoint-bit terms, so + is exactly the bit interleave OR; every

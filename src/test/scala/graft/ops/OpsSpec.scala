@@ -231,6 +231,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     piiPlan should not include "Exchange hashpartitioning"
   }
 
+  "Packing.packByTokens" should "cut packs at token boundaries within buckets" in {
+    // single bucket, docs of 1000 tokens each, target 2048:
+    // exclusive prefix sums 0,1000,2000,3000,4000 -> packs 0,0,0,1,1
+    val d = (1L to 5L).map(i => (i, 1000L)).toDF("doc_id", "nt")
+    val packs = Packing.packByTokens(d, col("doc_id"), col("nt"),
+      targetTokens = 2048L, numBuckets = 1)
+      .select("doc_id", "pack").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packs shouldBe Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L)
+    // every doc lands in exactly one pack; pack overrun bounded by one doc
+    val big = (1L to 200L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "nt")
+    val out = Packing.packByTokens(big, col("doc_id"), col("nt"), 64L, 4)
+    out.count() shouldBe 200
+    val sums = out.groupBy("bucket", "pack")
+      .agg(sum("n_tokens").as("s")).collect().map(_.getLong(2))
+    all(sums) should be <= (64L + 37L)
+  }
+
   "Layout.zorderValue" should "interleave bits and cluster into disjoint z ranges" in {
     // x=3 (011), y=5 (101), 3 bits: z bits [x0 y0 x1 y1 x2 y2] = 1 1 1 0 0 1 -> 39
     val one = Seq((3L, 5L)).toDF("x", "y")
