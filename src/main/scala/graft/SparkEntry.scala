@@ -582,14 +582,7 @@ object SparkEntry {
     // the batch formulation (q20). Streaming and batch must agree exactly.
     "q76_stream_hourly" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$d/events.parquet"
-      val schema = s.read.parquet(path).schema
-      // the streaming file source lists a DIRECTORY; testdata ships single
-      // parquet FILES, so expose the file through a symlink in a temp dir
-      val dir = java.nio.file.Files.createTempDirectory("q76_stream")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val agg = graft.streaming.Streams.readParquetStream(s, dir.toString, schema)
+      val agg = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
         .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
         .groupBy(
           date_format(date_trunc("hour", col("tsx")), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -604,12 +597,7 @@ object SparkEntry {
     // delay, so the emitted key set is exactly the distinct set), Append mode
     "q82_stream_dedup" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$d/events.parquet"
-      val schema = s.read.parquet(path).schema
-      val dir = java.nio.file.Files.createTempDirectory("q82_stream")
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-      val src = graft.streaming.Streams.readParquetStream(s, dir.toString, schema)
+      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
         .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
       val dd = graft.streaming.Streams.dedupStream(
         src, "tsx", "36500 days", Seq("user_id", "event_type"))
@@ -1210,8 +1198,11 @@ object SparkEntry {
     },
 
     "q79_domain_mix" -> {
+      // CAST each weight: a bare 0.30 literal is DECIMAL in DuckDB, and
+      // exact DECIMAL products can differ from Spark's IEEE-double w*total
+      // by one ulp — enough to shift the floor(f*2^32) threshold hex by 1
       val values = mixTargets
-        .map { case (dom, w) => s"('$dom', $w)" }.mkString(", ")
+        .map { case (dom, w) => s"('$dom', CAST($w AS DOUBLE))" }.mkString(", ")
       s"WITH tg(domain, w) AS (VALUES $values), " +
         "cnt AS (SELECT source AS domain, COUNT(*) AS c FROM documents GROUP BY 1), " +
         "fr AS (SELECT cnt.domain, least(1.0, (w * 200.0) / CAST(c AS DOUBLE)) AS f " +

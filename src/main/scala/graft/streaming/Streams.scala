@@ -30,6 +30,24 @@ object Streams {
       header: Boolean = true): DataFrame =
     spark.readStream.schema(schema).option("header", header.toString).csv(path)
 
+  /** File-drop stream over a parquet path that may be a single FILE: the
+    * streaming file source lists directories only, so a file is exposed
+    * through a symlink inside a fresh temp directory (absolute target —
+    * symlinks resolve against the link's parent, not the CWD). Schema is
+    * taken from a batch read of the same path. */
+  def parquetFileStream(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath
+    val schema = spark.read.parquet(path).schema
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) p
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        d
+      }
+    readParquetStream(spark, dir.toString, schema)
+  }
+
   // --------------------------------------------------- windowed aggregation
 
   /** Tumbling-window count+sum per key with a watermark bounding state. */
@@ -206,6 +224,11 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    agg.sparkSession.table(queryName)
+    // table() binds the plan to the sink's relation during analysis, so the
+    // temp view can be dropped immediately — otherwise every invocation pins
+    // its full result in the catalog for the session's lifetime
+    val out = agg.sparkSession.table(queryName)
+    agg.sparkSession.catalog.dropTempView(queryName)
+    out
   }
 }
