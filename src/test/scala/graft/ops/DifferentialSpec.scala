@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Randomized differentials: each round-4 operator against a brute-force
+  * Scala oracle on seeded random inputs. These catch the class of bug the
+  * hand-computed goldens can't — edge shapes the author didn't think of. */
+class DifferentialSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def randDoc(maxTokens: Int): String = {
+    val n = rnd.nextInt(maxTokens + 1)
+    Seq.fill(n)(s"w${rnd.nextInt(6)}").mkString(" ")
+  }
+
+  "ngramJaccard (banded)" should "match the brute-force pair computation" in {
+    val docs = (1L to 40L).map(i => (i, randDoc(12)))
+    val got = Dedup.ngramJaccard(docs.toDF("doc_id", "text"), maxIdGap = 7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val withSh = docs.map { case (id, t) => (id, sh(t)) }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (i1, s1) <- withSh; (i2, s2) <- withSh
+      if i2 > i1 && i2 - i1 <= 7
+      inter = (s1 & s2).size if inter > 0
+    } yield {
+      val j = inter.toDouble / (s1.size + s2.size - inter).toDouble
+      (i1, i2) -> math.floor(j * 1e6 + 0.5) / 1e6
+    }).toMap
+    got.keySet shouldBe expect.keySet
+    got.foreach { case (k, v) => v shouldBe expect(k) +- 1e-9 }
+  }
+
+  "repetitionSignals" should "match the brute-force n-gram stats" in {
+    val docs = (1L to 60L).map(i => (i, randDoc(10)))
+    val got = TextAnalysis.repetitionSignals(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+
+    def grams(t: String, n: Int): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    docs.foreach { case (id, t) =>
+      val g2 = grams(t, 2); val g3 = grams(t, 3)
+      val c2 = g2.groupBy(identity).map(_._2.size)
+      val c3 = g3.groupBy(identity).map(_._2.size)
+      val top2 = if (g2.isEmpty) 0.0 else r4(c2.max.toDouble / g2.size)
+      val dup2 = if (g2.isEmpty) 0.0 else r4(c2.filter(_ > 1).sum.toDouble / g2.size)
+      val dup3 = if (g3.isEmpty) 0.0 else r4(c3.filter(_ > 1).sum.toDouble / g3.size)
+      withClue(s"doc $id '$t': ") { got(id) shouldBe ((top2, dup2, dup3)) }
+    }
+  }
+
+  "pageRankScaled" should "match a driver-side integer reference on a random graph" in {
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = graft.lib.Graphs.pageRankScaled(edges.toDF("src", "dst"), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val S = 1000000000L
+    val e = edges.filter(x => x._1 != x._2).distinct
+    val verts = e.flatMap(x => Seq(x._1, x._2)).distinct
+    val odeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = verts.map(_ -> S).toMap
+    for (_ <- 1 to 6) {
+      val in = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(x => rank(x._1) / odeg(x._1)).sum
+      }
+      rank = verts.map(v => v -> (15L * S / 100L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    got shouldBe rank
+  }
+
+  "zorderValue" should "match a driver-side bit interleave" in {
+    val pts = (1 to 200).map(_ => (rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderValue(Seq(col("x"), col("y")), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      val z = (0 until 10).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+      got((x, y)) shouldBe z
+    }
+  }
+
+  "packByTokens" should "match a driver-side boundary-cut reference" in {
+    val docs = (1L to 150L).map(i => (i, rnd.nextInt(300).toLong + 1L))
+    val got = Packing.packByTokens(docs.toDF("doc_id", "nt"), col("doc_id"), col("nt"),
+        targetTokens = 512L, numBuckets = 4)
+      .select("doc_id", "bucket", "pack").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.groupBy(_._1 % 4).foreach { case (b, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, nt) =>
+        got(id) shouldBe ((b, cum / 512L))
+        cum += nt
+      }
+    }
+  }
+}
