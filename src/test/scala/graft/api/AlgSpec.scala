@@ -74,4 +74,24 @@ class AlgSpec extends AnyFlatSpec with Matchers {
       alg.plus(alg.zero, l2r) shouldBe l2r
     }
   }
+
+  "AlgAggregator" should "run any Alg as a typed-column UDAF with partial aggregation" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val ds = Seq(("a", 3L), ("b", 5L), ("a", 4L), ("b", 1L), ("a", 2L)).toDS()
+    // global fold as a TypedColumn
+    ds.map(_._2).select(AlgAggregator.column(Sum(implicitly[Numeric[Long]]))).head() shouldBe 15L
+    // grouped fold through the standard KeyValueGroupedDataset.agg surface
+    val perKey = ds.groupByKey(_._1)
+      .agg(AlgAggregator.column(Fold[(String, Long), Long](0L, _._2, _ + _)))
+      .collect().toMap
+    perKey shouldBe Map("a" -> 9L, "b" -> 6L)
+    // min-by-arbitrary-Ordering (SURVEY §7.4's flagged case)
+    val minByOrd = ds.groupByKey(_._1)
+      .agg(AlgAggregator.column(
+        ReduceOpt[(String, Long)]((x, y) => if (x._2 <= y._2) x else y)))
+      .collect().toMap
+    minByOrd("a") shouldBe Some(("a", 2L))
+    minByOrd("b") shouldBe Some(("b", 1L))
+  }
 }
