@@ -231,6 +231,21 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     piiPlan should not include "Exchange hashpartitioning"
   }
 
+  "Prefilter.bloomSemiReduce" should "never drop a true match and prune most non-matches" in {
+    val big = (1L to 5000L).map(i => (i, i % 17)).toDF("k", "v")
+    val small = (1L to 50L).map(i => i * 100L).toDF("sk")
+    val reduced = Prefilter.bloomSemiReduce(big, col("k"), small, col("sk"),
+      expectedItems = 50L, fpp = 0.01)
+    val kept = reduced.select("k").as[Long].collect().toSet
+    // superset of the exact semi-join...
+    (1L to 50L).map(_ * 100L).toSet.subsetOf(kept) shouldBe true
+    // ...and a real reduction (50 true + ~1% false positives of 5000)
+    kept.size should be < 300
+    // the real join over the reduced side equals the join over the full side
+    val full = big.join(small, col("k") === col("sk")).count()
+    reduced.join(small, col("k") === col("sk")).count() shouldBe full
+  }
+
   "Packing.packByTokens" should "cut packs at token boundaries within buckets" in {
     // single bucket, docs of 1000 tokens each, target 2048:
     // exclusive prefix sums 0,1000,2000,3000,4000 -> packs 0,0,0,1,1
