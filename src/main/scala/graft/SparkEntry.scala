@@ -628,6 +628,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"))
     }),
 
+    // Bloom semi-join reduction: prune lineitem by a broadcast Bloom sketch
+    // of the hot-orders key set BEFORE the shuffle, then the exact semi-join
+    // discards the fpp false survivors — result ≡ plain semi-join (oracle-
+    // exact) but the big side shrinks at the scan, not at the join
+    "q85_bloom_prefilter" -> ((s, d) => {
+      val keys = tbl(s, d, "orders").where(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"))
+      val reduced = graft.ops.Prefilter.bloomSemiReduce(
+        tbl(s, d, "lineitem"), col("l_orderkey"), keys, col("o_orderkey"),
+        expectedItems = 100000L)
+      reduced.join(keys, reduced("l_orderkey") === keys("o_orderkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
     // Z-order (Morton) clustering value — the write-side half of 100 TB scan
     // pruning; pure bit arithmetic, exact oracle
     "q83_zorder" -> ((s, d) =>
@@ -1150,6 +1164,10 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, bucket, " +
         "CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS BIGINT) // 2048 AS pack " +
         "FROM t"),
+
+    "q85_bloom_prefilter" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)"),
 
     "q83_zorder" -> {
       // disjoint-bit terms, so + is exactly the bit interleave OR; every
