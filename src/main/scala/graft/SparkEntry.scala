@@ -642,6 +642,14 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-ES over a
+    // portable md5 draw): token-count-weighted top-50 of the documents —
+    // heap top-k per partition, no global sort, same winners on any engine
+    "q86_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(tbl(s, d, "documents"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("double"), 50)
+        .select(col("doc_id"))),
+
     // Z-order (Morton) clustering value — the write-side half of 100 TB scan
     // pruning; pure bit arithmetic, exact oracle
     "q83_zorder" -> ((s, d) =>
@@ -1164,6 +1172,15 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, bucket, " +
         "CAST((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) AS BIGINT) // 2048 AS pack " +
         "FROM t"),
+
+    "q86_weighted_sample" ->
+      // the uniform draw rebuilt digit-by-digit (integers < 2^53 are exact
+      // doubles, so this is bit-identical to Spark's conv(hex,16,10))
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS w, " +
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents), " +
+        "u AS (SELECT doc_id, w, (list_sum(list_transform(range(1, 9), " +
+        "i -> (strpos('0123456789abcdef', substring(h, CAST(i AS INTEGER), 1)) - 1) * 16.0 ^ (8 - i))) + 0.5) / 4294967296.0 AS u FROM t) " +
+        "SELECT doc_id FROM u ORDER BY ln(u) / w DESC, doc_id LIMIT 50"),
 
     "q85_bloom_prefilter" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +

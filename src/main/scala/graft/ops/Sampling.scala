@@ -54,6 +54,35 @@ object Sampling {
     df.where(pred)
   }
 
+  /** The hex draw as an exact uniform in (0, 1): the 32-bit value of the
+    * first 8 md5 hex chars, offset by 0.5 so u is never 0 (ln(u) stays
+    * finite) and never 1. `conv(hex,16,10)` is exact, and an oracle can
+    * reproduce the identical double with a positional digit sum (integers
+    * below 2^53 are exact in IEEE-754 on both sides). */
+  def uniformDraw(key: Column): Column =
+    (conv(hashDraw(key), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES): each
+    * row draws priority u^(1/w) — equivalently ordered by ln(u)/w — and the
+    * k largest priorities win, so inclusion probability is proportional to
+    * `weight` (w > 0). Deterministic AND engine-portable: u is a pure
+    * function of `key`, so the same rows win on any engine at any
+    * parallelism (ties on the priority are broken by `key`; the only
+    * cross-engine wobble would be a sub-ulp ln() difference on a near-exact
+    * priority tie, measure-zero on real data).
+    *
+    * Scale: `orderBy(priority).limit(k)` plans as TakeOrderedAndProject —
+    * a size-k heap per partition, then a driver merge of per-partition
+    * winners. No global sort, no shuffle of the data; 100 TB in, k rows
+    * out. For k beyond driver memory use `TopKPerKey` with a constant key. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.withColumn("__pri", log(uniformDraw(key)) / weight.cast("double"))
+      .orderBy(desc("__pri"), key.asc)
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Domain mixing: sample the corpus toward a TARGET distribution —
     * `targets(domain)` is the desired weight of each domain in an output of
     * ~`targetTotal` rows, so each domain keeps fraction

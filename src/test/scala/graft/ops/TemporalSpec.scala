@@ -151,4 +151,39 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
     counts("y").toDouble shouldBe 500.0 +- 110.0
     counts.get("z") shouldBe None          // unlisted stratum dropped
   }
+
+  behavior of "Sampling.weightedSample"
+
+  /** The A-ES priority recomputed locally with the same arithmetic. */
+  private def priority(id: Long, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    math.log(u) / w
+  }
+
+  it should "select exactly the k largest-priority rows, layout-independent" in {
+    val rows = (0L until 2000L).map(i => (i, 1.0 + (i % 7).toDouble))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"), 100)
+      .select("id").as[Long].collect().sorted
+    val exp = rows.sortBy { case (i, w) => (-priority(i, w), i) }
+      .take(100).map(_._1).sorted.toArray
+    got shouldBe exp // matches the brute-force A-ES selection exactly
+    val again = Sampling.weightedSample(df.repartition(17), col("id"), col("w"), 100)
+      .select("id").as[Long].collect().sorted
+    again shouldBe exp // partition-layout independent
+  }
+
+  it should "favor heavy rows and plan as TakeOrderedAndProject" in {
+    // one row carries ~all the weight: it must always be in the sample
+    val df = (0L until 500L).map(i => (i, if (i == 271L) 1e9 else 1.0)).toDF("id", "w")
+    val ids = Sampling.weightedSample(df, col("id"), col("w"), 10)
+      .select("id").as[Long].collect()
+    ids should contain(271L)
+    val plan = Sampling.weightedSample(df, col("id"), col("w"), 10)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject") // heap top-k, no global sort
+  }
 }
