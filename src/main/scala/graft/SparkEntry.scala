@@ -642,6 +642,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
+    // Naive Bayes fit + predict in the gate: token-length histogram features
+    // (portable index), synthetic labels doc_id % 3, output = argmax
+    // prediction per doc. Counts and ratios are exact in both engines; the
+    // ln() only feeds an argmax, so sub-ulp libm differences cannot flip it
+    "q87_naive_bayes" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val feats = docs
+        .select(col("doc_id").as("id"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("id"), least(length(col("tok")), lit(30)).as("index"))
+        .groupBy("id", "index").agg(count(lit(1)).cast("double").as("tf"))
+      val labels = docs.select(col("doc_id").as("id"), (col("doc_id") % 3).as("label"))
+      val model = graft.lib.ML.naiveBayesFit(feats, labels, numFeatures = 30L)
+      graft.lib.ML.naiveBayesPredict(feats, model).select(col("id"), col("pred"))
+    }),
+
     // Weighted sample without replacement (Efraimidis–Spirakis A-ES over a
     // portable md5 draw): token-count-weighted top-50 of the documents —
     // heap top-k per partition, no global sort, same winners on any engine
@@ -1185,6 +1201,33 @@ object SparkEntry {
     "q85_bloom_prefilter" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)"),
+
+    "q87_naive_bayes" ->
+      // Exact mirror of ML.naiveBayesFit/Predict. All counts/ratios are
+      // integer-exact doubles in both engines; ln() and the score sums carry
+      // only sub-ulp noise, which feeds an argmax whose label gaps are many
+      // orders of magnitude larger (verified at sf0.01).
+      ("WITH feats AS (SELECT doc_id AS id, least(len(tok), 30) AS idx, " +
+        "CAST(COUNT(*) AS DOUBLE) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "labels AS (SELECT doc_id AS id, doc_id % 3 AS label FROM documents), " +
+        "pli AS (SELECT l.label, f.idx, SUM(f.tf) AS cnt " +
+        "FROM feats f JOIN labels l ON f.id = l.id GROUP BY 1, 2), " +
+        "pl AS (SELECT label, SUM(cnt) AS total FROM pli GROUP BY 1), " +
+        "cond AS (SELECT pli.label, pli.idx, ln((cnt + 1.0) / (total + 30.0)) AS log_cond " +
+        "FROM pli JOIN pl ON pli.label = pl.label), " +
+        "li AS (SELECT l.label, ln(CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM labels)) AS log_prior, " +
+        "ln(1.0 / (ANY_VALUE(pl.total) + 30.0)) AS log_floor " +
+        "FROM labels l JOIN pl ON l.label = pl.label GROUP BY l.label), " +
+        "obs AS (SELECT f.id, c.label, SUM(f.tf * c.log_cond) AS ll_obs, SUM(f.tf) AS seen_tf " +
+        "FROM feats f JOIN cond c ON f.idx = c.idx GROUP BY 1, 2), " +
+        "dt AS (SELECT id, SUM(tf) AS doc_tf FROM feats GROUP BY 1), " +
+        "scored AS (SELECT dt.id, li.label, " +
+        "COALESCE(o.ll_obs, 0.0) + (dt.doc_tf - COALESCE(o.seen_tf, 0.0)) * li.log_floor + li.log_prior AS score " +
+        "FROM dt CROSS JOIN li LEFT JOIN obs o ON o.id = dt.id AND o.label = li.label) " +
+        "SELECT id, label AS pred FROM (SELECT id, label, " +
+        "ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, label) AS rn FROM scored) WHERE rn = 1"),
 
     "q83_zorder" -> {
       // disjoint-bit terms, so + is exactly the bit interleave OR; every
