@@ -606,6 +606,37 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Append())
     }),
 
+    // Streaming session windows in the gate: the same native session_window
+    // plan as batch q46, run through the streaming engine (file source,
+    // AvailableNow) — hash-matches q46's sessionization oracle
+    "q88_stream_sessions" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      val sess = graft.streaming.Streams
+        .sessionAgg(src, "tsx", "user_id", "10 minutes", "36500 days")
+        .select(
+          date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+          date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
+          col("user_id"), col("n_events"))
+      graft.streaming.Streams.runToCompletion(sess, s"q88_mem_${System.nanoTime}")
+    }),
+
+    // Stream-static enrichment in the gate: event stream broadcast-joined
+    // with the static customer dim (no stateful join state at all), then a
+    // Complete-mode aggregation — the canonical dimension-join shape at scale
+    "q89_stream_enrich" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+      val dim = tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = graft.streaming.Streams
+        .enrich(src.withColumnRenamed("user_id", "c_custkey"), dim, Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      graft.streaming.Streams.runToCompletion(agg, s"q89_mem_${System.nanoTime}")
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1149,6 +1180,20 @@ object SparkEntry {
 
     "q82_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q88_stream_sessions" ->
+      // same sessionization oracle as batch q46 (streaming twin)
+      ("WITH l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events), " +
+        "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s FROM l), " +
+        "g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+        "SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS s_start, " +
+        "strftime(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end, " +
+        "user_id, COUNT(*) AS n_events FROM g GROUP BY user_id, sid"),
+
+    "q89_stream_enrich" ->
+      ("SELECT c_mktsegment, event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events LEFT JOIN customer ON user_id = c_custkey GROUP BY 1, 2"),
 
     "q76_stream_hourly" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS cnt, " +
