@@ -637,6 +637,26 @@ object SparkEntry {
       graft.streaming.Streams.runToCompletion(agg, s"q89_mem_${System.nanoTime}")
     }),
 
+    // DirectorsMuses over TPC-H roles: customer "directs" its orders,
+    // supplier "acts" in the orders it supplies; muses = suppliers within 1
+    // of the customer's max collaboration count. Dimension names join AFTER
+    // the reduction (broadcast) — the reference's 5-way join collapses to
+    // one movie-key join + one count shuffle
+    "q90_muses" -> ((s, d) => {
+      val credits = tbl(s, d, "orders")
+        .select(col("o_custkey").as("personID"), col("o_orderkey").as("movieID"),
+          lit("director").as("creditType"))
+        .unionByName(tbl(s, d, "lineitem")
+          .select(col("l_suppkey").as("personID"), col("l_orderkey").as("movieID"),
+            lit("actor").as("creditType")))
+      graft.lib.Collaborations.directorsMuses(credits)
+        .join(broadcast(tbl(s, d, "customer").select(col("c_custkey"), col("c_name"))),
+          col("director") === col("c_custkey"))
+        .join(broadcast(tbl(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("actor") === col("s_suppkey"))
+        .select(col("c_name").as("director_name"), col("s_name").as("actor_name"), col("cnt"))
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1180,6 +1200,15 @@ object SparkEntry {
 
     "q82_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q90_muses" ->
+      ("WITH cd AS (SELECT o_custkey AS director, o_orderkey AS movie FROM orders), " +
+        "ca AS (SELECT l_suppkey AS actor, l_orderkey AS movie FROM lineitem), " +
+        "cc AS (SELECT director, actor, COUNT(*) AS cnt FROM cd JOIN ca USING (movie) GROUP BY 1, 2), " +
+        "mx AS (SELECT director, actor, cnt, MAX(cnt) OVER (PARTITION BY director) AS maxc FROM cc) " +
+        "SELECT c_name AS director_name, s_name AS actor_name, cnt FROM mx " +
+        "JOIN customer ON director = c_custkey JOIN supplier ON actor = s_suppkey " +
+        "WHERE cnt > 1 AND cnt >= maxc - 1"),
 
     "q88_stream_sessions" ->
       // same sessionization oracle as batch q46 (streaming twin)
