@@ -657,6 +657,30 @@ object SparkEntry {
         .select(col("c_name").as("director_name"), col("s_name").as("actor_name"), col("cnt"))
     }),
 
+    // Hive-partitioned write + pruned read-back: the filter on the partition
+    // column resolves against directory names (PartitionFilters), so only
+    // the 'click' partition's files are ever opened
+    "q91_partition_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val ev = tbl(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.ops.Layout.writePartitioned(ev, dir, Seq("event_type"))
+      s.read.parquet(dir).where(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    }),
+
+    // Single-pass portable describe (count/mean/variance/stddev/min/max in
+    // one aggregation — the reference's stats/summarize banana-fusion shape)
+    "q92_stats" -> ((s, d) =>
+      graft.lib.Stats.describeExact(tbl(s, d, "lineitem"), "l_quantity")),
+
+    // Int8 scalar quantization of the embedding column (absmax scaling)
+    "q93_quantize" -> ((s, d) =>
+      graft.ops.Similarity.quantizeInt8(tbl(s, d, "embeddings"))
+        .select(col("vec_id"), col("absmax"), col("qvec"))),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1200,6 +1224,31 @@ object SparkEntry {
 
     "q82_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q91_partition_prune" ->
+      ("SELECT user_id, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1"),
+
+    "q92_stats" ->
+      // same fixed double-op sequence as Stats.describeExact over exact
+      // decimal sums — bit-identical across engines
+      ("WITH a AS (SELECT COUNT(l_quantity) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_x, " +
+        "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sumsq, " +
+        "MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem), " +
+        "m AS (SELECT n, sum_x / n AS mean, sumsq, mn, mx FROM a) " +
+        "SELECT n, mean, (sumsq - ((mean * mean) * n)) / (n - 1) AS variance, " +
+        "sqrt((sumsq - ((mean * mean) * n)) / (n - 1)) AS stddev, mn, mx FROM m"),
+
+    "q93_quantize" ->
+      ("SELECT vec_id, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax, " +
+        "CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0.0 " +
+        "THEN list_transform(embedding, x -> 0) " +
+        "ELSE list_transform(embedding, x -> CAST(floor(((CAST(x AS DOUBLE) * 127.0) / " +
+        "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)) " +
+        "END AS qvec FROM embeddings"),
 
     "q90_muses" ->
       ("WITH cd AS (SELECT o_custkey AS director, o_orderkey AS movie FROM orders), " +

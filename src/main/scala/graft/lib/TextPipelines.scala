@@ -46,6 +46,25 @@ object Stats {
       min(col(c)).as("mn"),
       max(col(c)).as("mx"))
 
+  /** Engine-portable describe: the order-dependent double sums are bridged
+    * through EXACT decimal aggregation (integer-valued columns stay exact
+    * through x·x), then mean/variance/stddev are a FIXED sequence of IEEE
+    * double ops on those exact sums — bit-identical on any engine, unlike
+    * [[describe]]'s native var_samp whose partial-merge order varies. */
+  def describeExact(df: DataFrame, c: String): DataFrame = {
+    val x = col(c)
+    val varExpr =
+      (col("sumsq") - ((col("mean") * col("mean")) * col("n"))) / (col("n") - 1)
+    df.agg(
+        count(x).as("n"),
+        sum(x.cast("decimal(18,4)")).cast("double").as("sum_x"),
+        sum((x * x).cast("decimal(28,8)")).cast("double").as("sumsq"),
+        min(x).as("mn"), max(x).as("mx"))
+      .withColumn("mean", col("sum_x") / col("n"))
+      .select(col("n"), col("mean"), varExpr.as("variance"),
+        sqrt(varExpr).as("stddev"), col("mn"), col("mx"))
+  }
+
   /** Typed single-pass (count, sum) via a product algebra — demonstrates the
     * Alg2 fusion path on arbitrary Scala monoids. */
   def countAndSum(bag: DataBag[Double]): (Long, Double) =

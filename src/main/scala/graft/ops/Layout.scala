@@ -27,6 +27,15 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Hive-style directory partitioning — the coarse half of scan pruning:
+    * a filter on a partition column is resolved against directory names at
+    * planning time (`PartitionFilters` in the scan), so other partitions'
+    * files are never opened. At 100 TB this is the difference between
+    * scanning one partition and listing the world; pair with [[zorderBy]]
+    * inside each partition for fine-grained row-group skipping. */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
   /** Cluster a frame by the Z-order of `cols` into `numFiles` range
     * partitions, each sorted internally — the write-side half of scan
     * pruning: per-file z ranges are disjoint, and every interleaved

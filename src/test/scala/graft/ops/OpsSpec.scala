@@ -281,6 +281,35 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     parts.sliding(2).foreach { case Array((_, hi1), (lo2, _)) => lo2 should be > hi1 }
   }
 
+  "Layout.writePartitioned" should "prune non-matching partitions at planning time" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    val df = (1L to 100L).map(i => (i, if (i % 4 == 0) "keep" else s"drop${i % 4}"))
+      .toDF("id", "kind")
+    Layout.writePartitioned(df, dir, Seq("kind"))
+    val pruned = spark.read.parquet(dir).where(col("kind") === "keep")
+    pruned.count() shouldBe 25
+    // the partition filter must resolve against directory names, not data:
+    // PartitionFilters carries the predicate and only one partition survives
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    scan.partitionFilters.map(_.sql).mkString(" ") should include ("kind")
+    scan.dataFilters shouldBe empty
+    scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .length shouldBe 1 // of 4 partition dirs, only "keep" survives pruning
+  }
+
+  "Similarity.quantizeInt8" should "absmax-scale into [-127, 127] and keep zeros" in {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df).select("vec_id", "qvec").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Int](1)).toMap
+    // absmax=1.0: 0.5*127+0.5 floor = 64 (63.5+0.5), -127, 32 (31.75+0.5=32.25)
+    r(1L) shouldBe Seq(64, -127, 32)
+    r(2L) shouldBe Seq(0, 0, 0)
+  }
+
   "TextAnalysis.scrubPii" should "redact emails, IPs, and phone numbers with typed tokens" in {
     val d = Seq(
       (1L, "mail me at jo.doe+x@corp.example.com or call +1 (555) 123-4567"),
