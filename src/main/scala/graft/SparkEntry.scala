@@ -657,6 +657,23 @@ object SparkEntry {
         .select(col("c_name").as("director_name"), col("s_name").as("actor_name"), col("cnt"))
     }),
 
+    // GD solver end-to-end (contract oracle): recover y = 2x + 1 from a
+    // lineitem-derived exact linear relation; the driver checks the
+    // convergence contract, not float weights
+    "q94_linreg" -> ((s, d) => {
+      import s.implicits._
+      // standardized feature (~zero mean, ~unit variance for 1..50) keeps
+      // the (w, bias) Hessian well-conditioned, so the decaying-rate solver
+      // converges in ~20 passes instead of hundreds
+      val xs = (col("l_quantity") - 25.5) / 14.43
+      val data = tbl(s, d, "lineitem").select(col("l_orderkey").as("id"),
+        array(xs).as("x"), (xs * 2.0 + 1.0).as("y"))
+      val (w, b, losses) = graft.lib.ML.linreg(data, dim = 1, lr = 0.8, iters = 15)
+      Seq((math.abs(w(0) - 2.0) < 0.1, math.abs(b - 1.0) < 0.1,
+        losses.last < losses.head))
+        .toDF("w_ok", "b_ok", "loss_decreasing")
+    }),
+
     // Hive-partitioned write + pruned read-back: the filter on the partition
     // column resolves against directory names (PartitionFilters), so only
     // the 'click' partition's files are ever opened
@@ -1224,6 +1241,9 @@ object SparkEntry {
 
     "q82_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q94_linreg" ->
+      "SELECT true AS w_ok, true AS b_ok, true AS loss_decreasing",
 
     "q91_partition_prune" ->
       ("SELECT user_id, COUNT(*) AS cnt, " +

@@ -66,24 +66,41 @@ object ML {
 
   // ------------------------------------------- linear models via batch GD
 
+  /** Loss functions for the GD solver (reference ml/optimization/loss/
+    * squared.scala, crossentropy.scala, hinge.scala). Labels are y ∈ {0,1}
+    * for logistic and hinge (hinge maps them to ±1 internally). */
+  sealed trait LossFn
+  case object SquaredLoss extends LossFn
+  case object LogisticLoss extends LossFn
+  case object HingeLoss extends LossFn
+
   /** One gradient pass: features = (id, x: array<double>), target (id, y).
     * Returns (grad: Array[Double], loss). The per-dimension sums run as a
     * single posexplode + (dim)-keyed aggregation — k·dim partial sums per
-    * partition, map-side combined. */
+    * partition, map-side combined. `err` is ∂loss/∂margin, so the gradient
+    * for every loss is the same Σ err·xᵢ shape. */
   private def gradientPass(data: DataFrame, w: Array[Double], bias: Double,
-      logistic: Boolean): (Array[Double], Double, Double) = {
+      lossFn: LossFn): (Array[Double], Double, Double) = {
     val spark = data.sparkSession
     val dim = w.length
     val wLit = array(w.map(lit): _*)
     val margin = aggregate(
       zip_with(col("x"), wLit, (xi, wi) => xi * wi), lit(bias), (a, b) => a + b)
-    val pred = if (logistic) lit(1.0) / (lit(1.0) + exp(-margin)) else margin
-    val err = (pred - col("y")).as("err")
-    val scored = data.select(col("x"), col("y"), err,
-      (if (logistic)
-        -(col("y") * log(greatest(pred, lit(1e-12))) +
-          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - pred, lit(1e-12))))
-      else (pred - col("y")) * (pred - col("y")) * 0.5).as("loss"))
+    val sigmoid = lit(1.0) / (lit(1.0) + exp(-margin))
+    val y2 = col("y") * 2.0 - 1.0 // {0,1} -> {-1,+1} for hinge
+    val err = (lossFn match {
+      case SquaredLoss  => margin - col("y")
+      case LogisticLoss => sigmoid - col("y")
+      case HingeLoss    => when(y2 * margin < 1.0, -y2).otherwise(lit(0.0))
+    }).as("err")
+    val lossCol = lossFn match {
+      case SquaredLoss  => (margin - col("y")) * (margin - col("y")) * 0.5
+      case LogisticLoss =>
+        -(col("y") * log(greatest(sigmoid, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - sigmoid, lit(1e-12))))
+      case HingeLoss    => greatest(lit(0.0), lit(1.0) - y2 * margin)
+    }
+    val scored = data.select(col("x"), col("y"), err, lossCol.as("loss"))
     // one job: per-dim sums carry the (identical) row count, so no separate
     // data.count() pass; rows with an empty x vanish from posexplode and are
     // deliberately excluded from n as well
@@ -106,10 +123,14 @@ object ML {
   /** Gradient descent (the reference's sgd.scala solver shape: loop,
     * learning-rate decay, seeded mini-batch sampling). `batchFraction` < 1
     * turns each pass into SGD over a deterministic per-iteration sample —
-    * the scale path when one full pass per step is too expensive. Returns
-    * (weights, bias, losses). */
+    * the scale path when one full pass per step is too expensive. `l2` adds
+    * ridge regularization (reference ml/optimization/regularization/
+    * l2.scala): the penalty touches only the driver-side weight vector, so
+    * it costs nothing distributed; the bias is conventionally unpenalized.
+    * Returns (weights, bias, losses). */
   def gd(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
-      logistic: Boolean = false, batchFraction: Double = 1.0,
+      lossFn: LossFn = SquaredLoss, l2: Double = 0.0,
+      batchFraction: Double = 1.0,
       seed: Long = 42L): (Array[Double], Double, Seq[Double]) = {
     var w = new Array[Double](dim)
     var b = 0.0
@@ -120,11 +141,16 @@ object ML {
       val rate = lr / math.sqrt(i + 1.0)
       val batch = if (batchFraction >= 1.0) cached
         else cached.sample(withReplacement = false, batchFraction, seed + i)
-      val (grad, gb, loss) = gradientPass(batch, w, b, logistic)
+      val (grad, gb, loss) = gradientPass(batch, w, b, lossFn)
+      var reg = 0.0
       var j = 0
-      while (j < dim) { w(j) -= rate * grad(j); j += 1 }
+      while (j < dim) {
+        reg += w(j) * w(j)
+        w(j) -= rate * (grad(j) + l2 * w(j))
+        j += 1
+      }
       b -= rate * gb
-      losses += loss
+      losses += loss + l2 / 2.0 * reg
       i += 1
     }
     cached.unpersist()
@@ -132,12 +158,19 @@ object ML {
   }
 
   /** Linear regression: data (id, x array<double>, y). */
-  def linreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50) =
-    gd(data, dim, lr, iters, logistic = false)
+  def linreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
+      l2: Double = 0.0) =
+    gd(data, dim, lr, iters, SquaredLoss, l2)
 
   /** Logistic regression: y ∈ {0,1}. */
-  def logreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50) =
-    gd(data, dim, lr, iters, logistic = true)
+  def logreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
+      l2: Double = 0.0) =
+    gd(data, dim, lr, iters, LogisticLoss, l2)
+
+  /** Linear SVM (hinge loss; y ∈ {0,1}, separating sign on the margin). */
+  def svm(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
+      l2: Double = 0.01) =
+    gd(data, dim, lr, iters, HingeLoss, l2)
 
   def predictLinear(data: DataFrame, w: Array[Double], bias: Double,
       logistic: Boolean = false): DataFrame = {
@@ -149,6 +182,16 @@ object ML {
   }
 
   // -------------------------------------------------------------- metrics
+
+  /** Regression errors from (y, pred) in one aggregation (reference
+    * ml/optimization/error/se.scala, mse.scala, rmse.scala). */
+  def evalRegression(scored: DataFrame): DataFrame =
+    scored.agg(
+      sum((col("pred") - col("y")) * (col("pred") - col("y"))).as("se"),
+      count(lit(1)).as("n"))
+      .select(col("n"), col("se"),
+        (col("se") / col("n")).as("mse"),
+        sqrt(col("se") / col("n")).as("rmse"))
 
   /** Classification metrics from (label, pred) — confusion-style folds
     * (reference ml/classification/eval.scala) in one aggregation. */

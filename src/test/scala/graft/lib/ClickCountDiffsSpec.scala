@@ -31,7 +31,7 @@ class ClickCountDiffsSpec extends AnyFlatSpec with Matchers {
     val data = (0 until 80).map(i => (i.toLong, Array(i / 40.0), 2.0 * (i / 40.0) + 1.0))
       .toDF("id", "x", "y")
     val (w, b, _) = ML.gd(data, dim = 1, lr = 0.8, iters = 150,
-      logistic = false, batchFraction = 0.5)
+      batchFraction = 0.5)
     w(0) shouldBe 2.0 +- 0.3
     b shouldBe 1.0 +- 0.3
   }

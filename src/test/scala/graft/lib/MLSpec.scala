@@ -90,4 +90,34 @@ class MLSpec extends AnyFlatSpec with Matchers {
     m.getAs[Double]("accuracy") should be > 0.9
     m.getAs[Double]("f1") should be > 0.9
   }
+
+  "ML.svm (hinge)" should "separate a 1-d threshold problem by margin sign" in {
+    val data = (0 until 40).map { i =>
+      val x = i / 20.0 - 1.0
+      (i.toLong, Array(x), if (x > 0) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+    val (w, b, losses) = ML.svm(data, dim = 1, lr = 1.0, iters = 80, l2 = 0.001)
+    val scored = ML.predictLinear(data, w, b) // raw margin
+      .join(data.select(col("id"), col("y").cast("int").as("label")), "id")
+      .select(col("label"), when(col("pred") > 0.0, 1).otherwise(0).as("pred"))
+    ML.evalBinary(scored).head().getAs[Double]("accuracy") should be > 0.9
+    losses.last should be < losses.head
+  }
+
+  "ML.gd with l2" should "shrink weights versus the unregularized fit" in {
+    val data = (0 until 50).map(i => (i.toLong, Array(i / 25.0), 2.0 * (i / 25.0) + 1.0))
+      .toDF("id", "x", "y")
+    val (w0, _, _) = ML.linreg(data, dim = 1, lr = 0.8, iters = 120)
+    val (wr, _, _) = ML.linreg(data, dim = 1, lr = 0.8, iters = 120, l2 = 0.5)
+    math.abs(wr(0)) should be < math.abs(w0(0))
+  }
+
+  "ML.evalRegression" should "compute se/mse/rmse in one pass" in {
+    val scored = Seq((1.0, 2.0), (3.0, 3.0), (0.0, 2.0)).toDF("y", "pred")
+    val m = ML.evalRegression(scored).head()
+    m.getAs[Long]("n") shouldBe 3L
+    m.getAs[Double]("se") shouldBe 5.0 +- 1e-12  // 1 + 0 + 4
+    m.getAs[Double]("mse") shouldBe (5.0 / 3) +- 1e-12
+    m.getAs[Double]("rmse") shouldBe math.sqrt(5.0 / 3) +- 1e-12
+  }
 }
