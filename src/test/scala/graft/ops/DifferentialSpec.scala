@@ -98,6 +98,56 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "quantizeInt8" should "match a driver-side absmax quantizer" in {
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.fill(rnd.nextInt(8) + 1)((rnd.nextFloat() - 0.5f) * 4f)))
+    val got = Similarity.quantizeInt8(vecs.toDF("vec_id", "embedding"))
+      .select("vec_id", "qvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val absmax = v.map(x => math.abs(x.toDouble)).max
+      val exp =
+        if (absmax == 0.0) v.map(_ => 0).toSeq
+        else v.map(x => math.floor(x.toDouble * 127.0 / absmax + 0.5).toInt).toSeq
+      got(id) shouldBe exp
+    }
+  }
+
+  "Stats.describeExact" should "match driver-side exact moments" in {
+    val xs = (1 to 500).map(_ => rnd.nextInt(100).toDouble)
+    val row = graft.lib.Stats.describeExact(xs.map(Tuple1(_)).toDF("x"), "x").head()
+    val n = xs.size
+    val mean = xs.sum / n
+    val variance = (xs.map(x => x * x).sum - mean * mean * n) / (n - 1)
+    row.getAs[Long]("n") shouldBe n.toLong
+    row.getAs[Double]("mean") shouldBe mean +- 1e-9
+    row.getAs[Double]("variance") shouldBe variance +- 1e-6
+    row.getAs[Double]("stddev") shouldBe math.sqrt(variance) +- 1e-9
+    row.getAs[Double]("mn") shouldBe xs.min
+    row.getAs[Double]("mx") shouldBe xs.max
+  }
+
+  "directorsMuses" should "match a brute-force group/max computation" in {
+    val credits = (1 to 300).map { _ =>
+      val dir = rnd.nextInt(8).toLong
+      val mov = rnd.nextInt(30).toLong
+      if (rnd.nextBoolean()) (dir, mov, "director") else (dir + 100L, mov, "actor")
+    }
+    val got = graft.lib.Collaborations.directorsMuses(
+        credits.toDF("personID", "movieID", "creditType"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ds = credits.filter(_._3 == "director")
+    val as = credits.filter(_._3 == "actor")
+    val counts = (for {
+      (d, md, _) <- ds; (a, ma, _) <- as; if md == ma
+    } yield (d, a)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val exp = counts.filter { case ((d, _), c) =>
+      val mx = counts.collect { case ((`d`, _), cc) => cc }.max
+      c > 1 && c >= mx - 1
+    }
+    got shouldBe exp
+  }
+
   "packByTokens" should "match a driver-side boundary-cut reference" in {
     val docs = (1L to 150L).map(i => (i, rnd.nextInt(300).toLong + 1L))
     val got = Packing.packByTokens(docs.toDF("doc_id", "nt"), col("doc_id"), col("nt"),
