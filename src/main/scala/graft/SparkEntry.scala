@@ -668,7 +668,7 @@ object SparkEntry {
       val xs = (col("l_quantity") - 25.5) / 14.43
       val data = tbl(s, d, "lineitem").select(col("l_orderkey").as("id"),
         array(xs).as("x"), (xs * 2.0 + 1.0).as("y"))
-      val (w, b, losses) = graft.lib.ML.linreg(data, dim = 1, lr = 0.8, iters = 15)
+      val (w, b, losses) = graft.lib.ML.linreg(data, dim = 1, lr = 0.8, iters = 10)
       Seq((math.abs(w(0) - 2.0) < 0.1, math.abs(b - 1.0) < 0.1,
         losses.last < losses.head))
         .toDF("w_ok", "b_ok", "loss_decreasing")

@@ -49,9 +49,14 @@ object KMeans {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
+    // identical tiny shuffles every round — AQE re-planning per action is
+    // pure overhead here (same rationale as ML.gd, measured there at ~40%)
+    val sess = vectors.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
     var iter = 0
     var moved = true
-    while (iter < maxIter && moved) {
+    try while (iter < maxIter && moved) {
       val assigned = pts.select(col("v"),
         nearestExpr(centroidLit(cents), col("v")).as("cluster"))
       // new centroids: mean per (cluster, dim) — ONE shuffled aggregation per
@@ -77,7 +82,7 @@ object KMeans {
       }
       cents = merged
       iter += 1
-    }
+    } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
     pts.unpersist()
     cents
   }

