@@ -698,6 +698,23 @@ object SparkEntry {
       graft.ops.Similarity.quantizeInt8(tbl(s, d, "embeddings"))
         .select(col("vec_id"), col("absmax"), col("qvec"))),
 
+    // Stream-stream interval self-join in the gate: both sides watermarked,
+    // join state purged past the ±1h bound — the genuinely-stateful join
+    // shape (not stream-static); Append mode emits matches as they join
+    "q95_stream_interval_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def src() = graft.streaming.Streams
+        .parquetFileStream(s, s"$d/events.parquet")
+        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      val l = src().select(col("user_id").as("k"), col("tsx"), col("event_id").as("lid"))
+      val r = src().select(col("user_id").as("k"), col("tsx"), col("event_id").as("rid"))
+      val j = graft.streaming.Streams
+        .intervalJoin(l, r, "k", "k", "tsx", "tsx", "36500 days", 3600L)
+        .select(col("k"), col("lid"), col("rid"))
+      graft.streaming.Streams.runToCompletion(j, s"q95_mem_${System.nanoTime}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1244,6 +1261,11 @@ object SparkEntry {
 
     "q94_linreg" ->
       "SELECT true AS w_ok, true AS b_ok, true AS loss_decreasing",
+
+    "q95_stream_interval_join" ->
+      ("SELECT l.user_id AS k, l.event_id AS lid, r.event_id AS rid " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts + INTERVAL 3600 SECOND"),
 
     "q91_partition_prune" ->
       ("SELECT user_id, COUNT(*) AS cnt, " +
