@@ -273,6 +273,16 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
 
   def collect(): Seq[A] = ds.collect().toSeq
 
+  /** Materialize into the closure-safe local bag (reference ScalaSeq). */
+  def local(): LocalBag[A] = new LocalBag(collect())
+
+  /** flatMap whose per-element result is a LOCAL bag — the reference's
+    * nested-comprehension shape (a comprehension over a ScalaSeq bag inside
+    * `flatMap`, SURVEY §7.4): the inner bag lives entirely inside the
+    * closure, so this is a narrow map, no nested distribution. */
+  def flatMapBag[B: Encoder](f: A => LocalBag[B]): DataBag[B] =
+    flatMap(x => f(x).values)
+
   /** Escape hatch to the native representation (reference `as[DColl]`). */
   def asDataset: Dataset[A] = ds
   def asRDD: org.apache.spark.rdd.RDD[A] = ds.rdd

@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.api.alg._
+
+/** The closure-safe local bag: fold parity with the distributed bag and the
+  * reference's nested-comprehension-in-flatMap shape. */
+class LocalBagSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val xs = Seq(3, 1, 4, 1, 5, 9, 2, 6)
+
+  "LocalBag folds" should "agree with DataBag folds on the same Alg algebras" in {
+    val local = LocalBag.of(xs)
+    val dist = new DataBag(spark.createDataset(xs))
+    local.size shouldBe dist.size
+    local.sum shouldBe dist.sum
+    local.min shouldBe dist.min
+    local.max shouldBe dist.max
+    local.count(_ % 2 == 0) shouldBe dist.count(_ % 2 == 0)
+    local.top(3) shouldBe dist.top(3)
+    local.bottom(3) shouldBe dist.bottom(3)
+    local.exists(_ > 8) shouldBe dist.exists(_ > 8)
+    local.forall(_ > 0) shouldBe dist.forall(_ > 0)
+    local.reduceOption(_ + _) shouldBe dist.reduceOption(_ + _)
+    local.fold(Fold(0, (x: Int) => x * x, (a: Int, b: Int) => a + b)) shouldBe
+      dist.fold(Fold(0, (x: Int) => x * x, (a: Int, b: Int) => a + b))
+  }
+
+  it should "support comprehensions, grouping, and bag equality" in {
+    val b = for {
+      x <- LocalBag(1, 2, 3)
+      y <- LocalBag("a", "b")
+    } yield (x, y)
+    b.size shouldBe 6
+    val grouped = LocalBag(1, 2, 3, 4, 5, 6).foldGroup(_ % 2, Sum(Numeric[Int]))
+      .collect().map(g => g.key -> g.values).toMap
+    grouped shouldBe Map(0 -> 12, 1 -> 9)
+    // multiset equality, order-insensitive
+    LocalBag(1, 2, 2) shouldBe LocalBag(2, 1, 2)
+    LocalBag(1, 2) should not be LocalBag(1, 2, 2)
+  }
+
+  "DataBag.flatMapBag" should "run a local-bag comprehension inside the closure" in {
+    val dist = new DataBag(spark.createDataset(Seq(1, 2, 3)))
+    // per-element local comprehension (the reference's DataBagSpec.scala:
+    // 186-199 shape): for each x, pair it with every smaller positive int
+    val out = dist.flatMapBag { x =>
+      for { y <- LocalBag((1 until x): _*) } yield (x, y)
+    }
+    out.collect().sorted shouldBe Seq((2, 1), (3, 1), (3, 2))
+    // and the inner bag can itself be folded inside the closure
+    val sums = dist.flatMapBag(x => LocalBag(LocalBag((1 to x): _*).sum))
+    sums.collect().sorted shouldBe Seq(1, 3, 6)
+  }
+}
