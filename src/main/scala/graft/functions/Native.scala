@@ -129,5 +129,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       Native.minhashFromSql _))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosineRule)
   }
 }
