@@ -589,7 +589,8 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-      graft.streaming.Streams.runToCompletion(agg, s"q76_mem_${System.nanoTime}")
+      graft.streaming.Streams.runToCompletion(agg, s"q76_mem_${System.nanoTime}",
+        statePartitions = Some(8))
     }),
 
     // Streaming stateful dedup in the gate: dropDuplicatesWithinWatermark
@@ -603,7 +604,7 @@ object SparkEntry {
         src, "tsx", "36500 days", Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
       graft.streaming.Streams.runToCompletion(dd, s"q82_mem_${System.nanoTime}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(), statePartitions = Some(8))
     }),
 
     // Streaming session windows in the gate: the same native session_window
@@ -619,7 +620,8 @@ object SparkEntry {
           date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("s_start"),
           date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("s_end"),
           col("user_id"), col("n_events"))
-      graft.streaming.Streams.runToCompletion(sess, s"q88_mem_${System.nanoTime}")
+      graft.streaming.Streams.runToCompletion(sess, s"q88_mem_${System.nanoTime}",
+        statePartitions = Some(8))
     }),
 
     // Stream-static enrichment in the gate: event stream broadcast-joined
@@ -634,7 +636,8 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
-      graft.streaming.Streams.runToCompletion(agg, s"q89_mem_${System.nanoTime}")
+      graft.streaming.Streams.runToCompletion(agg, s"q89_mem_${System.nanoTime}",
+        statePartitions = Some(8))
     }),
 
     // DirectorsMuses over TPC-H roles: customer "directs" its orders,
@@ -712,7 +715,7 @@ object SparkEntry {
         .intervalJoin(l, r, "k", "k", "tsx", "tsx", "36500 days", 3600L)
         .select(col("k"), col("lid"), col("rid"))
       graft.streaming.Streams.runToCompletion(j, s"q95_mem_${System.nanoTime}",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(), statePartitions = Some(8))
     }),
 
     // Gopher-style repetition quality signals (duplicate n-gram mass)

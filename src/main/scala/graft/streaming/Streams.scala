@@ -216,13 +216,25 @@ object Streams {
     * batch-equivalence bridge: the same plan that runs open-ended in
     * production can be pinned against a batch oracle in tests/gates. */
   def runToCompletion(agg: DataFrame, queryName: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      mode: OutputMode = OutputMode.Complete(),
+      statePartitions: Option[Int] = None): DataFrame = {
+    // A stateful query materializes one state store per shuffle partition
+    // per stateful operator PER MICRO-BATCH; for bounded drains the batch
+    // session's partition count is usually oversized — `statePartitions`
+    // right-sizes it for this query (the setting is pinned into the query's
+    // checkpoint at start, so the caller's session value is restored after).
+    val sess = agg.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p => sess.conf.set("spark.sql.shuffle.partitions", p.toString))
+    val q = try {
+      agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally statePartitions.foreach(_ =>
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts))
     q.awaitTermination()
     // table() binds the plan to the sink's relation during analysis, so the
     // temp view can be dropped immediately — otherwise every invocation pins
