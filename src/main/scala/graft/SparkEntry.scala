@@ -718,6 +718,23 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Append(), statePartitions = Some(8))
     }),
 
+    // mapGroupsWithState in the gate: per-key running (n, total, mean) via
+    // custom keyed state — the MutableBag streaming analogue. One input file
+    // → one micro-batch, so Update mode emits each key's final state once;
+    // integer-valued doubles keep the stateful sum exact in any order
+    "q96_stream_running" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val ev = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+        .select(concat(lit("u"), col("user_id")).as("key"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          (col("user_id") % 7).cast("double").as("value"))
+        .as[graft.streaming.Streams.KeyedEvent]
+      val out = graft.streaming.Streams.runningAgg(ev).toDF()
+      graft.streaming.Streams.runToCompletion(out, s"q96_mem_${System.nanoTime}",
+        org.apache.spark.sql.streaming.OutputMode.Update(), statePartitions = Some(8))
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1264,6 +1281,12 @@ object SparkEntry {
 
     "q94_linreg" ->
       "SELECT true AS w_ok, true AS b_ok, true AS loss_decreasing",
+
+    "q96_stream_running" ->
+      ("SELECT 'u' || CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n, " +
+        "CAST(CAST(SUM(user_id % 7) AS BIGINT) AS DOUBLE) AS total, " +
+        "CAST(CAST(SUM(user_id % 7) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean " +
+        "FROM events GROUP BY 1"),
 
     "q95_stream_interval_join" ->
       ("SELECT l.user_id AS k, l.event_id AS lid, r.event_id AS rid " +
