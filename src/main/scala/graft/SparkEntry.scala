@@ -735,6 +735,22 @@ object SparkEntry {
         org.apache.spark.sql.streaming.OutputMode.Update(), statePartitions = Some(8))
     }),
 
+    // GraphPreprocessing (IMDb examples): the labeled collaboration graph —
+    // one edge per (director, actor) carrying a fold over the pair's
+    // collaborations (here: n + latest movie key)
+    "q97_collab_edges" -> ((s, d) => {
+      val credits = tbl(s, d, "orders")
+        .select(col("o_custkey").as("personID"), col("o_orderkey").as("movieID"),
+          lit("director").as("creditType"))
+        .unionByName(tbl(s, d, "lineitem")
+          .select(col("l_suppkey").as("personID"), col("l_orderkey").as("movieID"),
+            lit("actor").as("creditType")))
+      graft.lib.Collaborations.collaborationEdges(credits,
+        struct(count(lit(1)).as("n"), max(col("movieID")).as("last_movie")))
+        .select(col("src"), col("dst"),
+          col("label.n").as("n"), col("label.last_movie").as("last_movie"))
+    }),
+
     // Gopher-style repetition quality signals (duplicate n-gram mass)
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(tbl(s, d, "documents"))),
@@ -1281,6 +1297,12 @@ object SparkEntry {
 
     "q94_linreg" ->
       "SELECT true AS w_ok, true AS b_ok, true AS loss_decreasing",
+
+    "q97_collab_edges" ->
+      ("WITH cd AS (SELECT o_custkey AS director, o_orderkey AS movie FROM orders), " +
+        "ca AS (SELECT l_suppkey AS actor, l_orderkey AS movie FROM lineitem) " +
+        "SELECT director AS src, actor AS dst, COUNT(*) AS n, MAX(movie) AS last_movie " +
+        "FROM cd JOIN ca USING (movie) GROUP BY 1, 2"),
 
     "q96_stream_running" ->
       ("SELECT 'u' || CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n, " +
