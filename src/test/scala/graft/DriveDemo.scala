@@ -146,6 +146,33 @@ object DriveDemo {
         pr.orderBy(col("rank_scaled").desc, col("vertex")).head().toSeq)
     }
 
+    // 6e. round-4 continuation: muses, portable stats, quantization, GD,
+    // closure-safe local bag
+    {
+      import org.apache.spark.sql.functions.{array, col, lit}
+      val credits = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_custkey").as("personID"), col("o_orderkey").as("movieID"),
+          lit("director").as("creditType"))
+        .unionByName(spark.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_suppkey").as("personID"), col("l_orderkey").as("movieID"),
+            lit("actor").as("creditType")))
+      println("muses pairs = " + graft.lib.Collaborations.directorsMuses(credits).count())
+      val st = graft.lib.Stats.describeExact(
+        spark.read.parquet(s"$sf/lineitem.parquet"), "l_quantity").head()
+      println(f"describeExact mean=${st.getAs[Double]("mean")}%.3f stddev=${st.getAs[Double]("stddev")}%.3f")
+      println("quantized rows = " + Similarity.quantizeInt8(
+        spark.read.parquet(s"$sf/embeddings.parquet")).count())
+      val xs = (col("l_quantity") - 25.5) / 14.43
+      val (w, b, _) = graft.lib.ML.linreg(
+        spark.read.parquet(s"$sf/lineitem.parquet")
+          .select(col("l_orderkey").as("id"), array(xs).as("x"), (xs * 2.0 + 1.0).as("y")),
+        dim = 1, lr = 0.8, iters = 8)
+      println(f"linreg w=${w(0)}%.3f b=$b%.3f")
+      val perElem = DataBag(Seq(2, 3, 4)).flatMapBag(x =>
+        for { y <- graft.api.LocalBag((1 until x): _*) } yield x * y)
+      println("localbag nested flatMap sum = " + perElem.sum)
+    }
+
     // 7. MutableBag update semantics
     val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
     val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(
