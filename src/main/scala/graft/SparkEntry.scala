@@ -848,8 +848,121 @@ object SparkEntry {
     "q79_domain_mix" -> ((s, d) =>
       Sampling.domainMix(tbl(s, d, "documents"), "source", col("doc_id"),
           mixTargets.toMap, 200L)
-        .select(col("doc_id"), col("source"), col("n_chars")))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // ---------------------------------------------------- round-4 additions
+
+    // Unpivot/melt: wide measure columns -> long (measure, value) rows via
+    // Spark's native Unpivot plan (one scan — not a UNION of 4 self-scans)
+    "q98_unpivot" -> ((s, d) =>
+      tbl(s, d, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")),
+
+    // MERGE-style upsert (ops.Upsert): matched keys take the source version,
+    // unmatched targets survive, new keys insert — one full-outer join
+    "q99_merge_upsert" -> ((s, d) => {
+      val c = tbl(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val updates = c.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit("*")).as("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      val inserts = c.where(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          col("c_acctbal"))
+      graft.ops.Upsert.upsert(c, updates.unionByName(inserts), Seq("c_custkey"))
+    }),
+
+    // Bounded-frontier BFS (Graphs.bfsHops): min-hop distances from hub
+    // vertices; each round joins only the NEW frontier against the edges
+    "q100_bfs" -> ((s, d) => {
+      val e0 = tbl(s, d, "orders")
+        .select((col("o_custkey") % 211).as("src"),
+          (col("o_orderkey") % 211).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = und.select(col("src").as("vertex"))
+        .where(col("vertex") % 50 === 0).distinct()
+      Graphs.bfsHops(und, sources, maxHops = 3)
+    }),
+
+    // Engine-portable higher moments: skewness/kurtosis per return flag from
+    // EXACT integer power sums (l_quantity is integral); only the final
+    // normalization runs in fixed-order double math, with sqrt instead of
+    // pow(x,1.5) because IEEE mandates correctly-rounded sqrt but not pow
+    "q101_moments" -> ((s, d) => {
+      val q = col("l_quantity").cast("long")
+      tbl(s, d, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+          sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+        .selectExpr("l_returnflag" +: "n" +: momentStep1: _*)
+        .selectExpr("l_returnflag" +: "n" +: "m1" +: momentStep2: _*)
+        .selectExpr("l_returnflag" +: "n" +: momentStep3: _*)
+    }),
+
+    // RANGE-frame window: per customer, business within 1000.00 of each
+    // order's price (integer cents -> frame sums are order-insensitive)
+    "q102_range_frame" -> ((s, d) => {
+      val o = tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("cents"))
+        .rangeBetween(-100000L, 0L)
+      o.select(col("o_orderkey"), col("o_custkey"), col("cents"),
+        sum(col("cents")).over(w).as("sum_band_cents"),
+        count(lit(1)).over(w).as("n_band"))
+    }),
+
+    // Mergeable distinct-count sketches: per-nation HLL sketches union'd
+    // into one global estimate — the scale path for distinct counts across
+    // partitions/days (sketches merge; exact sets don't). Contract: estimate
+    // within 5% of the exact count (both sides deterministic)
+    "q103_hll_merge" -> ((s, d) => {
+      val c = tbl(s, d, "customer")
+      val est = c.groupBy("c_nationkey")
+        .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      c.agg(countDistinct("c_custkey").as("exact_distinct")).crossJoin(est)
+        .select(col("exact_distinct"),
+          (abs(col("est") - col("exact_distinct")) <=
+            col("exact_distinct").cast("double") * 0.05).as("estimate_ok"))
+    }),
+
+    // SCD2 history build (ops.Upsert.scd2): per-user event_type version
+    // intervals via change-point detection + run collapse — one shuffle
+    "q104_scd2" -> ((s, d) => {
+      val ev = tbl(s, d, "events").where(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("t_us"))
+      graft.ops.Upsert.scd2(ev, "user_id", "event_type", Seq("t_us", "event_id"))
+    }),
+
+    // Exact heavy hitters without a full-vocabulary shuffle: per-partition
+    // Misra-Gries candidates (superset guarantee) + broadcast recount
+    "q105_heavy_hitters" -> ((s, d) => {
+      val toks = graft.ops.Par.spread(tbl(s, d, "documents"))
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      graft.ops.HeavyHitters.exactOverThreshold(toks, "tok", minFreq = 900L)
+    })
   )
+
+  /** Moment-normalization steps shared VERBATIM by q101's Spark
+    * `selectExpr` and its DuckDB oracle, so both engines execute the
+    * identical IEEE-754 expression tree (multiplication is left-associative
+    * in both parsers; every input is an exact integer-valued double). */
+  private val momentStep1 = Seq(
+    "cast(s1 as double) / cast(n as double) AS m1",
+    "cast(s2 as double) / cast(n as double) AS r2",
+    "cast(s3 as double) / cast(n as double) AS r3",
+    "cast(s4 as double) / cast(n as double) AS r4")
+  private val momentStep2 = Seq(
+    "r2 - m1*m1 AS m2",
+    "r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3",
+    "r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4")
+  private val momentStep3 = Seq(
+    "floor(m3 / sqrt(m2*m2*m2) * 1000000.0 + 0.5) / 1000000.0 AS skewness",
+    "floor((m4 / (m2*m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0 AS kurtosis")
 
   /** Shared by q79's query and oracle so the two always agree. */
   private val mixTargets: Seq[(String, Double)] = Seq(
@@ -1501,6 +1614,67 @@ object SparkEntry {
         "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN fr ON d.source = fr.domain " +
         "WHERE f >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
         "printf('%08x', least(CAST(floor(f * 4294967296.0) AS BIGINT), 4294967295))"
-    }
+    },
+
+    // ---------------------------------------------------- round-4 additions
+
+    "q98_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"),
+
+    "q99_merge_upsert" ->
+      ("WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "u AS (SELECT c_custkey, c_name || '*' AS c_name, c_acctbal + 1000.0 AS c_acctbal FROM t WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, c_name, c_acctbal FROM t WHERE c_custkey % 11 = 0) " +
+        "SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name, " +
+        "CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal " +
+        "FROM t FULL JOIN u ON t.c_custkey = u.c_custkey"),
+
+    "q100_bfs" ->
+      ("WITH RECURSIVE e AS (SELECT o_custkey % 211 AS src, o_orderkey % 211 AS dst " +
+        "FROM orders WHERE o_custkey % 211 <> o_orderkey % 211), " +
+        "und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e), " +
+        "r(vertex, d) AS (SELECT DISTINCT src, 0 FROM und WHERE src % 50 = 0 " +
+        "UNION SELECT und.dst, r.d + 1 FROM r JOIN und ON r.vertex = und.src WHERE r.d < 3) " +
+        "SELECT vertex, MIN(d) AS d FROM r GROUP BY vertex"),
+
+    "q101_moments" ->
+      ("WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem), " +
+        "a AS (SELECT l_returnflag, COUNT(*) AS n, SUM(qty) AS s1, SUM(qty*qty) AS s2, " +
+        "SUM(qty*qty*qty) AS s3, SUM(qty*qty*qty*qty) AS s4 FROM q GROUP BY 1), " +
+        s"b AS (SELECT l_returnflag, n, ${momentStep1.mkString(", ")} FROM a), " +
+        s"c AS (SELECT l_returnflag, n, m1, ${momentStep2.mkString(", ")} FROM b) " +
+        s"SELECT l_returnflag, n, ${momentStep3.mkString(", ")} FROM c"),
+
+    "q102_range_frame" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders) " +
+        "SELECT o_orderkey, o_custkey, cents, " +
+        "CAST(SUM(cents) OVER w AS BIGINT) AS sum_band_cents, COUNT(*) OVER w AS n_band " +
+        "FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY cents " +
+        "RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)"),
+
+    "q103_hll_merge" ->
+      "SELECT COUNT(DISTINCT c_custkey) AS exact_distinct, true AS estimate_ok FROM customer",
+
+    "q104_scd2" ->
+      ("WITH e AS (SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us " +
+        "FROM events WHERE user_id % 100 = 0), " +
+        "l AS (SELECT user_id, event_type, event_id, t_us, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev FROM e), " +
+        "f AS (SELECT user_id, event_type, event_id, t_us, " +
+        "CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l), " +
+        "g AS (SELECT user_id, event_type, t_us, SUM(chg) OVER " +
+        "(PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS run FROM f), " +
+        "r AS (SELECT user_id, run, MIN(event_type) AS event_type, MIN(t_us) AS valid_from FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, event_type, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS valid_to FROM r"),
+
+    "q105_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +
+        "SELECT tok AS item, COUNT(*) AS n FROM t WHERE length(tok) > 0 " +
+        "GROUP BY tok HAVING COUNT(*) >= 900")
   )
 }

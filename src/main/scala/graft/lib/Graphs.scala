@@ -213,4 +213,47 @@ object Graphs {
     }
     state.bag().ds
   }
+
+  /** Minimum-hop distances from a source vertex set by frontier BFS, bounded
+    * at `maxHops` rounds. Returns `(vertex, d)` for every vertex reachable in
+    * ≤ maxHops hops (sources at d = 0); min-hop semantics match
+    * `min(d)` over all paths of length ≤ maxHops (a vertex is first reached
+    * at its true distance, and never revisited).
+    *
+    * Scale shape: each round joins ONLY the frontier (new vertices) against
+    * the edge relation — the visited set never re-joins edges, so total join
+    * work is O(Σ frontier_i × avg-degree) = O(|E|) across the whole
+    * traversal, the same bound as one full edge pass. The edge relation is
+    * pre-partitioned by src once; the frontier (a distinct() output) arrives
+    * hash-partitioned on vertex, so rounds after the first exchange only the
+    * frontier. State is localCheckpoint'ed per round (plan depth stays O(1)).
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist()
+    e.count() // materialize once before the loop
+    var visited = sources.select(col("vertex")).distinct()
+      .withColumn("d", lit(0)).localCheckpoint()
+    var frontier = visited.select("vertex")
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = frontier.join(e, col("vertex") === col("src"))
+        .select(col("dst").as("vertex")).distinct()
+        .join(visited.select("vertex"), Seq("vertex"), "left_anti")
+        .withColumn("d", lit(hop))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        val grown = visited.union(next).localCheckpoint()
+        org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(visited)
+        visited = grown
+        frontier = next.select("vertex")
+      }
+    }
+    e.unpersist()
+    visited
+  }
 }

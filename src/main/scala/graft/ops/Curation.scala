@@ -16,7 +16,10 @@ object Curation {
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
     val cands = Dedup.minhashLSH(docs, textCol, bands, rowsPerBand, shingleN)
-    val sh = Dedup.shingles(docs, textCol, shingleN).localCheckpoint()
+    // hashed shingles: the verify step only joins/counts shingles, so the
+    // 8-byte token halves-to-thirds the materialized relation (see
+    // Dedup.hashedShingles)
+    val sh = Dedup.hashedShingles(docs, textCol, shingleN).localCheckpoint()
     Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
   }
 
@@ -74,8 +77,11 @@ object Curation {
     * counts, keyed by doc_id (uniform). */
   def contamination(docs: DataFrame, evalDocs: DataFrame,
       textCol: String = "text", shingleN: Int = 3): DataFrame = {
-    val sh = Dedup.shingles(docs, textCol, shingleN).localCheckpoint()
-    val evalSh = Dedup.shingles(evalDocs, textCol, shingleN)
+    // hashed shingles on BOTH sides: membership is an equality check, and the
+    // broadcast eval set shrinks to 8 bytes/shingle (more benchmarks fit
+    // under the broadcast threshold before falling back to a shuffle join)
+    val sh = Dedup.hashedShingles(docs, textCol, shingleN).localCheckpoint()
+    val evalSh = Dedup.hashedShingles(evalDocs, textCol, shingleN)
       .select("shingle").distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hit = sh.join(broadcast(evalSh), "shingle")

@@ -43,6 +43,17 @@ object Dedup {
     Par.spread(docs).where(size(split(trim(col(textCol)), "\\s+")) >= n)
       .select(col("doc_id"), explode(array_distinct(shingleArray(col(textCol), n))).as("shingle"))
 
+  /** [[shingles]] with the shingle collapsed to its xxhash64 token. For
+    * consumers that only ever compare shingles for equality (intersection
+    * joins, per-doc counts, contains-checks) the 8-byte token is
+    * semantics-preserving up to a ~2⁻⁶⁴-per-pair collision, and it shrinks
+    * the materialized relation and every downstream shuffle ~3-4× versus
+    * carrying ~25-byte shingle strings — at corpus scale the shingle
+    * relation IS the dominant shuffle, so this is the scale path. */
+  def hashedShingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+    shingles(docs, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** MinHash signature: engine-portable, deterministic. Hash functions come
     * in groups of four per md5 — hash i is the 8-hex-char (32-bit) chunk
     * `i%4` of `md5(i/4 || '-' || shingle)` — so K hashes cost ceil(K/4) md5
@@ -154,8 +165,10 @@ object Dedup {
     // The shingle relation feeds three consumers (both join sides + the
     // per-doc counts); localCheckpoint materializes it once instead of
     // re-running tokenize+shingle 3x. Blocks are freed by the ContextCleaner
-    // when the plan is GC'd.
-    val sh = shingles(docs, textCol, shingleN).localCheckpoint()
+    // when the plan is GC'd. Hashed shingles: only equality survives the
+    // pipeline (join + counts), so the 8-byte token cuts the checkpoint and
+    // both join-side shuffles ~3-4×.
+    val sh = hashedShingles(docs, textCol, shingleN).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // Band ids into width-maxIdGap buckets and make the bucket part of the
     // join key: a hot shingle shared by k docs otherwise pairs k² rows before

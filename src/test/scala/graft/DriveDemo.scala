@@ -173,6 +173,38 @@ object DriveDemo {
       println("localbag nested flatMap sum = " + perElem.sum)
     }
 
+    // 6f. round-4 additions: upsert/SCD2 table maintenance, bounded BFS,
+    // heavy hitters, unpivot
+    {
+      import org.apache.spark.sql.functions.{col, explode, lit, split, trim}
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val merged = graft.ops.Upsert.upsert(cust,
+        cust.limit(5).select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1.0).as("c_acctbal")), Seq("c_custkey"))
+      println("upsert rows = " + merged.count() + " (target " + cust.count() + ")")
+      val hist = graft.ops.Upsert.scd2(
+        spark.read.parquet(s"$sf/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").cast("long").as("t")),
+        "user_id", "event_type", Seq("t", "event_id"))
+      println("scd2 versions = " + hist.count() +
+        ", open = " + hist.where(col("valid_to").isNull).count())
+      val e0 = spark.read.parquet(s"$sf/orders.parquet")
+        .select((col("o_custkey") % 101).as("src"), (col("o_orderkey") % 101).as("dst"))
+      val bfs = graft.lib.Graphs.bfsHops(
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+        e0.select(col("src").as("vertex")).limit(1), maxHops = 2)
+      println("bfs reached = " + bfs.count() + " vertices in <=2 hops")
+      val toks = spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      println("heavy hitters (>=50) = " +
+        graft.ops.HeavyHitters.exactOverThreshold(toks, "tok", 50L).count())
+      println("unpivot rows = " + spark.read.parquet(s"$sf/lineitem.parquet")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_tax")), "measure", "value").count())
+    }
+
     // 7. MutableBag update semantics
     val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
     val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(

@@ -113,6 +113,23 @@ class GraphsSpec extends AnyFlatSpec with Matchers {
     r(3L) shouldBe 150000000L
   }
 
+  "bfsHops" should "compute bounded min-hop distances on a chain with a shortcut" in {
+    // 0→1→2→3→4→5 plus shortcut 0→3: d(3)=1 via the shortcut, not 3
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (0L, 3L))
+      .toDF("src", "dst")
+    val sources = Seq(0L).toDF("vertex")
+    val got = Graphs.bfsHops(edges, sources, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got shouldBe Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2, 5L -> 3)
+  }
+
+  it should "stop at maxHops and handle unreachable vertices" in {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val got = Graphs.bfsHops(edges, Seq(0L).toDF("vertex"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got shouldBe Map(0L -> 0, 1L -> 1, 2L -> 2) // 3 beyond bound, 8/9 unreachable
+  }
+
   "triangles" should "enumerate each triangle once" in {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 1L),
       (5L, 6L)).toDF("src", "dst")

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Specs for the table-maintenance + frequency operators added in round 4:
+  * MERGE-style upsert, SCD2 history build, and exact heavy hitters. */
+class MaintenanceSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  "Upsert.upsert" should "update matched keys, keep unmatched, insert new" in {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val source = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("k", "name", "bal")
+    val out = Upsert.upsert(target, source, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 9L)
+    out(1L) shouldBe ("a", 10.0)   // unmatched target survives untouched
+    out(2L) shouldBe ("B2", 99.0)  // matched: source version wholesale
+    out(9L) shouldBe ("new", 1.0)  // unmatched source inserts
+  }
+
+  it should "take the source row wholesale even when a source column is null" in {
+    val target = Seq((1L, "a")).toDF("k", "name")
+    val source = Seq((1L, null.asInstanceOf[String])).toDF("k", "name")
+    val out = Upsert.upsert(target, source, Seq("k")).collect()
+    out.head.isNullAt(1) shouldBe true // UPDATE SET *, not per-column coalesce
+  }
+
+  "Upsert.scd2" should "collapse runs into validity intervals" in {
+    // user 1: A(1,2) B(3) A(4) — the A at t=4 is a NEW version, not merged
+    // back into the first A run; user 2: single open version
+    val ev = Seq((1L, "A", 1L), (1L, "A", 2L), (1L, "B", 3L), (1L, "A", 4L),
+      (2L, "X", 5L)).toDF("user", "etype", "t")
+    val out = Upsert.scd2(ev, "user", "etype", Seq("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(x => (x._1, x._3 == -1L, x._3))
+    out shouldBe Array(
+      (1L, "A", 1L, 3L), (1L, "B", 3L, 4L), (1L, "A", 4L, -1L),
+      (2L, "X", 5L, -1L))
+  }
+
+  "HeavyHitters.exactOverThreshold" should "match a plain groupBy-having" in {
+    // skewed multiset across several partitions: hot items must survive the
+    // per-partition Misra-Gries pass and recount exactly
+    val items = spark.range(0, 10000).select(
+      when(col("id") % 2 === 0, lit("hot-a"))
+        .when(col("id") % 3 === 0, lit("hot-b"))
+        .otherwise(concat(lit("cold-"), col("id") % 997)).as("item"))
+      .repartition(8)
+    val expected = items.groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = HeavyHitters.exactOverThreshold(items, "item", 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+    got.keySet should contain allOf ("hot-a", "hot-b")
+  }
+
+  it should "be exact also when everything clears the threshold" in {
+    val items = Seq.fill(50)("x").zipWithIndex
+      .map { case (s, i) => s + (i % 2) }.toDF("item")
+    val got = HeavyHitters.exactOverThreshold(items, "item", 10L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("x0" -> 25L, "x1" -> 25L)
+  }
+}
