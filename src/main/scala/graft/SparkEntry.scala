@@ -944,6 +944,28 @@ object SparkEntry {
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
         .where(length(col("tok")) > 0)
       graft.ops.HeavyHitters.exactOverThreshold(toks, "tok", minFreq = 900L)
+    }),
+
+    // Streaming incremental upsert (foreachBatch + argmax-merge): maintain
+    // the per-user latest event as a serving table; batch-split-invariant,
+    // so the drained state must equal the batch latest-row-per-key query
+    "q106_stream_upsert" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("t_us"))
+      graft.streaming.Streams.latestStateUpsert(src,
+        Seq("user_id"), Seq("t_us", "event_id"))
+    }),
+
+    // Time-series regularization: per-user daily grid with forward-filled
+    // last observation (sequence-explode grid + two windows, all in-plan)
+    "q107_resample" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events").select(col("user_id"),
+        expr("ts div 1000").as("t_us"), col("value"), col("event_id"))
+      graft.ops.Resample.resampleFfill(ev, "user_id", "t_us", "value",
+        "event_id", stepUs = 86400000000L)
     })
   )
 
@@ -1675,6 +1697,24 @@ object SparkEntry {
     "q105_heavy_hitters" ->
       ("WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) " +
         "SELECT tok AS item, COUNT(*) AS n FROM t WHERE length(tok) > 0 " +
-        "GROUP BY tok HAVING COUNT(*) >= 900")
+        "GROUP BY tok HAVING COUNT(*) >= 900"),
+
+    "q106_stream_upsert" ->
+      ("WITH e AS (SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events), " +
+        "r AS (SELECT user_id, event_type, event_id, t_us, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn FROM e) " +
+        "SELECT user_id, event_type, event_id, t_us FROM r WHERE rn = 1"),
+
+    "q107_resample" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value, event_id FROM events), " +
+        "o AS (SELECT user_id, t_us // 86400000000 AS tick, t_us, value, event_id FROM e), " +
+        "n AS (SELECT user_id, tick, value, " +
+        "row_number() OVER (PARTITION BY user_id, tick ORDER BY t_us DESC, event_id DESC) AS rn FROM o), " +
+        "tv AS (SELECT user_id, tick, value FROM n WHERE rn = 1), " +
+        "sp AS (SELECT user_id, MIN(tick) AS t0, MAX(tick) AS t1 FROM tv GROUP BY 1), " +
+        "g AS (SELECT user_id, unnest(generate_series(t0, t1)) AS tick FROM sp) " +
+        "SELECT g.user_id, g.tick, last_value(tv.value IGNORE NULLS) OVER " +
+        "(PARTITION BY g.user_id ORDER BY g.tick ROWS UNBOUNDED PRECEDING) AS value " +
+        "FROM g LEFT JOIN tv ON g.user_id = tv.user_id AND g.tick = tv.tick")
   )
 }

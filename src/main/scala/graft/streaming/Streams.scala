@@ -243,4 +243,54 @@ object Streams {
     agg.sparkSession.catalog.dropTempView(queryName)
     out
   }
+
+  /** Incrementally maintain a per-key LATEST-row table over a stream — the
+    * `foreachBatch` + MERGE production pattern (a serving table fed by a
+    * change stream), expressed engine-natively. Each micro-batch collapses
+    * to its per-key latest row (greatest `orderCols`, compared
+    * lexicographically), then argmax-merges into the running state.
+    *
+    * Because the merge keeps the per-key MAXIMUM of (state ∪ batch), the
+    * final table is invariant to how the stream was split into batches —
+    * that's what makes it gateable against the batch "latest row per key"
+    * query, and what makes the production version safe under reprocessing
+    * (idempotent for any batch boundaries, including replays).
+    *
+    * `orderCols` must totally order rows within a key (append a unique
+    * tiebreaker) or the kept row is nondeterministic. Drains with
+    * `Trigger.AvailableNow` and returns the final state as a batch frame.
+    *
+    * Scale: state is one row per key; each batch costs one shuffle of
+    * (batch ∪ state) on the key columns. For truly large key spaces the
+    * state side should live in a keyed store (the state-store variant is
+    * [[runningAgg]]'s mapGroupsWithState); this formulation is the
+    * relational twin that any sink (parquet, JDBC, Delta-style MERGE)
+    * can consume per batch.
+    */
+  def latestStateUpsert(stream: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty,
+      "latestStateUpsert needs key and ordering columns")
+    import org.apache.spark.sql.expressions.Window
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
+    var state: DataFrame = null
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = latest(if (state == null) batch else state.unionByName(batch))
+          .localCheckpoint()
+        if (state != null)
+          org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(state)
+        state = merged
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (state == null) latest(stream.sparkSession.emptyDataFrame) else state
+  }
 }

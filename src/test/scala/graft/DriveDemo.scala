@@ -203,6 +203,18 @@ object DriveDemo {
       println("unpivot rows = " + spark.read.parquet(s"$sf/lineitem.parquet")
         .unpivot(Array(col("l_orderkey")),
           Array(col("l_quantity"), col("l_tax")), "measure", "value").count())
+      val resampled = Resample.resampleFfill(
+        spark.read.parquet(s"$sf/events.parquet")
+          .select(col("user_id"), col("ts").cast("long").as("t"),
+            col("value"), col("event_id")),
+        "user_id", "t", "value", "event_id", stepUs = 86400000000000L)
+      println("resampled grid rows = " + resampled.count() +
+        ", nulls = " + resampled.where(col("value").isNull).count())
+      val served = graft.streaming.Streams.latestStateUpsert(
+        graft.streaming.Streams.parquetFileStream(spark, s"$sf/events.parquet")
+          .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t")),
+        Seq("user_id"), Seq("t", "event_id"))
+      println("stream-upsert serving rows = " + served.count())
     }
 
     // 7. MutableBag update semantics

@@ -338,4 +338,22 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
       rows.filter(_._2 == "a").toSet
   }
+
+  "Resample.resampleFfill" should "grid, forward-fill gaps, and break ties by the latest observation" in {
+    // key a: ticks 0 (two obs, same ts -> tie on id), 1, gap at 2-3, obs at 4
+    // key b: single observation -> single-tick grid
+    val ev = Seq(
+      ("a", 5L, 1.0, 1L), ("a", 5L, 2.0, 2L),   // tick 0: id 2 wins
+      ("a", 19L, 3.0, 3L),                       // tick 1
+      ("a", 45L, 9.0, 4L),                       // tick 4
+      ("b", 23L, 7.0, 5L)                        // tick 2 only
+    ).toDF("k", "t_us", "v", "id")
+    val out = Resample.resampleFfill(ev, "k", "t_us", "v", "id", stepUs = 10L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    out shouldBe Map(
+      ("a", 0L) -> 2.0, ("a", 1L) -> 3.0,
+      ("a", 2L) -> 3.0, ("a", 3L) -> 3.0,       // forward fill across the gap
+      ("a", 4L) -> 9.0,
+      ("b", 2L) -> 7.0)
+  }
 }

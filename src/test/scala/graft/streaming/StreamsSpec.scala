@@ -205,4 +205,17 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
     out shouldBe Array(("a", 2L, 3.0), ("b", 1L, 5.0))
   }
+
+  "latestStateUpsert" should "converge to the batch latest-row-per-key" in {
+    val in = MemoryStream[(String, Long, Double)]
+    // two addData chunks: the argmax-merge must give the same answer no
+    // matter how the micro-batches split, including out-of-order arrival
+    // (k=a seq 3 arrives before seq 2)
+    in.addData(("a", 1L, 10.0), ("b", 1L, 100.0), ("a", 3L, 30.0))
+    in.addData(("a", 2L, 20.0), ("b", 2L, 200.0), ("c", 1L, 7.0))
+    val state = Streams.latestStateUpsert(
+      in.toDF.toDF("k", "seq", "v"), Seq("k"), Seq("seq"))
+    val got = state.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    got shouldBe Array(("a", 3L, 30.0), ("b", 2L, 200.0), ("c", 1L, 7.0))
+  }
 }
