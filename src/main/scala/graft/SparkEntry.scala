@@ -966,6 +966,58 @@ object SparkEntry {
         expr("ts div 1000").as("t_us"), col("value"), col("event_id"))
       graft.ops.Resample.resampleFfill(ev, "user_id", "t_us", "value",
         "event_id", stepUs = 86400000000L)
+    }),
+
+    // Higher-order array functions as a category: transform/filter/
+    // aggregate/sort/distinct on the token array, all inside whole-stage
+    // codegen (no explode, no shuffle — a pure map stage)
+    "q108_array_funcs" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n"),
+          size(filter(col("toks"), x => length(x) > 4)).cast("long").as("n_long"),
+          aggregate(transform(col("toks"), x => length(x).cast("long")),
+            lit(0L), (a, x) => a + x).as("total_len"),
+          element_at(sort_array(col("toks")), 1).as("first_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))),
+
+    // Fuzzy string matching: distinct-token pairs within edit distance 2,
+    // first-character blocking so the pair space is per-block quadratic
+    // rather than global (at corpus scale, block on a deletion-neighborhood
+    // or length+prefix key — same plan shape, finer blocks)
+    "q109_fuzzy_match" -> ((s, d) => {
+      val toks = tbl(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0).distinct()
+      val a = toks.as("a"); val b = toks.as("b")
+      a.join(b, substring(col("a.tok"), 1, 1) === substring(col("b.tok"), 1, 1) &&
+          col("a.tok") < col("b.tok") &&
+          levenshtein(col("a.tok"), col("b.tok")) <= 2)
+        .select(col("a.tok").as("tok1"), col("b.tok").as("tok2"),
+          levenshtein(col("a.tok"), col("b.tok")).as("dist"))
+    }),
+
+    // Per-source percentile length cut (ops.Curation.percentileCut): drop
+    // the longest 5% per source via the DISCRETE cume_dist threshold —
+    // engine-portable where interpolated percentiles are not
+    "q110_length_cut" -> ((s, d) =>
+      graft.ops.Curation.percentileCut(
+          tbl(s, d, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars", frac = 0.95)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cut"))),
+
+    // Bounded Bellman-Ford (Graphs.shortestPathsBounded): min path WEIGHT
+    // within 3 hops, integer min-plus arithmetic (exact, order-insensitive)
+    "q111_sssp" -> ((s, d) => {
+      val e = tbl(s, d, "orders")
+        .select((col("o_custkey") % 151).as("src"),
+          (col("o_orderkey") % 151).as("dst"),
+          (col("o_orderkey") % 7 + 1).as("w"))
+        .where(col("src") =!= col("dst"))
+      val sources = e.select(col("src").as("vertex"))
+        .where(col("vertex") % 40 === 0).distinct()
+      Graphs.shortestPathsBounded(e, sources, maxHops = 3)
     })
   )
 
@@ -1715,6 +1767,36 @@ object SparkEntry {
         "g AS (SELECT user_id, unnest(generate_series(t0, t1)) AS tick FROM sp) " +
         "SELECT g.user_id, g.tick, last_value(tv.value IGNORE NULLS) OVER " +
         "(PARTITION BY g.user_id ORDER BY g.tick ROWS UNBOUNDED PRECEDING) AS value " +
-        "FROM g LEFT JOIN tv ON g.user_id = tv.user_id AND g.tick = tv.tick")
+        "FROM g LEFT JOIN tv ON g.user_id = tv.user_id AND g.tick = tv.tick"),
+
+    "q108_array_funcs" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+        "SELECT doc_id, len(toks) AS n, " +
+        "CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long, " +
+        "CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS total_len, " +
+        "list_sort(toks)[1] AS first_tok, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct FROM t"),
+
+    "q109_fuzzy_match" ->
+      ("WITH t AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+        "v AS (SELECT tok FROM t WHERE length(tok) > 0) " +
+        "SELECT a.tok AS tok1, b.tok AS tok2, " +
+        "CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist FROM v a JOIN v b " +
+        "ON substr(a.tok, 1, 1) = substr(b.tok, 1, 1) AND a.tok < b.tok " +
+        "AND levenshtein(a.tok, b.tok) <= 2"),
+
+    "q110_length_cut" ->
+      ("WITH cd AS (SELECT doc_id, source, n_chars, " +
+        "cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd FROM documents), " +
+        "cuts AS (SELECT source, MIN(n_chars) AS cut FROM cd WHERE cd >= 0.95 GROUP BY 1) " +
+        "SELECT d.doc_id, d.source, d.n_chars, cut FROM documents d " +
+        "JOIN cuts USING (source) WHERE n_chars <= cut"),
+
+    "q111_sssp" ->
+      ("WITH RECURSIVE e AS (SELECT o_custkey % 151 AS src, o_orderkey % 151 AS dst, " +
+        "o_orderkey % 7 + 1 AS w FROM orders WHERE o_custkey % 151 <> o_orderkey % 151), " +
+        "r(vertex, d, h) AS (SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM e WHERE src % 40 = 0 " +
+        "UNION SELECT e.dst, r.d + e.w, r.h + 1 FROM r JOIN e ON r.vertex = e.src WHERE r.h < 3) " +
+        "SELECT vertex, MIN(d) AS d FROM r GROUP BY vertex")
   )
 }

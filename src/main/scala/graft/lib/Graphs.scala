@@ -228,6 +228,40 @@ object Graphs {
     * hash-partitioned on vertex, so rounds after the first exchange only the
     * frontier. State is localCheckpoint'ed per round (plan depth stays O(1)).
     */
+  /** Bounded Bellman-Ford: minimum path WEIGHT from a source set over at
+    * most `maxHops` edges. Returns `(vertex, d)`; unreachable-within-bound
+    * vertices are absent. Weights must be non-negative integers — integer
+    * min-plus arithmetic is exact and order-insensitive, so results are
+    * engine-portable (double path sums are neither).
+    *
+    * Round i+1 relaxes from the FULL current distance map:
+    * `d'(v) = min(d(v), min over edges (d(u) + w(u,v)))` — after k rounds
+    * d(v) is exactly the minimum over paths of ≤ k edges (the textbook
+    * invariant), which is what the recursive-CTE oracle computes. One
+    * shuffle per round (the min-aggregation keyed by vertex); the edge
+    * relation is pre-partitioned by src once and never moves again.
+    */
+  def shortestPathsBounded(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src")).persist()
+    e.count()
+    var dist = sources.select(col("vertex")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist.join(e, col("vertex") === col("src"))
+        .select(col("dst").as("vertex"), (col("d") + col("w")).as("d"))
+      val next = dist.union(relaxed)
+        .groupBy("vertex").agg(min("d").as("d"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst")).distinct()

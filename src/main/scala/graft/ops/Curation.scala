@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composed training-data curation pipelines — the end-to-end shapes a
@@ -64,6 +65,29 @@ object Curation {
         col("n_tokens").between(minTokens, maxTokens) &&
         col("alpha_ratio") >= minAlpha)
       .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("pred_lang"))
+  }
+
+  /** Per-group percentile cut for a curation signal: keep rows whose
+    * `valCol` does not exceed the group's `frac`-percentile (e.g. drop the
+    * longest 5% of documents per source — outlier-length docs are usually
+    * boilerplate/concatenation artifacts).
+    *
+    * DISCRETE percentile via `cume_dist` (share of rows ≤ this value), not
+    * interpolated: the threshold is an actual data value and every
+    * comparison is on input-typed values plus one IEEE division — portable
+    * across engines, where interpolated percentiles differ in the last ulp
+    * depending on the engine's lerp formula.
+    *
+    * One window + one tiny aggregate + one broadcast-sized join per group.
+    */
+  def percentileCut(df: DataFrame, groupCol: String, valCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    val wd = Window.partitionBy(groupCol).orderBy(valCol)
+    val cuts = df.withColumn("__cd", cume_dist().over(wd))
+      .where(col("__cd") >= frac)
+      .groupBy(groupCol).agg(min(col(valCol)).as("cut"))
+    df.join(broadcast(cuts), groupCol).where(col(valCol) <= col("cut"))
   }
 
   /** Benchmark-contamination check (decontamination pass): for every corpus

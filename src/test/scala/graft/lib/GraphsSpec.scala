@@ -123,6 +123,19 @@ class GraphsSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2, 5L -> 3)
   }
 
+  "shortestPathsBounded" should "prefer a cheap 2-hop path over an expensive direct edge" in {
+    // 0→2 direct costs 10; 0→1→2 costs 3; 2→3 within bound; self-loops absent
+    val edges = Seq((0L, 2L, 10L), (0L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val got = Graphs.shortestPathsBounded(edges, Seq(0L).toDF("vertex"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 3L, 3L -> 8L)
+    // with maxHops = 1 only direct edges count
+    Graphs.shortestPathsBounded(edges, Seq(0L).toDF("vertex"), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 0L, 1L -> 1L, 2L -> 10L)
+  }
+
   it should "stop at maxHops and handle unreachable vertices" in {
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
     val got = Graphs.bfsHops(edges, Seq(0L).toDF("vertex"), maxHops = 2)

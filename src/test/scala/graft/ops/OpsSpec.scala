@@ -339,6 +339,18 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       rows.filter(_._2 == "a").toSet
   }
 
+  "Curation.percentileCut" should "keep rows at or below the discrete per-group percentile" in {
+    // group g: values 1..10 -> p90 cut at cume_dist>=0.9 is 9 (9/10=0.9);
+    // group h: all equal values -> cume_dist=1 for every row, all kept
+    val df = ((1 to 10).map(i => ("g", i.toLong)) ++ Seq.fill(4)(("h", 5L)))
+      .toDF("src", "v")
+    val out = Curation.percentileCut(df, "src", "v", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.filter(_._1 == "g").map(_._2).sorted shouldBe (1L to 9L)
+    out.filter(_._1 == "g").map(_._3).distinct shouldBe Array(9L)
+    out.count(_._1 == "h") shouldBe 4
+  }
+
   "Resample.resampleFfill" should "grid, forward-fill gaps, and break ties by the latest observation" in {
     // key a: ticks 0 (two obs, same ts -> tie on id), 1, gap at 2-3, obs at 4
     // key b: single observation -> single-tick grid
