@@ -1018,6 +1018,29 @@ object SparkEntry {
       val sources = e.select(col("src").as("vertex"))
         .where(col("vertex") % 40 === 0).distinct()
       Graphs.shortestPathsBounded(e, sources, maxHops = 3)
+    }),
+
+    // Data-quality audit (ops.Audit): the pre-publish checks of an ingest
+    // pipeline as single-pass relational plans — null rates, key-uniqueness
+    // violations, referential orphans (with a deliberately broken FK side
+    // so the audit has something to catch)
+    "q112_audit" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+      val rates = graft.ops.Audit.nullRates(
+        li.select(col("l_orderkey"),
+          when(col("l_quantity") > 45, lit(null)).otherwise(col("l_quantity"))
+            .as("qty_censored")),
+        Seq("qty_censored"))
+      val dups = graft.ops.Audit.keyDuplicates(li, Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1)).as("dup_keys"))
+      val orphans = graft.ops.Audit.referentialOrphans(
+        li.withColumn("l_orderkey", col("l_orderkey") + 3), "l_orderkey",
+        tbl(s, d, "orders"), "o_orderkey")
+        .agg(count(lit(1)).as("n_orphans"))
+      rates.crossJoin(dups).crossJoin(orphans)
+        .select(col("n_rows"),
+          Portable.round(col("nullrate_qty_censored"), 6).as("null_rate"),
+          col("dup_keys"), col("n_orphans"))
     })
   )
 
@@ -1797,6 +1820,15 @@ object SparkEntry {
         "o_orderkey % 7 + 1 AS w FROM orders WHERE o_custkey % 151 <> o_orderkey % 151), " +
         "r(vertex, d, h) AS (SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM e WHERE src % 40 = 0 " +
         "UNION SELECT e.dst, r.d + e.w, r.h + 1 FROM r JOIN e ON r.vertex = e.src WHERE r.h < 3) " +
-        "SELECT vertex, MIN(d) AS d FROM r GROUP BY vertex")
+        "SELECT vertex, MIN(d) AS d FROM r GROUP BY vertex"),
+
+    "q112_audit" ->
+      ("SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows, " +
+        "(SELECT floor(AVG(CASE WHEN l_quantity > 45 THEN 1.0 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 " +
+        "FROM lineitem) AS null_rate, " +
+        "(SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "GROUP BY 1, 2 HAVING COUNT(*) > 1) t) AS dup_keys, " +
+        "(SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o " +
+        "ON l.l_orderkey + 3 = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans")
   )
 }

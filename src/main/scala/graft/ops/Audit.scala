@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit operators — the checks a production pipeline runs
+  * before publishing a table. Beyond-reference addition; each audit is a
+  * single aggregation or join expressed so the optimizer can fuse it with
+  * the producing plan (no row-at-a-time validation pass).
+  *
+  * Scale notes: `nullRates` and `keyDuplicates` are one map-side-combinable
+  * aggregation each; `referentialOrphans` is a left-anti join that
+  * broadcasts whenever the parent key set is small, and degrades to one
+  * hash-partitioned shuffle otherwise — the same cost the join the audit
+  * protects would pay.
+  */
+object Audit {
+
+  /** Per-column null fraction (one pass, one row):
+    * `avg(CASE WHEN col IS NULL THEN 1 ELSE 0 END)` per column — exact
+    * rationals k/n, so the doubles are engine-portable. */
+  def nullRates(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => avg(when(col(c).isNull, 1.0).otherwise(0.0))
+        .as(s"nullrate_$c")): _*)
+
+  /** Keys that violate uniqueness, with their multiplicities. */
+  def keyDuplicates(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+
+  /** Child rows whose foreign key has no match in the parent (orphans). */
+  def referentialOrphans(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+}

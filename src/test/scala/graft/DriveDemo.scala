@@ -215,6 +215,17 @@ object DriveDemo {
           .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t")),
         Seq("user_id"), Seq("t", "event_id"))
       println("stream-upsert serving rows = " + served.count())
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      println("audit orphans = " + graft.ops.Audit.referentialOrphans(
+        li, "l_orderkey", spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey").count() +
+        ", dup keys = " + graft.ops.Audit.keyDuplicates(
+          li, Seq("l_orderkey", "l_linenumber")).count())
+      println("sssp reached = " + graft.lib.Graphs.shortestPathsBounded(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .select((col("o_custkey") % 61).as("src"), (col("o_orderkey") % 61).as("dst"),
+            (col("o_orderkey") % 5 + 1).as("w"))
+          .where(col("src") =!= col("dst")),
+        Seq(0L).toDF("vertex"), maxHops = 2).count() + " vertices in <=2 hops")
     }
 
     // 7. MutableBag update semantics

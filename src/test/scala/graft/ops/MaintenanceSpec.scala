@@ -72,4 +72,17 @@ class MaintenanceSpec extends AnyFlatSpec with Matchers {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     got shouldBe Map("x0" -> 25L, "x1" -> 25L)
   }
+
+  "Audit" should "report null rates, duplicate keys, and orphans" in {
+    val child = Seq((1L, Some(1.0)), (1L, None), (2L, Some(3.0)), (9L, None))
+      .toDF("fk", "v")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rates = Audit.nullRates(child, Seq("v")).collect().head
+    rates.getLong(0) shouldBe 4L
+    rates.getDouble(1) shouldBe 0.5
+    Audit.keyDuplicates(child, Seq("fk")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe Map(1L -> 2L)
+    Audit.referentialOrphans(child, "fk", parent, "pk").collect()
+      .map(_.getLong(0)) shouldBe Array(9L)
+  }
 }
