@@ -291,6 +291,9 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (state == null) latest(stream.sparkSession.emptyDataFrame) else state
+    if (state != null) state
+    else // zero micro-batches: an empty frame with the STREAM's schema
+      stream.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
   }
 }

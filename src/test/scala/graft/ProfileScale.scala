@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe (test-scope main): replicate the documents table N× with
+  * shifted doc_ids and time the dedup/frequency pipelines at 1× vs N×.
+  * A healthy operator scales ~linearly in input volume here; anything
+  * super-linear (a join exploding in a hot bucket, a sketch that stopped
+  * pruning) shows up as a ratio well above N. Usage:
+  *   sbt "Test/runMain graft.ProfileScale [sfDir] [N]"
+  */
+object ProfileScale {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val n = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .appName("profile-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val maxId = docs1.agg(max("doc_id")).head().getLong(0) + 1
+    val docsN = (0 until n).map(i => docs1.select(
+        (col("doc_id") + lit(i * maxId)).as("doc_id"), col("text")))
+      .reduce(_ union _).repartition(32).localCheckpoint()
+
+    def time(label: String)(f: => Long): Double = {
+      val t0 = System.nanoTime(); val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-28s $secs%7.2f s   rows=$rows")
+      secs
+    }
+
+    println(s"== ${docs1.count()} docs at 1x, ${docsN.count()} at ${n}x ==")
+    val j1 = time("jaccard 1x")(ops.Dedup.ngramJaccard(docs1, maxIdGap = 5).count())
+    val jN = time(s"jaccard ${n}x")(ops.Dedup.ngramJaccard(docsN, maxIdGap = 5).count())
+    val h1 = time("heavy-hitters 1x")(ops.HeavyHitters.exactOverThreshold(
+      docs1.select(explode(split(trim(col("text")), "\\s+")).as("tok")), "tok", 100L).count())
+    val hN = time(s"heavy-hitters ${n}x")(ops.HeavyHitters.exactOverThreshold(
+      docsN.select(explode(split(trim(col("text")), "\\s+")).as("tok")), "tok", 100L).count())
+    val l1 = time("lsh candidates 1x")(ops.Dedup.minhashLSH(docs1).count())
+    val lN = time(s"lsh candidates ${n}x")(ops.Dedup.minhashLSH(docsN).count())
+    println(f"ratios at ${n}x: jaccard=${jN / j1}%.1f heavy=${hN / h1}%.1f lsh=${lN / l1}%.1f (linear would be <= $n)")
+    spark.stop()
+  }
+}
