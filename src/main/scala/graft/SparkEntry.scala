@@ -1041,7 +1041,31 @@ object SparkEntry {
         .select(col("n_rows"),
           Portable.round(col("nullrate_qty_censored"), 6).as("null_rate"),
           col("dup_keys"), col("n_orphans"))
-    })
+    }),
+
+    // Sweep-line concurrency (ops.Sweep): peak simultaneous signup sessions
+    // per day — O(n log n) two-level prefix scan where the naive
+    // formulation is a quadratic interval self-join
+    "q113_max_concurrent" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hourUs = 3600000000L; val dayUs = 86400000000L
+      val iv = tbl(s, d, "events").where(col("event_type") === "signup")
+        .select(expr("ts div 1000").as("start_us"),
+          (expr("ts div 1000") + hourUs).as("end_us"))
+      graft.ops.Sweep.concurrency(iv, "start_us", "end_us", bucketUs = dayUs)
+        .where(col("delta") === 1)
+        .groupBy(expr(s"t div $dayUs").as("day"))
+        .agg(max("conc").as("max_conc"), count(lit(1)).as("n_starts"))
+    }),
+
+    // Aggregation-based argmax: top-1 per group as max(struct(ordering...))
+    // — map-side combinable, no sort, no window shuffle+sort; THE top-1
+    // pattern at scale (a window row_number pays a full sort per partition)
+    "q114_argmax_agg" -> ((s, d) =>
+      tbl(s, d, "orders").groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("best_order"),
+          col("m.o_totalprice").as("best_price")))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1829,6 +1853,19 @@ object SparkEntry {
         "(SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem " +
         "GROUP BY 1, 2 HAVING COUNT(*) > 1) t) AS dup_keys, " +
         "(SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o " +
-        "ON l.l_orderkey + 3 = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans")
+        "ON l.l_orderkey + 3 = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans"),
+
+    "q113_max_concurrent" ->
+      ("WITH iv AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS e FROM events WHERE event_type = 'signup'), " +
+        "ev AS (SELECT s AS t, 1 AS delta FROM iv UNION ALL SELECT e, -1 FROM iv), " +
+        "c AS (SELECT t, delta, SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc FROM ev) " +
+        "SELECT t // 86400000000 AS day, CAST(MAX(conc) AS BIGINT) AS max_conc, COUNT(*) AS n_starts " +
+        "FROM c WHERE delta = 1 GROUP BY 1"),
+
+    "q114_argmax_agg" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders) " +
+        "SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price FROM r WHERE rn = 1")
   )
 }

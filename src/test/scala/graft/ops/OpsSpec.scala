@@ -339,6 +339,16 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       rows.filter(_._2 == "a").toSet
   }
 
+  "Sweep.concurrency" should "count open intervals with exclusive ends across bucket boundaries" in {
+    // [0,10) [5,15) [10,20): at t=10 the first has CLOSED (end exclusive),
+    // so conc=2 there, not 3; bucketUs=8 forces carry-in across buckets
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L)).toDF("s", "e")
+    val conc = Sweep.concurrency(iv, "s", "e", bucketUs = 8L)
+      .where(col("delta") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    conc shouldBe Map(0L -> 1L, 5L -> 2L, 10L -> 2L)
+  }
+
   "Curation.percentileCut" should "keep rows at or below the discrete per-group percentile" in {
     // group g: values 1..10 -> p90 cut at cume_dist>=0.9 is 9 (9/10=0.9);
     // group h: all equal values -> cume_dist=1 for every row, all kept
