@@ -162,4 +162,44 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
       }
     }
   }
+
+  "Sweep.concurrency" should "match a brute-force open-interval count on random intervals" in {
+    val ivs = (1 to 200).map { _ =>
+      val s = rnd.nextInt(1000).toLong
+      (s, s + 1 + rnd.nextInt(150))
+    }
+    val got = Sweep.concurrency(ivs.toDF("s", "e"), "s", "e", bucketUs = 64L)
+      .where(col("delta") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    // brute force: at each start t, count intervals with s <= t < e; tied
+    // starts share the count of ALL intervals starting at t (the sweep
+    // assigns prefix ranks within the tie, so compare per-t multisets of
+    // the FINAL rank = brute count down to brute count - ties + 1)
+    ivs.map(_._1).distinct.foreach { t =>
+      val open = ivs.count { case (s, e) => s <= t && t < e }
+      val ties = ivs.count(_._1 == t)
+      val concs = got.filter(_._1 == t).map(_._2).sorted
+      concs shouldBe ((open - ties + 1).toLong to open.toLong).toVector
+    }
+  }
+
+  "Resample.resampleFfill" should "match a brute-force grid fill on random series" in {
+    val ev = (1 to 300).map { i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(400).toLong, rnd.nextInt(50).toDouble, i.toLong)
+    }
+    val got = Resample.resampleFfill(ev.toDF("k", "t", "v", "id"),
+        "k", "t", "v", "id", stepUs = 25L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    ev.groupBy(_._1).foreach { case (k, es) =>
+      val ticks = es.map(_._2 / 25L)
+      for (tick <- ticks.min to ticks.max) {
+        // latest event at-or-before this tick's end, by (t, id)
+        val best = es.filter(_._2 / 25L <= tick).maxBy(e => (e._2, e._4))
+        withClue(s"key $k tick $tick: ") { got((k, tick)) shouldBe best._3 }
+      }
+    }
+    got.size shouldBe ev.groupBy(_._1).map { case (_, es) =>
+      val ticks = es.map(_._2 / 25L); ticks.max - ticks.min + 1
+    }.sum
+  }
 }
