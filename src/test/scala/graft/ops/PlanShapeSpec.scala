@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Physical-plan shape assertions for the scale-relevant claims the ops
+  * make in their docs — if a future change regresses one of these into a
+  * slower plan (a window where an aggregate suffices, a shuffle where a
+  * broadcast suffices), these fail before any benchmark notices. */
+class PlanShapeSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  "argmax via max(struct)" should "plan as a hash aggregate with no window or sort" in {
+    val df = Seq((1L, 10.0, 100L), (1L, 20.0, 101L), (2L, 5.0, 102L))
+      .toDF("k", "price", "id")
+      .groupBy("k").agg(max(struct(col("price"), col("id"))).as("m"))
+      .select(col("k"), col("m.id").as("best"))
+    val plan = physical(df)
+    plan should include("Aggregate")
+    plan should not include "Window"
+    plan should not include regex("(?i)sortexec")
+  }
+
+  "Curation.percentileCut" should "broadcast the per-group cuts" in {
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toLong)).toDF("src", "v")
+    val plan = physical(Curation.percentileCut(df, "src", "v", 0.9))
+    plan should include("BroadcastHashJoin")
+  }
+
+  "HeavyHitters recount" should "broadcast the candidate set" in {
+    val items = spark.range(0, 1000)
+      .select(concat(lit("w"), col("id") % 7).as("item"))
+    val plan = physical(HeavyHitters.exactOverThreshold(items, "item", 10L))
+    plan should include("BroadcastHashJoin")
+  }
+
+  "Dedup.hashedShingles" should "carry the shingle as an 8-byte token, not a string" in {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    Dedup.hashedShingles(docs).schema("shingle").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    // and ngramJaccard consumes the hashed relation (its join key is long)
+    val joined = Dedup.ngramJaccard(docs)
+    joined.collect().length shouldBe 1 // (1,2) pair still scores
+  }
+}
