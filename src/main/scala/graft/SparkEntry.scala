@@ -1065,7 +1065,23 @@ object SparkEntry {
       tbl(s, d, "orders").groupBy("o_custkey")
         .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
         .select(col("o_custkey"), col("m.o_orderkey").as("best_order"),
-          col("m.o_totalprice").as("best_price")))
+          col("m.o_totalprice").as("best_price"))),
+
+    // Ordered aggregation: per-user event-type sequence (first 5, by time)
+    // — collect_list carries no order, so the portable form is
+    // sort_array over structs whose leading fields are the sort key
+    "q115_ordered_collect" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events").where(col("user_id") % 50 === 0)
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id"), col("event_type"))
+      ev.groupBy("user_id").agg(
+        slice(transform(
+            array_sort(collect_list(struct(col("t_us"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, 5).as("first5"),
+        count(lit(1)).as("n_events"))
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1866,6 +1882,12 @@ object SparkEntry {
     "q114_argmax_agg" ->
       ("WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders) " +
-        "SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price FROM r WHERE rn = 1")
+        "SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price FROM r WHERE rn = 1"),
+
+    "q115_ordered_collect" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id, event_type " +
+        "FROM events WHERE user_id % 50 = 0) " +
+        "SELECT user_id, list_slice(array_agg(event_type ORDER BY t_us, event_id), 1, 5) AS first5, " +
+        "COUNT(*) AS n_events FROM e GROUP BY 1")
   )
 }
