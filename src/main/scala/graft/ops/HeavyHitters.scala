@@ -33,9 +33,16 @@ object HeavyHitters {
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val vals = items.select(col(itemCol).cast("string").as("item"))
       .where(col("item").isNotNull)
-    // Pass 0: N fixes the MG capacity that makes the superset guarantee hold.
+    // Pass 0: N fixes the MG capacity that makes the superset guarantee
+    // hold. NO silent clamp: a capacity below N/minFreq would silently drop
+    // true heavy hitters, so an infeasible threshold is an error the caller
+    // must resolve (raise minFreq, or pre-aggregate into counted runs).
     val total = vals.count()
-    val capacity = math.min(math.max(total / minFreq + 1, 16L), 1000000L).toInt
+    val needed = total / minFreq + 1
+    require(needed <= 4000000L,
+      s"minFreq=$minFreq over $total items needs $needed Misra-Gries counters " +
+        "per partition (> 4M); raise minFreq or pre-aggregate the input")
+    val capacity = math.max(needed, 16L).toInt
     // Pass 1: Misra-Gries per partition. Admit new items while capacity
     // lasts; once full, decrement ALL counters instead of admitting (the
     // classical summary — each decrement "pays" with one occurrence of every
