@@ -1081,6 +1081,20 @@ object SparkEntry {
               col("event_type")))),
             x => x.getField("event_type")), 1, 5).as("first5"),
         count(lit(1)).as("n_events"))
+    }),
+
+    // Null-handling surface (DataFrameNaFunctions): fill / replace / drop
+    // over injected nulls, then an integer-cents aggregate
+    "q116_na_handling" -> ((s, d) => {
+      val ev = tbl(s, d, "events").select(col("user_id"),
+        when(col("value") < 1.0, lit(null)).otherwise(col("value")).as("v"),
+        when(col("event_type") === "click", lit(null)).otherwise(col("event_type"))
+          .as("et"))
+      ev.na.fill(Map("v" -> -5.0))
+        .na.replace("et", Map("signup" -> "SIGNUP"))
+        .na.drop(Seq("et"))
+        .groupBy("et").agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 100.0).cast("long")).as("sum_cents"))
     })
   )
 
@@ -1888,6 +1902,13 @@ object SparkEntry {
       ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id, event_type " +
         "FROM events WHERE user_id % 50 = 0) " +
         "SELECT user_id, list_slice(array_agg(event_type ORDER BY t_us, event_id), 1, 5) AS first5, " +
-        "COUNT(*) AS n_events FROM e GROUP BY 1")
+        "COUNT(*) AS n_events FROM e GROUP BY 1"),
+
+    "q116_na_handling" ->
+      ("WITH e AS (SELECT CASE WHEN value < 1.0 THEN -5.0 ELSE value END AS v, " +
+        "CASE WHEN event_type = 'signup' THEN 'SIGNUP' " +
+        "WHEN event_type = 'click' THEN NULL ELSE event_type END AS et FROM events) " +
+        "SELECT et, COUNT(*) AS n, CAST(SUM(CAST(floor(v * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM e WHERE et IS NOT NULL GROUP BY 1")
   )
 }
