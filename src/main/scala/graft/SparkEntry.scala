@@ -1095,6 +1095,26 @@ object SparkEntry {
         .na.drop(Seq("et"))
         .groupBy("et").agg(count(lit(1)).as("n"),
           sum(floor(col("v") * 100.0).cast("long")).as("sum_cents"))
+    }),
+
+    // Pure-SQL entry point: TPC-H Q3-style shipping priority through
+    // spark.sql over registered views — the same declarative text a SQL
+    // user would run, planned by the same session (incl. our extensions)
+    "q117_sql_entry" -> ((s, d) => {
+      tbl(s, d, "customer").createOrReplaceTempView("v_customer")
+      tbl(s, d, "orders").createOrReplaceTempView("v_orders")
+      tbl(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  COUNT(*) AS n_lines
+          |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+          |  JOIN v_lineitem ON o_orderkey = l_orderkey
+          |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          |GROUP BY o_orderkey
+          |ORDER BY revenue DESC, o_orderkey
+          |LIMIT 10""".stripMargin)
     })
   )
 
@@ -1909,6 +1929,15 @@ object SparkEntry {
         "CASE WHEN event_type = 'signup' THEN 'SIGNUP' " +
         "WHEN event_type = 'click' THEN NULL ELSE event_type END AS et FROM events) " +
         "SELECT et, COUNT(*) AS n, CAST(SUM(CAST(floor(v * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
-        "FROM e WHERE et IS NOT NULL GROUP BY 1")
+        "FROM e WHERE et IS NOT NULL GROUP BY 1"),
+
+    "q117_sql_entry" ->
+      ("SELECT o_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_lines " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' " +
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10")
   )
 }
