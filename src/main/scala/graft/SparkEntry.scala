@@ -1115,6 +1115,40 @@ object SparkEntry {
           |GROUP BY o_orderkey
           |ORDER BY revenue DESC, o_orderkey
           |LIMIT 10""".stripMargin)
+    }),
+
+    // Multiple DISTINCT aggregates in one pass — Catalyst plans this with
+    // Expand (one input replica per distinct set), the scalable alternative
+    // to self-joining per distinct column
+    "q118_multi_distinct" -> ((s, d) =>
+      tbl(s, d, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct("l_orderkey").as("d_orders"),
+        countDistinct("l_partkey").as("d_parts"),
+        countDistinct("l_suppkey", "l_partkey").as("d_supp_part"),
+        count(lit(1)).as("n"))),
+
+    // Correlated EXISTS subquery (SQL surface) — Catalyst decorrelates to a
+    // semi-join; the text stays declarative
+    "q119_exists_subquery" -> ((s, d) => {
+      tbl(s, d, "orders").createOrReplaceTempView("v_orders2")
+      tbl(s, d, "lineitem").createOrReplaceTempView("v_lineitem2")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM v_orders2 o
+          |WHERE EXISTS (SELECT 1 FROM v_lineitem2 l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+          |  AND NOT EXISTS (SELECT 1 FROM v_lineitem2 l
+          |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |""".stripMargin)
+    }),
+
+    // Schema evolution: unionByName(allowMissingColumns) across two vintages
+    // of a table (old rows lack the new column -> NULL-filled)
+    "q120_union_by_name" -> ((s, d) => {
+      val v1 = tbl(s, d, "customer").where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+      val v2 = tbl(s, d, "customer").where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      v1.unionByName(v2, allowMissingColumns = true)
     })
   )
 
@@ -1938,6 +1972,21 @@ object SparkEntry {
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON o_orderkey = l_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O' " +
-        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10")
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+
+    "q118_multi_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS d_orders, " +
+        "COUNT(DISTINCT l_partkey) AS d_parts, " +
+        "COUNT(DISTINCT (l_suppkey, l_partkey)) AS d_supp_part, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY 1"),
+
+    "q119_exists_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')"),
+
+    "q120_union_by_name" ->
+      ("SELECT c_custkey, c_name, NULL AS c_acctbal FROM customer WHERE c_custkey % 2 = 0 " +
+        "UNION ALL SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1")
   )
 }
