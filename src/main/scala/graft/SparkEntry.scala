@@ -1149,7 +1149,37 @@ object SparkEntry {
       val v2 = tbl(s, d, "customer").where(col("c_custkey") % 2 === 1)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       v1.unionByName(v2, allowMissingColumns = true)
-    })
+    }),
+
+    // Multiset bag algebra: EXCEPT ALL subtracts multiplicities (the true
+    // bag-difference for a duplicate-respecting DataBag)
+    "q121_except_all" -> ((s, d) => {
+      import s.implicits._
+      val a = DataBag.from(tbl(s, d, "lineitem").where(col("l_quantity") > 25)
+        .select(col("l_returnflag"), col("l_linestatus")).as[(String, String)])
+      val b = DataBag.from(tbl(s, d, "lineitem").where(col("l_quantity") > 40)
+        .select(col("l_returnflag"), col("l_linestatus")).as[(String, String)])
+      a.exceptAll(b).ds.toDF("rf", "ls")
+        .groupBy("rf", "ls").agg(count(lit(1)).as("n"))
+    }),
+
+    // Multiset bag algebra: INTERSECT ALL takes the minimum multiplicity
+    "q122_intersect_all" -> ((s, d) => {
+      import s.implicits._
+      val a = DataBag.from(tbl(s, d, "lineitem").where(col("l_quantity") > 25)
+        .select(col("l_returnflag"), col("l_linestatus")).as[(String, String)])
+      val b = DataBag.from(tbl(s, d, "lineitem").where(col("l_quantity") > 40)
+        .select(col("l_returnflag"), col("l_linestatus")).as[(String, String)])
+      a.intersectAll(b).ds.toDF("rf", "ls")
+        .groupBy("rf", "ls").agg(count(lit(1)).as("n"))
+    }),
+
+    // Exact k-per-group deterministic sample (ops.Sampling.stratifiedExactK):
+    // winners are a pure function of the ids — row-level oracle equality
+    "q123_exact_k_sample" -> ((s, d) =>
+      Sampling.stratifiedExactK(
+        tbl(s, d, "documents").select("doc_id", "source"),
+        "source", col("doc_id"), k = 20))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1987,6 +2017,23 @@ object SparkEntry {
 
     "q120_union_by_name" ->
       ("SELECT c_custkey, c_name, NULL AS c_acctbal FROM customer WHERE c_custkey % 2 = 0 " +
-        "UNION ALL SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1")
+        "UNION ALL SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1"),
+
+    "q121_except_all" ->
+      ("WITH a AS (SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem WHERE l_quantity > 25), " +
+        "b AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40), " +
+        "e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b) " +
+        "SELECT rf, ls, COUNT(*) AS n FROM e GROUP BY 1, 2"),
+
+    "q122_intersect_all" ->
+      ("WITH a AS (SELECT l_returnflag AS rf, l_linestatus AS ls FROM lineitem WHERE l_quantity > 25), " +
+        "b AS (SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40), " +
+        "e AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b) " +
+        "SELECT rf, ls, COUNT(*) AS n FROM e GROUP BY 1, 2"),
+
+    "q123_exact_k_sample" ->
+      ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk FROM documents) " +
+        "SELECT doc_id, source FROM r WHERE rk <= 20")
   )
 }

@@ -193,6 +193,12 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   /** Reference-absent freebies (SURVEY §2.4). */
   def intersect(that: DataBag[A]): DataBag[A] = new DataBag(ds.intersect(that.ds))
   def except(that: DataBag[A]): DataBag[A] = new DataBag(ds.except(that.ds))
+  /** MULTISET variants — the true bag algebra for a duplicate-respecting
+    * DataBag: element multiplicities subtract / take the minimum, matching
+    * SQL EXCEPT ALL / INTERSECT ALL. One shuffle each (hash-partitioned
+    * count-compare under the hood). */
+  def exceptAll(that: DataBag[A]): DataBag[A] = new DataBag(ds.exceptAll(that.ds))
+  def intersectAll(that: DataBag[A]): DataBag[A] = new DataBag(ds.intersectAll(that.ds))
 
   // ----------------------------------------------------------- partition ops
 

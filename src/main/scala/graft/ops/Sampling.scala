@@ -114,4 +114,23 @@ object Sampling {
       .where(col("__f") >= 1.0 || hashDraw(key) < thresholdHexCol)
       .drop("__domain", "__w", "__f")
   }
+
+  /** EXACT k rows per group, deterministic and engine-portable: rank rows
+    * within each group by the md5 draw of their key (tie-broken by the key
+    * itself — pass a unique id) and keep the k smallest. Unlike the
+    * fraction-based [[stratifiedHashSample]], group sizes are exact; unlike
+    * a reservoir, the winners are a pure function of the keys, so any
+    * engine at any parallelism selects the same rows.
+    *
+    * Scale: one shuffle on the group column + a per-group sort; for heavy
+    * groups the sort is the cost — route through `plans.TopKPerKey` (heap,
+    * no sort) when k is small and groups are huge. */
+  def stratifiedExactK(df: DataFrame, groupCol: String, key: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
 }

@@ -61,6 +61,16 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
       xs.distinct.diff(ys.distinct).sorted
   }
 
+  "intersectAll/exceptAll" should "use multiset (bag) semantics" in {
+    // Seq.diff/intersect ARE multiset ops — the exact contract exceptAll/
+    // intersectAll must match on a duplicate-heavy input
+    val as = Seq(1, 1, 1, 2, 2, 3, 5)
+    val bs = Seq(1, 2, 2, 2, 4)
+    bag(as).exceptAll(bag(bs)).collect().sorted shouldBe as.diff(bs).sorted
+    bag(as).intersectAll(bag(bs)).collect().sorted shouldBe
+      as.intersect(bs).sorted
+  }
+
   "folds" should "match Seq equivalents incl. empty-bag edge cases" in {
     val b = bag(xs)
     b.size shouldBe xs.size
