@@ -25,6 +25,9 @@ object Upsert {
     */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(target.columns.toSet.subsetOf(source.columns.toSet),
+      s"source is missing target columns: " +
+        (target.columns.toSet -- source.columns.toSet).mkString(", "))
     val dataCols = target.columns.filterNot(keys.contains).toSeq
     val t = target.as("t"); val s = source.as("s")
     // null-safe key equality: a NULL key in both sides should still match

@@ -163,6 +163,77 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "Upsert.upsert" should "match a brute-force map merge on random keyed tables" in {
+    val target = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(100), rnd.nextInt(100).toDouble))
+      .distinctBy(_._1)
+    val source = (1 to 60).map(_ => (rnd.nextInt(90).toLong, rnd.nextInt(100), rnd.nextInt(100).toDouble))
+      .distinctBy(_._1)
+    val got = Upsert.upsert(target.toDF("k", "a", "b"), source.toDF("k", "a", "b"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val expect = target.map(t => t._1 -> ((t._2, t._3))).toMap ++
+      source.map(s => s._1 -> ((s._2, s._3))).toMap
+    got shouldBe expect
+  }
+
+  "Upsert.scd2" should "match a brute-force run collapse on random event streams" in {
+    val ev = (1 to 400).map(i =>
+      (rnd.nextInt(8).toLong, s"s${rnd.nextInt(3)}", rnd.nextInt(50).toLong, i.toLong))
+    val got = Upsert.scd2(ev.toDF("k", "attr", "t", "id"), "k", "attr", Seq("t", "id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._4)).toList).toMap
+    val expect = ev.groupBy(_._1).view.mapValues { es =>
+      val ordered = es.sortBy(e => (e._3, e._4))
+      val runs = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+      for (e <- ordered)
+        if (runs.isEmpty || runs.last._1 != e._2) runs += ((e._2, e._3))
+      runs.toList.zipWithIndex.map { case ((attr, from), i) =>
+        val to = if (i + 1 < runs.size) runs(i + 1)._2 else -1L
+        (attr, from, to)
+      }
+    }.toMap
+    got.keySet shouldBe expect.keySet
+    for (k <- expect.keySet)
+      got(k).map(x => (x._2, x._3, x._4)) shouldBe expect(k)
+  }
+
+  "Graphs.bfsHops" should "match brute-force BFS on random digraphs" in {
+    val edges = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 7L)
+    val got = graft.lib.Graphs.bfsHops(edges.toDF("src", "dst"),
+        sources.toDF("vertex"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // brute BFS
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = sources.map(_ -> 0).toMap
+    var frontier = sources.toSet
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    got shouldBe dist
+  }
+
+  "Graphs.shortestPathsBounded" should "match hop-bounded DP on random weighted digraphs" in {
+    val edges = (1 to 250).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, (1 + rnd.nextInt(9)).toLong))
+      .filter(e => e._1 != e._2)
+    val sources = Seq(0L, 5L)
+    val got = graft.lib.Graphs.shortestPathsBounded(edges.toDF("src", "dst", "w"),
+        sources.toDF("vertex"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // DP: d[h][v] = min weight over paths of <= h edges
+    var d = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = edges.flatMap { case (s, t, w) => d.get(s).map(ds => t -> (ds + w)) }
+      d = (d.toSeq ++ relaxed).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    got shouldBe d
+  }
+
   "Sweep.concurrency" should "match a brute-force open-interval count on random intervals" in {
     val ivs = (1 to 200).map { _ =>
       val s = rnd.nextInt(1000).toLong
