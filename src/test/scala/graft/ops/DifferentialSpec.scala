@@ -163,6 +163,20 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "Curation.percentileCut" should "match a brute-force discrete percentile on random groups" in {
+    val rows = (1 to 500).map(_ => (s"g${rnd.nextInt(6)}", rnd.nextInt(40).toLong))
+    val got = Curation.percentileCut(rows.toDF("g", "v"), "g", "v", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.size.toDouble
+      // discrete cut: smallest v whose cume_dist (share of rows <= v) >= frac
+      val cut = vs.find(v => vs.count(_ <= v) / n >= 0.9).get
+      rs.filter(_._2 <= cut).map(r => (g, r._2))
+    }.sorted
+    got shouldBe expect
+  }
+
   "Upsert.upsert" should "match a brute-force map merge on random keyed tables" in {
     val target = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(100), rnd.nextInt(100).toDouble))
       .distinctBy(_._1)
@@ -178,10 +192,13 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
   "Upsert.scd2" should "match a brute-force run collapse on random event streams" in {
     val ev = (1 to 400).map(i =>
       (rnd.nextInt(8).toLong, s"s${rnd.nextInt(3)}", rnd.nextInt(50).toLong, i.toLong))
+    // runs can TIE on valid_from (t-ties split by id across attr changes),
+    // so compare per-key MULTISETS under one shared sort key, not run order
     val got = Upsert.scd2(ev.toDF("k", "attr", "t", "id"), "k", "attr", Seq("t", "id"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3)))
-      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._3, x._4)).toList).toMap
+      .groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3, x._4)).sorted.toList).toMap
     val expect = ev.groupBy(_._1).view.mapValues { es =>
       val ordered = es.sortBy(e => (e._3, e._4))
       val runs = scala.collection.mutable.ListBuffer.empty[(String, Long)]
@@ -190,11 +207,10 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
       runs.toList.zipWithIndex.map { case ((attr, from), i) =>
         val to = if (i + 1 < runs.size) runs(i + 1)._2 else -1L
         (attr, from, to)
-      }
+      }.sorted
     }.toMap
     got.keySet shouldBe expect.keySet
-    for (k <- expect.keySet)
-      got(k).map(x => (x._2, x._3, x._4)) shouldBe expect(k)
+    for (k <- expect.keySet) got(k) shouldBe expect(k)
   }
 
   "Graphs.bfsHops" should "match brute-force BFS on random digraphs" in {
