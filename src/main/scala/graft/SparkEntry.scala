@@ -1179,7 +1179,16 @@ object SparkEntry {
     "q123_exact_k_sample" -> ((s, d) =>
       Sampling.stratifiedExactK(
         tbl(s, d, "documents").select("doc_id", "source"),
-        "source", col("doc_id"), k = 20))
+        "source", col("doc_id"), k = 20)),
+
+    // ANSI-safety surface: Spark 4 runs ANSI mode (÷0 and overflow THROW);
+    // try_* is the explicit opt-out that yields NULL instead — the contract
+    // a pipeline needs when dirty data must not kill a 6-hour job
+    "q124_try_arithmetic" -> ((s, d) =>
+      tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, l_quantity - 25.0)").as("per_unit_off25"),
+        expr("try_add(abs(l_orderkey) + 1, 9223372036854775807)").as("overflow_null"),
+        expr("try_to_number(l_returnflag, '9')").cast("double").as("not_a_number")))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2034,6 +2043,13 @@ object SparkEntry {
     "q123_exact_k_sample" ->
       ("WITH r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rk FROM documents) " +
-        "SELECT doc_id, source FROM r WHERE rk <= 20")
+        "SELECT doc_id, source FROM r WHERE rk <= 20"),
+
+    "q124_try_arithmetic" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_quantity - 25.0 = 0.0 THEN NULL " +
+        "ELSE l_extendedprice / (l_quantity - 25.0) END AS per_unit_off25, " +
+        "CAST(NULL AS BIGINT) AS overflow_null, " +
+        "CAST(NULL AS DOUBLE) AS not_a_number FROM lineitem")
   )
 }
