@@ -67,12 +67,26 @@ object Features {
 
   /** Dictionary (index) encoding of a categorical column: dense 0-based codes
     * by frequency desc then value asc (reference encode.dict/index —
-    * deterministic). Returns (value, code); broadcast-join it onto data. */
+    * deterministic). Returns (value, code); broadcast-join it onto data.
+    *
+    * The global dense numbering is a range-partitioned sort +
+    * `zipWithIndex`, NOT a partition-less window: a high-cardinality
+    * dictionary (urls, tokens) would funnel every distinct value through
+    * one task under `row_number() over (order by ...)`, while the sort +
+    * zip stays distributed at any cardinality. */
   def dictionary(docs: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cnt").desc, col("value").asc)
-    docs.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("cnt"))
-      .select(col("value"), (row_number().over(w) - 1).as("code"))
+    val spark = docs.sparkSession
+    val counts = docs.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      counts.schema("value"),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    // zipWithIndex respects the sorted RDD's partition order, so indices are
+    // the same dense ranks the window produced — without the 1-task stage
+    val rows = counts.select("value").rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i.toInt) }
+    spark.createDataFrame(rows, schema)
   }
 
   /** k-fold assignment (reference ml/kfold.scala:24-50 — seeded deterministic
