@@ -1188,7 +1188,45 @@ object SparkEntry {
       tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         expr("try_divide(l_extendedprice, l_quantity - 25.0)").as("per_unit_off25"),
         expr("try_add(abs(l_orderkey) + 1, 9223372036854775807)").as("overflow_null"),
-        expr("try_to_number(l_returnflag, '9')").cast("double").as("not_a_number")))
+        expr("try_to_number(l_returnflag, '9')").cast("double").as("not_a_number"))),
+
+    // Malformed-input resilience: schema'd CSV read in DROPMALFORMED mode
+    // discards exactly the injected garbage lines; the aggregate over the
+    // survivors must equal the clean source table's
+    "q125_csv_malformed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+      val good = tbl(s, d, "nation").select(concat_ws("|",
+        col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+      val bad = s.createDataset(Seq(
+        "not|a|number|extra|cols", "xx|broken", "|||", "1|only-two"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("value")
+      good.unionAll(bad).coalesce(1).write.mode("overwrite").text(dir)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("sep", "|").option("mode", "DROPMALFORMED").csv(dir)
+        .where(col("n_regionkey").isNotNull) // partial casts survive DROPMALFORMED
+        .agg(count(lit(1)).as("n"), sum("n_nationkey").as("sum_keys"),
+          sum("n_regionkey").as("sum_regions"))
+    }),
+
+    // ORC round-trip: third columnar format beside parquet/csv/text
+    "q126_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      tbl(s, d, "supplier").write.mode("overwrite").orc(dir)
+      s.read.orc(dir).agg(count(lit(1)).as("n"),
+        countDistinct("s_nationkey").as("n_nations"),
+        sum(floor(col("s_acctbal") * 100.0).cast("long")).as("bal_cents"))
+    }),
+
+    // JSON-lines round-trip (schema'd read back — no sampling inference)
+    "q127_json_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val part = tbl(s, d, "part").select("p_partkey", "p_name", "p_retailprice")
+      part.write.mode("overwrite").json(dir)
+      s.read.schema(part.schema).json(dir)
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("p_retailprice") * 100.0).cast("long")).as("price_cents"),
+          max(length(col("p_name"))).as("max_name_len"))
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2050,6 +2088,19 @@ object SparkEntry {
         "CASE WHEN l_quantity - 25.0 = 0.0 THEN NULL " +
         "ELSE l_extendedprice / (l_quantity - 25.0) END AS per_unit_off25, " +
         "CAST(NULL AS BIGINT) AS overflow_null, " +
-        "CAST(NULL AS DOUBLE) AS not_a_number FROM lineitem")
+        "CAST(NULL AS DOUBLE) AS not_a_number FROM lineitem"),
+
+    "q125_csv_malformed" ->
+      ("SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys, " +
+        "CAST(SUM(n_regionkey) AS BIGINT) AS sum_regions FROM nation"),
+
+    "q126_orc_roundtrip" ->
+      ("SELECT COUNT(*) AS n, COUNT(DISTINCT s_nationkey) AS n_nations, " +
+        "CAST(SUM(CAST(floor(s_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS bal_cents FROM supplier"),
+
+    "q127_json_roundtrip" ->
+      ("SELECT COUNT(*) AS n, " +
+        "CAST(SUM(CAST(floor(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents, " +
+        "MAX(length(p_name)) AS max_name_len FROM part")
   )
 }
