@@ -226,6 +226,14 @@ object DriveDemo {
             (col("o_orderkey") % 5 + 1).as("w"))
           .where(col("src") =!= col("dst")),
         Seq(0L).toDF("vertex"), maxHops = 2).count() + " vertices in <=2 hops")
+      val flags = DataBag.from(spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_returnflag")).as[String])
+      println("bag exceptAll survivors = " +
+        flags.exceptAll(flags.withFilter(_ == "R")).size +
+        " of " + flags.size)
+      println("exact-k sample rows = " + graft.ops.Sampling.stratifiedExactK(
+        spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source"),
+        "source", col("doc_id"), k = 3).count())
     }
 
     // 7. MutableBag update semantics
