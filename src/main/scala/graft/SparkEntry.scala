@@ -1226,6 +1226,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("p_retailprice") * 100.0).cast("long")).as("price_cents"),
           max(length(col("p_name"))).as("max_name_len"))
+    }),
+
+    // Incremental aggregate maintenance (ops.Incremental): state built from
+    // history + today's delta partials merged ≡ the full recompute — the
+    // 100 TB path where publishing a table touches one day, not three years
+    "q128_incremental_agg" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events").select(
+        (col("user_id") % 100).as("bucket"), expr("ts div 1000").as("t_us"),
+        floor(col("value") * 100.0).cast("long").as("cents"))
+      val cutoff = ev.agg(expr("percentile(t_us, 0.8)")).head().getDouble(0)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("bucket").agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      graft.ops.Incremental.mergeAdditive(
+        partial(ev.where(col("t_us") < cutoff)),
+        partial(ev.where(col("t_us") >= cutoff)),
+        Seq("bucket"), Seq("n", "sum_cents"))
     })
   )
 
@@ -2101,6 +2118,13 @@ object SparkEntry {
     "q127_json_roundtrip" ->
       ("SELECT COUNT(*) AS n, " +
         "CAST(SUM(CAST(floor(p_retailprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents, " +
-        "MAX(length(p_name)) AS max_name_len FROM part")
+        "MAX(length(p_name)) AS max_name_len FROM part"),
+
+    "q128_incremental_agg" ->
+      // the merged state must equal the FULL recompute — so the oracle IS
+      // the full recompute
+      ("SELECT user_id % 100 AS bucket, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY 1")
   )
 }

@@ -73,6 +73,22 @@ class MaintenanceSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map("x0" -> 25L, "x1" -> 25L)
   }
 
+  "Incremental.mergeAdditive" should "equal the full recompute for any split" in {
+    val rows = (1 to 200).map(i => (i % 7L, (i % 13).toLong))
+    def agg(rs: Seq[(Long, Long)]) = rs.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val full = agg(rows)
+    for (split <- Seq(0, 1, 57, 200)) {
+      val (a, b) = rows.splitAt(split)
+      def df(rs: Seq[(Long, Long)]) = rs.groupBy(_._1).toSeq
+        .map { case (k, v) => (k, v.size.toLong, v.map(_._2).sum) }
+        .toDF("k", "n", "s")
+      val merged = Incremental.mergeAdditive(df(a), df(b), Seq("k"), Seq("n", "s"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      merged shouldBe full
+    }
+  }
+
   "Audit" should "report null rates, duplicate keys, and orphans" in {
     val child = Seq((1L, Some(1.0)), (1L, None), (2L, Some(3.0)), (9L, None))
       .toDF("fk", "v")
