@@ -46,17 +46,24 @@ object Bench {
     // subset while iterating; the driver leaves it unset (full run).
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSet).getOrElse(Set.empty)
+    // SPARK_GRAFT_REPS=N — time each query N times and report the MINIMUM
+    // (JIT/GC noise on shared machines reaches 2-4x per query; min-of-N is
+    // the stable statistic). The driver leaves it unset (1, same behavior).
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     // A failed query reports -1 (not its elapsed time) so breakage can't be
     // mistaken for a speedup in benchmark history; failures also get their
