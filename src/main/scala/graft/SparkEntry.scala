@@ -1243,7 +1243,17 @@ object SparkEntry {
         partial(ev.where(col("t_us") < cutoff)),
         partial(ev.where(col("t_us") >= cutoff)),
         Seq("bucket"), Seq("n", "sum_cents"))
-    })
+    }),
+
+    // Grouped closed-form OLS (ML.linregByGroup): per-segment trend in ONE
+    // combinable aggregation — no per-group solver loop; integral x/y keep
+    // every power sum exact in both engines
+    "q129_linreg_by_group" -> ((s, d) =>
+      graft.lib.ML.linregByGroup(
+        tbl(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").as("x"),
+          floor(col("l_extendedprice") * 100.0).as("y")),
+        "l_returnflag", "x", "y"))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2125,6 +2135,19 @@ object SparkEntry {
       // the full recompute
       ("SELECT user_id % 100 AS bucket, COUNT(*) AS n, " +
         "CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
-        "FROM events GROUP BY 1")
+        "FROM events GROUP BY 1"),
+
+    "q129_linreg_by_group" ->
+      ("WITH b AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(28,8)) AS x, " +
+        "CAST(floor(l_extendedprice * 100.0) AS DECIMAL(28,8)) AS y FROM lineitem), " +
+        "a AS (SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM b GROUP BY 1), " +
+        "c AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, " +
+        "CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd FROM a), " +
+        "s AS (SELECT l_returnflag, n, nd, sxd, syd, " +
+        "CASE WHEN nd * sxxd - sxd * sxd = 0.0 THEN NULL " +
+        "ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS slope FROM c) " +
+        "SELECT l_returnflag, n, floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope, " +
+        "floor((syd - slope * sxd) / nd * 1000000.0 + 0.5) / 1000000.0 AS intercept FROM s")
   )
 }

@@ -186,6 +186,35 @@ object ML {
   }
 
   /** Linear regression: data (id, x array<double>, y). */
+  /** Per-group simple OLS (closed form): slope/intercept/r of `yCol ~ xCol`
+    * within each group, from EXACT decimal power sums — ONE map-side
+    * combinable aggregation for any number of groups (no per-group solver
+    * loop), and engine-portable because only the final normalization runs
+    * in (fixed-order) double math. The grouped counterpart to the GD-based
+    * [[linreg]]; use it for per-segment trend features at corpus scale.
+    *
+    * Inputs are cast to DECIMAL(28,8) before summing, so Σx, Σy, Σxy, Σx²,
+    * Σy² are order-independent; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n. Groups where x is constant yield NULL
+    * slope/intercept (division by zero → try_divide semantics).
+    */
+  def linregByGroup(data: DataFrame, groupCol: String, xCol: String,
+      yCol: String, roundDigits: Int = 6): DataFrame = {
+    val dec = "decimal(28,8)"
+    val x = col(xCol).cast(dec); val y = col(yCol).cast(dec)
+    val g = data.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+    val denom = nd * sxx - sx * sx
+    val slope = when(denom =!= 0.0, (nd * sxy - sx * sy) / denom)
+    g.select(col(groupCol), col("n"),
+      graft.ops.Portable.round(slope, roundDigits).as("slope"),
+      graft.ops.Portable.round((sy - slope * sx) / nd, roundDigits).as("intercept"))
+  }
+
   def linreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
       l2: Double = 0.0) =
     gd(data, dim, lr, iters, SquaredLoss, l2)
