@@ -163,6 +163,29 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "ML.linregByGroup" should "recover exact lines and match brute OLS on random integer data" in {
+    // group a: exact line y = 3x + 7; group b: random ints; group c: constant x
+    val pts = (1 to 50).map(i => ("a", i.toLong, 3L * i + 7)) ++
+      (1 to 80).map(_ => ("b", rnd.nextInt(40).toLong, rnd.nextInt(500).toLong)) ++
+      (1 to 10).map(i => ("c", 5L, i.toLong))
+    val got = graft.lib.ML.linregByGroup(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) null else r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    got("a") shouldBe ((3.0, 7.0))
+    got("c") shouldBe ((null, null)) // constant x -> undefined slope
+    val bs = pts.filter(_._1 == "b")
+    val n = bs.size.toDouble
+    val (sx, sy) = (bs.map(_._2).sum.toDouble, bs.map(_._3).sum.toDouble)
+    val sxy = bs.map(p => p._2 * p._3).sum.toDouble
+    val sxx = bs.map(p => p._2 * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got("b")._1.asInstanceOf[Double] shouldBe
+      (math.floor(slope * 1e6 + 0.5) / 1e6) +- 1e-9
+    got("b")._2.asInstanceOf[Double] shouldBe
+      (math.floor((sy - slope * sx) / n * 1e6 + 0.5) / 1e6) +- 1e-9
+  }
+
   "Curation.percentileCut" should "match a brute-force discrete percentile on random groups" in {
     val rows = (1 to 500).map(_ => (s"g${rnd.nextInt(6)}", rnd.nextInt(40).toLong))
     val got = Curation.percentileCut(rows.toDF("g", "v"), "g", "v", 0.9)
