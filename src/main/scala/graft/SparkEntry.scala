@@ -1253,7 +1253,30 @@ object SparkEntry {
         tbl(s, d, "lineitem").select(col("l_returnflag"),
           col("l_quantity").as("x"),
           floor(col("l_extendedprice") * 100.0).as("y")),
-        "l_returnflag", "x", "y"))
+        "l_returnflag", "x", "y")),
+
+    // Numeric histogram: fixed-width value buckets in one combinable
+    // aggregation (the profile-a-column primitive behind every data-quality
+    // dashboard); integral bucket math — no binning-boundary float drift
+    "q130_histogram" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .groupBy((floor(col("o_totalprice") / 50000.0).cast("long") * 50000L).as("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100.0).cast("long")).as("sum_cents"))),
+
+    // FILTER-clause aggregates (SQL surface): per-flag conditional
+    // aggregation without self-joins or CASE pyramids
+    "q131_filtered_agg" -> ((s, d) => {
+      tbl(s, d, "lineitem").createOrReplaceTempView("v_li131")
+      s.sql(
+        """SELECT l_returnflag,
+          |  COUNT(*) AS n,
+          |  COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy,
+          |  SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+          |    FILTER (WHERE l_linestatus = 'F') AS cents_f,
+          |  MIN(l_quantity) FILTER (WHERE l_tax > 0.05) AS min_qty_taxed
+          |FROM v_li131 GROUP BY l_returnflag""".stripMargin)
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2148,6 +2171,20 @@ object SparkEntry {
         "CASE WHEN nd * sxxd - sxd * sxd = 0.0 THEN NULL " +
         "ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS slope FROM c) " +
         "SELECT l_returnflag, n, floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope, " +
-        "floor((syd - slope * sxd) / nd * 1000000.0 + 0.5) / 1000000.0 AS intercept FROM s")
+        "floor((syd - slope * sxd) / nd * 1000000.0 + 0.5) / 1000000.0 AS intercept FROM s"),
+
+    "q130_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000 AS bucket_lo, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders GROUP BY 1"),
+
+    "q131_filtered_agg" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, " +
+        "COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy, " +
+        "CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) " +
+        "FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS cents_f, " +
+        "MIN(l_quantity) FILTER (WHERE l_tax > 0.05) AS min_qty_taxed " +
+        "FROM lineitem GROUP BY l_returnflag")
   )
 }
