@@ -1276,6 +1276,26 @@ object SparkEntry {
           |    FILTER (WHERE l_linestatus = 'F') AS cents_f,
           |  MIN(l_quantity) FILTER (WHERE l_tax > 0.05) AS min_qty_taxed
           |FROM v_li131 GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // Point-in-time (temporal) join: facts against an SCD2 dimension —
+    // each purchase sees the event_type VERSION active at its timestamp
+    // (ops.Upsert.scd2 composed with ops.AsOf.asofJoin; no interval
+    // blow-up, one window pass)
+    "q132_scd2_join" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events").where(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("t_us"))
+      val hist = graft.ops.Upsert.scd2(ev, "user_id", "event_type",
+          Seq("t_us", "event_id"))
+        .select(col("user_id"), col("valid_from"), col("event_type"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("fact_id"), col("user_id"), col("t_us"))
+      AsOf.asofJoin(facts, hist, Seq("user_id"), "t_us", "valid_from",
+          Seq("event_type"), prefix = "v_")
+        .select(col("fact_id"), col("user_id"), col("t_us"),
+          col("v_event_type").as("active_version"))
     })
   )
 
@@ -2185,6 +2205,22 @@ object SparkEntry {
         "CAST(SUM(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) " +
         "FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS cents_f, " +
         "MIN(l_quantity) FILTER (WHERE l_tax > 0.05) AS min_qty_taxed " +
-        "FROM lineitem GROUP BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag"),
+
+    "q132_scd2_join" ->
+      ("WITH e AS (SELECT user_id, event_type, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us " +
+        "FROM events WHERE user_id % 20 = 0), " +
+        "l AS (SELECT user_id, event_type, event_id, t_us, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev FROM e), " +
+        "f AS (SELECT user_id, event_type, event_id, t_us, " +
+        "CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l), " +
+        "g AS (SELECT user_id, event_type, t_us, SUM(chg) OVER " +
+        "(PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS run FROM f), " +
+        "r AS (SELECT user_id, run, MIN(event_type) AS event_type, MIN(t_us) AS valid_from FROM g GROUP BY 1, 2), " +
+        "fact AS (SELECT event_id AS fact_id, user_id, t_us FROM e WHERE event_type = 'purchase'), " +
+        "j AS (SELECT fact_id, fa.user_id, fa.t_us, r.event_type, " +
+        "row_number() OVER (PARTITION BY fact_id ORDER BY r.valid_from DESC, r.event_type DESC) AS rn " +
+        "FROM fact fa JOIN r ON fa.user_id = r.user_id AND r.valid_from <= fa.t_us) " +
+        "SELECT fact_id, user_id, t_us, event_type AS active_version FROM j WHERE rn = 1")
   )
 }
