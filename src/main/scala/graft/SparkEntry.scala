@@ -1296,6 +1296,19 @@ object SparkEntry {
           Seq("event_type"), prefix = "v_")
         .select(col("fact_id"), col("user_id"), col("t_us"),
           col("v_event_type").as("active_version"))
+    }),
+
+    // SimHash near-dup PAIR join on the portable fingerprint: hamming
+    // distance via bit_count(xor) within a bounded id window — completes
+    // the simhash pipeline end-to-end (q68 gates the signatures)
+    "q133_simhash_pairs" -> ((s, d) => {
+      val sig = Dedup.simhashPortable(tbl(s, d, "documents"))
+      val a = sig.as("a"); val b = sig.as("b")
+      a.join(b, col("b.doc_id") > col("a.doc_id") &&
+          col("b.doc_id") - col("a.doc_id") <= 10)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .where(col("hamming") <= 4)
     })
   )
 
@@ -1347,6 +1360,22 @@ object SparkEntry {
     "pairs AS (SELECT id1, id2, jaccard FROM (SELECT id1, id2, " +
     "floor(CAST(c AS DOUBLE) / CAST(c1.n + c2.n - c AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
     s"FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id) x WHERE jaccard >= $threshold)"
+
+  /** 16-bit md5-derived portable simhash as DuckDB SQL — shared by q68
+    * (signatures) and q133 (hamming pair join). */
+  private val simhashPortableOracle: String = {
+    val hv = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+    val bitSums = (0 until 16).map(b =>
+      s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val assemble = (0 until 16).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    "WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, $hv AS hv FROM tk), " +
+      s"sx AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id) " +
+      s"SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sx"
+  }
 
   /** DuckDB oracle for each SQL-expressible query (same parquet tables
     * registered by table name). */
@@ -1640,20 +1669,14 @@ object SparkEntry {
       ("SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
 
-    "q68_simhash_portable" -> {
-      // 16-bit md5-derived simhash: hv = value of the first 4 hex chars
-      val hv = (1 to 4).map(i =>
-        s"(strpos('0123456789abcdef', substr(md5(tok), $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-        .mkString(" + ")
-      val bitSums = (0 until 16).map(b =>
-        s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
-      val assemble = (0 until 16).map(b =>
-        s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      "WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents), " +
-        s"h AS (SELECT doc_id, $hv AS hv FROM tk), " +
-        s"s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id) " +
-        s"SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM s"
-    },
+    "q68_simhash_portable" -> simhashPortableOracle,
+
+    "q133_simhash_pairs" ->
+      (s"WITH sim AS ($simhashPortableOracle) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sim a JOIN sim b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 10 " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 4"),
 
     "q65_dup_clusters" ->
       (s"WITH RECURSIVE $shingleCtes, $sigCte, $bandCtes, ${jaccardVerifySql(0.2)}, " +
