@@ -23,6 +23,8 @@ object Resample {
     * (`valCol` forward-filled; ticks before the first observation cannot
     * occur by construction). `tieCol` breaks ties among observations in the
     * same microsecond — pass a unique id to make the kept row total-ordered.
+    * Timestamps must be NON-NEGATIVE (`div` truncates toward zero; floor-
+    * division engines floor — negative ticks would diverge cross-engine).
     */
   def resampleFfill(df: DataFrame, key: String, tsUsCol: String,
       valCol: String, tieCol: String, stepUs: Long): DataFrame = {

@@ -24,6 +24,11 @@ object Sweep {
     * overlap it — ends sort before starts at equal t since -1 < +1).
     * `conc` at a +1 row is the number of open intervals including its own;
     * output is order-invariant under ties because tied rows share a delta.
+    *
+    * Times must be NON-NEGATIVE (epoch micros, positions): `div` truncates
+    * toward zero while floor-division engines (DuckDB `//`) floor, so
+    * negative times would bucket differently across engines — same contract
+    * as [[RangeJoin.intervalJoin]].
     */
   def concurrency(intervals: DataFrame, startCol: String, endCol: String,
       bucketUs: Long): DataFrame = {
