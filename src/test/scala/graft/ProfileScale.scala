@@ -44,6 +44,22 @@ object ProfileScale {
     val l1 = time("lsh candidates 1x")(ops.Dedup.minhashLSH(docs1).count())
     val lN = time(s"lsh candidates ${n}x")(ops.Dedup.minhashLSH(docsN).count())
     println(f"ratios at ${n}x: jaccard=${jN / j1}%.1f heavy=${hN / h1}%.1f lsh=${lN / l1}%.1f (linear would be <= $n)")
+
+    // similarity-search pillar: fixed query set, corpus replicated Nx
+    val emb1 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+    val maxVec = emb1.agg(max("vec_id")).head().getLong(0) + 1
+    val embN = (0 until n).map(i => emb1.select(
+        (col("vec_id") + lit(i * maxVec)).as("vec_id"), col("embedding")))
+      .reduce(_ union _).repartition(32).localCheckpoint()
+    val qs = emb1.where(col("vec_id") < 8)
+    val b1 = time("brute topk 1x")(ops.Similarity.cosineTopK(emb1, qs, k = 3).count())
+    val bN = time(s"brute topk ${n}x")(ops.Similarity.cosineTopK(embN, qs, k = 3).count())
+    val v1 = time("ivf topk 1x")(
+      ops.Similarity.ivfTopK(emb1, qs, k = 3, nlist = 8, nprobe = 2, maxIter = 4).count())
+    val vN = time(s"ivf topk ${n}x")(
+      ops.Similarity.ivfTopK(embN, qs, k = 3, nlist = 8, nprobe = 2, maxIter = 4).count())
+    println(f"ann ratios at ${n}x: brute=${bN / b1}%.1f ivf=${vN / v1}%.1f (linear would be <= $n)")
     spark.stop()
   }
 }
