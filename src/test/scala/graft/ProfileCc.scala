@@ -18,5 +18,19 @@ object ProfileCc {
       }
     }
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // graph-size scaling: alternating-star CC at growing vertex counts over
+    // the same 600k edge instances (rounds stay O(log n); per-round shuffle
+    // carries the distinct edge relation)
+    import org.apache.spark.sql.functions._
+    for (m <- Seq(53L, 1009L, 10007L)) {
+      val e = spark.read.parquet(s"$d/orders.parquet")
+        .select((col("o_custkey") % m).as("src"), (col("o_orderkey") % m).as("dst"))
+        .where(col("src") =!= col("dst"))
+      time(s"cc_alt vertices<=$m") {
+        lib.Graphs.connectedComponentsAlternating(e, spark)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
   }
 }
