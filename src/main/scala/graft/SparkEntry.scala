@@ -1298,6 +1298,16 @@ object SparkEntry {
           col("v_event_type").as("active_version"))
     }),
 
+    // Schema drift between two table vintages (ops.Audit.schemaDiff):
+    // added / removed / type-changed columns — the accept-or-quarantine
+    // check when an upstream delivery's schema moves; metadata-only
+    "q134_schema_drift" -> ((s, d) => {
+      val v1 = tbl(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      val v2 = tbl(s, d, "customer").select(
+        col("c_custkey").cast("double"), col("c_name"), col("c_acctbal"))
+      graft.ops.Audit.schemaDiff(v1, v2)
+    }),
+
     // SimHash near-dup PAIR join on the portable fingerprint: hamming
     // distance via bit_count(xor) within a bounded id window — completes
     // the simhash pipeline end-to-end (q68 gates the signatures)
@@ -1677,6 +1687,12 @@ object SparkEntry {
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
         "FROM sim a JOIN sim b ON b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 10 " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 4"),
+
+    "q134_schema_drift" ->
+      // the expected diff of the two fixed projections — customer loses
+      // c_comment, gains c_acctbal, and c_custkey widens to double
+      ("SELECT * FROM (VALUES ('c_acctbal', 'added'), ('c_mktsegment', 'removed'), " +
+        "('c_custkey', 'type_changed:bigint->double')) AS t(\"column\", change)"),
 
     "q65_dup_clusters" ->
       (s"WITH RECURSIVE $shingleCtes, $sigCte, $bandCtes, ${jaccardVerifySql(0.2)}, " +

@@ -34,4 +34,22 @@ object Audit {
   def referentialOrphans(child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame =
     child.join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+
+  /** Schema drift between two table vintages: one row per difference —
+    * `(column, change)` with change ∈ {added, removed, type_changed}.
+    * Drives the accept/quarantine decision when an upstream delivery's
+    * schema moves; purely metadata (no data scan). */
+  def schemaDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    val o = old.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = neu.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c => (c, "added")) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c => (c, "removed")) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, s"type_changed:${o(c)}->${n(c)}")
+      }
+    val spark = old.sparkSession
+    import spark.implicits._
+    rows.toDF("column", "change")
+  }
 }
