@@ -101,4 +101,14 @@ class MaintenanceSpec extends AnyFlatSpec with Matchers {
     Audit.referentialOrphans(child, "fk", parent, "pk").collect()
       .map(_.getLong(0)) shouldBe Array(9L)
   }
+
+  "Audit.schemaDiff" should "report added, removed, and type-changed columns" in {
+    val v1 = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    val v2 = Seq((1.0, "a", true)).toDF("id", "name", "active")
+    Audit.schemaDiff(v1, v2).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted shouldBe Array(
+      ("active", "added"), ("id", "type_changed:bigint->double"),
+      ("score", "removed"))
+    Audit.schemaDiff(v1, v1).count() shouldBe 0
+  }
 }
