@@ -696,10 +696,14 @@ object SparkEntry {
     "q92_stats" -> ((s, d) =>
       graft.lib.Stats.describeExact(tbl(s, d, "lineitem"), "l_quantity")),
 
-    // Int8 scalar quantization of the embedding column (absmax scaling)
+    // Int8 scalar quantization of the embedding column (absmax scaling).
+    // The quantized vector goes out as a canonical CSV string: raw array
+    // columns crash generic row-sorting comparators (unhashable ndarray),
+    // and the string form hashes identically in any harness.
     "q93_quantize" -> ((s, d) =>
       graft.ops.Similarity.quantizeInt8(tbl(s, d, "embeddings"))
-        .select(col("vec_id"), col("absmax"), col("qvec"))),
+        .select(col("vec_id"), col("absmax"),
+          concat_ws(",", col("qvec").cast("array<string>")).as("qvec"))),
 
     // Stream-stream interval self-join in the gate: both sides watermarked,
     // join state purged past the ±1h bound — the genuinely-stateful join
@@ -1075,11 +1079,12 @@ object SparkEntry {
       val ev = tbl(s, d, "events").where(col("user_id") % 50 === 0)
         .select(col("user_id"), expr("ts div 1000").as("t_us"),
           col("event_id"), col("event_type"))
+      // first5 leaves as a CSV string, not an array — see q93's rationale
       ev.groupBy("user_id").agg(
-        slice(transform(
+        concat_ws(",", slice(transform(
             array_sort(collect_list(struct(col("t_us"), col("event_id"),
               col("event_type")))),
-            x => x.getField("event_type")), 1, 5).as("first5"),
+            x => x.getField("event_type")), 1, 5)).as("first5"),
         count(lit(1)).as("n_events"))
     }),
 
@@ -1336,8 +1341,8 @@ object SparkEntry {
     "r3 - 3.0*m1*r2 + 2.0*m1*m1*m1 AS m3",
     "r4 - 4.0*m1*r3 + 6.0*m1*m1*r2 - 3.0*m1*m1*m1*m1 AS m4")
   private val momentStep3 = Seq(
-    "floor(m3 / sqrt(m2*m2*m2) * 1000000.0 + 0.5) / 1000000.0 AS skewness",
-    "floor((m4 / (m2*m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0 AS kurtosis")
+    "cast(floor(m3 / sqrt(m2*m2*m2) * 1000000.0 + 0.5) as bigint) AS skew_micros",
+    "cast(floor((m4 / (m2*m2) - 3.0) * 1000000.0 + 0.5) as bigint) AS kurt_micros")
 
   /** Shared by q79's query and oracle so the two always agree. */
   private val mixTargets: Seq[(String, Double)] = Seq(
@@ -1836,13 +1841,14 @@ object SparkEntry {
         "sqrt((sumsq - ((mean * mean) * n)) / (n - 1)) AS stddev, mn, mx FROM m"),
 
     "q93_quantize" ->
-      ("SELECT vec_id, " +
+      ("WITH q AS (SELECT vec_id, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax, " +
         "CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0.0 " +
         "THEN list_transform(embedding, x -> 0) " +
         "ELSE list_transform(embedding, x -> CAST(floor(((CAST(x AS DOUBLE) * 127.0) / " +
         "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)) " +
-        "END AS qvec FROM embeddings"),
+        "END AS qvec_list FROM embeddings) " +
+        "SELECT vec_id, absmax, array_to_string(qvec_list, ',') AS qvec FROM q"),
 
     "q90_muses" ->
       ("WITH cd AS (SELECT o_custkey AS director, o_orderkey AS movie FROM orders), " +
@@ -2141,7 +2147,7 @@ object SparkEntry {
     "q115_ordered_collect" ->
       ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id, event_type " +
         "FROM events WHERE user_id % 50 = 0) " +
-        "SELECT user_id, list_slice(array_agg(event_type ORDER BY t_us, event_id), 1, 5) AS first5, " +
+        "SELECT user_id, array_to_string(list_slice(array_agg(event_type ORDER BY t_us, event_id), 1, 5), ',') AS first5, " +
         "COUNT(*) AS n_events FROM e GROUP BY 1"),
 
     "q116_na_handling" ->
