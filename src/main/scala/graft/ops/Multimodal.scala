@@ -7,10 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque `binary`
   * columns with typed metadata structs. Decode/feature-extract runs as a
   * partition-local batch transform (`mapPartitions` over rows — the Scala
-  * analogue of `mapInPandas`): schema, partitioning, and batch shape are real;
-  * the codec itself is STUBBED with a deterministic fake (media libraries are
-  * not available in this environment — swap [[decodeStub]] for a real decoder
-  * in production).
+  * analogue of `mapInPandas`): schema, partitioning, and batch shape are real.
+  * Images use a REAL in-JVM codec ([[encodePng]]/[[decodeImage]]/
+  * [[resizeImages]], `javax.imageio` — PNG/JPEG/BMP ship with the JDK, zero
+  * external deps); audio/video decode has no in-JDK codec, so those paths keep
+  * the byte-level stand-ins ([[byteStats]], [[sampleFrames]]) whose plumbing
+  * is identical to what a JNI codec would slot into.
   *
   * Scale design: payloads never pass through a shuffle — feature extraction is
   * narrow (per-partition), and downstream joins/groupBys carry only the small
@@ -41,10 +43,10 @@ object Multimodal {
         (length(col(textCol)) % 480).cast("int").as("height"),
         lit(null).cast("int").as("sample_rate")).as("meta"))
 
-  /** STUB decoder: a real implementation would decode the image/audio payload
-    * here (e.g. via javax.imageio / a JNI codec). The fake is deterministic:
-    * "decoded" features are derived from the raw bytes only. */
-  private[ops] def decodeStub(payload: Array[Byte]): (Int, Long, Double) = {
+  /** Byte-level payload stats (length / rolling checksum / mean byte value) —
+    * the modality-agnostic feature path for payloads with no in-JDK codec
+    * (audio/video). Deterministic, derived from the raw bytes only. */
+  private[ops] def byteStats(payload: Array[Byte]): (Int, Long, Double) = {
     if (payload == null) (0, 0L, 0.0)
     else {
       var checksum = 0L
@@ -81,10 +83,143 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        val (n, checksum, luma) = decodeStub(payload)
+        val (n, checksum, luma) = byteStats(payload)
         Row(id, n, checksum, luma)
       }
     }
+
+  // ------------------------------------------------------------------ real
+  // image codec: javax.imageio (in-JDK, zero external deps). PNG is lossless,
+  // so encode→decode round-trips pixel-exactly — features extracted from the
+  // decoded raster are deterministic and oracle-computable.
+
+  /** Encode a solid-gray `width`×`height` PNG. Real bytes: the output starts
+    * with the PNG magic and only a correct decoder recovers the dimensions
+    * and pixel values from it. */
+  private[ops] def encodePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray & 0xff, gray & 0xff, gray & 0xff))
+      g2.fillRect(0, 0, width, height)
+    } finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: parse the payload with ImageIO and return
+    * (width, height, meanLuma). Luma is Rec.601 for color rasters, the single
+    * band for grayscale. Throws on undecodable payloads — corrupt media
+    * should fail loudly, not silently zero. */
+  private[ops] def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sum += (if (bands >= 3)
+          0.299 * raster.getSample(x, y, 0) + 0.587 * raster.getSample(x, y, 1) +
+            0.114 * raster.getSample(x, y, 2)
+        else raster.getSample(x, y, 0).toDouble)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum / (w.toLong * h))
+  }
+
+  /** Documents → a media table with REAL PNG payloads: dimensions derive from
+    * the text length and the fill level from the doc id, so every decoded
+    * feature is computable by an independent engine straight from the
+    * `documents` table (the oracle for q39). Encode is partition-local —
+    * payloads are born and stay inside their partition. */
+  def asPngMediaTable(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val in = docs.select(col("doc_id"), length(col(textCol)).cast("int").as("n"))
+    transformBatches(in, mediaSchema) { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(1)
+        val w = 4 + n % 29
+        val h = 3 + n % 17
+        Row(id, "image/png", encodePng(w, h, (id % 256).toInt),
+          Row(w, h, null))
+      }
+    }
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_micros", LongType, nullable = false)))
+
+  /** Partition-local REAL image feature extraction: ImageIO-decode each
+    * payload, emit dimensions + mean luma in exact micro-units (float-hash-
+    * proof). Blobs are dropped from the output — downstream stages never
+    * shuffle payload bytes. */
+  def extractImageFeatures(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), imageFeatureSchema) { rows =>
+      rows.map { r =>
+        val (w, h, luma) = decodeImage(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, math.floor(luma * 1e6 + 0.5).toLong)
+      }
+    }
+
+  /** REAL image resize: decode, area-average each `factor`×`factor` block
+    * into one output pixel (computed directly on raster samples — Graphics2D
+    * drawImage would route gray pixels through an sRGB↔linear colorspace
+    * conversion and distort values), re-encode as PNG. Partition-local like
+    * every payload transform. */
+  def resizeImages(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    transformBatches(media.select("doc_id", "payload"), outSchema) { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, "payload is not a decodable image")
+        val (w, h) = (math.max(1, img.getWidth / factor), math.max(1, img.getHeight / factor))
+        val in = img.getRaster
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val outRaster = out.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var sum = 0L
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                sum += in.getSample(x * factor + dx, y * factor + dy, 0)
+                dx += 1
+              }
+              dy += 1
+            }
+            outRaster.setSample(x, y, 0, (sum / (factor.toLong * factor)).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Row(r.getLong(0), bos.toByteArray, w, h)
+      }
+    }
+  }
 
   /** STUB resize: a real implementation would decode + rescale the image
     * here; the stand-in keeps every `factor`-th payload byte (deterministic,

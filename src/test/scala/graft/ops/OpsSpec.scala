@@ -160,6 +160,34 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r.getAs[Array[Byte]](1) shouldBe "aceg".getBytes("UTF-8")
   }
 
+  "Multimodal PNG codec" should "round-trip dimensions and pixels exactly" in {
+    val png = Multimodal.encodePng(13, 7, 200)
+    // real PNG bytes, not a fake: magic header present
+    png.take(4) shouldBe Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    Multimodal.decodeImage(png) shouldBe ((13, 7, 200.0))
+  }
+
+  it should "extract oracle-computable features from real PNG payloads" in {
+    val media = Multimodal.asPngMediaTable(docs)
+    media.schema("payload").dataType.typeName shouldBe "binary"
+    val f = Multimodal.extractImageFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val n = "the quick brown fox jumps".length
+    f(1L) shouldBe ((4 + n % 29, 3 + n % 17, 1000000L))
+    f(2L) shouldBe ((4 + n % 29, 3 + n % 17, 2000000L)) // same text, other doc_id fill
+  }
+
+  it should "resize decoded images by the factor and re-encode losslessly" in {
+    val media = Multimodal.asPngMediaTable(Seq((9L, "x" * 24)).toDF("doc_id", "text"))
+    val r = Multimodal.resizeImages(media, factor = 2).head()
+    val (w0, h0) = (4 + 24 % 29, 3 + 24 % 17)
+    (r.getInt(2), r.getInt(3)) shouldBe ((w0 / 2, h0 / 2))
+    // solid-gray input stays solid-gray through a smooth rescale
+    val (w, h, luma) = Multimodal.decodeImage(r.getAs[Array[Byte]](1))
+    (w, h) shouldBe ((w0 / 2, h0 / 2))
+    luma shouldBe (9 % 256).toDouble
+  }
+
   "Multimodal.transformBatches" should "run arbitrary per-partition row transforms" in {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
