@@ -198,8 +198,22 @@ object SparkEntry {
     "q30_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(tbl(s, d, "documents"), maxIdGap = 5)),
 
-    "q35_simhash" -> ((s, d) =>
-      Dedup.simhash64(tbl(s, d, "documents"))),
+    // Fast (xxhash64) simhash has no DuckDB twin, so the gate checks its
+    // CONTRACT: the fingerprint is a pure function of the text (every
+    // duplicated text yields one distinct signature) and discriminates
+    // distinct texts (collision rate bounded). Raw fingerprints stay covered
+    // by the portable twins q68/q133 and DedupSpec.
+    "q35_simhash" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val sim = Dedup.simhash64(docs)
+      val keyed = sim.join(docs.select(col("doc_id"), md5(col("text")).as("tkey")), "doc_id")
+      val per = keyed.groupBy("tkey").agg(
+        countDistinct("simhash").as("nsig"), count(lit(1)).as("n"),
+        first("simhash").as("sig"))
+      per.agg(count(lit(1)).as("n_texts"), sum("n").cast("long").as("n_docs"),
+        every(col("nsig") === 1).as("same_text_same_sig"),
+        (countDistinct("sig") >= count(lit(1)) * 0.9).as("discriminates"))
+    }),
 
     // ------------------------------------------------------------- similarity
     "q27_cosine_topk" -> ((s, d) => {
@@ -276,8 +290,12 @@ object SparkEntry {
         count(lit(1)).as("n"), countDistinct("vec_id").as("n_ids"),
         every(col("cluster") >= 0 && col("cluster") < 4).as("in_range"))),
 
+    // REAL image pipeline: render each document as an actual PNG
+    // (javax.imageio), then ImageIO-decode it back for features. The oracle
+    // recomputes the expected dims/luma from the documents table directly —
+    // a wrong encoder OR decoder breaks the match.
     "q39_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.asMediaTable(tbl(s, d, "documents")))),
+      Multimodal.extractImageFeatures(Multimodal.asPngMediaTable(tbl(s, d, "documents")))),
 
     // --------------------------------------------- feature/ML layer (§2.9)
     "q40_dict" -> ((s, d) =>
@@ -292,12 +310,19 @@ object SparkEntry {
           min("fold").cast("long").as("min_fold"), max("fold").cast("long").as("max_fold"))
     }),
 
+    // Hashing-trick TF-IDF: bucket ids are xxhash64-derived so per-entry
+    // values have no DuckDB twin (q71 is the term-level oracle twin); the
+    // gate checks the pipeline's exact invariants instead — the hashing
+    // trick conserves total token mass, keeps every tokenized doc, and
+    // idf = ln((N+1)/(df+1))+1 > 0 keeps all weights positive.
     "q42_tfidf" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       val toks = docs.select(col("doc_id").as("id"),
         graft.lib.Features.tokenizeGaps(col("text")).as("toks"))
       val tf = graft.lib.Features.hashTF(toks, "id", "toks", numFeatures = 1 << 12)
-      graft.lib.Features.tfIdf(tf, docs.count())
+      val tfidf = graft.lib.Features.tfIdf(tf, docs.count())
+      tf.agg(sum("tf").cast("long").as("total_tf")).crossJoin(
+        tfidf.agg(countDistinct("id").as("n_docs"), every(col("tf") > 0.0).as("all_w_pos")))
     }),
 
     // ----------------------------------- more analytic coverage (§2.8)
@@ -1324,6 +1349,23 @@ object SparkEntry {
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .where(col("hamming") <= 4)
+    }),
+
+    // The reference's ClickCountDiffs daily loop (emma-examples
+    // ClickCountDiffs.scala:24-53) over the events table: one week of
+    // per-page click counts, each day full-outer-diffed against the
+    // previous (absent page = 0). The loop is the library's `diffs` core —
+    // per-day counts are distributed aggregations; only the per-day scalar
+    // totals land on the driver.
+    "q135_clickcount_diffs" -> ((s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, d, "events").select(
+          dayofmonth(expr("timestamp_micros(ts div 1000)")).as("day"),
+          (col("user_id") % 200).as("page"))
+        .where(col("day") <= 7)
+      val days = (1 to 7).map(i => (i, ev.where(col("day") === i).select("page")))
+      graft.lib.ClickCountDiffs.diffs(days).toDF("day", "abs_diff")
     })
   )
 
@@ -1695,9 +1737,23 @@ object SparkEntry {
 
     "q134_schema_drift" ->
       // the expected diff of the two fixed projections — customer loses
-      // c_comment, gains c_acctbal, and c_custkey widens to double
+      // c_mktsegment, gains c_acctbal, and c_custkey widens to double
       ("SELECT * FROM (VALUES ('c_acctbal', 'added'), ('c_mktsegment', 'removed'), " +
         "('c_custkey', 'type_changed:bigint->double')) AS t(\"column\", change)"),
+
+    // Consecutive-day full-outer diff: zero-filled day×page grid + lag is
+    // the SQL twin of the loop's full-outer join with coalesce(cnt, 0)
+    "q135_clickcount_diffs" ->
+      ("WITH e AS (SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS d, user_id % 200 AS page " +
+        "FROM events WHERE EXTRACT(day FROM ts) <= 7), " +
+        "c AS (SELECT d, page, COUNT(*) AS cnt FROM e GROUP BY 1, 2), " +
+        "grid AS (SELECT dd.d, pp.page FROM (SELECT DISTINCT d FROM c) dd " +
+        "CROSS JOIN (SELECT DISTINCT page FROM c) pp), " +
+        "f AS (SELECT grid.d, grid.page, COALESCE(c.cnt, 0) AS cnt FROM grid " +
+        "LEFT JOIN c ON grid.d = c.d AND grid.page = c.page), " +
+        "x AS (SELECT d, page, cnt, lag(cnt) OVER (PARTITION BY page ORDER BY d) AS prev FROM f) " +
+        "SELECT d AS day, CAST(SUM(ABS(cnt - prev)) AS BIGINT) AS abs_diff " +
+        "FROM x WHERE prev IS NOT NULL GROUP BY 1"),
 
     "q65_dup_clusters" ->
       (s"WITH RECURSIVE $shingleCtes, $sigCte, $bandCtes, ${jaccardVerifySql(0.2)}, " +
@@ -1739,8 +1795,26 @@ object SparkEntry {
     "q37_sample" ->
       "SELECT CAST(10 AS BIGINT) AS n_sampled, CAST(10 AS BIGINT) AS n_in_source",
 
+    "q35_simhash" ->
+      ("SELECT COUNT(DISTINCT md5(text)) AS n_texts, COUNT(*) AS n_docs, " +
+        "true AS same_text_same_sig, true AS discriminates FROM documents"),
+
+    "q42_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term " +
+        "FROM documents) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS total_tf, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "true AS all_w_pos FROM tok WHERE length(term) > 0"),
+
     "q38_kmeans" ->
       "SELECT COUNT(*) AS n, COUNT(*) AS n_ids, true AS in_range FROM embeddings",
+
+    // Expected features recomputed straight from documents: dims are a pure
+    // function of text length, solid-gray fill of doc_id — so the real
+    // PNG encode→decode round trip must reproduce them pixel-exactly.
+    "q39_media_features" ->
+      ("SELECT doc_id, CAST(4 + length(text) % 29 AS INTEGER) AS width, " +
+        "CAST(3 + length(text) % 17 AS INTEGER) AS height, " +
+        "CAST((doc_id % 256) * 1000000 AS BIGINT) AS luma_micros FROM documents"),
 
     "q41_kfold" ->
       ("SELECT CAST(5 AS BIGINT) AS n_folds, COUNT(*) AS total, " +

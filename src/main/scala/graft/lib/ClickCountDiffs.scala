@@ -26,6 +26,26 @@ object ClickCountDiffs {
       .select(abs(coalesce(col("c1"), lit(0L)) - coalesce(col("c0"), lit(0L))).as("d"))
       .agg(coalesce(sum("d"), lit(0L))).head().getLong(0)
 
+  /** File-free core of the daily loop, for pre-split day frames (column
+    * `page`): returns (day, total |Δ| vs the previous day) for every
+    * consecutive pair. Each day's counts are materialized once (persist)
+    * before the previous day's cache is dropped — the loop holds at most two
+    * days of per-page counts, never the full history. */
+  def diffs(days: Seq[(Int, DataFrame)]): Seq[(Int, Long)] = {
+    var prev: Option[DataFrame] = None
+    val out = Seq.newBuilder[(Int, Long)]
+    for ((day, clicks) <- days) {
+      val counts = dailyCounts(clicks).persist()
+      prev.foreach { p =>
+        out += ((day, dayDiff(counts, p)))
+        p.unpersist()
+      }
+      prev = Some(counts)
+    }
+    prev.foreach(_.unpersist())
+    out.result()
+  }
+
   /** The reference's driver loop: for days 1..n read `<inDir>/clicks_<i>`
     * (parquet, column `page`), write per-day counts to
     * `<outDir>/counts_<i>`, and return (day, total_diff vs previous day). */

@@ -26,6 +26,16 @@ class ClickCountDiffsSpec extends AnyFlatSpec with Matchers {
       .map(r => (r.getString(0), r.getLong(1))).sorted shouldBe Seq(("a", 1L), ("c", 2L))
   }
 
+  "ClickCountDiffs.diffs" should "match run's loop on in-memory day frames" in {
+    val days = Seq(
+      1 -> Seq("a", "a", "b").toDF("page"),
+      2 -> Seq("a", "c", "c").toDF("page"),
+      3 -> Seq("a", "c", "c").toDF("page"))
+    ClickCountDiffs.diffs(days) shouldBe Seq((2, 4L), (3, 0L))
+    ClickCountDiffs.diffs(days.take(1)) shouldBe Seq.empty
+    ClickCountDiffs.diffs(Seq.empty) shouldBe Seq.empty
+  }
+
   "ML.gd with batchFraction" should "still converge on mini-batches" in {
     import org.apache.spark.sql.functions.col
     val data = (0 until 80).map(i => (i.toLong, Array(i / 40.0), 2.0 * (i / 40.0) + 1.0))
