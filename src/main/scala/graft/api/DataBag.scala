@@ -91,6 +91,10 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def fold[B](zero: B)(init: A => B, plus: (B, B) => B): B =
     fold(Fold(zero, init, plus))
 
+  /** Any number of independent folds in ONE pass over the bag (positional
+    * results; use Alg2..Alg8 when tuple types are wanted). */
+  def foldAll(algs: Alg[A, _]*): Seq[Any] = fold(AlgAll(algs.toSeq))
+
   def reduce(zero: A)(p: (A, A) => A): A = fold(Reduce(zero, p))
   def reduceOption(p: (A, A) => A): Option[A] = fold(ReduceOpt(p))
   def isEmpty: Boolean = ds.isEmpty

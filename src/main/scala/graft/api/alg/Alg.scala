@@ -165,6 +165,73 @@ case class Alg4[A, B1, B2, B3, B4](
     (a1.plus(x._1, y._1), a2.plus(x._2, y._2), a3.plus(x._3, y._3), a4.plus(x._4, y._4))
 }
 
+case class Alg5[A, B1, B2, B3, B4, B5](
+    a1: Alg[A, B1], a2: Alg[A, B2], a3: Alg[A, B3], a4: Alg[A, B4], a5: Alg[A, B5])
+    extends Alg[A, (B1, B2, B3, B4, B5)] {
+  def zero: (B1, B2, B3, B4, B5) = (a1.zero, a2.zero, a3.zero, a4.zero, a5.zero)
+  def init(x: A): (B1, B2, B3, B4, B5) =
+    (a1.init(x), a2.init(x), a3.init(x), a4.init(x), a5.init(x))
+  def plus(x: (B1, B2, B3, B4, B5), y: (B1, B2, B3, B4, B5)): (B1, B2, B3, B4, B5) =
+    (a1.plus(x._1, y._1), a2.plus(x._2, y._2), a3.plus(x._3, y._3),
+      a4.plus(x._4, y._4), a5.plus(x._5, y._5))
+}
+
+case class Alg6[A, B1, B2, B3, B4, B5, B6](
+    a1: Alg[A, B1], a2: Alg[A, B2], a3: Alg[A, B3], a4: Alg[A, B4], a5: Alg[A, B5],
+    a6: Alg[A, B6])
+    extends Alg[A, (B1, B2, B3, B4, B5, B6)] {
+  def zero: (B1, B2, B3, B4, B5, B6) =
+    (a1.zero, a2.zero, a3.zero, a4.zero, a5.zero, a6.zero)
+  def init(x: A): (B1, B2, B3, B4, B5, B6) =
+    (a1.init(x), a2.init(x), a3.init(x), a4.init(x), a5.init(x), a6.init(x))
+  def plus(x: (B1, B2, B3, B4, B5, B6), y: (B1, B2, B3, B4, B5, B6)): (B1, B2, B3, B4, B5, B6) =
+    (a1.plus(x._1, y._1), a2.plus(x._2, y._2), a3.plus(x._3, y._3),
+      a4.plus(x._4, y._4), a5.plus(x._5, y._5), a6.plus(x._6, y._6))
+}
+
+case class Alg7[A, B1, B2, B3, B4, B5, B6, B7](
+    a1: Alg[A, B1], a2: Alg[A, B2], a3: Alg[A, B3], a4: Alg[A, B4], a5: Alg[A, B5],
+    a6: Alg[A, B6], a7: Alg[A, B7])
+    extends Alg[A, (B1, B2, B3, B4, B5, B6, B7)] {
+  def zero: (B1, B2, B3, B4, B5, B6, B7) =
+    (a1.zero, a2.zero, a3.zero, a4.zero, a5.zero, a6.zero, a7.zero)
+  def init(x: A): (B1, B2, B3, B4, B5, B6, B7) =
+    (a1.init(x), a2.init(x), a3.init(x), a4.init(x), a5.init(x), a6.init(x), a7.init(x))
+  def plus(x: (B1, B2, B3, B4, B5, B6, B7),
+      y: (B1, B2, B3, B4, B5, B6, B7)): (B1, B2, B3, B4, B5, B6, B7) =
+    (a1.plus(x._1, y._1), a2.plus(x._2, y._2), a3.plus(x._3, y._3),
+      a4.plus(x._4, y._4), a5.plus(x._5, y._5), a6.plus(x._6, y._6),
+      a7.plus(x._7, y._7))
+}
+
+case class Alg8[A, B1, B2, B3, B4, B5, B6, B7, B8](
+    a1: Alg[A, B1], a2: Alg[A, B2], a3: Alg[A, B3], a4: Alg[A, B4], a5: Alg[A, B5],
+    a6: Alg[A, B6], a7: Alg[A, B7], a8: Alg[A, B8])
+    extends Alg[A, (B1, B2, B3, B4, B5, B6, B7, B8)] {
+  def zero: (B1, B2, B3, B4, B5, B6, B7, B8) =
+    (a1.zero, a2.zero, a3.zero, a4.zero, a5.zero, a6.zero, a7.zero, a8.zero)
+  def init(x: A): (B1, B2, B3, B4, B5, B6, B7, B8) =
+    (a1.init(x), a2.init(x), a3.init(x), a4.init(x), a5.init(x), a6.init(x),
+      a7.init(x), a8.init(x))
+  def plus(x: (B1, B2, B3, B4, B5, B6, B7, B8),
+      y: (B1, B2, B3, B4, B5, B6, B7, B8)): (B1, B2, B3, B4, B5, B6, B7, B8) =
+    (a1.plus(x._1, y._1), a2.plus(x._2, y._2), a3.plus(x._3, y._3),
+      a4.plus(x._4, y._4), a5.plus(x._5, y._5), a6.plus(x._6, y._6),
+      a7.plus(x._7, y._7), a8.plus(x._8, y._8))
+}
+
+/** Variadic product algebra: ANY number of independent folds in one pass.
+  * The typed tuple road stops at [[Alg8]] (matching how far the one-pass
+  * need realistically goes before columnar multi-agg takes over); beyond
+  * that, results come back positionally as `Seq[Any]`. */
+case class AlgAll[A](algs: Seq[Alg[A, _]]) extends Alg[A, Seq[Any]] {
+  def zero: Seq[Any] = algs.map(_.zero)
+  def init(x: A): Seq[Any] = algs.map(_.init(x))
+  def plus(x: Seq[Any], y: Seq[Any]): Seq[Any] =
+    algs.lazyZip(x).lazyZip(y).map((a, xi, yi) =>
+      a.asInstanceOf[Alg[A, Any]].plus(xi, yi))
+}
+
 /** Fused monad algebras: push map/flatMap/filter into a fold (one pass, no
   * intermediate bag). Mirrors reference Alg.Map/FlatMap/WithFilter semantics. */
 case class MapAlg[A, B, C](f: A => B, alg: Alg[B, C]) extends Alg[A, C] {

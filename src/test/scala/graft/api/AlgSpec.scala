@@ -53,6 +53,32 @@ class AlgSpec extends AnyFlatSpec with Matchers {
     runFold(xs, Alg3(Size, Min(Ordering.Int), Max(Ordering.Int))) shouldBe
       ((5L, Some(1), Some(4)))
   }
+  "Alg8" should "fuse eight independent folds in one pass, matching Seq oracles" in {
+    val num = implicitly[Numeric[Int]]
+    runFold(xs, Alg8(Size, Sum(num), Min(Ordering.Int), Max(Ordering.Int),
+      Count[Int](_ > 2), Product(num), Top(2, Ordering.Int), Exists[Int](_ == 3))) shouldBe
+      ((xs.size.toLong, xs.sum, Some(xs.min), Some(xs.max),
+        xs.count(_ > 2).toLong, xs.product, xs.sorted.reverse.take(2), xs.contains(3)))
+    runFold(xs, Alg5(Size, Sum(num), Min(Ordering.Int), Max(Ordering.Int),
+      Count[Int](_ > 2))) shouldBe
+      ((5L, 14, Some(1), Some(4), 3L))
+    runFold(xs, Alg6(Size, Sum(num), Min(Ordering.Int), Max(Ordering.Int),
+      Count[Int](_ > 2), Product(num))) shouldBe
+      ((5L, 14, Some(1), Some(4), 3L, 96))
+    runFold(xs, Alg7(Size, Sum(num), Min(Ordering.Int), Max(Ordering.Int),
+      Count[Int](_ > 2), Product(num), IsEmpty)) shouldBe
+      ((5L, 14, Some(1), Some(4), 3L, 96, false))
+  }
+  "AlgAll" should "run arbitrary-arity one-pass folds positionally" in {
+    val num = implicitly[Numeric[Int]]
+    val algs: Seq[Alg[Int, _]] = Seq(Size, Sum(num), Min(Ordering.Int),
+      Max(Ordering.Int), Count[Int](_ > 2), Product(num), Top(2, Ordering.Int),
+      Exists[Int](_ == 3), IsEmpty, Bottom(2, Ordering.Int))
+    runFold(xs, AlgAll(algs)) shouldBe Seq(5L, 14, Some(1), Some(4), 3L, 96,
+      List(4, 4), true, false, List(1, 2))
+    runFold(Seq.empty[Int], AlgAll(algs)) shouldBe Seq(0L, 0, None, None, 0L, 1,
+      Nil, false, true, Nil)
+  }
   "MapAlg/FlatMapAlg/WithFilterAlg" should "fuse monad ops into folds" in {
     runFold(xs, MapAlg[Int, Long, Long](_.toLong * 2, Sum(implicitly[Numeric[Long]]))) shouldBe 28L
     runFold(xs, WithFilterAlg[Int, Long](_ > 2, Count[Int](_ => true))) shouldBe 3L

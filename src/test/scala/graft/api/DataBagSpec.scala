@@ -91,6 +91,13 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
     b.reduce(0)(_ + _) shouldBe xs.sum
     b.reduceOption(math.max) shouldBe Some(xs.max)
     b.fold(Alg2(Size, Sum(implicitly[Numeric[Int]]))) shouldBe ((xs.size.toLong, xs.sum))
+    b.fold(Alg8(Size, Sum(implicitly[Numeric[Int]]), Min(Ordering.Int),
+      Max(Ordering.Int), Count[Int](_ > 2), Product(implicitly[Numeric[Int]]),
+      Top(2, Ordering.Int), Exists[Int](_ == 3))) shouldBe
+      ((xs.size.toLong, xs.sum, Some(xs.min), Some(xs.max), xs.count(_ > 2).toLong,
+        xs.product, xs.sorted.reverse.take(2), xs.contains(3)))
+    b.foldAll(Size, Sum(implicitly[Numeric[Int]]), Min(Ordering.Int)) shouldBe
+      Seq(xs.size.toLong, xs.sum, Some(xs.min))
 
     val e = DataBag.empty[Int]
     e.size shouldBe 0
