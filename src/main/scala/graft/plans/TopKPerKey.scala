@@ -24,7 +24,8 @@ import org.apache.spark.sql.execution.SparkStrategy
   * partial/final shape as HashAggregate, applied to order statistics.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan, maxPartialKeys: Int = TopK.defaultMaxPartialKeys)
+    extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
@@ -32,16 +33,17 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, maxPartialKeys) =>
       val partial = TopKPerKeyExec(keys, order, k,
-        org.apache.spark.sql.execution.PlanLater(child), partial = true)
-      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+        org.apache.spark.sql.execution.PlanLater(child), partial = true, maxPartialKeys)
+      TopKPerKeyExec(keys, order, k, partial, partial = false, maxPartialKeys) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan, partial: Boolean) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean,
+    maxPartialKeys: Int = TopK.defaultMaxPartialKeys) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -57,6 +59,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val sortOrder = order
     val schema = child.output
     val limit = k
+    // The FINAL stage must reduce every key it receives (capping it would
+    // drop rows); its memory is bounded by k × keys-per-final-partition,
+    // the same envelope as a final HashAggregate. Only the PARTIAL stage,
+    // which sees the full unpartitioned key stream, caps its map.
+    val keyCap = if (partial) maxPartialKeys else Int.MaxValue
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = GenerateOrdering.generate(sortOrder, schema)
@@ -64,33 +71,52 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       // is the worst survivor and is evicted when something better arrives
       val heaps = new scala.collection.mutable.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      it.foreach { row =>
+      // Overflow rows (key not tracked, map at capacity) PASS THROUGH
+      // unreduced instead of growing the map: correctness is unaffected —
+      // the final stage still reduces them — only the partial's reduction
+      // ratio degrades past the cap. Pass-through is lazy (flatMap), so
+      // overflow never buffers; the heap dump appends once input exhausts
+      // (Iterator.++'s second operand is by-name).
+      val processed = it.flatMap { row =>
         val key = keyProj(row)
         // probe with the reused row; copy the key only on first insert (the
         // common case is a hash hit — no per-row allocation)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            Iterator.empty
+          case None if heaps.size < keyCap =>
             val h = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
             heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+            h.enqueue(row.copy())
+            Iterator.empty
+          case None => Iterator.single(row)
         }
       }
-      heaps.valuesIterator.flatMap(_.toSeq.sorted(ord).iterator)
+      processed ++ heaps.valuesIterator.flatMap(_.toSeq.sorted(ord).iterator)
     }
   }
 }
 
 object TopK {
 
+  /** Partial-stage key-map cap: past this many tracked keys per input
+    * partition, further keys stream through unreduced (≈ tens of MB of heap
+    * at k≈10; raise/lower per workload via the [[perKey]] overload). */
+  val defaultMaxPartialKeys: Int = 1 << 20
+
   /** Best-k rows per key under `orderBy` (ascending semantics of the given
     * SortOrder columns — pass `col.desc` for largest-first). Registers the
     * planning strategy on the session idempotently. */
-  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame =
+    perKey(df, keyCols, orderBy, k, defaultMaxPartialKeys)
+
+  /** As [[perKey]], with an explicit partial-stage key cap. */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int,
+      maxPartialKeys: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     // also covered when GraftExtensions injected the strategy at session
@@ -107,6 +133,7 @@ object TopK {
       case s: SortOrder => s
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
     })
-    bridge.ofRows(spark, TopKPerKeyNode(keys, order, k, bridge.logicalPlan(df)))
+    bridge.ofRows(spark,
+      TopKPerKeyNode(keys, order, k, bridge.logicalPlan(df), maxPartialKeys))
   }
 }

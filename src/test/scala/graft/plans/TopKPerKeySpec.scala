@@ -39,6 +39,20 @@ class TopKPerKeySpec extends AnyFlatSpec with Matchers {
     top1 shouldBe Array(3L, 4L) // ties broken by id: (1.0,id3) and (9.0,id4)
   }
 
+  it should "stay correct when high key cardinality overflows the partial cap" in {
+    // ~keys ≈ rows: with a cap of 16, almost every row takes the partial
+    // pass-through path, so the final stage must do all the reduction
+    val wide = (1 to 4000).map(i => (i.toLong % 1900, i.toLong, (i * 37 % 101).toDouble))
+      .toDF("k", "id", "v").repartition(5)
+    val capped = TopK.perKey(wide, Seq("k"), Seq(col("v").desc, col("id").asc), k = 2,
+        maxPartialKeys = 16)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+    val windowed = wide.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    capped shouldBe windowed
+  }
+
   it should "plan as partial + shuffle + final with no sort" in {
     val plan = TopK.perKey(data, Seq("k"), Seq(col("v").desc), k = 3)
       .queryExecution.executedPlan.toString
