@@ -29,14 +29,15 @@ object Upsert {
       s"source is missing target columns: " +
         (target.columns.toSet -- source.columns.toSet).mkString(", "))
     val dataCols = target.columns.filterNot(keys.contains).toSeq
-    val t = target.as("t"); val s = source.as("s")
-    // null-safe key equality: a NULL key in both sides should still match
+    // a presence MARKER, not key-null checks: the join condition is null-SAFE
+    // (<=>), so a NULL key can legitimately match — inspecting source key
+    // columns would misread that match as "unmatched" and drop the update
+    val t = target.as("t")
+    val s = source.withColumn("__graft_src", lit(true)).as("s")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
-    // a source row is present iff its key side survived the outer join —
-    // key columns are the match condition, so checking them is enough
-    val matched = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val matched = col("s.__graft_src").isNotNull
     t.join(s, cond, "full_outer").select(
-      keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k)) ++
+      keys.map(k => when(matched, col(s"s.$k")).otherwise(col(s"t.$k")).as(k)) ++
         dataCols.map(c => when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 

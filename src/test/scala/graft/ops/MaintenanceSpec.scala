@@ -33,6 +33,20 @@ class MaintenanceSpec extends AnyFlatSpec with Matchers {
     out.head.isNullAt(1) shouldBe true // UPDATE SET *, not per-column coalesce
   }
 
+  it should "treat NULL keys null-safely: a NULL-key source row updates a NULL-key target row" in {
+    val target = Seq((Some(1L), "a", 10.0), (None, "nullkey", 20.0))
+      .toDF("k", "name", "bal")
+    val source = Seq((Option.empty[Long], "NULLKEY2", 99.0), (Some(9L), "new", 1.0))
+      .toDF("k", "name", "bal")
+    val out = Upsert.upsert(target, source, Seq("k")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        ((r.getString(1), r.getDouble(2)))).toMap
+    out.keySet shouldBe Set(Some(1L), None, Some(9L))
+    out(Some(1L)) shouldBe ("a", 10.0)       // untouched
+    out(None) shouldBe ("NULLKEY2", 99.0)    // NULL <=> NULL matches: UPDATED, not dropped
+    out(Some(9L)) shouldBe ("new", 1.0)      // insert carries SOURCE data, not all-NULLs
+  }
+
   "Upsert.scd2" should "collapse runs into validity intervals" in {
     // user 1: A(1,2) B(3) A(4) — the A at t=4 is a NEW version, not merged
     // back into the first A run; user 2: single open version
