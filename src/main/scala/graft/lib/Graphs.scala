@@ -214,20 +214,6 @@ object Graphs {
     state.bag().ds
   }
 
-  /** Minimum-hop distances from a source vertex set by frontier BFS, bounded
-    * at `maxHops` rounds. Returns `(vertex, d)` for every vertex reachable in
-    * ≤ maxHops hops (sources at d = 0); min-hop semantics match
-    * `min(d)` over all paths of length ≤ maxHops (a vertex is first reached
-    * at its true distance, and never revisited).
-    *
-    * Scale shape: each round joins ONLY the frontier (new vertices) against
-    * the edge relation — the visited set never re-joins edges, so total join
-    * work is O(Σ frontier_i × avg-degree) = O(|E|) across the whole
-    * traversal, the same bound as one full edge pass. The edge relation is
-    * pre-partitioned by src once; the frontier (a distinct() output) arrives
-    * hash-partitioned on vertex, so rounds after the first exchange only the
-    * frontier. State is localCheckpoint'ed per round (plan depth stays O(1)).
-    */
   /** Bounded Bellman-Ford: minimum path WEIGHT from a source set over at
     * most `maxHops` edges. Returns `(vertex, d)`; unreachable-within-bound
     * vertices are absent. Weights must be non-negative integers — integer
@@ -262,13 +248,31 @@ object Graphs {
     dist
   }
 
+  /** Minimum-hop distances from a source vertex set by frontier BFS, bounded
+    * at `maxHops` rounds. Returns `(vertex, d)` for every vertex reachable in
+    * ≤ maxHops hops (sources at d = 0); min-hop semantics match
+    * `min(d)` over all paths of length ≤ maxHops (a vertex is first reached
+    * at its true distance, and never revisited).
+    *
+    * Scale shape: each round joins ONLY the frontier (new vertices) against
+    * the edge relation — the visited set never re-joins edges, so total join
+    * work is O(Σ frontier_i × avg-degree) = O(|E|) across the whole
+    * traversal, the same bound as one full edge pass. The edge relation is
+    * pre-partitioned by src once; the frontier (a distinct() output) arrives
+    * hash-partitioned on vertex, so rounds after the first exchange only the
+    * frontier. State is localCheckpoint'ed per round (plan depth stays O(1)).
+    */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val bridge = org.apache.spark.sql.graft.bridge
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist()
     e.count() // materialize once before the loop
     var visited = sources.select(col("vertex")).distinct()
       .withColumn("d", lit(0)).localCheckpoint()
+    // the frontier checkpoint of the PREVIOUS round: freed once the round
+    // that consumed it has materialized, same hygiene as the visited chain
+    var prevFrontier: Option[DataFrame] = None
     var frontier = visited.select("vertex")
     var hop = 0
     var exhausted = frontier.isEmpty
@@ -280,13 +284,21 @@ object Graphs {
         .withColumn("d", lit(hop))
         .localCheckpoint()
       exhausted = next.isEmpty
+      prevFrontier.foreach(bridge.freeLocalCheckpoint)
       if (!exhausted) {
         val grown = visited.union(next).localCheckpoint()
-        org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(visited)
+        bridge.freeLocalCheckpoint(visited)
         visited = grown
+        prevFrontier = Some(next)
         frontier = next.select("vertex")
+      } else {
+        // the empty final frontier is a checkpoint too — don't leak it
+        bridge.freeLocalCheckpoint(next)
+        prevFrontier = None
       }
     }
+    // loop may also end at the hop bound with the last frontier still live
+    prevFrontier.foreach(bridge.freeLocalCheckpoint)
     e.unpersist()
     visited
   }

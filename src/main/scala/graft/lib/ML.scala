@@ -185,18 +185,22 @@ object ML {
     (w, b, losses.toSeq)
   }
 
-  /** Linear regression: data (id, x array<double>, y). */
-  /** Per-group simple OLS (closed form): slope/intercept/r of `yCol ~ xCol`
-    * within each group, from EXACT decimal power sums — ONE map-side
-    * combinable aggregation for any number of groups (no per-group solver
-    * loop), and engine-portable because only the final normalization runs
-    * in (fixed-order) double math. The grouped counterpart to the GD-based
-    * [[linreg]]; use it for per-segment trend features at corpus scale.
+  /** Per-group simple OLS (closed form): slope/intercept of `yCol ~ xCol`
+    * within each group, from order-independent decimal power sums — ONE
+    * map-side combinable aggregation for any number of groups (no per-group
+    * solver loop). The grouped counterpart to the GD-based [[linreg]]; use
+    * it for per-segment trend features at corpus scale.
     *
-    * Inputs are cast to DECIMAL(28,8) before summing, so Σx, Σy, Σxy, Σx²,
-    * Σy² are order-independent; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
-    * intercept = (Σy − slope·Σx)/n. Groups where x is constant yield NULL
-    * slope/intercept (division by zero → try_divide semantics).
+    * Inputs are cast to DECIMAL(28,8) before summing; slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n. Groups
+    * where x is constant yield NULL slope/intercept (division by zero).
+    *
+    * The power sums are EXACT (and therefore engine-portable) only for
+    * INTEGRAL x/y: Spark reduces the decimal(28,8)×decimal(28,8) product
+    * (precision 57) under its precision-loss rules to ~6 fractional digits,
+    * so Σxy/Σx² are rounded for fractional inputs and can drift vs other
+    * engines (q129 relies on the integral case). For fractional data,
+    * pre-scale to integers (e.g. cents) at the call site.
     */
   def linregByGroup(data: DataFrame, groupCol: String, xCol: String,
       yCol: String, roundDigits: Int = 6): DataFrame = {
@@ -215,6 +219,7 @@ object ML {
       graft.ops.Portable.round((sy - slope * sx) / nd, roundDigits).as("intercept"))
   }
 
+  /** Linear regression: data (id, x array<double>, y). */
   def linreg(data: DataFrame, dim: Int, lr: Double = 0.5, iters: Int = 50,
       l2: Double = 0.0) =
     gd(data, dim, lr, iters, SquaredLoss, l2)
