@@ -188,27 +188,36 @@ object Graphs {
 
   /** Connected components via keyed mutable state ([[MutableBag]]) — the
     * reference's formulation (ConnectedComponents.scala:27-53): seed state
-    * with vertex→vertex, then push min labels along edges until no update. */
+    * with vertex→vertex, then push min labels along edges until no update.
+    *
+    * Adaptive tail: once the per-round delta falls under
+    * `broadcastThreshold` vertices, rounds switch from the cogroup update
+    * (two shuffles) to [[MutableBag.updateBroadcast]] point updates (zero
+    * shuffles) — on long-diameter graphs most rounds are small-delta tail,
+    * so the fixpoint's shuffle count is bounded by the few wide rounds. */
   def connectedComponentsMutable(
-      edges: Dataset[(Long, Long)], spark: SparkSession): Dataset[(Long, Long)] = {
+      edges: Dataset[(Long, Long)], spark: SparkSession,
+      broadcastThreshold: Long = 10000L): Dataset[(Long, Long)] = {
     import spark.implicits._
     val und = DataBag.from(edges.union(edges.map(e => (e._2, e._1))).distinct().cache())
     val vertices = und.map(_._1).distinct
     val state = MutableBag(vertices.map(v => (v, v)))
     var delta = state.bag()
     var n = delta.size
+    def f(k: Long, vOpt: Option[Long], m: Long): Option[Long] =
+      vOpt match {
+        case Some(v) if m < v => Some(m)
+        case None             => Some(m)
+        case _                => None
+      }
     while (n > 0) {
       // messages: for each updated vertex, propose its label to neighbors
       val msgs = delta.equiJoin(und)(_._1, _._1)
         .map { case ((_, lbl), (_, dst)) => (dst, lbl) }
         .foldGroup[Long, Long](_._1, graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
-      delta = state.update(msgs) { (_, vOpt, m) =>
-        vOpt match {
-          case Some(v) if m < v => Some(m)
-          case None             => Some(m)
-          case _                => None
-        }
-      }
+      delta =
+        if (n <= broadcastThreshold) state.updateBroadcast(msgs)(f)
+        else state.update(msgs)(f)
       n = delta.size
     }
     state.bag().ds

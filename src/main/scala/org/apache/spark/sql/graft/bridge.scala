@@ -29,6 +29,25 @@ object bridge {
       case _ => ()
     }
 
+  /** Rebuild a localCheckpoint'ed Dataset WITHOUT the origin statistics and
+    * constraints Spark attaches to the checkpoint's LogicalRDD (SPARK-39834).
+    * In a fixpoint where each round's state AND delta both derive from the
+    * previous round's checkpoints, the size-only stats visitor multiplies
+    * child sizes, so carried origin stats compound Fibonacci-style — by round
+    * ~17 the driver is multiplying million-bit BigIntegers on every planning
+    * pass (measured: minutes of stall, GBs of heap). Dropping them resets the
+    * leaf to the default size estimate; the checkpointed data, partitioning,
+    * and ordering are untouched. No-op for non-checkpoint plans. */
+  def dropOriginStats(ds: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val spark = ds.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        ofRows(spark, new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering, l.isStreaming,
+          l.stream)(spark, None, None))
+      case _ => ds.toDF()
+    }
+
   /** Build a DataFrame from a custom LogicalPlan (entry point for custom
     * operators planned by injected strategies). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

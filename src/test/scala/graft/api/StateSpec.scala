@@ -30,6 +30,51 @@ class StateSpec extends AnyFlatSpec with Matchers {
     st.bag().collect().sorted shouldBe Seq((1L, 10L), (2L, 25L), (3L, 7L))
   }
 
+  "MutableBag.updateBroadcast" should "match update's semantics with zero shuffles" in {
+    def run(doUpdate: (MutableBag[Long, Long], DataBag[Group[Long, Long]]) => DataBag[(Long, Long)]) = {
+      val st = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
+      val delta = doUpdate(st, DataBag(Seq(
+        Group(1L, 100L), // existing, f returns None -> unchanged
+        Group(2L, 5L),   // existing, updated
+        Group(3L, 7L)    // new key, inserted
+      )))
+      (delta.collect().sorted, st.bag().collect().sorted)
+    }
+    def f(k: Long, vOpt: Option[Long], m: Long): Option[Long] = vOpt match {
+      case Some(v) if m < v => Some(v + m)
+      case Some(_)          => None
+      case None             => Some(m)
+    }
+    val (dCog, sCog) = run((st, ms) => st.update(ms)(f))
+    val (dBc, sBc) = run((st, ms) => st.updateBroadcast(ms)(f))
+    dBc shouldBe dCog
+    sBc shouldBe sCog
+    dBc shouldBe Seq((2L, 25L), (3L, 7L))
+  }
+
+  it should "iterate: repeated broadcast point updates converge like cogroup updates" in {
+    // min-label propagation over a tiny path graph, state keyed by vertex
+    val st = MutableBag[Long, Long](DataBag(Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))))
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 10) {
+      rounds += 1
+      val labels = st.bag().collect().toMap
+      val msgs = edges.flatMap { case (a, b) =>
+        Seq(Group(b, labels(a)), Group(a, labels(b)))
+      }
+      val delta = st.updateBroadcast(DataBag(msgs)) { (_, vOpt, m) =>
+        vOpt match {
+          case Some(v) if m < v => Some(m)
+          case _ => None
+        }
+      }
+      changed = delta.collect().nonEmpty
+    }
+    st.bag().collect().sorted shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+  }
+
   it should "give copy() value semantics" in {
     val st = MutableBag[Long, Long](DataBag(Seq((1L, 1L))))
     val snapshot = st.copy()
