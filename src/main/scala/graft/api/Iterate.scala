@@ -40,6 +40,13 @@ object Iterate {
     bridge.freeLocalCheckpoint(ds)
   }
 
+  /** Eager checkpoint with carried-over origin stats dropped: a step that
+    * rendezvouses TWO evolving checkpointed inputs would otherwise compound
+    * the size-only stats (product visitor) Fibonacci-style across rounds —
+    * see bridge.dropOriginStats and PROFILE.md (MutableBag section). */
+  private def truncate[A](ds: Dataset[A]): Dataset[A] =
+    bridge.dropOriginStatsTyped(ds.localCheckpoint(true))
+
   /** `minRounds`: skip the (potentially expensive) convergence check for the
     * first rounds an algorithm is known to need — e.g. alternating-star CC
     * never converges in round 1, so checking there only burns jobs. */
@@ -55,7 +62,7 @@ object Iterate {
     var done = false
     while (!done && i < maxIter) {
       var next = step(cur)
-      next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+      next = if ((i + 1) % checkpointEvery == 0) truncate(next)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
       done = i + 1 >= minRounds && converged(cur, next)
       // Never free the caller's init mid-loop (persist() returned the same
@@ -90,7 +97,7 @@ object Iterate {
     while (!done && i < maxIter) {
       val t0 = System.nanoTime()
       var next = step(cur)
-      next = if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+      next = if ((i + 1) % checkpointEvery == 0) truncate(next)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
       val nextDig = digest(next)
       done = i + 1 >= minRounds && curDig != null && curDig == nextDig
@@ -115,7 +122,7 @@ object Iterate {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val next = DataBag.from(step(cur).ds.localCheckpoint(true))
+      val next = DataBag.from(truncate(step(cur).ds))
       val m = next.size
       done = m == n
       if (!(cur.ds eq init.ds)) free(cur.ds)

@@ -277,8 +277,8 @@ object Graphs {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist()
     e.count() // materialize once before the loop
-    var visited = sources.select(col("vertex")).distinct()
-      .withColumn("d", lit(0)).localCheckpoint()
+    var visited = bridge.dropOriginStats(sources.select(col("vertex")).distinct()
+      .withColumn("d", lit(0)).localCheckpoint())
     // the frontier checkpoint of the PREVIOUS round: freed once the round
     // that consumed it has materialized, same hygiene as the visited chain
     var prevFrontier: Option[DataFrame] = None
@@ -287,15 +287,19 @@ object Graphs {
     var exhausted = frontier.isEmpty
     while (hop < maxHops && !exhausted) {
       hop += 1
-      val next = frontier.join(e, col("vertex") === col("src"))
-        .select(col("dst").as("vertex")).distinct()
-        .join(visited.select("vertex"), Seq("vertex"), "left_anti")
-        .withColumn("d", lit(hop))
-        .localCheckpoint()
+      // dropOriginStats on every checkpoint: visited and frontier BOTH evolve
+      // and rendezvous each round, the shape where carried checkpoint stats
+      // compound Fibonacci-style (bridge.dropOriginStats, PROFILE.md)
+      val next = bridge.dropOriginStats(
+        frontier.join(e, col("vertex") === col("src"))
+          .select(col("dst").as("vertex")).distinct()
+          .join(visited.select("vertex"), Seq("vertex"), "left_anti")
+          .withColumn("d", lit(hop))
+          .localCheckpoint())
       exhausted = next.isEmpty
       prevFrontier.foreach(bridge.freeLocalCheckpoint)
       if (!exhausted) {
-        val grown = visited.union(next).localCheckpoint()
+        val grown = bridge.dropOriginStats(visited.union(next).localCheckpoint())
         bridge.freeLocalCheckpoint(visited)
         visited = grown
         prevFrontier = Some(next)

@@ -48,6 +48,11 @@ object bridge {
       case _ => ds.toDF()
     }
 
+  /** [[dropOriginStats]] preserving the Dataset's element type. */
+  def dropOriginStatsTyped[A](ds: org.apache.spark.sql.Dataset[A]): org.apache.spark.sql.Dataset[A] =
+    dropOriginStats(ds)
+      .as(ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[A]].encoder)
+
   /** Build a DataFrame from a custom LogicalPlan (entry point for custom
     * operators planned by injected strategies). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
