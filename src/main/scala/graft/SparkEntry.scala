@@ -1366,7 +1366,20 @@ object SparkEntry {
         .where(col("day") <= 7)
       val days = (1 to 7).map(i => (i, ev.where(col("day") === i).select("page")))
       graft.lib.ClickCountDiffs.diffs(days).toDF("day", "abs_diff")
-    })
+    }),
+
+    // Self-trained bigram-LM quality score (the CCNet/Gopher perplexity
+    // filter shape): per-bigram log-probs are micro-rounded integers before
+    // the per-doc sum, so the whole score is order-independent and has an
+    // exact DuckDB twin
+    "q136_bigram_lm" -> ((s, d) =>
+      graft.ops.TextAnalysis.bigramLogProb(tbl(s, d, "documents"))),
+
+    // Token-bounded overlapping chunking (context-window prep): pure
+    // sequence+slice columnar explode, no shuffle
+    "q137_chunking" -> ((s, d) =>
+      graft.ops.Packing.chunkByTokens(tbl(s, d, "documents"),
+        chunkTokens = 64, overlap = 16))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1740,6 +1753,30 @@ object SparkEntry {
       // c_mktsegment, gains c_acctbal, and c_custkey widens to double
       ("SELECT * FROM (VALUES ('c_acctbal', 'added'), ('c_mktsegment', 'removed'), " +
         "('c_custkey', 'type_changed:bigint->double')) AS t(\"column\", change)"),
+
+    "q136_bigram_lm" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t), " +
+        "tok2 AS (SELECT * FROM tok WHERE length(tok) > 0), " +
+        "bg AS (SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, tok AS w2 FROM tok2), " +
+        "bg2 AS (SELECT * FROM bg WHERE w1 IS NOT NULL), " +
+        "cc2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg2 GROUP BY 1, 2), " +
+        "cc1 AS (SELECT tok AS w1, COUNT(*) AS c1 FROM tok2 GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT tok) AS v FROM tok2), " +
+        "sc AS (SELECT bg2.doc_id, CAST(floor(ln((c2 + 1.0) / (c1 + 1.0 * v)) * 1000000.0 + 0.5) AS BIGINT) AS lp " +
+        "FROM bg2 JOIN cc2 USING (w1, w2) JOIN cc1 USING (w1) CROSS JOIN v), " +
+        "agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lp) AS BIGINT) AS sum_logprob_micros FROM sc GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(sum_logprob_micros, 0) AS sum_logprob_micros " +
+        "FROM documents d LEFT JOIN agg USING (doc_id)"),
+
+    "q137_chunking" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS toks FROM documents), " +
+        "c AS (SELECT doc_id, unnest(range(0, len(toks), 48)) AS start, toks FROM t), " +
+        "ch AS (SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_no, " +
+        "list_slice(toks, start + 1, start + 64) AS chunk FROM c) " +
+        "SELECT doc_id, chunk_no, CAST(len(chunk) AS INTEGER) AS chunk_tokens, " +
+        "array_to_string(chunk, ' ') AS chunk_text FROM ch"),
 
     // Consecutive-day full-outer diff: zero-filled day×page grid + lag is
     // the SQL twin of the loop's full-outer join with coalesce(cnt, 0)

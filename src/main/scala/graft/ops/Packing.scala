@@ -36,4 +36,35 @@ object Packing {
       .withColumn("pack", expr(s"(__cum - n_tokens) div $targetTokens"))
       .drop("__cum")
   }
+
+  /** Split documents into token-bounded overlapping chunks (the
+    * context-window prep step upstream of packing): chunk i covers tokens
+    * `[i·(chunkTokens−overlap), …+chunkTokens)` on the whitespace
+    * tokenization, re-joined with single spaces. A chunk starts at
+    * every stride index below the token count, so trailing chunks may be
+    * short (callers wanting only chunks that add new content drop those
+    * with `chunk_no·stride + overlap ≥ n_tokens`).
+    *
+    * Output: (doc_id, chunk_no, chunk_tokens, chunk_text). Pure columnar
+    * sequence+slice — a narrow map with a bounded explode (≤ n/stride
+    * chunks per doc), no shuffle, codegen-friendly. */
+  def chunkByTokens(docs: DataFrame, textCol: String = "text",
+      chunkTokens: Int = 128, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    Par.spread(docs)
+      .select(col("doc_id"),
+        graft.lib.Features.tokenizeGaps(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__toks")) - 1, lit(0)), lit(stride))))
+      .where(col("col") < size(col("__toks")))
+      .select(col("doc_id"), col("pos").as("chunk_no"),
+        slice(col("__toks"), col("col") + 1, lit(chunkTokens)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("__chunk")).as("chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }

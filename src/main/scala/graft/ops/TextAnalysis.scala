@@ -154,4 +154,47 @@ object TextAnalysis {
         coalesce(col("dup_2gram_frac"), lit(0.0)).as("dup_2gram_frac"),
         coalesce(col("dup_3gram_frac"), lit(0.0)).as("dup_3gram_frac"))
   }
+
+  /** Corpus bigram language-model quality score (the KenLM-style perplexity
+    * filter of CCNet/Gopher, reduced to a self-trained bigram model): train
+    * add-k-smoothed bigram probabilities on the corpus itself, then score
+    * each document by its summed bigram log-probability. Low scores flag
+    * text whose word transitions are atypical for the corpus (boilerplate,
+    * gibberish, wrong-language fragments).
+    *
+    * Output: (doc_id, n_bigrams, sum_logprob_micros) — the per-bigram
+    * ln((c(w₁w₂)+k)/(c(w₁)+k·V)) is micro-rounded to an INTEGER before the
+    * per-doc sum, so the aggregate is order-independent and engine-portable
+    * (the q71 TF-IDF pattern); divide by n_bigrams for the mean.
+    *
+    * Scale: two count aggregations (bigram, unigram) + one join of the
+    * bigram stream against the bigram model, all keyed by uniform-ish token
+    * keys — one shuffle each. The unigram model is broadcast. Documents too
+    * short for a bigram emit (0, 0). */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      k: Double = 1.0): DataFrame = {
+    val toks = Par.spread(docs).select(col("doc_id"),
+      posexplode(graft.lib.Features.tokenizeGaps(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .select(col("doc_id"), lag(col("tok"), 1).over(w).as("w1"), col("tok").as("w2"))
+      .where(col("w1").isNotNull)
+    val bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val unigramCounts = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct("tok")).head().getLong(0)
+    val scored = bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(broadcast(unigramCounts), Seq("w1"))
+      .select(col("doc_id"),
+        floor(log((col("c2") + lit(k)) / (col("c1") + lit(k * vocab))) * 1e6 + 0.5)
+          .cast("long").as("lp_micros"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+        sum("lp_micros").as("sum_logprob_micros"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_logprob_micros"), lit(0L)).as("sum_logprob_micros"))
+  }
 }

@@ -218,6 +218,34 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r(3L) shouldBe ((0.0, 0.0, 0.0))
   }
 
+  "TextAnalysis.bigramLogProb" should "match the hand-computed add-1 bigram model" in {
+    // tokens: a×3, b×3, solo×1 -> V=3. bigrams: doc1 (a,b)×2 (b,a)×1; doc2 (a,b)×1
+    // => c2(a,b)=3, c2(b,a)=1; c1(a)=3, c1(b)=3.
+    // lp(a,b)=ln((3+1)/(3+3))=ln(4/6); lp(b,a)=ln((1+1)/(3+3))=ln(2/6)
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    def mic(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    r(1L) shouldBe ((3L, 2 * mic(4.0 / 6) + mic(2.0 / 6)))
+    r(2L) shouldBe ((1L, mic(4.0 / 6)))
+    r(3L) shouldBe ((0L, 0L)) // no bigram -> zero row survives via left join
+  }
+
+  "Packing.chunkByTokens" should "cover every token with stride overlap and exact bounds" in {
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = Packing.chunkByTokens(d, chunkTokens = 4, overlap = 1).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> ((x.getInt(2), x.getString(3)))).toMap
+    // doc1: starts 0,3,6,9 (stride 3) over 10 tokens
+    r((1L, 0)) shouldBe ((4, "t1 t2 t3 t4"))
+    r((1L, 1)) shouldBe ((4, "t4 t5 t6 t7"))
+    r((1L, 2)) shouldBe ((4, "t7 t8 t9 t10"))
+    r((1L, 3)) shouldBe ((1, "t10"))
+    r((2L, 0)) shouldBe ((1, "x"))
+    r.keys.count(_._1 == 3L) shouldBe 0 // empty text -> no chunks
+    r.size shouldBe 5
+  }
+
   "Curation.contamination" should "measure eval-set shingle overlap" in {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),  // shares 2 of 3 shingles with eval
