@@ -236,12 +236,27 @@ object DriveDemo {
         "source", col("doc_id"), k = 3).count())
     }
 
-    // 7. MutableBag update semantics
+    // 7. MutableBag update semantics — cogroup and broadcast point updates
     val state = MutableBag[Long, Long](DataBag(Seq((1L, 10L), (2L, 20L))))
     val delta = state.update(DataBag(Seq(Group(2L, 5L), Group(3L, 7L))))(
       (k, vOpt, m) => Some(vOpt.getOrElse(0L) + m))
     println("mutablebag delta = " + delta.collect().sortBy(_._1).mkString(", "))
+    val deltaBc = state.updateBroadcast(DataBag(Seq(Group(1L, 2L), Group(9L, 9L))))(
+      (k, vOpt, m) => Some(vOpt.getOrElse(0L) + m))
+    println("mutablebag bc-delta = " + deltaBc.collect().sortBy(_._1).mkString(", "))
     println("mutablebag state = " + state.bag().collect().sortBy(_._1).mkString(", "))
+
+    // 8. round-5 text ops: bigram-LM scoring + token chunking over real docs
+    locally {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      import org.apache.spark.sql.functions.col
+      val lm = graft.ops.TextAnalysis.bigramLogProb(docs)
+      println("bigram-LM lowest-scoring docs: " + lm.where(col("n_bigrams") > 0)
+        .orderBy((col("sum_logprob_micros") / col("n_bigrams")).asc)
+        .limit(3).collect().map(_.getLong(0)).mkString(", "))
+      val chunks = graft.ops.Packing.chunkByTokens(docs, chunkTokens = 64, overlap = 16)
+      println(s"chunking: ${chunks.count()} chunks from ${docs.count()} docs")
+    }
 
     spark.stop()
   }

@@ -36,6 +36,22 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  "Packing.chunkByTokens" should "plan as a narrow generate with no key shuffle" in {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = physical(Packing.chunkByTokens(docs, chunkTokens = 4, overlap = 1))
+    plan should include("Generate")
+    // Par.spread's round-robin repartition is parallelism, not a data
+    // rendezvous — the claim is that no KEYED exchange exists
+    plan should not include "hashpartitioning"
+    plan should not include "rangepartitioning"
+  }
+
+  "TextAnalysis.bigramLogProb" should "broadcast the unigram model" in {
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val plan = physical(TextAnalysis.bigramLogProb(docs))
+    plan should include("BroadcastHashJoin")
+  }
+
   "HeavyHitters recount" should "broadcast the candidate set" in {
     val items = spark.range(0, 1000)
       .select(concat(lit("w"), col("id") % 7).as("item"))
