@@ -1379,7 +1379,12 @@ object SparkEntry {
     // sequence+slice columnar explode, no shuffle
     "q137_chunking" -> ((s, d) =>
       graft.ops.Packing.chunkByTokens(tbl(s, d, "documents"),
-        chunkTokens = 64, overlap = 16))
+        chunkTokens = 64, overlap = 16)),
+
+    // Per-dimension vector stats (reference stat-over-DVector): micro-unit
+    // integers summed exactly — one map-side-combinable agg keyed by dim
+    "q138_vector_stats" -> ((s, d) =>
+      graft.lib.Stats.describeVector(tbl(s, d, "embeddings")))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1777,6 +1782,13 @@ object SparkEntry {
         "list_slice(toks, start + 1, start + 64) AS chunk FROM c) " +
         "SELECT doc_id, chunk_no, CAST(len(chunk) AS INTEGER) AS chunk_tokens, " +
         "array_to_string(chunk, ' ') AS chunk_text FROM ch"),
+
+    "q138_vector_stats" ->
+      ("WITH e AS (SELECT unnest(embedding) AS x, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings), " +
+        "m AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micros FROM e) " +
+        "SELECT dim, COUNT(*) AS n, CAST(SUM(micros) AS BIGINT) AS sum_micros, " +
+        "CAST(SUM(micros * micros) AS BIGINT) AS sumsq_micros2, " +
+        "MIN(micros) AS min_micros, MAX(micros) AS max_micros FROM m GROUP BY 1"),
 
     // Consecutive-day full-outer diff: zero-filled day×page grid + lag is
     // the SQL twin of the loop's full-outer join with coalesce(cnt, 0)

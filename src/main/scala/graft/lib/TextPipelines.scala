@@ -69,4 +69,28 @@ object Stats {
     * Alg2 fusion path on arbitrary Scala monoids. */
   def countAndSum(bag: DataBag[Double]): (Long, Double) =
     bag.fold(Alg2(Size, Sum(implicitly[Numeric[Double]])))
+
+  /** Per-DIMENSION stats of a vector column (the reference's `stat` over
+    * `DVector`, stats/stat.scala:23-67): (dim, n, sum, sumsq, min, max) in
+    * micro-unit integers — each float is micro-rounded BEFORE summing, so
+    * every aggregate is an exact, order-independent integer (engine-portable;
+    * mean/variance are one division away in the caller's precision of
+    * choice).
+    *
+    * Shape: posexplode + one map-side-combinable aggregation keyed by
+    * dimension index. The shuffle carries ≤ dims × partitions partial rows —
+    * independent of row count — so it scales like a global agg, not a join.
+    * sumsq bound: |x| ≤ ~9.2·10⁵ keeps micro² sums inside int64 for up to
+    * ~10¹² rows per dimension. */
+  def describeVector(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    graft.ops.Par.spread(df)
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").as("dim"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("micros"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("micros").as("sum_micros"),
+        sum(col("micros") * col("micros")).as("sumsq_micros2"),
+        min("micros").as("min_micros"),
+        max("micros").as("max_micros"))
 }

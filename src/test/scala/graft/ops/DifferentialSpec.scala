@@ -127,6 +127,19 @@ class DifferentialSpec extends AnyFlatSpec with Matchers {
     row.getAs[Double]("mx") shouldBe xs.max
   }
 
+  "Stats.describeVector" should "match driver-side per-dimension sums exactly" in {
+    val vecs = (1 to 200).map(i => (i.toLong,
+      Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val got = graft.lib.Stats.describeVector(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (dim <- 0 until 8) {
+      val micros = vecs.map(v => math.floor(v._2(dim).toDouble * 1e6 + 0.5).toLong)
+      got(dim) shouldBe ((micros.size.toLong, micros.sum,
+        micros.map(m => m * m).sum, micros.min, micros.max))
+    }
+  }
+
   "directorsMuses" should "match a brute-force group/max computation" in {
     val credits = (1 to 300).map { _ =>
       val dir = rnd.nextInt(8).toLong
