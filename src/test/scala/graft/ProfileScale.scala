@@ -60,6 +60,16 @@ object ProfileScale {
     val vN = time(s"ivf topk ${n}x")(
       ops.Similarity.ivfTopK(embN, qs, k = 3, nlist = 8, nprobe = 2, maxIter = 4).count())
     println(f"ann ratios at ${n}x: brute=${bN / b1}%.1f ivf=${vN / v1}%.1f (linear would be <= $n)")
+
+    // round-5 text ops: LM scoring (2 count shuffles + bigram join) and
+    // chunking (narrow explode) under corpus replication
+    val lm1 = time("bigram-lm 1x")(ops.TextAnalysis.bigramLogProb(docs1).count())
+    val lmN = time(s"bigram-lm ${n}x")(ops.TextAnalysis.bigramLogProb(docsN).count())
+    val c1 = time("chunking 1x")(
+      ops.Packing.chunkByTokens(docs1, chunkTokens = 64, overlap = 16).count())
+    val cN = time(s"chunking ${n}x")(
+      ops.Packing.chunkByTokens(docsN, chunkTokens = 64, overlap = 16).count())
+    println(f"text ratios at ${n}x: lm=${lmN / lm1}%.1f chunk=${cN / c1}%.1f (linear would be <= $n)")
     spark.stop()
   }
 }
