@@ -246,6 +246,26 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     r.size shouldBe 5
   }
 
+  it should "reconstruct the token stream from chunk prefixes (property over random docs)" in {
+    val rnd = new scala.util.Random(17)
+    val docs = (1 to 30).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(9)}").mkString(" "))
+    }
+    val (ck, ov) = (7, 3)
+    val stride = ck - ov
+    val chunks = Packing.chunkByTokens(docs.toDF("doc_id", "text"), chunkTokens = ck, overlap = ov)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, text) <- docs) {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val rebuilt = chunks.getOrElse(id, Seq.empty) match {
+        case Seq() => Seq.empty
+        case cs => cs.init.flatMap(_.split(" ").take(stride)) ++ cs.last.split(" ")
+      }
+      rebuilt shouldBe toks // stride prefixes + full last chunk = original stream
+    }
+  }
+
   "Curation.contamination" should "measure eval-set shingle overlap" in {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),  // shares 2 of 3 shingles with eval
