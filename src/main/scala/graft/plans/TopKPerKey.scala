@@ -104,9 +104,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopK {
 
   /** Partial-stage key-map cap: past this many tracked keys per input
-    * partition, further keys stream through unreduced (≈ tens of MB of heap
-    * at k≈10; raise/lower per workload via the [[perKey]] overload). */
-  val defaultMaxPartialKeys: Int = 1 << 20
+    * partition, further keys stream through unreduced. Budget ≈
+    * cap × k × rowBytes per TASK (each partition holds its own map):
+    * 262 144 keys × k=10 × ~100 B ≈ 250 MB — inside a typical executor
+    * task slot. Raise/lower per workload via the [[perKey]] overload. */
+  val defaultMaxPartialKeys: Int = 1 << 18
 
   /** Best-k rows per key under `orderBy` (ascending semantics of the given
     * SortOrder columns — pass `col.desc` for largest-first). Registers the
