@@ -1384,7 +1384,15 @@ object SparkEntry {
     // Per-dimension vector stats (reference stat-over-DVector): micro-unit
     // integers summed exactly — one map-side-combinable agg keyed by dim
     "q138_vector_stats" -> ((s, d) =>
-      graft.lib.Stats.describeVector(tbl(s, d, "embeddings")))
+      graft.lib.Stats.describeVector(tbl(s, d, "embeddings"))),
+
+    // Canonical text normalization (native codegen'd NFC + lower + trim +
+    // whitespace collapse) — the pre-hash canonical form, value-checked
+    // through md5 of every normalized document
+    "q139_normalize" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        md5(graft.ops.TextAnalysis.normalize(col("text"))).as("norm_md5"),
+        length(graft.ops.TextAnalysis.normalize(col("text"))).as("norm_len")))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1782,6 +1790,11 @@ object SparkEntry {
         "list_slice(toks, start + 1, start + 64) AS chunk FROM c) " +
         "SELECT doc_id, chunk_no, CAST(len(chunk) AS INTEGER) AS chunk_tokens, " +
         "array_to_string(chunk, ' ') AS chunk_text FROM ch"),
+
+    "q139_normalize" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS norm_md5, " +
+        "CAST(length(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS INTEGER) AS norm_len " +
+        "FROM documents"),
 
     "q138_vector_stats" ->
       ("WITH e AS (SELECT unnest(embedding) AS x, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings), " +

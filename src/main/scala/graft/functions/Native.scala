@@ -78,11 +78,55 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd Unicode NFC normalization — the text-canonicalization
+  * step every dedup/fingerprint pipeline needs before hashing (two byte
+  * sequences can render identically yet hash differently), which Spark has
+  * no built-in for. A scalar JDK call (`java.text.Normalizer`) inside
+  * whole-stage codegen, with an `isNormalized` short-circuit so the common
+  * already-NFC row costs one check and zero allocations beyond the
+  * `toString` bridge. */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |java.lang.String s = $c.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)
+         |  ? $c
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object Native {
 
   /** Column API for the native expression. */
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
+  /** Column API for native NFC normalization. */
+  def nfcNormalize(s: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(s)))
 
   /** Column API for the fused MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
@@ -104,6 +148,9 @@ object Native {
     MinHashSig(children(0), children(1).eval().asInstanceOf[Number].intValue())
   }
 
+  private val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalize].getName, "nfc_normalize")
+
   /** Runtime registration so `expr("cosine_sim(a, b)")` / SQL works on an
     * existing session. */
   def register(spark: SparkSession): Unit = {
@@ -112,6 +159,9 @@ object Native {
       (children: Seq[Expression]) => CosineSim(children(0), children(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"), minhashInfo, minhashFromSql _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("nfc_normalize"), nfcInfo,
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 }
 
@@ -128,6 +178,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       Native.minhashFromSql _))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineRule)
   }

@@ -155,6 +155,14 @@ object TextAnalysis {
         coalesce(col("dup_3gram_frac"), lit(0.0)).as("dup_3gram_frac"))
   }
 
+  /** Canonical text normalization for hashing/dedup: Unicode NFC (native
+    * codegen'd expression — two byte sequences rendering identically must
+    * hash identically), lowercase, trim, single-space whitespace. Run this
+    * BEFORE any fingerprint/shingle/minhash stage; it is a pure narrow map. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(graft.functions.Native.nfcNormalize(text))),
+      "\\s+", " ")
+
   /** Corpus bigram language-model quality score (the KenLM-style perplexity
     * filter of CCNet/Gopher, reduced to a self-trained bigram model): train
     * add-k-smoothed bigram probabilities on the corpus itself, then score

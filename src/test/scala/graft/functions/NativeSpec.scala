@@ -97,4 +97,37 @@ class NativeSpec extends AnyFlatSpec with Matchers {
       .collect()(0).getSeq[String](0)
     r.length shouldBe 4
   }
+
+  "NfcNormalize" should "compose decomposed sequences inside whole-stage codegen" in {
+    val decomposed = "Cafe\u0301 du Monde" // e + combining acute (U+0301)
+    val composed = "Caf\u00e9 du Monde"    // precomposed e-acute (U+00E9)
+    // range() keeps the input non-local so ConvertToLocalRelation can't
+    // pre-evaluate the projection — the codegen assertion stays meaningful
+    val df = spark.range(1, 5).select(col("id"),
+      when(col("id") === 1, lit(decomposed)).when(col("id") === 2, lit(composed))
+        .when(col("id") === 3, lit("plain ascii"))
+        .otherwise(lit(null).cast("string")).as("s"))
+    val got = df.select(col("id"), Native.nfcNormalize(col("s")).as("n"))
+    got.queryExecution.executedPlan.toString should include("*(1) Project")
+    val rows = got.collect().sortBy(_.getLong(0))
+    rows(0).getString(1) shouldBe composed     // normalized
+    rows(1).getString(1) shouldBe composed     // already NFC: unchanged
+    rows(2).getString(1) shouldBe "plain ascii"
+    rows(3).isNullAt(1) shouldBe true
+    // downstream consequence: identical rendering now hashes identically
+    val hashes = got.where(col("id") <= 2)
+      .select(md5(col("n"))).collect().map(_.getString(0)).distinct
+    hashes.length shouldBe 1
+  }
+
+  it should "expose nfc_normalize to SQL and feed TextAnalysis.normalize" in {
+    Native.register(spark)
+    val raw = "  A\u030a  b   c " // A + combining ring (U+030A)
+    Seq((1L, raw)).toDF("id", "s").createOrReplaceTempView("native_nfc")
+    spark.sql("SELECT nfc_normalize(s) AS n FROM native_nfc")
+      .head().getString(0) shouldBe "  \u00c5  b   c " // -> precomposed A-ring, case kept
+    val full = Seq((1L, raw)).toDF("id", "s")
+      .select(graft.ops.TextAnalysis.normalize(col("s")).as("n")).head().getString(0)
+    full shouldBe "\u00e5 b c" // NFC + lower + trim + collapsed spaces
+  }
 }
