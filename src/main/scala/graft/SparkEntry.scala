@@ -727,7 +727,10 @@ object SparkEntry {
     // and the string form hashes identically in any harness.
     "q93_quantize" -> ((s, d) =>
       graft.ops.Similarity.quantizeInt8(tbl(s, d, "embeddings"))
-        .select(col("vec_id"), col("absmax"),
+        .select(col("vec_id"),
+          // micro-units: this row has never been hashed by the driver, so
+          // leave it nothing float-shaped to disagree on
+          floor(col("absmax") * 1e6 + 0.5).cast("long").as("absmax_micros"),
           concat_ws(",", col("qvec").cast("array<string>")).as("qvec"))),
 
     // Stream-stream interval self-join in the gate: both sides watermarked,
@@ -1392,7 +1395,27 @@ object SparkEntry {
     "q139_normalize" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
         md5(graft.ops.TextAnalysis.normalize(col("text"))).as("norm_md5"),
-        length(graft.ops.TextAnalysis.normalize(col("text"))).as("norm_len")))
+        length(graft.ops.TextAnalysis.normalize(col("text"))).as("norm_len"))),
+
+    // Schema-evolution read: two parquet vintages with different columns
+    // (v2 adds c_acctbal, drops c_mktsegment) unioned by mergeSchema at
+    // scan time — absent columns surface as NULLs, the production contract
+    // for reading a table whose delivery schema moved mid-history
+    "q140_merge_schema" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val c = tbl(s, d, "customer")
+      c.where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      c.where(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .agg(count(lit(1)).as("n"),
+          count(col("c_mktsegment")).as("n_seg"),
+          count(col("c_acctbal")).as("n_bal"),
+          sum(floor(col("c_acctbal") * 100.0).cast("long")).as("bal_cents"))
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1791,6 +1814,13 @@ object SparkEntry {
         "SELECT doc_id, chunk_no, CAST(len(chunk) AS INTEGER) AS chunk_tokens, " +
         "array_to_string(chunk, ' ') AS chunk_text FROM ch"),
 
+    "q140_merge_schema" ->
+      ("SELECT COUNT(*) AS n, " +
+        "COUNT(*) FILTER (c_custkey % 2 = 0) AS n_seg, " +
+        "COUNT(*) FILTER (c_custkey % 2 = 1) AS n_bal, " +
+        "CAST(SUM(CAST(floor(c_acctbal * 100.0) AS BIGINT)) FILTER (c_custkey % 2 = 1) AS BIGINT) AS bal_cents " +
+        "FROM customer"),
+
     "q139_normalize" ->
       ("SELECT doc_id, md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS norm_md5, " +
         "CAST(length(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g')) AS INTEGER) AS norm_len " +
@@ -1984,7 +2014,8 @@ object SparkEntry {
         "ELSE list_transform(embedding, x -> CAST(floor(((CAST(x AS DOUBLE) * 127.0) / " +
         "list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)) " +
         "END AS qvec_list FROM embeddings) " +
-        "SELECT vec_id, absmax, array_to_string(qvec_list, ',') AS qvec FROM q"),
+        "SELECT vec_id, CAST(floor(absmax * 1000000.0 + 0.5) AS BIGINT) AS absmax_micros, " +
+        "array_to_string(qvec_list, ',') AS qvec FROM q"),
 
     "q90_muses" ->
       ("WITH cd AS (SELECT o_custkey AS director, o_orderkey AS movie FROM orders), " +
