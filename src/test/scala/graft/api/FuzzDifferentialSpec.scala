@@ -50,6 +50,58 @@ class FuzzDifferentialSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "random join pipelines" should "agree with Seq semantics (equiJoin + cross + fold)" in {
+    val rnd = new scala.util.Random(777L)
+    for (trial <- 1 to 10) {
+      val xs = Seq.fill(rnd.nextInt(30) + 1)((rnd.nextInt(8).toLong, rnd.nextInt(100)))
+      val ys = Seq.fill(rnd.nextInt(30))((rnd.nextInt(8).toLong, rnd.nextInt(100)))
+      val bx = DataBag(xs); val by = DataBag(ys)
+      withClue(s"[join trial $trial] ") {
+        val j = bx.equiJoin(by)(_._1, _._1).map { case (a, b) => a._2.toLong * b._2 }
+        val jSeq = for (a <- xs; b <- ys if a._1 == b._1) yield a._2.toLong * b._2
+        j.size shouldBe jSeq.size.toLong
+        j.sum shouldBe jSeq.sum
+        val c = bx.cross(by).map { case (a, b) => a._2 + b._2 }
+        val cSeq = for (a <- xs; b <- ys) yield a._2 + b._2
+        c.size shouldBe cSeq.size.toLong
+        c.sum shouldBe cSeq.sum
+        val semi = bx.semiJoin(by)(_._1, _._1)
+        semi.size shouldBe xs.count(a => ys.exists(_._1 == a._1)).toLong
+        val anti = bx.antiJoin(by)(_._1, _._1)
+        anti.size shouldBe xs.count(a => !ys.exists(_._1 == a._1)).toLong
+      }
+    }
+  }
+
+  "random pipelines on the LocalBag twin" should "agree with both DataBag and Seq" in {
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 10) {
+      val data = Seq.fill(rnd.nextInt(40) + 1)(rnd.nextInt(100))
+      val k = rnd.nextInt(5) + 1
+      val cut = rnd.nextInt(50)
+      def run[B](m: Int => Int, bag: Either[LocalBag[Int], DataBag[Int]]): (Long, Int, List[Int]) =
+        bag match {
+          case Left(lb) =>
+            val t = lb.map(m).withFilter(_ > cut)
+            (t.size, t.sum, t.top(3))
+          case Right(db) =>
+            val t = db.map(m).withFilter(_ > cut)
+            (t.size, t.sum, t.top(3))
+        }
+      val m = (x: Int) => x * k % 97
+      val local = run(m, Left(LocalBag.of(data)))
+      val dist = run(m, Right(DataBag(data)))
+      val seqR = {
+        val t = data.map(m).filter(_ > cut)
+        (t.size.toLong, t.sum, t.sorted.reverse.take(3))
+      }
+      withClue(s"[local trial $trial] ") {
+        local shouldBe seqR
+        dist shouldBe seqR
+      }
+    }
+  }
+
   "random op pipelines" should "agree with Seq semantics under every terminal fold" in {
     val rnd = new scala.util.Random(20260813L)
     for (trial <- 1 to 25) {
