@@ -1415,6 +1415,47 @@ object SparkEntry {
           count(col("c_mktsegment")).as("n_seg"),
           count(col("c_acctbal")).as("n_bal"),
           sum(floor(col("c_acctbal") * 100.0).cast("long")).as("bal_cents"))
+    }),
+
+    // ---------------------------------- event-sequence analytics (round 5)
+    "q141_funnel" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.ops.Analytics.funnel(tbl(s, d, "events"), "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "big_click" -> (col("event_type") === "click" && col("value") > 100.0),
+        "big_purchase" -> (col("event_type") === "purchase" && col("value") > 300.0)))
+    }),
+
+    "q142_retention" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.ops.Analytics.retentionCohorts(
+        tbl(s, d, "events"), "user_id",
+        to_date(expr("timestamp_micros(ts div 1000)")))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("users"))
+    }),
+
+    "q143_intervals" -> ((s, d) => {
+      val iv = tbl(s, d, "lineitem")
+        .where(col("l_partkey") % 7 === 0 && col("l_quantity") <= 3)
+        .select(col("l_suppkey"),
+          to_date(col("l_shipdate")).as("s"),
+          date_add(to_date(col("l_shipdate")),
+            col("l_quantity").cast("int")).as("e"))
+      graft.ops.Ordered.mergeIntervals(iv, "l_suppkey", "s", "e")
+        .select(col("l_suppkey"),
+          date_format(col("island_start"), "yyyy-MM-dd").as("island_start"),
+          date_format(col("island_end"), "yyyy-MM-dd").as("island_end"),
+          col("n_intervals"))
+    }),
+
+    "q144_skyline" -> ((s, d) => {
+      val pts = tbl(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).as("spend"))
+      graft.ops.Ordered.skyline2D(pts, "n_orders", "spend")
+        .select(col("o_custkey"), col("n_orders"),
+          col("spend").cast("double").as("spend"))
     })
   )
 
@@ -2433,6 +2474,43 @@ object SparkEntry {
         "j AS (SELECT fact_id, fa.user_id, fa.t_us, r.event_type, " +
         "row_number() OVER (PARTITION BY fact_id ORDER BY r.valid_from DESC, r.event_type DESC) AS rn " +
         "FROM fact fa JOIN r ON fa.user_id = r.user_id AND r.valid_from <= fa.t_us) " +
-        "SELECT fact_id, user_id, t_us, event_type AS active_version FROM j WHERE rn = 1")
+        "SELECT fact_id, user_id, t_us, event_type AS active_version FROM j WHERE rn = 1"),
+
+    "q141_funnel" ->
+      ("WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "t1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t0 ON e.user_id = t0.user_id " +
+        "WHERE e.event_type = 'click' AND e.value > 100.0 AND e.ts > t0.t GROUP BY 1), " +
+        "t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.value > 300.0 AND e.ts > t1.t GROUP BY 1) " +
+        "SELECT 'view' AS stage, COUNT(*) AS users FROM t0 " +
+        "UNION ALL SELECT 'big_click', COUNT(*) FROM t1 " +
+        "UNION ALL SELECT 'big_purchase', COUNT(*) FROM t2"),
+
+    "q142_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events), " +
+        "f AS (SELECT u, MIN(d) AS cohort FROM a GROUP BY 1) " +
+        "SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort, " +
+        "date_diff('day', f.cohort, a.d) AS day_offset, COUNT(DISTINCT a.u) AS users " +
+        "FROM a JOIN f ON a.u = f.u GROUP BY f.cohort, date_diff('day', f.cohort, a.d)"),
+
+    "q143_intervals" ->
+      ("WITH iv AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s, " +
+        "CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS e " +
+        "FROM lineitem WHERE l_partkey % 7 = 0 AND l_quantity <= 3), " +
+        "m AS (SELECT l_suppkey, s, e, MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+        "f AS (SELECT l_suppkey, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM m), " +
+        "g AS (SELECT l_suppkey, s, e, SUM(nf) OVER (PARTITION BY l_suppkey ORDER BY s, e " +
+        "ROWS UNBOUNDED PRECEDING) AS isl FROM f) " +
+        "SELECT l_suppkey, strftime(MIN(s), '%Y-%m-%d') AS island_start, " +
+        "strftime(MAX(e), '%Y-%m-%d') AS island_end, COUNT(*) AS n_intervals " +
+        "FROM g GROUP BY l_suppkey, isl"),
+
+    "q144_skyline" ->
+      ("WITH c AS (SELECT o_custkey, COUNT(*) AS n_orders, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1) " +
+        "SELECT p.o_custkey, p.n_orders, CAST(p.spend AS DOUBLE) AS spend FROM c p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM c q WHERE q.n_orders >= p.n_orders AND q.spend >= p.spend " +
+        "AND (q.n_orders > p.n_orders OR q.spend > p.spend))")
   )
 }
