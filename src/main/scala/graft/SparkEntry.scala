@@ -1456,6 +1456,34 @@ object SparkEntry {
       graft.ops.Ordered.skyline2D(pts, "n_orders", "spend")
         .select(col("o_custkey"), col("n_orders"),
           col("spend").cast("double").as("spend"))
+    }),
+
+    // Token-distribution Shannon entropy per document; per-term c·ln(c)
+    // micro-rounded to integers before summation (order-independent,
+    // engine-portable), final expression mirrored verbatim by the oracle
+    "q145_entropy" -> ((s, d) =>
+      graft.ops.TextAnalysis.tokenEntropy(tbl(s, d, "documents"))
+        .select("doc_id", "n_tokens", "ent_micros")),
+
+    // Count-min sketch contract: estimates never undercount, and every
+    // depth row of the sketch conserves total item mass EXACTLY. xxhash64
+    // has no DuckDB twin, so (as q35) the gate checks the deterministic
+    // contract; the oracle recomputes the key stats straight from lineitem.
+    "q146_cms" -> ((s, d) => {
+      val keys = tbl(s, d, "lineitem").select(col("l_partkey"))
+      val sk = graft.ops.Sketches.countMinSketch(keys, col("l_partkey"))
+      val truth = keys.groupBy("l_partkey").agg(count(lit(1)).as("tc"))
+      val est = graft.ops.Sketches.cmsEstimate(
+        sk, truth.select("l_partkey"), col("l_partkey"))
+      val perKey = truth.join(est, col("l_partkey") === col("k"))
+        .agg(count(lit(1)).as("n_keys"), sum("tc").as("total"),
+          every(col("est") >= col("tc")).as("never_under"))
+      val mass = sk.groupBy("d").agg(sum("cnt").as("m"))
+        .agg(collect_set("m").as("masses"))
+      perKey.crossJoin(mass)
+        .select(col("n_keys"), col("total"), col("never_under"),
+          (size(col("masses")) === 1 &&
+            element_at(col("masses"), 1) === col("total")).as("mass_conserved"))
     })
   )
 
@@ -2511,6 +2539,21 @@ object SparkEntry {
         "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1) " +
         "SELECT p.o_custkey, p.n_orders, CAST(p.spend AS DOUBLE) AS spend FROM c p " +
         "WHERE NOT EXISTS (SELECT 1 FROM c q WHERE q.n_orders >= p.n_orders AND q.spend >= p.spend " +
-        "AND (q.n_orders > p.n_orders OR q.spend > p.spend))")
+        "AND (q.n_orders > p.n_orders OR q.spend > p.spend))"),
+
+    "q145_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t " +
+        "FROM documents), " +
+        "cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE length(t) > 0 GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) " +
+        "AS BIGINT)) AS BIGINT) AS s_micros FROM cnt GROUP BY 1) " +
+        "SELECT doc_id, n_tokens, " +
+        "CAST(floor((ln(CAST(n_tokens AS DOUBLE)) - (CAST(s_micros AS DOUBLE) / 1000000.0) " +
+        "/ CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ent_micros FROM agg"),
+
+    "q146_cms" ->
+      ("SELECT COUNT(DISTINCT l_partkey) AS n_keys, COUNT(*) AS total, " +
+        "true AS never_under, true AS mass_conserved FROM lineitem")
   )
 }

@@ -205,4 +205,30 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_logprob_micros"), lit(0L)).as("sum_logprob_micros"))
   }
+
+  /** Per-document Shannon entropy (nats) of the whitespace-token
+    * distribution — a lexical-diversity quality signal (low entropy ⇒
+    * repetitive/boilerplate text). Computed as ln(n) − (Σ c·ln c)/n over
+    * per-token counts c, which keeps the FP term count at one-per-distinct-
+    * token. Each c·ln(c) term is micro-rounded to an INTEGER before the
+    * per-doc sum (the bigramLogProb pattern), so the aggregate is
+    * order-independent and engine-portable; `ent_micros` is derived from
+    * those exact integers by one final expression both engines mirror
+    * verbatim. Output: (doc_id, n_tokens, ent_micros, entropy).
+    * Two map-side-combinable aggregations: (doc, token) then doc. */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
+    Par.spread(docs)
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long")).as("s_micros"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((log(col("n_tokens").cast("double"))
+          - (col("s_micros").cast("double") / lit(1e6))
+            / col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("ent_micros"))
+      .withColumn("entropy", col("ent_micros").cast("double") / lit(1e6))
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Count-min sketch contract under both collision-free and adversarially
+  * tiny widths, plus token-entropy parity with a Seq-computed oracle. */
+class SketchesSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  behavior of "Sketches.countMinSketch"
+
+  private def truthAndEst(width: Int) = {
+    val keys = (1 to 40).flatMap(k => Seq.fill(k % 7 + 1)(s"k$k"))
+      .toDF("k0").select(col("k0"))
+    val sk = Sketches.countMinSketch(keys, col("k0"), depth = 3, width = width)
+    val truth = keys.groupBy("k0").agg(count(lit(1)).as("tc"))
+    val est = Sketches.cmsEstimate(sk, truth.select("k0"), col("k0"),
+      depth = 3, width = width)
+    (sk, truth.join(est, col("k0") === col("k"))
+      .select("k0", "tc", "est").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
+  it should "estimate exactly when the width dwarfs the key count" in {
+    val (_, rows) = truthAndEst(width = 4096)
+    rows should have size 40
+    every(rows.map(r => r._3 == r._2).toList) shouldBe true
+  }
+
+  it should "never undercount even at an adversarially tiny width" in {
+    val (sk, rows) = truthAndEst(width = 4) // heavy collisions guaranteed
+    every(rows.map(r => r._3 >= r._2).toList) shouldBe true
+    // mass conservation: each depth row carries the full item count
+    val total = rows.map(_._2).sum
+    val perDepth = sk.groupBy("d").agg(sum("cnt").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    perDepth shouldBe Set(total)
+  }
+
+  behavior of "TextAnalysis.tokenEntropy"
+
+  it should "match a Seq-computed entropy and be zero for repeated tokens" in {
+    val docs = Seq(
+      (1L, "a b c d"),        // uniform: entropy = ln 4
+      (2L, "x x x x x"),      // single token: entropy = 0
+      (3L, "a a b"),          // 2/3,1/3 distribution
+      (4L, "  spaced   out  tokens ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .select("doc_id", "entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def seqEntropy(s: String): Double = {
+      val cs = s.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).values.map(_.length.toDouble)
+      val n = cs.sum
+      val sMicros = cs.map(c => math.floor(c * math.log(c) * 1e6 + 0.5).toLong).sum
+      math.floor((math.log(n) - (sMicros / 1e6) / n) * 1e6 + 0.5) / 1e6
+    }
+    got(1L) shouldBe seqEntropy("a b c d")
+    got(1L) shouldBe (math.log(4.0) +- 1e-5)
+    got(2L) shouldBe 0.0
+    got(3L) shouldBe seqEntropy("a a b")
+    got(4L) shouldBe seqEntropy("spaced out tokens")
+  }
+}
