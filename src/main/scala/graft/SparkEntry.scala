@@ -1484,6 +1484,27 @@ object SparkEntry {
         .select(col("n_keys"), col("total"), col("never_under"),
           (size(col("masses")) === 1 &&
             element_at(col("masses"), 1) === col("total")).as("mass_conserved"))
+    }),
+
+    // Approx-quantile (GK sketch, Spark's mergeable approx_percentile)
+    // contract: each returned value is an OBSERVED element whose empirical
+    // rank is within eps of the target percentile. The sketch values are
+    // engine-specific; the rank bound is deterministic given the data, so
+    // the gate checks it exactly (the q51 approx-distinct pattern).
+    "q147_approx_quantiles" -> ((s, d) => {
+      val li = tbl(s, d, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val ap = li.agg(expr(
+        "approx_percentile(x, array(0.25, 0.5, 0.75, 0.95), 1000)").as("ap"))
+        .head().getSeq[Double](0)
+      val eps = 0.01 // accuracy=1000 → rank error 1e-3; 10x slack
+      val checks = ps.zip(ap).zipWithIndex.map { case ((p, v), i) =>
+        ((count(when(col("x") < v, 1)) <= count(lit(1)) * (p + eps)) &&
+          (count(when(col("x") <= v, 1)) >= count(lit(1)) * (p - eps)) &&
+          (count(when(col("x") === v, 1)) > 0)).as(s"p${(p * 100).toInt}_ok")
+      }
+      li.agg(count(lit(1)).as("n"), checks: _*)
     })
   )
 
@@ -2554,6 +2575,10 @@ object SparkEntry {
 
     "q146_cms" ->
       ("SELECT COUNT(DISTINCT l_partkey) AS n_keys, COUNT(*) AS total, " +
-        "true AS never_under, true AS mass_conserved FROM lineitem")
+        "true AS never_under, true AS mass_conserved FROM lineitem"),
+
+    "q147_approx_quantiles" ->
+      ("SELECT COUNT(*) AS n, true AS p25_ok, true AS p50_ok, " +
+        "true AS p75_ok, true AS p95_ok FROM lineitem")
   )
 }
