@@ -1505,6 +1505,18 @@ object SparkEntry {
           (count(when(col("x") === v, 1)) > 0)).as(s"p${(p * 100).toInt}_ok")
       }
       li.agg(count(lit(1)).as("n"), checks: _*)
+    }),
+
+    // Incremental near-dup: the new batch (doc_id % 5 == 0) probes the
+    // corpus (the rest) through its persisted LSH band index — the corpus
+    // text is shingled only for docs in hit buckets, so cost tracks the
+    // batch, not the corpus
+    "q148_incremental_dedup" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val idx = Dedup.lshBands(corpus)
+      graft.ops.Curation.incrementalNearDups(
+        corpus, idx, docs.where(col("doc_id") % 5 === 0), minJaccard = 0.2)
     })
   )
 
@@ -1540,11 +1552,13 @@ object SparkEntry {
     "MIN(substr(md5('0-' || shingle), 17, 8)) AS mh2, MIN(substr(md5('0-' || shingle), 25, 8)) AS mh3, MIN(substr(md5('1-' || shingle), 1, 8)) AS mh4, " +
     "MIN(substr(md5('1-' || shingle), 9, 8)) AS mh5, MIN(substr(md5('1-' || shingle), 17, 8)) AS mh6, MIN(substr(md5('1-' || shingle), 25, 8)) AS mh7 FROM sh GROUP BY doc_id)"
 
-  private val bandCtes =
+  private val bandRowsCte =
     "bandrows AS (SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig " +
     "UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig " +
     "UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig " +
-    "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig), " +
+    "UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig)"
+
+  private val bandCtes = bandRowsCte + ", " +
     "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
     "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
 
@@ -2579,6 +2593,14 @@ object SparkEntry {
 
     "q147_approx_quantiles" ->
       ("SELECT COUNT(*) AS n, true AS p25_ok, true AS p50_ok, " +
-        "true AS p75_ok, true AS p95_ok FROM lineitem")
+        "true AS p75_ok, true AS p95_ok FROM lineitem"),
+
+    "q148_incremental_dedup" ->
+      (s"WITH $shingleCtes, $sigCte, $bandRowsCte, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key " +
+        "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
+        s"${jaccardVerifySql(0.2)} " +
+        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs")
   )
 }

@@ -45,6 +45,43 @@ object Curation {
       .select(col("vertex").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Incremental near-duplicate check: probe a NEW batch of documents
+    * against an EXISTING corpus through its persisted LSH index
+    * ([[Dedup.lshBands]]) instead of re-running global dedup.
+    *
+    * Returns `(new_id, corpus_id, jaccard)` for every (new, corpus) pair
+    * with Jaccard ≥ `minJaccard`. In-batch duplicates are out of scope —
+    * run [[nearDuplicates]] on the batch for those.
+    *
+    * Scale shape — the whole point of the op: the corpus text is touched
+    * ONLY for docs whose band bucket the new batch hits. Candidate
+    * generation is an equi-join of the (tiny) new-batch band rows against
+    * the index on the uniform `(band_id, band_key)` key; the corpus side
+    * is then narrowed by a semi-join to matched ids before shingling, so
+    * verification cost is O(|new| + matched docs), independent of corpus
+    * size. With the index stored bucketed by band key, the probe join is
+    * shuffle-free on the corpus side. */
+  def incrementalNearDups(corpus: DataFrame, corpusIndex: DataFrame,
+      newDocs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val probe = Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)
+    val cands = probe.as("p")
+      .join(corpusIndex.as("i"),
+        col("p.band_id") === col("i.band_id") &&
+          col("p.band_key") === col("i.band_key"))
+      .select(col("p.doc_id").as("id1"), col("i.doc_id").as("id2"))
+      .distinct()
+      .localCheckpoint() // bound: reused by the semi-join AND verification
+    val touched = corpus.join(
+      cands.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "semi")
+    val sh = Dedup.hashedShingles(newDocs.select(col("doc_id"), col(textCol))
+        .unionByName(touched.select(col("doc_id"), col(textCol))),
+      textCol, shingleN).localCheckpoint()
+    Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
+      .select(col("id1").as("new_id"), col("id2").as("corpus_id"), col("jaccard"))
+  }
+
   /** Keep-list for a pretraining corpus: language + quality thresholds +
     * exact-dedup canonical representative. One pass for signals, one
     * aggregation for dedup, one join — returns the surviving doc_ids with

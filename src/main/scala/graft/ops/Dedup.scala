@@ -111,15 +111,26 @@ object Dedup {
     * ANY band matches (collision prob 1-(1-s^r)^b for Jaccard s). One long
     * relation (doc, band_id, band_key), one self-equi-join on the uniform
     * (band_id, band_key) key, distinct — scales as a plain hash join. */
-  def minhashLSH(docs: DataFrame, textCol: String = "text",
+  /** The banded-LSH index relation `(doc_id, band_id, band_key)` — the
+    * PERSISTENT artifact of LSH dedup at corpus scale: write it once
+    * (partitioned/bucketed by `(band_id, band_key)`), then both global
+    * dedup (self-join) and incremental probes of new batches
+    * ([[Curation.incrementalNearDups]]) are plain equi-joins against it,
+    * never touching the corpus text again. */
+  def lshBands(docs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(docs, textCol, numHashes, shingleN).localCheckpoint()
-    val bandRows = (0 until bands).map { b =>
+    val sig = minhashSignatures(docs, textCol, bands * rowsPerBand, shingleN)
+      .localCheckpoint()
+    (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       sig.select(col("doc_id"), lit(b).as("band_id"),
         concat_ws("|", cols: _*).as("band_key"))
     }.reduce(_ union _)
+  }
+
+  def minhashLSH(docs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val bandRows = lshBands(docs, textCol, bands, rowsPerBand, shingleN)
     val a = bandRows.as("a")
     val b = bandRows.as("b")
     a.join(b, col("a.band_id") === col("b.band_id") &&

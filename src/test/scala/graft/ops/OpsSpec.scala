@@ -454,4 +454,32 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       ("a", 4L) -> 9.0,
       ("b", 2L) -> 7.0)
   }
+
+  "Curation.incrementalNearDups" should "equal global near-dups restricted to new-vs-corpus pairs" in {
+    // corpus: 1-4; new batch: 11-12 (11 near-dups doc 1, 12 is novel)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump today"),
+      (4L, "sphinx of black quartz judge my vow now")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "completely unrelated words appear in this sentence")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.lshBands(corpus)
+    val got = Curation.incrementalNearDups(corpus, idx, fresh, minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // oracle: the GLOBAL pipeline over corpus ∪ batch, keeping only pairs
+    // that cross the batch/corpus boundary (either orientation)
+    val global = Curation.nearDuplicates(corpus.unionByName(fresh), minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a > 10 && b <= 10) Some((a, b, j))
+        else if (b > 10 && a <= 10) Some((b, a, j)) else None
+      }.toSet
+    got shouldBe global
+    got.map(_._1) should contain(11L) // the near-dup was caught
+    got.map(_._1) should not contain 12L
+  }
 }
