@@ -1517,7 +1517,11 @@ object SparkEntry {
       val idx = Dedup.lshBands(corpus)
       graft.ops.Curation.incrementalNearDups(
         corpus, idx, docs.where(col("doc_id") % 5 === 0), minJaccard = 0.2)
-    })
+    }),
+
+    // Cross-document duplicated-n-gram fraction (corpus boilerplate signal)
+    "q149_dup_ngrams" -> ((s, d) =>
+      graft.ops.TextAnalysis.dupNgramFraction(tbl(s, d, "documents")))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2601,6 +2605,15 @@ object SparkEntry {
         "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key " +
         "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
         s"${jaccardVerifySql(0.2)} " +
-        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs")
+        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs"),
+
+    "q149_dup_ngrams" ->
+      (s"WITH $shingleCtes, " +
+        "df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1) " +
+        "SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup, " +
+        "CAST(floor(CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) " +
+        "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_micros " +
+        "FROM sh JOIN df USING (shingle) GROUP BY doc_id")
   )
 }

@@ -216,6 +216,34 @@ object TextAnalysis {
     * those exact integers by one final expression both engines mirror
     * verbatim. Output: (doc_id, n_tokens, ent_micros, entropy).
     * Two map-side-combinable aggregations: (doc, token) then doc. */
+  /** CORPUS-level duplicated-n-gram fraction per document: the share of a
+    * document's distinct n-gram shingles that occur in at least `minDocs`
+    * documents corpus-wide (the cross-document companion to the within-doc
+    * [[repetitionSignals]]; high values flag boilerplate shared across many
+    * pages — the RefinedWeb/Gopher "duplicated n-gram" filter).
+    *
+    * Output: (doc_id, n_shingles, n_dup, dup_frac_micros).
+    *
+    * Scale: one doc-frequency aggregation over the hashed-shingle relation
+    * (map-side combinable, uniform 8-byte keys) + one join of that relation
+    * back to its own per-shingle counts — the same shuffle shape as TF-IDF.
+    * No quadratic stage; hot shingles skew the join key, but the count
+    * relation is tiny (one row per distinct shingle) and broadcasts/AQE
+    * handles residual skew. */
+  def dupNgramFraction(docs: DataFrame, textCol: String = "text",
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1: $minDocs")
+    val sh = Dedup.hashedShingles(docs, textCol, n)
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "shingle")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= minDocs, 1)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        floor(col("n_dup").cast("double") / col("n_shingles").cast("double")
+          * lit(1e6) + lit(0.5)).cast("long").as("dup_frac_micros"))
+  }
+
   def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
     Par.spread(docs)
       .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))

@@ -70,6 +70,27 @@ object ProfileScale {
     val cN = time(s"chunking ${n}x")(
       ops.Packing.chunkByTokens(docsN, chunkTokens = 64, overlap = 16).count())
     println(f"text ratios at ${n}x: lm=${lmN / lm1}%.1f chunk=${cN / c1}%.1f (linear would be <= $n)")
+
+    // round-5 additions: token entropy + cross-doc dup-ngram fraction
+    // (both aggregation-shaped) and the incremental LSH probe — the probe's
+    // BATCH is fixed while the corpus/index replicates Nx, so its wall time
+    // should stay near-FLAT (the whole point of probing an index instead of
+    // re-running global dedup)
+    val e1 = time("entropy 1x")(ops.TextAnalysis.tokenEntropy(docs1).count())
+    val eN = time(s"entropy ${n}x")(ops.TextAnalysis.tokenEntropy(docsN).count())
+    val g1 = time("dup-ngrams 1x")(ops.TextAnalysis.dupNgramFraction(docs1).count())
+    val gN = time(s"dup-ngrams ${n}x")(ops.TextAnalysis.dupNgramFraction(docsN).count())
+    val batch = docs1.where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + lit(n * maxId)).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val idx1 = ops.Dedup.lshBands(docs1).localCheckpoint()
+    val idxN = ops.Dedup.lshBands(docsN).localCheckpoint()
+    val p1 = time("incr probe 1x corpus")(
+      ops.Curation.incrementalNearDups(docs1, idx1, batch, minJaccard = 0.2).count())
+    val pN = time(s"incr probe ${n}x corpus")(
+      ops.Curation.incrementalNearDups(docsN, idxN, batch, minJaccard = 0.2).count())
+    println(f"round-5b ratios at ${n}x: entropy=${eN / e1}%.1f dupgrams=${gN / g1}%.1f " +
+      f"incr-probe=${pN / p1}%.1f (probe should be ~flat; linear would be <= $n)")
     spark.stop()
   }
 }
