@@ -1521,7 +1521,25 @@ object SparkEntry {
 
     // Cross-document duplicated-n-gram fraction (corpus boilerplate signal)
     "q149_dup_ngrams" -> ((s, d) =>
-      graft.ops.TextAnalysis.dupNgramFraction(tbl(s, d, "documents")))
+      graft.ops.TextAnalysis.dupNgramFraction(tbl(s, d, "documents"))),
+
+    // Distributed BPE vocabulary training. The merge sequence is
+    // deterministic (lexicographic tie-break; BpeSpec pins it to a
+    // sequential textbook twin); the driver gate checks the corpus-level
+    // contract: exact pre-merge symbol count, the requested merge count,
+    // distinct merges, and ≥2-tokens-saved-per-merge compression
+    "q150_bpe" -> ((s, d) => {
+      import s.implicits._
+      val (merges, words) = graft.ops.Bpe.train(tbl(s, d, "documents"), numMerges = 10)
+      val ms = merges.select("left", "right").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val before = graft.ops.Bpe.wordSymbols(tbl(s, d, "documents"))
+        .selectExpr("sum(size(syms) * cnt) AS s").head().getLong(0)
+      val after = words.selectExpr("sum(size(syms) * cnt) AS s").head().getLong(0)
+      Seq((before, ms.length.toLong, ms.distinct.length == ms.length,
+        after <= before - 2 * ms.length))
+        .toDF("tokens_before", "n_merges", "merges_distinct", "compression_ok")
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2614,6 +2632,11 @@ object SparkEntry {
         "COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup, " +
         "CAST(floor(CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) " +
         "/ CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS dup_frac_micros " +
-        "FROM sh JOIN df USING (shingle) GROUP BY doc_id")
+        "FROM sh JOIN df USING (shingle) GROUP BY doc_id"),
+
+    "q150_bpe" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
+        "SELECT CAST(SUM(length(w)) AS BIGINT) AS tokens_before, CAST(10 AS BIGINT) AS n_merges, " +
+        "true AS merges_distinct, true AS compression_ok FROM w WHERE length(w) > 0")
   )
 }
