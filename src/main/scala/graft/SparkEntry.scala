@@ -1539,6 +1539,22 @@ object SparkEntry {
       Seq((before, ms.length.toLong, ms.distinct.length == ms.length,
         after <= before - 2 * ms.length))
         .toDF("tokens_before", "n_merges", "merges_distinct", "compression_ok")
+    }),
+
+    // Dedup on INGEST: the new batch arrives as a STREAM and probes the
+    // corpus's static LSH index incrementally — must produce exactly the
+    // batch incremental-probe pairs (same oracle SQL as q148)
+    "q151_stream_dedup_probe" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      val idx = Dedup.lshBands(corpus).localCheckpoint()
+      val corpusSh = Dedup.hashedShingles(corpus).localCheckpoint()
+      val stream = graft.streaming.Streams
+        .parquetFileStream(s, s"$d/documents.parquet")
+        .where(col("doc_id") % 5 === 0)
+      graft.streaming.Streams.incrementalDedupProbe(
+        stream, corpusSh, idx, minJaccard = 0.2,
+        queryName = s"q151_mem_${System.nanoTime}")
     })
   )
 
@@ -2637,6 +2653,14 @@ object SparkEntry {
     "q150_bpe" ->
       ("WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
         "SELECT CAST(SUM(length(w)) AS BIGINT) AS tokens_before, CAST(10 AS BIGINT) AS n_merges, " +
-        "true AS merges_distinct, true AS compression_ok FROM w WHERE length(w) > 0")
+        "true AS merges_distinct, true AS compression_ok FROM w WHERE length(w) > 0"),
+
+    "q151_stream_dedup_probe" ->
+      (s"WITH $shingleCtes, $sigCte, $bandRowsCte, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key " +
+        "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
+        s"${jaccardVerifySql(0.2)} " +
+        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs")
   )
 }

@@ -296,4 +296,70 @@ object Streams {
       stream.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
   }
+
+  /** Streaming incremental near-dup probe — dedup on INGEST: each arriving
+    * document probes the corpus's static, persisted LSH band index
+    * ([[graft.ops.Dedup.lshBands]]), exactly like the batch
+    * [[graft.ops.Curation.incrementalNearDups]] but incremental. Returns
+    * `(new_id, corpus_id, jaccard)` pairs ≥ `minJaccard`, drained via
+    * Trigger.AvailableNow (semantics are batch-identical — gated against
+    * the batch oracle).
+    *
+    * Shape: the stream side stays NARROW until the index join — shingle
+    * hashes, minhash signature (fused native expression), and band keys are
+    * per-row column computations; candidates come from a stream-static
+    * equi-join on the uniform band key; verification explodes the NEW doc's
+    * shingle array only for candidate pairs and joins the static corpus
+    * shingle relation. ONE stateful aggregation keyed by
+    * (pair, band, |A|) counts the intersection; the final per-pair
+    * reduction and Jaccard arithmetic happen on the drained (tiny) result.
+    * Corpus text is touched only for docs in hit buckets — at 100 TB the
+    * static sides are pre-bucketed relations, and per-batch cost tracks the
+    * batch. */
+  def incrementalDedupProbe(newDocs: DataFrame, corpusSh: DataFrame,
+      corpusIndex: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      minJaccard: Double = 0.5, queryName: String = "graft_dedup_probe",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import graft.ops.Dedup
+    val numHashes = bands * rowsPerBand
+    // per-row: distinct hashed shingles + signature + band rows (all narrow)
+    val withSig = newDocs
+      .where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
+      .select(col("doc_id").as("id1"),
+        array_distinct(transform(Dedup.shingleArray(col(textCol), shingleN),
+          s => xxhash64(s))).as("sh1"),
+        graft.functions.Native.minhashSig(
+          Dedup.shingleArray(col(textCol), shingleN), numHashes).as("__sig"))
+    val bandRows = (0 until bands).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("__sig"), i + 1))
+      withSig.select(col("id1"), col("sh1"), lit(b).as("band_id"),
+        concat_ws("|", ks: _*).as("band_key"))
+    }.reduce(_ unionByName _)
+    // stream-static candidate join on the uniform band key, then verify:
+    // explode the new doc's shingles, match the static corpus shingles of
+    // the candidate, count per (pair, band) — each matching band carries the
+    // full shingle set once, so every band's count is the intersection size
+    val cands = bandRows.join(corpusIndex
+        .withColumnsRenamed(Map("doc_id" -> "id2")),
+      Seq("band_id", "band_key"))
+    val inter = cands
+      .select(col("id1"), col("id2"), col("band_id"),
+        size(col("sh1")).as("n1"), explode(col("sh1")).as("shingle"))
+      .join(corpusSh.withColumnsRenamed(Map("doc_id" -> "id2")),
+        Seq("id2", "shingle"))
+      .groupBy("id1", "id2", "band_id", "n1").agg(count(lit(1)).as("c"))
+    val drained = runToCompletion(inter, queryName,
+      statePartitions = statePartitions)
+    // batch post-processing of the drained candidate stats: collapse bands
+    // (every band reports the same intersection), attach |B|, Jaccard
+    val cnt2 = corpusSh.groupBy(col("doc_id").as("id2")).agg(count(lit(1)).as("n2"))
+    drained.groupBy("id1", "id2", "n1").agg(max("c").as("c"))
+      .join(cnt2, "id2")
+      .select(col("id1").as("new_id"), col("id2").as("corpus_id"),
+        graft.ops.Portable.round(col("c").cast("double") /
+          (col("n1") + col("n2") - col("c")).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
 }

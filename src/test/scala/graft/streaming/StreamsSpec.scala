@@ -253,4 +253,32 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
     val got = state.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
     got shouldBe Array(("a", 3L, 30.0), ("b", 2L, 200.0), ("c", 1L, 7.0))
   }
+
+  "incrementalDedupProbe" should "match the batch incremental probe, across multiple micro-batches" in {
+    import graft.ops.{Curation, Dedup}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "how vexingly quick daft zebras jump today"),
+      (4L, "sphinx of black quartz judge my vow now")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq((11L, "the quick brown fox jumps over the lazy cat"))
+    val batch2 = Seq(
+      (12L, "completely unrelated words appear in this sentence"),
+      (13L, "pack my box with five dozen liquor kegs"))
+    val idx = Dedup.lshBands(corpus).localCheckpoint()
+    val corpusSh = Dedup.hashedShingles(corpus).localCheckpoint()
+    val in = MemoryStream[(Long, String)]
+    in.addData(batch1: _*)
+    in.addData(batch2: _*)
+    val got = Streams.incrementalDedupProbe(
+      in.toDF.toDF("doc_id", "text"), corpusSh, idx, minJaccard = 0.1,
+      queryName = s"probe_${System.nanoTime}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = Curation.incrementalNearDups(corpus, idx,
+      (batch1 ++ batch2).toDF("doc_id", "text"), minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe exp
+    got.map(_._1) should contain allOf (11L, 13L) // both near-dups caught
+  }
 }
