@@ -51,13 +51,18 @@ object Analytics {
            else st.getItem(j - 1).isNotNull && e("ts") > st.getItem(j - 1))
         when(eligible, e("ts")).otherwise(st.getItem(j))
       }: _*)
-    val labels = array(stages.map(s => lit(s._1)): _*)
-    sorted
+    val counts = sorted
       .select(posexplode(aggregate(col("es"), init, step)).as(Seq("i", "t")))
       .where(col("t").isNotNull)
-      .groupBy("i").agg(count(lit(1)).as("users"))
-      .select(element_at(labels, col("i").cast("int") + 1).as("stage"),
-        col("users"))
+      .groupBy(col("i").cast("int").as("i")).agg(count(lit(1)).as("users"))
+    // every stage appears in the output — a stage no user reached reports
+    // 0 (matching SQL's COUNT over an empty set), not a missing row
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageDim = stages.zipWithIndex
+      .map { case ((name, _), i) => (i, name) }.toDF("i", "stage")
+    stageDim.join(counts, Seq("i"), "left")
+      .select(col("stage"), coalesce(col("users"), lit(0L)).as("users"))
   }
 
   /** Cohort retention: cohort = first active day per user; one row per
