@@ -65,6 +65,26 @@ class BpeSpec extends AnyFlatSpec with Matchers {
     words.count() shouldBe 2
   }
 
+  it should "agree with the sequential twin on seeded random corpora (tie-heavy alphabets)" in {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      // 2-letter alphabet, short words: maximal pair-count ties, repeated
+      // merges whose outputs ("aa", "ab") collide with later pair symbols
+      val corpus = Seq.fill(6)(
+        Seq.fill(rnd.nextInt(8) + 3)(
+          Seq.fill(rnd.nextInt(4) + 1)("ab" (rnd.nextInt(2))).mkString)
+          .mkString(" "))
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (merges, _) = Bpe.train(docs, numMerges = 6)
+      val got = merges.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      withClue(s"seed=$seed corpus=$corpus: ") {
+        got shouldBe seqBpe(corpus, 6)
+      }
+    }
+  }
+
   it should "shrink token counts by at least 2 per merge" in {
     val docs = Seq((1L, "banana banana bandana banana band and sand strand"))
       .toDF("doc_id", "text")
