@@ -67,4 +67,29 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     val joined = Dedup.ngramJaccard(docs)
     joined.collect().length shouldBe 1 // (1,2) pair still scores
   }
+
+  "Sketches.countMinSketch" should "be one combinable aggregation, no join" in {
+    val df = Seq.tabulate(100)(i => ("k" + i % 7)).toDF("k")
+    val plan = physical(Sketches.countMinSketch(df, col("k")))
+    plan should include("HashAggregate")
+    plan should not include "Join"
+    plan should not include regex("(?i)sortexec")
+  }
+
+  "TextAnalysis.dupNgramFraction" should "join only the per-shingle count relation (no cartesian)" in {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val plan = physical(TextAnalysis.dupNgramFraction(docs))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "Curation.incrementalNearDups" should "generate candidates by equi-join (no cartesian, no nested loop)" in {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("doc_id", "text")
+    val fresh = Seq((11L, "a b c d e g")).toDF("doc_id", "text")
+    val idx = Dedup.lshBands(corpus)
+    val plan = physical(
+      Curation.incrementalNearDups(corpus, idx, fresh, minJaccard = 0.1))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
