@@ -1555,7 +1555,13 @@ object SparkEntry {
       graft.streaming.Streams.incrementalDedupProbe(
         stream, corpusSh, idx, minJaccard = 0.2,
         queryName = s"q151_mem_${System.nanoTime}")
-    })
+    }),
+
+    // Exact duplicated-span detection: maximal per-doc runs of corpus-hot
+    // shingles (the substring-dedup cut list)
+    "q152_dup_spans" -> ((s, d) =>
+      graft.ops.TextAnalysis.duplicatedSpans(
+        tbl(s, d, "documents"), n = 3, minDocs = 2))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2661,6 +2667,18 @@ object SparkEntry {
         "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key " +
         "AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), " +
         s"${jaccardVerifySql(0.2)} " +
-        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs")
+        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs"),
+
+    "q152_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "ps AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS shingle " +
+        "FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i " +
+        "FROM t WHERE len(toks) >= 3)), " +
+        "hot AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM ps) " +
+        "GROUP BY shingle HAVING COUNT(*) >= 2), " +
+        "g AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl " +
+        "FROM ps JOIN hot USING (shingle)) " +
+        "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end, " +
+        "COUNT(*) AS n_shingles FROM g GROUP BY doc_id, isl")
   )
 }

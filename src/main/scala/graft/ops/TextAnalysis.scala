@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -242,6 +243,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
         floor(col("n_dup").cast("double") / col("n_shingles").cast("double")
           * lit(1e6) + lit(0.5)).cast("long").as("dup_frac_micros"))
+  }
+
+  /** Exact duplicated-SPAN detection (the distributed shape of
+    * suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better"): token positions whose n-gram
+    * shingle occurs in ≥ `minDocs` documents corpus-wide, merged into
+    * maximal per-document spans `(doc_id, span_start, span_end,
+    * n_shingles)` — the spans a substring-dedup pass would cut. Positions
+    * are 0-based token offsets; a span of shingles [i..j] covers tokens
+    * [i, j+n-1], reported as span_end exclusive.
+    *
+    * Scale: positional shingles are a narrow map; the df filter is one
+    * aggregation + a semi-join against the (tiny, df≥minDocs) hot-shingle
+    * relation; span merging is ONE window pass partitioned by doc (the
+    * classic pos − row_number() islands trick — no iteration). */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text",
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    val posSh = Par.spread(docs)
+      .where(size(split(trim(col(textCol)), "\\s+")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(Dedup.shingleArray(col(textCol), n),
+          s => xxhash64(s))).as(Seq("pos", "shingle")))
+    val hot = posSh.select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+    val dup = posSh.join(hot.select("shingle"), Seq("shingle"), "semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(n)).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .drop("island")
   }
 
   def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =

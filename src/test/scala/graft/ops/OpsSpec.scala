@@ -482,4 +482,23 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     got.map(_._1) should contain(11L) // the near-dup was caught
     got.map(_._1) should not contain 12L
   }
+
+  "TextAnalysis.duplicatedSpans" should "merge corpus-hot shingle runs into maximal spans" in {
+    // "a b c d" (positions 0-1: shingles "a b c","b c d") is shared by docs
+    // 1 and 2; doc 1 additionally repeats "x y z w" with doc 3 at its tail.
+    // Doc 1 tokens: a b c d q q q x y z w  -> hot shingle positions 0,1
+    // (run [0,4)) and 7,8 (run [7,11)); the q-run is unique to doc 1.
+    val docs = Seq(
+      (1L, "a b c d q q q x y z w"),
+      (2L, "p p a b c d r r"),
+      (3L, "x y z w s s s")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpans(docs, n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    got shouldBe Set(
+      (1L, 0L, 4L, 2L),   // "a b c d"
+      (1L, 7L, 11L, 2L),  // "x y z w"
+      (2L, 2L, 6L, 2L),   // "a b c d" inside doc 2
+      (3L, 0L, 4L, 2L))   // "x y z w" at doc 3's head
+  }
 }
