@@ -133,4 +133,22 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k).drop("__rk")
   }
+
+  /** [[stratifiedExactK]] routed through the custom
+    * [[graft.plans.TopK]] physical operator: same winners (min-k by the
+    * portable md5 draw), but a bounded HEAP per (group, partition) with a
+    * candidates-only shuffle instead of a full per-group sort — the scale
+    * path when groups are huge and k is small. Selection is a pure
+    * function of the keys, so the two formulations are row-identical
+    * (SkewSpec pins the differential). */
+  def stratifiedExactKFast(df: DataFrame, groupCol: String, key: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val draw = df
+      .withColumn("__draw", md5(key.cast("string")))
+      .withColumn("__tie", key.cast("string"))
+    graft.plans.TopK.perKey(draw, Seq(groupCol),
+      Seq(col("__draw").asc, col("__tie").asc), k)
+      .drop("__draw", "__tie")
+  }
 }

@@ -186,4 +186,21 @@ class TemporalSpec extends AnyFlatSpec with Matchers {
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject") // heap top-k, no global sort
   }
+
+  behavior of "Sampling.stratifiedExactKFast"
+
+  it should "select exactly the window formulation's rows via the TopKPerKey operator" in {
+    val df = (0L until 400L).map(i => (s"g${i % 5}", i, s"v$i")).toDF("g", "id", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val slow = rows(Sampling.stratifiedExactK(df, "g", col("id"), k = 7))
+    val fast = rows(Sampling.stratifiedExactKFast(df, "g", col("id"), k = 7))
+    fast shouldBe slow
+    fast.groupBy(_._1).values.map(_.size).toSet shouldBe Set(7)
+    // and the custom physical operator actually planned
+    val plan = Sampling.stratifiedExactKFast(df, "g", col("id"), k = 7)
+      .queryExecution.executedPlan.toString
+    plan should include("TopKPerKey")
+  }
 }
