@@ -1561,7 +1561,25 @@ object SparkEntry {
     // shingles (the substring-dedup cut list)
     "q152_dup_spans" -> ((s, d) =>
       graft.ops.TextAnalysis.duplicatedSpans(
-        tbl(s, d, "documents"), n = 3, minDocs = 2))
+        tbl(s, d, "documents"), n = 3, minDocs = 2)),
+
+    // End-to-end corpus → training-examples pipeline: curation keep-list
+    // (quality + language + exact dedup) → overlapping context-window
+    // chunks → token-budgeted pack assignment. Every stage is an already-
+    // gated operator; this gates their COMPOSITION full-value
+    "q153_training_examples" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val keep = graft.ops.Curation.keepList(docs,
+        lang = "en", minTokens = 10, maxTokens = 1000, minAlpha = 0.5)
+        .select("doc_id")
+      val chunks = graft.ops.Packing.chunkByTokens(
+        docs.join(keep, "doc_id"), chunkTokens = 64, overlap = 16)
+      graft.ops.Packing.packByTokens(chunks,
+        key = col("doc_id") * 1000 + col("chunk_no"),
+        tokenCount = col("chunk_tokens"), targetTokens = 512, numBuckets = 8)
+        .select(col("doc_id"), col("chunk_no"), col("chunk_tokens"),
+          col("bucket"), col("pack"))
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -1605,6 +1623,24 @@ object SparkEntry {
   private val bandCtes = bandRowsCte + ", " +
     "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
     "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"
+
+  /** q63's keep-list CTEs (quality signals, language ID, exact-dedup
+    * canonical set) — shared with the end-to-end q153 pipeline oracle. */
+  private val keepListCtes =
+    "q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+    "floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio " +
+    "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE length(text) > 0) t), " +
+    "lt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+    "ls AS (SELECT doc_id, " +
+    "len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
+    "len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
+    "len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, " +
+    "len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr FROM lt), " +
+    "lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
+    "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' " +
+    "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' " +
+    "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang FROM ls), " +
+    "k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))"
 
   /** cand pairs -> `pairs` CTE: (id1, id2, rounded jaccard) at `threshold`. */
   private def jaccardVerifySql(threshold: Double) =
@@ -2002,20 +2038,7 @@ object SparkEntry {
         "SELECT v AS doc_id, MIN(u) AS canonical_id FROM r GROUP BY v"),
 
     "q63_keep_list" ->
-      ("WITH q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
-        "floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio " +
-        "FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents WHERE length(text) > 0) t), " +
-        "lt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
-        "ls AS (SELECT doc_id, " +
-        "len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en, " +
-        "len(list_filter(toks, x -> x IN ('el','la','de','que','es'))) AS s_es, " +
-        "len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, " +
-        "len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS s_fr FROM lt), " +
-        "lang AS (SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und' " +
-        "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' " +
-        "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' " +
-        "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang FROM ls), " +
-        "k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) " +
+      (s"WITH $keepListCtes " +
         "SELECT d.doc_id, q.n_tokens, q.alpha_ratio, lang.pred_lang FROM documents d " +
         "JOIN k ON d.doc_id = k.doc_id JOIN q ON d.doc_id = q.doc_id JOIN lang ON d.doc_id = lang.doc_id " +
         "WHERE lang.pred_lang = 'en' AND q.n_tokens BETWEEN 10 AND 1000 AND q.alpha_ratio >= 0.5"),
@@ -2679,6 +2702,23 @@ object SparkEntry {
         "g AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl " +
         "FROM ps JOIN hot USING (shingle)) " +
         "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end, " +
-        "COUNT(*) AS n_shingles FROM g GROUP BY doc_id, isl")
+        "COUNT(*) AS n_shingles FROM g GROUP BY doc_id, isl"),
+
+    "q153_training_examples" ->
+      (s"WITH $keepListCtes, " +
+        "keep AS (SELECT d.doc_id FROM documents d " +
+        "JOIN k ON d.doc_id = k.doc_id JOIN q ON d.doc_id = q.doc_id JOIN lang ON d.doc_id = lang.doc_id " +
+        "WHERE lang.pred_lang = 'en' AND q.n_tokens BETWEEN 10 AND 1000 AND q.alpha_ratio >= 0.5), " +
+        "t2 AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS toks " +
+        "FROM documents JOIN keep USING (doc_id)), " +
+        "c2 AS (SELECT doc_id, unnest(range(0, len(toks), 48)) AS start, toks FROM t2), " +
+        "ck AS (SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_no, " +
+        "CAST(len(list_slice(toks, start + 1, start + 64)) AS INTEGER) AS chunk_tokens FROM c2), " +
+        "pk AS (SELECT doc_id, chunk_no, chunk_tokens, " +
+        "(doc_id * 1000 + chunk_no) % 8 AS bucket, doc_id * 1000 + chunk_no AS ck_key FROM ck) " +
+        "SELECT doc_id, chunk_no, chunk_tokens, CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST((SUM(chunk_tokens) OVER (PARTITION BY bucket ORDER BY ck_key " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens) // 512 AS BIGINT) AS pack " +
+        "FROM pk")
   )
 }
