@@ -1579,6 +1579,24 @@ object SparkEntry {
         tokenCount = col("chunk_tokens"), targetTokens = 512, numBuckets = 8)
         .select(col("doc_id"), col("chunk_no"), col("chunk_tokens"),
           col("bucket"), col("pack"))
+    }),
+
+    // Small-file compaction: 64-way fragmented write → compact() → few
+    // right-sized files, zero row loss (count + per-column sums re-checked
+    // against the source table by the oracle)
+    "q154_compaction" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      tbl(s, d, "orders").repartition(64)
+        .write.mode("overwrite").parquet(s"$base/frag")
+      val nOut = graft.ops.Layout.compact(s, s"$base/frag", s"$base/tight",
+        targetBytes = 8L << 20)
+      val re = s.read.parquet(s"$base/tight")
+      re.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("price_sum"))
+        .select(col("n"), col("key_sum"), col("price_sum"),
+          lit(nOut <= 8).as("few_files"))
     })
   )
 
@@ -2719,6 +2737,11 @@ object SparkEntry {
         "SELECT doc_id, chunk_no, chunk_tokens, CAST(bucket AS BIGINT) AS bucket, " +
         "CAST((SUM(chunk_tokens) OVER (PARTITION BY bucket ORDER BY ck_key " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens) // 512 AS BIGINT) AS pack " +
-        "FROM pk")
+        "FROM pk"),
+
+    "q154_compaction" ->
+      ("SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum, " +
+        "true AS few_files FROM orders")
   )
 }

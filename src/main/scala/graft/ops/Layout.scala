@@ -48,4 +48,30 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Small-file compaction: rewrite a parquet directory so each output file
+    * holds ~`targetBytes` of on-disk data — the maintenance pass every
+    * long-lived ingested table needs (streaming sinks and per-batch appends
+    * leave thousands of KB-size files whose open/footer overhead dominates
+    * scans; at 100 TB an uncompacted table can spend more time listing and
+    * opening files than reading them).
+    *
+    * File count is sized from the CURRENT on-disk bytes (so compression
+    * ratio carries over), rows are round-robin repartitioned (uniform
+    * output sizes regardless of input skew), and the rewrite goes to a new
+    * directory — swap-on-success, never in place. Returns the output file
+    * count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes >= 1, s"targetBytes must be positive: $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(conf)
+    val bytes = fs.getContentSummary(in).getLength
+    val numFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(numFiles)
+      .write.mode("overwrite").parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }
