@@ -1597,7 +1597,14 @@ object SparkEntry {
           sum(col("o_totalprice").cast(dec2)).cast("double").as("price_sum"))
         .select(col("n"), col("key_sum"), col("price_sum"),
           lit(nOut <= 8).as("few_files"))
-    })
+    }),
+
+    // REAL WAV round trip: deterministic PCM16 waveform → RIFF/WAVE encode
+    // (JDK AudioSystem) → real header+stream decode → integer features the
+    // oracle recomputes from doc_id alone
+    "q155_audio_features" -> ((s, d) =>
+      graft.ops.Multimodal.extractAudioFeatures(
+        graft.ops.Multimodal.asWavMediaTable(tbl(s, d, "documents"))))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2742,6 +2749,14 @@ object SparkEntry {
     "q154_compaction" ->
       ("SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum, " +
-        "true AS few_files FROM orders")
+        "true AS few_files FROM orders"),
+
+    "q155_audio_features" ->
+      ("SELECT doc_id, CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate, " +
+        "CAST(1 AS INTEGER) AS channels, CAST(800 + doc_id % 400 AS BIGINT) AS n_samples, " +
+        "(800 + doc_id % 400) * 1000000 // (8000 + (doc_id % 3) * 4000) AS duration_micros, " +
+        "CAST(list_sum(list_transform(range(0, 800 + doc_id % 400), " +
+        "i -> ((doc_id * 31 + i * 17) % 2048 - 1024) ** 2)) AS BIGINT) AS sum_sq " +
+        "FROM documents")
   )
 }

@@ -254,4 +254,90 @@ object Multimodal {
         i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
+
+  // ------------------------------------------------------------------ real
+  // audio codec: javax.sound.sampled (in-JDK, zero external deps). WAV PCM
+  // is lossless, so encode→decode round-trips sample-exactly — features
+  // computed from the decoded stream are integers and oracle-computable.
+
+  /** Encode signed 16-bit little-endian mono PCM as a real RIFF/WAVE file
+    * through the JDK's AudioSystem writer. */
+  private[ops] def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: AudioSystem parses the RIFF header (rate, channels)
+    * and streams the PCM frames; returns (sampleRate, channels, nSamples,
+    * sumOfSquares) — all integers, so downstream aggregation is exact.
+    * Throws on undecodable payloads — corrupt media fails loudly. */
+  private[ops] def decodeWav(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+      s"expected PCM16LE, got $f")
+    val bytes = ais.readAllBytes()
+    var sumSq = 0L
+    var n = 0L
+    var i = 0
+    while (i + 2 <= bytes.length) {
+      val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+      sumSq += s.toLong * s.toLong
+      n += 1
+      i += 2
+    }
+    (f.getSampleRate.toInt, f.getChannels, n / f.getChannels, sumSq)
+  }
+
+  /** Media table with REAL WAV payloads: a deterministic integer waveform
+    * per document (sample i = (doc_id·31 + i·17) mod 2048 − 1024, length and
+    * rate derived from doc_id) — so every decoded feature is recomputable
+    * by any engine from doc_id alone, yet only a correct RIFF/PCM decoder
+    * recovers it from the bytes. */
+  def asWavMediaTable(docs: DataFrame): DataFrame = {
+    val in = docs.select(col("doc_id"))
+    transformBatches(in, mediaSchema) { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 + (id % 3).toInt * 4000
+        val n = 800 + (id % 400).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i.toLong * 17) % 2048 - 1024).toShort)
+        Row(id, "audio/wav", encodeWav(rate, samples), Row(null, null, rate))
+      }
+    }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_micros", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  /** Partition-local REAL audio feature extraction: decode each WAV payload,
+    * emit header facts + exact integer energy. Blobs dropped from the
+    * output — downstream never shuffles payload bytes. */
+  def extractAudioFeatures(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), audioFeatureSchema) { rows =>
+      rows.map { r =>
+        val (rate, ch, n, sumSq) = decodeWav(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), rate, ch, n, n * 1000000L / rate, sumSq)
+      }
+    }
 }

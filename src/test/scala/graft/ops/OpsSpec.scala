@@ -177,6 +177,18 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     f(2L) shouldBe ((4 + n % 29, 3 + n % 17, 2000000L)) // same text, other doc_id fill
   }
 
+  "Multimodal WAV codec" should "round-trip the PCM stream sample-exactly through a real RIFF file" in {
+    val samples = Array.tabulate(100)(i => ((i * 37) % 2048 - 1024).toShort)
+    val wav = Multimodal.encodeWav(16000, samples)
+    new String(wav.take(4), "US-ASCII") shouldBe "RIFF" // real WAV container
+    new String(wav.slice(8, 12), "US-ASCII") shouldBe "WAVE"
+    val (rate, ch, n, sumSq) = Multimodal.decodeWav(wav)
+    (rate, ch, n) shouldBe ((16000, 1, 100L))
+    sumSq shouldBe samples.map(s => s.toLong * s.toLong).sum
+    // corrupt payload fails loudly, not silently
+    an[Exception] should be thrownBy Multimodal.decodeWav("not audio".getBytes)
+  }
+
   it should "resize decoded images by the factor and re-encode losslessly" in {
     val media = Multimodal.asPngMediaTable(Seq((9L, "x" * 24)).toDF("doc_id", "text"))
     val r = Multimodal.resizeImages(media, factor = 2).head()
