@@ -1604,7 +1604,26 @@ object SparkEntry {
     // oracle recomputes from doc_id alone
     "q155_audio_features" -> ((s, d) =>
       graft.ops.Multimodal.extractAudioFeatures(
-        graft.ops.Multimodal.asWavMediaTable(tbl(s, d, "documents"))))
+        graft.ops.Multimodal.asWavMediaTable(tbl(s, d, "documents")))),
+
+    // The full dedup INGEST LOOP over persisted artifacts: batch A probes
+    // the corpus index, the index+shingle store are extended with A, then
+    // batch B probes the extended index (so B×A dups are caught) — corpus
+    // text is never read after the initial index build
+    "q156_dedup_ingest_loop" -> ((s, d) => {
+      import graft.ops.Curation
+      val docs = tbl(s, d, "documents")
+      val corpus = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
+      val a = docs.where(col("doc_id") % 5 === 0)
+      val b = docs.where(col("doc_id") % 5 === 4)
+      val idx0 = Dedup.lshBands(corpus).localCheckpoint()
+      val store0 = Dedup.hashedShingles(corpus).localCheckpoint()
+      val pairsA = Curation.probeIndexed(idx0, store0, a, minJaccard = 0.2)
+      val (idx1, store1) = Curation.extendIndex(idx0, store0, a)
+      val pairsB = Curation.probeIndexed(
+        idx1.localCheckpoint(), store1.localCheckpoint(), b, minJaccard = 0.2)
+      pairsA.unionByName(pairsB)
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2757,6 +2776,15 @@ object SparkEntry {
         "(800 + doc_id % 400) * 1000000 // (8000 + (doc_id % 3) * 4000) AS duration_micros, " +
         "CAST(list_sum(list_transform(range(0, 800 + doc_id % 400), " +
         "i -> ((doc_id * 31 + i * 17) % 2048 - 1024) ** 2)) AS BIGINT) AS sum_sq " +
-        "FROM documents")
+        "FROM documents"),
+
+    "q156_dedup_ingest_loop" ->
+      (s"WITH $shingleCtes, $sigCte, $bandRowsCte, " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM bandrows a " +
+        "JOIN bandrows b ON a.band_id = b.band_id AND a.band_key = b.band_key AND (" +
+        "(a.doc_id % 5 = 0 AND b.doc_id % 5 NOT IN (0, 4)) OR " +
+        "(a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4))), " +
+        s"${jaccardVerifySql(0.2)} " +
+        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs")
   )
 }

@@ -82,6 +82,44 @@ object Curation {
       .select(col("id1").as("new_id"), col("id2").as("corpus_id"), col("jaccard"))
   }
 
+  /** [[incrementalNearDups]] against the PERSISTED artifacts only: the
+    * corpus never appears — candidates come from the band index and
+    * verification reads the hashed-shingle store (both maintained by
+    * [[extendIndex]]). This is the production ingest loop's probe: at
+    * 100 TB neither the corpus text nor un-hit shingles are touched. */
+  def probeIndexed(index: DataFrame, shingleStore: DataFrame,
+      newDocs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val probe = Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)
+    val cands = probe.as("p")
+      .join(index.as("i"),
+        col("p.band_id") === col("i.band_id") &&
+          col("p.band_key") === col("i.band_key"))
+      .select(col("p.doc_id").as("id1"), col("i.doc_id").as("id2"))
+      .distinct()
+      .localCheckpoint()
+    val touched = shingleStore.join(
+      cands.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "semi")
+    val sh = Dedup.hashedShingles(newDocs, textCol, shingleN)
+      .unionByName(touched).localCheckpoint()
+    Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
+      .select(col("id1").as("new_id"), col("id2").as("corpus_id"), col("jaccard"))
+  }
+
+  /** Advance the persisted dedup index by one ingested batch: the batch's
+    * band rows are appended to the LSH index and its hashed shingles to the
+    * shingle store. Pure unions — the index is append-only, so maintaining
+    * it costs exactly the signatures of the NEW docs (in production each
+    * append is a partition-aligned write into the bucketed index table).
+    * Returns (extended index, extended shingle store). */
+  def extendIndex(index: DataFrame, shingleStore: DataFrame,
+      newDocs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3)
+      : (DataFrame, DataFrame) =
+    (index.unionByName(Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)),
+      shingleStore.unionByName(Dedup.hashedShingles(newDocs, textCol, shingleN)))
+
   /** Keep-list for a pretraining corpus: language + quality thresholds +
     * exact-dedup canonical representative. One pass for signals, one
     * aggregation for dedup, one join — returns the surviving doc_ids with

@@ -495,6 +495,29 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     got.map(_._1) should not contain 12L
   }
 
+  "Curation.probeIndexed + extendIndex" should "catch cross-batch dups after the index advances" in {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val a = Seq((11L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val b = Seq((21L, "the quick brown fox jumps over the lazy cats"))
+      .toDF("doc_id", "text")
+    val idx0 = Dedup.lshBands(corpus)
+    val st0 = Dedup.hashedShingles(corpus)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probeIndexed over the store ≡ incrementalNearDups over the corpus text
+    pairs(Curation.probeIndexed(idx0, st0, a, minJaccard = 0.1)) shouldBe
+      pairs(Curation.incrementalNearDups(corpus, idx0, a, minJaccard = 0.1))
+    // before extension, B only sees the corpus; after, it also sees A
+    val beforeExt = pairs(Curation.probeIndexed(idx0, st0, b, minJaccard = 0.1))
+    beforeExt.map(_._2) should not contain 11L
+    val (idx1, st1) = Curation.extendIndex(idx0, st0, a)
+    val afterExt = pairs(Curation.probeIndexed(idx1, st1, b, minJaccard = 0.1))
+    afterExt should contain((21L, 11L)) // the A-dup is now caught
+    (afterExt -- beforeExt).map(_._2) shouldBe Set(11L) // and nothing else changed
+  }
+
   "TextAnalysis.duplicatedSpans" should "merge corpus-hot shingle runs into maximal spans" in {
     // "a b c d" (positions 0-1: shingles "a b c","b c d") is shared by docs
     // 1 and 2; doc 1 additionally repeats "x y z w" with doc 3 at its tail.
