@@ -1619,9 +1619,10 @@ object SparkEntry {
       val idx0 = Dedup.lshBands(corpus).localCheckpoint()
       val store0 = Dedup.hashedShingles(corpus).localCheckpoint()
       val pairsA = Curation.probeIndexed(idx0, store0, a, minJaccard = 0.2)
+      // extension stays LAZY: the union reuses the checkpointed corpus
+      // artifacts and only batch A's bands/shingles are new work
       val (idx1, store1) = Curation.extendIndex(idx0, store0, a)
-      val pairsB = Curation.probeIndexed(
-        idx1.localCheckpoint(), store1.localCheckpoint(), b, minJaccard = 0.2)
+      val pairsB = Curation.probeIndexed(idx1, store1, b, minJaccard = 0.2)
       pairsA.unionByName(pairsB)
     })
   )

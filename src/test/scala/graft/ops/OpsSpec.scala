@@ -518,7 +518,36 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     (afterExt -- beforeExt).map(_._2) shouldBe Set(11L) // and nothing else changed
   }
 
-  "TextAnalysis.duplicatedSpans" should "merge corpus-hot shingle runs into maximal spans" in {
+  "TextAnalysis.duplicatedSpans" should "agree with a sequential oracle on seeded random corpora" in {
+    def seqSpans(corpus: Seq[(Long, String)], n: Int, minDocs: Int): Set[(Long, Long, Long, Long)] = {
+      val posSh = corpus.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toVector
+      }
+      val df = posSh.flatMap { case (id, sh) => sh.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      posSh.flatMap { case (id, sh) =>
+        val hotPos = sh.zipWithIndex.collect { case (s, i) if df(s) >= minDocs => i }
+        // group consecutive positions into islands
+        hotPos.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (cur :: rest), p) if cur.head == p - 1 => (p :: cur) :: rest
+          case (acc, p) => List(p) :: acc
+        }.map(run => (id, run.last.toLong, run.head.toLong + n, run.length.toLong))
+      }.toSet
+    }
+    val words = Array("a", "b", "c", "d")
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 7)
+      val corpus = (1L to 8L).map(id =>
+        id -> Seq.fill(rnd.nextInt(12) + 4)(words(rnd.nextInt(words.length))).mkString(" "))
+      val docs = corpus.toDF("doc_id", "text")
+      val got = TextAnalysis.duplicatedSpans(docs, n = 3, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      withClue(s"seed=$seed: ") { got shouldBe seqSpans(corpus, 3, 2) }
+    }
+  }
+
+  it should "merge corpus-hot shingle runs into maximal spans" in {
     // "a b c d" (positions 0-1: shingles "a b c","b c d") is shared by docs
     // 1 and 2; doc 1 additionally repeats "x y z w" with doc 3 at its tail.
     // Doc 1 tokens: a b c d q q q x y z w  -> hot shingle positions 0,1
