@@ -1624,7 +1624,14 @@ object SparkEntry {
       val (idx1, store1) = Curation.extendIndex(idx0, store0, a)
       val pairsB = Curation.probeIndexed(idx1, store1, b, minJaccard = 0.2)
       pairsA.unionByName(pairsB)
-    })
+    }),
+
+    // REAL multi-frame (video-like) round trip: animated GIF through the
+    // JDK's ImageIO sequence writer+reader; frame count, dims, summed
+    // per-frame luma recomputed by the oracle from doc_id alone
+    "q157_video_features" -> ((s, d) =>
+      graft.ops.Multimodal.extractVideoFeatures(
+        graft.ops.Multimodal.asGifMediaTable(tbl(s, d, "documents"))))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2786,6 +2793,14 @@ object SparkEntry {
         "(a.doc_id % 5 = 0 AND b.doc_id % 5 NOT IN (0, 4)) OR " +
         "(a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4))), " +
         s"${jaccardVerifySql(0.2)} " +
-        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs")
+        "SELECT id1 AS new_id, id2 AS corpus_id, jaccard FROM pairs"),
+
+    "q157_video_features" ->
+      ("SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS n_frames, " +
+        "CAST(8 + doc_id % 8 AS INTEGER) AS width, " +
+        "CAST(6 + doc_id % 6 AS INTEGER) AS height, " +
+        "CAST(list_sum(list_transform(range(0, 2 + doc_id % 4), " +
+        "i -> ((doc_id * 16 + i * 8) % 256) * 1000000)) AS BIGINT) AS luma_sum_micros " +
+        "FROM documents")
   )
 }

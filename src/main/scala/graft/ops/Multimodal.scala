@@ -322,6 +322,104 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------ real
+  // video-like codec: animated GIF via javax.imageio (in-JDK). A multi-frame
+  // container with real per-frame rasters — frame count, dimensions, and
+  // per-frame pixel values all come from actually parsing the stream.
+
+  /** Encode solid-gray frames as one animated GIF through ImageIO's
+    * sequence writer. */
+  private[ops] def encodeGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && grays.nonEmpty, "bad GIF shape")
+    val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(it.hasNext, "no GIF writer in this JDK")
+    val writer = it.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g2 = img.createGraphics()
+        try {
+          g2.setColor(new java.awt.Color(g & 0xff, g & 0xff, g & 0xff))
+          g2.fillRect(0, 0, width, height)
+        } finally g2.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode: parse the GIF, return (width, height,
+    * [per-frame mean luma in micro-units]). Palette-indexed frames are read
+    * through getRGB so values are colors, not palette indices. */
+  private[ops] def decodeGifFrames(payload: Array[Byte]): (Int, Int, Seq[Long]) = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(it.hasNext, "no GIF reader in this JDK")
+    val reader = it.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, "payload is not a decodable GIF")
+      var dims: (Int, Int) = null
+      val lumas = (0 until n).map { i =>
+        val img = reader.read(i)
+        if (dims == null) dims = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        math.floor(sum / (img.getWidth * img.getHeight) * 1e6 + 0.5).toLong
+      }
+      (dims._1, dims._2, lumas)
+    } finally { iis.close(); reader.dispose() }
+  }
+
+  /** Media table with REAL animated-GIF payloads: 2 + doc_id%4 solid
+    * frames, dims and per-frame gray pure functions of doc_id — decoded
+    * features are recomputable by any engine from doc_id alone. */
+  def asGifMediaTable(docs: DataFrame): DataFrame = {
+    val in = docs.select(col("doc_id"))
+    transformBatches(in, mediaSchema) { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (8 + (id % 8).toInt, 6 + (id % 6).toInt)
+        val grays = (0 until 2 + (id % 4).toInt).map(i => ((id * 16 + i * 8) % 256).toInt)
+        Row(id, "image/gif", encodeGif(w, h, grays), Row(w, h, null))
+      }
+    }
+  }
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("luma_sum_micros", LongType, nullable = false)))
+
+  /** Partition-local REAL multi-frame feature extraction over GIF payloads. */
+  def extractVideoFeatures(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), videoFeatureSchema) { rows =>
+      rows.map { r =>
+        val (w, h, lumas) = decodeGifFrames(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), lumas.length, w, h, lumas.sum)
+      }
+    }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

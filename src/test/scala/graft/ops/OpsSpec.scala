@@ -189,6 +189,15 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[Exception] should be thrownBy Multimodal.decodeWav("not audio".getBytes)
   }
 
+  "Multimodal GIF codec" should "round-trip frame count, dims, and per-frame luma through a real animated GIF" in {
+    val gif = Multimodal.encodeGif(10, 5, Seq(0, 128, 255))
+    new String(gif.take(3), "US-ASCII") shouldBe "GIF" // real container magic
+    val (w, h, lumas) = Multimodal.decodeGifFrames(gif)
+    (w, h) shouldBe ((10, 5))
+    lumas shouldBe Seq(0L, 128000000L, 255000000L)
+    an[Exception] should be thrownBy Multimodal.decodeGifFrames("not video".getBytes)
+  }
+
   it should "resize decoded images by the factor and re-encode losslessly" in {
     val media = Multimodal.asPngMediaTable(Seq((9L, "x" * 24)).toDF("doc_id", "text"))
     val r = Multimodal.resizeImages(media, factor = 2).head()
