@@ -1631,7 +1631,19 @@ object SparkEntry {
     // per-frame luma recomputed by the oracle from doc_id alone
     "q157_video_features" -> ((s, d) =>
       graft.ops.Multimodal.extractVideoFeatures(
-        graft.ops.Multimodal.asGifMediaTable(tbl(s, d, "documents"))))
+        graft.ops.Multimodal.asGifMediaTable(tbl(s, d, "documents")))),
+
+    // Mixed-modality pipeline: PNG/WAV/GIF rows interleaved in ONE media
+    // table (doc_id offset per modality keeps ids unique), features
+    // extracted by per-row decoder dispatch in a single pass
+    "q158_mixed_media" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val docs = tbl(s, d, "documents")
+      val png = Multimodal.asPngMediaTable(docs.where(col("doc_id") % 3 === 0))
+      val wav = Multimodal.asWavMediaTable(docs.where(col("doc_id") % 3 === 1))
+      val gif = Multimodal.asGifMediaTable(docs.where(col("doc_id") % 3 === 2))
+      Multimodal.extractAllFeatures(png.unionByName(wav).unionByName(gif))
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2802,5 +2814,18 @@ object SparkEntry {
         "CAST(list_sum(list_transform(range(0, 2 + doc_id % 4), " +
         "i -> ((doc_id * 16 + i * 8) % 256) * 1000000)) AS BIGINT) AS luma_sum_micros " +
         "FROM documents")
+  ,
+    "q158_mixed_media" ->
+      ("SELECT doc_id, 'image/png' AS media_type, " +
+        "CAST((4 + length(text) % 29) * (3 + length(text) % 17) AS BIGINT) AS units, " +
+        "CAST((doc_id % 256) * 1000000 AS BIGINT) AS metric_micros " +
+        "FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id, 'audio/wav', CAST(800 + doc_id % 400 AS BIGINT), " +
+        "(800 + doc_id % 400) * 1000000 // (8000 + (doc_id % 3) * 4000) " +
+        "FROM documents WHERE doc_id % 3 = 1 " +
+        "UNION ALL SELECT doc_id, 'image/gif', CAST(2 + doc_id % 4 AS BIGINT), " +
+        "CAST(list_sum(list_transform(range(0, 2 + doc_id % 4), " +
+        "i -> ((doc_id * 16 + i * 8) % 256) * 1000000)) AS BIGINT) " +
+        "FROM documents WHERE doc_id % 3 = 2")
   )
 }

@@ -420,6 +420,40 @@ object Multimodal {
       }
     }
 
+  val unifiedFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("units", LongType, nullable = false),
+    StructField("metric_micros", LongType, nullable = false)))
+
+  /** Mixed-modality feature extraction: ONE pass over a heterogeneous media
+    * table, dispatching the right REAL decoder per `media_type` row — the
+    * shape of a production multimodal pipeline where images, audio, and
+    * video arrive interleaved in the same table. Output is normalized to
+    * (doc_id, media_type, units, metric_micros): pixels/luma for images,
+    * samples/duration for audio, frames/summed-luma for video. Unknown
+    * types fail loudly. */
+  def extractAllFeatures(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "media_type", "payload"),
+      unifiedFeatureSchema) { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](2)
+        val (units, metric) = r.getString(1) match {
+          case "image/png" =>
+            val (w, h, luma) = decodeImage(payload)
+            (w.toLong * h, math.floor(luma * 1e6 + 0.5).toLong)
+          case "audio/wav" =>
+            val (rate, _, n, _) = decodeWav(payload)
+            (n, n * 1000000L / rate)
+          case "image/gif" =>
+            val (_, _, lumas) = decodeGifFrames(payload)
+            (lumas.length.toLong, lumas.sum)
+          case t => throw new IllegalArgumentException(s"no decoder for $t")
+        }
+        Row(r.getLong(0), r.getString(1), units, metric)
+      }
+    }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
