@@ -189,6 +189,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     an[Exception] should be thrownBy Multimodal.decodeWav("not audio".getBytes)
   }
 
+  "Multimodal.extractAllFeatures" should "dispatch per media_type and fail loudly on unknown types" in {
+    import org.apache.spark.sql.Row
+    val media = Multimodal.asPngMediaTable(Seq((3L, "abcdef")).toDF("doc_id", "text"))
+      .unionByName(Multimodal.asWavMediaTable(Seq((4L, "x")).toDF("doc_id", "text").select(col("doc_id"))))
+      .unionByName(Multimodal.asGifMediaTable(Seq((5L, "y")).toDF("doc_id", "text").select(col("doc_id"))))
+    val got = Multimodal.extractAllFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    got(3L) shouldBe (("image/png", (4 + 6 % 29).toLong * (3 + 6 % 17), 3000000L))
+    got(4L) shouldBe (("audio/wav", 804L, 804L * 1000000L / 12000L))
+    val expGifLuma = (0 until 2 + 5 % 4).map(i => ((5L * 16 + i * 8) % 256) * 1000000L).sum
+    got(5L) shouldBe (("image/gif", (2 + 5 % 4).toLong, expGifLuma))
+    val bad = Multimodal.transformBatches(
+      Seq((9L, "text/plain", Array[Byte](1, 2))).toDF("doc_id", "media_type", "payload"),
+      Multimodal.unifiedFeatureSchema)(identity)
+    an[Exception] should be thrownBy
+      Multimodal.extractAllFeatures(bad.toDF()).collect()
+  }
+
   "Multimodal GIF codec" should "round-trip frame count, dims, and per-frame luma through a real animated GIF" in {
     val gif = Multimodal.encodeGif(10, 5, Seq(0, 128, 255))
     new String(gif.take(3), "US-ASCII") shouldBe "GIF" // real container magic
