@@ -91,6 +91,13 @@ object ProfileScale {
       ops.Curation.incrementalNearDups(docsN, idxN, batch, minJaccard = 0.2).count())
     println(f"round-5b ratios at ${n}x: entropy=${eN / e1}%.1f dupgrams=${gN / g1}%.1f " +
       f"incr-probe=${pN / p1}%.1f (probe should be ~flat; linear would be <= $n)")
+
+    // BPE training: replicated docs do NOT grow the distinct-word relation,
+    // so per-round cost (and the learned merges) should be ~identical —
+    // the "train on the word histogram" reduction, observed
+    val bp1 = time("bpe train 1x")(ops.Bpe.train(docs1, numMerges = 10)._1.count())
+    val bpN = time(s"bpe train ${n}x")(ops.Bpe.train(docsN, numMerges = 10)._1.count())
+    println(f"bpe ratio at ${n}x: ${bpN / bp1}%.1f (should be ~flat: same word histogram)")
     spark.stop()
   }
 }
