@@ -1643,6 +1643,48 @@ object SparkEntry {
       val wav = Multimodal.asWavMediaTable(docs.where(col("doc_id") % 3 === 1))
       val gif = Multimodal.asGifMediaTable(docs.where(col("doc_id") % 3 === 2))
       Multimodal.extractAllFeatures(png.unionByName(wav).unionByName(gif))
+    }),
+
+    // Production-vocabulary BPE: a 1200-merge vocabulary trained on a
+    // derived corpus (words suffixed with doc_id % 64 → ~2k distinct
+    // words) via the driver-side histogram trainer, applied by the
+    // single-pass heap encoder. Contract: exact pre-merge token mass
+    // (DuckDB-recomputed), full merge count, bit-identical 50-merge parity
+    // between the nested-Column and single-pass encoders (checksummed),
+    // encoder token mass == trainer's final histogram mass (two
+    // independent paths), distributed-trainer twin agreement, and ≥2
+    // tokens saved per merge
+    "q159_bpe_encode_fast" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Bpe
+      val corpus = tbl(s, d, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(split(trim(col("text")), "\\s+"),
+          w => concat(w, lit("_"), (col("doc_id") % 64).cast("string")))).as("text"))
+        .localCheckpoint()
+      val (mergesDf, wordsFinal) = Bpe.trainLocal(corpus, numMerges = 1200)
+      val ms = mergesDf.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tokensBefore = Bpe.wordSymbols(corpus)
+        .selectExpr("sum(size(syms) * cnt) AS s").head().getLong(0)
+      val tokensTrain = wordsFinal.selectExpr("sum(size(syms) * cnt) AS s").head().getLong(0)
+      val tokensFast = Bpe.encodeFast(corpus, ms)
+        .selectExpr("sum(size(tokens)) AS s").head().getLong(0)
+      def chk(df: DataFrame): (java.math.BigDecimal, Long) = {
+        val r = df.select(
+          sum(xxhash64(col("doc_id").cast("long"), col("pos").cast("int"),
+            col("tokens")).cast("decimal(38,0)")).as("h"),
+          count(lit(1)).as("n")).head()
+        (r.getDecimal(0), r.getLong(1))
+      }
+      val m50 = ms.take(50)
+      val parity50 = chk(Bpe.encode(corpus, m50)) == chk(Bpe.encodeFast(corpus, m50))
+      val (mDist, _) = Bpe.train(corpus, numMerges = 12)
+      val twinOk = mDist.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq == ms.take(12)
+      Seq((tokensBefore, ms.length.toLong, parity50, tokensFast == tokensTrain,
+        twinOk, tokensBefore - tokensFast >= 2L * ms.length))
+        .toDF("tokens_before", "n_merges", "parity_50", "tokens_match",
+          "train_twin_ok", "compression_ok")
     })
   )
 
@@ -2826,6 +2868,13 @@ object SparkEntry {
         "UNION ALL SELECT doc_id, 'image/gif', CAST(2 + doc_id % 4 AS BIGINT), " +
         "CAST(list_sum(list_transform(range(0, 2 + doc_id % 4), " +
         "i -> ((doc_id * 16 + i * 8) % 256) * 1000000)) AS BIGINT) " +
-        "FROM documents WHERE doc_id % 3 = 2")
+        "FROM documents WHERE doc_id % 3 = 2"),
+
+    "q159_bpe_encode_fast" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
+        "SELECT CAST(SUM(length(w) + 1 + length(CAST(doc_id % 64 AS VARCHAR))) AS BIGINT) AS tokens_before, " +
+        "CAST(1200 AS BIGINT) AS n_merges, true AS parity_50, true AS tokens_match, " +
+        "true AS train_twin_ok, true AS compression_ok " +
+        "FROM w WHERE length(w) > 0")
   )
 }

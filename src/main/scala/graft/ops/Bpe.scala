@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Initial word relation: whitespace words → (syms = chars, cnt). */
+  /** Initial word relation: whitespace words → (syms = chars, cnt).
+    * The char split filters empty symbols defensively: `split(w, "")`
+    * returned a trailing "" before SPARK-40194, and the token-mass
+    * contract (sum(size(syms)*cnt) == total chars) must hold on any
+    * Spark runtime. */
   def wordSymbols(docs: DataFrame, textCol: String = "text"): DataFrame =
     Par.spread(docs)
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .select(filter(split(col("w"), ""), s => length(s) > 0).as("syms"), col("cnt"))
 
   /** Greedy left-to-right non-overlapping merge of (l, r) in a symbol
     * array — the textbook BPE application step, as a pure Column fold. */
@@ -76,18 +80,219 @@ object Bpe {
   }
 
   /** Apply a DRIVER-SIDE merge list (the collected merge table, in rank
-    * order) to a fresh corpus: the production encode path — merges are a
-    * broadcast-scale artifact; application is one narrow map per merge,
-    * fused by codegen into a single pass over each word. */
+    * order) to a fresh corpus as a pure Column pipeline: one `aggregate`
+    * fold per merge. REFERENCE formulation only — the nested expression
+    * tree grows linearly with the merge count, so past a few hundred
+    * merges whole-stage codegen hits JVM method/constant-pool limits and
+    * the interpreted fallback walks every word once per merge. Use
+    * [[encodeFast]] (bit-identical, single pass) for production
+    * vocabularies. */
   def encode(docs: DataFrame, mergeList: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
-    val words = Par.spread(docs)
-      .select(col("doc_id"), posexplode(split(trim(col(textCol)), "\\s+"))
-        .as(Seq("pos", "w")))
-      .where(length(col("w")) > 0)
-    val merged = mergeList.foldLeft(split(col("w"), "")) {
+    val words = encodeWords(docs, textCol)
+    val merged = mergeList.foldLeft(
+      filter(split(col("w"), ""), s => length(s) > 0)) {
       case (c, (l, r)) => mergePair(c, l, r)
     }
     words.select(col("doc_id"), col("pos"), merged.as("tokens"))
+  }
+
+  private def encodeWords(docs: DataFrame, textCol: String): DataFrame =
+    Par.spread(docs)
+      .select(col("doc_id"), posexplode(split(trim(col(textCol)), "\\s+"))
+        .as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+
+  /** Single-pass production encoder: ONE `mapPartitions` over the word
+    * relation applying the whole broadcast merge table per word with the
+    * standard adjacent-pair heap algorithm — O(word_len · log word_len)
+    * per word REGARDLESS of vocabulary size, where the Column formulation
+    * ([[encode]]) is O(word_len · n_merges). Bit-identical to [[encode]]
+    * (BpeSpec fuzzes the parity on arbitrary merge tables): entries pop in
+    * (rank, position) order and pairs created by a merge are only enqueued
+    * at strictly higher ranks, which reproduces exactly the sequential
+    * "apply merge 0 left-to-right, then merge 1, …" semantics.
+    *
+    * Scale shape: merges are a broadcast-scale artifact (a 32k vocabulary
+    * is <1 MB); the corpus is touched in one narrow pass — no shuffle, no
+    * driver loop. `doc_id` is normalized to bigint for a stable schema. */
+  def encodeFast(docs: DataFrame, mergeList: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // first occurrence of a pair wins, matching foldLeft-application order
+    val ranks = new java.util.HashMap[(String, String), java.lang.Integer]
+    mergeList.zipWithIndex.foreach { case (p, i) =>
+      if (!ranks.containsKey(p)) ranks.put(p, i)
+    }
+    val bc = spark.sparkContext.broadcast(ranks)
+    encodeWords(docs, textCol)
+      .select(col("doc_id").cast("long"), col("pos").cast("int"), col("w"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { case (id, pos, w) =>
+          (id, pos, applyRanked(w.split("").filter(_.nonEmpty), r))
+        }
+      }
+      .toDF("doc_id", "pos", "tokens")
+  }
+
+  /** The per-word heap merge: doubly-linked symbol list + lazy-deletion
+    * priority queue of (rank, leftPos) occurrences. Pops are nondecreasing
+    * in rank (new pairs enqueue only at ranks above the current one), and
+    * within a rank leftmost-first, so the result equals applying each
+    * merge in rank order greedily left-to-right non-overlapping. */
+  private[ops] def applyRanked(symsIn: Array[String],
+      ranks: java.util.HashMap[(String, String), java.lang.Integer]): Array[String] = {
+    val n = symsIn.length
+    if (n < 2 || ranks.isEmpty) return symsIn
+    val syms = symsIn.clone()
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val prev = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+    // min-heap on (rank, leftPos)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Int)](
+      Ordering.Tuple2[Int, Int].reverse)
+    var i = 0
+    while (i < n - 1) {
+      val rk = ranks.get((syms(i), syms(i + 1)))
+      if (rk != null) pq.enqueue((rk.intValue, i))
+      i += 1
+    }
+    while (pq.nonEmpty) {
+      val (rk, p) = pq.dequeue()
+      if (alive(p)) {
+        val q = next(p)
+        if (q != -1 && alive(q)) {
+          val cur = ranks.get((syms(p), syms(q)))
+          // a stale entry whose node pair drifted to a DIFFERENT ranked
+          // pair is re-found through that pair's own enqueue; merge only
+          // when this entry still describes the live pair
+          if (cur != null && cur.intValue == rk) {
+            syms(p) = syms(p) + syms(q)
+            alive(q) = false
+            val nn = next(q)
+            next(p) = nn
+            if (nn != -1) prev(nn) = p
+            val pp = prev(p)
+            if (pp != -1) {
+              val r2 = ranks.get((syms(pp), syms(p)))
+              if (r2 != null && r2.intValue > rk) pq.enqueue((r2.intValue, pp))
+            }
+            if (nn != -1) {
+              val r2 = ranks.get((syms(p), syms(nn)))
+              if (r2 != null && r2.intValue > rk) pq.enqueue((r2.intValue, p))
+            }
+          }
+        }
+      }
+    }
+    val out = Array.newBuilder[String]
+    var cur = 0 // node 0 is only ever a merge's LEFT side, so always alive
+    while (cur != -1) { out += syms(cur); cur = next(cur) }
+    out.result()
+  }
+
+  /** Driver-side trainer over the COLLECTED word histogram — the path every
+    * production BPE trainer takes (the distinct-word histogram of even a
+    * 100 TB corpus is millions of rows; the corpus-scale work is the ONE
+    * distributed word-count in [[wordSymbols]]). Incremental pair-count
+    * maintenance + a lazy-deletion max-heap make the whole run
+    * O(total pair updates · log), so thousands of merges train in
+    * milliseconds where [[train]] pays a Spark job per round. Identical
+    * merge sequence to [[train]] (same counts, same lexicographic
+    * tie-break; BpeSpec pins the twin). Use [[train]] when the histogram
+    * genuinely cannot fit on the driver. */
+  def trainLocal(docs: DataFrame, textCol: String = "text", numMerges: Int = 50)
+      : (DataFrame, DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = wordSymbols(docs, textCol)
+      .select(col("syms"), col("cnt")).as[(Seq[String], Long)].collect()
+    val words: Array[Array[String]] = hist.map(_._1.toArray)
+    val cnts: Array[Long] = hist.map(_._2)
+
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // max count first, then lexicographically smallest (l, r) — the exact
+    // orderBy(c desc, l, r) of the distributed trainer
+    val byCountThenPair: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+        .on[(Long, String, String)] { case (c, l, r) => (-c, l, r) }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](byCountThenPair.reverse)
+
+    def addWord(w: Int): Unit = {
+      val s = words(w); val c = cnts(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = pairCount.getOrElse(p, 0L) + c
+        pairCount(p) = nc
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += w
+        heap.enqueue((nc, p._1, p._2))
+        i += 1
+      }
+    }
+    def removeWord(w: Int): Unit = {
+      val s = words(w); val c = cnts(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nc = pairCount(p) - c
+        if (nc <= 0L) pairCount.remove(p)
+        else {
+          pairCount(p) = nc
+          // keep a heap entry at the CURRENT count alive: without this a
+          // pair whose count only ever decreased would have stale entries
+          // exclusively and become unselectable
+          heap.enqueue((nc, p._1, p._2))
+        }
+        i += 1
+      }
+    }
+    def mergeWord(s: Array[String], l: String, r: String): Array[String] = {
+      val b = Array.newBuilder[String]
+      var last: String = null
+      var i = 0
+      while (i < s.length) {
+        if (last == l && s(i) == r) { last = l + r }
+        else { if (last != null) b += last; last = s(i) }
+        i += 1
+      }
+      if (last != null) b += last
+      b.result()
+    }
+
+    words.indices.foreach(addWord)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // lazy-deletion pop: drop entries whose recorded count is stale
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCount.get((e._2, e._3)).contains(e._1)) top = Some(e)
+      }
+      top match {
+        case Some((c, l, r)) if c >= 2L =>
+          merges += ((rank, l, r, c))
+          val affected = pairWords.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+          affected.foreach { w =>
+            // stale membership (pair already merged away) is a no-op
+            removeWord(w)
+            words(w) = mergeWord(words(w), l, r)
+            addWord(w)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.toSeq.toDF("rank", "left", "right", "pair_count"),
+      words.zip(cnts).toSeq.toDF("syms", "cnt"))
   }
 }

@@ -85,6 +85,115 @@ class BpeSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  /** Sequential-fold application of a merge list (the `encode` semantics):
+    * each merge in order, greedily left-to-right non-overlapping. */
+  private def seqApply(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.split("").filter(_.nonEmpty).toList) { case (syms, (l, r)) =>
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    }
+
+  it should "applyRanked ≡ sequential fold on adversarial merge tables" in {
+    // hand-picked traps: later merge creating an EARLIER pair (must NOT
+    // re-fire), chained merges, overlapping occurrences
+    val traps = Seq(
+      ("aab", Seq(("aa", "b"), ("a", "a"))),   // (aa,b) ranked FIRST: stays unmerged
+      ("aab", Seq(("a", "a"), ("aa", "b"))),   // consistent order: full merge
+      ("aaaa", Seq(("a", "a"), ("aa", "aa"))),
+      ("abab", Seq(("a", "b"), ("ab", "ab"))),
+      ("abc", Seq(("a", "b"), ("b", "c"))),
+      ("aaa", Seq(("a", "a"))),
+      ("banana", Seq(("a", "n"), ("an", "an"), ("b", "an"))))
+    for ((w, ms) <- traps) {
+      val ranks = new java.util.HashMap[(String, String), java.lang.Integer]
+      ms.zipWithIndex.foreach { case (p, i) => if (!ranks.containsKey(p)) ranks.put(p, Int.box(i)) }
+      withClue(s"word=$w merges=$ms: ") {
+        Bpe.applyRanked(w.split("").filter(_.nonEmpty), ranks).toSeq shouldBe seqApply(w, ms)
+      }
+    }
+    // fuzz: random words over {a,b}, random merge tables built from random
+    // substrings so merged symbols collide with later pair components
+    for (seed <- 1 to 40) {
+      val rnd = new scala.util.Random(seed)
+      val w = Seq.fill(rnd.nextInt(14) + 2)("ab" (rnd.nextInt(2))).mkString
+      def sym() = {
+        val i = rnd.nextInt(w.length)
+        w.substring(i, math.min(w.length, i + rnd.nextInt(3) + 1))
+      }
+      val ms = Seq.fill(rnd.nextInt(8) + 1)((sym(), sym()))
+      val ranks = new java.util.HashMap[(String, String), java.lang.Integer]
+      ms.zipWithIndex.foreach { case (p, i) => if (!ranks.containsKey(p)) ranks.put(p, Int.box(i)) }
+      withClue(s"seed=$seed word=$w merges=$ms: ") {
+        Bpe.applyRanked(w.split("").filter(_.nonEmpty), ranks).toSeq shouldBe seqApply(w, ms)
+      }
+    }
+  }
+
+  it should "trainLocal reproduce train's merge sequence exactly" in {
+    val corpus = Seq(
+      "low low low low low", "lower lower newest newest",
+      "newest newest newest newest", "widest widest widest",
+      "aaa aa aaa aa a")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def seqOf(df: org.apache.spark.sql.DataFrame) = df.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val (m1, w1) = Bpe.train(docs, numMerges = 12)
+    val (m2, w2) = Bpe.trainLocal(docs, numMerges = 12)
+    seqOf(m2) shouldBe seqOf(m1)
+    seqOf(m2) shouldBe seqBpe(corpus, 12)
+    // final histograms agree as multisets of (syms, cnt)
+    w2.selectExpr("sum(size(syms) * cnt) s").head().getLong(0) shouldBe
+      w1.selectExpr("sum(size(syms) * cnt) s").head().getLong(0)
+    // tie-heavy fuzz corpora
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = Seq.fill(5)(
+        Seq.fill(rnd.nextInt(8) + 3)(
+          Seq.fill(rnd.nextInt(4) + 1)("ab" (rnd.nextInt(2))).mkString).mkString(" "))
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (ml, _) = Bpe.trainLocal(docs, numMerges = 8)
+      withClue(s"seed=$seed corpus=$corpus: ") {
+        seqOf(ml) shouldBe seqBpe(corpus, 8)
+      }
+    }
+  }
+
+  it should "encodeFast ≡ encode (Column path) on a trained merge table" in {
+    val corpus = Seq(
+      "low lower lowest low slow slower", "newest new news newest",
+      "banana bandana band sand strand and", "widest wide widen widows")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (m, _) = Bpe.trainLocal(docs, numMerges = 20)
+    val ms = m.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val slow = Bpe.encode(docs, ms).selectExpr("doc_id", "pos", "tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2))).sortBy(t => (t._1, t._2))
+    val fast = Bpe.encodeFast(docs, ms)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](2))).sortBy(t => (t._1, t._2))
+    fast shouldBe slow
+  }
+
+  it should "encodeFast handle a 1k+ merge vocabulary in one pass" in {
+    // vocabulary rich enough for >1k merges: word × numeric-suffix grid
+    val base = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val corpus = (0 until 200).map { d =>
+      (0 until 12).map(i => base(i) + "_" + ((d * 7 + i) % 97)).mkString(" ") }
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (m, words) = Bpe.trainLocal(docs, numMerges = 1200)
+    val ms = m.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    ms.length should be >= 1000
+    val enc = Bpe.encodeFast(docs, ms)
+    // token mass after encode == token mass of the trainer's final histogram
+    enc.selectExpr("sum(size(tokens)) s").head().getLong(0) shouldBe
+      words.selectExpr("sum(size(syms) * cnt) s").head().getLong(0)
+  }
+
   it should "shrink token counts by at least 2 per merge" in {
     val docs = Seq((1L, "banana banana bandana banana band and sand strand"))
       .toDF("doc_id", "text")
