@@ -1685,7 +1685,15 @@ object SparkEntry {
         twinOk, tokensBefore - tokensFast >= 2L * ms.length))
         .toDF("tokens_before", "n_merges", "parity_50", "tokens_match",
           "train_twin_ok", "compression_ok")
-    })
+    }),
+
+    // CORPUS-WIDE simhash near-dup pairs by multi-probe banded candidate
+    // generation — unlike q133's bounded id-window formulation, recall here
+    // is guaranteed for EVERY pair at hamming ≤ 2 (pigeonhole over 3
+    // fingerprint blocks), so the oracle is the full brute-force all-pairs
+    // hamming filter with no window clause
+    "q160_simhash_banded" -> ((s, d) =>
+      Dedup.simhashNearDupsPortable(tbl(s, d, "documents"), maxHamming = 2))
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2875,6 +2883,13 @@ object SparkEntry {
         "SELECT CAST(SUM(length(w) + 1 + length(CAST(doc_id % 64 AS VARCHAR))) AS BIGINT) AS tokens_before, " +
         "CAST(1200 AS BIGINT) AS n_merges, true AS parity_50, true AS tokens_match, " +
         "true AS train_twin_ok, true AS compression_ok " +
-        "FROM w WHERE length(w) > 0")
+        "FROM w WHERE length(w) > 0"),
+
+    "q160_simhash_banded" ->
+      (s"WITH sim AS ($simhashPortableOracle) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sim a JOIN sim b ON b.doc_id > a.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 2")
   )
 }

@@ -250,16 +250,64 @@ object Dedup {
       tok => conv(substring(md5(tok), 1, hexChars), 16, 10).cast("long"))
   }
 
-  /** Hamming-distance near-dup pairs over SimHash (bounded id window to keep
-    * the candidate set linear; production: multi-probe over rotated bands). */
+  /** Corpus-wide hamming near-dup pairs over the 64-bit SimHash, via
+    * multi-probe banded candidate generation — NO id-window bound: recall
+    * is guaranteed for every pair with hamming ≤ `maxHamming` (see
+    * [[simhashBandedPairs]]), so the result EQUALS the brute-force
+    * all-pairs hamming filter while executing as plain equi-joins. */
   def simhashNearDups(docs: DataFrame, textCol: String = "text",
-      maxHamming: Int = 8, maxIdGap: Long = 5): DataFrame = {
-    val s = simhash64(docs, textCol)
-    val a = s.as("a"); val b = s.as("b")
-    a.join(b, col("b.doc_id") > col("a.doc_id") &&
-        col("b.doc_id") - col("a.doc_id") <= maxIdGap)
+      maxHamming: Int = 8, blocksPerKey: Int = 1): DataFrame =
+    simhashBandedPairs(simhash64(docs, textCol), 64, maxHamming, blocksPerKey)
+
+  /** Engine-portable twin over the md5-derived [[simhashPortable]]
+    * fingerprint — cross-engine verifiable bit-for-bit (gate q160). */
+  def simhashNearDupsPortable(docs: DataFrame, textCol: String = "text",
+      maxHamming: Int = 4, bits: Int = 16): DataFrame =
+    simhashBandedPairs(simhashPortable(docs, textCol, bits), bits, maxHamming)
+
+  /** Multi-probe banded hamming join over a signature relation
+    * `(doc_id, simhash)`.
+    *
+    * The fingerprint is split into `maxHamming + blocksPerKey` contiguous
+    * blocks; each probe key concatenates one size-`blocksPerKey` block
+    * combination. A pair within hamming `t = maxHamming` has its differing
+    * bits in at most `t` blocks, leaving ≥ `blocksPerKey` clean blocks, so
+    * by pigeonhole SOME probe key matches exactly — guaranteed recall,
+    * then exact `bit_count(xor)` verification filters false positives.
+    * Every probe is a self-equi-join on a uniform short key: no cartesian,
+    * no window bound, hash-partitionable at corpus scale.
+    *
+    * `blocksPerKey` trades probe count for key selectivity: the default 1
+    * emits `t+1` rows per doc (same shape as MinHash LSH banding); at
+    * billion-doc scale raise it so keys carry
+    * `blocksPerKey · bits/(t+blocksPerKey)` bits and buckets stay small —
+    * the block-combination scheme of Manku et al., "Detecting
+    * Near-Duplicates for Web Crawling" (WWW'07). */
+  def simhashBandedPairs(sig: DataFrame, bits: Int, maxHamming: Int,
+      blocksPerKey: Int = 1): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    require(blocksPerKey >= 1, s"blocksPerKey must be >= 1: $blocksPerKey")
+    val blocks = maxHamming + blocksPerKey
+    require(blocks <= bits, s"more blocks than bits: $blocks > $bits")
+    val base = bits / blocks; val rem = bits % blocks
+    val widths = (0 until blocks).map(j => base + (if (j < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1L
+    // unsigned shift: block containing the sign bit must not sign-extend
+    def blockVal(j: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(j)).bitwiseAND(lit(mask(widths(j))))
+    val combos = (0 until blocks).combinations(blocksPerKey).toSeq
+    val probes = combos.zipWithIndex.map { case (combo, ci) =>
+      sig.select(col("doc_id"), col("simhash"), lit(ci).as("probe_id"),
+        concat_ws("|", combo.map(j => blockVal(j).cast("string")): _*).as("probe_key"))
+    }.reduce(_ union _)
+    probes.as("a").join(probes.as("b"),
+        col("a.probe_id") === col("b.probe_id") &&
+        col("a.probe_key") === col("b.probe_key") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

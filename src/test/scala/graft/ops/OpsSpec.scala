@@ -67,6 +67,25 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     nd should contain((1L, 2L))
   }
 
+  "Dedup.simhashBandedPairs" should "equal the brute-force all-pairs hamming filter" in {
+    // ids far apart on purpose: the retired window formulation would miss
+    // these; the banded generator must not
+    val corpus = (0 until 40).map(i =>
+      (i * 1000L, s"w${i % 4} common tokens shared w${i % 4} tail${i % 7}"))
+    val df = corpus.toDF("doc_id", "text")
+    for (t <- Seq(0, 2, 5); m <- Seq(1, 2)) {
+      val sig = Dedup.simhash64(df).localCheckpoint()
+      val banded = Dedup.simhashBandedPairs(sig, 64, t, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = sig.as("a").join(sig.as("b"), col("b.doc_id") > col("a.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+        .where(col("h") <= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      withClue(s"maxHamming=$t blocksPerKey=$m: ") { banded shouldBe brute }
+    }
+  }
+
   "TextAnalysis.tokenCounts" should "count whitespace and bpe-ish tokens" in {
     val r = TextAnalysis.tokenCounts(docs).where(col("doc_id") === 1).head()
     r.getLong(1) shouldBe 5L  // n_tokens

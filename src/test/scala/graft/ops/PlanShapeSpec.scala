@@ -83,6 +83,13 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  "Dedup.simhashNearDups (banded)" should "self-join on probe keys (no cartesian, no window bound)" in {
+    val docs = Seq((1L, "a b c d e f"), (9999999L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = physical(Dedup.simhashNearDups(docs, maxHamming = 4))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   "Curation.incrementalNearDups" should "generate candidates by equi-join (no cartesian, no nested loop)" in {
     val corpus = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("doc_id", "text")
     val fresh = Seq((11L, "a b c d e g")).toDF("doc_id", "text")
