@@ -128,17 +128,43 @@ object Dedup {
     }.reduce(_ union _)
   }
 
+  /** LSH self-join with a HOT-BUCKET guard: a band bucket of n members
+    * emits n(n-1)/2 pairs, so an adversarial corpus of N identical docs
+    * turns one bucket quadratic (N=1M identical boilerplate pages → 5·10¹¹
+    * pairs from a single key). Buckets larger than `maxBucket` therefore
+    * fall back to a STAR: every member pairs with the bucket's min-doc_id
+    * representative (linear in bucket size). Oversized buckets are
+    * same-signature clusters in practice, and downstream consumers
+    * (connected-components dup clusters, keep-lists) only need the
+    * bucket's pair graph CONNECTED, not complete — below the cap nothing
+    * changes (OpsSpec pins both properties). Audit the capped keys with
+    * [[lshHotBuckets]]. */
   def minhashLSH(docs: DataFrame, textCol: String = "text",
-      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val bandRows = lshBands(docs, textCol, bands, rowsPerBand, shingleN)
-    val a = bandRows.as("a")
-    val b = bandRows.as("b")
-    a.join(b, col("a.band_id") === col("b.band_id") &&
+    val sizes = bandRows.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__n"), min("doc_id").as("__rep"))
+    val tagged = bandRows.join(sizes, Seq("band_id", "band_key"))
+    val small = tagged.where(col("__n") <= maxBucket)
+    val allPairs = small.as("a").join(small.as("b"),
+        col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val starPairs = tagged.where(col("__n") > maxBucket && col("doc_id") > col("__rep"))
+      .select(col("__rep").as("id1"), col("doc_id").as("id2"))
+    allPairs.union(starPairs).distinct()
   }
+
+  /** Band buckets whose size exceeds `maxBucket` — the keys [[minhashLSH]]
+    * star-capped, for auditing/alerting on boilerplate floods. */
+  def lshHotBuckets(docs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    lshBands(docs, textCol, bands, rowsPerBand, shingleN)
+      .groupBy("band_id", "band_key").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
 
   /** Rounded Jaccard |A∩B| / (|A|+|B|-|A∩B|) from intersection and per-set
     * counts — ONE definition shared by every verification path (the oracle

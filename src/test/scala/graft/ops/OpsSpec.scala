@@ -67,6 +67,24 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     nd should contain((1L, 2L))
   }
 
+  "Dedup.minhashLSH hot-bucket guard" should "cap identical-doc floods to a linear star, unchanged below the cap" in {
+    // 30 identical docs: every band bucket has all 30 members
+    val flood = (0 until 30).map(i => (i.toLong, "the same boilerplate page text here"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLSH(flood)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped.size shouldBe 30 * 29 / 2 // default cap untouched: full clique
+    val capped = Dedup.minhashLSH(flood, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star: every doc pairs with the min-id representative only — linear
+    capped shouldBe (1 until 30).map(i => (0L, i.toLong)).toSet
+    // a mixed corpus below the cap is bit-identical with the guard active
+    val mixed = (0 until 12).map(i => (i.toLong, s"doc ${i % 3} alpha beta gamma delta tail${i % 3}"))
+      .toDF("doc_id", "text")
+    Dedup.minhashLSH(mixed, maxBucket = 50).collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Dedup.minhashLSH(mixed).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   "Dedup.simhashBandedPairs" should "equal the brute-force all-pairs hamming filter" in {
     // ids far apart on purpose: the retired window formulation would miss
     // these; the banded generator must not
