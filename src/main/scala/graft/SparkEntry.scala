@@ -1693,7 +1693,32 @@ object SparkEntry {
     // fingerprint blocks), so the oracle is the full brute-force all-pairs
     // hamming filter with no window clause
     "q160_simhash_banded" -> ((s, d) =>
-      Dedup.simhashNearDupsPortable(tbl(s, d, "documents"), maxHamming = 2))
+      Dedup.simhashNearDupsPortable(tbl(s, d, "documents"), maxHamming = 2)),
+
+    // Auto-cache scope (the reference compiler's cache-insertion pass,
+    // re-expressed as a runtime scope): a diamond over one typed bag —
+    // filter-count on one arm, fold-sum on the other — must compute the
+    // shared upstream node ONCE. The accumulator in the shared map stage
+    // counts actual recomputations, so `scanned_once` is an end-to-end
+    // proof, and the two arms' values are DuckDB-recomputed
+    "q161_auto_cache" -> ((s, d) => {
+      import s.implicits._
+      val acc = s.sparkContext.longAccumulator(s"q161_${System.nanoTime}")
+      val base = graft.api.DataBag.from(
+        tbl(s, d, "lineitem")
+          .select(col("l_quantity").cast("double"),
+            (col("l_extendedprice").cast(dec2) * 100).cast("long"))
+          .as[(Double, Long)])
+        .map { x => acc.add(1L); x }
+      val (nHigh, cents) = graft.api.AutoCache.scope { _ =>
+        val high = base.withFilter(_._1 > 30.0) // 1st consumption
+        val price = base.map(_._2)              // 2nd → base persisted
+        (high.size, price.sum)
+      }
+      val rows = tbl(s, d, "lineitem").count()
+      Seq((nHigh, cents, acc.value == rows))
+        .toDF("n_high", "price_cents", "scanned_once")
+    })
   )
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
@@ -2890,6 +2915,11 @@ object SparkEntry {
         "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
         "FROM sim a JOIN sim b ON b.doc_id > a.doc_id " +
-        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 2")
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 2"),
+
+    "q161_auto_cache" ->
+      ("SELECT CAST(COUNT(CASE WHEN l_quantity > 30 THEN 1 END) AS BIGINT) AS n_high, " +
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents, " +
+        "true AS scanned_once FROM lineitem")
   )
 }

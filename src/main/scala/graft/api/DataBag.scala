@@ -28,20 +28,24 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
 
   private implicit def enc: Encoder[A] = ds.encoder
 
+  /** Consumption seam: reports this bag to an active [[AutoCache]] scope
+    * (no-op otherwise) so multiply-consumed bags get persisted. */
+  private def src: Dataset[A] = { AutoCache.touched(this); ds }
+
   def spark: SparkSession = ds.sparkSession
 
   // ---------------------------------------------------------------- monad ops
 
   /** Typed projection. Prefer [[select]]/[[project]] when the mapping is columnar. */
-  def map[B: Encoder](f: A => B): DataBag[B] = new DataBag(ds.map(f))
+  def map[B: Encoder](f: A => B): DataBag[B] = new DataBag(src.map(f))
 
   /** Monadic bind; the inner collection is local (reference semantics:
     * SparkRDD.scala:55-56 — inner bags are local per element). */
   def flatMap[B: Encoder](f: A => IterableOnce[B]): DataBag[B] =
-    new DataBag(ds.flatMap(f))
+    new DataBag(src.flatMap(f))
 
   /** For-comprehension filter. Prefer [[where]] for Column predicates. */
-  def withFilter(p: A => Boolean): DataBag[A] = new DataBag(ds.filter(p))
+  def withFilter(p: A => Boolean): DataBag[A] = new DataBag(src.filter(p))
   def filter(p: A => Boolean): DataBag[A] = withFilter(p)
 
   // ------------------------------------------------- Column fast paths (§4.5)
@@ -50,7 +54,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   // pushdown / pruning / whole-stage codegen apply without any analysis.
 
   /** Catalyst-native filter. */
-  def where(cond: Column): DataBag[A] = new DataBag(ds.filter(cond))
+  def where(cond: Column): DataBag[A] = new DataBag(src.filter(cond))
 
   /** [[Expr]]-DSL filter (lowers to a Column — pushdown applies). */
   def where(e: Expr): DataBag[A] = where(e.col)
@@ -59,16 +63,16 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     * its fields as top-level columns (what a product encoder expects). */
   def project[B: Encoder](e: Expr): DataBag[B] = e match {
     case Expr.Struct(fields) =>
-      new DataBag(ds.select(fields.map { case (n, x) => x.col.as(n) }: _*).as[B])
-    case other => new DataBag(ds.select(other.col).as[B])
+      new DataBag(src.select(fields.map { case (n, x) => x.col.as(n) }: _*).as[B])
+    case other => new DataBag(src.select(other.col).as[B])
   }
 
   /** Catalyst-native projection to an untyped frame. */
-  def select(cols: Column*): DataFrame = ds.select(cols: _*)
+  def select(cols: Column*): DataFrame = src.select(cols: _*)
 
   /** Catalyst-native projection back into a typed bag. */
   def project[B: Encoder](cols: Column*): DataBag[B] =
-    new DataBag(ds.select(cols: _*).as[B])
+    new DataBag(src.select(cols: _*).as[B])
 
   def toDF: DataFrame = ds.toDF()
 
@@ -80,7 +84,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     * `rdd.map(alg.init).fold(alg.zero)(alg.plus)`, SparkRDD.scala:45-46). */
   def fold[B](alg: Alg[A, B]): B = {
     implicit val ct: ClassTag[B] = ClassTag.AnyRef.asInstanceOf[ClassTag[B]]
-    ds.rdd
+    src.rdd
       .mapPartitions { it =>
         Iterator.single(it.foldLeft(alg.zero)((b, a) => alg.plus(b, alg.init(a))))
       }
@@ -97,19 +101,19 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
 
   def reduce(zero: A)(p: (A, A) => A): A = fold(Reduce(zero, p))
   def reduceOption(p: (A, A) => A): Option[A] = fold(ReduceOpt(p))
-  def isEmpty: Boolean = ds.isEmpty
+  def isEmpty: Boolean = src.isEmpty
   def nonEmpty: Boolean = !isEmpty
-  def size: Long = ds.count()
-  def count(p: A => Boolean): Long = ds.filter(p).count()
+  def size: Long = src.count()
+  def count(p: A => Boolean): Long = src.filter(p).count()
   def min(implicit ord: Ordering[A]): A = fold(Min(ord)).get
   def max(implicit ord: Ordering[A]): A = fold(Max(ord)).get
   def minBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Min(Ordering.by(k)))
   def maxBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Max(Ordering.by(k)))
   def sum(implicit num: Numeric[A]): A = fold(Sum(num))
   def product(implicit num: Numeric[A]): A = fold(Product(num))
-  def exists(p: A => Boolean): Boolean = ds.filter(p).head(1).nonEmpty
-  def forall(p: A => Boolean): Boolean = ds.filter(x => !p(x)).head(1).isEmpty
-  def find(p: A => Boolean): Option[A] = ds.filter(p).head(1).headOption
+  def exists(p: A => Boolean): Boolean = src.filter(p).head(1).nonEmpty
+  def forall(p: A => Boolean): Boolean = src.filter(x => !p(x)).head(1).isEmpty
+  def find(p: A => Boolean): Option[A] = src.filter(p).head(1).headOption
   def bottom(n: Int)(implicit ord: Ordering[A]): List[A] = fold(Bottom(n, ord))
   def top(n: Int)(implicit ord: Ordering[A]): List[A] = fold(Top(n, ord))
 
@@ -122,7 +126,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     * API's primary path. */
   def groupBy[K: Encoder](k: A => K)(
       implicit encG: Encoder[Group[K, Seq[A]]]): DataBag[Group[K, Seq[A]]] =
-    new DataBag(ds.groupByKey(k).mapGroups((key, it) => Group(key, it.toSeq)))
+    new DataBag(src.groupByKey(k).mapGroups((key, it) => Group(key, it.toSeq)))
 
   /** Fused group-aggregate (the reference's `foldGroup` combinator,
     * SparkOps.scala:61-68 = reduceByKey): partial (map-side) aggregation,
@@ -130,7 +134,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def foldGroup[K: Encoder, B: Encoder](k: A => K, alg: Alg[A, B])(
       implicit encG: Encoder[Group[K, B]]): DataBag[Group[K, B]] =
     new DataBag(
-      ds.groupByKey(k)
+      src.groupByKey(k)
         .mapValues(alg.init)
         .reduceGroups(alg.plus)
         .map { case (key, b) => Group(key, b) })
@@ -143,8 +147,8 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def equiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[(A, B)] = {
     val encK = implicitly[Encoder[K]]
     val encB = that.ds.encoder
-    val lt = ds.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
-    val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
+    val lt = src.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
+    val rt = that.src.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
     implicit val out: Encoder[(A, B)] = Encoders.tuple(enc, encB)
     new DataBag(
       lt.joinWith(rt, lt("_1") <=> rt("_1"), "inner").map(p => (p._1._2, p._2._2)))
@@ -154,8 +158,8 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
       implicit out: Encoder[(A, Option[B])]): DataBag[(A, Option[B])] = {
     val encK = implicitly[Encoder[K]]
     val encB = that.ds.encoder
-    val lt = ds.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
-    val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
+    val lt = src.map(x => (kx(x), x))(Encoders.tuple(encK, enc))
+    val rt = that.src.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
     new DataBag(
       lt.joinWith(rt, lt("_1") <=> rt("_1"), "left_outer")
         .map(p => (p._1._2, Option(p._2).map(_._2))))
@@ -168,8 +172,8 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     val encK = implicitly[Encoder[K]]
     val encB = that.ds.encoder
     val tupEnc = Encoders.tuple(encK, enc)
-    val lt = ds.map(x => (kx(x), x))(tupEnc)
-    val rt = that.ds.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
+    val lt = src.map(x => (kx(x), x))(tupEnc)
+    val rt = that.src.map(y => (ky(y), y))(Encoders.tuple(encK, encB))
     new DataBag(lt.join(rt, lt("_1") <=> rt("_1"), joinType).as(tupEnc).map(_._2))
   }
 
@@ -182,27 +186,27 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   /** Cartesian product (reference cross, SparkNtv.scala:72-77). */
   def cross[B](that: DataBag[B]): DataBag[(A, B)] = {
     implicit val out: Encoder[(A, B)] = Encoders.tuple(enc, that.ds.encoder)
-    new DataBag(ds.joinWith(that.ds, F.lit(true), "cross").map(p => (p._1, p._2)))
+    new DataBag(src.joinWith(that.src, F.lit(true), "cross").map(p => (p._1, p._2)))
   }
 
   /** Broadcast hint for the small side of a subsequent join
     * (reference SparkNtv.broadcast, SparkNtv.scala:88-97). */
-  def broadcasted: DataBag[A] = new DataBag(F.broadcast(ds))
+  def broadcasted: DataBag[A] = new DataBag(F.broadcast(src))
 
   // ----------------------------------------------------------------- set ops
 
   /** Bag union — respects duplicates (UNION ALL; api/DataBag.scala:112-122). */
-  def union(that: DataBag[A]): DataBag[A] = new DataBag(ds.union(that.ds))
-  def distinct: DataBag[A] = new DataBag(ds.distinct())
+  def union(that: DataBag[A]): DataBag[A] = new DataBag(src.union(that.src))
+  def distinct: DataBag[A] = new DataBag(src.distinct())
   /** Reference-absent freebies (SURVEY §2.4). */
-  def intersect(that: DataBag[A]): DataBag[A] = new DataBag(ds.intersect(that.ds))
-  def except(that: DataBag[A]): DataBag[A] = new DataBag(ds.except(that.ds))
+  def intersect(that: DataBag[A]): DataBag[A] = new DataBag(src.intersect(that.src))
+  def except(that: DataBag[A]): DataBag[A] = new DataBag(src.except(that.src))
   /** MULTISET variants — the true bag algebra for a duplicate-respecting
     * DataBag: element multiplicities subtract / take the minimum, matching
     * SQL EXCEPT ALL / INTERSECT ALL. One shuffle each (hash-partitioned
     * count-compare under the hood). */
-  def exceptAll(that: DataBag[A]): DataBag[A] = new DataBag(ds.exceptAll(that.ds))
-  def intersectAll(that: DataBag[A]): DataBag[A] = new DataBag(ds.intersectAll(that.ds))
+  def exceptAll(that: DataBag[A]): DataBag[A] = new DataBag(src.exceptAll(that.src))
+  def intersectAll(that: DataBag[A]): DataBag[A] = new DataBag(src.intersectAll(that.src))
 
   // ----------------------------------------------------------- partition ops
 
@@ -213,7 +217,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def sample(k: Int, seed: Long = 5394826801L): Vector[A] = {
     implicit val ct: ClassTag[(Long, Vector[A])] =
       ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[(Long, Vector[A])]]
-    val partials: Array[(Long, Vector[A])] = ds.rdd
+    val partials: Array[(Long, Vector[A])] = src.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val rng = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
         val buf = new scala.collection.mutable.ArrayBuffer[A](k)
@@ -269,19 +273,19 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     * No total order implied — indices are unique and contiguous. */
   def zipWithIndex(): DataBag[(A, Long)] = {
     implicit val out: Encoder[(A, Long)] = Encoders.tuple(enc, Encoders.scalaLong)
-    new DataBag(ds.sparkSession.createDataset(ds.rdd.zipWithIndex()))
+    new DataBag(ds.sparkSession.createDataset(src.rdd.zipWithIndex()))
   }
 
   // ---------------------------------------------------------------- sinks etc
 
   def writeCSV(path: String, format: CSV = CSV()): Unit =
-    ds.write.options(format.writerOptions).mode("overwrite").csv(path)
+    src.write.options(format.writerOptions).mode("overwrite").csv(path)
   def writeText(path: String): Unit =
-    ds.toDF().write.mode("overwrite").text(path)
+    src.toDF().write.mode("overwrite").text(path)
   def writeParquet(path: String, format: Parquet = Parquet()): Unit =
-    ds.write.options(format.options).mode("overwrite").parquet(path)
+    src.write.options(format.options).mode("overwrite").parquet(path)
 
-  def collect(): Seq[A] = ds.collect().toSeq
+  def collect(): Seq[A] = src.collect().toSeq
 
   /** Materialize into the closure-safe local bag (reference ScalaSeq). */
   def local(): LocalBag[A] = new LocalBag(collect())
@@ -295,7 +299,7 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
 
   /** Escape hatch to the native representation (reference `as[DColl]`). */
   def asDataset: Dataset[A] = ds
-  def asRDD: org.apache.spark.rdd.RDD[A] = ds.rdd
+  def asRDD: org.apache.spark.rdd.RDD[A] = src.rdd
 
   /** Multiply-used / loop-carried bags should be cached. The reference inserts
     * this automatically (Caching.scala:74-139); here it is explicit plus the

@@ -1,0 +1,83 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Auto-cache scope: multiply-consumed bags must be computed ONCE. The
+  * proof is an accumulator in the shared upstream stage — it counts how
+  * many times each source row is recomputed, so "scans its input once"
+  * is asserted end-to-end, not by plan-string inspection. */
+class AutoCacheSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def countedBag(n: Int): (DataBag[Long], org.apache.spark.util.LongAccumulator) = {
+    val acc = spark.sparkContext.longAccumulator("recompute-probe")
+    val bag = DataBag.from(spark.range(n.toLong).as[Long])
+      .map { x => acc.add(1L); x }
+    (bag, acc)
+  }
+
+  "a diamond over one bag" should "compute the shared node once inside a scope" in {
+    val (bag, acc) = countedBag(1000)
+    val (a, b) = AutoCache.scope { _ =>
+      val evens = bag.where(org.apache.spark.sql.functions.col("value") % 2 === 0)
+      val big = bag.map(_ * 2) // 2nd consumption → bag persisted lazily
+      (evens.size, big.size)
+    }
+    a shouldBe 500L
+    b shouldBe 1000L
+    acc.value shouldBe 1000L // would be 2000 uncached
+    bag.ds.storageLevel shouldBe StorageLevel.NONE // unpersisted at exit
+  }
+
+  it should "recompute per consumer outside a scope (baseline)" in {
+    val (bag, acc) = countedBag(1000)
+    bag.where(org.apache.spark.sql.functions.col("value") % 2 === 0).size shouldBe 500L
+    bag.map(_ * 2).size shouldBe 1000L
+    acc.value shouldBe 2000L
+  }
+
+  "deferred actions" should "share one scan when the same bag is folded twice" in {
+    val (bag, acc) = countedBag(1000)
+    val (s, n) = AutoCache.scope { sc =>
+      val sum = sc.defer(bag)(_.sum)
+      val cnt = sc.defer(bag)(_.size) // 2nd consumption BEFORE either runs
+      (sum, cnt)
+    }
+    s.value shouldBe (0L until 1000L).sum
+    n.value shouldBe 1000L
+    acc.value shouldBe 1000L
+    bag.ds.storageLevel shouldBe StorageLevel.NONE
+  }
+
+  "join inputs" should "count both sides and persist a bag reused across joins" in {
+    val (bag, acc) = countedBag(100)
+    val small = DataBag(Seq(1L, 2L, 3L))
+    AutoCache.scope { _ =>
+      val j1 = bag.equiJoin(small)(identity, identity)
+      val j2 = bag.equiJoin(small)(identity, identity)
+      j1.size shouldBe 3L
+      j2.size shouldBe 3L
+    }
+    acc.value shouldBe 100L
+  }
+
+  "an explicitly cached bag" should "not be double-persisted or unpersisted by the scope" in {
+    val (bag0, _) = countedBag(10)
+    val cached = bag0.cache()
+    AutoCache.scope { _ =>
+      cached.size shouldBe 10L
+      cached.map(_ + 1).size shouldBe 10L
+      cached.where(org.apache.spark.sql.functions.lit(true)).size shouldBe 10L
+    }
+    // scope exit must NOT drop a cache it did not create
+    cached.ds.storageLevel should not be StorageLevel.NONE
+    cached.unpersist()
+  }
+}
