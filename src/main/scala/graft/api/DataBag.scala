@@ -210,63 +210,39 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
 
   // ----------------------------------------------------------- partition ops
 
-  /** Deterministic k-element random sample: per-partition seeded reservoirs
-    * merged on the driver. Same contract as the reference's distributed
-    * reservoir (SparkRDD.scala:86-107): deterministic given seed and
-    * partitioning; original implementation. */
+  /** Deterministic k-element random sample — REFERENCE-EXACT draws
+    * (SparkRDD.scala:86-107): every element decides its reservoir slot
+    * from a [[RanHash]] draw at its own GLOBAL index (`j = RanHash(seed)
+    * .at(i).nextLong(i+1)`, keep when `j < k`), partials merge in
+    * partition order with later writes winning. Decisions depend only on
+    * each element's global index, so the result equals a sequential
+    * reservoir pass over the indexed stream (DataBagSpec pins the twin)
+    * and same-seed samples match the reference's Spark backend draw for
+    * draw. One narrow pass + k·numPartitions driver merge. */
   def sample(k: Int, seed: Long = 5394826801L): Vector[A] = {
-    implicit val ct: ClassTag[(Long, Vector[A])] =
-      ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[(Long, Vector[A])]]
-    val partials: Array[(Long, Vector[A])] = src.rdd
+    if (k <= 0) return Vector.empty
+    implicit val ct: ClassTag[(Int, Array[Option[A]])] =
+      ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[(Int, Array[Option[A]])]]
+    val partials: Array[(Int, Array[Option[A]])] = src.rdd
+      .zipWithIndex()
       .mapPartitionsWithIndex { (pid, it) =>
-        val rng = new java.util.Random(seed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
-        val buf = new scala.collection.mutable.ArrayBuffer[A](k)
-        var n = 0L
-        it.foreach { x =>
-          n += 1
-          if (buf.size < k) buf += x
+        val slots = Array.fill(k)(Option.empty[A])
+        it.foreach { case (e, i) =>
+          if (i < k) slots(i.toInt) = Some(e)
           else {
-            val j = (rng.nextDouble() * n).toLong
-            if (j < k) buf(j.toInt) = x
+            val j = RanHash(seed).at(i).nextLong(i + 1)
+            if (j < k) slots(j.toInt) = Some(e)
           }
         }
-        Iterator.single((n, buf.toVector))
+        Iterator.single(pid -> slots)
       }
       .collect()
-    // Driver-side EXACT merge: a uniform k-sample of the whole bag allocates
-    // per-partition counts by a multivariate hypergeometric over the true
-    // partition sizes n_i (simulated by drawing k distinct global positions),
-    // then takes that many elements from each partial reservoir (each partial
-    // is itself a uniform subset of its partition; shuffled first because
-    // reservoir buffer POSITIONS are not exchangeable). Deterministic given
-    // seed and partitioning.
-    val rng = new java.util.Random(seed ^ 0x5DEECE66DL)
-    val sizes = partials.map(_._1)
-    val total = sizes.sum
-    val take = math.min(k.toLong, total).toInt
-    // k distinct global positions in [0, total) — exact hypergeometric counts.
-    val chosen = new scala.collection.mutable.HashSet[Long]
-    while (chosen.size < take) chosen += math.floorMod(rng.nextLong(), total)
-    val bounds = sizes.scanLeft(0L)(_ + _) // partition i owns [bounds(i), bounds(i+1))
-    val counts = Array.fill(partials.length)(0)
-    chosen.foreach { pos =>
-      var i = java.util.Arrays.binarySearch(bounds, pos)
-      if (i < 0) i = -i - 2
-      // Exact hits are ambiguous when empty partitions duplicate a bound:
-      // binarySearch may land on a zero-size partition whose [b, b) range
-      // can't own pos — the true owner is the next non-empty partition.
-      else while (sizes(i) == 0L) i += 1
-      counts(i) += 1
-    }
-    partials.toVector.zipWithIndex.flatMap { case ((_, r), i) =>
-      if (counts(i) == 0) Vector.empty
-      else {
-        val buf = r.toArray[Any]
-        var j = buf.length - 1 // Fisher-Yates: uniform order within the reservoir
-        while (j > 0) { val m = rng.nextInt(j + 1); val t = buf(j); buf(j) = buf(m); buf(m) = t; j -= 1 }
-        buf.take(counts(i)).toVector.asInstanceOf[Vector[A]]
+    partials.sortBy(_._1).map(_._2.toVector)
+      .reduceOption { (xs, ys) =>
+        // later partitions hold higher indices: their writes win
+        xs.lazyZip(ys).map((x, y) => y.orElse(x)).toVector
       }
-    }
+      .fold(Vector.empty[A])(_.flatten)
   }
 
   /** Dense unique 0-based index (reference zipWithIndex, SparkRDD.scala:109-110).

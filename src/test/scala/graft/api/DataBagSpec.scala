@@ -190,6 +190,48 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
     DataBag.from(ds).sample(2, 9L).size shouldBe 2
   }
 
+  it should "pin RanHash draws (independently recomputed golden values)" in {
+    // goldens verified by an independent big-int simulation of the
+    // Numerical Recipes Ranhash mix — guards the exact reference draws
+    RanHash(42L).at(0).next() shouldBe 0.2892343203114126
+    RanHash(42L).at(1).next() shouldBe 0.2621263456410165
+    RanHash(42L).at(2).next() shouldBe 0.9007186315067137
+    RanHash(5394826801L).at(0).next() shouldBe 0.12750823460175326
+    RanHash(5394826801L).at(7).next() shouldBe 0.24606132331474173
+    RanHash(123L).at(1000000L).next() shouldBe 0.29012657583168056
+    // streaming: next() advances one position
+    val r = RanHash(42L).at(0)
+    r.next() shouldBe 0.2892343203114126
+    r.next() shouldBe 0.2621263456410165
+    val b = RanHash(42L).at(0).skip(2)
+    b.next() shouldBe 0.9007186315067137
+  }
+
+  it should "equal a sequential reference-reservoir pass over the indexed stream" in {
+    // the emma-Spark sample semantics: element at global index i draws
+    // j = RanHash(seed).at(i).nextLong(i+1), keeps when j < k, last write
+    // per slot wins — simulated here sequentially and compared exactly
+    def twin[A](indexed: Seq[(A, Long)], k: Int, seed: Long): Vector[A] = {
+      val slots = Array.fill(k)(Option.empty[A])
+      indexed.sortBy(_._2).foreach { case (e, i) =>
+        if (i < k) slots(i.toInt) = Some(e)
+        else {
+          val j = RanHash(seed).at(i).nextLong(i + 1)
+          if (j < k) slots(j.toInt) = Some(e)
+        }
+      }
+      slots.toVector.flatten
+    }
+    for (parts <- Seq(1, 3, 8); seed <- Seq(42L, 5394826801L)) {
+      val ds = spark.createDataset(
+        spark.sparkContext.parallelize((1 to 500).map(i => i * 11), parts))
+      val indexed = ds.rdd.zipWithIndex().collect().toSeq
+      withClue(s"parts=$parts seed=$seed: ") {
+        DataBag.from(ds).sample(9, seed) shouldBe twin(indexed, 9, seed)
+      }
+    }
+  }
+
   it should "sample without replacement, roughly uniformly across the range" in {
     val b = bag((1 to 1000).toSeq)
     val draws = (1 to 20).flatMap { s => val v = b.sample(50, s.toLong); v.size shouldBe 50; v.distinct.size shouldBe 50; v }
