@@ -105,11 +105,50 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def nonEmpty: Boolean = !isEmpty
   def size: Long = src.count()
   def count(p: A => Boolean): Long = src.filter(p).count()
-  def min(implicit ord: Ordering[A]): A = fold(Min(ord)).get
-  def max(implicit ord: Ordering[A]): A = fold(Max(ord)).get
+  def min(implicit ord: Ordering[A]): A =
+    extremeViaAgg(F.min, ord).getOrElse(fold(Min(ord)).get)
+  def max(implicit ord: Ordering[A]): A =
+    extremeViaAgg(F.max, ord).getOrElse(fold(Max(ord)).get)
   def minBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Min(Ordering.by(k)))
   def maxBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Max(Ordering.by(k)))
-  def sum(implicit num: Numeric[A]): A = fold(Sum(num))
+  def sum(implicit num: Numeric[A]): A = sumViaAgg.getOrElse(fold(Sum(num)))
+
+  // ------------------------------------- Catalyst fast paths for named folds
+  // A bag of one integral column lowers sum/min/max to df.agg — a codegen'd
+  // HashAggregate with map-side partials — instead of the generic
+  // deserializing RDD fold. Only EXACT-equivalent cases route: integral
+  // types (no FP reorder effects) under the NATURAL ordering; everything
+  // else (arbitrary Alg, custom Orderings, floating point) keeps the RDD
+  // path. One semantic edge moves with the routing: integral overflow now
+  // raises under ANSI mode where the RDD fold silently wrapped.
+
+  private def integralColumn: Option[String] = {
+    import org.apache.spark.sql.types._
+    ds.schema.fields match {
+      case Array(f) => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => Some(f.name)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def isNaturalIntegralOrd(ord: Ordering[_]): Boolean =
+    (ord eq Ordering.Byte) || (ord eq Ordering.Short) ||
+      (ord eq Ordering.Int) || (ord eq Ordering.Long)
+
+  private def sumViaAgg: Option[A] = integralColumn.map { c =>
+    src.select(F.coalesce(F.sum(F.col(c)), F.lit(0L))
+        .cast(ds.schema.fields(0).dataType))
+      .head().get(0).asInstanceOf[A]
+  }
+
+  private def extremeViaAgg(agg: Column => Column, ord: Ordering[_]): Option[A] =
+    if (!isNaturalIntegralOrd(ord)) None
+    else integralColumn.flatMap { c =>
+      val row = src.select(agg(F.col(c))).head()
+      if (row.isNullAt(0)) None else Some(row.get(0).asInstanceOf[A])
+    }
   def product(implicit num: Numeric[A]): A = fold(Product(num))
   def exists(p: A => Boolean): Boolean = src.filter(p).head(1).nonEmpty
   def forall(p: A => Boolean): Boolean = src.filter(x => !p(x)).head(1).isEmpty

@@ -164,6 +164,40 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
       .collect().sorted shouldBe Seq((1, "a"), (2, "c"))
   }
 
+  "named integral folds" should "route to a Catalyst HashAggregate and agree with Seq" in {
+    import scala.collection.mutable
+    val plans = mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    val xs = Seq(4L, 1L, 3L, 2L, 4L)
+    val b = DataBag(xs)
+    b.sum shouldBe xs.sum
+    b.min shouldBe xs.min
+    b.max shouldBe xs.max
+    DataBag(Seq.empty[Long]).sum shouldBe 0L
+    bag(Seq(7, -2, 9)).sum shouldBe 14 // Int stays Int
+    spark.listenerManager.register(listener)
+    try {
+      b.sum shouldBe xs.sum
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (plans.synchronized(plans.isEmpty) && System.nanoTime < deadline)
+        Thread.sleep(50)
+      val got = plans.synchronized(plans.toVector)
+      got should not be empty
+      // the fold ran as a SQL aggregate, not a deserializing RDD fold
+      got.exists(_.contains("HashAggregate")) shouldBe true
+      got.foreach(_ should not include "DeserializeToObject")
+    } finally spark.listenerManager.unregister(listener)
+    // custom orderings keep the exact RDD-fold semantics
+    b.minBy(x => -x) shouldBe Some(4L)
+    b.min(Ordering.Long.reverse) shouldBe 4L
+  }
+
   "cross" should "produce the cartesian product" in {
     val got = bag(Seq(1, 2)).cross(bag(Seq(3, 4))).collect()
     asBag(got) shouldBe asBag(Seq((1, 3), (1, 4), (2, 3), (2, 4)))
