@@ -222,11 +222,33 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def antiJoin[B, K: Encoder](that: DataBag[B])(kx: A => K, ky: B => K): DataBag[A] =
     semiAntiJoin(that, "left_anti")(kx, ky)
 
-  /** Cartesian product (reference cross, SparkNtv.scala:72-77). */
-  def cross[B](that: DataBag[B]): DataBag[(A, B)] = {
-    implicit val out: Encoder[(A, B)] = Encoders.tuple(enc, that.ds.encoder)
-    new DataBag(src.joinWith(that.src, F.lit(true), "cross").map(p => (p._1, p._2)))
+  /** Comprehension-to-join sugar — the reference derives an equi-join from
+    * a comprehension guard `kx(x) == ky(y)` (emma-language
+    * comprehension/Combination.scala:58-77,723-777); without macros the
+    * join is REQUESTED in the comprehension's generator instead:
+    * {{{
+    * for { (x, y) <- xs.joined(ys).on(_.k, _.k) } yield f(x, y)
+    * }}}
+    * executes as [[equiJoin]] — never a cross. (Typed-lambda guards on a
+    * [[cross]] stay opaque by design stance; the COLUMN form needs no
+    * sugar at all — Catalyst itself rewrites a cross filtered on a Column
+    * equality into an equi-join, which PlanShapeSpec pins.) */
+  def joined[B](that: DataBag[B]): Joined[B] = new Joined(that)
+
+  final class Joined[B] private[DataBag] (that: DataBag[B]) {
+    def on[K: Encoder](kx: A => K, ky: B => K): DataBag[(A, B)] =
+      equiJoin(that)(kx, ky)
   }
+
+  /** Cartesian product (reference cross, SparkNtv.scala:72-77). `joinWith`
+    * already yields `Dataset[(A, B)]` — no trailing object map, so a
+    * Column predicate on the result pushes THROUGH into the join and a
+    * `cross(..).where(equality)` is rewritten to an equi-join by Catalyst
+    * (an identity `.map` here would wall the filter off behind a
+    * serialization boundary and pin the nested-loop plan; PlanShapeSpec
+    * guards the rewrite). */
+  def cross[B](that: DataBag[B]): DataBag[(A, B)] =
+    new DataBag(src.joinWith(that.src, F.lit(true), "cross"))
 
   /** Broadcast hint for the small side of a subsequent join
     * (reference SparkNtv.broadcast, SparkNtv.scala:88-97). */

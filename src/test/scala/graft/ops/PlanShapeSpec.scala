@@ -83,6 +83,29 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  "a comprehension over cross + Column equality guard" should "be rewritten to an equi-join by Catalyst" in {
+    // the reference's comprehension→join derivation (Combination.scala:
+    // 723-777), here performed by the optimizer on the Column form: the
+    // declared plan is cross-then-filter, the executed plan is a join
+    import graft.api.DataBag
+    val xs = DataBag(Seq((1, "a"), (2, "b"), (3, "c")))
+    val ys = DataBag(Seq((2, 9.0), (3, 7.0)))
+    val crossed = xs.cross(ys)
+      .where(org.apache.spark.sql.functions.col("_1._1") ===
+        org.apache.spark.sql.functions.col("_2._1"))
+    val plan = physical(crossed.asDataset.toDF())
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    crossed.collect().map { case (x, y) => (x._1, x._2, y._2) }.sorted shouldBe
+      Seq((2, "b", 9.0), (3, "c", 7.0))
+    // and the requested-join sugar takes the equiJoin path outright
+    val sugared = for { p <- xs.joined(ys).on(_._1, _._1) } yield (p._1._2, p._2._2)
+    val plan2 = physical(sugared.asDataset.toDF())
+    plan2 should not include "CartesianProduct"
+    plan2 should not include "BroadcastNestedLoopJoin"
+    sugared.collect().sorted shouldBe Seq(("b", 9.0), ("c", 7.0))
+  }
+
   "Dedup.simhashNearDups (banded)" should "self-join on probe keys (no cartesian, no window bound)" in {
     val docs = Seq((1L, "a b c d e f"), (9999999L, "a b c d e f")).toDF("doc_id", "text")
     val plan = physical(Dedup.simhashNearDups(docs, maxHamming = 4))
