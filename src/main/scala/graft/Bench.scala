@@ -46,12 +46,15 @@ object Bench {
     // subset while iterating; the driver leaves it unset (full run).
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').toSet).getOrElse(Set.empty)
-    // SPARK_GRAFT_REPS=N — time each query N times and report the MINIMUM.
-    // Default 2: machine-load spikes on shared hosts inflate single-shot
+    // SPARK_GRAFT_REPS=N — time each query N times and report the MEDIAN.
+    // Default 3: machine-load spikes on shared hosts inflate single-shot
     // timings up to ~75x per query (r04's 604s total vs 123s on the same
-    // tree under normal load); min-of-2 makes one loaded rep survivable
-    // while keeping the full suite to a few minutes.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    // tree under normal load); the median of 3 survives one loaded rep in
+    // EITHER direction, where min-of-2 still printed a 10x outlier when
+    // both reps landed under load (r05's q58). Queries whose spread
+    // (max/min) exceeds 2x are listed under "noisy" so a suspect number
+    // is visibly suspect in benchmark history.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -65,17 +68,22 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, times.map(_._1).min, times.forall(_._2))
+      val sorted = times.map(_._1).sorted
+      val median = sorted(sorted.size / 2)
+      val noisy = sorted.last / sorted.head.max(1e-9) > 2.0
+      (name, median, times.forall(_._2), noisy)
     }
     // A failed query reports -1 (not its elapsed time) so breakage can't be
     // mistaken for a speedup in benchmark history; failures also get their
     // own list.
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val noisy = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

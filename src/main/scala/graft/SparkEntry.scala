@@ -1587,16 +1587,24 @@ object SparkEntry {
     "q154_compaction" -> ((s, d) => {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
-      tbl(s, d, "orders").repartition(64)
-        .write.mode("overwrite").parquet(s"$base/frag")
-      val nOut = graft.ops.Layout.compact(s, s"$base/frag", s"$base/tight",
-        targetBytes = 8L << 20)
-      val re = s.read.parquet(s"$base/tight")
-      re.agg(count(lit(1)).as("n"),
-          sum(col("o_orderkey")).as("key_sum"),
-          sum(col("o_totalprice").cast(dec2)).cast("double").as("price_sum"))
-        .select(col("n"), col("key_sum"), col("price_sum"),
-          lit(nOut <= 8).as("few_files"))
+      try {
+        tbl(s, d, "orders").repartition(64)
+          .write.mode("overwrite").parquet(s"$base/frag")
+        val nOut = graft.ops.Layout.compact(s, s"$base/frag", s"$base/tight",
+          targetBytes = 8L << 20)
+        val r = s.read.parquet(s"$base/tight")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_totalprice").cast(dec2)).cast("double").as("price_sum"))
+          .head()
+        Seq((r.getLong(0), r.getLong(1), r.getDouble(2), nOut <= 8))
+          .toDF("n", "key_sum", "price_sum", "few_files")
+      } finally {
+        // eager result above ⇒ the temp tree is disposable here; repeated
+        // correctness/bench/soak runs must not accumulate under /tmp
+        val p = new org.apache.hadoop.fs.Path(base)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }),
 
     // REAL WAV round trip: deterministic PCM16 waveform → RIFF/WAVE encode

@@ -371,9 +371,15 @@ object DataBag {
       spark.read.options(format.readerOptions)
         .schema(implicitly[Encoder[A]].schema).csv(path).as[A])
 
+  /** Parquet source with small-input parallelism folded in: a single-file
+    * input otherwise scans as ONE partition and every narrow stage after it
+    * runs on one core. [[graft.ops.Par.spread]] round-robins such inputs to
+    * the default parallelism from a pure planning-time size estimate — a
+    * no-op at scale, where the scan already opens in many splits. */
   def readParquet[A: Encoder](path: String, format: Parquet = Parquet())(
       implicit spark: SparkSession): DataBag[A] =
-    new DataBag(spark.read.schema(implicitly[Encoder[A]].schema).parquet(path).as[A])
+    new DataBag(graft.ops.Par.spread(
+      spark.read.schema(implicitly[Encoder[A]].schema).parquet(path)).as[A])
 
   // --------------------------------------------------------- encoder helpers
 

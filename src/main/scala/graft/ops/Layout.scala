@@ -67,6 +67,14 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(inDir)
     val fs = in.getFileSystem(conf)
+    // FLAT directories only: a Hive-partitioned layout would silently have
+    // its partition columns flattened into data columns on rewrite and the
+    // non-recursive output listing would be wrong — fail loudly instead
+    // (compact each leaf partition directory separately).
+    val subDirs = fs.listStatus(in).filter(_.isDirectory).map(_.getPath.getName)
+    require(subDirs.isEmpty,
+      s"compact() requires a flat (non-partitioned) directory; found " +
+        s"subdirectories under $inDir: ${subDirs.take(3).mkString(", ")}")
     val bytes = fs.getContentSummary(in).getLength
     val numFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(numFiles)

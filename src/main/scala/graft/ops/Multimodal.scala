@@ -290,6 +290,10 @@ object Multimodal {
     val f = ais.getFormat
     require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
       s"expected PCM16LE, got $f")
+    // mono only: for multi-channel input sum_sq would sum over ALL
+    // channels' samples while n_samples divides by channel count — mixed
+    // units. Only mono is produced in-repo; reject instead of mis-reporting.
+    require(f.getChannels == 1, s"expected mono PCM, got ${f.getChannels} channels")
     val bytes = ais.readAllBytes()
     var sumSq = 0L
     var n = 0L

@@ -207,16 +207,6 @@ object TextAnalysis {
         coalesce(col("sum_logprob_micros"), lit(0L)).as("sum_logprob_micros"))
   }
 
-  /** Per-document Shannon entropy (nats) of the whitespace-token
-    * distribution — a lexical-diversity quality signal (low entropy ⇒
-    * repetitive/boilerplate text). Computed as ln(n) − (Σ c·ln c)/n over
-    * per-token counts c, which keeps the FP term count at one-per-distinct-
-    * token. Each c·ln(c) term is micro-rounded to an INTEGER before the
-    * per-doc sum (the bigramLogProb pattern), so the aggregate is
-    * order-independent and engine-portable; `ent_micros` is derived from
-    * those exact integers by one final expression both engines mirror
-    * verbatim. Output: (doc_id, n_tokens, ent_micros, entropy).
-    * Two map-side-combinable aggregations: (doc, token) then doc. */
   /** CORPUS-level duplicated-n-gram fraction per document: the share of a
     * document's distinct n-gram shingles that occur in at least `minDocs`
     * documents corpus-wide (the cross-document companion to the within-doc
@@ -279,6 +269,16 @@ object TextAnalysis {
       .drop("island")
   }
 
+  /** Per-document Shannon entropy (nats) of the whitespace-token
+    * distribution — a lexical-diversity quality signal (low entropy ⇒
+    * repetitive/boilerplate text). Computed as ln(n) − (Σ c·ln c)/n over
+    * per-token counts c, which keeps the FP term count at one-per-distinct-
+    * token. Each c·ln(c) term is micro-rounded to an INTEGER before the
+    * per-doc sum (the bigramLogProb pattern), so the aggregate is
+    * order-independent and engine-portable; `ent_micros` is derived from
+    * those exact integers by one final expression both engines mirror
+    * verbatim. Output: (doc_id, n_tokens, ent_micros, entropy).
+    * Two map-side-combinable aggregations: (doc, token) then doc. */
   def tokenEntropy(docs: DataFrame, textCol: String = "text"): DataFrame =
     Par.spread(docs)
       .select(col("doc_id"), explode(tokens(col(textCol))).as("t"))
