@@ -143,9 +143,14 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     val bandRows = lshBands(docs, textCol, bands, rowsPerBand, shingleN)
-    val sizes = bandRows.groupBy("band_id", "band_key")
-      .agg(count(lit(1)).as("__n"), min("doc_id").as("__rep"))
-    val tagged = bandRows.join(sizes, Seq("band_id", "band_key"))
+    // Bucket size and representative come from a WINDOW over the exact
+    // partitioning the self-join needs anyway — the window's exchange IS
+    // the join-side exchange (EnsureRequirements adds none on top), so the
+    // guard costs one within-partition sort, not extra shuffle jobs.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_key")
+    val tagged = bandRows
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min("doc_id").over(w))
     val small = tagged.where(col("__n") <= maxBucket)
     val allPairs = small.as("a").join(small.as("b"),
         col("a.band_id") === col("b.band_id") &&
