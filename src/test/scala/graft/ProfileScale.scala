@@ -98,6 +98,20 @@ object ProfileScale {
     val bp1 = time("bpe train 1x")(ops.Bpe.train(docs1, numMerges = 10)._1.count())
     val bpN = time(s"bpe train ${n}x")(ops.Bpe.train(docsN, numMerges = 10)._1.count())
     println(f"bpe ratio at ${n}x: ${bpN / bp1}%.1f (should be ~flat: same word histogram)")
+
+    // round-6 additions: the single-pass encoder (narrow map — linear),
+    // corpus-wide banded simhash (equi-join on block keys — near-linear in
+    // candidates), and the auto-guarded LSH already probed above
+    val mergeList = {
+      val (m, _) = ops.Bpe.trainLocal(docs1, numMerges = 60)
+      m.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+    val f1 = time("bpe encodeFast 1x")(ops.Bpe.encodeFast(docs1, mergeList).count())
+    val fN = time(s"bpe encodeFast ${n}x")(ops.Bpe.encodeFast(docsN, mergeList).count())
+    val s1 = time("simhash banded 1x")(ops.Dedup.simhashNearDups(docs1, maxHamming = 3).count())
+    val sN = time(s"simhash banded ${n}x")(ops.Dedup.simhashNearDups(docsN, maxHamming = 3).count())
+    println(f"round-6 ratios at ${n}x: encodeFast=${fN / f1}%.1f " +
+      f"simhash-banded=${sN / s1}%.1f (encode linear; banded grows with true near-dup pairs)")
     spark.stop()
   }
 }
