@@ -1730,6 +1730,57 @@ object SparkEntry {
       val rows = tbl(s, d, "lineitem").count()
       Seq((nHigh, cents, acc.value == rows))
         .toDF("n_high", "price_cents", "scanned_once")
+    }),
+
+    // Simhash dedup-on-INGEST: the corpus's multi-probe band index is
+    // persisted once; a new batch probes it with ONE equi-join — corpus
+    // fingerprints never recomputed, recall guaranteed at the hamming
+    // bound, so the oracle is the full brute-force new×corpus hamming
+    // filter (the simhash mirror of the LSH q148/q151 ingest family)
+    "q162_simhash_ingest" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val corpusSig = Dedup.simhashPortable(docs.where(col("doc_id") % 5 =!= 0))
+      val batchSig = Dedup.simhashPortable(docs.where(col("doc_id") % 5 === 0))
+      val idx = Dedup.simhashProbes(corpusSig, 16, maxHamming = 2).localCheckpoint()
+      Dedup.probeSimhashIndex(idx,
+        Dedup.simhashProbes(batchSig, 16, maxHamming = 2), maxHamming = 2)
+    }),
+
+    // Tokenizer END-TO-END: train 40 merges, build the id vocabulary
+    // (|alphabet| + |merges| ids), encode the corpus to integer ids, and
+    // verify the DECODE roundtrip distributed: every word's ids decode
+    // back to exactly its original characters — counts, char mass, and
+    // vocab size are DuckDB-recomputed
+    "q163_tokenizer_ids" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Bpe
+      val docs = tbl(s, d, "documents")
+      val (m, _) = Bpe.trainLocal(docs, numMerges = 40)
+      val ms = m.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val voc = Bpe.vocab(Bpe.corpusChars(docs), ms)
+      val inv = voc.map(_.swap).toMap
+      val bcInv = s.sparkContext.broadcast(inv)
+      val ids = Bpe.encodeToIds(docs, ms, voc)
+      val words = docs.select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+        .where(length(col("w")) > 0)
+        .select(col("doc_id").cast("long"), col("pos"), col("w"))
+      val r = ids.join(words, Seq("doc_id", "pos"))
+        .as[(Long, Int, Seq[Int], String)]
+        .mapPartitions { it =>
+          val dec = bcInv.value
+          it.map { case (_, _, idseq, w) =>
+            val ok = idseq.forall(_ >= 0) &&
+              idseq.map(dec).mkString == w
+            (1L, w.length.toLong, if (ok) 0L else 1L)
+          }
+        }
+        .toDF("n", "chars", "bad")
+        .agg(sum("n").as("n_words"), sum("chars").as("decoded_chars"),
+          sum("bad").as("bad")).head()
+      Seq((r.getLong(0), r.getLong(1), voc.size.toLong, r.getLong(2) == 0L))
+        .toDF("n_words", "decoded_chars", "vocab_size", "roundtrip_ok")
     })
   )
 
@@ -2932,6 +2983,20 @@ object SparkEntry {
     "q161_auto_cache" ->
       ("SELECT CAST(COUNT(CASE WHEN l_quantity > 30 THEN 1 END) AS BIGINT) AS n_high, " +
         "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS price_cents, " +
-        "true AS scanned_once FROM lineitem")
+        "true AS scanned_once FROM lineitem"),
+
+    "q162_simhash_ingest" ->
+      (s"WITH sim AS ($simhashPortableOracle) " +
+        "SELECT b.doc_id AS new_id, a.doc_id AS corpus_id, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sim a JOIN sim b ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0 " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 2"),
+
+    "q163_tokenizer_ids" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
+        "c AS (SELECT unnest(string_split(regexp_replace(text, '\\s+', '', 'g'), '')) AS ch FROM documents) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(length(w)) AS BIGINT) AS decoded_chars, " +
+        "CAST((SELECT COUNT(DISTINCT ch) FROM c WHERE length(ch) > 0) + 40 AS BIGINT) AS vocab_size, " +
+        "true AS roundtrip_ok FROM w WHERE length(w) > 0")
   )
 }

@@ -295,4 +295,42 @@ object Bpe {
     (merges.toSeq.toDF("rank", "left", "right", "pair_count"),
       words.zip(cnts).toSeq.toDF("syms", "cnt"))
   }
+
+  /** The corpus's base-symbol alphabet: distinct non-whitespace characters
+    * (the id-0..k prefix of [[vocab]]). One small distinct aggregation. */
+  def corpusChars(docs: DataFrame, textCol: String = "text"): Seq[String] =
+    Par.spread(docs)
+      .select(explode(filter(split(regexp_replace(col(textCol), "\\s+", ""), ""),
+        s => length(s) > 0)).as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Token-id vocabulary for a trained merge table: base symbols (sorted)
+    * take ids 0..k-1, merge OUTPUTS take k..k+n_merges-1 in rank order —
+    * so |vocab| = |alphabet| + |merges| exactly. A merge output that
+    * duplicates an earlier string (two merge paths producing the same
+    * symbol — possible, rare) keeps both ids; the encoder emits the later
+    * one and decode stays exact. */
+  def vocab(baseChars: Seq[String], mergeList: Seq[(String, String)]): Seq[(String, Int)] =
+    (baseChars.distinct.sorted ++ mergeList.map { case (l, r) => l + r }).zipWithIndex
+
+  /** [[encodeFast]] + broadcast vocab lookup: `(doc_id, pos, ids)` — the
+    * training-ready integer form. Tokens outside the vocabulary map to
+    * `unkId` (impossible when the vocab was built from this corpus's own
+    * alphabet, since merges only ever concatenate known symbols). */
+  def encodeToIds(docs: DataFrame, mergeList: Seq[(String, String)],
+      vocabulary: Seq[(String, Int)], textCol: String = "text",
+      unkId: Int = -1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocabulary.toMap)
+    encodeFast(docs, mergeList, textCol)
+      .as[(Long, Int, Seq[String])]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { case (id, pos, toks) =>
+          (id, pos, toks.map(t => m.getOrElse(t, unkId)))
+        }
+      }
+      .toDF("doc_id", "pos", "ids")
+  }
 }

@@ -316,6 +316,26 @@ object Dedup {
     * Near-Duplicates for Web Crawling" (WWW'07). */
   def simhashBandedPairs(sig: DataFrame, bits: Int, maxHamming: Int,
       blocksPerKey: Int = 1): DataFrame = {
+    val probes = simhashProbes(sig, bits, maxHamming, blocksPerKey)
+    probes.as("a").join(probes.as("b"),
+        col("a.probe_id") === col("b.probe_id") &&
+        col("a.probe_key") === col("b.probe_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The multi-probe relation `(doc_id, simhash, probe_id, probe_key)` for
+    * a signature relation — the PERSISTENT simhash index artifact: write
+    * it once (bucketed by `(probe_id, probe_key)`), then global dedup
+    * ([[simhashBandedPairs]] self-joins it) and incremental batch probes
+    * ([[probeSimhashIndex]]) are plain equi-joins that never recompute
+    * corpus fingerprints. Same role for the simhash family as
+    * [[lshBands]] for MinHash LSH. */
+  def simhashProbes(sig: DataFrame, bits: Int, maxHamming: Int,
+      blocksPerKey: Int = 1): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
     require(blocksPerKey >= 1, s"blocksPerKey must be >= 1: $blocksPerKey")
     val blocks = maxHamming + blocksPerKey
@@ -328,17 +348,26 @@ object Dedup {
     def blockVal(j: Int): Column =
       shiftrightunsigned(col("simhash"), offsets(j)).bitwiseAND(lit(mask(widths(j))))
     val combos = (0 until blocks).combinations(blocksPerKey).toSeq
-    val probes = combos.zipWithIndex.map { case (combo, ci) =>
+    combos.zipWithIndex.map { case (combo, ci) =>
       sig.select(col("doc_id"), col("simhash"), lit(ci).as("probe_id"),
         concat_ws("|", combo.map(j => blockVal(j).cast("string")): _*).as("probe_key"))
     }.reduce(_ union _)
-    probes.as("a").join(probes.as("b"),
+  }
+
+  /** Incremental simhash dedup-on-ingest: probe a NEW batch's probe rows
+    * against a persisted corpus index ([[simhashProbes]] output, both built
+    * with the same bits/maxHamming/blocksPerKey) — one equi-join on
+    * `(probe_id, probe_key)`, exact hamming verification, corpus text and
+    * fingerprints never recomputed. Guaranteed recall for every new×corpus
+    * pair within the hamming bound (same pigeonhole as the self-join
+    * form). Output `(new_id, corpus_id, hamming)`. */
+  def probeSimhashIndex(index: DataFrame, batchProbes: DataFrame,
+      maxHamming: Int): DataFrame =
+    batchProbes.as("b").join(index.as("a"),
         col("a.probe_id") === col("b.probe_id") &&
-        col("a.probe_key") === col("b.probe_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.probe_key") === col("b.probe_key"))
+      .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("corpus_id"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-  }
 }

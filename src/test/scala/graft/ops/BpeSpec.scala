@@ -194,6 +194,34 @@ class BpeSpec extends AnyFlatSpec with Matchers {
       words.selectExpr("sum(size(syms) * cnt) s").head().getLong(0)
   }
 
+  it should "encode to ids that decode back to the original words" in {
+    val corpus = Seq("the cat sat on the mat", "the bat sat on the hat",
+      "rat cat bat mat hat sat")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (m, _) = Bpe.trainLocal(docs, numMerges = 8)
+    val ms = m.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val chars = Bpe.corpusChars(docs)
+    val voc = Bpe.vocab(chars, ms)
+    voc.size shouldBe chars.size + ms.size
+    voc.map(_._2) shouldBe (0 until voc.size) // dense ids
+    val inv = voc.map(_.swap).toMap
+    val got = Bpe.encodeToIds(docs, ms, voc).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Int](2))).toMap
+    val words = corpus.zipWithIndex.flatMap { case (t, i) =>
+      t.trim.split("\\s+").zipWithIndex.map { case (w, p) => ((i.toLong, p), w) }
+    }.toMap
+    got.keySet shouldBe words.keySet
+    for ((k, idseq) <- got) {
+      idseq.forall(_ >= 0) shouldBe true
+      idseq.map(inv).mkString shouldBe words(k)
+    }
+    // unknown symbols (vocab from a DIFFERENT alphabet) map to unkId
+    val alien = Bpe.encodeToIds(Seq((9L, "zzz")).toDF("doc_id", "text"), ms, voc)
+      .collect().head.getSeq[Int](2)
+    alien.forall(_ == -1) shouldBe true
+  }
+
   it should "shrink token counts by at least 2 per merge" in {
     val docs = Seq((1L, "banana banana bandana banana band and sand strand"))
       .toDF("doc_id", "text")

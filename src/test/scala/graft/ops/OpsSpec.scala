@@ -104,6 +104,25 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "Dedup.probeSimhashIndex" should "equal brute-force new×corpus hamming pairs" in {
+    val all = (0 until 30).map(i =>
+      (i * 100L, s"shared body text w${i % 5} with tail${i % 3}")).toDF("doc_id", "text")
+    val corpus = all.where(col("doc_id") % 500 =!= 0)
+    val batch = all.where(col("doc_id") % 500 === 0)
+    val t = 3
+    val idx = Dedup.simhashProbes(Dedup.simhash64(corpus), 64, t).localCheckpoint()
+    val got = Dedup.probeSimhashIndex(idx,
+        Dedup.simhashProbes(Dedup.simhash64(batch), 64, t), t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cs = Dedup.simhash64(corpus); val bs = Dedup.simhash64(batch)
+    val brute = bs.as("b").join(cs.as("a"), lit(true))
+      .select(col("b.doc_id"), col("a.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .where(col("h") <= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe brute
+  }
+
   "TextAnalysis.tokenCounts" should "count whitespace and bpe-ish tokens" in {
     val r = TextAnalysis.tokenCounts(docs).where(col("doc_id") === 1).head()
     r.getLong(1) shouldBe 5L  // n_tokens
