@@ -1781,8 +1781,49 @@ object SparkEntry {
           sum("bad").as("bad")).head()
       Seq((r.getLong(0), r.getLong(1), voc.size.toLong, r.getLong(2) == 0L))
         .toDF("n_words", "decoded_chars", "vocab_size", "roundtrip_ok")
+    }),
+
+    // Char ENCODER end-to-end (the element type the reference documents as
+    // unsupported on Spark — emma DataBagSpec.scala:426): text → typed
+    // DataBag[Char] via graft.api.encoders.charEncoder (flatMap needs a real
+    // Encoder[Char]) → the stored INT code-unit column aggregates natively
+    "q164_char_histogram" -> ((s, d) => {
+      import graft.api.encoders.charEncoder
+      import graft.api.RichDataset
+      val texts = tbl(s, d, "documents")
+        .select(substring(col("text"), 1, 100).as("t"))
+        .as[String](s.implicits.newStringEncoder).toBag
+      val chars: DataBag[Char] = texts.flatMap(t => t)
+      chars.ds.toDF("code")
+        .groupBy("code").agg(count(lit(1)).as("cnt"))
+        .select(col("code").cast("int"), col("cnt"))
+    }),
+
+    // Enumeration ENCODER end-to-end: order priorities as a typed
+    // Dataset[Priority.Value] (encode = name string on write), then a typed
+    // map BACK OUT of the enum (decode = withName on read) carrying the
+    // declaration-order id — both directions cross the wire
+    "q165_enum_priority" -> ((s, d) => {
+      implicit val penc = graft.api.encoders.enumeration(Priority)
+      import s.implicits._
+      val pri = tbl(s, d, "orders")
+        .select(col("o_orderpriority").cast("string"))
+        .as[String].map(Priority.withName(_))
+      pri.map(v => (v.toString, v.id)).toDF("priority", "pid")
+        .groupBy("priority", "pid").agg(count(lit(1)).as("cnt"))
+        .select(col("priority"), col("pid").cast("int"), col("cnt"))
     })
   )
+
+  /** Demo enumeration for q165 — ids follow declaration order 0..4,
+    * names are the exact TPC-H `o_orderpriority` literals. */
+  object Priority extends Enumeration {
+    val Urgent = Value("1-URGENT")
+    val High = Value("2-HIGH")
+    val Medium = Value("3-MEDIUM")
+    val NotSpecified = Value("4-NOT SPECIFIED")
+    val Low = Value("5-LOW")
+  }
 
   /** Moment-normalization steps shared VERBATIM by q101's Spark
     * `selectExpr` and its DuckDB oracle, so both engines execute the
@@ -2997,6 +3038,16 @@ object SparkEntry {
         "c AS (SELECT unnest(string_split(regexp_replace(text, '\\s+', '', 'g'), '')) AS ch FROM documents) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(length(w)) AS BIGINT) AS decoded_chars, " +
         "CAST((SELECT COUNT(DISTINCT ch) FROM c WHERE length(ch) > 0) + 40 AS BIGINT) AS vocab_size, " +
-        "true AS roundtrip_ok FROM w WHERE length(w) > 0")
+        "true AS roundtrip_ok FROM w WHERE length(w) > 0"),
+
+    "q164_char_histogram" ->
+      ("SELECT CAST(unicode(ch) AS INT) AS code, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM (SELECT unnest(string_split(substr(text, 1, 100), '')) AS ch FROM documents) " +
+        "WHERE ch <> '' GROUP BY 1"),
+
+    "q165_enum_priority" ->
+      ("SELECT o_orderpriority AS priority, " +
+        "CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS INT) AS pid, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2")
   )
 }
