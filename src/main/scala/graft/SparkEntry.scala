@@ -1812,6 +1812,49 @@ object SparkEntry {
       pri.map(v => (v.toString, v.id)).toDF("priority", "pid")
         .groupBy("priority", "pid").agg(count(lit(1)).as("cnt"))
         .select(col("priority"), col("pid").cast("int"), col("cnt"))
+    }),
+
+    // Distributed PCA over the embeddings: ONE exact-integer Gram
+    // aggregation (micro units — order-independent under any partitioning),
+    // driver-side Jacobi on the d×d covariance, broadcast projection. The
+    // oracle recomputes every per-dimension variance NUMERATOR exactly
+    // (n·Σx²−(Σx)² over the same micro ints); orthonormality, descending
+    // eigen-order, and projected-variance≡eigenvalue are checked
+    // distributed and pinned as contract booleans
+    "q166_pca" -> ((s, d) => {
+      import graft.ops.Pca
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val m = Pca.moments(emb)
+      val (ev, w) = Pca.jacobiEigen(Pca.covariance(m))
+      val dd = m.sum.length
+      val orth = (0 until dd).forall { i =>
+        (i until dd).forall { j =>
+          val dot = (0 until dd).map(k => w(i)(k) * w(j)(k)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+        }
+      }
+      val ordered = ev.sliding(2).forall(p => p(0) >= p(1) - 1e-9 * math.abs(ev(0)))
+      val k = 8
+      val model = Pca.Model(m.n, dd, 1e6, m.sum.map(_.toDouble / m.n), ev, w)
+      val stats = Pca.project(emb, model, k)
+        .selectExpr("posexplode(projection) as (c, y)")
+        .groupBy("c").agg(count(lit(1)).as("n"),
+          sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+        .collect()
+      val varMatch = stats.length == k && stats.forall { r =>
+        val c = r.getInt(0); val n = r.getLong(1)
+        val sv = r.getDouble(2); val ss = r.getDouble(3)
+        val v = ss / n - (sv / n) * (sv / n)
+        math.abs(v - ev(c)) <= 1e-7 * math.max(ev(0), 1.0)
+      }
+      (0 until dd).map { i =>
+        val diag = i * dd - i * (i - 1) / 2
+        val varNum = (BigInt(m.prod(diag)) * m.n - BigInt(m.sum(i)) * m.sum(i)).toLong
+        (i, varNum, orth, varMatch, ordered)
+      }.toDF("dim", "var_num", "orthonormal_ok", "var_match_ok", "order_ok")
+        .select(col("dim").cast("int"), col("var_num"),
+          col("orthonormal_ok"), col("var_match_ok"), col("order_ok"))
     })
   )
 
@@ -3048,6 +3091,14 @@ object SparkEntry {
     "q165_enum_priority" ->
       ("SELECT o_orderpriority AS priority, " +
         "CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS INT) AS pid, " +
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2")
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1, 2"),
+
+    "q166_pca" ->
+      ("WITH e AS (SELECT unnest(embedding) AS x, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings), " +
+        "m AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micros FROM e), " +
+        "a AS (SELECT dim, COUNT(*) AS n, SUM(micros) AS s, SUM(micros * micros) AS ss FROM m GROUP BY 1) " +
+        "SELECT dim, CAST(n * ss - s * s AS BIGINT) AS var_num, " +
+        "true AS orthonormal_ok, true AS var_match_ok, true AS order_ok FROM a")
   )
 }
