@@ -1855,7 +1855,16 @@ object SparkEntry {
       }.toDF("dim", "var_num", "orthonormal_ok", "var_match_ok", "order_ok")
         .select(col("dim").cast("int"), col("var_num"),
           col("orthonormal_ok"), col("var_match_ok"), col("order_ok"))
-    })
+    }),
+
+    // Corpus-wide EXACT set-similarity self-join via prefix filtering
+    // (AllPairs/PPJoin): result provably equals brute force — the oracle IS
+    // the brute-force all-pairs join with no window/band clause. The Spark
+    // plan joins only globally-rarest prefix shingles + a length filter,
+    // then verifies candidates exactly (integer-arithmetic threshold cut).
+    "q167_setsim_join" -> ((s, d) =>
+      graft.ops.SetSim.jaccardSelfJoin(tbl(s, d, "documents"), tNum = 1, tDen = 2)
+        .select(col("id1"), col("id2"), col("overlap"), col("n1"), col("n2"), col("jaccard")))
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3099,6 +3108,16 @@ object SparkEntry {
         "m AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS micros FROM e), " +
         "a AS (SELECT dim, COUNT(*) AS n, SUM(micros) AS s, SUM(micros * micros) AS ss FROM m GROUP BY 1) " +
         "SELECT dim, CAST(n * ss - s * s AS BIGINT) AS var_num, " +
-        "true AS orthonormal_ok, true AS var_match_ok, true AS order_ok FROM a")
+        "true AS orthonormal_ok, true AS var_match_ok, true AS order_ok FROM a"),
+
+    "q167_setsim_join" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t WHERE len(toks) >= 3), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "ov AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2, COUNT(*) AS o FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s2.doc_id > s1.doc_id GROUP BY 1, 2) " +
+        "SELECT id1, id2, CAST(o AS BIGINT) AS overlap, CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2, " +
+        "floor(CAST(o AS DOUBLE) / CAST(c1.n + c2.n - o AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
+        "FROM ov JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id " +
+        "WHERE o * 2 >= 1 * (c1.n + c2.n - o)")
   )
 }
