@@ -1864,7 +1864,24 @@ object SparkEntry {
     // then verifies candidates exactly (integer-arithmetic threshold cut).
     "q167_setsim_join" -> ((s, d) =>
       graft.ops.SetSim.jaccardSelfJoin(tbl(s, d, "documents"), tNum = 1, tDen = 2)
-        .select(col("id1"), col("id2"), col("overlap"), col("n1"), col("n2"), col("jaccard")))
+        .select(col("id1"), col("id2"), col("overlap"), col("n1"), col("n2"), col("jaccard"))),
+
+    // BM25 top-k retrieval (Okapi idf-plus-one variant, micro-rounded
+    // integer scores — engine-portable). Queries are the corpus's 8 most
+    // document-frequent tokens (df desc, token asc — deterministic); the
+    // oracle recomputes tf/df/dl/avgdl and every per-term contribution in
+    // SQL and takes the same (score desc, doc_id asc) top-10.
+    "q168_bm25_topk" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val qs = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(8)
+        .select(col("token").as("query_id"), col("token").as("qtext"))
+      graft.ops.Retrieval.bm25TopK(docs, qs, k = 10)
+        .select(col("query_id"), col("doc_id"), col("bm25_micros"))
+    })
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3118,6 +3135,23 @@ object SparkEntry {
         "SELECT id1, id2, CAST(o AS BIGINT) AS overlap, CAST(c1.n AS BIGINT) AS n1, CAST(c2.n AS BIGINT) AS n2, " +
         "floor(CAST(o AS DOUBLE) / CAST(c1.n + c2.n - o AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
         "FROM ov JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id " +
-        "WHERE o * 2 >= 1 * (c1.n + c2.n - o)")
+        "WHERE o * 2 >= 1 * (c1.n + c2.n - o)"),
+
+    "q168_bm25_topk" ->
+      ("WITH tok AS (SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) WHERE length(token) > 0), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl), " +
+        "dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "qs AS (SELECT token AS query_id, token FROM dfreq ORDER BY df DESC, token ASC LIMIT 8), " +
+        "sc AS (SELECT q.query_id, tf.doc_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+        "((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micros " +
+        "FROM qs q JOIN tf ON tf.token = q.token JOIN dfreq ON dfreq.token = q.token " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, bm25_micros, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM sc) " +
+        "SELECT query_id, doc_id, bm25_micros FROM rk WHERE r <= 10")
   )
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: Okapi BM25 scoring and top-k search
+  * (Robertson & Walker SIGIR'94; the standard Lucene/Elasticsearch ranking
+  * function, idf variant `ln(1 + (N - df + 0.5)/(df + 0.5))`).
+  *
+  * Scale design — the inverted-index join, not an index structure: the
+  * corpus-side term relation (doc_id, token, tf) is the big operand and is
+  * touched exactly once per query batch; the query-term relation and the
+  * query-term document frequencies are tiny by construction and BROADCAST,
+  * so the only shuffles are the two corpus-side aggregations (tf and dl,
+  * both map-side combinable) and the final per-query score aggregation,
+  * which is bounded by (queries × matching docs). Scores are micro-rounded
+  * integers end-to-end (engine-portable, no float accumulation ordering).
+  */
+object Retrieval {
+
+  /** Per-(query, doc) BM25 scores for every document that shares at least
+    * one term with the query.
+    *
+    * `queries` is a small relation `(query_id, qtext)`; query terms are the
+    * distinct whitespace tokens of `qtext`. Output: `(query_id, doc_id,
+    * bm25_micros)` where `bm25_micros` is the integer sum of per-term
+    * `floor(idf * tfnorm * 1e6 + 0.5)` contributions. */
+  def bm25Scores(docs: DataFrame, queries: DataFrame, textCol: String = "text",
+      qCol: String = "qtext", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = Par.spread(docs)
+      .select(col("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // corpus scalars: one row — stays a lazy broadcast, no driver collect
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col("query_id"), explode(split(trim(col(qCol)), "\\s+")).as("token"))
+      .where(length(col("token")) > 0).distinct()
+    // df restricted to query terms first, so the per-term df join is a
+    // broadcast of |query vocabulary| rows, never the corpus vocabulary
+    val qdf = dfreq.join(broadcast(qterms), "token")
+
+    val joined = tf
+      .join(broadcast(qdf), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    joined
+      .select(col("query_id"), col("doc_id"),
+        floor(idf * tfn * lit(1000000.0) + lit(0.5)).cast("long").as("term_micros"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micros")).as("bm25_micros"))
+  }
+
+  /** Top-k documents per query under BM25, total-ordered by
+    * `(bm25_micros desc, doc_id asc)` via the native [[graft.plans.TopK]]
+    * partial-top-k operator (per-partition bounded heaps, no global sort). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      textCol: String = "text", qCol: String = "qtext",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    graft.plans.TopK.perKey(
+      bm25Scores(docs, queries, textCol, qCol, k1, b),
+      Seq("query_id"), Seq(col("bm25_micros").desc, col("doc_id").asc), k)
+}
