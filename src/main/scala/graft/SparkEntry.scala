@@ -1881,6 +1881,22 @@ object SparkEntry {
         .select(col("token").as("query_id"), col("token").as("qtext"))
       graft.ops.Retrieval.bm25TopK(docs, qs, k = 10)
         .select(col("query_id"), col("doc_id"), col("bm25_micros"))
+    }),
+
+    // SemDeDup (embedding-space dedup): kMeans clusters bound the quadratic,
+    // near-dup groups = connected components of the within-cluster cosine
+    // graph, rep = min id. The corpus's own vectors are all well-separated
+    // (max pairwise cosine ~0.51), so planting an exact copy of each
+    // vec_id < 50 at id+100000 makes the FULL result value-checkable: every
+    // copy must be removed with its original as rep (identical vectors get
+    // identical cluster assignments and cosine ~1), and every original kept.
+    "q169_semdedup" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val planted = emb.where(col("vec_id") < 50)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+      graft.ops.SemDedup.semDedup(emb.unionByName(planted),
+          minCos = 0.95, nClusters = 8, maxIter = 4)
+        .select(col("id").cast("long").as("id"), col("rep").cast("long").as("rep"), col("keep"))
     })
   )
 
@@ -3152,6 +3168,12 @@ object SparkEntry {
         "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2), " +
         "rk AS (SELECT query_id, doc_id, bm25_micros, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM sc) " +
-        "SELECT query_id, doc_id, bm25_micros FROM rk WHERE r <= 10")
+        "SELECT query_id, doc_id, bm25_micros FROM rk WHERE r <= 10"),
+
+    "q169_semdedup" ->
+      ("SELECT CAST(vec_id AS BIGINT) AS id, CAST(vec_id AS BIGINT) AS rep, true AS keep FROM embeddings " +
+        "UNION ALL " +
+        "SELECT CAST(vec_id + 100000 AS BIGINT) AS id, CAST(vec_id AS BIGINT) AS rep, false AS keep " +
+        "FROM embeddings WHERE vec_id < 50")
   )
 }
