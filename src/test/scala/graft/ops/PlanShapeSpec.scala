@@ -122,4 +122,24 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  "SetSim.jaccardSelfJoin" should "generate and verify candidates by equi-join only" in {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val plan = physical(SetSim.jaccardSelfJoin(docs))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  "Retrieval.bm25Scores" should "broadcast the query side; no cartesian on the corpus" in {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val qs = Seq(("q1", "b")).toDF("query_id", "qtext")
+    val plan = physical(Retrieval.bm25Scores(docs, qs))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the one-row stats relation rides a broadcast nested-loop cross join by
+    // design (it has no key); the CORPUS-side joins must all be keyed, so no
+    // more than that single nested-loop node may appear
+    plan.split("BroadcastNestedLoopJoin").length should be <= 2
+  }
 }
