@@ -1897,6 +1897,23 @@ object SparkEntry {
       graft.ops.SemDedup.semDedup(emb.unionByName(planted),
           minCos = 0.95, nClusters = 8, maxIter = 4)
         .select(col("id").cast("long").as("id"), col("rep").cast("long").as("rep"), col("keep"))
+    }),
+
+    // Classification metrics as ONE confusion-fold aggregation (reference
+    // eval.scala quadrants): a fixed hypothesis (n_chars > 300) scored
+    // against the lang=='en' label; the oracle recomputes every quadrant
+    // count and the derived metrics in SQL.
+    "q170_eval_metrics" -> ((s, d) => {
+      val scored = tbl(s, d, "documents").select(
+        when(col("lang") === "en", 1).otherwise(0).as("label"),
+        when(col("n_chars") > 300, 1).otherwise(0).as("pred"))
+      graft.lib.ML.evalBinary(scored).select(
+        col("tp").cast("long"), col("fp").cast("long"),
+        col("fn").cast("long"), col("tn").cast("long"),
+        Portable.round(col("accuracy"), 6).as("accuracy"),
+        Portable.round(col("precision"), 6).as("precision"),
+        Portable.round(col("recall"), 6).as("recall"),
+        Portable.round(col("f1"), 6).as("f1"))
     })
   )
 
@@ -3174,6 +3191,23 @@ object SparkEntry {
       ("SELECT CAST(vec_id AS BIGINT) AS id, CAST(vec_id AS BIGINT) AS rep, true AS keep FROM embeddings " +
         "UNION ALL " +
         "SELECT CAST(vec_id + 100000 AS BIGINT) AS id, CAST(vec_id AS BIGINT) AS rep, false AS keep " +
-        "FROM embeddings WHERE vec_id < 50")
+        "FROM embeddings WHERE vec_id < 50"),
+
+    "q170_eval_metrics" ->
+      ("WITH s AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label, " +
+        "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS pred FROM documents), " +
+        "c AS (SELECT CAST(SUM(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn FROM s), " +
+        "m AS (SELECT tp, fp, fn, tn, " +
+        "CAST(tp + tn AS DOUBLE) / (tp + tn + fp + fn) AS acc, " +
+        "CAST(tp AS DOUBLE) / (tp + fp) AS p, CAST(tp AS DOUBLE) / (tp + fn) AS r FROM c) " +
+        "SELECT tp, fp, fn, tn, " +
+        "floor(acc * 1000000.0 + 0.5) / 1000000.0 AS accuracy, " +
+        "floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision, " +
+        "floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall, " +
+        "floor(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS f1 " +
+        "FROM m")
   )
 }
