@@ -112,6 +112,37 @@ object ProfileScale {
     val sN = time(s"simhash banded ${n}x")(ops.Dedup.simhashNearDups(docsN, maxHamming = 3).count())
     println(f"round-6 ratios at ${n}x: encodeFast=${fN / f1}%.1f " +
       f"simhash-banded=${sN / s1}%.1f (encode linear; banded grows with true near-dup pairs)")
+
+    // round-6c: prefix-filtered set-similarity (equi-join on rarest prefix
+    // shingles — replication multiplies TRUE dup pairs ~N² per group, so
+    // judge the ratio against output rows, not input rows), BM25 with a
+    // fixed query batch over an Nx corpus (inverted-index join — linear),
+    // and the PCA Gram aggregation (one treeAggregate — linear, flat).
+    val ss1 = time("setsim 1x")(ops.SetSim.jaccardSelfJoin(docs1).count())
+    val ssN = time(s"setsim ${n}x")(ops.SetSim.jaccardSelfJoin(docsN).count())
+    val qsBm = docs1.where(col("doc_id") < 4)
+      .select(col("doc_id").cast("string").as("query_id"), col("text").as("qtext"))
+      .localCheckpoint()
+    val bm1 = time("bm25 1x")(ops.Retrieval.bm25Scores(docs1, qsBm).count())
+    val bmN = time(s"bm25 ${n}x")(ops.Retrieval.bm25Scores(docsN, qsBm).count())
+    val pc1 = time("pca gram 1x")(ops.Pca.moments(emb1).n)
+    val pcN = time(s"pca gram ${n}x")(ops.Pca.moments(embN).n)
+    println(f"round-6c ratios at ${n}x: setsim=${ssN / ss1}%.1f bm25=${bmN / bm1}%.1f " +
+      f"pca=${pcN / pc1}%.1f (bm25/pca linear would be <= $n)")
+
+    // SemDeDup: with nClusters FIXED, replication multiplies cluster
+    // occupancy by N and the within-cluster pair join by ~N² — that is the
+    // documented failure mode, and the documented production answer is to
+    // scale nClusters with the corpus so occupancy stays constant. Observe
+    // both: fixed-k (super-linear, expected) vs scaled-k (near-linear).
+    val sd1 = time("semdedup 1x k=8")(
+      ops.SemDedup.semDedup(emb1, minCos = 0.95, nClusters = 8, maxIter = 4).count())
+    val sdF = time(s"semdedup ${n}x k=8")(
+      ops.SemDedup.semDedup(embN, minCos = 0.95, nClusters = 8, maxIter = 4).count())
+    val sdS = time(s"semdedup ${n}x k=${8 * n}")(
+      ops.SemDedup.semDedup(embN, minCos = 0.95, nClusters = 8 * n, maxIter = 4).count())
+    println(f"semdedup ratios at ${n}x: fixed-k=${sdF / sd1}%.1f scaled-k=${sdS / sd1}%.1f " +
+      f"(scaled-k is the production path; linear would be <= $n)")
     spark.stop()
   }
 }
