@@ -258,6 +258,31 @@ object DriveDemo {
       println(s"chunking: ${chunks.count()} chunks from ${docs.count()} docs")
     }
 
+    // 9. round-6 ops: exact set-similarity join, BM25 retrieval, SemDeDup,
+    // PCA projection, confusion-fold metrics
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val pairs = graft.ops.SetSim.jaccardSelfJoin(docs, tNum = 1, tDen = 2)
+      println(s"setsim: ${pairs.count()} pairs at jaccard >= 0.5")
+      val qs = Seq(("q0", "table value part")).toDF("query_id", "qtext")
+      val hits = graft.ops.Retrieval.bm25TopK(docs, qs, k = 5).collect()
+      println("bm25 top docs: " + hits.map(r => s"${r.getLong(1)}:${r.getLong(2)}").mkString(", "))
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val sd = graft.ops.SemDedup.semDedup(emb, minCos = 0.95, nClusters = 4, maxIter = 3)
+      println(s"semdedup: kept ${sd.where(col("keep")).count()} of ${sd.count()}")
+      val m = graft.ops.Pca.moments(emb)
+      val (ev, w) = graft.ops.Pca.jacobiEigen(graft.ops.Pca.covariance(m))
+      val model = graft.ops.Pca.Model(m.n, m.sum.length, 1e6, m.sum.map(_.toDouble / m.n), ev, w)
+      println(s"pca: top-4 eigenvalues ${ev.take(4).map(v => f"$v%.4f").mkString(", ")}; " +
+        s"projected rows = ${graft.ops.Pca.project(emb, model, 4).count()}")
+      val scored = docs.select(
+        when(col("lang") === "en", 1).otherwise(0).as("label"),
+        when(col("n_chars") > 300, 1).otherwise(0).as("pred"))
+      val met = graft.lib.ML.evalBinary(scored).head()
+      println(f"eval: acc=${met.getAs[Double]("accuracy")}%.3f f1=${met.getAs[Double]("f1")}%.3f")
+    }
+
     spark.stop()
   }
 }
