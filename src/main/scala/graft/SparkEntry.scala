@@ -1914,6 +1914,39 @@ object SparkEntry {
         Portable.round(col("precision"), 6).as("precision"),
         Portable.round(col("recall"), 6).as("recall"),
         Portable.round(col("f1"), 6).as("f1"))
+    }),
+
+    // Persisted IVF ANN index: build → save (assignments Hive-partitioned
+    // BY CELL) → load → probe. Contract: the loaded probe reproduces the
+    // in-memory probe bit-for-bit (deterministic quantizer), recalls >= 90%
+    // of brute-force top-3, and its scan carries a planning-time partition
+    // filter on the probed cells.
+    "q171_ann_index" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.AnnIndex
+      val emb = tbl(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      try {
+        val idx = AnnIndex.buildIvf(emb, nlist = 8, maxIter = 4)
+        AnnIndex.save(idx, dir)
+        val loaded = AnnIndex.load(s, dir)
+        def res(i: AnnIndex.Ivf) = AnnIndex.probe(i, qs, k = 3, nprobe = 2)
+          .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        val fromMem = res(idx)
+        val fromDisk = res(loaded)
+        val brute = Similarity.cosineTopK(emb, qs, k = 3)
+          .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pruned = """PartitionFilters: \[[^\]]*cell#""".r.findFirstIn(
+          AnnIndex.probe(loaded, qs, k = 3, nprobe = 2)
+            .queryExecution.executedPlan.toString).isDefined
+        Seq((fromDisk.length.toLong, fromDisk.sameElements(fromMem),
+          fromDisk.count(brute.contains).toDouble >= brute.size * 0.9, pruned))
+          .toDF("n_results", "roundtrip_ok", "recall_ok", "pruned_scan")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     })
   )
 
@@ -3208,6 +3241,10 @@ object SparkEntry {
         "floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision, " +
         "floor(r * 1000000.0 + 0.5) / 1000000.0 AS recall, " +
         "floor(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS f1 " +
-        "FROM m")
+        "FROM m"),
+
+    "q171_ann_index" ->
+      ("SELECT CAST(24 AS BIGINT) AS n_results, true AS roundtrip_ok, " +
+        "true AS recall_ok, true AS pruned_scan")
   )
 }

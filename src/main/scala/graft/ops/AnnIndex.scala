@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) ANN index — the production shape of
+  * [[Similarity.ivfTopK]]: train the coarse quantizer ONCE, materialize the
+  * cell-assigned corpus as a table PARTITIONED BY CELL, and serve every
+  * later query batch by reading only the probed cells.
+  *
+  * Scale design: at 100 TB the corpus scan is the cost, so the index IS the
+  * layout — `save` writes the assignment relation Hive-partitioned by cell
+  * id, and `probe` resolves its (tiny, nprobe×|queries|-bounded) probe-cell
+  * set up front so the scan carries a partition filter: only `nprobe/nlist`
+  * of the corpus bytes are read, at planning time, with no runtime trick.
+  * Centroids are a k×d relation (droplet-sized at any corpus scale); the
+  * scoring join broadcasts the query side exactly like the in-memory path.
+  *
+  * The quantizer is deterministic (kMeans seeded from the smallest ids), so
+  * build → save → load → probe reproduces the in-memory probe bit-for-bit.
+  */
+object AnnIndex {
+
+  /** An IVF index: quantizer centroids + the cell-assigned corpus
+    * (`did`, `dv`, `cell`). */
+  case class Ivf(centroids: Array[(Int, Seq[Double])], assigned: DataFrame)
+
+  private def centroidLit(cents: Array[(Int, Seq[Double])]): Column =
+    array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
+    }: _*)
+
+  private def distTo(c: Column, v: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Nearest `n` cells of vector `v` by quantizer distance (ties broken by
+    * cell id via natural struct order). */
+  private def nearestCells(cents: Array[(Int, Seq[Double])], v: Column, n: Int): Column =
+    slice(array_sort(transform(centroidLit(cents), c =>
+      struct(distTo(c.getField("cv"), v).as("d"), c.getField("cid").as("cid")))),
+      1, n).getField("cid")
+
+  /** Train the quantizer and assign every corpus vector to its cell. */
+  def buildIvf(corpus: DataFrame, nlist: Int = 8, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Ivf = {
+    val cents = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol)
+    val assigned = Par.spread(corpus).select(
+      col(idCol).as("did"), col(vecCol).cast("array<float>").as("dv"),
+      nearestCells(cents, col(vecCol), 1)(0).as("cell"))
+    Ivf(cents, assigned)
+  }
+
+  /** Persist: centroids as a flat relation, assignments PARTITIONED BY CELL
+    * (every probe becomes a planning-time partition-pruned scan). */
+  def save(index: Ivf, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq
+      .flatMap { case (cid, v) => v.zipWithIndex.map { case (x, i) => (cid, i, x) } }
+      .toDF("cid", "dim", "x")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Reload a saved index. */
+  def load(spark: SparkSession, dir: String): Ivf = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+    val assigned = spark.read.parquet(s"$dir/assigned")
+      .select(col("did"), col("dv"), col("cell").cast("int").as("cell"))
+    Ivf(cents, assigned)
+  }
+
+  /** Top-k cosine neighbors per query, scanning only each query's `nprobe`
+    * nearest cells. The probe-cell union (≤ nprobe × |queries| ints — tiny
+    * by construction) is resolved up front so a LOADED index reads only the
+    * matching cell partitions. Ranking is deterministic: similarity rounded
+    * to 4 decimals, tie-broken by neighbor id. */
+  def probe(index: Ivf, queries: DataFrame, k: Int = 3, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("cell", explode(nearestCells(index.centroids, col("qv"), nprobe)))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val cand = index.assigned.where(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val scored = broadcast(q).join(cand, Seq("cell"))
+      .where(col("qid") =!= col("did"))
+      .select(col("qid"), col("did"),
+        Portable.round(Similarity.cosine(col("qv"), col("dv")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
