@@ -73,8 +73,17 @@ object SetSim {
   }
 
   /** Candidate generation only (exposed for pruning tests): pairs that
-    * collide on a PREFIX shingle and pass the length filter. Complete for
-    * Jaccard >= tNum/tDen by the prefix-filter bound. */
+    * collide on a PREFIX shingle and pass the length + POSITION filters.
+    * Complete for Jaccard >= tNum/tDen by the prefix-filter bound.
+    *
+    * Position filter (PPJoin, Xiao et al.): a pair colliding at prefix
+    * ranks (i, j) can share at most `1 + min(n1-i, n2-j)` tokens (nothing
+    * before the collision token in the global order is shared at a first
+    * collision, and at the FIRST collision the bound holds exactly) — while
+    * Jaccard >= t forces overlap >= ceil(tNum*(n1+n2) / (tNum+tDen))
+    * (from o >= t/(1+t)·(n1+n2)). Joining only where the bound can reach
+    * the requirement prunes same-length pairs whose rare tails merely graze
+    * each other — on top of, and independent from, the length filter. */
   private[ops] def candidatePairs(sh: DataFrame, cnt: DataFrame,
       tNum: Long, tDen: Long): DataFrame = {
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -84,12 +93,18 @@ object SetSim {
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .where(col("__rk") <= col("n") - expr(s"(n * $tNum + $tDen - 1) div $tDen") + lit(1))
-      .select(col("doc_id"), col("shingle"), col("n"))
+      .select(col("doc_id"), col("shingle"), col("n"), col("__rk"))
+    // required overlap alpha = ceil(tNum*(n1+n2) / (tNum+tDen)); the double
+    // divide + truncating cast is exact integer floor here (operands far
+    // below 2^53)
+    val alpha = ((lit(tNum) * (col("a.n") + col("b.n")) + lit(tNum + tDen) - lit(1L)) /
+      lit(tNum + tDen)).cast("long")
     prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("b.doc_id") > col("a.doc_id") &&
         greatest(col("a.n"), col("b.n")) * lit(tNum) <=
-          least(col("a.n"), col("b.n")) * lit(tDen))
+          least(col("a.n"), col("b.n")) * lit(tDen) &&
+        lit(1L) + least(col("a.n") - col("a.__rk"), col("b.n") - col("b.__rk")) >= alpha)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
   }
