@@ -1947,7 +1947,13 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
-    })
+    }),
+
+    // ANALYZE-style table profile: ONE aggregation (exact distincts for the
+    // oracle; the approx/HLL path is the single-pass 100 TB default, spec'd
+    // Expand-free), pivoted to long format inside the plan.
+    "q172_table_profile" -> ((s, d) =>
+      graft.ops.Audit.profile(tbl(s, d, "orders"), exact = true))
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3245,6 +3251,14 @@ object SparkEntry {
 
     "q171_ann_index" ->
       ("SELECT CAST(24 AS BIGINT) AS n_results, true AS roundtrip_ok, " +
-        "true AS recall_ok, true AS pruned_scan")
+        "true AS recall_ok, true AS pruned_scan"),
+
+    "q172_table_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c => s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders")
+        .mkString(" UNION ALL ")
   )
 }

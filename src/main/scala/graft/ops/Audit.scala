@@ -52,4 +52,29 @@ object Audit {
     import spark.implicits._
     rows.toDF("column", "change")
   }
+
+  /** Per-column table profile — the ANALYZE-style statistics pass:
+    * `(column, n_rows, n_nulls, n_distinct)`, one output row per column.
+    *
+    * Everything is computed in ONE aggregation over one scan, then pivoted
+    * to long format inside the plan (array-of-structs + explode — no
+    * per-column jobs, no driver loop over columns). With `exact = false`
+    * (the 100 TB default) distinct counts use HyperLogLog partials and the
+    * aggregation stays a single map-side-combinable pass; `exact = true`
+    * plans Spark's Expand over the column set (n_cols × rows intermediate —
+    * affordable at audit scale, and engine-portable for oracles). */
+  def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__ndv_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_nulls"),
+        col(s"__ndv_$c").cast("long").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"), col("p.n_distinct"))
+  }
 }

@@ -116,6 +116,23 @@ class MaintenanceSpec extends AnyFlatSpec with Matchers {
       .map(_.getLong(0)) shouldBe Array(9L)
   }
 
+  "Audit.profile" should "report per-column rows, nulls, and exact distincts in one pass" in {
+    val df = Seq((1L, Some("a"), Some(1.0)), (2L, None, Some(1.0)),
+      (2L, Some("b"), None), (3L, Some("a"), Some(2.0)))
+      .toDF("k", "s", "v")
+    val p = Audit.profile(df, exact = true).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    p("k") shouldBe ((4L, 0L, 3L))
+    p("s") shouldBe ((4L, 1L, 2L))
+    p("v") shouldBe ((4L, 1L, 2L))
+    // approx path: same shape, ndv within HLL tolerance on tiny input
+    val a = Audit.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    a("k") should (be >= 2L and be <= 4L)
+    // and the approx plan must NOT contain Spark's Expand (single pass)
+    Audit.profile(df).queryExecution.executedPlan.toString should not include "Expand"
+  }
+
   "Audit.schemaDiff" should "report added, removed, and type-changed columns" in {
     val v1 = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
     val v2 = Seq((1.0, "a", true)).toDF("id", "name", "active")
