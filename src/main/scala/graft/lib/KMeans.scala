@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  private def centroidLit(centroids: Array[(Int, Seq[Double])]): Column =
+  private[graft] def centroidLit(centroids: Array[(Int, Seq[Double])]): Column =
     array(centroids.map { case (cid, v) =>
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
     }: _*)

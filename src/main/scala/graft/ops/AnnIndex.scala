@@ -25,10 +25,9 @@ object AnnIndex {
     * (`did`, `dv`, `cell`). */
   case class Ivf(centroids: Array[(Int, Seq[Double])], assigned: DataFrame)
 
+  // quantizer literal shared with the trainer — one definition to drift
   private def centroidLit(cents: Array[(Int, Seq[Double])]): Column =
-    array(cents.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
+    graft.lib.KMeans.centroidLit(cents)
 
   private def distTo(c: Column, v: Column): Column =
     aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -91,6 +90,10 @@ object AnnIndex {
       .where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"),
         Portable.round(Similarity.cosine(col("qv"), col("dv")), 4).as("sim"))
+      // zero-norm corpus vectors score NaN, and Spark sorts NaN ABOVE every
+      // real double under `desc` — drop them or they steal a top-k slot from
+      // a true neighbor for every query probing their cell
+      .where(!isnan(col("sim")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -33,24 +33,30 @@ object Pca {
     def merge(o: Moments): Moments = {
       n += o.n
       var i = 0
-      while (i < sum.length) { sum(i) += o.sum(i); i += 1 }
+      while (i < sum.length) { sum(i) = Math.addExact(sum(i), o.sum(i)); i += 1 }
       i = 0
-      while (i < prod.length) { prod(i) += o.prod(i); i += 1 }
+      while (i < prod.length) { prod(i) = Math.addExact(prod(i), o.prod(i)); i += 1 }
       this
     }
   }
 
-  private def micro(x: Float, unit: Double): Long =
-    math.floor(x.toDouble * unit + 0.5).toLong
+  private def micro(x: Double, unit: Double): Long =
+    math.floor(x * unit + 0.5).toLong
 
   /** One pass: exact integer moments of the micro-rounded vectors.
     * treeAggregate ⇒ partials combine map-side and up a tree — the driver
-    * receives O(d²) longs regardless of corpus size. */
+    * receives O(d²) longs regardless of corpus size. Accepts float or
+    * double vectors (cast is exact). All integer accumulation is
+    * overflow-CHECKED (`Math.addExact`/`multiplyExact`): a corpus that
+    * exceeds the documented 64-bit budget fails loudly instead of wrapping
+    * into garbage eigenvectors. */
   def moments(emb: DataFrame, vecCol: String = "embedding",
       unit: Double = 1e6): Moments = {
-    val d = emb.select(size(col(vecCol))).head().getInt(0)
-    val vecs = emb.select(col(vecCol)).rdd
-      .map(_.getSeq[Float](0).toArray)
+    val sized = emb.select(size(col(vecCol))).limit(1).collect()
+    require(sized.nonEmpty, s"Pca.moments: empty input, no vectors in '$vecCol'")
+    val d = sized(0).getInt(0)
+    val vecs = emb.select(col(vecCol).cast("array<double>")).rdd
+      .map(_.getSeq[Double](0).toArray)
     val zero = Moments(0L, new Array[Long](d), new Array[Long](d * (d + 1) / 2))
     vecs.treeAggregate(zero)(
       seqOp = { (m, v) =>
@@ -62,9 +68,12 @@ object Pca {
         i = 0
         var t = 0
         while (i < d) {
-          m.sum(i) += mv(i)
+          m.sum(i) = Math.addExact(m.sum(i), mv(i))
           var j = i
-          while (j < d) { m.prod(t) += mv(i) * mv(j); j += 1; t += 1 }
+          while (j < d) {
+            m.prod(t) = Math.addExact(m.prod(t), Math.multiplyExact(mv(i), mv(j)))
+            j += 1; t += 1
+          }
           i += 1
         }
         m
@@ -73,7 +82,8 @@ object Pca {
   }
 
   /** Population covariance (micro²-scaled doubles) from exact moments:
-    * C·n² = n·Σxy − Σx·Σy, every term an exact integer. */
+    * C·n² = n·Σxy − Σx·Σy with the numerator in BIG-INTEGER arithmetic —
+    * exact even when n·Σxy exceeds 2⁵³ — rounded to double exactly once. */
   def covariance(m: Moments): Array[Array[Double]] = {
     val d = m.sum.length
     val c = Array.ofDim[Double](d, d)
@@ -82,8 +92,8 @@ object Pca {
     while (i < d) {
       var j = i
       while (j < d) {
-        val num = m.prod(t).toDouble * m.n - m.sum(i).toDouble * m.sum(j)
-        val v = num / (m.n.toDouble * m.n)
+        val num = BigInt(m.prod(t)) * m.n - BigInt(m.sum(i)) * m.sum(j)
+        val v = num.toDouble / (m.n.toDouble * m.n)
         c(i)(j) = v; c(j)(i) = v
         j += 1; t += 1
       }
@@ -201,16 +211,16 @@ object Pca {
         org.apache.spark.sql.types.StructField("projection",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))
-    val reordered = emb.select((others.map(col) :+ col(vecCol)): _*)
+    val reordered = emb.select((others.map(col) :+ col(vecCol).cast("array<double>")): _*)
     spark.createDataFrame(reordered.rdd.mapPartitions { it =>
       val (mean, w, ev, unit, wh) = bc.value
       val kk = w.length
       it.map { r =>
-        val vec = r.getSeq[Float](r.length - 1)
+        val vec = r.getSeq[Double](r.length - 1)
         val x = new Array[Double](mean.length)
         var i = 0
         while (i < x.length) {
-          x(i) = math.floor(vec(i).toDouble * unit + 0.5) - mean(i)
+          x(i) = math.floor(vec(i) * unit + 0.5) - mean(i)
           i += 1
         }
         val y = new Array[Double](kk)

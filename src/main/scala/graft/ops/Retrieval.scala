@@ -30,8 +30,12 @@ object Retrieval {
     val tok = Par.spread(docs)
       .select(col("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("token"))
       .where(length(col("token")) > 0)
+    // ONE corpus scan: tf is materialized once and every other relation
+    // derives from it — dl = Σtf per doc, df = rows per token — so the raw
+    // token relation (the widest in the pipeline) is never re-derived
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // corpus scalars: one row — stays a lazy broadcast, no driver collect
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -36,9 +36,14 @@ object SemDedup {
       .select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
       .join(assigned.select(col(idCol).as("id"), col("cluster")), "id")
       .localCheckpoint()
+    // The isnan guard matters: a zero-norm vector (failed embed, padding)
+    // yields cosine = 0/0 = NaN, and Spark's nan-safe ordering treats NaN as
+    // GREATER than any double — without the guard one zero vector would
+    // "near-dup" its whole cluster into a single group.
+    val sim = Similarity.cosine(col("a.v"), col("b.v"))
     val pairs = v.as("a").join(v.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .where(Similarity.cosine(col("a.v"), col("b.v")) >= lit(minCos))
+      .where(!isnan(sim) && sim >= lit(minCos))
       .select(col("a.id").as("src"), col("b.id").as("dst"))
     val comp = graft.lib.Graphs.connectedComponents(pairs, spark)
     v.select(col("id"), col("cluster"))

@@ -68,8 +68,8 @@ object SetSim {
         lit(tNum) * (col("c1.n") + col("c2.n") - col("overlap")))
       .select(col("id1"), col("id2"), col("overlap"),
         col("c1.n").as("n1"), col("c2.n").as("n2"),
-        (floor(col("overlap").cast("double") /
-          (col("c1.n") + col("c2.n") - col("overlap")).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
+        Portable.round(col("overlap").cast("double") /
+          (col("c1.n") + col("c2.n") - col("overlap")).cast("double"), 6).as("jaccard"))
   }
 
   /** Candidate generation only (exposed for pruning tests): pairs that

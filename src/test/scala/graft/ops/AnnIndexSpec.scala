@@ -75,6 +75,15 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "not let a zero-norm corpus vector (sim NaN) steal top-k slots" in {
+    val withZero = corpus().unionByName(
+      Seq((999L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val idx = AnnIndex.buildIvf(withZero, nlist = 4, maxIter = 6)
+    val hits = AnnIndex.probe(idx, withZero.where(col("vec_id") < 8), k = 3, nprobe = 4)
+      .select("did").collect().map(_.getLong(0))
+    hits should not contain 999L
+  }
+
   "AnnIndex.probe" should "match brute force on tightly clustered data" in {
     val c = corpus()
     val idx = AnnIndex.buildIvf(c, nlist = 4, maxIter = 6)

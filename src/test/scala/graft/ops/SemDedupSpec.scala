@@ -46,6 +46,17 @@ class SemDedupSpec extends AnyFlatSpec with Matchers {
     all(out.map(_.getBoolean(3))) shouldBe true
   }
 
+  it should "not let a zero-norm vector (cosine NaN) collapse its cluster" in {
+    // NaN >= minCos is TRUE under Spark's nan-safe ordering — without the
+    // guard, vec 8 would near-dup everything kMeans co-clusters with it
+    val withZero = (vecs :+ (8L -> Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(withZero, minCos = 0.99, nClusters = 3, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    out(8L) shouldBe ((8L, true)) // the zero vector is near nothing
+    out(4L) shouldBe ((1L, false)) // and real groups are untouched
+    out(7L) shouldBe ((7L, true))
+  }
+
   it should "partition the corpus: every id exactly once, reps are kept ids" in {
     val out = SemDedup.semDedup(vecs.toDF("vec_id", "embedding"),
       minCos = 0.99, nClusters = 2, maxIter = 4)
