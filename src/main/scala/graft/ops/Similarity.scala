@@ -47,6 +47,7 @@ object Similarity {
     val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"))
     val scored = q.join(c, col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
+      .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -81,6 +82,7 @@ object Similarity {
         1, 1).getField("cid")(0).as("cell"))
     val scored = q.join(cAssigned, Seq("cell")).where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
+      .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -103,6 +105,7 @@ object Similarity {
       signBucket(col("embedding"), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
+      .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
