@@ -1953,7 +1953,37 @@ object SparkEntry {
     // oracle; the approx/HLL path is the single-pass 100 TB default, spec'd
     // Expand-free), pivoted to long format inside the plan.
     "q172_table_profile" -> ((s, d) =>
-      graft.ops.Audit.profile(tbl(s, d, "orders"), exact = true))
+      graft.ops.Audit.profile(tbl(s, d, "orders"), exact = true)),
+
+    // ANN index INGEST: build on 80% of the corpus, save, APPEND the other
+    // 20% against the saved (immutable) quantizer, reload. Contracts: the
+    // extended table holds every vector; probing ALL cells makes IVF exact,
+    // so the extended-index full-probe must EQUAL brute-force top-3 over
+    // the whole corpus (same rounding, same tie-break).
+    "q173_ann_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.AnnIndex
+      val emb = tbl(s, d, "embeddings")
+      val corpus = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
+      try {
+        AnnIndex.save(AnnIndex.buildIvf(corpus, nlist = 8, maxIter = 4), dir)
+        AnnIndex.appendSaved(s, dir, batch)
+        val loaded = AnnIndex.load(s, dir)
+        val total = loaded.assigned.count()
+        val qs = emb.where(col("vec_id") < 8)
+        val full = AnnIndex.probe(loaded, qs, k = 3, nprobe = 8)
+          .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        val brute = Similarity.cosineTopK(emb, qs, k = 3)
+          .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+        Seq((total, total == emb.count(), full.sameElements(brute), full.length.toLong))
+          .toDF("n_indexed", "all_present", "fullprobe_eq_brute", "n_results")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    })
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3259,6 +3289,10 @@ object SparkEntry {
         .map(c => s"SELECT '$c' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, " +
           s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
           s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders")
-        .mkString(" UNION ALL ")
+        .mkString(" UNION ALL "),
+
+    "q173_ann_ingest" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed, true AS all_present, " +
+        "true AS fullprobe_eq_brute, CAST(24 AS BIGINT) AS n_results FROM embeddings")
   )
 }

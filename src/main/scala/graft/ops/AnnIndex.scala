@@ -44,10 +44,7 @@ object AnnIndex {
   def buildIvf(corpus: DataFrame, nlist: Int = 8, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): Ivf = {
     val cents = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol)
-    val assigned = Par.spread(corpus).select(
-      col(idCol).as("did"), col(vecCol).cast("array<float>").as("dv"),
-      nearestCells(cents, col(vecCol), 1)(0).as("cell"))
-    Ivf(cents, assigned)
+    Ivf(cents, assign(cents, corpus, idCol, vecCol))
   }
 
   /** Persist: centroids as a flat relation, assignments PARTITIONED BY CELL
@@ -73,6 +70,30 @@ object AnnIndex {
       .select(col("did"), col("dv"), col("cell").cast("int").as("cell"))
     Ivf(cents, assigned)
   }
+
+  /** Assign a new batch against the EXISTING quantizer — the ingest path.
+    * Centroids are immutable under extension (retrain only on drift), so
+    * extending is ONE narrow map over the batch; nothing of the corpus is
+    * re-read or re-assigned. */
+  def extend(index: Ivf, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Ivf =
+    Ivf(index.centroids, index.assigned.unionByName(
+      assign(index.centroids, newVecs, idCol, vecCol)))
+
+  /** Extend a SAVED index in place: assign the batch with the saved
+    * centroids and APPEND the new rows to the partitioned assignment table —
+    * only the touched cell partitions gain files; existing data is never
+    * rewritten. */
+  def appendSaved(spark: SparkSession, dir: String, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    assign(load(spark, dir).centroids, newVecs, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+
+  private def assign(cents: Array[(Int, Seq[Double])], vecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    Par.spread(vecs).select(
+      col(idCol).as("did"), col(vecCol).cast("array<float>").as("dv"),
+      nearestCells(cents, col(vecCol), 1)(0).as("cell"))
 
   /** Top-k cosine neighbors per query, scanning only each query's `nprobe`
     * nearest cells. The probe-cell union (≤ nprobe × |queries| ints — tiny

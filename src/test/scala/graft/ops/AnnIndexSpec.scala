@@ -84,6 +84,33 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers {
     hits should not contain 999L
   }
 
+  "AnnIndex.extend / appendSaved" should "equal a probe over the in-memory extension" in {
+    val c = corpus()
+    val old = c.where(col("vec_id") < 60)
+    val batch = c.where(col("vec_id") >= 60)
+    val idx = AnnIndex.buildIvf(old, nlist = 4, maxIter = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_ext").toString
+    try {
+      AnnIndex.save(idx, dir)
+      AnnIndex.appendSaved(spark, dir, batch)
+      val loaded = AnnIndex.load(spark, dir)
+      loaded.assigned.count() shouldBe 80L
+      val qs = c.where(col("vec_id") < 6)
+      def res(i: AnnIndex.Ivf) = AnnIndex.probe(i, qs, k = 3, nprobe = 2)
+        .select("qid", "did", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      res(loaded) shouldBe res(AnnIndex.extend(idx, batch))
+      // batch vectors are findable: a batch vector queried against the
+      // extended index must surface its own tight cluster
+      val got = AnnIndex.probe(loaded, c.where(col("vec_id") === 60L), k = 3, nprobe = 1)
+        .select("did").collect().map(_.getLong(0))
+      all(got.map(_ % 4)) shouldBe 0L
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   "AnnIndex.probe" should "match brute force on tightly clustered data" in {
     val c = corpus()
     val idx = AnnIndex.buildIvf(c, nlist = 4, maxIter = 6)
