@@ -1983,6 +1983,56 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
+    }),
+
+    // Tokenizer persistence: train + vocab → save → load → the loaded
+    // tokenizer's corpus encoding is bit-identical to the fresh one
+    // (null-safe array compare over a full-outer join on (doc_id, pos)).
+    // n_words and vocab_size are DuckDB-recomputed as in q163.
+    "q174_tokenizer_persist" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Bpe
+      val docs = tbl(s, d, "documents")
+      val (m, _) = Bpe.trainLocal(docs, numMerges = 40)
+      val ms = m.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val voc = Bpe.vocab(Bpe.corpusChars(docs), ms)
+      val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+      try {
+        Bpe.saveTokenizer(s, dir, ms, voc)
+        val (lms, lvoc) = Bpe.loadTokenizer(s, dir)
+        val fresh = Bpe.encodeToIds(docs, ms, voc)
+          .select(col("doc_id"), col("pos"), col("ids").as("a"))
+        val loaded = Bpe.encodeToIds(docs, lms, lvoc)
+          .select(col("doc_id"), col("pos"), col("ids").as("b"))
+        val bad = fresh.join(loaded, Seq("doc_id", "pos"), "full_outer")
+          .where(!(col("a") <=> col("b"))).count()
+        val nWords = loaded.count()
+        Seq((nWords, voc.size.toLong, lms == ms, lvoc == voc, bad == 0L))
+          .toDF("n_words", "vocab_size", "merges_eq", "vocab_eq", "encode_eq")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
+
+    // Incremental PCA statistics: the exact-integer moment accumulator is a
+    // MONOID — moments(a) ⊕ moments(b) must equal moments(a ∪ b) bit-for-bit
+    // (the q128 additive-merge property, for second moments). The oracle
+    // recomputes every per-dimension micro sum.
+    "q175_pca_incremental" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Pca
+      val emb = tbl(s, d, "embeddings")
+      val full = Pca.moments(emb)
+      val merged = Pca.moments(emb.where(col("vec_id") % 2 === 0))
+        .merge(Pca.moments(emb.where(col("vec_id") % 2 =!= 0)))
+      val eq = full.n == merged.n &&
+        java.util.Arrays.equals(full.sum, merged.sum) &&
+        java.util.Arrays.equals(full.prod, merged.prod)
+      merged.sum.zipWithIndex.map { case (sm, i) => (i, sm, eq) }
+        .toSeq.toDF("dim", "sum_micros", "merge_exact")
+        .select(col("dim").cast("int"), col("sum_micros"), col("merge_exact"))
     })
   )
 
@@ -3293,6 +3343,19 @@ object SparkEntry {
 
     "q173_ann_ingest" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed, true AS all_present, " +
-        "true AS fullprobe_eq_brute, CAST(24 AS BIGINT) AS n_results FROM embeddings")
+        "true AS fullprobe_eq_brute, CAST(24 AS BIGINT) AS n_results FROM embeddings"),
+
+    "q174_tokenizer_persist" ->
+      ("WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
+        "c AS (SELECT unnest(string_split(regexp_replace(text, '\\s+', '', 'g'), '')) AS ch FROM documents) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST((SELECT COUNT(DISTINCT ch) FROM c WHERE length(ch) > 0) + 40 AS BIGINT) AS vocab_size, " +
+        "true AS merges_eq, true AS vocab_eq, true AS encode_eq FROM w WHERE length(w) > 0"),
+
+    "q175_pca_incremental" ->
+      ("WITH e AS (SELECT unnest(embedding) AS x, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings) " +
+        "SELECT dim, CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "true AS merge_exact FROM e GROUP BY 1")
   )
 }

@@ -333,4 +333,29 @@ object Bpe {
       }
       .toDF("doc_id", "pos", "ids")
   }
+
+  /** Persist a trained tokenizer: the ordered merge table and the id
+    * vocabulary, as two plain parquet relations — the artifact a training
+    * run ships alongside its data (rank order and ids are explicit columns,
+    * so the load is layout-independent). */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String,
+      mergeList: Seq[(String, String)], vocabulary: Seq[(String, Int)]): Unit = {
+    import spark.implicits._
+    mergeList.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "l", "r").write.mode("overwrite").parquet(s"$dir/merges")
+    vocabulary.toDF("token", "id")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Reload a saved tokenizer: `(mergeList in rank order, vocabulary in id
+    * order)` — encode/decode with the loaded pair is bit-identical to the
+    * fresh one. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(String, String)], Seq[(String, Int)]) = {
+    val ms = spark.read.parquet(s"$dir/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val voc = spark.read.parquet(s"$dir/vocab").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    (ms, voc)
+  }
 }

@@ -232,4 +232,22 @@ class BpeSpec extends AnyFlatSpec with Matchers {
     val after = words.selectExpr("sum(size(syms) * cnt) s").head().getLong(0)
     after should be <= before - 2 * n
   }
+
+  "Bpe.saveTokenizer/loadTokenizer" should "roundtrip merges and vocabulary exactly" in {
+    val docs = Seq((1L, "banana banana bandana band and sand strand"))
+      .toDF("doc_id", "text")
+    val (m, _) = Bpe.trainLocal(docs, numMerges = 6)
+    val ms = m.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val voc = Bpe.vocab(Bpe.corpusChars(docs), ms)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tok_spec").toString
+    try {
+      Bpe.saveTokenizer(spark, dir, ms, voc)
+      val (lms, lvoc) = Bpe.loadTokenizer(spark, dir)
+      lms shouldBe ms
+      lvoc shouldBe voc
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
