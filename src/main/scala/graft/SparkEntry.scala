@@ -2033,6 +2033,36 @@ object SparkEntry {
       merged.sum.zipWithIndex.map { case (sm, i) => (i, sm, eq) }
         .toSeq.toDF("dim", "sum_micros", "merge_exact")
         .select(col("dim").cast("int"), col("sum_micros"), col("merge_exact"))
+    }),
+
+    // Statistics over INGEST: the embeddings arrive as a 4-file STREAM
+    // (maxFilesPerTrigger=1 → 4 real micro-batches); each batch contributes
+    // one exact-integer moment partial, merged on the driver. The final
+    // accumulator must equal the batch moments BIT-FOR-BIT, and the oracle
+    // recomputes every per-dimension micro sum.
+    "q176_stream_moments" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.Pca
+      val emb = tbl(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_mom").toString
+      try {
+        emb.repartition(4).write.mode("overwrite").parquet(s"$dir/src")
+        val stream = s.readStream
+          .schema(emb.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/src")
+        val streamed = graft.streaming.Streams.streamMoments(stream).get
+        val full = Pca.moments(emb)
+        val eq = streamed.n == full.n &&
+          java.util.Arrays.equals(streamed.sum, full.sum) &&
+          java.util.Arrays.equals(streamed.prod, full.prod)
+        streamed.sum.zipWithIndex.map { case (sm, i) => (i, sm, eq) }
+          .toSeq.toDF("dim", "sum_micros", "stream_exact")
+          .select(col("dim").cast("int"), col("sum_micros"), col("stream_exact"))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     })
   )
 
@@ -3356,6 +3386,12 @@ object SparkEntry {
       ("WITH e AS (SELECT unnest(embedding) AS x, " +
         "CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings) " +
         "SELECT dim, CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros, " +
-        "true AS merge_exact FROM e GROUP BY 1")
+        "true AS merge_exact FROM e GROUP BY 1"),
+
+    "q176_stream_moments" ->
+      ("WITH e AS (SELECT unnest(embedding) AS x, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings) " +
+        "SELECT dim, CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros, " +
+        "true AS stream_exact FROM e GROUP BY 1")
   )
 }

@@ -362,4 +362,31 @@ object Streams {
           (col("n1") + col("n2") - col("c")).cast("double"), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  // --------------------------------------------- statistics over ingest
+
+  /** Accumulate the exact-integer PCA moment monoid over a file STREAM —
+    * statistics-over-ingest: each micro-batch contributes one O(d²) integer
+    * partial ([[graft.ops.Pca.moments]] on the batch), merged with the same
+    * overflow-checked `merge` the batch treeAggregate uses. The accumulator
+    * is exactly associative and commutative, so the final moments are
+    * BIT-IDENTICAL to a single batch pass regardless of how the stream was
+    * split into micro-batches — the q128 additive-merge property, lifted to
+    * second moments. Returns None for an empty stream. */
+  def streamMoments(stream: DataFrame, vecCol: String = "embedding",
+      unit: Double = 1e6): Option[graft.ops.Pca.Moments] = {
+    val acc = new java.util.concurrent.atomic.AtomicReference[Option[graft.ops.Pca.Moments]](None)
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val m = graft.ops.Pca.moments(batch.toDF(), vecCol, unit)
+          acc.updateAndGet(o => Some(o.map(_.merge(m)).getOrElse(m)))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    acc.get()
+  }
 }
