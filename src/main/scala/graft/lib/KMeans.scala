@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Squared euclidean distance from a centroid vector Column to `v`. */
+  private[graft] def distToCentroid(c: Column, v: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (s, x) => s + x)
+
+  /** The `n` nearest centroid ids of `v`, ascending by (distance, cid) —
+    * the ONE quantizer-probe expression shared by ivfTopK and AnnIndex, so
+    * their cell assignments can never drift apart. */
+  private[graft] def nearestCentroids(cents: Array[(Int, Seq[Double])],
+      v: Column, n: Int): Column =
+    slice(array_sort(transform(centroidLit(cents), c =>
+      struct(distToCentroid(c.getField("cv"), v).as("d"), c.getField("cid").as("cid")))),
+      1, n).getField("cid")
+
   private[graft] def centroidLit(centroids: Array[(Int, Seq[Double])]): Column =
     array(centroids.map { case (cid, v) =>
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))

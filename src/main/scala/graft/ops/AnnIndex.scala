@@ -25,20 +25,11 @@ object AnnIndex {
     * (`did`, `dv`, `cell`). */
   case class Ivf(centroids: Array[(Int, Seq[Double])], assigned: DataFrame)
 
-  // quantizer literal shared with the trainer — one definition to drift
-  private def centroidLit(cents: Array[(Int, Seq[Double])]): Column =
-    graft.lib.KMeans.centroidLit(cents)
-
-  private def distTo(c: Column, v: Column): Column =
-    aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (s, x) => s + x)
-
-  /** Nearest `n` cells of vector `v` by quantizer distance (ties broken by
-    * cell id via natural struct order). */
+  /** Nearest `n` cells of vector `v` — the shared quantizer-probe
+    * expression ([[graft.lib.KMeans.nearestCentroids]]), one definition for
+    * trainer, ivfTopK, and this index so assignments can never drift. */
   private def nearestCells(cents: Array[(Int, Seq[Double])], v: Column, n: Int): Column =
-    slice(array_sort(transform(centroidLit(cents), c =>
-      struct(distTo(c.getField("cv"), v).as("d"), c.getField("cid").as("cid")))),
-      1, n).getField("cid")
+    graft.lib.KMeans.nearestCentroids(cents, v, n)
 
   /** Train the quantizer and assign every corpus vector to its cell. */
   def buildIvf(corpus: DataFrame, nlist: Int = 8, maxIter: Int = 10,
@@ -103,8 +94,12 @@ object AnnIndex {
   def probe(index: Ivf, queries: DataFrame, k: Int = 3, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<float>").as("qv"))
-      .withColumn("cell", explode(nearestCells(index.centroids, col("qv"), nprobe)))
+    // probe cells are computed on the RAW vector — the same arithmetic the
+    // corpus assignment used — so quantization is symmetric for any input
+    // precision; only the scoring copy is float-cast (cosine's input type)
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<float>").as("qv"),
+        explode(nearestCells(index.centroids, col(vecCol), nprobe)).as("cell"))
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val cand = index.assigned.where(col("cell").isin(cells.map(Integer.valueOf): _*))
     val scored = broadcast(q).join(cand, Seq("cell"))

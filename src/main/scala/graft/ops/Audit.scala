@@ -40,9 +40,16 @@ object Audit {
     * Drives the accept/quarantine decision when an upstream delivery's
     * schema moves; purely metadata (no data scan). */
   def schemaDiff(old: DataFrame, neu: DataFrame): DataFrame = {
+    // surface duplicate column names explicitly — folding them into a map
+    // would silently hide one of the duplicates from the diff
+    def dups(df: DataFrame, side: String): Seq[(String, String)] =
+      df.schema.map(_.name).groupBy(identity).collect {
+        case (c, g) if g.size > 1 => (c, s"duplicate_name:$side")
+      }.toSeq.sorted
     val o = old.schema.map(f => f.name -> f.dataType.simpleString).toMap
     val n = neu.schema.map(f => f.name -> f.dataType.simpleString).toMap
     val rows =
+      dups(old, "old") ++ dups(neu, "new") ++
       (n.keySet -- o.keySet).toSeq.sorted.map(c => (c, "added")) ++
       (o.keySet -- n.keySet).toSeq.sorted.map(c => (c, "removed")) ++
       (o.keySet & n.keySet).toSeq.sorted.collect {
@@ -65,16 +72,19 @@ object Audit {
     * affordable at audit scale, and engine-portable for oracles). */
   def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
-          .as(s"__ndv_$c"))
+    // positional aliases (__null_0, __ndv_0, …) — never re-parse user column
+    // names, which may contain dots/backticks that col() would misread as
+    // struct-field access
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(df(c).isNull, 1L).otherwise(0L)).as(s"__null_$i"),
+        (if (exact) countDistinct(df(c)) else approx_count_distinct(df(c)))
+          .as(s"__ndv_$i"))
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) => struct(
         lit(c).as("column"), col("__n").as("n_rows"),
-        col(s"__null_$c").as("n_nulls"),
-        col(s"__ndv_$c").cast("long").as("n_distinct"))): _*)).as("p"))
+        col(s"__null_$i").as("n_nulls"),
+        col(s"__ndv_$i").cast("long").as("n_distinct")) }: _*)).as("p"))
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"), col("p.n_distinct"))
   }
 }

@@ -108,10 +108,14 @@ object Bpe {
     * standard adjacent-pair heap algorithm — O(word_len · log word_len)
     * per word REGARDLESS of vocabulary size, where the Column formulation
     * ([[encode]]) is O(word_len · n_merges). Bit-identical to [[encode]]
-    * (BpeSpec fuzzes the parity on arbitrary merge tables): entries pop in
-    * (rank, position) order and pairs created by a merge are only enqueued
-    * at strictly higher ranks, which reproduces exactly the sequential
-    * "apply merge 0 left-to-right, then merge 1, …" semantics.
+    * for DUPLICATE-FREE merge tables — every table a trainer can emit,
+    * since merging a pair zeroes its count and adjacency never reappears
+    * (BpeSpec fuzzes the parity): entries pop in (rank, position) order and
+    * pairs created by a merge are only enqueued at strictly higher ranks,
+    * which reproduces exactly the sequential "apply merge 0 left-to-right,
+    * then merge 1, …" semantics. A table with a repeated pair would make
+    * the two formulations diverge (the fold re-applies it on its second
+    * pass; the heap's first-rank-wins cannot), so it is rejected up front.
     *
     * Scale shape: merges are a broadcast-scale artifact (a 32k vocabulary
     * is <1 MB); the corpus is touched in one narrow pass — no shuffle, no
@@ -120,11 +124,11 @@ object Bpe {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // first occurrence of a pair wins, matching foldLeft-application order
+    require(mergeList.distinct.size == mergeList.size,
+      "encodeFast: merge table contains duplicate pairs — " +
+        "not producible by training; semantics would diverge from encode")
     val ranks = new java.util.HashMap[(String, String), java.lang.Integer]
-    mergeList.zipWithIndex.foreach { case (p, i) =>
-      if (!ranks.containsKey(p)) ranks.put(p, i)
-    }
+    mergeList.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
     val bc = spark.sparkContext.broadcast(ranks)
     encodeWords(docs, textCol)
       .select(col("doc_id").cast("long"), col("pos").cast("int"), col("w"))
@@ -204,6 +208,23 @@ object Bpe {
     * merge sequence to [[train]] (same counts, same lexicographic
     * tie-break; BpeSpec pins the twin). Use [[train]] when the histogram
     * genuinely cannot fit on the driver. */
+  /** UTF-8 byte-lexicographic string order — identical to Spark's binary
+    * string comparison (and to code-point order), unlike `String.compareTo`. */
+  private[ops] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   def trainLocal(docs: DataFrame, textCol: String = "text", numMerges: Int = 50)
       : (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
@@ -218,9 +239,12 @@ object Bpe {
     val pairWords = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.HashSet[Int]]
     // max count first, then lexicographically smallest (l, r) — the exact
-    // orderBy(c desc, l, r) of the distributed trainer
+    // orderBy(c desc, l, r) of the distributed trainer. Spark compares
+    // strings as UTF-8 BYTES (= code-point order); Java's Ordering.String
+    // compares UTF-16 code units, which disagrees for supplementary
+    // characters vs [U+E000, U+FFFF] — so tie-break on UTF-8 bytes.
     val byCountThenPair: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+      Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering)
         .on[(Long, String, String)] { case (c, l, r) => (-c, l, r) }
     val heap = scala.collection.mutable.PriorityQueue
       .empty[(Long, String, String)](byCountThenPair.reverse)

@@ -61,25 +61,16 @@ object Similarity {
       nlist: Int = 8, nprobe: Int = 2, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = graft.lib.KMeans.centroids(corpus, nlist, maxIter)
-    val cLit = array(cents.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
-    // probe list per query: the nprobe nearest centroids (struct sort on
-    // (distance, cid) — natural struct ordering)
-    def distTo(c: Column, v: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (s, x) => s + x)
-    val probes = slice(array_sort(transform(cLit, c =>
-      struct(distTo(c.getField("cv"), col("qv")).as("d"), c.getField("cid").as("cid")))),
-      1, nprobe).getField("cid")
+    // probe list per query: the nprobe nearest centroids — the SHARED
+    // quantizer-probe expression (struct sort on (distance, cid)), one
+    // definition with the trainer and the persisted AnnIndex
     val q = broadcast(queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("cell", explode(probes)))
+      .withColumn("cell",
+        explode(graft.lib.KMeans.nearestCentroids(cents, col("qv"), nprobe))))
     // assign corpus rows to cells inline (same nearest-centroid expression)
     val cAssigned = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"),
-      slice(array_sort(transform(cLit, cc =>
-        struct(distTo(cc.getField("cv"), col("dv")).as("d"), cc.getField("cid").as("cid")))),
-        1, 1).getField("cid")(0).as("cell"))
+      graft.lib.KMeans.nearestCentroids(cents, col("dv"), 1)(0).as("cell"))
     val scored = q.join(cAssigned, Seq("cell")).where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
       .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc

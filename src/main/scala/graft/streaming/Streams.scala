@@ -151,51 +151,55 @@ object Streams {
   case class SessionOut(key: String, s_start: java.sql.Timestamp,
       s_end: java.sql.Timestamp, n_events: Long)
 
+  case class SessionListState(sessions: Seq[SessionState])
+
   /** Custom sessionizer via flatMapGroupsWithState with an EVENT-TIME
-    * timeout: sessions close when the watermark passes last-event + gap, and
-    * closed sessions are emitted exactly once (Append semantics). This is the
-    * fully-custom-state alternative to [[sessionAgg]]'s native
-    * session_window — use it when session logic goes beyond gap merging
-    * (e.g. cart-abandonment rules, per-session caps). */
+    * timeout — true `session_window` Append semantics: state holds EVERY
+    * still-open island per key (out-of-order events above the watermark may
+    * extend a session downward, bridge two islands into one, or open an
+    * earlier separate island), and a session is emitted exactly once, only
+    * after the watermark passes its end+gap. This is the fully-custom-state
+    * alternative to [[sessionAgg]]'s native session_window — use it when
+    * session logic goes beyond gap merging (e.g. cart-abandonment rules,
+    * per-session caps). */
   def sessionizeCustom(events: Dataset[SessionEvent], gapMs: Long,
       watermark: String): Dataset[SessionOut] = {
-    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val stateEnc: Encoder[SessionListState] = Encoders.product[SessionListState]
     implicit val outEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
     implicit val strEnc: Encoder[String] = Encoders.STRING
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionListState, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(key,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n))
-          } else {
-            val ts = rows.map(_.ts.getTime).toSeq.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(key,
-                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessionListState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val items = (prior ++ rows.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+            .sortBy(s => (s.start, s.last))
+          // gaps-and-islands over open sessions + new points: adjacent items
+          // within the gap merge (n is additive — islands carry their counts)
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          items.foreach { s =>
+            merged.lastOption match {
+              case Some(p) if s.start - p.last <= gapMs =>
+                merged(merged.length - 1) =
+                  SessionState(p.start, math.max(p.last, s.last), p.n + s.n)
+              case _ => merged += s
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.iterator
           }
+          // only watermark-expired islands are final; the rest stay open
+          // (a straggler above the watermark could still extend or bridge)
+          val (done, open) = merged.partition(s => s.last + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionListState(open.toSeq))
+            // every open island has last+gap > wm, so the timeout is valid
+            state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+          }
+          done.iterator.map(s => SessionOut(key,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n))
       }
   }
 
@@ -319,7 +323,10 @@ object Streams {
   def incrementalDedupProbe(newDocs: DataFrame, corpusSh: DataFrame,
       corpusIndex: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
-      minJaccard: Double = 0.5, queryName: String = "graft_dedup_probe",
+      minJaccard: Double = 0.5,
+      // unique per call: a fixed name would collide (active-query registry +
+      // shared memory-sink temp view) when two probes run on one session
+      queryName: String = s"graft_dedup_probe_${java.util.UUID.randomUUID().toString.take(8)}",
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     import graft.ops.Dedup
     val numHashes = bands * rowsPerBand

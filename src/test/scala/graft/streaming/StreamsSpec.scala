@@ -114,6 +114,38 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  it should "let an out-of-order straggler bridge or precede an open session, not absorb into it" in {
+    import graft.streaming.Streams.SessionEvent
+    val in = MemoryStream[SessionEvent]
+    // generous watermark so stragglers stay live across batches
+    val out = Streams.sessionizeCustom(in.toDS(), gapMs = 5 * 60 * 1000, watermark = "35 minutes")
+    val q = out.writeStream.format("memory").queryName("csessions_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SessionEvent("a", ts(30))) // open session at 10:30
+      q.processAllAvailable()
+      // straggler at 10:00 — 30 min BEFORE the open session: its own island,
+      // NOT a member of the 10:30 session (the old code absorbed it)
+      in.addData(SessionEvent("a", ts(0)))
+      q.processAllAvailable()
+      // straggler at 10:27 — within gap of 10:30: extends that session DOWN
+      in.addData(SessionEvent("a", ts(27)))
+      q.processAllAvailable()
+      // 11:30 pushes the watermark to 10:55, past both sessions' end+gap
+      val late = Timestamp.valueOf("2024-01-01 11:30:00")
+      in.addData(SessionEvent("zz", late))
+      q.processAllAvailable()
+      in.addData(SessionEvent("zzz", late)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("csessions_ooo")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).sortBy(x => (x._1, x._2))
+      rows.filter(_._1 == "a") shouldBe Array(
+        ("a", "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 1L),
+        ("a", "2024-01-01 10:27:00.0", "2024-01-01 10:35:00.0", 2L))
+    } finally q.stop()
+  }
+
   "streaming sessionAgg" should "agree with the batch session_window formulation" in {
     val data = Seq(
       (ts(0), "u1"), (ts(2), "u1"), (ts(20), "u1"),
