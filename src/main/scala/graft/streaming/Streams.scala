@@ -330,20 +330,23 @@ object Streams {
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     import graft.ops.Dedup
     val numHashes = bands * rowsPerBand
-    // per-row: distinct hashed shingles + signature + band rows (all narrow)
-    val withSig = newDocs
+    // per-row: distinct hashed shingles + signature + band rows, all in ONE
+    // projection chain — band keys come from a posexplode over an array of
+    // per-band keys, so the (expensive) shingle+minhash expressions are
+    // evaluated once per row via subexpression elimination; a per-band
+    // UNION would re-run them once per branch (no CSE across union arms)
+    val bandRows = newDocs
       .where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
       .select(col("doc_id").as("id1"),
         array_distinct(transform(Dedup.shingleArray(col(textCol), shingleN),
           s => xxhash64(s))).as("sh1"),
         graft.functions.Native.minhashSig(
           Dedup.shingleArray(col(textCol), shingleN), numHashes).as("__sig"))
-    val bandRows = (0 until bands).map { b =>
-      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => element_at(col("__sig"), i + 1))
-      withSig.select(col("id1"), col("sh1"), lit(b).as("band_id"),
-        concat_ws("|", ks: _*).as("band_key"))
-    }.reduce(_ unionByName _)
+      .select(col("id1"), col("sh1"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("__sig"), i + 1)): _*)
+        }: _*)).as(Seq("band_id", "band_key")))
     // stream-static candidate join on the uniform band key, then verify:
     // explode the new doc's shingles, match the static corpus shingles of
     // the candidate, count per (pair, band) — each matching band carries the
