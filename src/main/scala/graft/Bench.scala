@@ -84,6 +84,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
+    // The full per-query line above exceeds harness tail buffers (~2000
+    // chars) at 170+ queries, so end with a compact digest that always
+    // fits: total, failure list, and the slowest queries (the only ones
+    // whose individual numbers matter for regression triage).
+    val slowest = results.filter(_._3).sortBy(-_._2).take(25)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

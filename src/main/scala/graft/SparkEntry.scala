@@ -28,6 +28,26 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize an events-shaped frame's `ts` to TimestampType. Current
+    * driver dumps store parquet TIMESTAMP_MICROS natively; older
+    * generations wrote INT64 nanos (surfacing as `long` under
+    * `spark.sql.legacy.parquet.nanosAsLong`). Accept both so the same
+    * queries run against either vintage of the test tables. */
+  private def withTsTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet isAdjustedToUTC=false surfaces as NTZ; sessions run in
+        // UTC, so the cast preserves both wall clock and epoch micros
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** The `events` table with `ts` normalized to TimestampType. */
+  private def events(s: SparkSession, d: String): DataFrame =
+    withTsTimestamp(tbl(s, d, "events"))
+
   private val dec2 = "decimal(18,2)"
 
   /** Exact discounted revenue: price * (1 - discount) in decimal. */
@@ -161,10 +181,8 @@ object SparkEntry {
     }),
 
     "q20_events_hourly" -> ((s, d) => {
-      // events.parquet uses INT64(TIMESTAMP_NANOS); Spark reads it as long ns
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, d, "events")
-        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      events(s, d)
+        .withColumn("tsx", col("ts"))
         .groupBy(
           date_format(date_trunc("hour", col("tsx")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
@@ -345,9 +363,8 @@ object SparkEntry {
 
     "q46_sessions" -> ((s, d) => {
       // batch-mode session windows: same semantics as the streaming operator
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, d, "events")
-        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      events(s, d)
+        .withColumn("tsx", col("ts"))
         .groupBy(session_window(col("tsx"), "10 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(
@@ -433,8 +450,7 @@ object SparkEntry {
         date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"))),
 
     "q57_json" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, d, "events")
+      events(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
@@ -527,8 +543,7 @@ object SparkEntry {
     // As-of join: each click gets the latest at-or-before purchase per user
     // (union + one window pass — no range-join blow-up; see ops.AsOf)
     "q69_asof" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events")
+      val ev = events(s, d)
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
       val purchases = ev.where(col("event_type") === "purchase")
@@ -536,21 +551,20 @@ object SparkEntry {
       AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts",
           Seq("value"), prefix = "p_")
         .select(col("click_id"), col("user_id"),
-          expr("p_pts div 1000").as("purchase_us"),
+          unix_micros(col("p_pts")).as("purchase_us"),
           Portable.round(col("p_value"), 4).as("purchase_value"))
     }),
 
     // Interval join via bucket expansion: clicks falling in 1-hour windows
     // after sampled signups (ops.RangeJoin — equi-join on bucket, no cross)
     "q70_range_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events")
+      val ev = events(s, d)
       val hourUs = 3600000000L
       val iv = ev.where(col("event_type") === "signup" && col("event_id") % 20 === 0)
-        .select(col("event_id").as("iv_id"), expr("ts div 1000").as("start_us"),
-          (expr("ts div 1000") + hourUs).as("end_us"))
+        .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + hourUs).as("end_us"))
       val pts = ev.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), expr("ts div 1000").as("t_us"),
+        .select(col("event_id").as("click_id"), unix_micros(col("ts")).as("t_us"),
           col("value"))
       RangeJoin.intervalJoin(pts, iv, "t_us", "start_us", "end_us", hourUs)
         .groupBy("iv_id").agg(count(lit(1)).as("n_clicks"),
@@ -606,9 +620,8 @@ object SparkEntry {
     // aggregation (state store + Complete mode), pinned to the same oracle as
     // the batch formulation (q20). Streaming and batch must agree exactly.
     "q76_stream_hourly" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val agg = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
-        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      val agg = withTsTimestamp(graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
+        .withColumn("tsx", col("ts"))
         .groupBy(
           date_format(date_trunc("hour", col("tsx")), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"))
@@ -622,9 +635,8 @@ object SparkEntry {
     // over the event stream (state outlives every event via a huge watermark
     // delay, so the emitted key set is exactly the distinct set), Append mode
     "q82_stream_dedup" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
-        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      val src = withTsTimestamp(graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
+        .withColumn("tsx", col("ts"))
       val dd = graft.streaming.Streams.dedupStream(
         src, "tsx", "36500 days", Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
@@ -636,9 +648,8 @@ object SparkEntry {
     // plan as batch q46, run through the streaming engine (file source,
     // AvailableNow) — hash-matches q46's sessionization oracle
     "q88_stream_sessions" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
-        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      val src = withTsTimestamp(graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
+        .withColumn("tsx", col("ts"))
       val sess = graft.streaming.Streams
         .sessionAgg(src, "tsx", "user_id", "10 minutes", "36500 days")
         .select(
@@ -653,8 +664,7 @@ object SparkEntry {
     // with the static customer dim (no stateful join state at all), then a
     // Complete-mode aggregation — the canonical dimension-join shape at scale
     "q89_stream_enrich" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+      val src = withTsTimestamp(graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
       val dim = tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
       val agg = graft.streaming.Streams
         .enrich(src.withColumnRenamed("user_id", "c_custkey"), dim, Seq("c_custkey"))
@@ -707,7 +717,7 @@ object SparkEntry {
     // the 'click' partition's files are ever opened
     "q91_partition_prune" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-      val ev = tbl(s, d, "events")
+      val ev = events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       graft.ops.Layout.writePartitioned(ev, dir, Seq("event_type"))
       s.read.parquet(dir).where(col("event_type") === "click")
@@ -737,10 +747,9 @@ object SparkEntry {
     // join state purged past the ±1h bound — the genuinely-stateful join
     // shape (not stream-static); Append mode emits matches as they join
     "q95_stream_interval_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      def src() = graft.streaming.Streams
-        .parquetFileStream(s, s"$d/events.parquet")
-        .withColumn("tsx", expr("timestamp_micros(ts div 1000)"))
+      def src() = withTsTimestamp(
+        graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
+        .withColumn("tsx", col("ts"))
       val l = src().select(col("user_id").as("k"), col("tsx"), col("event_id").as("lid"))
       val r = src().select(col("user_id").as("k"), col("tsx"), col("event_id").as("rid"))
       val j = graft.streaming.Streams
@@ -755,11 +764,10 @@ object SparkEntry {
     // → one micro-batch, so Update mode emits each key's final state once;
     // integer-valued doubles keep the stateful sum exact in any order
     "q96_stream_running" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import s.implicits._
-      val ev = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+      val ev = withTsTimestamp(graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
         .select(concat(lit("u"), col("user_id")).as("key"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts").as("ts"),
           (col("user_id") % 7).cast("double").as("value"))
         .as[graft.streaming.Streams.KeyedEvent]
       val out = graft.streaming.Streams.runningAgg(ev).toDF()
@@ -963,9 +971,9 @@ object SparkEntry {
     // SCD2 history build (ops.Upsert.scd2): per-user event_type version
     // intervals via change-point detection + run collapse — one shuffle
     "q104_scd2" -> ((s, d) => {
-      val ev = tbl(s, d, "events").where(col("user_id") % 100 === 0)
+      val ev = events(s, d).where(col("user_id") % 100 === 0)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          expr("ts div 1000").as("t_us"))
+          unix_micros(col("ts")).as("t_us"))
       graft.ops.Upsert.scd2(ev, "user_id", "event_type", Seq("t_us", "event_id"))
     }),
 
@@ -982,10 +990,9 @@ object SparkEntry {
     // the per-user latest event as a serving table; batch-split-invariant,
     // so the drained state must equal the batch latest-row-per-key query
     "q106_stream_upsert" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet")
+      val src = withTsTimestamp(graft.streaming.Streams.parquetFileStream(s, s"$d/events.parquet"))
         .select(col("user_id"), col("event_type"), col("event_id"),
-          expr("ts div 1000").as("t_us"))
+          unix_micros(col("ts")).as("t_us"))
       graft.streaming.Streams.latestStateUpsert(src,
         Seq("user_id"), Seq("t_us", "event_id"))
     }),
@@ -993,9 +1000,8 @@ object SparkEntry {
     // Time-series regularization: per-user daily grid with forward-filled
     // last observation (sequence-explode grid + two windows, all in-plan)
     "q107_resample" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events").select(col("user_id"),
-        expr("ts div 1000").as("t_us"), col("value"), col("event_id"))
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"), col("event_id"))
       graft.ops.Resample.resampleFfill(ev, "user_id", "t_us", "value",
         "event_id", stepUs = 86400000000L)
     }),
@@ -1079,11 +1085,10 @@ object SparkEntry {
     // per day — O(n log n) two-level prefix scan where the naive
     // formulation is a quadratic interval self-join
     "q113_max_concurrent" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val hourUs = 3600000000L; val dayUs = 86400000000L
-      val iv = tbl(s, d, "events").where(col("event_type") === "signup")
-        .select(expr("ts div 1000").as("start_us"),
-          (expr("ts div 1000") + hourUs).as("end_us"))
+      val iv = events(s, d).where(col("event_type") === "signup")
+        .select(unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + hourUs).as("end_us"))
       graft.ops.Sweep.concurrency(iv, "start_us", "end_us", bucketUs = dayUs)
         .where(col("delta") === 1)
         .groupBy(expr(s"t div $dayUs").as("day"))
@@ -1103,9 +1108,8 @@ object SparkEntry {
     // — collect_list carries no order, so the portable form is
     // sort_array over structs whose leading fields are the sort key
     "q115_ordered_collect" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events").where(col("user_id") % 50 === 0)
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+      val ev = events(s, d).where(col("user_id") % 50 === 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
           col("event_id"), col("event_type"))
       // first5 leaves as a CSV string, not an array — see q93's rationale
       ev.groupBy("user_id").agg(
@@ -1119,7 +1123,7 @@ object SparkEntry {
     // Null-handling surface (DataFrameNaFunctions): fill / replace / drop
     // over injected nulls, then an integer-cents aggregate
     "q116_na_handling" -> ((s, d) => {
-      val ev = tbl(s, d, "events").select(col("user_id"),
+      val ev = events(s, d).select(col("user_id"),
         when(col("value") < 1.0, lit(null)).otherwise(col("value")).as("v"),
         when(col("event_type") === "click", lit(null)).otherwise(col("event_type"))
           .as("et"))
@@ -1265,9 +1269,8 @@ object SparkEntry {
     // history + today's delta partials merged ≡ the full recompute — the
     // 100 TB path where publishing a table touches one day, not three years
     "q128_incremental_agg" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events").select(
-        (col("user_id") % 100).as("bucket"), expr("ts div 1000").as("t_us"),
+      val ev = events(s, d).select(
+        (col("user_id") % 100).as("bucket"), unix_micros(col("ts")).as("t_us"),
         floor(col("value") * 100.0).cast("long").as("cents"))
       val cutoff = ev.agg(expr("percentile(t_us, 0.8)")).head().getDouble(0)
       def partial(df: org.apache.spark.sql.DataFrame) =
@@ -1316,10 +1319,9 @@ object SparkEntry {
     // (ops.Upsert.scd2 composed with ops.AsOf.asofJoin; no interval
     // blow-up, one window pass)
     "q132_scd2_join" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events").where(col("user_id") % 20 === 0)
+      val ev = events(s, d).where(col("user_id") % 20 === 0)
         .select(col("user_id"), col("event_type"), col("event_id"),
-          expr("ts div 1000").as("t_us"))
+          unix_micros(col("ts")).as("t_us"))
       val hist = graft.ops.Upsert.scd2(ev, "user_id", "event_type",
           Seq("t_us", "event_id"))
         .select(col("user_id"), col("valid_from"), col("event_type"))
@@ -1362,9 +1364,8 @@ object SparkEntry {
     // totals land on the driver.
     "q135_clickcount_diffs" -> ((s, d) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = tbl(s, d, "events").select(
-          dayofmonth(expr("timestamp_micros(ts div 1000)")).as("day"),
+      val ev = events(s, d).select(
+          dayofmonth(col("ts")).as("day"),
           (col("user_id") % 200).as("page"))
         .where(col("day") <= 7)
       val days = (1 to 7).map(i => (i, ev.where(col("day") === i).select("page")))
@@ -1419,18 +1420,16 @@ object SparkEntry {
 
     // ---------------------------------- event-sequence analytics (round 5)
     "q141_funnel" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      graft.ops.Analytics.funnel(tbl(s, d, "events"), "user_id", "ts", Seq(
+      graft.ops.Analytics.funnel(events(s, d), "user_id", "ts", Seq(
         "view" -> (col("event_type") === "view"),
         "big_click" -> (col("event_type") === "click" && col("value") > 100.0),
         "big_purchase" -> (col("event_type") === "purchase" && col("value") > 300.0)))
     }),
 
     "q142_retention" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.ops.Analytics.retentionCohorts(
-        tbl(s, d, "events"), "user_id",
-        to_date(expr("timestamp_micros(ts div 1000)")))
+        events(s, d), "user_id",
+        to_date(col("ts")))
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
           col("day_offset"), col("users"))
     }),

@@ -37,9 +37,15 @@ object Analytics {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val k = stages.length
     val flags = array(stages.map { case (_, p) => p.cast("boolean") }: _*)
+    // timestamps compare at microsecond precision (cast("long") would
+    // truncate them to epoch seconds and spuriously tie sub-second events)
+    val tsKey = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
     val sorted = events
       .select(col(userCol).as("u"),
-        struct(col(tsCol).cast("long").as("ts"), flags.as("fl")).as("e"))
+        struct(tsKey.as("ts"), flags.as("fl")).as("e"))
       .groupBy("u").agg(sort_array(collect_list("e")).as("es"))
     // fold state: k nullable completion times; an event may complete the
     // first eligible stage whose predecessor was already complete

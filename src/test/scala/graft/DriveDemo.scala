@@ -63,9 +63,9 @@ object DriveDemo {
 
     // 5b. temporal joins + portable sampling on real events
     locally {
-      import org.apache.spark.sql.functions.{col, expr}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions.{col, unix_micros}
       val ev = spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val buys = ev.where(col("event_type") === "purchase")
@@ -74,9 +74,9 @@ object DriveDemo {
       println("asof matched = " + asof.where(col("r_pts").isNotNull).count() +
         " of " + asof.count())
       val iv = ev.where(col("event_type") === "signup").limit(20)
-        .select(col("event_id").as("iv_id"), expr("ts div 1000").as("s"),
-          (expr("ts div 1000") + 3600000000L).as("e"))
-      val pt = ev.select(col("event_id").as("pid"), expr("ts div 1000").as("t"))
+        .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 3600000000L).as("e"))
+      val pt = ev.select(col("event_id").as("pid"), unix_micros(col("ts")).as("t"))
       println("range-join pairs = " +
         RangeJoin.intervalJoin(pt, iv, "t", "s", "e", 3600000000L).count())
       println("hash sample 25% of events = " +
@@ -88,9 +88,8 @@ object DriveDemo {
       import graft.streaming.Streams
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_demo").toString
       val src = s"$dir/in"; val dst = s"$dir/out"; val cp = s"$dir/cp"
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sf/events.parquet")
-        .selectExpr("timestamp_micros(ts div 1000) as ts", "event_type as k", "value as v")
+        .selectExpr("cast(ts as timestamp) as ts", "event_type as k", "value as v")
         .limit(2000).write.parquet(src)
       val schema = spark.read.parquet(src).schema
       val q = Streams.writeParquetStream(
@@ -108,7 +107,7 @@ object DriveDemo {
       import graft.streaming.Streams
       val dir = java.nio.file.Files.createTempDirectory("graft_sess_demo").toString
       spark.read.parquet(s"$sf/events.parquet")
-        .selectExpr("event_type as key", "timestamp_micros(ts div 1000) as ts")
+        .selectExpr("event_type as key", "cast(ts as timestamp) as ts")
         .limit(3000).write.parquet(s"$dir/in")
       val schema = spark.read.parquet(s"$dir/in").schema
       val src = Streams.readParquetStream(spark, s"$dir/in", schema)
@@ -176,7 +175,7 @@ object DriveDemo {
     // 6f. round-4 additions: upsert/SCD2 table maintenance, bounded BFS,
     // heavy hitters, unpivot
     {
-      import org.apache.spark.sql.functions.{col, explode, lit, split, trim}
+      import org.apache.spark.sql.functions.{col, explode, lit, split, trim, unix_micros}
       val cust = spark.read.parquet(s"$sf/customer.parquet")
         .select("c_custkey", "c_name", "c_acctbal")
       val merged = graft.ops.Upsert.upsert(cust,
@@ -186,7 +185,7 @@ object DriveDemo {
       val hist = graft.ops.Upsert.scd2(
         spark.read.parquet(s"$sf/events.parquet")
           .select(col("user_id"), col("event_type"), col("event_id"),
-            col("ts").cast("long").as("t")),
+            unix_micros(col("ts").cast("timestamp")).as("t")),
         "user_id", "event_type", Seq("t", "event_id"))
       println("scd2 versions = " + hist.count() +
         ", open = " + hist.where(col("valid_to").isNull).count())
@@ -205,14 +204,15 @@ object DriveDemo {
           Array(col("l_quantity"), col("l_tax")), "measure", "value").count())
       val resampled = Resample.resampleFfill(
         spark.read.parquet(s"$sf/events.parquet")
-          .select(col("user_id"), col("ts").cast("long").as("t"),
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"),
             col("value"), col("event_id")),
-        "user_id", "t", "value", "event_id", stepUs = 86400000000000L)
+        "user_id", "t", "value", "event_id", stepUs = 86400000000L)
       println("resampled grid rows = " + resampled.count() +
         ", nulls = " + resampled.where(col("value").isNull).count())
       val served = graft.streaming.Streams.latestStateUpsert(
         graft.streaming.Streams.parquetFileStream(spark, s"$sf/events.parquet")
-          .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t")),
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t")),
         Seq("user_id"), Seq("t", "event_id"))
       println("stream-upsert serving rows = " + served.count())
       val li = spark.read.parquet(s"$sf/lineitem.parquet")
