@@ -2062,7 +2062,30 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
-    })
+    }),
+
+    // ------------------------------------------- curation reporting (round 7)
+    // Filter-cascade removal attribution: one corpus scan, one nested-when
+    // expression, a K-row aggregate — the report a curation run publishes
+    // next to its output. Integer-exact alpha-ratio cut (50*alpha >= 41*len)
+    // so both engines compare identical integers.
+    "q177_filter_report" -> ((s, d) => {
+      val alphaLen = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      graft.ops.Filters.filterReport(tbl(s, d, "documents"), Seq(
+        "too_short" -> (col("n_chars") >= 120),
+        "rare_lang" -> col("lang").isin("en", "de", "fr"),
+        "low_alpha" -> (alphaLen * 50L >= col("n_chars") * 41L)))
+    }),
+
+    // Deterministic training-order shuffle: (shard, pos) is a pure function
+    // of (seed, doc_id) — md5 order key, first-two-nibble shard (no shuffle
+    // for assignment), one per-shard row_number sort. Reproducible on any
+    // cluster size; the oracle recomputes every position independently.
+    "q178_shuffle_shards" -> ((s, d) =>
+      graft.ops.Shuffling.deterministicShuffle(
+          tbl(s, d, "documents").select("doc_id"), col("doc_id"),
+          nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos")))
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3391,6 +3414,26 @@ object SparkEntry {
       ("WITH e AS (SELECT unnest(embedding) AS x, " +
         "CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim FROM embeddings) " +
         "SELECT dim, CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros, " +
-        "true AS stream_exact FROM e GROUP BY 1")
+        "true AS stream_exact FROM e GROUP BY 1"),
+
+    "q177_filter_report" ->
+      ("WITH a AS (SELECT CASE " +
+        "WHEN NOT coalesce(n_chars >= 120, FALSE) THEN 'too_short' " +
+        "WHEN NOT coalesce(lang IN ('en','de','fr'), FALSE) THEN 'rare_lang' " +
+        "WHEN NOT coalesce(50*length(regexp_replace(text,'[^A-Za-z]','','g')) >= 41*n_chars, FALSE) THEN 'low_alpha' " +
+        "ELSE 'kept' END AS filter FROM documents), " +
+        "c AS (SELECT filter, COUNT(*) AS n FROM a GROUP BY 1) " +
+        "SELECT d.filter, CAST(COALESCE(c.n, 0) AS BIGINT) AS n " +
+        "FROM (VALUES ('too_short'),('rare_lang'),('low_alpha'),('kept')) d(filter) " +
+        "LEFT JOIN c ON c.filter = d.filter"),
+
+    "q178_shuffle_shards" ->
+      ("WITH k AS (SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "s AS (SELECT doc_id, h, " +
+        "((16*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
+        "+ (strpos('0123456789abcdef', substr(h,2,1))-1)) % 8) AS shard FROM k) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
+        "FROM s")
   )
 }

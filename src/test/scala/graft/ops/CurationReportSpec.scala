@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Filter-cascade attribution and the deterministic training-order
+  * shuffle, against hand-computed goldens and sequential references. */
+class CurationReportSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  behavior of "Filters.filterReport"
+
+  private val docs = Seq(
+    (1L, 60, "en"),  // fails min_len
+    (2L, 60, "zz"),  // fails min_len FIRST (cascade: not attributed to lang)
+    (3L, 200, "zz"), // fails lang
+    (4L, 200, "en"), // kept
+    (5L, 200, "en")  // kept
+  ).toDF("id", "len", "lang")
+
+  private val cascade = Seq(
+    "min_len" -> (col("len") >= 100),
+    "bad_lang" -> (col("lang") === "en"),
+    "never_fires" -> lit(true))
+
+  it should "attribute each row to the FIRST failing filter only" in {
+    val got = Filters.filterReport(docs, cascade)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map(
+      "min_len" -> 2L, "bad_lang" -> 1L, "never_fires" -> 0L, "kept" -> 2L)
+  }
+
+  it should "count a null predicate result as a removal" in {
+    val d = Seq((1L, Some(5)), (2L, None), (3L, Some(50))).toDF("id", "q")
+    val got = Filters.filterReport(d, Seq("low_q" -> (col("q") >= 10)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("low_q" -> 2L, "kept" -> 1L)
+  }
+
+  it should "agree with applyCascade on the survivor set" in {
+    val kept = Filters.applyCascade(docs, cascade)
+    kept.select("id").as[Long].collect().sorted shouldBe Array(4L, 5L)
+    val reported = Filters.filterReport(docs, cascade)
+      .where(col("filter") === Filters.KeptLabel)
+      .head().getLong(1)
+    reported shouldBe kept.count()
+  }
+
+  behavior of "Shuffling.deterministicShuffle"
+
+  private def shuffled(parts: Int) = Shuffling.deterministicShuffle(
+    spark.range(0, 500).repartition(parts).toDF("id"),
+    col("id"), nShards = 8, seed = 7L)
+
+  it should "be a pure function of (seed, key) — invariant to partitioning" in {
+    val a = shuffled(1).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = shuffled(13).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    a shouldBe b
+  }
+
+  it should "assign dense 0-based positions within every shard" in {
+    val bad = shuffled(4).groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1 || col("nd") =!= col("n"))
+    bad.count() shouldBe 0L
+  }
+
+  it should "match a sequential reference implementation exactly" in {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = (0L until 500L).map { id =>
+      val h = md5hex(s"7-$id")
+      (id, h, (Integer.parseInt(h.substring(0, 2), 16) % 8).toLong)
+    }.groupBy(_._3).flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._2, r._1.toString)).zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, i.toLong) }
+    }.toSeq.sorted
+    val got = shuffled(3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    got shouldBe exp
+  }
+
+  it should "produce a different order under a different seed" in {
+    val a = Shuffling.deterministicShuffle(
+      spark.range(0, 500).toDF("id"), col("id"), 8, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Shuffling.deterministicShuffle(
+      spark.range(0, 500).toDF("id"), col("id"), 8, seed = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    a should not be b
+  }
+}
