@@ -2085,7 +2085,30 @@ object SparkEntry {
       graft.ops.Shuffling.deterministicShuffle(
           tbl(s, d, "documents").select("doc_id"), col("doc_id"),
           nShards = 8, seed = 42L)
-        .select(col("doc_id"), col("shard"), col("pos")))
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Weighted corpus interleave: one training stream from three language
+    // slices at 3:2:1, global position in CLOSED FORM (no global sort, no
+    // single-partition window). The oracle derives gpos the OTHER way — a
+    // global ROW_NUMBER over (virtual time, source) — so the hash match
+    // proves the closed-form rank equals the merged order exactly.
+    "q179_weighted_interleave" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      graft.ops.Shuffling.weightedInterleave(Seq(
+          ("en", docs.where(col("lang") === "en").select("doc_id"), 3),
+          ("eur", docs.where(col("lang").isin("de", "fr")).select("doc_id"), 2),
+          ("rest", docs.where(!col("lang").isin("en", "de", "fr")).select("doc_id"), 1)),
+        keyName = "doc_id", seed = 42L)
+        .select(col("source"), col("doc_id"), col("gpos"))
+    }),
+
+    // Deterministic leakage-free train/val/test split: labels from hash
+    // thresholds (same draw on any engine), splits partition the corpus
+    "q180_hash_split" -> ((s, d) =>
+      graft.ops.Sampling.hashSplit(tbl(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars")))
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3434,6 +3457,26 @@ object SparkEntry {
         "+ (strpos('0123456789abcdef', substr(h,2,1))-1)) % 8) AS shard FROM k) " +
         "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
-        "FROM s")
+        "FROM s"),
+
+    "q179_weighted_interleave" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "CASE WHEN lang='en' THEN 0 WHEN lang IN ('de','fr') THEN 1 ELSE 2 END AS src, " +
+        "CASE WHEN lang='en' THEN 'en' WHEN lang IN ('de','fr') THEN 'eur' ELSE 'rest' END AS source, " +
+        "md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "p AS (SELECT doc_id, src, source, " +
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS pos FROM t), " +
+        "v AS (SELECT doc_id, src, source, " +
+        "(pos + 1) * (CASE src WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END) AS vt FROM p) " +
+        "SELECT source, doc_id, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY vt, src) - 1 AS BIGINT) AS gpos FROM v"),
+
+    "q180_hash_split" ->
+      ("WITH a AS (SELECT n_chars, CASE " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train' " +
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "SELECT split, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM a GROUP BY 1")
   )
 }

@@ -42,6 +42,31 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.where(keep(key, fraction))
 
+  /** Disjoint, total train/val/test split: labels each row by where its
+    * hash draw falls among cumulative fraction thresholds. Deterministic and
+    * engine-portable like [[hashSample]]; rows sharing a key land in the
+    * same split (leakage-free by construction). The LAST split is the
+    * `otherwise` branch, so every row is labeled no matter how the
+    * fractions round — the splits partition the data exactly.
+    *
+    * @param splits ordered (label, fraction); fractions must sum to ~1
+    */
+  def hashSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one split")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions must sum to 1: $total")
+    val draw = hashDraw(key)
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cums.init) match {
+      case Seq() => lit(splits.last._1)
+      case ((l0, _), c0) +: rest =>
+        rest.foldLeft(when(draw < lit(thresholdHex(c0)), l0)) {
+          case (acc, ((l, _), c)) => acc.when(draw < lit(thresholdHex(c)), l)
+        }.otherwise(splits.last._1)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Stratified Bernoulli sample: per-stratum fractions, same deterministic
     * draw. Strata missing from `fractions` are dropped. */
   def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,

@@ -52,4 +52,68 @@ object Shuffling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("__ok", "__tie")
   }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** Deterministic weighted interleave of K corpora — the data-mixing step
+    * that assembles one training stream from several sources at fixed
+    * ratios. Every row gets a dense global position `gpos` such that any
+    * prefix of the merged order contains the sources in proportion to their
+    * weights (stride scheduling: source i's rows occupy virtual times
+    * (pos+1)·(W/w_i), W = lcm of weights; ties resolve to the earlier
+    * source).
+    *
+    * The scale point: `gpos` is computed in CLOSED FORM — rank = own pos +
+    * Σ_j (rows of source j strictly earlier), where the j-term is
+    * min(n_j, vt·w_j/W) in exact integer arithmetic — so there is NO global
+    * sort and NO single-partition window: one per-source `row_number`
+    * window plus a pure projection. A global `orderBy`+`row_number` would
+    * funnel 100 TB through one task; this shape shuffles each source once.
+    * Only the K source sizes land on the driver (scalars, same class as
+    * k-means centroids).
+    *
+    * All sources must share the schema of the first (`unionByName`); the
+    * result carries the original columns plus `source` and `gpos`.
+    *
+    * @param sources (name, frame, integer weight > 0) per corpus
+    * @param keyName unique key column present in every source
+    * @param seed    training-order seed (drives the per-source order)
+    */
+  def weightedInterleave(sources: Seq[(String, DataFrame, Int)], keyName: String,
+      seed: Long): DataFrame = {
+    require(sources.nonEmpty, "weightedInterleave needs at least one source")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    val weights = sources.map(_._3.toLong)
+    val big = weights.reduce((a, b) => a / gcd(a, b) * b) // lcm
+    val strides = weights.map(big / _)
+    val tagged = sources.zipWithIndex.map { case ((name, df, _), i) =>
+      df.withColumn("source", lit(name)).withColumn("__src", lit(i))
+    }.reduce(_ unionByName _)
+    val win = Window.partitionBy("__src").orderBy(col("__ok"), col("__tie"))
+    val posed = tagged
+      .withColumn("__ok", orderKey(seed, col(keyName)))
+      .withColumn("__tie", col(keyName).cast("string"))
+      .withColumn("__pos", (row_number().over(win) - 1).cast("long"))
+      .drop("__ok", "__tie")
+    val sizes: Map[Int, Long] = posed.groupBy("__src").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // per-source rank expression, exact BIGINT arithmetic end to end (DIV,
+    // not double division) — vt fits a long for any realistic corpus
+    val rankBySrc = sources.indices.map { i =>
+      val vt = s"((__pos + 1) * ${strides(i)}L)"
+      val terms = sources.indices.filter(_ != i).map { j =>
+        val nj = sizes.getOrElse(j, 0L)
+        // tie at equal virtual time goes to the smaller source index
+        val cnt = if (j < i) s"($vt div ${strides(j)}L)"
+                  else s"(($vt - 1L) div ${strides(j)}L)"
+        s"least(${nj}L, $cnt)"
+      }
+      i -> expr(("__pos" +: terms).mkString(" + "))
+    }
+    val gpos = rankBySrc.tail.foldLeft(
+      when(col("__src") === rankBySrc.head._1, rankBySrc.head._2)) {
+      case (acc, (i, e)) => acc.when(col("__src") === i, e)
+    }.otherwise(lit(null))
+    posed.withColumn("gpos", gpos.cast("long")).drop("__src", "__pos")
+  }
 }

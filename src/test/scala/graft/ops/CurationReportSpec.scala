@@ -96,4 +96,83 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     a should not be b
   }
+
+  behavior of "Shuffling.weightedInterleave"
+
+  private def mkSources(sizes: Seq[Int], weights: Seq[Int]) = {
+    var base = 0L
+    sizes.zip(weights).zipWithIndex.map { case ((n, w), i) =>
+      val df = spark.range(base, base + n).toDF("id")
+      base += n
+      (s"s$i", df, w)
+    }
+  }
+
+  it should "equal the global-sort merge rank on random sizes and weights" in {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5) {
+      val k = 2 + rnd.nextInt(3)
+      val sizes = Seq.fill(k)(rnd.nextInt(120) + 1)
+      val weights = Seq.fill(k)(rnd.nextInt(5) + 1)
+      val srcs = mkSources(sizes, weights)
+      val got = Shuffling.weightedInterleave(srcs, "id", seed = 3L)
+        .select("source", "id", "gpos").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // reference: materialize virtual times and globally sort on the
+      // driver — the formulation the closed form must reproduce
+      val big = weights.map(_.toLong).reduce { (a, b) =>
+        @annotation.tailrec def g(x: Long, y: Long): Long = if (y == 0) x else g(y, x % y)
+        a / g(a, b) * b
+      }
+      def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val exp = srcs.zipWithIndex.flatMap { case ((name, df, w), i) =>
+        val ids = df.collect().map(_.getLong(0)).toSeq
+        ids.map(id => (id, md5hex(s"3-$id"))).sortBy(t => (t._2, t._1.toString))
+          .zipWithIndex.map { case ((id, _), p) =>
+            (name, id, (p + 1L) * (big / w), i)
+          }
+      }.sortBy(t => (t._3, t._4)).zipWithIndex
+        .map { case ((name, id, _, _), g) => (name, id, g.toLong) }
+      got.sorted shouldBe exp.sorted
+    }
+  }
+
+  it should "keep every prefix within one stride of the target ratios" in {
+    val srcs = mkSources(Seq(300, 300, 300), Seq(3, 2, 1))
+    val order = Shuffling.weightedInterleave(srcs, "id", seed = 5L)
+      .select("source", "gpos").collect()
+      .map(r => (r.getLong(1), r.getString(0))).sortBy(_._1).map(_._2)
+    // W = 6; in any prefix of length p, source s0 (stride 2) must have
+    // emitted within 1 of p*w/W until it exhausts
+    for (p <- Seq(60, 120, 300, 480)) {
+      val c0 = order.take(p).count(_ == "s0")
+      math.abs(c0 - p * 3.0 / 6).toInt should be <= 1
+    }
+  }
+
+  behavior of "Sampling.hashSplit"
+
+  it should "partition every row into exactly one split, deterministically" in {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Sampling.hashSplit(df, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    a.count() shouldBe 2000L
+    a.groupBy("id").agg(countDistinct("split").as("k"))
+      .where(col("k") =!= 1).count() shouldBe 0L
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 2000L
+    // hash thresholds put roughly the right mass in each split
+    counts("train").toDouble should (be > 1500.0 and be < 1700.0)
+    val b = Sampling.hashSplit(df.repartition(7), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    a.collect().map(r => (r.getLong(0), r.getString(1))).sorted shouldBe b
+  }
+
+  it should "use the q180 oracle's exact hex thresholds" in {
+    Sampling.thresholdHex(0.8) shouldBe "cccccccc"
+    Sampling.thresholdHex(0.8 + 0.1) shouldBe "e6666666"
+  }
 }
