@@ -143,6 +143,35 @@ object ProfileScale {
       ops.SemDedup.semDedup(embN, minCos = 0.95, nClusters = 8 * n, maxIter = 4).count())
     println(f"semdedup ratios at ${n}x: fixed-k=${sdF / sd1}%.1f scaled-k=${sdS / sd1}%.1f " +
       f"(scaled-k is the production path; linear would be <= $n)")
+
+    // round-7: curation reporting + training-order assembly. All four are
+    // one-scan shapes — report is a nested-when + K-row agg; shuffle/
+    // interleave are one per-shard/per-source window; split is a pure
+    // projection + small agg — so ratios should track row count (<= N).
+    val cascade = Seq(
+      "too_short" -> (length(col("text")) >= 120),
+      "low_alpha" -> (length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 50L >=
+        length(col("text")) * 41L))
+    val fr1 = time("filter report 1x")(ops.Filters.filterReport(docs1, cascade).count())
+    val frN = time(s"filter report ${n}x")(ops.Filters.filterReport(docsN, cascade).count())
+    val sh1 = time("det shuffle 1x")(
+      ops.Shuffling.deterministicShuffle(docs1, col("doc_id"), 32, 7L).count())
+    val shN = time(s"det shuffle ${n}x")(
+      ops.Shuffling.deterministicShuffle(docsN, col("doc_id"), 32, 7L).count())
+    val il1 = time("interleave 1x")(ops.Shuffling.weightedInterleave(Seq(
+      ("a", docs1.where(col("doc_id") % 2 === 0).select("doc_id"), 3),
+      ("b", docs1.where(col("doc_id") % 2 === 1).select("doc_id"), 1)),
+      "doc_id", 7L).count())
+    val ilN = time(s"interleave ${n}x")(ops.Shuffling.weightedInterleave(Seq(
+      ("a", docsN.where(col("doc_id") % 2 === 0).select("doc_id"), 3),
+      ("b", docsN.where(col("doc_id") % 2 === 1).select("doc_id"), 1)),
+      "doc_id", 7L).count())
+    val sp1 = time("hash split 1x")(ops.Sampling.hashSplit(docs1, col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.1)).groupBy("split").count().count())
+    val spN = time(s"hash split ${n}x")(ops.Sampling.hashSplit(docsN, col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.1)).groupBy("split").count().count())
+    println(f"round-7 ratios at ${n}x: report=${frN / fr1}%.1f shuffle=${shN / sh1}%.1f " +
+      f"interleave=${ilN / il1}%.1f split=${spN / sp1}%.1f (linear would be <= $n)")
     spark.stop()
   }
 }

@@ -52,6 +52,25 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  "Shuffling.weightedInterleave" should "compute global rank without a global sort" in {
+    val srcs = Seq(
+      ("a", spark.range(0, 100).toDF("id"), 3),
+      ("b", spark.range(100, 200).toDF("id"), 1))
+    val plan = physical(Shuffling.weightedInterleave(srcs, "id", seed = 1L))
+    // the whole point of the closed form: K per-source windows, zero
+    // single-partition funnels (a global row_number would plan one)
+    plan should not include "SinglePartition"
+    plan should not include "rangepartitioning"
+    plan should include("Window")
+  }
+
+  "Filters.filterReport" should "broadcast the filter dimension" in {
+    val docs = Seq((1L, 10), (2L, 200)).toDF("id", "len")
+    val plan = physical(Filters.filterReport(docs,
+      Seq("short" -> (col("len") >= 100))))
+    plan should include("BroadcastHashJoin")
+  }
+
   "HeavyHitters recount" should "broadcast the candidate set" in {
     val items = spark.range(0, 1000)
       .select(concat(lit("w"), col("id") % 7).as("item"))
