@@ -283,6 +283,33 @@ object DriveDemo {
       println(f"eval: acc=${met.getAs[Double]("accuracy")}%.3f f1=${met.getAs[Double]("f1")}%.3f")
     }
 
+    // 10. round-7 ops: filter-cascade report, deterministic shuffle,
+    // weighted interleave, hash split
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val report = graft.ops.Filters.filterReport(docs, Seq(
+          "too_short" -> (col("n_chars") >= 120),
+          "rare_lang" -> col("lang").isin("en", "de", "fr")))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      println(s"filter report: $report")
+      val sh = graft.ops.Shuffling.deterministicShuffle(
+        docs.select("doc_id"), col("doc_id"), nShards = 4, seed = 42L)
+      println("det shuffle: " + sh.groupBy("shard").count().orderBy("shard")
+        .collect().map(r => s"s${r.getLong(0)}:${r.getLong(1)}").mkString(", "))
+      val mix = graft.ops.Shuffling.weightedInterleave(Seq(
+          ("en", docs.where(col("lang") === "en").select("doc_id"), 3),
+          ("rest", docs.where(col("lang") =!= "en").select("doc_id"), 1)),
+        "doc_id", seed = 42L)
+      val head = mix.orderBy("gpos").limit(8).collect()
+        .map(_.getString(1)).mkString(" ")
+      println(s"interleave 3:1 head: $head")
+      val split = graft.ops.Sampling.hashSplit(docs, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      println("hash split: " + split.groupBy("split").count().orderBy("split")
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
+    }
+
     spark.stop()
   }
 }
