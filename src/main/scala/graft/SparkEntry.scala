@@ -2108,7 +2108,33 @@ object SparkEntry {
       graft.ops.Sampling.hashSplit(tbl(s, d, "documents"), col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).as("sum_chars")))
+          sum(col("n_chars")).as("sum_chars"))),
+
+    // Curation report maintained on INGEST: the q177 cascade drained
+    // through a 4-micro-batch file stream; per-batch K-row partials merge
+    // additively (counts are a commutative monoid), so the streamed report
+    // hash-matches the single-pass batch oracle exactly.
+    "q181_stream_filter_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_rep").toString
+      try {
+        docs.repartition(4).write.mode("overwrite").parquet(s"$dir/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+        val alphaLen = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val cascade = Seq(
+          "too_short" -> (col("n_chars") >= 120),
+          "rare_lang" -> col("lang").isin("en", "de", "fr"),
+          "low_alpha" -> (alphaLen * 50L >= col("n_chars") * 41L))
+        val rep = graft.streaming.Streams.streamFilterReport(stream, cascade)
+        (cascade.map(_._1) :+ graft.ops.Filters.KeptLabel)
+          .map(l => (l, rep.getOrElse(l, 0L))).toDF("filter", "n")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    })
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -3477,6 +3503,17 @@ object SparkEntry {
         "WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) " +
         "SELECT split, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
-        "FROM a GROUP BY 1")
+        "FROM a GROUP BY 1"),
+
+    "q181_stream_filter_report" ->
+      ("WITH a AS (SELECT CASE " +
+        "WHEN NOT coalesce(n_chars >= 120, FALSE) THEN 'too_short' " +
+        "WHEN NOT coalesce(lang IN ('en','de','fr'), FALSE) THEN 'rare_lang' " +
+        "WHEN NOT coalesce(50*length(regexp_replace(text,'[^A-Za-z]','','g')) >= 41*n_chars, FALSE) THEN 'low_alpha' " +
+        "ELSE 'kept' END AS filter FROM documents), " +
+        "c AS (SELECT filter, COUNT(*) AS n FROM a GROUP BY 1) " +
+        "SELECT d.filter, CAST(COALESCE(c.n, 0) AS BIGINT) AS n " +
+        "FROM (VALUES ('too_short'),('rare_lang'),('low_alpha'),('kept')) d(filter) " +
+        "LEFT JOIN c ON c.filter = d.filter")
   )
 }

@@ -399,4 +399,31 @@ object Streams {
     q.awaitTermination()
     acc.get()
   }
+
+  /** Maintain the filter-cascade removal report over a file STREAM — the
+    * curation dashboard on ingest. Each micro-batch contributes one K-row
+    * [[graft.ops.Filters.filterReport]] aggregation; label counts form a
+    * commutative monoid under addition, so the drained report is exactly
+    * the single-pass batch report on the full corpus no matter how ingest
+    * was micro-batched. Only K (label, count) scalars ever reach the
+    * driver per batch. */
+  def streamFilterReport(stream: DataFrame,
+      filters: Seq[(String, org.apache.spark.sql.Column)]): Map[String, Long] = {
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val part = graft.ops.Filters.filterReport(batch.toDF(), filters).collect()
+          acc.synchronized {
+            part.foreach(r =>
+              acc.update(r.getString(0), acc.getOrElse(r.getString(0), 0L) + r.getLong(1)))
+          }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    acc.synchronized(acc.toMap)
+  }
 }

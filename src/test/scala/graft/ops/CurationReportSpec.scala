@@ -175,4 +175,25 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     Sampling.thresholdHex(0.8) shouldBe "cccccccc"
     Sampling.thresholdHex(0.8 + 0.1) shouldBe "e6666666"
   }
+
+  behavior of "Streams.streamFilterReport"
+
+  it should "equal the batch report no matter how ingest is micro-batched" in {
+    val docs = spark.range(0, 400)
+      .select(col("id"), (col("id") % 7 * 40).as("len"))
+    val cascade = Seq("short" -> (col("len") >= 100))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_spec").toString
+    try {
+      docs.repartition(5).write.parquet(s"$dir/src")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/src")
+      val streamed = graft.streaming.Streams.streamFilterReport(stream, cascade)
+      val batch = Filters.filterReport(docs, cascade)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      streamed shouldBe batch
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
