@@ -2134,6 +2134,25 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
+    }),
+
+    // Deterministic negative sampling: per anchor, 5 pseudo-random items
+    // that are NOT same-language positives — draw d targets dense item
+    // index md5(seed-anchor-d) mod N (equi-join against the distributed
+    // orderedIndex relation, no cross join), positives removed by
+    // anti-join, first-k surviving draws win. Oracle recomputes every
+    // draw, the dense index, and the ranking independently.
+    "q182_negative_sample" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val anchors = docs.where(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("anchor"), col("lang"))
+      val items = docs.select(col("doc_id").as("item"))
+      val positives = anchors
+        .join(docs.select(col("doc_id").as("item"), col("lang")), "lang")
+        .select(col("anchor"), col("item"))
+      graft.ops.Shuffling.negativeSample(anchors, "anchor", items, "item",
+          positives, k = 5, nDraws = 12, seed = 7L)
+        .select(col("anchor"), col("item"), col("rank"))
     })
   )
 
@@ -3514,6 +3533,23 @@ object SparkEntry {
         "c AS (SELECT filter, COUNT(*) AS n FROM a GROUP BY 1) " +
         "SELECT d.filter, CAST(COALESCE(c.n, 0) AS BIGINT) AS n " +
         "FROM (VALUES ('too_short'),('rare_lang'),('low_alpha'),('kept')) d(filter) " +
-        "LEFT JOIN c ON c.filter = d.filter")
+        "LEFT JOIN c ON c.filter = d.filter"),
+
+    "q182_negative_sample" ->
+      // the 32-bit draw rebuilt digit-by-digit (exact in doubles), the
+      // dense item index rebuilt with a window, ranking re-derived
+      ("WITH it AS (SELECT doc_id AS item, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx FROM documents), " +
+        "cnt AS (SELECT COUNT(*) AS n FROM documents), " +
+        "an AS (SELECT doc_id AS anchor, lang FROM documents WHERE doc_id % 37 = 0), " +
+        "dr AS (SELECT anchor, lang, CAST(t.i AS BIGINT) AS i FROM an, range(0, 12) t(i)), " +
+        "hv AS (SELECT anchor, lang, i, CAST(list_sum(list_transform(range(1, 9), " +
+        "j -> (strpos('0123456789abcdef', substring(md5('7-' || CAST(anchor AS VARCHAR) || '-' || CAST(i AS VARCHAR)), CAST(j AS INTEGER), 1)) - 1) * 16.0 ^ (8 - j))) AS BIGINT) " +
+        "% (SELECT n FROM cnt) AS idx FROM dr), " +
+        "cand AS (SELECT h.anchor, h.i, it.item FROM hv h JOIN it ON it.idx = h.idx " +
+        "WHERE NOT EXISTS (SELECT 1 FROM documents dd WHERE dd.doc_id = it.item AND dd.lang = h.lang)), " +
+        "ded AS (SELECT anchor, item, MIN(i) AS di FROM cand GROUP BY 1, 2) " +
+        "SELECT * FROM (SELECT anchor, item, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY di) AS BIGINT) AS rank FROM ded) " +
+        "WHERE rank <= 5")
   )
 }

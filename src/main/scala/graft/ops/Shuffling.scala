@@ -116,4 +116,71 @@ object Shuffling {
     }.otherwise(lit(null))
     posed.withColumn("gpos", gpos.cast("long")).drop("__src", "__pos")
   }
+
+  /** Dense 0-based global index in `keyCol` order — the distributed
+    * ROW_NUMBER() OVER (ORDER BY key) that never funnels data through one
+    * partition: range-repartition on the key, rank inside each partition
+    * (parallel windows), add the partition's global offset (a broadcast of
+    * one long per partition). Keys must be unique — a tie could straddle a
+    * range boundary and make the rank partition-dependent.
+    *
+    * The pid-stamped frame is pinned with `localCheckpoint` so the offset
+    * pass and the rank pass see the SAME partitioning (range boundaries
+    * come from sampling; pinning makes reuse structural, not assumed).
+    */
+  def orderedIndex(df: DataFrame, keyCol: String,
+      indexName: String = "idx"): DataFrame = {
+    val pidded = df.repartitionByRange(col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = pidded.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.tail.zip(counts).map { case ((pid, cum), (_, c)) => (pid, cum - c) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDim = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(keyCol)
+    pidded.join(broadcast(offDim), "__pid")
+      .withColumn(indexName,
+        (row_number().over(w) - 1).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, k pseudo-random non-positive items, reproducible from (seed,
+    * anchor) alone. Draw d of anchor a targets the item with dense index
+    * md5(seed-a-d) mod |items| — an EQUI-join against the [[orderedIndex]]
+    * relation, never a cross join — then positives are removed by anti-join,
+    * duplicate hits collapse to their first draw, and the first k surviving
+    * draws win (fewer if nDraws collisions/positives exhaust the budget; size
+    * nDraws ≈ 2-3k). At 100 TB: one narrow draw expansion, one shuffle join
+    * on the index, one anti-join, one per-anchor top-k — no quadratics.
+    *
+    * @param positives (anchorCol, itemCol) pairs that must never be emitted
+    */
+  def negativeSample(anchors: DataFrame, anchorCol: String,
+      items: DataFrame, itemCol: String, positives: DataFrame,
+      k: Int, nDraws: Int, seed: Long): DataFrame = {
+    require(k > 0 && nDraws >= k, s"need nDraws >= k > 0: k=$k nDraws=$nDraws")
+    val n = items.count()
+    require(n > 0, "items must be non-empty")
+    val indexed = orderedIndex(items.select(itemCol), itemCol, "__idx")
+    val draws = anchors.select(col(anchorCol))
+      .withColumn("__i", explode(sequence(lit(0), lit(nDraws - 1))))
+      .withColumn("__idx", pmod(
+        conv(substring(md5(concat_ws("-",
+          lit(seed), col(anchorCol).cast("string"),
+          col("__i").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(n)))
+    val w = Window.partitionBy(anchorCol).orderBy("__di")
+    draws.join(indexed, "__idx")
+      .join(positives.select(col(anchorCol), col(itemCol)),
+        Seq(anchorCol, itemCol), "left_anti")
+      .groupBy(anchorCol, itemCol).agg(min("__i").as("__di"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .drop("__di")
+  }
 }

@@ -176,6 +176,55 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     Sampling.thresholdHex(0.8 + 0.1) shouldBe "e6666666"
   }
 
+  behavior of "Shuffling.orderedIndex"
+
+  it should "equal ROW_NUMBER over the key order under any partitioning" in {
+    val rnd = new scala.util.Random(23)
+    val keys = rnd.shuffle((0L until 777L).map(_ * 3 + 1)).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val df = keys.toDF("k").repartition(parts)
+      val got = Shuffling.orderedIndex(df, "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val exp = keys.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      got shouldBe exp.sorted
+    }
+  }
+
+  behavior of "Shuffling.negativeSample"
+
+  it should "match a sequential reference and never emit a positive" in {
+    def md5hex(x: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val items = (0L until 200L).map(i => (i, (i % 5).toInt))
+    val anchors = items.filter(_._1 % 17 == 0)
+    val itemsDf = items.toDF("item", "grp").select("item")
+    val anchorsDf = anchors.toDF("anchor", "grp")
+    // positives: same grp
+    val positivesDf = anchors.toDF("anchor", "agrp")
+      .join(items.toDF("item", "grp"), col("agrp") === col("grp"))
+      .select("anchor", "item")
+    val got = Shuffling.negativeSample(anchorsDf, "anchor", itemsDf, "item",
+        positivesDf, k = 4, nDraws = 10, seed = 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // sequential twin
+    val sortedItems = items.map(_._1).sorted
+    val grpOf = items.toMap
+    val exp = anchors.flatMap { case (a, ag) =>
+      val hits = (0 until 10).map { i =>
+        val hv = java.lang.Long.parseLong(md5hex(s"99-$a-$i").substring(0, 8), 16)
+        (i.toLong, sortedItems((hv % 200).toInt))
+      }.filter { case (_, it) => grpOf(it) != ag }
+      val ded = hits.groupBy(_._2).map { case (it, ds) => (ds.map(_._1).min, it) }
+        .toSeq.sortBy(_._1).take(4)
+      ded.zipWithIndex.map { case ((_, it), r) => (a, it, r + 1L) }
+    }.sorted
+    got shouldBe exp
+    // and no emitted pair is a positive
+    val pos = anchors.flatMap { case (a, ag) =>
+      items.filter(_._2 == ag).map(it => (a, it._1)) }.toSet
+    got.foreach { case (a, it, _) => pos should not contain ((a, it)) }
+  }
+
   behavior of "Streams.streamFilterReport"
 
   it should "equal the batch report no matter how ingest is micro-batched" in {
