@@ -1,16 +1,6 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
-name := "emmaspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
-unmanagedBase := file("/opt/spark/jars")
-// Test-only deps resolve from the pre-warmed coursier cache; anything
-// else is intentionally not resolvable (COURSIER_MODE=offline).
-libraryDependencies ++= Seq(
-  "org.scalatest" %% "scalatest" % "3.2.19" % Test,
-  "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
-)
-Test / fork := true
-run / fork := true
+
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,8 +13,36 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
-  "-Dspark.ui.enabled=false",
-  "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+
+// Macro module: compiled BEFORE the root project so its blackbox macros
+// (the comprehension front-end) are usable from root main sources.
+// scala-reflect comes from the same unmanaged Spark jar directory —
+// no managed dependencies added.
+lazy val macros = (project in file("macros"))
+  .settings(
+    name := "emmaspark-macros",
+    // Spark jars ship with the image at /opt/spark/jars (zero-egress):
+    unmanagedBase := file("/opt/spark/jars"),
+  )
+
+lazy val root = (project in file("."))
+  .dependsOn(macros)
+  .aggregate(macros)
+  .settings(
+    name := "emmaspark",
+    // Spark jars ship with the image at /opt/spark/jars (zero-egress):
+    unmanagedBase := file("/opt/spark/jars"),
+    // Test-only deps resolve from the pre-warmed coursier cache; anything
+    // else is intentionally not resolvable (COURSIER_MODE=offline).
+    libraryDependencies ++= Seq(
+      "org.scalatest" %% "scalatest" % "3.2.19" % Test,
+      "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+    ),
+    Test / fork := true,
+    run / fork := true,
+    javaOptions ++= jdk17AddOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    ),
+  )

@@ -11,6 +11,10 @@ import graft.ops.{AsOf, Curation, Dedup, Multimodal, Portable, RangeJoin, Sampli
 /** Row type used by the CSV round-trip query. */
 case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
 
+/** Row types for the comprehension front-end gate (q183). */
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+case class CustRow(c_custkey: Long, c_name: String, c_acctbal: Double)
+
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle in [[SparkEntry.oracleSql]]
   * where SQL-expressible.
@@ -1792,7 +1796,7 @@ object SparkEntry {
       val texts = tbl(s, d, "documents")
         .select(substring(col("text"), 1, 100).as("t"))
         .as[String](s.implicits.newStringEncoder).toBag
-      val chars: DataBag[Char] = texts.flatMap(t => t)
+      val chars: DataBag[Char] = texts.flatMap(t => t.toSeq)
       chars.ds.toDF("code")
         .groupBy("code").agg(count(lit(1)).as("cnt"))
         .select(col("code").cast("int"), col("cnt"))
@@ -2153,6 +2157,31 @@ object SparkEntry {
       graft.ops.Shuffling.negativeSample(anchors, "anchor", items, "item",
           positives, k = 5, nDraws = 12, seed = 7L)
         .select(col("anchor"), col("item"), col("rank"))
+    }),
+
+    // The quotation front-end in the gate: a natural for-comprehension with
+    // an equality guard, rewritten AT COMPILE TIME by comprehensions.onSpark
+    // into equiJoin + filter + map (the reference's emma.onSpark join
+    // derivation for the two-generator shape). The oracle is the plain SQL
+    // join; ComprehensionSpec asserts the plan has no cartesian.
+    "q183_comprehension" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .as[CustRow])
+      val res = onSpark {
+        for {
+          o <- orders
+          cu <- custs
+          if o.o_custkey == cu.c_custkey
+          if cu.c_acctbal > 5000.0
+        } yield (o.o_orderkey, cu.c_name, math.floor(o.o_totalprice * 100.0).toLong)
+      }
+      res.ds.toDF("o_orderkey", "c_name", "price_cents")
     })
   )
 
@@ -3550,6 +3579,10 @@ object SparkEntry {
         "ded AS (SELECT anchor, item, MIN(i) AS di FROM cand GROUP BY 1, 2) " +
         "SELECT * FROM (SELECT anchor, item, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY di) AS BIGINT) AS rank FROM ded) " +
-        "WHERE rank <= 5")
+        "WHERE rank <= 5"),
+
+    "q183_comprehension" ->
+      ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0")
   )
 }

@@ -44,6 +44,20 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   def flatMap[B: Encoder](f: A => IterableOnce[B]): DataBag[B] =
     new DataBag(src.flatMap(f))
 
+  /** Reference-shaped bind whose inner bag is DISTRIBUTED — the overload
+    * that makes `for { x <- xs; y <- ys; ... }` typecheck, exactly like
+    * the reference API. Only meaningful under
+    * [[graft.api.comprehensions.onSpark]], which rewrites the
+    * comprehension into `equiJoin`/`cross` at COMPILE time; reaching this
+    * body means no rewrite happened, and evaluating one Spark job per left
+    * element is the silent disaster this error prevents (the reference has
+    * the same cliff: its un-specialized nested bags are local-only). */
+  def flatMap[B](f: A => DataBag[B]): DataBag[B] =
+    throw new UnsupportedOperationException(
+      "flatMap with a distributed inner bag executes one job per element. " +
+      "Wrap the comprehension in graft.api.comprehensions.onSpark{} (compile-time " +
+      "rewrite to equiJoin/cross), or use flatMapBag for LOCAL inner bags.")
+
   /** For-comprehension filter. Prefer [[where]] for Column predicates. */
   def withFilter(p: A => Boolean): DataBag[A] = new DataBag(src.filter(p))
   def filter(p: A => Boolean): DataBag[A] = withFilter(p)
