@@ -3,40 +3,44 @@ package graft.api
 import scala.language.experimental.macros
 import scala.reflect.macros.blackbox
 
-/** Minimal quotation front-end — the reference's flagship ergonomic
+/** Quotation front-end — the reference's flagship ergonomic
   * (`emma.onSpark { for-comprehension }` with automatic join derivation,
   * emma-spark onSpark.scala:23-27 + emma-language Combination.scala:58-77):
-  * a compile-time rewrite of the two-generator comprehension
+  * a compile-time rewrite of linear generator chains
   *
   * {{{
-  * onSpark { for { x <- xs; y <- ys; if kx(x) == ky(y); if p(x, y) } yield f(x, y) }
+  * onSpark {
+  *   for { x <- xs; y <- ys; if kx(x) == ky(y); z <- zs; if h(y) == g(z) }
+  *     yield f(x, y, z)
+  * }
   * }}}
   *
-  * into `xs.equiJoin(ys)(kx, ky).withFilter(p').map(f')` — the natural
-  * syntax plans a real shuffled/broadcast JOIN instead of one Spark job
-  * per left element. Guard handling mirrors the reference's Combination
-  * rules for the 2-generator case: the first guard that splits into an
-  * x-only side and a y-only side of an `==` becomes the join key
-  * (ComprehensionCombinators equiJoin); every remaining guard becomes a
-  * post-join filter; with no separable guard the generators combine by
-  * `cross` and ALL guards filter the product.
+  * into a LEFT FOLD of joins — `xs.equiJoin(ys)(...).equiJoin(zs)(...)
+  * .map(...)` — so the natural syntax plans real shuffled/broadcast joins
+  * instead of one Spark job per element. Guard handling mirrors the
+  * reference's Combination rules: at each generator, guards that
+  * reference only that generator's variable pre-filter its bag; the first
+  * guard that splits an `==` into an earlier-variables-only side and a
+  * new-variable-only side becomes the equi-join key; every remaining
+  * guard filters after the join; with no separable guard the generators
+  * combine by `cross`.
   *
-  * Deeper generator chains (3-way joins) are NOT derived — that requires
-  * the reference's full normalization engine; they abort at compile time
-  * with guidance rather than silently executing per-element jobs. The
-  * design stance (SURVEY §7.1) keeps explicit `equiJoin`/`joined.on` as
-  * the primary API; this macro recovers the reference syntax for the
-  * dominant shape. Non-DataBag expressions pass through untouched.
+  * Not derived (compile-time abort with guidance, never a silent
+  * per-element job): dependent generators (a later bag built from an
+  * earlier variable) and non-linear shapes — the reference's full
+  * normalization engine is out of scope by design stance (SURVEY §7.1);
+  * explicit `equiJoin`/`joined.on` remains the primary API. Non-DataBag
+  * expressions pass through untouched.
   *
-  * Mechanics note: the shape and the guard split are decided on the TYPED
-  * tree (where `DataBag`-ness is provable), then the WHOLE expression is
-  * untypechecked once and re-matched structurally for rebuilding —
-  * untypechecking subtrees in isolation leaves stale symbols for
-  * outer-bound names and breaks bytecode emission.
+  * Mechanics note: shape and guard analysis run on the TYPED tree (where
+  * `DataBag`-ness is provable), then the WHOLE expression is untypechecked
+  * once and re-matched structurally for rebuilding — untypechecking
+  * subtrees in isolation leaves stale symbols for outer-bound names and
+  * breaks bytecode emission.
   */
 object comprehensions {
 
-  /** Rewrite the comprehension if it is the supported DataBag shape;
+  /** Rewrite the comprehension if it is a supported DataBag chain;
     * identity for anything else. Apply directly to the comprehension. */
   def onSpark[T](expr: T): T = macro ComprehensionMacro.onSpark[T]
 }
@@ -80,15 +84,18 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
-  /** The full two-generator comprehension shape. */
-  private object Shape {
-    def unapply(t: Tree): Option[(Tree, ValDef, Tree, List[(ValDef, Tree)], ValDef, Tree)] =
-      t match {
-        case Call1(xs, TermName("flatMap"),
-              Lam(xv, Call1(FilterChain(ys, guards), TermName("map"), Lam(yv2, body)))) =>
-          Some((xs, xv, ys, guards, yv2, body))
-        case _ => None
-      }
+  /** One generator level: `<- bag` with the guards attached to its source
+    * (cross-variable guards desugar onto the NEXT generator's bag). */
+  private case class Gen(v: ValDef, bag: Tree, guards: List[(ValDef, Tree)])
+
+  /** Flattens `xs.wF(g)*.flatMap(x => ... .map(v => body))` into the
+    * generator chain and the yield body. */
+  private def flatten(t: Tree): Option[(List[Gen], Tree)] = t match {
+    case Call1(FilterChain(bag, gs), TermName("flatMap"), Lam(v, rest)) =>
+      flatten(rest).map { case (gens, body) => (Gen(v, bag, gs) :: gens, body) }
+    case Call1(FilterChain(bag, gs), TermName("map"), Lam(v, body)) =>
+      Some((List(Gen(v, bag, gs)), body))
+    case _ => None
   }
 
   private def isDataBag(t: Tree): Boolean =
@@ -96,72 +103,144 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   private def uses(t: Tree, n: TermName): Boolean =
     t.exists { case Ident(`n`) => true; case _ => false }
+  private def usesAny(t: Tree, ns: Seq[TermName]): Boolean = ns.exists(uses(t, _))
 
   /** Untyped single-param lambda (param type left for inference). */
   private def lam(p: TermName, body: Tree): Tree =
     Function(List(ValDef(Modifiers(Flag.PARAM), p, TypeTree(), EmptyTree)), body)
 
-  /** Lambda with a fresh param that rebinds `orig` around an (already
-    * untypechecked) body. */
-  private def rebound(orig: TermName, body: Tree): Tree = {
-    val p = TermName(c.freshName("v$"))
-    lam(p, q"{ val $orig = $p; $body }")
+  // ------------------------------------------------------- analysis (typed)
+
+  /** How guard g of generator i combines, given outer variable names. */
+  private sealed trait GuardRole
+  private case object OwnFilter extends GuardRole  // references only var_i
+  private case class JoinKey(swapped: Boolean) extends GuardRole
+  private case object PostFilter extends GuardRole
+
+  private def roleOf(outer: Seq[TermName], own: TermName, g: Tree): GuardRole =
+    g match {
+      case _ if !usesAny(g, outer) => OwnFilter
+      case Eq(l, r) if !uses(l, own) && !usesAny(r, outer) => JoinKey(swapped = false)
+      case Eq(l, r) if !uses(r, own) && !usesAny(l, outer) => JoinKey(swapped = true)
+      case _ => PostFilter
+    }
+
+  /** Per level ≥ 2: the roles of its guards, with at most one JoinKey (the
+    * first; later key-shaped guards demote to post filters). */
+  private def analyze(gens: List[Gen]): List[List[GuardRole]] = {
+    val names = gens.map(_.v.name)
+    gens.zipWithIndex.drop(1).map { case (gen, i) =>
+      val outer = names.take(i)
+      var keyTaken = false
+      gen.guards.map { case (gv, g) =>
+        roleOf(outer, gv.name, g) match {
+          case JoinKey(sw) if !keyTaken => keyTaken = true; JoinKey(sw)
+          case JoinKey(_) => PostFilter
+          case other => other
+        }
+      }
+    }
   }
 
-  /** Which guard (if any) can key an equi-join, and whether its sides are
-    * (x, y) or (y, x). Decided on the typed tree. */
-  private def splitGuard(xv: ValDef, guards: List[(ValDef, Tree)]): Option[(Int, Boolean)] =
-    guards.zipWithIndex.iterator.map { case ((gv, g), idx) =>
-      g match {
-        case Eq(l, r) if !uses(l, gv.name) && !uses(r, xv.name) => Some((idx, false))
-        case Eq(l, r) if !uses(r, gv.name) && !uses(l, xv.name) => Some((idx, true))
-        case _ => None
-      }
-    }.collectFirst { case Some(hit) => hit }
+  // ------------------------------------------------------ rebuild (untyped)
 
-  def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = expr match {
-    case Shape(xs, xv, ys, guards, _, _)
-        if isDataBag(xs) && isDataBag(ys) && !uses(ys, xv.name) =>
-      val plan = splitGuard(xv, guards)
-      // decide on the typed tree; rebuild from a whole-tree untypecheck
-      c.untypecheck(expr) match {
-        case Shape(uxs, uxv, uys, uguards, uyv2, ubody) =>
-          val pair = TermName(c.freshName("xy$"))
-          def paired(inner: Tree, yName: TermName): Tree =
-            lam(pair, q"{ val ${uxv.name} = $pair._1; val $yName = $pair._2; $inner }")
-          val joined = plan match {
-            case Some((idx, swapped)) =>
-              val (gv, g) = uguards(idx)
-              val (xKey, yKey) = g match {
-                case Eq(l, r) => if (swapped) (r, l) else (l, r)
-                case _ => c.abort(c.enclosingPosition, "internal: guard shape changed")
-              }
-              val kx = rebound(uxv.name, xKey)
-              val ky = rebound(gv.name, yKey)
-              val rest = uguards.zipWithIndex.filter(_._2 != idx).map(_._1)
-              rest.foldLeft(q"$uxs.equiJoin($uys)($kx, $ky)") {
-                case (acc, (v, gg)) => q"$acc.withFilter(${paired(gg, v.name)})"
-              }
-            case None =>
-              uguards.foldLeft(q"$uxs.cross($uys)") {
-                case (acc, (v, gg)) => q"$acc.withFilter(${paired(gg, v.name)})"
-              }
-          }
-          q"$joined.map(${paired(ubody, uyv2.name)})"
-        case other =>
+  /** Accessor for variable j (1-based) in the stage-i nested pair
+    * ((...(v1,v2),v3)...,vi). */
+  private def accessor(p: TermName, j: Int, i: Int): Tree = {
+    val down = (1 to (i - j)).foldLeft(q"$p": Tree)((t, _) => q"$t._1")
+    if (j > 1) q"$down._2" else down
+  }
+
+  /** { val v1 = acc1; ...; val vi = acci; inner } under a fresh pair
+    * param. `renameLast` substitutes the binding NAME of v_i (guard and
+    * map lambdas carry their own parameter names). */
+  private def bound(names: Seq[TermName], i: Int, inner: Tree,
+      lastName: Option[TermName] = None): Tree = {
+    val p = TermName(c.freshName("p$"))
+    val vals = (1 to i).map { j =>
+      val n = if (j == i) lastName.getOrElse(names(j - 1)) else names(j - 1)
+      q"val $n = ${accessor(p, j, i)}"
+    }
+    lam(p, q"{ ..$vals; $inner }")
+  }
+
+  def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
+    val typedChain = flatten(expr)
+    typedChain match {
+      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) =>
+        val names = gens.map(_.v.name)
+        if (names.distinct.length != names.length)
           c.abort(c.enclosingPosition,
-            s"internal: untypechecked tree no longer matches the comprehension shape: $other")
-      }
+            "onSpark: generator variable names must be distinct")
+        // every later bag must be independent of earlier generators
+        for ((gen, i) <- gens.zipWithIndex.drop(1)) {
+          if (!isDataBag(gen.bag))
+            c.abort(c.enclosingPosition,
+              s"onSpark: generator '${gen.v.name}' is not a DataBag — mixed-monad comprehensions are not derived")
+          if (usesAny(gen.bag, names.take(i)))
+            c.abort(c.enclosingPosition,
+              s"onSpark: generator '${gen.v.name}' depends on an earlier generator variable; " +
+              "dependent generators are not derived — join explicitly or restructure")
+        }
+        val roles = analyze(gens)
+        // rebuild from a single whole-expression untypecheck
+        flatten(c.untypecheck(expr)) match {
+          case Some((ugens, ubody)) =>
+            val head = ugens.head
+            // level-1 guards reference only v1: pre-filter the first bag
+            val first = head.guards.foldLeft(head.bag) { case (acc, (gv, g)) =>
+              q"$acc.withFilter(${lam(gv.name, g)})"
+            }
+            val joinedAll = ugens.zip(roles.map(Some(_)).prepended(None))
+              .zipWithIndex.drop(1)
+              .foldLeft(first) { case (acc, ((gen, Some(levelRoles)), idx)) =>
+                val i = idx + 1 // 1-based stage AFTER this join
+                val own = gen.guards.zip(levelRoles).collect {
+                  case ((gv, g), OwnFilter) => (gv, g) }
+                val key = gen.guards.zip(levelRoles).collectFirst {
+                  case ((gv, g), JoinKey(sw)) => (gv, g, sw) }
+                val post = gen.guards.zip(levelRoles).collect {
+                  case ((gv, g), PostFilter) => (gv, g) }
+                val bag = own.foldLeft(gen.bag) { case (b, (gv, g)) =>
+                  q"$b.withFilter(${lam(gv.name, g)})"
+                }
+                val joined = key match {
+                  case Some((gv, g, swapped)) =>
+                    val (accSide, newSide) = g match {
+                      case Eq(l, r) => if (swapped) (r, l) else (l, r)
+                      case _ => c.abort(c.enclosingPosition, "internal: key guard shape changed")
+                    }
+                    // key over the accumulated tuple: bind v1..v_{i-1}
+                    val kAcc = bound(names, i - 1, accSide)
+                    val kNew = lam(gv.name, newSide)
+                    q"$acc.equiJoin($bag)($kAcc, $kNew)"
+                  case None =>
+                    q"$acc.cross($bag)"
+                }
+                // demoted / mixed guards filter the joined pair; the guard's
+                // own param name binds the NEW side
+                post.foldLeft(joined) { case (j, (gv, g)) =>
+                  q"$j.withFilter(${bound(names, i, g, Some(gv.name))})"
+                }
+              case (acc, ((_, None), _)) => acc
+            }
+            q"$joinedAll.map(${bound(names, ugens.length, ubody, Some(ugens.last.v.name))})"
+          case None =>
+            c.abort(c.enclosingPosition,
+              "internal: untypechecked tree no longer matches the comprehension shape")
+        }
 
-    // a DataBag flatMap whose inner bag is distributed but whose shape we
-    // cannot combine (e.g. a 3-generator chain): error NOW, not per-element
-    case Call1(xs, TermName("flatMap"), Lam(_, inner))
-        if isDataBag(xs) && isDataBag(inner) =>
-      c.abort(c.enclosingPosition,
-        "onSpark derives joins only for the two-generator comprehension " +
-        "shape; restructure deeper chains with explicit equiJoin/cross " +
-        "(e.g. join two bags first, then comprehend over the pair bag)")
-
-    case _ => expr
+      // a DataBag flatMap whose inner bag is distributed but whose shape we
+      // cannot combine: error NOW, not per-element at runtime
+      case _ =>
+        expr match {
+          case Call1(xs, TermName("flatMap"), Lam(_, inner))
+              if isDataBag(xs) && isDataBag(inner) =>
+            c.abort(c.enclosingPosition,
+              "onSpark could not derive joins for this comprehension shape; " +
+              "use explicit equiJoin/cross or restructure the generators")
+          case _ => expr
+        }
+    }
   }
 }

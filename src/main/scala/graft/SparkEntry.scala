@@ -11,9 +11,10 @@ import graft.ops.{AsOf, Curation, Dedup, Multimodal, Portable, RangeJoin, Sampli
 /** Row type used by the CSV round-trip query. */
 case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
 
-/** Row types for the comprehension front-end gate (q183). */
+/** Row types for the comprehension front-end gates (q183, q184). */
 case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
 case class CustRow(c_custkey: Long, c_name: String, c_acctbal: Double)
+case class UEdge(s: Long, d: Long)
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle in [[SparkEntry.oracleSql]]
@@ -2182,6 +2183,34 @@ object SparkEntry {
         } yield (o.o_orderkey, cu.c_name, math.floor(o.o_totalprice * 100.0).toLong)
       }
       res.ds.toDF("o_orderkey", "c_name", "price_cents")
+    }),
+
+    // The reference's EnumerateTriangles in its ORIGINAL comprehension
+    // syntax (emma-examples EnumerateTriangles.scala:27-42): three
+    // generators, three guards — the macro derives two equiJoins (first
+    // guard per level keys the join, the closing xz.d == yz.d guard
+    // filters after) with no cartesian. Same oracle as the explicit q33.
+    "q184_triangles_comprehension" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val raw = tbl(s, d, "lineitem")
+        .select((col("l_suppkey") % 30).as("src"), (col("l_partkey") % 30).as("dst"))
+      val canon = raw
+        .select(least(col("src"), col("dst")).as("s"),
+          greatest(col("src"), col("dst")).as("d"))
+        .where(col("s") =!= col("d")).distinct()
+      val es = DataBag.from(canon.as[UEdge])
+      val tri = onSpark {
+        for {
+          xy <- es
+          yz <- es
+          if xy.d == yz.s
+          xz <- es
+          if xz.s == xy.s
+          if xz.d == yz.d
+        } yield (xy.s, xy.d, yz.d)
+      }
+      tri.ds.toDF("x", "y", "z")
     })
   )
 
@@ -3583,6 +3612,11 @@ object SparkEntry {
 
     "q183_comprehension" ->
       ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
-        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0")
+        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
+
+    "q184_triangles_comprehension" ->
+      ("WITH raw AS (SELECT l_suppkey % 30 AS src, l_partkey % 30 AS dst FROM lineitem), " +
+        "e AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM raw WHERE least(src, dst) <> greatest(src, dst)) " +
+        "SELECT xy.s AS x, xy.d AS y, yz.d AS z FROM e xy JOIN e yz ON xy.d = yz.s JOIN e xz ON xz.s = xy.s AND xz.d = yz.d")
   )
 }

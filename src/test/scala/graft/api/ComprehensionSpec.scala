@@ -11,6 +11,8 @@ import graft.api.comprehensions.onSpark
   * as an equi-join (no cartesian, no per-element re-evaluation) and return
   * exactly what the explicit equiJoin returns; unmatched shapes must pass
   * through unchanged. */
+case class TriEdge(src: Long, dst: Long)
+
 class ComprehensionSpec extends AnyFlatSpec with Matchers {
 
   implicit lazy val spark: SparkSession = TestSpark.spark
@@ -67,6 +69,53 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     }
     val seqRef = for { x <- 1L to 10L; y <- 1L to 10L; if x + y == 7L } yield (x, y)
     kept.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "derive a 3-generator chain as two joins (triangle shape)" in {
+    val edges = Seq(
+      TriEdge(1, 2), TriEdge(2, 3), TriEdge(3, 1), TriEdge(2, 4),
+      TriEdge(4, 1), TriEdge(1, 3), TriEdge(3, 4)
+    )
+    val es = DataBag(edges)
+    val tri = onSpark {
+      for {
+        a <- es
+        b <- es
+        if a.dst == b.src
+        cc <- es
+        if b.dst == cc.src
+        if cc.dst == a.src
+      } yield (a.src, b.src, cc.src)
+    }
+    val plan = tri.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for {
+      a <- edges; b <- edges; if a.dst == b.src
+      cc <- edges; if b.dst == cc.src; if cc.dst == a.src
+    } yield (a.src, b.src, cc.src)
+    tri.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "pre-filter per-generator guards on the generator's own bag" in {
+    val xs = bagL(1L to 30L)
+    val ys = bagL(1L to 30L)
+    val r = onSpark {
+      for {
+        x <- xs
+        if x % 2 == 0L
+        y <- ys
+        if y % 3 == 0L
+        if x % 5 == y % 5
+      } yield (x, y)
+    }
+    val seqRef = for {
+      x <- 1L to 30L; if x % 2 == 0L
+      y <- 1L to 30L; if y % 3 == 0L; if x % 5 == y % 5
+    } yield (x, y)
+    r.collect().sorted shouldBe seqRef.sorted
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
   }
 
   it should "leave non-DataBag comprehensions untouched" in {
