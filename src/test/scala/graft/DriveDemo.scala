@@ -310,6 +310,25 @@ object DriveDemo {
         .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
     }
 
+    // 11. the comprehension front-end: natural for-syntax, macro-derived join
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[graft.OrderRow])
+      val custs = DataBag.from(spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .as[graft.CustRow])
+      val joined = onSpark {
+        for { o <- orders; cu <- custs; if o.o_custkey == cu.c_custkey }
+          yield (o.o_orderkey, cu.c_name)
+      }
+      val plan = joined.toDF.queryExecution.executedPlan.toString
+      println(s"comprehension join rows = ${joined.ds.count()}, " +
+        s"cartesian in plan = ${plan.toLowerCase.contains("cartesian")}")
+    }
+
     spark.stop()
   }
 }
