@@ -118,6 +118,41 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     plan should not include regex("(?i)cartesian")
   }
 
+  it should "derive a 4-generator chain with a guard reaching back two levels" in {
+    val as = bagL(1L to 12L)
+    val bs = bagL(1L to 12L)
+    val cs = bagL(1L to 12L)
+    val ds = bagL(1L to 12L)
+    val r = onSpark {
+      for {
+        a <- as
+        b <- bs
+        if a % 3 == b % 3
+        cc <- cs
+        if b % 4 == cc % 4
+        dd <- ds
+        if a % 5 == dd % 5
+        if cc < dd
+      } yield (a, b, cc, dd)
+    }
+    val seqRef = for {
+      a <- 1L to 12L; b <- 1L to 12L; if a % 3 == b % 3
+      cc <- 1L to 12L; if b % 4 == cc % 4
+      dd <- 1L to 12L; if a % 5 == dd % 5; if cc < dd
+    } yield (a, b, cc, dd)
+    r.collect().sorted shouldBe seqRef.sorted
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+  }
+
+  it should "reject dependent generators at compile time" in {
+    """
+    val xs = bagL(1L to 5L)
+    onSpark { for { x <- xs; y <- DataBag(Seq(x)) } yield x + y }
+    """ shouldNot compile
+  }
+
   it should "leave non-DataBag comprehensions untouched" in {
     val r = onSpark { for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y }
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
