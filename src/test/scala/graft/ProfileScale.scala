@@ -172,6 +172,24 @@ object ProfileScale {
       Seq("train" -> 0.9, "val" -> 0.1)).groupBy("split").count().count())
     println(f"round-7 ratios at ${n}x: report=${frN / fr1}%.1f shuffle=${shN / sh1}%.1f " +
       f"interleave=${ilN / il1}%.1f split=${spN / sp1}%.1f (linear would be <= $n)")
+
+    // round-7b: dense index over an Nx item table (range-rank — linear) and
+    // negative sampling with a FIXED anchor set against the Nx index (draw
+    // count fixed ⇒ join cost tracks draws, not items — should be ~flat)
+    val anchors1 = docs1.where(col("doc_id") % 37 === 0).select(col("doc_id").as("anchor"))
+    val pos0 = anchors1.select(col("anchor"), col("anchor").as("item"))
+    val oi1 = time("ordered index 1x")(
+      ops.Shuffling.orderedIndex(docs1.select(col("doc_id")), "doc_id").count())
+    val oiN = time(s"ordered index ${n}x")(
+      ops.Shuffling.orderedIndex(docsN.select(col("doc_id")), "doc_id").count())
+    val ns1 = time("neg sample 1x items")(ops.Shuffling.negativeSample(
+      anchors1, "anchor", docs1.select(col("doc_id").as("item")), "item",
+      pos0, k = 5, nDraws = 12, seed = 7L).count())
+    val nsN = time(s"neg sample ${n}x items")(ops.Shuffling.negativeSample(
+      anchors1, "anchor", docsN.select(col("doc_id").as("item")), "item",
+      pos0, k = 5, nDraws = 12, seed = 7L).count())
+    println(f"round-7b ratios at ${n}x: index=${oiN / oi1}%.1f negsample=${nsN / ns1}%.1f " +
+      f"(index linear would be <= $n; negsample with fixed anchors should be ~flat)")
     spark.stop()
   }
 }

@@ -64,6 +64,13 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should include("Window")
   }
 
+  "Shuffling.orderedIndex" should "rank without a single-partition window" in {
+    val df = spark.range(0, 5000).toDF("k")
+    val plan = physical(Shuffling.orderedIndex(df, "k"))
+    plan should not include "SinglePartition"
+    plan should include("Window")
+  }
+
   "Filters.filterReport" should "broadcast the filter dimension" in {
     val docs = Seq((1L, 10), (2L, 200)).toDF("id", "len")
     val plan = physical(Filters.filterReport(docs,
