@@ -2211,6 +2211,24 @@ object SparkEntry {
         } yield (xy.s, xy.d, yz.d)
       }
       tri.ds.toDF("x", "y", "z")
+    }),
+
+    // gzip-compressibility quality signal: per-doc deflate milli-ratio,
+    // gated on its CONTRACT (the bytes themselves aren't SQL-expressible):
+    // SQL-checkable corpus totals plus two invariants Spark must prove —
+    // every ratio in deflate's possible band, and doubling a document
+    // strictly improves its ratio (the repetition-detection property)
+    "q185_compressibility" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val base = TextAnalysis.compressionRatio(docs)
+      val doubled = TextAnalysis.compressionRatio(
+          docs.select(col("doc_id"), concat(col("text"), col("text")).as("text")))
+        .select(col("doc_id"), col("comp_milli").as("comp2"))
+      base.join(doubled, "doc_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bytes").as("sum_bytes"),
+        bool_and(col("comp_milli") > 0 && col("comp_milli") <= 1500).as("in_bounds"),
+        bool_and(col("comp2") < col("comp_milli")).as("doubling_compresses_better"))
     })
   )
 
@@ -3617,6 +3635,12 @@ object SparkEntry {
     "q184_triangles_comprehension" ->
       ("WITH raw AS (SELECT l_suppkey % 30 AS src, l_partkey % 30 AS dst FROM lineitem), " +
         "e AS (SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS d FROM raw WHERE least(src, dst) <> greatest(src, dst)) " +
-        "SELECT xy.s AS x, xy.d AS y, yz.d AS z FROM e xy JOIN e yz ON xy.d = yz.s JOIN e xz ON xz.s = xy.s AND xz.d = yz.d")
+        "SELECT xy.s AS x, xy.d AS y, yz.d AS z FROM e xy JOIN e yz ON xy.d = yz.s JOIN e xz ON xz.s = xy.s AND xz.d = yz.d"),
+
+    "q185_compressibility" ->
+      // strlen = UTF-8 byte length in DuckDB; the two invariant booleans
+      // are Spark-proven facts the oracle pins to true (q35 pattern)
+      ("SELECT COUNT(*) AS n_docs, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, " +
+        "true AS in_bounds, true AS doubling_compresses_better FROM documents")
   )
 }

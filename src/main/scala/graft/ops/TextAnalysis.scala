@@ -294,4 +294,42 @@ object TextAnalysis {
             / col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
           .cast("long").as("ent_micros"))
       .withColumn("entropy", col("ent_micros").cast("double") / lit(1e6))
+
+  /** gzip-compressibility quality signal (the RefinedWeb/FineWeb-style
+    * "compression ratio" filter): deflate the UTF-8 text at a FIXED level
+    * and report compressed·1000/raw (milli-ratio, integer). Natural prose
+    * sits in a narrow band; templated/repetitive machine text compresses
+    * far below it — a cheap, language-agnostic repetition detector that
+    * complements the token-level signals above. Deterministic: `Deflater`
+    * at a fixed level/strategy is a pure function of the bytes (zlib ships
+    * in the JDK). One narrow per-partition pass, one Deflater instance
+    * reused (reset) per partition — no shuffle, no per-row allocation of
+    * native resources. Output: (doc_id, n_bytes, comp_milli). */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField(idCol, LongType),
+      StructField("n_bytes", LongType), StructField("comp_milli", LongType)))
+    val src = docs.select(col(idCol), col(textCol))
+    src.sparkSession.createDataFrame(src.rdd.mapPartitions { rows =>
+      val defl = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      def deflatedSize(bytes: Array[Byte]): Long = {
+        defl.reset(); defl.setInput(bytes); defl.finish()
+        var total = 0L
+        while (!defl.finished()) total += defl.deflate(buf)
+        total
+      }
+      rows.map { r =>
+        val id = r.getLong(0)
+        val t = if (r.isNullAt(1)) "" else r.getString(1)
+        val bytes = t.getBytes("UTF-8")
+        val milli =
+          if (bytes.length == 0) 1000L
+          else deflatedSize(bytes) * 1000L / bytes.length
+        Row(id, bytes.length.toLong, milli)
+      }
+    }, schema)
+  }
 }

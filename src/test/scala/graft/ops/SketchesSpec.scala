@@ -69,4 +69,43 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     got(3L) shouldBe seqEntropy("a a b")
     got(4L) shouldBe seqEntropy("spaced out tokens")
   }
+
+  behavior of "TextAnalysis.compressionRatio"
+
+  it should "match a direct JDK Deflater computation exactly" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps going"),
+      (2L, "ab " * 60),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (4L, "Füßgänger überqueren die Straße 千字文 morning")
+    ).toDF("doc_id", "text")
+    def ref(t: String): (Long, Long) = {
+      val bytes = t.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (bytes.length.toLong, n * 1000L / bytes.length)
+    }
+    val got = TextAnalysis.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.collect().foreach { r =>
+      got(r.getLong(0)) shouldBe ref(r.getString(1))
+    }
+    // the signal discriminates: pure repetition far below mixed prose
+    got(3L)._2 should be < got(1L)._2
+  }
+
+  it should "be invariant to partitioning and repeated runs" in {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"doc $i " * (i % 9 + 1).toInt)).toDF("doc_id", "text")
+    val a = TextAnalysis.compressionRatio(docs.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    val b = TextAnalysis.compressionRatio(docs.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    a shouldBe b
+  }
 }
