@@ -321,7 +321,7 @@ object TextAnalysis {
         while (!defl.finished()) total += defl.deflate(buf)
         total
       }
-      rows.map { r =>
+      val out = rows.map { r =>
         val id = r.getLong(0)
         val t = if (r.isNullAt(1)) "" else r.getString(1)
         val bytes = t.getBytes("UTF-8")
@@ -329,6 +329,12 @@ object TextAnalysis {
           if (bytes.length == 0) 1000L
           else deflatedSize(bytes) * 1000L / bytes.length
         Row(id, bytes.length.toLong, milli)
+      }
+      // release the native zlib state as soon as the partition drains
+      // (end() is safe to call more than once)
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) defl.end(); h }
+        def next(): Row = out.next()
       }
     }, schema)
   }
