@@ -3574,8 +3574,10 @@ object SparkEntry {
     "q178_shuffle_shards" ->
       ("WITH k AS (SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
         "s AS (SELECT doc_id, h, " +
-        "((16*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
-        "+ (strpos('0123456789abcdef', substr(h,2,1))-1)) % 8) AS shard FROM k) " +
+        "((4096*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
+        "+ 256*(strpos('0123456789abcdef', substr(h,2,1))-1) " +
+        "+ 16*(strpos('0123456789abcdef', substr(h,3,1))-1) " +
+        "+ (strpos('0123456789abcdef', substr(h,4,1))-1)) % 8) AS shard FROM k) " +
         "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
         "FROM s"),

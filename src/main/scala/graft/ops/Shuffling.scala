@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first scale design: the order key is an md5 prefix (hex strings
   * compare lexicographically = numerically, the same trick as
-  * [[Sampling.hashDraw]]), the shard is the first two nibbles mod nShards —
+  * [[Sampling.hashDraw]]), the shard is the first four nibbles mod nShards —
   * so shard assignment needs NO shuffle at all, and the intra-shard position
-  * is one `row_number` window whose partition key is the shard: Spark
-  * shuffles each shard's rows to one task and sorts there. At 100 TB you
-  * size nShards so a shard fits a task's sort budget (shards are hash-
-  * balanced by construction); the alternative global `orderBy` would range-
-  * sample and produce sampler-dependent (non-reproducible) shard cuts.
+  * comes from [[groupedRank]]: range-repartition on (shard, order key), rank
+  * each bounded (partition, shard) cell in parallel, add the shard's
+  * cumulative offset of earlier partitions (one broadcast long per occupied
+  * cell). No shard ever funnels through a single task's sort, so per-task
+  * sort volume is corpus/partitions regardless of nShards — the alternative
+  * global `orderBy` would range-sample and produce sampler-dependent
+  * (non-reproducible) shard cuts, and a `Window.partitionBy(shard)` would
+  * external-sort an entire shard (≥ hundreds of GB at 100 TB) in one task.
   */
 object Shuffling {
 
@@ -28,28 +31,65 @@ object Shuffling {
   def orderKey(seed: Long, key: Column): Column =
     md5(concat_ws("-", lit(seed), key.cast("string")))
 
-  /** Deterministic shard in [0, nShards) from the key's first two hex
-    * nibbles — uniform for nShards dividing 256 (use such values). */
+  /** Deterministic shard in [0, nShards) from the key's first four hex
+    * nibbles — uniform for nShards dividing 65536 (use such values). */
   def shardOf(key: Column, nShards: Int): Column =
-    pmod(conv(substring(key, 1, 2), 16, 10).cast("long"), lit(nShards.toLong))
+    pmod(conv(substring(key, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+
+  /** Dense 0-based rank within each `groupCol` value in `orderCols` order,
+    * with NO per-group single-task sort: range-repartition on
+    * (group, order) — every group spans a contiguous run of partitions and
+    * every partition holds a bounded slice — then rank each
+    * (partition, group) cell in parallel and add the group's cumulative
+    * count of earlier partitions. Contiguity bounds the offset table at
+    * #partitions + #groups entries (one long each, broadcast), so driver
+    * traffic stays scalar-class even at 65536 groups. The per-cell window
+    * repartitions by (__pid, group) — thousands of balanced cells, never
+    * K tasks for K groups. `groupCol` must be integral-valued and non-null;
+    * (group ++ orderCols) must be duplicate-free so no cell straddles a
+    * range boundary (same contract as [[orderedIndex]]).
+    */
+  private[graft] def groupedRank(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], indexName: String): DataFrame = {
+    val pidded = df.repartitionByRange((groupCol +: orderCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val cells = pidded
+      .groupBy(col("__pid"), col(groupCol).cast("long").as("__g"))
+      .count().collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val offsets = cells.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, off) => (pid, g, off) }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDim = offsets.toDF("__pid", "__g", "__off")
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols.map(col): _*)
+    pidded.withColumn("__g", col(groupCol).cast("long"))
+      .join(broadcast(offDim), Seq("__pid", "__g"))
+      .withColumn(indexName,
+        (row_number().over(w) - 1).cast("long") + col("__off"))
+      .drop("__pid", "__g", "__off")
+  }
 
   /** Adds `shard` and a dense 0-based `pos` within each shard, ordered by
     * the md5 key with the row key as the total-order tie-break.
     *
     * @param key     unique row key (drives both order and shard)
-    * @param nShards number of output shards; divisors of 256 give exactly
+    * @param nShards number of output shards; divisors of 65536 give exactly
     *                uniform shard sizes in expectation
     * @param seed    training-order seed
     */
   def deterministicShuffle(df: DataFrame, key: Column, nShards: Int,
       seed: Long): DataFrame = {
-    require(nShards >= 1 && nShards <= 256, "nShards must be in [1, 256]")
-    val k = orderKey(seed, key)
-    val w = Window.partitionBy("shard").orderBy(col("__ok"), col("__tie"))
-    df.withColumn("__ok", k)
+    require(nShards >= 1 && nShards <= 65536, "nShards must be in [1, 65536]")
+    val stamped = df
+      .withColumn("__ok", orderKey(seed, key))
       .withColumn("__tie", key.cast("string"))
       .withColumn("shard", shardOf(col("__ok"), nShards))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+    groupedRank(stamped, "shard", Seq("__ok", "__tie"), "pos")
       .drop("__ok", "__tie")
   }
 
@@ -66,11 +106,13 @@ object Shuffling {
     * The scale point: `gpos` is computed in CLOSED FORM — rank = own pos +
     * Σ_j (rows of source j strictly earlier), where the j-term is
     * min(n_j, vt·w_j/W) in exact integer arithmetic — so there is NO global
-    * sort and NO single-partition window: one per-source `row_number`
-    * window plus a pure projection. A global `orderBy`+`row_number` would
-    * funnel 100 TB through one task; this shape shuffles each source once.
-    * Only the K source sizes land on the driver (scalars, same class as
-    * k-means centroids).
+    * sort and NO single-partition window, and the per-source position
+    * routes through [[groupedRank]] (range-partitioned parallel rank), so
+    * no source ever funnels its tens of TB through one task's sort either.
+    * A global `orderBy`+`row_number` would funnel 100 TB through one task;
+    * a `Window.partitionBy(source)` would funnel one SOURCE per task. Only
+    * the K source sizes and the per-cell offsets land on the driver
+    * (scalars, same class as k-means centroids).
     *
     * All sources must share the schema of the first (`unionByName`); the
     * result carries the original columns plus `source` and `gpos`.
@@ -83,17 +125,20 @@ object Shuffling {
       seed: Long): DataFrame = {
     require(sources.nonEmpty, "weightedInterleave needs at least one source")
     require(sources.forall(_._3 > 0), "weights must be positive")
+    require(sources.map(_._1).distinct.length == sources.length,
+      "source names must be distinct")
     val weights = sources.map(_._3.toLong)
     val big = weights.reduce((a, b) => a / gcd(a, b) * b) // lcm
     val strides = weights.map(big / _)
     val tagged = sources.zipWithIndex.map { case ((name, df, _), i) =>
       df.withColumn("source", lit(name)).withColumn("__src", lit(i))
     }.reduce(_ unionByName _)
-    val win = Window.partitionBy("__src").orderBy(col("__ok"), col("__tie"))
-    val posed = tagged
-      .withColumn("__ok", orderKey(seed, col(keyName)))
-      .withColumn("__tie", col(keyName).cast("string"))
-      .withColumn("__pos", (row_number().over(win) - 1).cast("long"))
+    // groupedRank localCheckpoints the union, so the sizes count below and
+    // the final projection both read the pinned data — one union pass total
+    val posed = groupedRank(tagged
+        .withColumn("__ok", orderKey(seed, col(keyName)))
+        .withColumn("__tie", col(keyName).cast("string")),
+      "__src", Seq("__ok", "__tie"), "__pos")
       .drop("__ok", "__tie")
     val sizes: Map[Int, Long] = posed.groupBy("__src").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -77,7 +77,7 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val exp = (0L until 500L).map { id =>
       val h = md5hex(s"7-$id")
-      (id, h, (Integer.parseInt(h.substring(0, 2), 16) % 8).toLong)
+      (id, h, (Integer.parseInt(h.substring(0, 4), 16) % 8).toLong)
     }.groupBy(_._3).flatMap { case (shard, rows) =>
       rows.sortBy(r => (r._2, r._1.toString)).zipWithIndex
         .map { case ((id, _, _), i) => (id, shard, i.toLong) }

@@ -57,11 +57,26 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
       ("a", spark.range(0, 100).toDF("id"), 3),
       ("b", spark.range(100, 200).toDF("id"), 1))
     val plan = physical(Shuffling.weightedInterleave(srcs, "id", seed = 1L))
-    // the whole point of the closed form: K per-source windows, zero
-    // single-partition funnels (a global row_number would plan one)
+    // the whole point of the closed form: zero single-partition funnels (a
+    // global row_number would plan one), and the per-source position must
+    // NOT come from a window partitioned by source alone (K sources would
+    // be a K-task funnel) — groupedRank ranks (__pid, __src) cells
     plan should not include "SinglePartition"
     plan should not include "rangepartitioning"
     plan should include("Window")
+    plan should include("__pid")
+    plan should not include "windowspecdefinition(__src"
+  }
+
+  "Shuffling.deterministicShuffle" should "rank shards in range-partitioned cells, not one task per shard" in {
+    val df = spark.range(0, 5000).toDF("id")
+    val plan = physical(Shuffling.deterministicShuffle(df, col("id"), 64, 7L))
+    plan should not include "SinglePartition"
+    plan should include("Window")
+    // rank window is per (partition, shard) cell; a partitionBy(shard)
+    // window (one external sort task per shard) must never come back
+    plan should include("__pid")
+    plan should not include "windowspecdefinition(shard"
   }
 
   "Shuffling.orderedIndex" should "rank without a single-partition window" in {
