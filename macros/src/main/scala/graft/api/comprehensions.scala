@@ -101,9 +101,14 @@ class ComprehensionMacro(val c: blackbox.Context) {
   private def isDataBag(t: Tree): Boolean =
     t.tpe != null && t.tpe.baseClasses.exists(_.fullName == "graft.api.DataBag")
 
-  private def uses(t: Tree, n: TermName): Boolean =
-    t.exists { case Ident(`n`) => true; case _ => false }
-  private def usesAny(t: Tree, ns: Seq[TermName]): Boolean = ns.exists(uses(t, _))
+  /** Reference detection by SYMBOL identity on the typed tree — a guard
+    * that contains a lambda shadowing a generator NAME must not count as
+    * referencing that generator (name matching would demote its join key
+    * to a post filter: still correct, worse plan). */
+  private def uses(t: Tree, s: Symbol): Boolean =
+    s != null && s != NoSymbol &&
+      t.exists { case i: Ident => i.symbol == s; case _ => false }
+  private def usesAny(t: Tree, ss: Seq[Symbol]): Boolean = ss.exists(uses(t, _))
 
   /** Untyped single-param lambda (param type left for inference). */
   private def lam(p: TermName, body: Tree): Tree =
@@ -117,7 +122,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
   private case class JoinKey(swapped: Boolean) extends GuardRole
   private case object PostFilter extends GuardRole
 
-  private def roleOf(outer: Seq[TermName], own: TermName, g: Tree): GuardRole =
+  private def roleOf(outer: Seq[Symbol], own: Symbol, g: Tree): GuardRole =
     g match {
       case _ if !usesAny(g, outer) => OwnFilter
       case Eq(l, r) if !uses(l, own) && !usesAny(r, outer) => JoinKey(swapped = false)
@@ -126,14 +131,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
 
   /** Per level ≥ 2: the roles of its guards, with at most one JoinKey (the
-    * first; later key-shaped guards demote to post filters). */
+    * first; later key-shaped guards demote to post filters). Generator
+    * variables are identified by the symbols of the flatMap/map lambda
+    * params; each guard's OWN variable by its own lambda param symbol. */
   private def analyze(gens: List[Gen]): List[List[GuardRole]] = {
-    val names = gens.map(_.v.name)
+    val syms = gens.map(_.v.symbol)
     gens.zipWithIndex.drop(1).map { case (gen, i) =>
-      val outer = names.take(i)
+      val outer = syms.take(i)
       var keyTaken = false
       gen.guards.map { case (gv, g) =>
-        roleOf(outer, gv.name, g) match {
+        roleOf(outer, gv.symbol, g) match {
           case JoinKey(sw) if !keyTaken => keyTaken = true; JoinKey(sw)
           case JoinKey(_) => PostFilter
           case other => other
@@ -167,17 +174,23 @@ class ComprehensionMacro(val c: blackbox.Context) {
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
     val typedChain = flatten(expr)
     typedChain match {
-      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) =>
+      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
+          gens.tail.exists(g => isDataBag(g.bag)) =>
         val names = gens.map(_.v.name)
+        val syms = gens.map(_.v.symbol)
         if (names.distinct.length != names.length)
           c.abort(c.enclosingPosition,
             "onSpark: generator variable names must be distinct")
-        // every later bag must be independent of earlier generators
+        // a later generator over a LOCAL collection typechecks against the
+        // IterableOnce flatMap overload and executes correctly as written —
+        // nothing to derive, pass the expression through untouched
+        if (gens.tail.exists(g => !isDataBag(g.bag))) return expr
+        // every later bag must be independent of earlier generators — the
+        // dependent-FILTER spelling (ys.withFilter(y => k(x) == g(y))) is
+        // already peeled into a guard by FilterChain and derives a join;
+        // what remains here is a bag genuinely built from an earlier row
         for ((gen, i) <- gens.zipWithIndex.drop(1)) {
-          if (!isDataBag(gen.bag))
-            c.abort(c.enclosingPosition,
-              s"onSpark: generator '${gen.v.name}' is not a DataBag — mixed-monad comprehensions are not derived")
-          if (usesAny(gen.bag, names.take(i)))
+          if (usesAny(gen.bag, syms.take(i)))
             c.abort(c.enclosingPosition,
               s"onSpark: generator '${gen.v.name}' depends on an earlier generator variable; " +
               "dependent generators are not derived — join explicitly or restructure")

@@ -2185,6 +2185,31 @@ object SparkEntry {
       res.ds.toDF("o_orderkey", "c_name", "price_cents")
     }),
 
+    // The dependent-FILTER spelling of the same join (the reference's
+    // MatchFlatMap2 shape, Combination.scala:261-297): the join condition
+    // lives in a withFilter on the inner generator that closes over the
+    // outer row — FilterChain peels it into a guard before role analysis,
+    // so this compiles to the SAME equi-join as q183's guard spelling and
+    // shares its oracle.
+    "q186_comprehension_depfilter" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .as[CustRow])
+      val res = onSpark {
+        for {
+          o <- orders
+          cu <- custs.withFilter(cu => o.o_custkey == cu.c_custkey)
+          if cu.c_acctbal > 5000.0
+        } yield (o.o_orderkey, cu.c_name, math.floor(o.o_totalprice * 100.0).toLong)
+      }
+      res.ds.toDF("o_orderkey", "c_name", "price_cents")
+    }),
+
     // The reference's EnumerateTriangles in its ORIGINAL comprehension
     // syntax (emma-examples EnumerateTriangles.scala:27-42): three
     // generators, three guards — the macro derives two equiJoins (first
@@ -3631,6 +3656,10 @@ object SparkEntry {
         "WHERE rank <= 5"),
 
     "q183_comprehension" ->
+      ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
+
+    "q186_comprehension_depfilter" ->
       ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
 

@@ -146,6 +146,49 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     plan should not include regex("(?i)BroadcastNestedLoop")
   }
 
+  it should "derive the join from the dependent-FILTER spelling" in {
+    // the MatchFlatMap2-lite shape: the join condition is a withFilter on
+    // the inner generator closing over the outer row — FilterChain peels
+    // it into a guard, so the same equi-join is derived
+    val xs = bagL(1L to 50L)
+    val ys = bagL(Seq(2L, 4L, 6L, 8L, 10L, 12L))
+    val joined = onSpark {
+      for { x <- xs; y <- ys.withFilter(y => x % 7 == y % 5) } yield (x, y)
+    }
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for { x <- 1L to 50L; y <- Seq(2L, 4L, 6L, 8L, 10L, 12L); if x % 7 == y % 5 }
+      yield (x, y)
+    joined.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "keep the join key when a guard-local lambda shadows a generator name" in {
+    // name-based analysis would see the shadowing `x` and demote the key
+    // to a post filter (typed filter over a cross — a nested-loop plan);
+    // symbol identity on the typed tree must keep the equi-join
+    val xs = bagL(1L to 50L)
+    val ys = bagL(Seq(2L, 4L, 6L, 8L, 10L, 12L))
+    val joined = onSpark {
+      for { x <- xs; y <- ys; if x % 7 == Seq(y).map(x => x % 5).head } yield (x, y)
+    }
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for { x <- 1L to 50L; y <- Seq(2L, 4L, 6L, 8L, 10L, 12L); if x % 7 == y % 5 }
+      yield (x, y)
+    joined.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "pass comprehensions over local later generators through unchanged" in {
+    // these typecheck against the IterableOnce flatMap overload and run
+    // correctly as written; the macro must not hard-error on them
+    val xs = bagL(1L to 5L)
+    val r = onSpark { for { x <- xs; y <- Seq(10L, 20L) } yield x * 100 + y }
+    r.collect().sorted shouldBe
+      (for { x <- 1L to 5L; y <- Seq(10L, 20L) } yield x * 100 + y).sorted
+  }
+
   it should "reject dependent generators at compile time" in {
     """
     val xs = bagL(1L to 5L)
