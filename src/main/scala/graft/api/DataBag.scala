@@ -183,14 +183,49 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
 
   /** Fused group-aggregate (the reference's `foldGroup` combinator,
     * SparkOps.scala:61-68 = reduceByKey): partial (map-side) aggregation,
-    * never materializes groups. */
+    * never materializes groups. Size/Sum/Min/Max over a single integral
+    * column route to [[foldGroupViaAgg]] (codegen'd HashAggregate);
+    * arbitrary algebras keep the object-buffered reduceGroups. */
   def foldGroup[K: Encoder, B: Encoder](k: A => K, alg: Alg[A, B])(
       implicit encG: Encoder[Group[K, B]]): DataBag[Group[K, B]] =
-    new DataBag(
+    foldGroupViaAgg(k, alg).getOrElse(new DataBag(
       src.groupByKey(k)
         .mapValues(alg.init)
         .reduceGroups(alg.plus)
-        .map { case (key, b) => Group(key, b) })
+        .map { case (key, b) => Group(key, b) }))
+
+  /** Catalyst fast path for the workhorse grouped fold: the named algebras
+    * whose combine is a built-in SQL aggregate lower to
+    * `groupByKey(k).agg(column)` — a whole-stage-codegen HashAggregate
+    * with map-side partials whose only object step is the AppendColumns
+    * computing the key — instead of reduceGroups' object-buffered
+    * aggregation. The result is renamed columnar (`toDF.as[Group]`), no
+    * per-row object round trip. Routing mirrors the global fold fast
+    * paths exactly: integral value types under NATURAL orderings/numerics
+    * only (no FP reorder effects); anything else returns None. */
+  private def foldGroupViaAgg[K: Encoder, B: Encoder](k: A => K, alg: Alg[A, B])(
+      implicit encG: Encoder[Group[K, B]]): Option[DataBag[Group[K, B]]] = {
+    val aggCol: Option[Column] = alg match {
+      case Size => Some(F.count(F.lit(1L)))
+      case Sum(num) if isNaturalIntegralNum(num) =>
+        integralColumn.map(c => F.sum(F.col(c)).cast(ds.schema(c).dataType))
+      case Min(ord) if isNaturalIntegralOrd(ord) =>
+        integralColumn.map(c => F.min(F.col(c)))
+      case Max(ord) if isNaturalIntegralOrd(ord) =>
+        integralColumn.map(c => F.max(F.col(c)))
+      case _ => None
+    }
+    aggCol.map { ac =>
+      val typed = ac.as[B](implicitly[Encoder[B]])
+        .asInstanceOf[org.apache.spark.sql.TypedColumn[A, B]]
+      new DataBag(src.groupByKey(k).agg(typed).toDF("key", "values")
+        .as[Group[K, B]])
+    }
+  }
+
+  private def isNaturalIntegralNum(num: Numeric[_]): Boolean =
+    (num eq Numeric.ByteIsIntegral) || (num eq Numeric.ShortIsIntegral) ||
+      (num eq Numeric.IntIsIntegral) || (num eq Numeric.LongIsIntegral)
 
   // --------------------------------------------------------- joins / products
 

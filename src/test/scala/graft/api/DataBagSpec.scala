@@ -120,6 +120,36 @@ class DataBagSpec extends AnyFlatSpec with Matchers {
     r shouldBe xs.groupBy(_ % 2).view.mapValues(_.sum).toMap
   }
 
+  it should "lower Size/Sum/Min/Max to a codegen HashAggregate (no object buffers)" in {
+    val b = DataBag((1L to 100L).toSeq)
+    def plan(d: DataBag[_]): String = d.toDF.queryExecution.executedPlan.toString
+    val sized = b.foldGroup(_ % 7, Size)
+    val summed = b.foldGroup(_ % 7, Sum(implicitly[Numeric[Long]]))
+    val mind = b.foldGroup(_ % 7, Min(Ordering.Long))
+    for (p <- Seq(plan(sized), plan(summed), plan(mind))) {
+      p should include("HashAggregate")
+      p should include("partial_")
+      p should not include "ObjectHashAggregate"
+      p should not include "SortAggregate"
+      p should not include "SerializeFromObject"
+    }
+    sized.collect().map(g => (g.key, g.values)).sorted shouldBe
+      (1L to 100L).groupBy(_ % 7).map { case (k, v) => (k, v.size.toLong) }.toSeq.sorted
+    summed.collect().map(g => (g.key, g.values)).sorted shouldBe
+      (1L to 100L).groupBy(_ % 7).map { case (k, v) => (k, v.sum) }.toSeq.sorted
+    mind.collect().map(g => (g.key, g.values)).sortBy(_._1) shouldBe
+      (1L to 100L).groupBy(_ % 7).map { case (k, v) => (k, Some(v.min)) }.toSeq.sortBy(_._1)
+  }
+
+  it should "keep the generic path for custom orderings, with identical results" in {
+    val b = DataBag((1L to 50L).toSeq)
+    val revOrd = Ordering.Long.reverse
+    val got = b.foldGroup(_ % 5, Min(revOrd))
+      .collect().map(g => (g.key, g.values)).sortBy(_._1)
+    got shouldBe (1L to 50L).groupBy(_ % 5)
+      .map { case (k, v) => (k, Some(v.max)) }.toSeq.sortBy(_._1)
+  }
+
   "equiJoin" should "match Seq join incl. duplicates" in {
     val l = Seq((1, "a"), (2, "b"), (2, "B"), (3, "c"))
     val r = Seq((2, 20.0), (3, 30.0), (3, 33.0), (4, 40.0))
