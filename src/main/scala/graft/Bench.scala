@@ -71,27 +71,44 @@ object Bench {
       val sorted = times.map(_._1).sorted
       val median = sorted(sorted.size / 2)
       val noisy = sorted.last / sorted.head.max(1e-9) > 2.0
-      (name, median, times.forall(_._2), noisy)
+      (name, median, times.forall(_._2), noisy, sorted.head, sorted.last)
     }
     // A failed query reports -1 (not its elapsed time) so breakage can't be
     // mistaken for a speedup in benchmark history; failures also get their
     // own list.
-    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val noisy = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+    val noisy = results.collect { case (k, _, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
-    // The full per-query line above exceeds harness tail buffers (~2000
-    // chars) at 170+ queries, so end with a compact digest that always
-    // fits: total, failure list, and the slowest queries (the only ones
-    // whose individual numbers matter for regression triage).
+    // Full per-query history as a FILE artifact: stdout tail buffers
+    // truncate the line above at 170+ queries, and recorded medians on a
+    // loaded host aren't triage-able without min/max spread. One JSON file
+    // per run (timestamped, kept in-repo) makes regression triage a file
+    // diff instead of a guess against a 2000-char tail.
+    locally {
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
+      java.nio.file.Files.createDirectories(dir)
+      val perQuery = results.map { case (k, med, ok, noisyQ, mn, mx) =>
+        s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ}"""
+      }.mkString("{\n", ",\n", "\n}")
+      val body =
+        s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus","total_sec":${f"$total%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"queries":$perQuery}"""
+      java.nio.file.Files.writeString(dir.resolve(s"$ts.json"), body)
+    }
+    // End with a compact digest that always fits a ~2000-char tail: total,
+    // failure list, and the slowest queries. Distinct metric name so
+    // consumers keying on "metric" never double-count the real total.
     val slowest = results.filter(_._3).sortBy(-_._2).take(25)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_digest","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
