@@ -1,6 +1,8 @@
 package graft.api
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.bridge
 
 /** Keyed mutable state for iterative algorithms.
   *
@@ -13,29 +15,56 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   *
   * The reference backs this with AMPLab IndexedRDD point-updates
   * (SparkMutableBag.scala:39-50). IndexedRDD is unmaintained; this
-  * implementation keeps state as a `Dataset[(K, V)]` and realizes `update` as
-  * a shuffle-free-when-co-partitioned cogroup, with eager localCheckpoint to
-  * cut lineage across fixpoint iterations (the role of the reference's
-  * auto-cache rule, Caching.scala:74-139).
+  * implementation keeps state as a `Dataset[(K, V)]` whose checkpoint blocks
+  * stay HASH-PARTITIONED BY KEY across rounds ([[bridge.assertHashPartitioned]]):
+  * each `update` is a column-keyed cogroup in which ONLY the message side
+  * shuffles — the state side reads its asserted partitioning straight from
+  * the checkpoint, zero Exchange, and the cogroup's output (new values
+  * computed in the partition that held the key) re-asserts the same layout.
+  * That closes the IndexedRDD gap for large-delta rounds; small-delta
+  * rounds can avoid even the message shuffle via [[updateBroadcast]].
+  * Eager localCheckpoint cuts lineage across fixpoint iterations (the role
+  * of the reference's auto-cache rule, Caching.scala:74-139).
   */
 final class MutableBag[K, V] private (
     private var state: Dataset[(K, V)],
+    private val parts: Int,
     encK: Encoder[K],
     encV: Encoder[V]) extends Serializable {
 
   private implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(encK, encV)
 
+  /** Physical plan of the most recent [[update]]'s cogroup — a debug /
+    * spec hook proving the state side planned without an Exchange. */
+  private[graft] var lastUpdatePlan: String = ""
+
   def update[M](ms: DataBag[Group[K, M]])(f: (K, Option[V], M) => Option[V])(
       implicit encM: Encoder[M]): DataBag[(K, V)] = {
     val kmEnc: Encoder[(K, M)] = Encoders.tuple(encK, encM)
+    val kvdEnc: Encoder[(K, V, Boolean)] =
+      Encoders.tuple(encK, encV, Encoders.scalaBoolean)
     val updates: Dataset[(K, M)] = ms.ds.map(g => (g.key, g.values))(kmEnc)
 
-    val delta: Dataset[(K, V)] = state
-      .groupByKey(_._1)(encK)
-      .cogroup(updates.groupByKey(_._1)(encK)) { (k, vs, msIt) =>
-        val vOpt = vs.map(_._2).nextOption()
-        msIt.flatMap { case (_, m) => f(k, vOpt, m).map(k -> _) }
-      }
+    // column-keyed grouping (no AppendColumns): the grouping expression IS
+    // the state's first column, so the state's asserted hash partitioning
+    // satisfies the cogroup's clustering requirement — no state Exchange
+    val stateK = state.groupBy(col("_1")).as[K, (K, V)](encK, kvEnc)
+    val updatesK = updates.groupBy(col("_1")).as[K, (K, M)](encK, kmEnc)
+
+    // ONE pass produces both the new state and the delta (flagged): keys
+    // without messages keep their row; keyed messages yield f-results
+    // (delta) or, when every f returns None, the old row unchanged
+    val combined: Dataset[(K, V, Boolean)] = stateK.cogroup(updatesK) {
+      (k, vs, msIt) =>
+        if (!msIt.hasNext) vs.map { case (_, v) => (k, v, false) }
+        else {
+          val vOpt = vs.map(_._2).nextOption()
+          val news = msIt.flatMap { case (_, m) => f(k, vOpt, m) }.toList
+          if (news.nonEmpty) news.iterator.map(v => (k, v, true))
+          else vOpt.iterator.map(v => (k, v, false))
+        }
+    }(kvdEnc)
+    lastUpdatePlan = combined.queryExecution.executedPlan.toString
 
     // checkpoint (not just persist) AND drop origin stats: callers feed the
     // returned delta into the NEXT round's messages, so an un-truncated
@@ -43,41 +72,38 @@ final class MutableBag[K, V] private (
     // heap in 13 rounds on a 40-row state), and checkpoint-carried origin
     // stats compound multiplicatively between state and delta (see
     // bridge.dropOriginStats) until round ~17 planning stalls on
-    // million-bit BigInt products
-    val deltaCached = checkpointed(delta)
-
-    // new state = old state overridden by delta (delta wins per key)
-    val newState: Dataset[(K, V)] = state
-      .groupByKey(_._1)(encK)
-      .cogroup(deltaCached.groupByKey(_._1)(encK)) { (k, olds, news) =>
-        val n = news.toSeq
-        if (n.nonEmpty) n.iterator else olds
-      }
+    // million-bit BigInt products. The cogroup output is narrow per key —
+    // every row stays in the partition that held (or would hold) its key —
+    // so the checkpoint re-asserts the state's hash layout.
+    val ckpt = bridge.assertHashPartitioned(
+      combined.localCheckpoint(true), Seq("_1"), parts)
 
     val old = state
-    state = checkpointed(newState)
+    state = ckpt.select("_1", "_2").as(kvEnc)
     // NOTE: old's checkpoint blocks are NOT freed eagerly — copy() hands out
     // snapshots sharing the state Dataset, and a truncated-lineage snapshot
     // cannot be recomputed once its blocks are gone. The ContextCleaner frees
     // them when the last reference is collected.
     old.unpersist()
-    DataBag.from(deltaCached)
+    DataBag.from(ckpt.where(col("_3")).select("_1", "_2").as(kvEnc))
   }
 
   /** [[update]] for SMALL update bags — the Spark-native stand-in for the
     * reference's IndexedRDD point updates (SparkMutableBag.scala:39-50).
     * Collects the messages to the driver, broadcasts them, and applies them
-    * in ONE narrow pass over the state: zero shuffles per round (the cogroup
-    * form pays two), no state movement, lineage still truncated. The pass is
-    * still O(|state|) scan work — a scan-free point update needs an indexed
-    * store Spark's Dataset doesn't have — but at cluster scale the shuffle,
-    * not the scan, is what dominates a small-delta round.
+    * in ONE narrow pass over the state: zero shuffles per round for the
+    * state AND the messages (the cogroup form still shuffles messages), no
+    * state movement, lineage still truncated. The pass is still O(|state|)
+    * scan work — a scan-free point update needs an indexed store Spark's
+    * Dataset doesn't have — but at cluster scale the shuffle, not the scan,
+    * is what dominates a small-delta round.
     *
     * Same contract as [[update]]; additionally `f` must be PURE — it runs
     * once in the delta pass and once in the state pass. Only call when the
     * messages fit on the driver (the usual tail of a converging fixpoint);
-    * the absent-key inserts are driver-computed and appended as a single
-    * extra partition.
+    * absent-key inserts are driver-computed, exchanged alone (rows ∝
+    * inserts, not state), and zip-merged into the state's partitions so
+    * the asserted hash layout survives.
     */
   def updateBroadcast[M](ms: DataBag[Group[K, M]])(f: (K, Option[V], M) => Option[V])(
       implicit encM: Encoder[M]): DataBag[(K, V)] = {
@@ -99,12 +125,13 @@ final class MutableBag[K, V] private (
       }
     }
     // same lineage + stats hygiene as [[update]]
-    val deltaCached = checkpointed(matchedDelta
-      .union(spark.createDataset(absentDelta)(kvEnc)))
+    val deltaCached = bridge.dropOriginStatsTyped(matchedDelta
+      .union(spark.createDataset(absentDelta)(kvEnc)).localCheckpoint(true))
 
-    // new state in the same narrow shape: updated keys replaced in place
-    // (all Nones -> row kept, mirroring the cogroup form), inserts appended
-    val newState: Dataset[(K, V)] = state.mapPartitions { it =>
+    // new state: updated keys replaced in place by a NARROW pass (rows never
+    // leave their partition), inserts routed through their own tiny exchange
+    // and zip-merged partition-wise — the asserted layout survives both
+    val updatedInPlace: Dataset[(K, V)] = state.mapPartitions { it =>
       it.flatMap { case (k, v) =>
         bc.value.get(k) match {
           case Some(mlist) =>
@@ -113,36 +140,41 @@ final class MutableBag[K, V] private (
           case None => Seq(k -> v)
         }
       }
-    }.union(spark.createDataset(absentDelta)(kvEnc))
+    }
+    val merged: DataFrame =
+      if (absentDelta.isEmpty) updatedInPlace.toDF()
+      else bridge.zipUnion(updatedInPlace,
+        spark.createDataset(absentDelta)(kvEnc).repartition(parts, col("_1")))
 
     val old = state
-    state = checkpointed(newState)
+    state = bridge.assertHashPartitioned(
+        merged.localCheckpoint(true), Seq("_1"), parts)
+      .as(kvEnc)
     old.unpersist()
     // NOT bc.destroy(): deltaCached is lazy and still reads the broadcast on
     // first evaluation; the ContextCleaner reclaims it once unreferenced
     DataBag.from(deltaCached)
   }
 
-  /** Eager localCheckpoint with the checkpoint's carried-over origin stats
-    * stripped — both halves matter for fixpoint loops (see the comment in
-    * [[update]] and `bridge.dropOriginStats`). */
-  private def checkpointed(ds: Dataset[(K, V)]): Dataset[(K, V)] =
-    org.apache.spark.sql.graft.bridge
-      .dropOriginStats(ds.localCheckpoint(true)).as(kvEnc)
-
   /** Snapshot of the current state. */
   def bag(): DataBag[(K, V)] = DataBag.from(state)
 
   /** Clone with value semantics across loop iterations. */
-  def copy(): MutableBag[K, V] = new MutableBag(state, encK, encV)
+  def copy(): MutableBag[K, V] = new MutableBag(state, parts, encK, encV)
 }
 
 object MutableBag {
   def apply[K, V](init: DataBag[(K, V)])(
-      implicit encK: Encoder[K], encV: Encoder[V]): MutableBag[K, V] =
-    new MutableBag(
-      org.apache.spark.sql.graft.bridge
-        .dropOriginStats(init.ds.localCheckpoint(true))
-        .as(Encoders.tuple(encK, encV)),
-      encK, encV)
+      implicit encK: Encoder[K], encV: Encoder[V]): MutableBag[K, V] = {
+    val spark = init.ds.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val kvEnc = Encoders.tuple(encK, encV)
+    // pay the state's ONE hash exchange here; every later update round
+    // reads the asserted layout back from the checkpoint instead
+    val state = bridge.assertHashPartitioned(
+        init.ds.repartition(parts, col("_1")).localCheckpoint(true),
+        Seq("_1"), parts)
+      .as(kvEnc)
+    new MutableBag(state, parts, encK, encV)
+  }
 }

@@ -53,6 +53,58 @@ object bridge {
     dropOriginStats(ds)
       .as(ds.asInstanceOf[org.apache.spark.sql.classic.Dataset[A]].encoder)
 
+  /** Rebuild a localCheckpoint'ed Dataset asserting that its blocks are
+    * hash-partitioned by `keyCols` into `parts` partitions (origin stats
+    * dropped as in [[dropOriginStats]]). This is the keyed-state seam the
+    * reference gets from IndexedRDD: a fixpoint whose per-round transform
+    * keeps every key in its partition (narrow cogroup output, in-place
+    * value updates) can declare that fact, so the NEXT round's
+    * cogroup/join plans ZERO Exchange on the state side — only the small
+    * message side shuffles. The caller must guarantee the physical layout
+    * really is HashPartitioning(keyCols, parts) (rows produced under a
+    * clustered child and never moved); asserting anything else silently
+    * corrupts joins. No-op (plain stats-dropped rebuild) if the partition
+    * count does not match. */
+  def assertHashPartitioned(ds: org.apache.spark.sql.Dataset[_],
+      keyCols: Seq[String], parts: Int): org.apache.spark.sql.DataFrame =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val spark = ds.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val part =
+          if (l.rdd.getNumPartitions == parts)
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+              keyCols.map(n => l.output.find(_.name == n).getOrElse(
+                throw new IllegalArgumentException(s"no column $n"))), parts)
+          else l.outputPartitioning
+        ofRows(spark, new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, part, l.outputOrdering, l.isStreaming,
+          l.stream)(spark, None, None))
+      case _ => ds.toDF()
+    }
+
+  /** Partition-wise union of two SAME-SCHEMA, SAME-PARTITION-COUNT frames,
+    * preserving hash partitioning: partition i of the result is partition i
+    * of `a` followed by partition i of `b`. `Dataset.union` concatenates
+    * the partition LISTS (2n partitions, partitioning metadata lost); this
+    * zip keeps n partitions, so a keyed state can absorb a small set of
+    * correctly-routed inserts without re-exchanging itself. */
+  def zipUnion(a: org.apache.spark.sql.Dataset[_],
+      b: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.DataFrame = {
+    val aq = a.toDF().queryExecution
+    val bq = b.toDF().queryExecution
+    require(aq.analyzed.schema == bq.analyzed.schema,
+      "zipUnion requires identical schemas")
+    val ardd = aq.toRdd
+    val brdd = bq.toRdd
+    require(ardd.getNumPartitions == brdd.getNumPartitions,
+      s"zipUnion requires equal partition counts: ${ardd.getNumPartitions} vs ${brdd.getNumPartitions}")
+    val merged = ardd.zipPartitions(brdd)((x, y) => x ++ y)
+    val spark = a.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(aq.analyzed.schema)
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(attrs, merged)(spark))
+  }
+
   /** Build a DataFrame from a custom LogicalPlan (entry point for custom
     * operators planned by injected strategies). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -75,6 +75,24 @@ class StateSpec extends AnyFlatSpec with Matchers {
     st.bag().collect().sorted shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
   }
 
+  "MutableBag state" should "cogroup with zero Exchange on the state side, every round" in {
+    val st = MutableBag[Long, Long](DataBag((1L to 100L).map(i => (i, i))))
+    for (r <- 1 to 3) {
+      val delta = st.update(DataBag(Seq(
+        Group(5L, 1000L + r), Group(200L + r, r.toLong))))((_, _, m) => Some(m))
+      delta.collect().length shouldBe 2
+      val plan = st.lastUpdatePlan
+      plan should include("CoGroup")
+      // exactly ONE Exchange: the message side. The state side reads its
+      // asserted hash partitioning straight from the checkpoint — if a
+      // second Exchange ever appears here, the IndexedRDD-gap closure
+      // regressed and every fixpoint round re-shuffles its full state.
+      "Exchange".r.findAllMatchIn(plan).size shouldBe 1
+    }
+    st.bag().collect().toMap.apply(5L) shouldBe 1003L
+    st.bag().count(_ => true) shouldBe 103L
+  }
+
   it should "give copy() value semantics" in {
     val st = MutableBag[Long, Long](DataBag(Seq((1L, 1L))))
     val snapshot = st.copy()
