@@ -2155,8 +2155,12 @@ object SparkEntry {
       val positives = anchors
         .join(docs.select(col("doc_id").as("item"), col("lang")), "lang")
         .select(col("anchor"), col("item"))
-      graft.ops.Shuffling.negativeSample(anchors, "anchor", items, "item",
-          positives, k = 5, nDraws = 12, seed = 7L)
+      // via the PREBUILT index path: the ranking pass runs once per corpus
+      // version; sampling calls only probe it (negativeSample delegates to
+      // the same code, so this gate covers both entry points)
+      val index = graft.ops.Shuffling.itemIndex(items, "item")
+      graft.ops.Shuffling.negativeSampleIndexed(anchors, "anchor", index,
+          "item", positives, k = 5, nDraws = 12, seed = 7L)
         .select(col("anchor"), col("item"), col("rank"))
     }),
 

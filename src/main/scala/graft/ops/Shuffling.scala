@@ -207,11 +207,37 @@ object Shuffling {
     */
   def negativeSample(anchors: DataFrame, anchorCol: String,
       items: DataFrame, itemCol: String, positives: DataFrame,
+      k: Int, nDraws: Int, seed: Long): DataFrame =
+    negativeSampleIndexed(anchors, anchorCol, itemIndex(items, itemCol),
+      itemCol, positives, k, nDraws, seed)
+
+  /** The dense (item, __idx) relation [[negativeSampleIndexed]] probes —
+    * build it ONCE per corpus version (the ranking pass is the expensive
+    * part: range repartition + per-partition offsets) and reuse it across
+    * every sampling call; [[saveItemIndex]]/[[loadItemIndex]] persist it
+    * as a parquet relation, mirroring [[AnnIndex]]'s save/load. */
+  def itemIndex(items: DataFrame, itemCol: String): DataFrame =
+    orderedIndex(items.select(itemCol), itemCol, "__idx")
+
+  def saveItemIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  def loadItemIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[negativeSample]] against a PREBUILT [[itemIndex]] relation: no
+    * re-ranking per call — the only per-call work on the index side is one
+    * max(__idx) aggregate for the modulus. */
+  def negativeSampleIndexed(anchors: DataFrame, anchorCol: String,
+      indexed: DataFrame, itemCol: String, positives: DataFrame,
       k: Int, nDraws: Int, seed: Long): DataFrame = {
     require(k > 0 && nDraws >= k, s"need nDraws >= k > 0: k=$k nDraws=$nDraws")
-    val n = items.count()
-    require(n > 0, "items must be non-empty")
-    val indexed = orderedIndex(items.select(itemCol), itemCol, "__idx")
+    val row = indexed.agg(max("__idx")).head()
+    require(!row.isNullAt(0), "items must be non-empty")
+    val n = row.getLong(0) + 1
+    // draws take the first 8 md5 nibbles — a 32-bit space; more items than
+    // that would silently bias the draw toward low indices
+    require(n < (1L << 32), s"item count $n exceeds the 32-bit draw space")
     val draws = anchors.select(col(anchorCol))
       .withColumn("__i", explode(sequence(lit(0), lit(nDraws - 1))))
       .withColumn("__idx", pmod(

@@ -225,6 +225,34 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     got.foreach { case (a, it, _) => pos should not contain ((a, it)) }
   }
 
+  it should "probe a prebuilt (saved and loaded) index without re-ranking" in {
+    val items = (0L until 300L).toDF("item")
+    val dir = java.nio.file.Files.createTempDirectory("graft_negidx").toString
+    try {
+      Shuffling.saveItemIndex(Shuffling.itemIndex(items, "item"), s"$dir/idx")
+      val loaded = Shuffling.loadItemIndex(spark, s"$dir/idx")
+      val anchors = Seq(1L, 2L, 3L).toDF("anchor")
+      val pos = Seq((1L, 5L), (2L, 7L)).toDF("anchor", "item")
+      // constructing the probe must not launch the ranking jobs the inline
+      // path runs eagerly (range-repartition checkpoint, offset collect,
+      // THEN the modulus aggregate — ≥4 jobs under AQE): only the
+      // max(__idx) aggregate may run before consumption (2 jobs under AQE:
+      // shuffle stage + result stage)
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val probe = Shuffling.negativeSampleIndexed(anchors, "anchor", loaded,
+        "item", pos, k = 2, nDraws = 6, seed = 11L)
+      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      (after - before) should be <= 2
+      val inline = Shuffling.negativeSample(anchors, "anchor", items, "item",
+        pos, k = 2, nDraws = 6, seed = 11L)
+      probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted shouldBe
+        inline.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   behavior of "Streams.streamFilterReport"
 
   it should "equal the batch report no matter how ingest is micro-batched" in {
