@@ -118,6 +118,59 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Native codegen'd deflate-compressed size of a string's UTF-8 bytes at a
+  * fixed level — the kernel of the gzip-compressibility quality signal
+  * ([[graft.ops.TextAnalysis.compressionRatio]]). Keeping it an expression
+  * (rather than an `rdd.mapPartitions` pass) keeps the whole signal inside
+  * Tungsten/whole-stage codegen: no object round trip, free column pruning
+  * and pushdown around it. The zlib context is NATIVE state, so each
+  * executor thread lazily owns ONE `Deflater` + buffer for its lifetime
+  * (thread-local, reset per value) — bounded by the thread pool, reused
+  * across tasks, never allocated per row or leaked per partition. */
+case class DeflateSize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.simpleString}")
+  override def prettyName: String = "deflate_size"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateSize.deflatedSize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.DeflateSize.deflatedSize($c.getBytes());"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
+object DeflateSize {
+  /** Deterministic: `Deflater` at a fixed level/strategy is a pure function
+    * of the input bytes (zlib ships in the JDK, same version everywhere). */
+  final val Level = 6
+
+  private val local = new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+    override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+      (new java.util.zip.Deflater(Level), new Array[Byte](1 << 16))
+  }
+
+  /** Called from generated code — must stay public and static-shaped. */
+  def deflatedSize(bytes: Array[Byte]): Long = {
+    val (defl, buf) = local.get()
+    defl.reset(); defl.setInput(bytes); defl.finish()
+    var total = 0L
+    while (!defl.finished()) total += defl.deflate(buf)
+    total
+  }
+}
+
 object Native {
 
   /** Column API for the native expression. */
@@ -131,6 +184,10 @@ object Native {
   /** Column API for the fused MinHash signature over a shingle array. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
     bridge.column(MinHashSig(bridge.expression(shingles), numHashes))
+
+  /** Column API for the native deflate-size expression. */
+  def deflateSize(s: Column): Column =
+    bridge.column(DeflateSize(bridge.expression(s)))
 
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSim].getName, "cosine_sim")
@@ -151,6 +208,9 @@ object Native {
   private val nfcInfo = new ExpressionInfo(
     classOf[NfcNormalize].getName, "nfc_normalize")
 
+  private val deflateInfo = new ExpressionInfo(
+    classOf[DeflateSize].getName, "deflate_size")
+
   /** Runtime registration so `expr("cosine_sim(a, b)")` / SQL works on an
     * existing session. */
   def register(spark: SparkSession): Unit = {
@@ -162,6 +222,9 @@ object Native {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("nfc_normalize"), nfcInfo,
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("deflate_size"), deflateInfo,
+      (children: Seq[Expression]) => DeflateSize(children.head))
   }
 }
 
@@ -182,6 +245,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "deflate_size"),
+      (children: Seq[Expression]) => DeflateSize(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.FuseCosineRule)
   }

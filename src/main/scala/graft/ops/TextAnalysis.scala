@@ -302,40 +302,21 @@ object TextAnalysis {
     * far below it — a cheap, language-agnostic repetition detector that
     * complements the token-level signals above. Deterministic: `Deflater`
     * at a fixed level/strategy is a pure function of the bytes (zlib ships
-    * in the JDK). One narrow per-partition pass, one Deflater instance
-    * reused (reset) per partition — no shuffle, no per-row allocation of
-    * native resources. Output: (doc_id, n_bytes, comp_milli). */
+    * in the JDK). The kernel is the native codegen expression
+    * [[graft.functions.DeflateSize]] (one thread-local Deflater per
+    * executor thread, reset per value), so the whole signal is ONE
+    * columnar projection inside whole-stage codegen — no object round
+    * trip, no shuffle. Output: (doc_id, n_bytes, comp_milli). */
   def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val schema = StructType(Seq(StructField(idCol, LongType),
-      StructField("n_bytes", LongType), StructField("comp_milli", LongType)))
-    val src = docs.select(col(idCol), col(textCol))
-    src.sparkSession.createDataFrame(src.rdd.mapPartitions { rows =>
-      val defl = new java.util.zip.Deflater(6)
-      val buf = new Array[Byte](1 << 16)
-      def deflatedSize(bytes: Array[Byte]): Long = {
-        defl.reset(); defl.setInput(bytes); defl.finish()
-        var total = 0L
-        while (!defl.finished()) total += defl.deflate(buf)
-        total
-      }
-      val out = rows.map { r =>
-        val id = r.getLong(0)
-        val t = if (r.isNullAt(1)) "" else r.getString(1)
-        val bytes = t.getBytes("UTF-8")
-        val milli =
-          if (bytes.length == 0) 1000L
-          else deflatedSize(bytes) * 1000L / bytes.length
-        Row(id, bytes.length.toLong, milli)
-      }
-      // release the native zlib state as soon as the partition drains
-      // (end() is safe to call more than once)
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) defl.end(); h }
-        def next(): Row = out.next()
-      }
-    }, schema)
-  }
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .select(col(idCol),
+        octet_length(col("__t")).cast("long").as("n_bytes"),
+        graft.functions.Native.deflateSize(col("__t")).as("__c"))
+      .select(col(idCol), col("n_bytes"),
+        // long division exactly as the JDK form: (c * 1000) div n, both
+        // positive; the empty-text guard keeps `div` away from zero
+        when(col("n_bytes") === 0L, lit(1000L))
+          .otherwise(expr("__c * 1000L div n_bytes")).as("comp_milli"))
 }

@@ -99,6 +99,20 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     got(3L)._2 should be < got(1L)._2
   }
 
+  it should "stay inside whole-stage codegen (no object round trip)" in {
+    // non-literal source so ConvertToLocalRelation can't pre-evaluate the
+    // projection (a folded plan would hide the expression being asserted)
+    val docs = spark.range(0, 10)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    val plan = TextAnalysis.compressionRatio(docs)
+      .queryExecution.executedPlan.toString
+    plan should include("deflate_size")
+    // the "*(n)" prefix marks operators fused into whole-stage codegen
+    plan should include("*(1) Project")
+    plan should not include "SerializeFromObject"
+    plan should not include "Scan ExistingRDD"
+  }
+
   it should "be invariant to partitioning and repeated runs" in {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i, s"doc $i " * (i % 9 + 1).toInt)).toDF("doc_id", "text")
