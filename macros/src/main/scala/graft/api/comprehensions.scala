@@ -25,12 +25,21 @@ import scala.reflect.macros.blackbox
   * guard filters after the join; with no separable guard the generators
   * combine by `cross`.
   *
+  * The dependent-FILTER spelling also derives a join: in
+  * `y <- ys.withFilter(y => k(x) == g(y))` the filter chain is peeled
+  * into a guard before role analysis (the reference's `MatchFlatMap2`
+  * shape, Combination.scala:261-297). Guard analysis identifies generator
+  * references by SYMBOL on the typed tree, so a guard-local lambda that
+  * shadows a generator name cannot demote a join key.
+  *
   * Not derived (compile-time abort with guidance, never a silent
-  * per-element job): dependent generators (a later bag built from an
-  * earlier variable) and non-linear shapes — the reference's full
+  * per-element job): dependent generators (a later bag genuinely built
+  * from an earlier row) and non-linear shapes — the reference's full
   * normalization engine is out of scope by design stance (SURVEY §7.1);
   * explicit `equiJoin`/`joined.on` remains the primary API. Non-DataBag
-  * expressions pass through untouched.
+  * expressions pass through untouched, as do comprehensions whose later
+  * generators are LOCAL collections (they typecheck against the
+  * IterableOnce overload and execute correctly without rewriting).
   *
   * Mechanics note: shape and guard analysis run on the TYPED tree (where
   * `DataBag`-ness is provable), then the WHOLE expression is untypechecked
