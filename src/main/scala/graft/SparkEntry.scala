@@ -2092,6 +2092,26 @@ object SparkEntry {
           nShards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Training-order EXPORT: the q178 order materialized as Hive
+    // shard=<s> directories, range-partitioned on (shard, pos) so part
+    // files in name order stream the exact training order with no sort
+    // (contiguity spec-asserted). The gate writes, reads back, and must
+    // reproduce q178's oracle exactly — the round trip loses nothing.
+    "q187_write_shards" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_shards_gate").toString
+      try {
+        graft.ops.Shuffling.writeShards(
+          tbl(s, d, "documents").select("doc_id"), col("doc_id"),
+          nShards = 8, seed = 42L, s"$dir/shards")
+        graft.ops.Shuffling.readShards(s, s"$dir/shards")
+          .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+          .localCheckpoint()
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
+
     // Weighted corpus interleave: one training stream from three language
     // slices at 3:2:1, global position in CLOSED FORM (no global sort, no
     // single-partition window). The oracle derives gpos the OTHER way — a
@@ -3601,6 +3621,17 @@ object SparkEntry {
         "LEFT JOIN c ON c.filter = d.filter"),
 
     "q178_shuffle_shards" ->
+      ("WITH k AS (SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "s AS (SELECT doc_id, h, " +
+        "((4096*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
+        "+ 256*(strpos('0123456789abcdef', substr(h,2,1))-1) " +
+        "+ 16*(strpos('0123456789abcdef', substr(h,3,1))-1) " +
+        "+ (strpos('0123456789abcdef', substr(h,4,1))-1)) % 8) AS shard FROM k) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
+        "FROM s"),
+
+    "q187_write_shards" ->
       ("WITH k AS (SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
         "s AS (SELECT doc_id, h, " +
         "((4096*(strpos('0123456789abcdef', substr(h,1,1))-1) " +

@@ -93,6 +93,29 @@ object Shuffling {
       .drop("__ok", "__tie")
   }
 
+  /** Materializes the deterministic training order as consumable shard
+    * files: Hive directories `shard=<s>`, and within each shard the part
+    * files IN FILENAME ORDER hold pos-ascending, non-overlapping ranges
+    * (the export is range-partitioned on (shard, pos) and sorted within
+    * partitions before the write, and range partition ids ascend with the
+    * range). A sequential trainer therefore streams the exact training
+    * order with zero sorting — open the shard's files in name order — and
+    * a distributed reader gets planning-time shard pruning from the Hive
+    * layout. Costs ONE ordered exchange of the output: the unavoidable
+    * final materialization pass, sized by shuffle.partitions not nShards.
+    */
+  def writeShards(df: DataFrame, key: Column, nShards: Int, seed: Long,
+      path: String): Unit =
+    deterministicShuffle(df, key, nShards, seed)
+      .repartitionByRange(col("shard"), col("pos"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Reads a [[writeShards]] export; `shard` comes back as a partition
+    * column (planning-time pruning on `where(col("shard") === s)`). */
+  def readShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   /** Deterministic weighted interleave of K corpora — the data-mixing step

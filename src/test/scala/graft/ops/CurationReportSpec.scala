@@ -97,6 +97,45 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     a should not be b
   }
 
+  "Shuffling.writeShards" should "export shard files whose name order IS the training order" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Shuffling.writeShards(spark.range(0, 500).toDF("id"), col("id"),
+        nShards = 4, seed = 7L, s"$dir/shards")
+      // read-back reproduces the in-memory assignment exactly
+      val back = Shuffling.readShards(spark, s"$dir/shards")
+        .select(col("id"), col("shard").cast("long"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val direct = Shuffling.deterministicShuffle(
+          spark.range(0, 500).toDF("id"), col("id"), 4, 7L)
+        .select("id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      back shouldBe direct
+      // per shard: each file is pos-sorted and files in NAME order carry
+      // non-overlapping ascending ranges — a sequential reader streams the
+      // training order without sorting
+      val shardDirs = new java.io.File(s"$dir/shards").listFiles
+        .filter(_.getName.startsWith("shard="))
+      shardDirs.length shouldBe 4
+      for (sd <- shardDirs) {
+        val files = sd.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val ranges = files.flatMap { f =>
+          val rows = spark.read.parquet(f.getAbsolutePath)
+            .select("pos").collect().map(_.getLong(0))
+          rows shouldBe rows.sorted
+          if (rows.nonEmpty) Some((rows.min, rows.max)) else None
+        }
+        ranges.sliding(2).foreach {
+          case Array((_, amax), (bmin, _)) => amax should be < bmin
+          case _ => ()
+        }
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   behavior of "Shuffling.weightedInterleave"
 
   private def mkSources(sizes: Seq[Int], weights: Seq[Int]) = {
