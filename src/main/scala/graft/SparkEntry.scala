@@ -2262,6 +2262,40 @@ object SparkEntry {
       tri.ds.toDF("x", "y", "z")
     }),
 
+    // Runtime quotation (the reference's RuntimeCompiler path): the SAME
+    // q183 program arrives as SOURCE TEXT, is compiled in-JVM at runtime
+    // (macro expanding during that compilation), its classes shipped via
+    // the session artifact channel, and must hash-match q183's oracle —
+    // proving quoted pipelines behave exactly like build-time code.
+    "q188_runtime_quotation" -> ((s, d) => {
+      val dir = d // captured by name inside the snippet via string interp
+      val pipeline = graft.api.RuntimeQuotation.compile[
+          org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame](s"""
+        (s0: org.apache.spark.sql.SparkSession) => {
+          implicit val spark: org.apache.spark.sql.SparkSession = s0
+          import spark.implicits._
+          import org.apache.spark.sql.functions.col
+          import graft.api._
+          import graft.api.comprehensions.onSpark
+          val orders = DataBag.from(spark.read.parquet("$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .as[graft.OrderRow])
+          val custs = DataBag.from(spark.read.parquet("$dir/customer.parquet")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+            .as[graft.CustRow])
+          val res = onSpark {
+            for {
+              o <- orders
+              cu <- custs
+              if o.o_custkey == cu.c_custkey
+              if cu.c_acctbal > 5000.0
+            } yield (o.o_orderkey, cu.c_name, math.floor(o.o_totalprice * 100.0).toLong)
+          }
+          res.ds.toDF("o_orderkey", "c_name", "price_cents")
+        }""")(s)
+      pipeline(s)
+    }),
+
     // gzip-compressibility quality signal: per-doc deflate milli-ratio,
     // gated on its CONTRACT (the bytes themselves aren't SQL-expressible):
     // SQL-checkable corpus totals plus two invariants Spark must prove —
@@ -3695,6 +3729,10 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
 
     "q186_comprehension_depfilter" ->
+      ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
+
+    "q188_runtime_quotation" ->
       ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
 

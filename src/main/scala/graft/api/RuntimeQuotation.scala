@@ -1,0 +1,111 @@
+package graft.api
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+/** Runtime quotation — the reference's `RuntimeCompiler` path
+  * (emma-language compiler/RuntimeCompiler.scala:28-53): quoted programs
+  * compiled at RUNTIME rather than by scalac at build time, which is what
+  * makes the comprehension front-end usable from a REPL, a notebook, or
+  * any host that assembles pipeline source dynamically.
+  *
+  * Spark-first shape: the snippet is compiled by the in-JVM Scala compiler
+  * (`scala.tools.nsc`, shipped in the Spark distribution's scala-compiler
+  * jar — no extra dependency) into REAL class files, which are jarred and
+  * handed to `SparkSession.addArtifact` — the session-scoped dynamic-code
+  * channel (Spark 4 isolates SQL-execution classloaders per session, so a
+  * bare `sparkContext.addJar` never reaches SQL tasks) — so executors can
+  * deserialize the quoted program's lambdas inside tasks. (A `ToolBox`
+  * would be simpler but compiles into an in-memory
+  * classloader Spark's task deserializer cannot see.) Blackbox macros
+  * expand during this compilation exactly as at build time, so
+  * `comprehensions.onSpark { for ... }` inside a runtime snippet derives
+  * the same equi-join plans as compiled code, and macro aborts (e.g. a
+  * genuinely dependent generator) surface as compile errors at QUOTE time,
+  * never on the cluster.
+  *
+  * Typical use compiles a function so the caller can inject live bindings:
+  *
+  * {{{
+  * val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+  *   (s0: org.apache.spark.sql.SparkSession) => {
+  *     implicit val spark = s0; import spark.implicits._
+  *     import graft.api._, graft.api.comprehensions.onSpark
+  *     ...
+  *     onSpark { for { x <- xs; y <- ys; if kx(x) == ky(y) } yield ... }.toDF
+  *   }""")
+  * pipeline(spark)
+  * }}}
+  */
+object RuntimeQuotation {
+
+  private lazy val outDir: Path = {
+    val d = Files.createTempDirectory("graft_rtq_classes")
+    d.toFile.deleteOnExit()
+    d
+  }
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Last jar handed to addJar — debug/spec hook. */
+  private[graft] var lastJar: Option[Path] = None
+
+  /** Parse, typecheck (expanding macros), compile, register the resulting
+    * classes with the Spark context, and evaluate; the result is cast to
+    * `T`. Compilation errors raise `RuntimeQuotationError` carrying the
+    * compiler messages. */
+  def compile[T](code: String)(implicit spark: SparkSession): T = synchronized {
+    val n = counter.incrementAndGet()
+    val cls = s"GraftRtq$n"
+    // a Supplier wrapper gives the snippet an evaluation entry point that
+    // needs no scala-reflect at load time
+    val src = s"class $cls extends java.util.function.Supplier[Any] {\n" +
+      s"  override def get(): Any = {\n$code\n  }\n}\n"
+    val srcFile = outDir.resolve(s"$cls.scala")
+    Files.writeString(srcFile, src)
+
+    val settings = new scala.tools.nsc.Settings()
+    settings.usejavacp.value = true // forked JVMs carry the full classpath
+    settings.outputDirs.setSingleOutput(outDir.toString)
+    val reporter = new scala.tools.nsc.reporters.StoreReporter(settings)
+    val global = new scala.tools.nsc.Global(settings, reporter)
+    new global.Run().compile(List(srcFile.toString))
+    if (reporter.hasErrors)
+      throw new RuntimeQuotationError(reporter.infos.toSeq
+        .filter(_.severity == reporter.ERROR)
+        .map(i => s"${i.pos.showError(i.msg)}").mkString("\n"))
+
+    // ship the classes the way spark-shell does: executors fetch the jar
+    // before deserializing tasks, so the snippet's lambdas resolve there.
+    // Spark 4 isolates SQL-execution classloaders per session (artifact
+    // isolation), so the jar must go through the SESSION's artifact
+    // manager — a bare sparkContext.addJar lands in the default state
+    // that SQL tasks no longer see.
+    val jar = jarOf(outDir, n)
+    lastJar = Some(jar)
+    spark.addArtifact(jar.toString)
+
+    val loader = new java.net.URLClassLoader(
+      Array(outDir.toUri.toURL), getClass.getClassLoader)
+    loader.loadClass(cls).getDeclaredConstructor().newInstance()
+      .asInstanceOf[java.util.function.Supplier[Any]].get().asInstanceOf[T]
+  }
+
+  private def jarOf(dir: Path, n: Int): Path = {
+    val jarPath = Files.createTempDirectory("graft_rtq_jar").resolve(s"rtq$n.jar")
+    val out = new java.util.jar.JarOutputStream(
+      Files.newOutputStream(jarPath))
+    try {
+      Files.walk(dir).filter(_.toString.endsWith(".class")).forEach { p =>
+        out.putNextEntry(new java.util.zip.ZipEntry(dir.relativize(p).toString))
+        out.write(Files.readAllBytes(p))
+        out.closeEntry()
+      }
+    } finally out.close()
+    jarPath
+  }
+}
+
+/** Compilation failure of a runtime-quoted snippet (carries the compiler
+  * diagnostics, including comprehension-macro aborts). */
+final class RuntimeQuotationError(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,65 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Runtime quotation: a pipeline assembled as SOURCE TEXT compiles in-JVM
+  * (toolbox), the comprehension macro expands during that compilation, and
+  * the resulting closure runs on the live session with the same plan and
+  * values as build-time-compiled code. */
+class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  behavior of "RuntimeQuotation.compile"
+
+  it should "derive the comprehension join inside a runtime-compiled snippet" in {
+    val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val xs = DataBag((1L to 50L).toSeq)
+        val ys = DataBag(Seq(2L, 4L, 6L, 8L, 10L, 12L))
+        onSpark {
+          for { x <- xs; y <- ys; if x % 7 == y % 5 } yield (x, y, x + y)
+        }.ds.toDF("x", "y", "s")
+      }""")
+    val out = pipeline(spark)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val exp = (for {
+      x <- 1L to 50L; y <- Seq(2L, 4L, 6L, 8L, 10L, 12L); if x % 7 == y % 5
+    } yield (x, y, x + y)).sorted
+    got shouldBe exp.toArray
+  }
+
+  it should "evaluate plain expressions and reusable closures" in {
+    RuntimeQuotation.compile[Long]("40L + 2L") shouldBe 42L
+    val f = RuntimeQuotation.compile[Long => Long]("(n: Long) => n * n")
+    f(9L) shouldBe 81L
+  }
+
+  it should "surface macro aborts as compile errors at quote time" in {
+    val bad = """
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val xs = DataBag((1L to 5L).toSeq)
+        onSpark { for { x <- xs; y <- DataBag(Seq(x)) } yield x + y }.toDF
+      }"""
+    val e = intercept[Throwable] {
+      RuntimeQuotation.compile[SparkSession => DataFrame](bad)
+    }
+    e.getMessage should include("dependent generators are not derived")
+  }
+}
