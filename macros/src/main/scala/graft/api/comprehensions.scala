@@ -190,10 +190,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
         if (names.distinct.length != names.length)
           c.abort(c.enclosingPosition,
             "onSpark: generator variable names must be distinct")
-        // a later generator over a LOCAL collection typechecks against the
-        // IterableOnce flatMap overload and executes correctly as written —
-        // nothing to derive, pass the expression through untouched
-        if (gens.tail.exists(g => !isDataBag(g.bag))) return expr
+        // a tail that MIXES DataBag and local-collection generators would
+        // pass through to DataBag.flatMap's distributed-inner overload and
+        // throw at runtime — reject it here with guidance instead (an
+        // ALL-local tail never reaches this case: the pattern guard skips
+        // it and the expression passes through untouched, running
+        // correctly via the IterableOnce overload)
+        for (gen <- gens.tail if !isDataBag(gen.bag))
+          c.abort(c.enclosingPosition,
+            s"onSpark: generator '${gen.v.name}' is not a DataBag — mixing DataBag and " +
+            "local-collection generators is not derived; lift the local collection into a " +
+            "DataBag or restructure")
         // every later bag must be independent of earlier generators — the
         // dependent-FILTER spelling (ys.withFilter(y => k(x) == g(y))) is
         // already peeled into a guard by FilterChain and derives a join;

@@ -34,9 +34,13 @@ final class MutableBag[K, V] private (
 
   private implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(encK, encV)
 
-  /** Physical plan of the most recent [[update]]'s cogroup — a debug /
-    * spec hook proving the state side planned without an Exchange. */
-  private[graft] var lastUpdatePlan: String = ""
+  /** The most recent [[update]]'s cogroup dataset — a debug / spec hook
+    * (its executedPlan proves the state side planned without an
+    * Exchange). Held lazily: production rounds never pay the extra
+    * planning pass; only a reader of this hook does. */
+  private[graft] var lastUpdate: Option[Dataset[_]] = None
+  private[graft] def lastUpdatePlan: String =
+    lastUpdate.map(_.queryExecution.executedPlan.toString).getOrElse("")
 
   def update[M](ms: DataBag[Group[K, M]])(f: (K, Option[V], M) => Option[V])(
       implicit encM: Encoder[M]): DataBag[(K, V)] = {
@@ -58,13 +62,16 @@ final class MutableBag[K, V] private (
       (k, vs, msIt) =>
         if (!msIt.hasNext) vs.map { case (_, v) => (k, v, false) }
         else {
-          val vOpt = vs.map(_._2).nextOption()
-          val news = msIt.flatMap { case (_, m) => f(k, vOpt, m) }.toList
+          // f sees the FIRST value (keyed state; original semantics), but
+          // when every f declines, ALL existing rows for the key survive —
+          // a duplicate-keyed state must pass through update unchanged
+          val olds = vs.map(_._2).toList
+          val news = msIt.flatMap { case (_, m) => f(k, olds.headOption, m) }.toList
           if (news.nonEmpty) news.iterator.map(v => (k, v, true))
-          else vOpt.iterator.map(v => (k, v, false))
+          else olds.iterator.map(v => (k, v, false))
         }
     }(kvdEnc)
-    lastUpdatePlan = combined.queryExecution.executedPlan.toString
+    lastUpdate = Some(combined)
 
     // checkpoint (not just persist) AND drop origin stats: callers feed the
     // returned delta into the NEXT round's messages, so an un-truncated

@@ -57,16 +57,19 @@ object RuntimeQuotation {
   def compile[T](code: String)(implicit spark: SparkSession): T = synchronized {
     val n = counter.incrementAndGet()
     val cls = s"GraftRtq$n"
+    // each snippet compiles into its OWN directory: jars stay one-snippet
+    // sized (a shared dir would make jar N re-ship all N-1 predecessors)
+    val snippetDir = Files.createDirectories(outDir.resolve(s"rtq$n"))
     // a Supplier wrapper gives the snippet an evaluation entry point that
     // needs no scala-reflect at load time
     val src = s"class $cls extends java.util.function.Supplier[Any] {\n" +
       s"  override def get(): Any = {\n$code\n  }\n}\n"
-    val srcFile = outDir.resolve(s"$cls.scala")
+    val srcFile = snippetDir.resolve(s"$cls.scala")
     Files.writeString(srcFile, src)
 
     val settings = new scala.tools.nsc.Settings()
     settings.usejavacp.value = true // forked JVMs carry the full classpath
-    settings.outputDirs.setSingleOutput(outDir.toString)
+    settings.outputDirs.setSingleOutput(snippetDir.toString)
     val reporter = new scala.tools.nsc.reporters.StoreReporter(settings)
     val global = new scala.tools.nsc.Global(settings, reporter)
     new global.Run().compile(List(srcFile.toString))
@@ -81,12 +84,14 @@ object RuntimeQuotation {
     // isolation), so the jar must go through the SESSION's artifact
     // manager — a bare sparkContext.addJar lands in the default state
     // that SQL tasks no longer see.
-    val jar = jarOf(outDir, n)
+    val jar = jarOf(snippetDir, n)
     lastJar = Some(jar)
     spark.addArtifact(jar.toString)
 
+    // NOT closed: the snippet's classes (and its lambdas inside running
+    // plans) stay loadable for the life of the session
     val loader = new java.net.URLClassLoader(
-      Array(outDir.toUri.toURL), getClass.getClassLoader)
+      Array(snippetDir.toUri.toURL), getClass.getClassLoader)
     loader.loadClass(cls).getDeclaredConstructor().newInstance()
       .asInstanceOf[java.util.function.Supplier[Any]].get().asInstanceOf[T]
   }
@@ -95,13 +100,14 @@ object RuntimeQuotation {
     val jarPath = Files.createTempDirectory("graft_rtq_jar").resolve(s"rtq$n.jar")
     val out = new java.util.jar.JarOutputStream(
       Files.newOutputStream(jarPath))
+    val walk = Files.walk(dir)
     try {
-      Files.walk(dir).filter(_.toString.endsWith(".class")).forEach { p =>
+      walk.filter(_.toString.endsWith(".class")).forEach { p =>
         out.putNextEntry(new java.util.zip.ZipEntry(dir.relativize(p).toString))
         out.write(Files.readAllBytes(p))
         out.closeEntry()
       }
-    } finally out.close()
+    } finally { walk.close(); out.close() }
     jarPath
   }
 }

@@ -50,7 +50,14 @@ object Shuffling {
     * range boundary (same contract as [[orderedIndex]]).
     */
   private[graft] def groupedRank(df: DataFrame, groupCol: String,
-      orderCols: Seq[String], indexName: String): DataFrame = {
+      orderCols: Seq[String], indexName: String): DataFrame =
+    groupedRankWithSizes(df, groupCol, orderCols, indexName)._1
+
+  /** [[groupedRank]] plus the per-group row totals — already on the driver
+    * from the offset pass, so callers that need sizes (e.g.
+    * [[weightedInterleave]]) don't launch a second corpus-wide count. */
+  private[graft] def groupedRankWithSizes(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], indexName: String): (DataFrame, Map[Long, Long]) = {
     val pidded = df.repartitionByRange((groupCol +: orderCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -67,11 +74,12 @@ object Shuffling {
     val offDim = offsets.toDF("__pid", "__g", "__off")
     val w = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols.map(col): _*)
-    pidded.withColumn("__g", col(groupCol).cast("long"))
+    val ranked = pidded.withColumn("__g", col(groupCol).cast("long"))
       .join(broadcast(offDim), Seq("__pid", "__g"))
       .withColumn(indexName,
         (row_number().over(w) - 1).cast("long") + col("__off"))
       .drop("__pid", "__g", "__off")
+    (ranked, cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap)
   }
 
   /** Adds `shard` and a dense 0-based `pos` within each shard, ordered by
@@ -156,15 +164,14 @@ object Shuffling {
     val tagged = sources.zipWithIndex.map { case ((name, df, _), i) =>
       df.withColumn("source", lit(name)).withColumn("__src", lit(i))
     }.reduce(_ unionByName _)
-    // groupedRank localCheckpoints the union, so the sizes count below and
-    // the final projection both read the pinned data — one union pass total
-    val posed = groupedRank(tagged
+    // groupedRank localCheckpoints the union (one union pass total) and
+    // already collected the per-source totals for its offset pass
+    val (posed0, sizesByG) = groupedRankWithSizes(tagged
         .withColumn("__ok", orderKey(seed, col(keyName)))
         .withColumn("__tie", col(keyName).cast("string")),
       "__src", Seq("__ok", "__tie"), "__pos")
-      .drop("__ok", "__tie")
-    val sizes: Map[Int, Long] = posed.groupBy("__src").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val posed = posed0.drop("__ok", "__tie")
+    val sizes: Map[Int, Long] = sizesByG.map { case (g, c) => g.toInt -> c }
     // per-source rank expression, exact BIGINT arithmetic end to end (DIV,
     // not double division) — vt fits a long for any realistic corpus
     val rankBySrc = sources.indices.map { i =>

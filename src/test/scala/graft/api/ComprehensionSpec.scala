@@ -189,6 +189,16 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
       (for { x <- 1L to 5L; y <- Seq(10L, 20L) } yield x * 100 + y).sorted
   }
 
+  it should "reject a tail mixing DataBag and local generators at compile time" in {
+    // passing this through would hit DataBag.flatMap's distributed-inner
+    // overload and throw at runtime — the macro must refuse it up front
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; y <- ys; z <- Seq(10L, 20L) } yield (x, y, z) }
+    """ shouldNot compile
+  }
+
   it should "reject dependent generators at compile time" in {
     """
     val xs = bagL(1L to 5L)

@@ -75,13 +75,24 @@ class StateSpec extends AnyFlatSpec with Matchers {
     st.bag().collect().sorted shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
   }
 
+  it should "keep ALL rows of a duplicate-keyed state when every f declines" in {
+    // the contract says None leaves the state unchanged — a state that
+    // happens to hold two rows for a key must pass through intact
+    val st = MutableBag[Long, Long](DataBag(Seq((7L, 70L), (7L, 71L), (8L, 80L))))
+    val delta = st.update(DataBag(Seq(Group(7L, 1L))))((_, _, _) => None)
+    delta.collect() shouldBe empty
+    st.bag().collect().sorted shouldBe Seq((7L, 70L), (7L, 71L), (8L, 80L))
+  }
+
   "MutableBag state" should "cogroup with zero Exchange on the state side, every round" in {
     val st = MutableBag[Long, Long](DataBag((1L to 100L).map(i => (i, i))))
     for (r <- 1 to 3) {
       val delta = st.update(DataBag(Seq(
         Group(5L, 1000L + r), Group(200L + r, r.toLong))))((_, _, m) => Some(m))
       delta.collect().length shouldBe 2
-      val plan = st.lastUpdatePlan
+      // after execution an adaptive plan prints Final AND Initial sections
+      // (each containing the exchange once) — count within one section
+      val plan = st.lastUpdatePlan.split("== Initial Plan ==").head
       plan should include("CoGroup")
       // exactly ONE Exchange: the message side. The state side reads its
       // asserted hash partitioning straight from the checkpoint — if a
