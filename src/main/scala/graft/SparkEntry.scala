@@ -2092,6 +2092,18 @@ object SparkEntry {
           nShards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Curriculum training order: within each shard, positions run through
+    // ascending difficulty stages (here: length quartile buckets) with a
+    // deterministic shuffle inside each stage — (shard, pos) still a pure
+    // function of (seed, doc_id, stage). Oracle recomputes every position
+    // with stage as the leading sort key.
+    "q189_curriculum_shuffle" -> ((s, d) =>
+      graft.ops.Shuffling.curriculumShuffle(
+          tbl(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          col("doc_id"), least(floor(col("n_chars") / lit(500.0)).cast("long"), lit(3L)),
+          nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // Training-order EXPORT: the q178 order materialized as Hive
     // shard=<s> directories, range-partitioned on (shard, pos) so part
     // files in name order stream the exact training order with no sort
@@ -3663,6 +3675,19 @@ object SparkEntry {
         "+ (strpos('0123456789abcdef', substr(h,4,1))-1)) % 8) AS shard FROM k) " +
         "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
+        "FROM s"),
+
+    "q189_curriculum_shuffle" ->
+      ("WITH k AS (SELECT doc_id, " +
+        "least(CAST(floor(n_chars / 500.0) AS BIGINT), 3) AS stage, " +
+        "md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "s AS (SELECT doc_id, stage, h, " +
+        "((4096*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
+        "+ 256*(strpos('0123456789abcdef', substr(h,2,1))-1) " +
+        "+ 16*(strpos('0123456789abcdef', substr(h,3,1))-1) " +
+        "+ (strpos('0123456789abcdef', substr(h,4,1))-1)) % 8) AS shard FROM k) " +
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY stage, h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
         "FROM s"),
 
     "q187_write_shards" ->

@@ -101,6 +101,26 @@ object Shuffling {
       .drop("__ok", "__tie")
   }
 
+  /** Curriculum variant of [[deterministicShuffle]]: within each shard,
+    * positions order FIRST by a caller-supplied integral curriculum stage
+    * (ascending — e.g. a difficulty bucket or quality tier), THEN by the
+    * md5 order key, so a trainer consuming a shard in pos order sees the
+    * stages in sequence with a deterministic shuffle inside each stage.
+    * Same reproducibility contract ((shard, pos) is a pure function of
+    * (seed, key, stage)) and the same [[groupedRank]] scale shape — no
+    * per-shard or per-stage single-task sort. */
+  def curriculumShuffle(df: DataFrame, key: Column, stage: Column,
+      nShards: Int, seed: Long): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536, "nShards must be in [1, 65536]")
+    val stamped = df
+      .withColumn("__ok", orderKey(seed, key))
+      .withColumn("__tie", key.cast("string"))
+      .withColumn("__stage", stage.cast("long"))
+      .withColumn("shard", shardOf(col("__ok"), nShards))
+    groupedRank(stamped, "shard", Seq("__stage", "__ok", "__tie"), "pos")
+      .drop("__ok", "__tie", "__stage")
+  }
+
   /** Materializes the deterministic training order as consumable shard
     * files: Hive directories `shard=<s>`, and within each shard the part
     * files IN FILENAME ORDER hold pos-ascending, non-overlapping ranges

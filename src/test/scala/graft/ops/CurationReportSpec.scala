@@ -97,6 +97,30 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     a should not be b
   }
 
+  "Shuffling.curriculumShuffle" should "order stages in sequence with a shuffle inside each" in {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = spark.range(0, 400)
+      .select(col("id"), (col("id") % 3).as("tier"))
+    val got = Shuffling.curriculumShuffle(df, col("id"), col("tier"), 4, 9L)
+      .select("id", "tier", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential twin: per shard, sort by (stage, md5, id-string)
+    val exp = (0L until 400L).map { id =>
+      val h = md5hex(s"9-$id")
+      (id, id % 3, (Integer.parseInt(h.substring(0, 4), 16) % 4).toLong, h)
+    }.groupBy(_._3).flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._2, r._4, r._1.toString)).zipWithIndex
+        .map { case ((id, tier, _, _), i) => (id, tier, shard, i.toLong) }
+    }.toSeq.sorted
+    got.sorted.toSeq shouldBe exp
+    // stages are non-decreasing along every shard's position order
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val tiers = rows.sortBy(_._4).map(_._2)
+      tiers shouldBe tiers.sorted
+    }
+  }
+
   "Shuffling.writeShards" should "export shard files whose name order IS the training order" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     try {
