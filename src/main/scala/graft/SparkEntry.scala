@@ -2092,6 +2092,16 @@ object SparkEntry {
           nShards = 8, seed = 42L)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // Deterministic fractional upsampling (epoch repetition for data
+    // mixing): each doc 2 full epochs + a hash-thresholded 0.4 partial
+    // epoch; membership of the partial epoch is a pure function of
+    // (seed, doc_id). Oracle recomputes every emitted (doc_id, epoch).
+    "q190_upsample_epochs" -> ((s, d) =>
+      graft.ops.Sampling.upsampleDeterministic(
+          tbl(s, d, "documents").select("doc_id"), col("doc_id"),
+          factor = 2.4, seed = 7L)
+        .select(col("doc_id"), col("epoch"))),
+
     // Curriculum training order: within each shard, positions run through
     // ascending difficulty stages (here: length quartile buckets) with a
     // deterministic shuffle inside each stage — (shard, pos) still a pure
@@ -3676,6 +3686,12 @@ object SparkEntry {
         "SELECT doc_id, CAST(shard AS BIGINT) AS shard, " +
         "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS pos " +
         "FROM s"),
+
+    "q190_upsample_epochs" ->
+      ("SELECT doc_id, CAST(v.ep AS BIGINT) AS epoch " +
+        "FROM documents, (VALUES (0),(1),(2)) v(ep) " +
+        "WHERE v.ep < 2 " +
+        "OR substring(md5('7-' || CAST(doc_id AS VARCHAR)), 1, 8) < '66666666'"),
 
     "q189_curriculum_shuffle" ->
       ("WITH k AS (SELECT doc_id, " +

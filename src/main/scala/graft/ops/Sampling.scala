@@ -140,6 +140,28 @@ object Sampling {
       .drop("__domain", "__w", "__f")
   }
 
+  /** Deterministic fractional UPSAMPLING — the repetition side of data
+    * mixing ([[domainMix]] only downsamples): each row is emitted
+    * `floor(factor)` times, tagged `epoch` 0..floor-1, plus once more in
+    * the final PARTIAL epoch iff its seeded hash clears the fractional
+    * threshold (E[rows out] = factor · rows in; factor < 1 degenerates to
+    * a seeded Bernoulli). Partial-epoch membership is a pure function of
+    * (seed, key), so a re-run or resumed job materializes the identical
+    * stream on any engine at any parallelism. The explode is NARROW — no
+    * shuffle at any factor — and the epoch column keeps copies
+    * distinguishable downstream: feed (key, epoch) as the training-order
+    * key of [[Shuffling.deterministicShuffle]] so a document's copies
+    * spread through the run instead of clustering back to back. */
+  def upsampleDeterministic(df: DataFrame, key: Column, factor: Double,
+      seed: Long): DataFrame = {
+    require(factor > 0.0 && factor <= 1024.0, s"factor must be in (0, 1024]: $factor")
+    val whole = math.floor(factor).toLong
+    val fracThr = thresholdHex(factor - whole)
+    val draw = substring(md5(concat_ws("-", lit(seed), key.cast("string"))), 1, 8)
+    df.withColumn("epoch", explode(sequence(lit(0L), lit(whole))))
+      .where(col("epoch") < lit(whole) || draw < lit(fracThr))
+  }
+
   /** EXACT k rows per group, deterministic and engine-portable: rank rows
     * within each group by the md5 draw of their key (tie-broken by the key
     * itself — pass a unique id) and keep the k smallest. Unlike the

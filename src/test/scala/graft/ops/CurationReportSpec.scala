@@ -239,6 +239,27 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     Sampling.thresholdHex(0.8 + 0.1) shouldBe "e6666666"
   }
 
+  behavior of "Sampling.upsampleDeterministic"
+
+  it should "repeat whole epochs and hash-threshold the partial epoch" in {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = spark.range(0, 1000).toDF("id")
+    val got = Sampling.upsampleDeterministic(df, col("id"), factor = 2.4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val exp = (0L until 1000L).flatMap { id =>
+      val base = Seq((id, 0L), (id, 1L))
+      if (md5hex(s"7-$id").substring(0, 8) < "66666666") base :+ ((id, 2L)) else base
+    }.sorted
+    got.toSeq shouldBe exp
+    got.length.toDouble should (be > 2200.0 and be < 2600.0)
+    // integral factor: no partial rows; sub-1 factor: seeded Bernoulli
+    Sampling.upsampleDeterministic(df, col("id"), 2.0, 7L).count() shouldBe 2000L
+    val sub = Sampling.upsampleDeterministic(df, col("id"), 0.4, 7L)
+    sub.agg(max("epoch")).head().getLong(0) shouldBe 0L
+    sub.count().toDouble should (be > 300.0 and be < 500.0)
+  }
+
   behavior of "Shuffling.orderedIndex"
 
   it should "equal ROW_NUMBER over the key order under any partitioning" in {
