@@ -2102,6 +2102,25 @@ object SparkEntry {
           factor = 2.4, seed = 7L)
         .select(col("doc_id"), col("epoch"))),
 
+    // END-TO-END epoch mixing: the rare-language slice upsampled 2.4x,
+    // unioned with the common slice, and laid into a deterministic
+    // training order keyed by (doc_id, epoch) — so a document's repeated
+    // copies spread through the run instead of clustering. The oracle
+    // recomputes the whole composition: the partial-epoch draw, the
+    // union, and every (shard, pos).
+    "q191_epoch_mix_order" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val rare = docs.where(!col("lang").isin("en", "de", "fr")).select("doc_id")
+      val common = docs.where(col("lang").isin("en", "de", "fr"))
+        .select("doc_id").withColumn("epoch", lit(0L))
+      val stream = common.unionByName(
+        graft.ops.Sampling.upsampleDeterministic(rare, col("doc_id"),
+          factor = 2.4, seed = 7L))
+      graft.ops.Shuffling.deterministicShuffle(stream,
+          concat_ws("#", col("doc_id"), col("epoch")), nShards = 4, seed = 42L)
+        .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+    }),
+
     // Curriculum training order: within each shard, positions run through
     // ascending difficulty stages (here: length quartile buckets) with a
     // deterministic shuffle inside each stage — (shard, pos) still a pure
@@ -3692,6 +3711,24 @@ object SparkEntry {
         "FROM documents, (VALUES (0),(1),(2)) v(ep) " +
         "WHERE v.ep < 2 " +
         "OR substring(md5('7-' || CAST(doc_id AS VARCHAR)), 1, 8) < '66666666'"),
+
+    "q191_epoch_mix_order" ->
+      ("WITH common AS (SELECT doc_id, 0 AS epoch FROM documents WHERE lang IN ('en','de','fr')), " +
+        "rare AS (SELECT doc_id FROM documents WHERE lang NOT IN ('en','de','fr')), " +
+        "up AS (SELECT doc_id, v.ep AS epoch FROM rare, (VALUES (0),(1),(2)) v(ep) " +
+        "WHERE v.ep < 2 OR substring(md5('7-' || CAST(doc_id AS VARCHAR)), 1, 8) < '66666666'), " +
+        "st AS (SELECT * FROM common UNION ALL SELECT * FROM up), " +
+        "k AS (SELECT doc_id, epoch, " +
+        "CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) AS ks, " +
+        "md5('42-' || CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)) AS h FROM st), " +
+        "sh AS (SELECT doc_id, epoch, ks, h, " +
+        "((4096*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
+        "+ 256*(strpos('0123456789abcdef', substr(h,2,1))-1) " +
+        "+ 16*(strpos('0123456789abcdef', substr(h,3,1))-1) " +
+        "+ (strpos('0123456789abcdef', substr(h,4,1))-1)) % 4) AS shard FROM k) " +
+        "SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, ks) - 1 AS BIGINT) AS pos " +
+        "FROM sh"),
 
     "q189_curriculum_shuffle" ->
       ("WITH k AS (SELECT doc_id, " +
