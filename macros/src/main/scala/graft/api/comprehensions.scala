@@ -84,13 +84,25 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
-  /** `base.withFilter(g1).withFilter(g2)...` peeled into (base, guards). */
+  /** `base.withFilter(g1).withFilter(g2)...` peeled into (base, guards).
+    * Top-level `&&` conjunctions split into separate guards (the
+    * reference's MatchCollectEqualityGuards behavior) so an equality
+    * conjunct still keys a join when spelled `if k(x) == g(y) && other`.
+    * Guards are assumed pure (comprehension-calculus contract): a split
+    * conjunct may be evaluated as a pre-filter on rows the short-circuit
+    * would have skipped. */
   private object FilterChain {
     def unapply(t: Tree): Option[(Tree, List[(ValDef, Tree)])] = t match {
       case Call1(FilterChain(base, gs), TermName("withFilter"), Lam(v, g)) =>
-        Some((base, gs :+ ((v, g))))
+        Some((base, gs ++ conjuncts(g).map((v, _))))
       case other => Some((other, Nil))
     }
+  }
+
+  private def conjuncts(g: Tree): List[Tree] = g match {
+    case Apply(Select(l, TermName("$amp$amp")), List(r)) =>
+      conjuncts(l) ++ conjuncts(r)
+    case _ => List(g)
   }
 
   /** One generator level: `<- bag` with the guards attached to its source

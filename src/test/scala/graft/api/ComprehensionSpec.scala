@@ -146,6 +146,22 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     plan should not include regex("(?i)BroadcastNestedLoop")
   }
 
+  it should "extract the join key from a && conjunction guard" in {
+    val xs = bagL(1L to 50L)
+    val ys = bagL(Seq(2L, 4L, 6L, 8L, 10L, 12L))
+    val joined = onSpark {
+      for { x <- xs; y <- ys; if x % 7 == y % 5 && y > 2L && x < 40L } yield (x, y)
+    }
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for {
+      x <- 1L to 50L; y <- Seq(2L, 4L, 6L, 8L, 10L, 12L)
+      if x % 7 == y % 5 && y > 2L && x < 40L
+    } yield (x, y)
+    joined.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "derive the join from the dependent-FILTER spelling" in {
     // the MatchFlatMap2-lite shape: the join condition is a withFilter on
     // the inner generator closing over the outer row — FilterChain peels
