@@ -25,12 +25,23 @@ import scala.reflect.macros.blackbox
   * guard filters after the join; with no separable guard the generators
   * combine by `cross`.
   *
+  * PATTERN generators are supported: `for { (a, b) <- pairs; ... }`
+  * destructures through the rewrite — the flatMap/map/guard lambdas
+  * scalac desugars to single-case match-lambdas are recognized, pattern
+  * binds participate in guard role analysis individually, and the
+  * rebuilt key/filter/yield lambdas re-match the pattern against the
+  * accumulated join tuple. (A refutable pattern's `check$ifrefutable`
+  * filter simply stays fused to its generator's bag.)
+  *
   * The dependent-FILTER spelling also derives a join: in
   * `y <- ys.withFilter(y => k(x) == g(y))` the filter chain is peeled
   * into a guard before role analysis (the reference's `MatchFlatMap2`
-  * shape, Combination.scala:261-297). Guard analysis identifies generator
-  * references by SYMBOL on the typed tree, so a guard-local lambda that
-  * shadows a generator name cannot demote a join key.
+  * shape, Combination.scala:261-297), and top-level `&&` conjunctions
+  * split into separate guards (the reference's equality-guard
+  * collection), so `if k(x) == g(y) && other` still keys the join.
+  * Guard analysis identifies generator references by SYMBOL on the typed
+  * tree, so a guard-local lambda that shadows a generator name cannot
+  * demote a join key.
   *
   * Not derived (compile-time abort with guidance, never a silent
   * per-element job): dependent generators (a later bag genuinely built
@@ -68,13 +79,29 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
-  private object Lam {
-    def unapply(t: Tree): Option[(ValDef, Tree)] = t match {
-      case Function(List(vd), body) => Some((vd, body))
-      case Block(Nil, Function(List(vd), body)) => Some((vd, body))
+  /** Single-param lambda, plain `x => body` or the single-case
+    * match-lambda scalac desugars pattern generators/guards to:
+    * `x$1 => x$1 match { case pat => body }`. Returns the param, the
+    * pattern (None for plain), and the body. */
+  private object GenLam {
+    def unapply(t: Tree): Option[(ValDef, Option[Tree], Tree)] = t match {
+      case Function(List(vd), Match(sel, List(CaseDef(pat, EmptyTree, body))))
+          if selIs(sel, vd.name) => Some((vd, Some(pat), body))
+      case Function(List(vd), body) => Some((vd, None, body))
+      case Block(Nil, inner) => unapply(inner)
       case _ => None
     }
+    private def selIs(sel: Tree, n: TermName): Boolean = sel match {
+      case Ident(`n`) => true
+      case Typed(inner, _) => selIs(inner, n)
+      case Annotated(_, inner) => selIs(inner, n)
+      case _ => false
+    }
   }
+
+  /** A guard as peeled from a withFilter: its lambda param, its pattern
+    * (for pattern-generator guards), and one conjunct of its condition. */
+  private case class Guard(v: ValDef, pat: Option[Tree], cond: Tree)
 
   private object Eq {
     def unapply(t: Tree): Option[(Tree, Tree)] = t match {
@@ -90,11 +117,12 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * conjunct still keys a join when spelled `if k(x) == g(y) && other`.
     * Guards are assumed pure (comprehension-calculus contract): a split
     * conjunct may be evaluated as a pre-filter on rows the short-circuit
-    * would have skipped. */
+    * would have skipped. A two-case `check$ifrefutable` filter does NOT
+    * match GenLam and so stays fused to the bag — exactly right. */
   private object FilterChain {
-    def unapply(t: Tree): Option[(Tree, List[(ValDef, Tree)])] = t match {
-      case Call1(FilterChain(base, gs), TermName("withFilter"), Lam(v, g)) =>
-        Some((base, gs ++ conjuncts(g).map((v, _))))
+    def unapply(t: Tree): Option[(Tree, List[Guard])] = t match {
+      case Call1(FilterChain(base, gs), TermName("withFilter"), GenLam(v, pat, g)) =>
+        Some((base, gs ++ conjuncts(g).map(Guard(v, pat, _))))
       case other => Some((other, Nil))
     }
   }
@@ -105,17 +133,19 @@ class ComprehensionMacro(val c: blackbox.Context) {
     case _ => List(g)
   }
 
-  /** One generator level: `<- bag` with the guards attached to its source
-    * (cross-variable guards desugar onto the NEXT generator's bag). */
-  private case class Gen(v: ValDef, bag: Tree, guards: List[(ValDef, Tree)])
+  /** One generator level: `pat <- bag` with the guards attached to its
+    * source (cross-variable guards desugar onto the NEXT generator's bag). */
+  private case class Gen(v: ValDef, pat: Option[Tree], bag: Tree, guards: List[Guard]) {
+    def display: String = pat.map(_.toString).getOrElse(v.name.toString)
+  }
 
   /** Flattens `xs.wF(g)*.flatMap(x => ... .map(v => body))` into the
     * generator chain and the yield body. */
   private def flatten(t: Tree): Option[(List[Gen], Tree)] = t match {
-    case Call1(FilterChain(bag, gs), TermName("flatMap"), Lam(v, rest)) =>
-      flatten(rest).map { case (gens, body) => (Gen(v, bag, gs) :: gens, body) }
-    case Call1(FilterChain(bag, gs), TermName("map"), Lam(v, body)) =>
-      Some((List(Gen(v, bag, gs)), body))
+    case Call1(FilterChain(bag, gs), TermName("flatMap"), GenLam(v, pat, rest)) =>
+      flatten(rest).map { case (gens, body) => (Gen(v, pat, bag, gs) :: gens, body) }
+    case Call1(FilterChain(bag, gs), TermName("map"), GenLam(v, pat, body)) =>
+      Some((List(Gen(v, pat, bag, gs)), body))
     case _ => None
   }
 
@@ -131,37 +161,67 @@ class ComprehensionMacro(val c: blackbox.Context) {
       t.exists { case i: Ident => i.symbol == s; case _ => false }
   private def usesAny(t: Tree, ss: Seq[Symbol]): Boolean = ss.exists(uses(t, _))
 
+  /** Bound names of a (typed or untyped) pattern, with symbols when typed. */
+  private def bindNames(pat: Tree): List[TermName] = {
+    val out = List.newBuilder[TermName]
+    pat.foreach { case Bind(n: TermName, _) => out += n; case _ => () }
+    out.result()
+  }
+  private def bindSyms(pat: Tree): List[Symbol] = {
+    val out = List.newBuilder[Symbol]
+    pat.foreach { case b @ Bind(_: TermName, _) => out += b.symbol; case _ => () }
+    out.result()
+  }
+
+  /** The symbols a generator level binds (pattern binds, or the param). */
+  private def levelSyms(g: Gen): List[Symbol] =
+    g.pat.map(bindSyms).getOrElse(List(g.v.symbol))
+  /** The symbols a GUARD's own lambda binds. */
+  private def guardSyms(g: Guard): List[Symbol] =
+    g.pat.map(bindSyms).getOrElse(List(g.v.symbol))
+
   /** Untyped single-param lambda (param type left for inference). */
   private def lam(p: TermName, body: Tree): Tree =
     Function(List(ValDef(Modifiers(Flag.PARAM), p, TypeTree(), EmptyTree)), body)
 
+  /** A lambda binding via a guard/generator binder: plain name, or a
+    * fresh param re-matched against the pattern. */
+  private def binderLam(name: TermName, pat: Option[Tree], body: Tree): Tree =
+    pat match {
+      case None => lam(name, body)
+      case Some(pt) =>
+        val p = TermName(c.freshName("m$"))
+        lam(p, Match(Ident(p), List(CaseDef(pt, EmptyTree, body))))
+    }
+
   // ------------------------------------------------------- analysis (typed)
 
-  /** How guard g of generator i combines, given outer variable names. */
+  /** How guard g of generator i combines, given outer variable symbols. */
   private sealed trait GuardRole
-  private case object OwnFilter extends GuardRole  // references only var_i
+  private case object OwnFilter extends GuardRole  // references only level i
   private case class JoinKey(swapped: Boolean) extends GuardRole
   private case object PostFilter extends GuardRole
 
-  private def roleOf(outer: Seq[Symbol], own: Symbol, g: Tree): GuardRole =
+  private def roleOf(outer: Seq[Symbol], own: Seq[Symbol], g: Tree): GuardRole =
     g match {
       case _ if !usesAny(g, outer) => OwnFilter
-      case Eq(l, r) if !uses(l, own) && !usesAny(r, outer) => JoinKey(swapped = false)
-      case Eq(l, r) if !uses(r, own) && !usesAny(l, outer) => JoinKey(swapped = true)
+      case Eq(l, r) if !usesAny(l, own) && !usesAny(r, outer) => JoinKey(swapped = false)
+      case Eq(l, r) if !usesAny(r, own) && !usesAny(l, outer) => JoinKey(swapped = true)
       case _ => PostFilter
     }
 
   /** Per level ≥ 2: the roles of its guards, with at most one JoinKey (the
     * first; later key-shaped guards demote to post filters). Generator
     * variables are identified by the symbols of the flatMap/map lambda
-    * params; each guard's OWN variable by its own lambda param symbol. */
+    * params (or their pattern binds); each guard's OWN variables by its
+    * own lambda's param/pattern symbols. */
   private def analyze(gens: List[Gen]): List[List[GuardRole]] = {
-    val syms = gens.map(_.v.symbol)
+    val syms = gens.map(levelSyms)
     gens.zipWithIndex.drop(1).map { case (gen, i) =>
-      val outer = syms.take(i)
+      val outer = syms.take(i).flatten
       var keyTaken = false
-      gen.guards.map { case (gv, g) =>
-        roleOf(outer, gv.symbol, g) match {
+      gen.guards.map { g =>
+        roleOf(outer, guardSyms(g), g.cond) match {
           case JoinKey(sw) if !keyTaken => keyTaken = true; JoinKey(sw)
           case JoinKey(_) => PostFilter
           case other => other
@@ -172,6 +232,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   // ------------------------------------------------------ rebuild (untyped)
 
+  /** How level j binds when re-destructured from the join tuple. */
+  private case class Binder(name: TermName, pat: Option[Tree])
+
   /** Accessor for variable j (1-based) in the stage-i nested pair
     * ((...(v1,v2),v3)...,vi). */
   private def accessor(p: TermName, j: Int, i: Int): Tree = {
@@ -179,17 +242,22 @@ class ComprehensionMacro(val c: blackbox.Context) {
     if (j > 1) q"$down._2" else down
   }
 
-  /** { val v1 = acc1; ...; val vi = acci; inner } under a fresh pair
-    * param. `renameLast` substitutes the binding NAME of v_i (guard and
-    * map lambdas carry their own parameter names). */
-  private def bound(names: Seq[TermName], i: Int, inner: Tree,
-      lastName: Option[TermName] = None): Tree = {
+  /** Binds levels 1..i from the stage-i nested pair under a fresh param:
+    * plain levels as vals, pattern levels by re-matching the pattern.
+    * `lastOverride` substitutes level i's binder (guard and map lambdas
+    * carry their own parameter names / patterns). */
+  private def bound(binders: Seq[Binder], i: Int, inner: Tree,
+      lastOverride: Option[Binder] = None): Tree = {
     val p = TermName(c.freshName("p$"))
-    val vals = (1 to i).map { j =>
-      val n = if (j == i) lastName.getOrElse(names(j - 1)) else names(j - 1)
-      q"val $n = ${accessor(p, j, i)}"
+    val body = (1 to i).foldRight(inner) { (j, acc) =>
+      val b = if (j == i) lastOverride.getOrElse(binders(j - 1)) else binders(j - 1)
+      val a = accessor(p, j, i)
+      b.pat match {
+        case Some(pt) => Match(a, List(CaseDef(pt, EmptyTree, acc)))
+        case None => q"{ val ${b.name} = $a; $acc }"
+      }
     }
-    lam(p, q"{ ..$vals; $inner }")
+    lam(p, body)
   }
 
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
@@ -197,9 +265,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
     typedChain match {
       case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
           gens.tail.exists(g => isDataBag(g.bag)) =>
-        val names = gens.map(_.v.name)
-        val syms = gens.map(_.v.symbol)
-        if (names.distinct.length != names.length)
+        val allNames = gens.flatMap(g => g.pat.map(bindNames).getOrElse(List(g.v.name)))
+        if (allNames.distinct.length != allNames.length)
           c.abort(c.enclosingPosition,
             "onSpark: generator variable names must be distinct")
         // a tail that MIXES DataBag and local-collection generators would
@@ -210,62 +277,65 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // correctly via the IterableOnce overload)
         for (gen <- gens.tail if !isDataBag(gen.bag))
           c.abort(c.enclosingPosition,
-            s"onSpark: generator '${gen.v.name}' is not a DataBag — mixing DataBag and " +
+            s"onSpark: generator '${gen.display}' is not a DataBag — mixing DataBag and " +
             "local-collection generators is not derived; lift the local collection into a " +
             "DataBag or restructure")
         // every later bag must be independent of earlier generators — the
         // dependent-FILTER spelling (ys.withFilter(y => k(x) == g(y))) is
         // already peeled into a guard by FilterChain and derives a join;
         // what remains here is a bag genuinely built from an earlier row
+        val syms = gens.map(levelSyms)
         for ((gen, i) <- gens.zipWithIndex.drop(1)) {
-          if (usesAny(gen.bag, syms.take(i)))
+          if (usesAny(gen.bag, syms.take(i).flatten))
             c.abort(c.enclosingPosition,
-              s"onSpark: generator '${gen.v.name}' depends on an earlier generator variable; " +
+              s"onSpark: generator '${gen.display}' depends on an earlier generator variable; " +
               "dependent generators are not derived — join explicitly or restructure")
         }
         val roles = analyze(gens)
         // rebuild from a single whole-expression untypecheck
         flatten(c.untypecheck(expr)) match {
           case Some((ugens, ubody)) =>
+            val binders = ugens.map(g => Binder(g.v.name, g.pat))
             val head = ugens.head
-            // level-1 guards reference only v1: pre-filter the first bag
-            val first = head.guards.foldLeft(head.bag) { case (acc, (gv, g)) =>
-              q"$acc.withFilter(${lam(gv.name, g)})"
+            // level-1 guards reference only level 1: pre-filter the first bag
+            val first = head.guards.foldLeft(head.bag) { case (acc, g) =>
+              q"$acc.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
             }
             val joinedAll = ugens.zip(roles.map(Some(_)).prepended(None))
               .zipWithIndex.drop(1)
               .foldLeft(first) { case (acc, ((gen, Some(levelRoles)), idx)) =>
                 val i = idx + 1 // 1-based stage AFTER this join
                 val own = gen.guards.zip(levelRoles).collect {
-                  case ((gv, g), OwnFilter) => (gv, g) }
+                  case (g, OwnFilter) => g }
                 val key = gen.guards.zip(levelRoles).collectFirst {
-                  case ((gv, g), JoinKey(sw)) => (gv, g, sw) }
+                  case (g, JoinKey(sw)) => (g, sw) }
                 val post = gen.guards.zip(levelRoles).collect {
-                  case ((gv, g), PostFilter) => (gv, g) }
-                val bag = own.foldLeft(gen.bag) { case (b, (gv, g)) =>
-                  q"$b.withFilter(${lam(gv.name, g)})"
+                  case (g, PostFilter) => g }
+                val bag = own.foldLeft(gen.bag) { case (b, g) =>
+                  q"$b.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
                 }
                 val joined = key match {
-                  case Some((gv, g, swapped)) =>
-                    val (accSide, newSide) = g match {
+                  case Some((g, swapped)) =>
+                    val (accSide, newSide) = g.cond match {
                       case Eq(l, r) => if (swapped) (r, l) else (l, r)
                       case _ => c.abort(c.enclosingPosition, "internal: key guard shape changed")
                     }
-                    // key over the accumulated tuple: bind v1..v_{i-1}
-                    val kAcc = bound(names, i - 1, accSide)
-                    val kNew = lam(gv.name, newSide)
+                    // key over the accumulated tuple: bind levels 1..i-1
+                    val kAcc = bound(binders, i - 1, accSide)
+                    val kNew = binderLam(g.v.name, g.pat, newSide)
                     q"$acc.equiJoin($bag)($kAcc, $kNew)"
                   case None =>
                     q"$acc.cross($bag)"
                 }
                 // demoted / mixed guards filter the joined pair; the guard's
-                // own param name binds the NEW side
-                post.foldLeft(joined) { case (j, (gv, g)) =>
-                  q"$j.withFilter(${bound(names, i, g, Some(gv.name))})"
+                // own binder (name or pattern) binds the NEW side
+                post.foldLeft(joined) { case (j, g) =>
+                  q"$j.withFilter(${bound(binders, i, g.cond, Some(Binder(g.v.name, g.pat)))})"
                 }
               case (acc, ((_, None), _)) => acc
             }
-            q"$joinedAll.map(${bound(names, ugens.length, ubody, Some(ugens.last.v.name))})"
+            val last = ugens.last
+            q"$joinedAll.map(${bound(binders, ugens.length, ubody, Some(Binder(last.v.name, last.pat)))})"
           case None =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")
@@ -275,7 +345,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // cannot combine: error NOW, not per-element at runtime
       case _ =>
         expr match {
-          case Call1(xs, TermName("flatMap"), Lam(_, inner))
+          case Call1(xs, TermName("flatMap"), GenLam(_, _, inner))
               if isDataBag(xs) && isDataBag(inner) =>
             c.abort(c.enclosingPosition,
               "onSpark could not derive joins for this comprehension shape; " +

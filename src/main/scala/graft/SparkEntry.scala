@@ -2275,6 +2275,23 @@ object SparkEntry {
       res.ds.toDF("o_orderkey", "c_name", "price_cents")
     }),
 
+    // Pattern-tuple generators (the reference supports arbitrary patterns
+    // via its IR): `(ok, ck) <- orders` destructures through the macro —
+    // pattern binds participate in guard analysis individually and the
+    // rebuilt key/yield lambdas re-match against the join tuple.
+    "q192_comprehension_patterns" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).as[(Long, Long)])
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name")).as[(Long, String)])
+      val res = onSpark {
+        for { (ok, ck) <- orders; (ck2, nm) <- custs; if ck == ck2 } yield (ok, nm)
+      }
+      res.ds.toDF("o_orderkey", "c_name")
+    }),
+
     // The reference's EnumerateTriangles in its ORIGINAL comprehension
     // syntax (emma-examples EnumerateTriangles.scala:27-42): three
     // generators, three guards — the macro derives two equiJoins (first
@@ -3813,6 +3830,10 @@ object SparkEntry {
     "q188_runtime_quotation" ->
       ("SELECT o_orderkey, c_name, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_acctbal > 5000.0"),
+
+    "q192_comprehension_patterns" ->
+      ("SELECT o_orderkey, c_name " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey"),
 
     "q184_triangles_comprehension" ->
       ("WITH raw AS (SELECT l_suppkey % 30 AS src, l_partkey % 30 AS dst FROM lineitem), " +

@@ -146,6 +146,45 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     plan should not include regex("(?i)BroadcastNestedLoop")
   }
 
+  it should "derive joins for pattern-tuple generators" in {
+    val ps = DataBag(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a")))
+    val qs = DataBag(Seq(("a", 10L), ("b", 20L), ("z", 30L), ("a", 40L)))
+    val joined = onSpark {
+      for { (id, tag) <- ps; (tag2, w) <- qs; if tag == tag2 } yield (id, w)
+    }
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for {
+      (id, tag) <- Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "a"))
+      (tag2, w) <- Seq(("a", 10L), ("b", 20L), ("z", 30L), ("a", 40L))
+      if tag == tag2
+    } yield (id, w)
+    joined.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "mix pattern and plain generators with own and post guards" in {
+    val ps = DataBag(Seq((1L, 5L), (2L, 6L), (3L, 7L), (4L, 8L)))
+    val ys = bagL(1L to 20L)
+    val r = onSpark {
+      for {
+        (id, v) <- ps
+        y <- ys
+        if y % 2 == 0L
+        if v % 3 == y % 3
+        if id < y
+      } yield (id, v, y)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for {
+      (id, v) <- Seq((1L, 5L), (2L, 6L), (3L, 7L), (4L, 8L))
+      y <- 1L to 20L
+      if y % 2 == 0L; if v % 3 == y % 3; if id < y
+    } yield (id, v, y)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "extract the join key from a && conjunction guard" in {
     val xs = bagL(1L to 50L)
     val ys = bagL(Seq(2L, 4L, 6L, 8L, 10L, 12L))
