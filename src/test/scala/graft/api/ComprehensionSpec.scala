@@ -185,6 +185,35 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "derive joins through a val binding in the comprehension" in {
+    // `k = f(x)` desugars to a map introducing a tuple pattern level —
+    // covered by the pattern-generator support
+    val xs = bagL(1L to 50L)
+    val ys = bagL(Seq(2L, 4L, 6L, 8L, 10L, 12L))
+    val joined = onSpark {
+      for { x <- xs; k = x % 7; y <- ys; if k == y % 5 } yield (x, y)
+    }
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for { x <- 1L to 50L; k = x % 7; y <- Seq(2L, 4L, 6L, 8L, 10L, 12L); if k == y % 5 }
+      yield (x, y)
+    joined.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "derive joins for case-class patterns (reference triangle style)" in {
+    val edges = Seq(TriEdge(1, 2), TriEdge(2, 3), TriEdge(3, 1), TriEdge(2, 4))
+    val es = DataBag(edges)
+    val r = onSpark {
+      for { TriEdge(s1, d1) <- es; TriEdge(s2, d2) <- es; if d1 == s2 } yield (s1, d2)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for { TriEdge(s1, d1) <- edges; TriEdge(s2, d2) <- edges; if d1 == s2 }
+      yield (s1, d2)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "extract the join key from a && conjunction guard" in {
     val xs = bagL(1L to 50L)
     val ys = bagL(Seq(2L, 4L, 6L, 8L, 10L, 12L))
