@@ -2354,6 +2354,18 @@ object SparkEntry {
       pipeline(s)
     }),
 
+    // Corpus-wide exact paragraph dedup with document reconstruction
+    // (the CCNet/RefinedWeb line-level pass): paragraph structure derived
+    // deterministically (' the ' → blank line), first occurrence of each
+    // distinct paragraph survives (smallest (doc_id, pos)), documents
+    // rebuilt in original order, fully-deduped docs come back empty.
+    // Full-value oracle: DuckDB recomputes split, keeper, and rebuild.
+    "q193_paragraph_dedup" -> ((s, d) => {
+      val structured = tbl(s, d, "documents").select(col("doc_id"),
+        expr("replace(text, ' the ', '\n\n')").as("text"))
+      graft.ops.TextAnalysis.dedupParagraphs(structured)
+    }),
+
     // gzip-compressibility quality signal: per-doc deflate milli-ratio,
     // gated on its CONTRACT (the bytes themselves aren't SQL-expressible):
     // SQL-checkable corpus totals plus two invariants Spark must prove —
@@ -3834,6 +3846,16 @@ object SparkEntry {
     "q192_comprehension_patterns" ->
       ("SELECT o_orderkey, c_name " +
         "FROM orders JOIN customer ON o_custkey = c_custkey"),
+
+    "q193_paragraph_dedup" ->
+      ("WITH d2 AS (SELECT doc_id, replace(text, ' the ', chr(10) || chr(10)) AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr FROM d2), " +
+        "p0 AS (SELECT doc_id, unnest(arr) AS par, generate_subscripts(arr, 1) - 1 AS pos FROM t), " +
+        "p AS (SELECT * FROM p0 WHERE length(trim(par)) > 0), " +
+        "r AS (SELECT doc_id, par, pos, ROW_NUMBER() OVER (PARTITION BY par ORDER BY doc_id, pos) AS rk FROM p), " +
+        "k AS (SELECT doc_id, par, pos FROM r WHERE rk = 1), " +
+        "j AS (SELECT doc_id, string_agg(par, chr(10) || chr(10) ORDER BY pos) AS text FROM k GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(j.text, '') AS text FROM d2 d LEFT JOIN j ON d.doc_id = j.doc_id"),
 
     "q184_triangles_comprehension" ->
       ("WITH raw AS (SELECT l_suppkey % 30 AS src, l_partkey % 30 AS dst FROM lineitem), " +

@@ -319,4 +319,42 @@ object TextAnalysis {
         // positive; the empty-text guard keeps `div` away from zero
         when(col("n_bytes") === 0L, lit(1000L))
           .otherwise(expr("__c * 1000L div n_bytes")).as("comp_milli"))
+
+  /** Corpus-wide EXACT paragraph deduplication with document
+    * reconstruction — the CCNet/RefinedWeb line-level pass that runs
+    * before document-level near-dup: split each doc on `sep`, keep only
+    * the FIRST occurrence of each distinct non-blank paragraph
+    * corpus-wide (first = smallest (doc_id, position) — deterministic on
+    * any engine at any parallelism), and rebuild every document from its
+    * surviving paragraphs in original order (documents losing every
+    * paragraph come back empty, never dropped).
+    *
+    * Scale shape: the keeper per distinct paragraph is ONE map-side
+    * combinable `min(struct(doc, pos))` aggregation keyed by the
+    * paragraph's md5 (a boilerplate paragraph repeated a billion times
+    * combines per partition — no giant-group window sort), one equi-join
+    * back on (hash, doc, pos), one grouped rebuild via sorted
+    * `collect_list` (bounded by a document's own paragraph count). */
+  def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n\n"): DataFrame = {
+    val parts = docs
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "par")))
+      .where(length(trim(col("par"))) > 0)
+      .withColumn("__h", md5(col("par")))
+    val keeper = parts.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__k"))
+      .select(col("__h").as("__hk"),
+        col(s"__k.$idCol").as("__kd"), col("__k.pos").as("__kp"))
+    val kept = parts.join(keeper,
+        col("__h") === col("__hk") &&
+          col(idCol) === col("__kd") && col("pos") === col("__kp"))
+      .select(col(idCol), col("pos"), col("par"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("par")))),
+          s => s.getField("par")), sep).as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

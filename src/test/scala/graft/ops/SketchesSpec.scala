@@ -70,6 +70,39 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     got(4L) shouldBe seqEntropy("spaced out tokens")
   }
 
+  behavior of "TextAnalysis.dedupParagraphs"
+
+  it should "keep first occurrences, rebuild in order, and keep emptied docs" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa\n\nbbb\n\nccc"),
+      (2L, "bbb\n\nddd"),      // bbb first seen in doc 1 -> only ddd survives
+      (3L, "aaa"),             // everything dup -> empty, but the doc stays
+      (4L, "eee\n\n\n\nfff")   // blank paragraph dropped, not deduped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupParagraphs(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(
+      1L -> "aaa\n\nbbb\n\nccc",
+      2L -> "ddd",
+      3L -> "",
+      4L -> "eee\n\nfff")
+  }
+
+  it should "be invariant to partitioning (first = smallest (doc, pos))" in {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"p${i % 7}\n\nq${i % 13}\n\nu$i")).toDF("doc_id", "text")
+    val a = TextAnalysis.dedupParagraphs(docs.repartition(1))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val b = TextAnalysis.dedupParagraphs(docs.repartition(17))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    a shouldBe b
+    // every p/q paragraph survives exactly once, in its smallest doc
+    a.head shouldBe ((0L, "p0\n\nq0\n\nu0"))
+    a(7) shouldBe ((7L, "q7\n\nu7")) // p0 already taken by doc 0
+  }
+
   behavior of "TextAnalysis.compressionRatio"
 
   it should "match a direct JDK Deflater computation exactly" in {
