@@ -2366,6 +2366,17 @@ object SparkEntry {
       graft.ops.TextAnalysis.dedupParagraphs(structured)
     }),
 
+    // Boilerplate stripping: paragraphs appearing in MORE THAN 3 distinct
+    // docs (nav-bar/footer analogue) removed from EVERY document — unlike
+    // q193's dedup, which keeps one copy. Same derived paragraph
+    // structure; full-value oracle recomputes the distinct counts and
+    // the rebuild.
+    "q194_strip_boilerplate" -> ((s, d) => {
+      val structured = tbl(s, d, "documents").select(col("doc_id"),
+        expr("replace(text, ' the ', '\n\n')").as("text"))
+      graft.ops.TextAnalysis.stripBoilerplate(structured, maxDocs = 3)
+    }),
+
     // gzip-compressibility quality signal: per-doc deflate milli-ratio,
     // gated on its CONTRACT (the bytes themselves aren't SQL-expressible):
     // SQL-checkable corpus totals plus two invariants Spark must prove —
@@ -3846,6 +3857,16 @@ object SparkEntry {
     "q192_comprehension_patterns" ->
       ("SELECT o_orderkey, c_name " +
         "FROM orders JOIN customer ON o_custkey = c_custkey"),
+
+    "q194_strip_boilerplate" ->
+      ("WITH d2 AS (SELECT doc_id, replace(text, ' the ', chr(10) || chr(10)) AS text FROM documents), " +
+        "t AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr FROM d2), " +
+        "p0 AS (SELECT doc_id, unnest(arr) AS par, generate_subscripts(arr, 1) - 1 AS pos FROM t), " +
+        "p AS (SELECT * FROM p0 WHERE length(trim(par)) > 0), " +
+        "cm AS (SELECT par FROM (SELECT par, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY par) WHERE nd > 3), " +
+        "k AS (SELECT doc_id, par, pos FROM p WHERE par NOT IN (SELECT par FROM cm)), " +
+        "j AS (SELECT doc_id, string_agg(par, chr(10) || chr(10) ORDER BY pos) AS text FROM k GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(j.text, '') AS text FROM d2 d LEFT JOIN j ON d.doc_id = j.doc_id"),
 
     "q193_paragraph_dedup" ->
       ("WITH d2 AS (SELECT doc_id, replace(text, ' the ', chr(10) || chr(10)) AS text FROM documents), " +

@@ -337,11 +337,7 @@ object TextAnalysis {
     * `collect_list` (bounded by a document's own paragraph count). */
   def dedupParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", sep: String = "\n\n"): DataFrame = {
-    val parts = docs
-      .select(col(idCol), posexplode(split(col(textCol),
-        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "par")))
-      .where(length(trim(col("par"))) > 0)
-      .withColumn("__h", md5(col("par")))
+    val parts = paragraphRelation(docs, idCol, textCol, sep)
     val keeper = parts.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("pos"))).as("__k"))
       .select(col("__h").as("__hk"),
@@ -350,6 +346,42 @@ object TextAnalysis {
         col("__h") === col("__hk") &&
           col(idCol) === col("__kd") && col("pos") === col("__kp"))
       .select(col(idCol), col("pos"), col("par"))
+    rebuildDocs(docs, kept, idCol, textCol, sep)
+  }
+
+  /** Boilerplate stripping — the OTHER paragraph-level pass: a paragraph
+    * appearing in MORE THAN `maxDocs` distinct documents (nav bars,
+    * cookie banners, licence footers) is removed from EVERY document,
+    * first occurrence included — unlike [[dedupParagraphs]], which keeps
+    * exactly one copy. One exact distinct-count per paragraph hash, one
+    * anti-join of the (small) boilerplate hash set, one grouped rebuild. */
+  def stripBoilerplate(docs: DataFrame, maxDocs: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val parts = paragraphRelation(docs, idCol, textCol, sep)
+    val common = parts.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") > maxDocs)
+      .select(col("__h").as("__hb"))
+    val kept = parts.join(common, col("__h") === col("__hb"), "left_anti")
+      .select(col(idCol), col("pos"), col("par"))
+    rebuildDocs(docs, kept, idCol, textCol, sep)
+  }
+
+  /** (id, pos, par, __h) for every non-blank paragraph of every doc. */
+  private def paragraphRelation(docs: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "par")))
+      .where(length(trim(col("par"))) > 0)
+      .withColumn("__h", md5(col("par")))
+
+  /** Rebuild every source document from its kept (id, pos, par) rows in
+    * original order; documents with nothing kept come back empty. */
+  private def rebuildDocs(docs: DataFrame, kept: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame = {
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("par")))),

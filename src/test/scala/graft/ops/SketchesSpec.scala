@@ -103,6 +103,25 @@ class SketchesSpec extends AnyFlatSpec with Matchers {
     a(7) shouldBe ((7L, "q7\n\nu7")) // p0 already taken by doc 0
   }
 
+  behavior of "TextAnalysis.stripBoilerplate"
+
+  it should "remove over-common paragraphs everywhere, first copy included" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\n\nunique1"),
+      (2L, "nav\n\nunique2"),
+      (3L, "nav\n\nunique3"),
+      (4L, "nav"),            // only boilerplate -> empty
+      (5L, "twice\n\nu5"),
+      (6L, "twice\n\nu6")     // 'twice' in 2 docs <= maxDocs -> kept BOTH places
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(docs, maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(
+      1L -> "unique1", 2L -> "unique2", 3L -> "unique3", 4L -> "",
+      5L -> "twice\n\nu5", 6L -> "twice\n\nu6")
+  }
+
   behavior of "TextAnalysis.compressionRatio"
 
   it should "match a direct JDK Deflater computation exactly" in {
