@@ -144,6 +144,17 @@ object Shuffling {
   def readShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** RESUME read: shard `shard` from position `fromPos` on — the restart
+    * path of a training run. Costs planning-time shard pruning (Hive
+    * layout: other shards' directories never open) plus parquet row-group
+    * pruning on `pos` (files are pos-sorted by [[writeShards]], so their
+    * min/max stats cut everything before the resume point); the already-
+    * consumed prefix is skipped without scanning it. */
+  def readShardFrom(spark: org.apache.spark.sql.SparkSession, path: String,
+      shard: Long, fromPos: Long): DataFrame =
+    readShards(spark, path)
+      .where(col("shard") === shard && col("pos") >= fromPos)
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   /** Deterministic weighted interleave of K corpora — the data-mixing step

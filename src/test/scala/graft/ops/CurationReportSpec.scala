@@ -160,6 +160,29 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "resume a shard from a position with pruning, not a scan" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_resume").toString
+    try {
+      Shuffling.writeShards(spark.range(0, 2000).toDF("id"), col("id"),
+        nShards = 4, seed = 7L, s"$dir/shards")
+      val resumed = Shuffling.readShardFrom(spark, s"$dir/shards", shard = 2L, fromPos = 100L)
+      val plan = resumed.queryExecution.executedPlan.toString
+      // shard dirs prune at planning time; pos reaches the parquet scan
+      plan should include("PartitionFilters")
+      plan should include regex "PartitionFilters: \\[[^\\]]*shard"
+      plan should include regex "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(pos"
+      val full = Shuffling.deterministicShuffle(
+          spark.range(0, 2000).toDF("id"), col("id"), 4, 7L)
+        .where(col("shard") === 2L && col("pos") >= 100L)
+        .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      resumed.select("id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe full
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   behavior of "Shuffling.weightedInterleave"
 
   private def mkSources(sizes: Seq[Int], weights: Seq[Int]) = {
