@@ -2393,6 +2393,50 @@ object SparkEntry {
         sum("n_bytes").as("sum_bytes"),
         bool_and(col("comp_milli") > 0 && col("comp_milli") <= 1500).as("in_bounds"),
         bool_and(col("comp2") < col("comp_milli")).as("doubling_compresses_better"))
+    }),
+
+    // Persisted keyed state with IndexedRDD-class point updates (the
+    // at-rest MutableBag gap): build a bucket-partitioned store from
+    // orders, apply ONE point delta — mutually exclusive replace / delete /
+    // insert key sets — and read the merged state back. Bucket pruning is
+    // spec-asserted (StateStoreSpec); the oracle recomputes the merge.
+    "q195_state_store" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+      val orders = tbl(s, d, "orders")
+      graft.ops.StateStore.create(
+        orders.select(col("o_orderkey").as("k"), col("o_totalprice").as("v")),
+        "k", 16, dir)
+      val deletes = orders.where(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey").as("k"), lit(0.0).as("v"), lit(true).as("del"))
+      val updates = orders
+        .where(col("o_orderkey") % 500 === 0 && col("o_orderkey") % 300 =!= 0)
+        .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2).as("v"),
+          lit(false).as("del"))
+      val inserts = orders.where(col("o_orderkey") % 700 === 0)
+        .select((col("o_orderkey") + 100000000L).as("k"),
+          lit(1.0).as("v"), lit(false).as("del"))
+      graft.ops.StateStore.upsert(s, dir,
+        deletes.unionByName(updates).unionByName(inserts), Some("del"))
+      graft.ops.StateStore.read(s, dir)
+    }),
+
+    // Temperature-scaled domain mixing (w_d ∝ count_d^0.5, the standard
+    // multinomial temperature reweighting): low-resource sources keep a
+    // larger share than their natural frequency; membership is the same
+    // engine-portable md5 threshold as q79
+    "q196_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(tbl(s, d, "documents"), "source", col("doc_id"),
+          alpha = 0.5, targetTotal = 150L)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // Multi-benchmark decontamination in ONE corpus pass: two
+    // deterministic "eval set" slices screened simultaneously from a
+    // single broadcast of tagged shingles; long-form offender report
+    "q197_contamination_matrix" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.contaminationMatrix(docs, Seq(
+        "b97" -> docs.where(col("doc_id") % 97 === 0),
+        "b89" -> docs.where(col("doc_id") % 89 === 0)))
     })
   )
 
@@ -3887,6 +3931,38 @@ object SparkEntry {
       // strlen = UTF-8 byte length in DuckDB; the two invariant booleans
       // are Spark-proven facts the oracle pins to true (q35 pattern)
       ("SELECT COUNT(*) AS n_docs, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, " +
-        "true AS in_bounds, true AS doubling_compresses_better FROM documents")
+        "true AS in_bounds, true AS doubling_compresses_better FROM documents"),
+
+    "q195_state_store" ->
+      ("WITH s0 AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders) " +
+        "SELECT k, v FROM s0 WHERE k % 300 <> 0 AND k % 500 <> 0 " +
+        "UNION ALL SELECT k, v * 2 AS v FROM s0 WHERE k % 500 = 0 AND k % 300 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 100000000 AS k, CAST(1.0 AS DOUBLE) AS v " +
+        "FROM orders WHERE o_orderkey % 700 = 0"),
+
+    "q196_temperature_mix" ->
+      // sqrt (not pow) is IEEE-exact in both engines; the 6-decimal round
+      // happens BEFORE the 32-bit threshold so the K-term weight-sum's
+      // sub-ulp order noise cannot shift membership (see temperatureMix)
+      ("WITH cnt AS (SELECT source AS domain, COUNT(*) AS c FROM documents GROUP BY 1), " +
+        "s AS (SELECT SUM(sqrt(CAST(c AS DOUBLE))) AS t FROM cnt), " +
+        "fr AS (SELECT domain, floor(least(CAST(1.0 AS DOUBLE), " +
+        "sqrt(CAST(c AS DOUBLE)) / t * CAST(150.0 AS DOUBLE) / CAST(c AS DOUBLE)) " +
+        "* 1000000.0 + 0.5) / 1000000.0 AS f FROM cnt, s) " +
+        "SELECT d.doc_id, d.source, d.n_chars FROM documents d JOIN fr ON d.source = fr.domain " +
+        "WHERE f >= 1.0 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < " +
+        "printf('%08x', least(CAST(floor(f * 4294967296.0) AS BIGINT), 4294967295))"),
+
+    "q197_contamination_matrix" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "shraw AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle FROM t), " +
+        "sh AS (SELECT DISTINCT doc_id, shingle FROM shraw), " +
+        "ev AS (SELECT 'b97' AS benchmark, shingle FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0) " +
+        "UNION ALL SELECT 'b89' AS benchmark, shingle FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0)), " +
+        "cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1), " +
+        "hit AS (SELECT sh.doc_id, ev.benchmark, COUNT(*) AS n_hit FROM sh JOIN ev ON sh.shingle = ev.shingle GROUP BY 1, 2) " +
+        "SELECT h.doc_id, h.benchmark, h.n_hit, c.n_shingles, " +
+        "floor(CAST(h.n_hit AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS contam_frac " +
+        "FROM hit h JOIN cnt c ON h.doc_id = c.doc_id")
   )
 }

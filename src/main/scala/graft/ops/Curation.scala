@@ -194,4 +194,37 @@ object Curation {
             col("n_hit").cast("double") / col("n_shingles").cast("double"), 4),
           lit(0.0)).as("contam_frac"))
   }
+
+  /** Multi-benchmark decontamination in ONE corpus pass — the production
+    * form of [[contamination]]: a real pre-training run screens against
+    * DOZENS of eval sets at once, and re-scanning 100 TB per benchmark is
+    * the cost that matters. All benchmarks' distinct shingles are tagged
+    * with their benchmark name, unioned (still droplet-sized — eval sets
+    * are tiny), and BROADCAST, so the corpus shingle stream is computed
+    * once and joined map-side against every benchmark simultaneously; the
+    * only wide operations are the per-(doc, benchmark) hit counts, keyed
+    * uniformly. Output is the LONG contamination report — one row per
+    * (doc, benchmark) pair with at least one shared shingle:
+    * `(doc_id, benchmark, n_hit, n_shingles, contam_frac)` — so 100 TB in
+    * yields only the offender rows out, ready for a per-benchmark
+    * threshold cut or a `keepList`-style anti-join. */
+  def contaminationMatrix(docs: DataFrame, evals: Seq[(String, DataFrame)],
+      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    require(evals.nonEmpty, "need at least one eval set")
+    require(evals.map(_._1).distinct.size == evals.size,
+      "benchmark names must be distinct")
+    val sh = Dedup.hashedShingles(docs, textCol, shingleN).localCheckpoint()
+    val evalSh = evals.map { case (name, ev) =>
+      Dedup.hashedShingles(ev, textCol, shingleN)
+        .select(lit(name).as("benchmark"), col("shingle")).distinct()
+    }.reduce(_.unionByName(_))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    sh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id", "benchmark").agg(count(lit(1)).as("n_hit"))
+      .join(cnt, "doc_id")
+      .select(col("doc_id"), col("benchmark"), col("n_hit"), col("n_shingles"),
+        Portable.round(
+          col("n_hit").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("contam_frac"))
+  }
 }

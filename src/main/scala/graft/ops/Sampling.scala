@@ -140,6 +140,46 @@ object Sampling {
       .drop("__domain", "__w", "__f")
   }
 
+  /** Temperature-scaled domain mixing — [[domainMix]] with the target
+    * weights DERIVED from the corpus itself: `w_d ∝ count_d^alpha`
+    * (renormalized), the standard multinomial temperature reweighting for
+    * multi-source training mixes (`alpha = 1/T`; `alpha = 1` keeps the
+    * natural distribution, `alpha → 0` flattens toward uniform, so
+    * low-resource domains are upweighted relative to their share). Each
+    * domain then keeps fraction `min(1, w_d · targetTotal / count_d)` of
+    * its rows via the same md5-threshold membership as [[domainMix]].
+    *
+    * Everything stays IN the plan: one K-row count aggregate, a 1-row sum
+    * of the tempered weights, and a broadcast join back — no driver
+    * collect, no coordination; membership is a pure function of
+    * (corpus domain counts, alpha, key). For engine portability the
+    * tempered count uses `sqrt` when `alpha = 0.5` (IEEE-exact in every
+    * engine, unlike `pow`) and the final fraction is rounded to 6 decimals
+    * BEFORE the 32-bit threshold is derived, so a sub-ulp disagreement in
+    * the K-term weight sum cannot shift the membership threshold. */
+  def temperatureMix(df: DataFrame, domainCol: String, key: Column,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    val cnt = df.groupBy(col(domainCol).as("__domain"))
+      .agg(count(lit(1)).as("__cnt"))
+    val tempered =
+      if (alpha == 0.5) sqrt(col("__cnt").cast("double"))
+      else if (alpha == 1.0) col("__cnt").cast("double")
+      else pow(col("__cnt").cast("double"), lit(alpha))
+    val weighted = cnt.withColumn("__p", tempered)
+    val total = weighted.agg(sum(col("__p")).as("__t"))
+    val frac = weighted.crossJoin(broadcast(total))
+      .select(col("__domain"),
+        Portable.round(
+          least(lit(1.0), col("__p") / col("__t") * lit(targetTotal.toDouble) /
+            col("__cnt").cast("double")), 6).as("__f"))
+    val thresholdHexCol = format_string("%08x",
+      least(floor(col("__f") * lit(4294967296.0)).cast("long"), lit(4294967295L)))
+    df.join(broadcast(frac), col(domainCol) === col("__domain"))
+      .where(col("__f") >= 1.0 || hashDraw(key) < thresholdHexCol)
+      .drop("__domain", "__f")
+  }
+
   /** Deterministic fractional UPSAMPLING — the repetition side of data
     * mixing ([[domainMix]] only downsamples): each row is emitted
     * `floor(factor)` times, tagged `epoch` 0..floor-1, plus once more in

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted keyed state with IndexedRDD-class point updates.
+  *
+  * The reference backs `MutableBag` with AMPLab IndexedRDD precisely so a
+  * small update touches only the partitions holding the updated keys
+  * (emma-spark SparkMutableBag.scala:22,39-50). Spark Datasets have no
+  * in-memory index, so [[graft.api.MutableBag]] keeps IN-FLIGHT loop state
+  * hash-partitioned (zero state Exchange per round) but still scans the
+  * whole state each round. This store closes the AT-REST half of the gap:
+  * state persists Hive-partitioned by a stable key bucket, and a point
+  * update
+  *   1. resolves the delta's bucket set (≤ |delta| ints, driver-side),
+  *   2. reads ONLY those bucket partitions — a planning-time
+  *      `PartitionFilters` prune, no runtime trick,
+  *   3. merges upserts/deletes relationally, and
+  *   4. rewrites ONLY the touched bucket directories (dynamic partition
+  *      overwrite; untouched buckets' files are never opened or replaced).
+  * Work per update is O(|delta| + |state| · touched/nBuckets) instead of
+  * O(|state|): at 100 TB with 4096 buckets, a 1000-key delta reads and
+  * rewrites ≲ 1000/4096 of the state in the worst case, typically far less.
+  *
+  * Contract: the state relation is UNIQUE per key, and so is each delta
+  * (one decision per key per update). Lookups get the same pruning: a
+  * point read opens only the buckets that can hold the probed keys.
+  */
+object StateStore {
+
+  /** Store metadata, persisted beside the data (one-row parquet). */
+  case class Meta(keyCol: String, nBuckets: Int)
+
+  /** Stable bucket of a key — engine-portable (first 8 md5 hex chars mod
+    * nBuckets), so any writer/reader agrees on placement forever. */
+  def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** The spec hook: executed-plan string of the most recent pruned state
+    * read ([[upsert]] / [[lookup]]) — proves the scan carried a
+    * planning-time partition filter over the touched buckets only. */
+  @volatile private[graft] var lastPrunedPlan: String = ""
+
+  /** Materialize a new store at `path`: data Hive-partitioned by bucket,
+    * plus the meta relation. Overwrites any existing store. */
+  def create(state: DataFrame, keyCol: String, nBuckets: Int, path: String): Unit = {
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536]: $nBuckets")
+    val spark = state.sparkSession
+    import spark.implicits._
+    state.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+    Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def meta(spark: SparkSession, path: String): Meta = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    Meta(r.getString(0), r.getInt(1))
+  }
+
+  /** The full state (no pruning), bucket column dropped. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/data").drop("bucket")
+
+  /** Point lookup: rows for `keys`, reading ONLY the buckets that can hold
+    * them. `keys` is a driver-side point set by contract (that is what a
+    * point lookup IS); each key buckets through the same portable hash the
+    * writer used, so the partition filter is exact. */
+  def lookup(spark: SparkSession, path: String, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "lookup needs at least one key")
+    val m = meta(spark, path)
+    val buckets = keys.map(k => bucketOfLocal(k.toString, m.nBuckets))
+      .distinct.map(Integer.valueOf)
+    val pruned = spark.read.parquet(s"$path/data")
+      .where(col("bucket").isin(buckets: _*))
+      .where(col(m.keyCol).cast("string").isin(keys.map(_.toString): _*))
+    lastPrunedPlan = pruned.queryExecution.executedPlan.toString
+    pruned.drop("bucket")
+  }
+
+  /** Driver-side twin of [[bucketOf]] (same md5-prefix arithmetic). */
+  private[ops] def bucketOfLocal(key: String, nBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % nBuckets).toInt
+  }
+
+  /** Point update: apply `delta` (same schema as the state, keyed by the
+    * store's key column, plus an optional boolean `deleteCol` marking
+    * tombstones) touching only the buckets the delta's keys hash to.
+    * Non-tombstone delta rows REPLACE the key's state row (or insert it);
+    * tombstones remove the key. The delta's bucket set is resolved from
+    * the delta itself (tiny by contract — this is the POINT-update path;
+    * bulk rewrites should rebuild with [[create]]). */
+  def upsert(spark: SparkSession, path: String, delta: DataFrame,
+      deleteCol: Option[String] = None): Unit = {
+    val m = meta(spark, path)
+    val dd = delta.withColumn("bucket", bucketOf(col(m.keyCol), m.nBuckets))
+      .localCheckpoint(true)
+    val buckets = dd.select("bucket").distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0)))
+    if (buckets.isEmpty) return
+
+    val pruned = spark.read.parquet(s"$path/data")
+      .where(col("bucket").isin(buckets.toSeq: _*))
+    lastPrunedPlan = pruned.queryExecution.executedPlan.toString
+
+    val survivors = pruned
+      .join(dd.select(col(m.keyCol)).distinct(), Seq(m.keyCol), "left_anti")
+    val upserts = deleteCol match {
+      case Some(c) => dd.where(!coalesce(col(c), lit(false))).drop(c)
+      case None    => dd
+    }
+    // localCheckpoint breaks the plan's file dependency on `path` so the
+    // dynamic-partition overwrite below is not a read-your-own-write; it
+    // materializes only the TOUCHED buckets (bounded by the delta spread)
+    val merged = survivors.select(upserts.columns.map(col).toSeq: _*)
+      .unionByName(upserts).localCheckpoint(true)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+}

@@ -510,6 +510,53 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       rows.filter(_._2 == "a").toSet
   }
 
+  "Sampling.temperatureMix" should "upweight low-resource domains toward sqrt shares" in {
+    // a: 900 rows, b: 100 rows -> tempered weights 30/(30+10)=0.75, 0.25;
+    // target 200 -> f_a = 0.75*200/900 = 1/6, f_b = 0.25*200/100 = 0.5:
+    // b keeps 3x the FRACTION a does despite being 9x smaller
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "a" else "b"))
+      .toDF("id", "dom")
+    val out = Sampling.temperatureMix(df, "dom", col("id"), 0.5, 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val aN = out.count(_._2 == "a").toDouble // ~150 expected
+    val bN = out.count(_._2 == "b").toDouble // ~50 expected
+    aN should (be > 110.0 and be < 190.0)
+    bN should (be > 30.0 and be < 70.0)
+    // alpha = 1 reproduces the natural distribution scaled to the target
+    val nat = Sampling.temperatureMix(df, "dom", col("id"), 1.0, 200L)
+      .collect().map(r => r.getString(1))
+    nat.count(_ == "a").toDouble / nat.length should (be > 0.8 and be < 0.97)
+    // deterministic: same inputs, same rows
+    Sampling.temperatureMix(df, "dom", col("id"), 0.5, 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe out.toSet
+  }
+
+  "Curation.contaminationMatrix" should "screen several benchmarks in one pass" in {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),  // overlaps ev1 (2 of 3 shingles)
+      (2L, "alpha beta gamma delta"),     // overlaps ev2 (1 of 2 shingles)
+      (3L, "completely different text entirely here")
+    ).toDF("doc_id", "text")
+    val ev1 = Seq((100L, "the quick brown fox leaps")).toDF("doc_id", "text")
+    val ev2 = Seq((200L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val r = Curation.contaminationMatrix(corpus, Seq("e1" -> ev1, "e2" -> ev2))
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    r((1L, "e1")) shouldBe ((2L, 3L, 0.6667))
+    r((2L, "e2")) shouldBe ((1L, 2L, 0.5))
+    r.keySet shouldBe Set((1L, "e1"), (2L, "e2")) // only offenders reported
+    // matches the single-benchmark op on the same eval set
+    val single = Curation.contamination(corpus, ev1).where(col("n_shingles") > 0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val multi = Curation.contaminationMatrix(corpus, Seq("e1" -> ev1))
+      .collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    multi.foreach { case (id, f) => single(id) shouldBe f }
+    // eval shingles broadcast: the corpus side joins map-side
+    Curation.contaminationMatrix(corpus, Seq("e1" -> ev1, "e2" -> ev2))
+      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
   "Sweep.concurrency" should "count open intervals with exclusive ends across bucket boundaries" in {
     // [0,10) [5,15) [10,20): at t=10 the first has CLOSED (end exclusive),
     // so conc=2 there, not 3; bucketUs=8 forces carry-in across buckets
