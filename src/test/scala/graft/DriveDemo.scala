@@ -310,6 +310,32 @@ object DriveDemo {
         .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
     }
 
+    // 10b. round-8 ops: persisted state store (point updates), temperature
+    // mix, multi-benchmark decontamination
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("drive_state").toString
+      graft.ops.StateStore.create(
+        docs.select(col("doc_id").as("k"), col("n_chars").as("v")), "k", 8, dir)
+      graft.ops.StateStore.upsert(spark, dir,
+        docs.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("k"), lit(-1).as("v"),
+            (col("doc_id") % 100 === 0).as("del")), Some("del"))
+      val st = graft.ops.StateStore.read(spark, dir)
+      println("state store after point update: rows = " + st.count() +
+        ", patched = " + st.where(col("v") === -1).count())
+      val tmix = graft.ops.Sampling.temperatureMix(
+        docs, "source", col("doc_id"), alpha = 0.5, targetTotal = 60L)
+      println("temperature mix kept = " + tmix.groupBy("source").count()
+        .orderBy("source").collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
+      val cm = graft.ops.Curation.contaminationMatrix(docs, Seq(
+        "b97" -> docs.where(col("doc_id") % 97 === 0),
+        "b89" -> docs.where(col("doc_id") % 89 === 0)))
+      println("contamination matrix offender rows = " + cm.count())
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
