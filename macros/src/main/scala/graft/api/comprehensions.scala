@@ -43,9 +43,17 @@ import scala.reflect.macros.blackbox
   * tree, so a guard-local lambda that shadows a generator name cannot
   * demote a join key.
   *
+  * Dependent generators over a LITERAL `DataBag(seq)` constructor derive
+  * the reference's `MatchFlatMap1` lowering (Combination.scala:188-209):
+  * `for { x <- xs; y <- DataBag(f(x)) }` compiles to
+  * `xs.flatMap(x => f(x).map(...))` — the inner collection is provably a
+  * driver-shaped local Seq per element, so this is a narrow flatMap, not
+  * a job per row; its guards post-filter the pair, and later generators
+  * keep deriving joins on top.
+  *
   * Not derived (compile-time abort with guidance, never a silent
-  * per-element job): dependent generators (a later bag genuinely built
-  * from an earlier row) and non-linear shapes — the reference's full
+  * per-element job): dependent generators over a DISTRIBUTED bag (a later
+  * bag genuinely built from an earlier row) and non-linear shapes — the reference's full
   * normalization engine is out of scope by design stance (SURVEY §7.1);
   * explicit `equiJoin`/`joined.on` remains the primary API. Non-DataBag
   * expressions pass through untouched, as do comprehensions whose later
@@ -151,6 +159,24 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   private def isDataBag(t: Tree): Boolean =
     t.tpe != null && t.tpe.baseClasses.exists(_.fullName == "graft.api.DataBag")
+
+  /** A literal `DataBag(expr)` / `DataBag.apply(expr)` constructor call —
+    * the one dependent-generator shape that is PROVABLY local (the inner
+    * collection is a driver-side Seq built per element), so the
+    * reference's MatchFlatMap1 lowering (Combination.scala:188-209) is
+    * safe: no distributed bag is built per row. */
+  private def isLocalBagCtor(t: Tree): Boolean = t match {
+    case Call1(q, TermName("apply"), _) =>
+      (q.symbol != null && q.symbol.fullName == "graft.api.DataBag") ||
+        (t.symbol != null && t.symbol.fullName == "graft.api.DataBag.apply")
+    case _ => false
+  }
+
+  /** The Seq argument of a (typed or untyped) `DataBag(expr)` call. */
+  private def localBagArg(t: Tree): Option[Tree] = t match {
+    case Call1(_, TermName("apply"), a) => Some(a)
+    case _ => None
+  }
 
   /** Reference detection by SYMBOL identity on the typed tree — a guard
     * that contains a lambda shadowing a generator NAME must not count as
@@ -260,6 +286,22 @@ class ComprehensionMacro(val c: blackbox.Context) {
     lam(p, body)
   }
 
+  /** [[bound]] whose inner tree may reference the tuple param itself
+    * (the dependent-generator lowering pairs the WHOLE stage tuple with
+    * each inner element). */
+  private def boundRef(binders: Seq[Binder], i: Int, mk: TermName => Tree): Tree = {
+    val p = TermName(c.freshName("p$"))
+    val body = (1 to i).foldRight(mk(p)) { (j, acc) =>
+      val b = binders(j - 1)
+      val a = accessor(p, j, i)
+      b.pat match {
+        case Some(pt) => Match(a, List(CaseDef(pt, EmptyTree, acc)))
+        case None => q"{ val ${b.name} = $a; $acc }"
+      }
+    }
+    lam(p, body)
+  }
+
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
     val typedChain = flatten(expr)
     typedChain match {
@@ -280,18 +322,32 @@ class ComprehensionMacro(val c: blackbox.Context) {
             s"onSpark: generator '${gen.display}' is not a DataBag — mixing DataBag and " +
             "local-collection generators is not derived; lift the local collection into a " +
             "DataBag or restructure")
-        // every later bag must be independent of earlier generators — the
-        // dependent-FILTER spelling (ys.withFilter(y => k(x) == g(y))) is
-        // already peeled into a guard by FilterChain and derives a join;
-        // what remains here is a bag genuinely built from an earlier row
+        // every later bag must be independent of earlier generators — with
+        // two derived exceptions: the dependent-FILTER spelling
+        // (ys.withFilter(y => k(x) == g(y))) is already peeled into a
+        // guard by FilterChain and derives a join, and a dependent bag
+        // that is a LITERAL `DataBag(expr)` constructor is provably local
+        // per element, so it lowers to the reference's MatchFlatMap1
+        // flatMap (the inner Seq is driver-shaped, never a job per row).
+        // What remains aborted is a DISTRIBUTED bag built from an earlier
+        // row — the one-job-per-element cliff.
         val syms = gens.map(levelSyms)
+        val depLocal: Set[Int] = gens.zipWithIndex.drop(1).collect {
+          case (gen, i) if usesAny(gen.bag, syms.take(i).flatten) &&
+              isLocalBagCtor(gen.bag) && gen.pat.isEmpty => i
+        }.toSet
         for ((gen, i) <- gens.zipWithIndex.drop(1)) {
-          if (usesAny(gen.bag, syms.take(i).flatten))
+          if (usesAny(gen.bag, syms.take(i).flatten) && !depLocal(i))
             c.abort(c.enclosingPosition,
               s"onSpark: generator '${gen.display}' depends on an earlier generator variable; " +
-              "dependent generators are not derived — join explicitly or restructure")
+              "only a literal DataBag(seq) inner bag (with a plain, non-pattern binder) is " +
+              "derived as a local flatMap — join explicitly or restructure")
         }
-        val roles = analyze(gens)
+        // a dependent-local level's guards all post-filter the flatMapped
+        // pair (its inner bag is local and per-element small; no join to key)
+        val roles = analyze(gens).zipWithIndex.map { case (rs, k) =>
+          if (depLocal(k + 1)) rs.map(_ => PostFilter: GuardRole) else rs
+        }
         // rebuild from a single whole-expression untypecheck
         flatten(c.untypecheck(expr)) match {
           case Some((ugens, ubody)) =>
@@ -314,7 +370,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
                 val bag = own.foldLeft(gen.bag) { case (b, g) =>
                   q"$b.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
                 }
-                val joined = key match {
+                val joined = if (depLocal(idx)) {
+                  // MatchFlatMap1: acc.flatMap(p => seq.map(y => (p, y))) —
+                  // the inner Seq (the DataBag ctor's argument) references
+                  // earlier vars, bound as vals from the stage tuple
+                  val seqArg = localBagArg(gen.bag).getOrElse(
+                    c.abort(c.enclosingPosition,
+                      "internal: dependent-local bag shape changed after untypecheck"))
+                  val y = gen.v.name
+                  q"$acc.flatMap(${boundRef(binders, i - 1, p =>
+                    q"$seqArg.map(${lam(y, q"(${Ident(p)}, ${Ident(y)})")})")})"
+                } else key match {
                   case Some((g, swapped)) =>
                     val (accSide, newSide) = g.cond match {
                       case Eq(l, r) => if (swapped) (r, l) else (l, r)

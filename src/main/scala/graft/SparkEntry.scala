@@ -2437,6 +2437,26 @@ object SparkEntry {
       Curation.contaminationMatrix(docs, Seq(
         "b97" -> docs.where(col("doc_id") % 97 === 0),
         "b89" -> docs.where(col("doc_id") % 89 === 0)))
+    }),
+
+    // Dependent LOCAL generator in the comprehension front-end (the
+    // reference's MatchFlatMap1, Combination.scala:188-209): a literal
+    // DataBag(seq) built from the row lowers to a flatMap at COMPILE
+    // time — natural dependent syntax with no one-job-per-element cliff
+    "q198_dependent_generator" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      implicit val sess: org.apache.spark.sql.SparkSession = s
+      val orders = graft.api.DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          o <- orders
+          t <- graft.api.DataBag(Seq(0L, o.o_orderkey % 3, o.o_orderkey % 5))
+        } yield (o.o_orderkey, t)
+      }
+      res.ds.toDF("k", "t")
     })
   )
 
@@ -3963,6 +3983,11 @@ object SparkEntry {
         "hit AS (SELECT sh.doc_id, ev.benchmark, COUNT(*) AS n_hit FROM sh JOIN ev ON sh.shingle = ev.shingle GROUP BY 1, 2) " +
         "SELECT h.doc_id, h.benchmark, h.n_hit, c.n_shingles, " +
         "floor(CAST(h.n_hit AS DOUBLE) / CAST(c.n_shingles AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS contam_frac " +
-        "FROM hit h JOIN cnt c ON h.doc_id = c.doc_id")
+        "FROM hit h JOIN cnt c ON h.doc_id = c.doc_id"),
+
+    "q198_dependent_generator" ->
+      ("SELECT o_orderkey AS k, " +
+        "unnest([CAST(0 AS BIGINT), o_orderkey % 3, o_orderkey % 5]) AS t " +
+        "FROM orders")
   )
 }

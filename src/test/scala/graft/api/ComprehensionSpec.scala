@@ -283,10 +283,35 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
-  it should "reject dependent generators at compile time" in {
+  it should "derive a dependent LOCAL DataBag generator as a flatMap (MatchFlatMap1)" in {
+    val xs = bagL(1L to 10L)
+    val out = onSpark {
+      for { x <- xs; y <- DataBag(Seq(x, x * 10)); if y % 2 == 0 } yield (x, y)
+    }
+    val seqRef = for { x <- 1L to 10L; y <- Seq(x, x * 10); if y % 2 == 0 } yield (x, y)
+    out.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "still derive a join AFTER a dependent local generator" in {
+    val xs = bagL(1L to 6L)
+    val zs = bagL(1L to 100L)
+    val out = onSpark {
+      for { x <- xs; y <- DataBag(Seq(x, x + 1)); z <- zs; if z % 10 == y }
+        yield (x, y, z)
+    }
+    val plan = out.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for { x <- 1L to 6L; y <- Seq(x, x + 1); z <- 1L to 100L; if z % 10 == y }
+      yield (x, y, z)
+    out.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "reject dependent DISTRIBUTED generators at compile time" in {
     """
     val xs = bagL(1L to 5L)
-    onSpark { for { x <- xs; y <- DataBag(Seq(x)) } yield x + y }
+    val ys = bagL(1L to 5L)
+    val zs = bagL(6L to 9L)
+    onSpark { for { x <- xs; y <- (if (x > 2L) ys else zs) } yield x + y }
     """ shouldNot compile
   }
 
