@@ -65,20 +65,44 @@ object StateStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/data").drop("bucket")
 
+  /** The touched-bucket read: lists and scans ONLY the named bucket
+    * directories (basePath keeps `bucket` a partition column), so BOTH
+    * the driver-side file listing and the executor-side scan are
+    * O(touched), independent of how many buckets the store has grown to —
+    * a plain `.where(bucket IN ...)` over the store root would still
+    * prune the SCAN but pay an O(nBuckets) listing first. Returns None
+    * when none of the buckets exist yet (a delta of pure inserts into
+    * virgin buckets). */
+  private def prunedBuckets(spark: SparkSession, path: String,
+      buckets: Seq[Int]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = buckets.sorted.map(b => s"$path/data/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (dirs.isEmpty) None
+    else {
+      val pruned = spark.read.option("basePath", s"$path/data")
+        .parquet(dirs: _*)
+        .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      lastPrunedPlan = pruned.queryExecution.executedPlan.toString
+      Some(pruned)
+    }
+  }
+
   /** Point lookup: rows for `keys`, reading ONLY the buckets that can hold
     * them. `keys` is a driver-side point set by contract (that is what a
     * point lookup IS); each key buckets through the same portable hash the
-    * writer used, so the partition filter is exact. */
+    * writer used, so the directory set is exact. */
   def lookup(spark: SparkSession, path: String, keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "lookup needs at least one key")
     val m = meta(spark, path)
-    val buckets = keys.map(k => bucketOfLocal(k.toString, m.nBuckets))
-      .distinct.map(Integer.valueOf)
-    val pruned = spark.read.parquet(s"$path/data")
-      .where(col("bucket").isin(buckets: _*))
-      .where(col(m.keyCol).cast("string").isin(keys.map(_.toString): _*))
-    lastPrunedPlan = pruned.queryExecution.executedPlan.toString
-    pruned.drop("bucket")
+    val buckets = keys.map(k => bucketOfLocal(k.toString, m.nBuckets)).distinct
+    prunedBuckets(spark, path, buckets) match {
+      case Some(df) =>
+        df.where(col(m.keyCol).cast("string").isin(keys.map(_.toString): _*))
+          .drop("bucket")
+      case None => read(spark, path).where(lit(false))
+    }
   }
 
   /** Driver-side twin of [[bucketOf]] (same md5-prefix arithmetic). */
@@ -102,24 +126,24 @@ object StateStore {
     val dd = delta.withColumn("bucket", bucketOf(col(m.keyCol), m.nBuckets))
       .localCheckpoint(true)
     val buckets = dd.select("bucket").distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0)))
+      .collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return
 
-    val pruned = spark.read.parquet(s"$path/data")
-      .where(col("bucket").isin(buckets.toSeq: _*))
-    lastPrunedPlan = pruned.queryExecution.executedPlan.toString
-
-    val survivors = pruned
-      .join(dd.select(col(m.keyCol)).distinct(), Seq(m.keyCol), "left_anti")
     val upserts = deleteCol match {
       case Some(c) => dd.where(!coalesce(col(c), lit(false))).drop(c)
       case None    => dd
     }
+    val merged0 = prunedBuckets(spark, path, buckets) match {
+      case Some(pruned) =>
+        pruned.join(dd.select(col(m.keyCol)).distinct(), Seq(m.keyCol), "left_anti")
+          .select(upserts.columns.map(col).toSeq: _*)
+          .unionByName(upserts)
+      case None => upserts // pure inserts into buckets that don't exist yet
+    }
     // localCheckpoint breaks the plan's file dependency on `path` so the
     // dynamic-partition overwrite below is not a read-your-own-write; it
     // materializes only the TOUCHED buckets (bounded by the delta spread)
-    val merged = survivors.select(upserts.columns.map(col).toSeq: _*)
-      .unionByName(upserts).localCheckpoint(true)
+    val merged = merged0.localCheckpoint(true)
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
