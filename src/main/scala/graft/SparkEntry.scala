@@ -2457,6 +2457,45 @@ object SparkEntry {
         } yield (o.o_orderkey, t)
       }
       res.ds.toDF("k", "t")
+    }),
+
+    // Corpus snapshot diff: added/removed/changed between two derived
+    // corpus versions, shuffling only (id, md5) — never the text
+    "q199_corpus_diff" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val v1 = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" old")))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+      Curation.corpusDiff(v1, v2)
+    }),
+
+    // END-TO-END incremental maintenance: per-doc signals live in the
+    // bucket-pruned StateStore; a new corpus version re-scores ONLY the
+    // docs the diff names (added/changed), tombstones the removed, and
+    // the store then equals a from-scratch recompute over v2 (the oracle)
+    "q200_incremental_signals" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val v1 = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" old")))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+      def signals(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_incsig").toString
+      graft.ops.StateStore.create(signals(v1), "doc_id", 16, dir)
+      val diff = Curation.corpusDiff(v1, v2)
+      val stale = diff.where(col("change").isin("added", "changed"))
+        .select("doc_id")
+      val rescored = signals(v2.join(stale, "doc_id"))
+        .withColumn("del", lit(false))
+      val tombstones = diff.where(col("change") === "removed")
+        .select(col("doc_id"), lit(0L).as("n_tokens"), lit(true).as("del"))
+      graft.ops.StateStore.upsert(s, dir,
+        rescored.unionByName(tombstones), Some("del"))
+      graft.ops.StateStore.read(s, dir)
     })
   )
 
@@ -3988,6 +4027,20 @@ object SparkEntry {
     "q198_dependent_generator" ->
       ("SELECT o_orderkey AS k, " +
         "unnest([CAST(0 AS BIGINT), o_orderkey % 3, o_orderkey % 5]) AS t " +
-        "FROM orders")
+        "FROM orders"),
+
+    "q199_corpus_diff" ->
+      ("SELECT doc_id, CASE " +
+        "WHEN doc_id % 11 = 0 AND doc_id % 13 <> 0 THEN 'added' " +
+        "WHEN doc_id % 13 = 0 AND doc_id % 11 <> 0 THEN 'removed' " +
+        "WHEN doc_id % 7 = 0 THEN 'changed' END AS change " +
+        "FROM documents " +
+        "WHERE (doc_id % 11 = 0 AND doc_id % 13 <> 0) " +
+        "OR (doc_id % 13 = 0 AND doc_id % 11 <> 0) " +
+        "OR (doc_id % 7 = 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0)"),
+
+    "q200_incremental_signals" ->
+      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE doc_id % 13 <> 0")
   )
 }

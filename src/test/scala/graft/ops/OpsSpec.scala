@@ -557,6 +557,18 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
 
+  "Curation.corpusDiff" should "classify added, removed, and changed docs" in {
+    val v1 = Seq((1L, "same text"), (2L, "old text"), (3L, "to be removed"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(2L -> "changed", 3L -> "removed", 4L -> "added")
+    // identical snapshots diff to nothing
+    Curation.corpusDiff(v1, v1).count() shouldBe 0L
+  }
+
   "Sweep.concurrency" should "count open intervals with exclusive ends across bucket boundaries" in {
     // [0,10) [5,15) [10,20): at t=10 the first has CLOSED (end exclusive),
     // so conc=2 there, not 3; bucketUs=8 forces carry-in across buckets
