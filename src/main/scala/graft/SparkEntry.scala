@@ -2496,6 +2496,36 @@ object SparkEntry {
       graft.ops.StateStore.upsert(s, dir,
         rescored.unionByName(tombstones), Some("del"))
       graft.ops.StateStore.read(s, dir)
+    }),
+
+    // STREAMING incremental signal maintenance: q200's churn arriving as a
+    // file stream (one micro-batch per file); each batch re-scores only
+    // its own docs and upserts into the bucket-pruned store. The drained
+    // store ≡ a full recompute over the final corpus (q200's oracle).
+    "q201_stream_signal_maintenance" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val v1 = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" old")))
+            .otherwise(col("text")).as("text"))
+      def signals(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val base = java.nio.file.Files.createTempDirectory("graft_streamsig").toString
+      graft.ops.StateStore.create(signals(v1), "doc_id", 16, s"$base/store")
+      val changed = docs.where(col("doc_id") % 7 === 0 &&
+          col("doc_id") % 11 =!= 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"), lit(false).as("del"))
+      val added = docs.where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"), lit(false).as("del"))
+      val removed = docs.where(col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), lit("").as("text"), lit(true).as("del"))
+      val updates = changed.unionByName(added).unionByName(removed)
+      updates.repartition(3).write.parquet(s"$base/src")
+      val stream = s.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      graft.streaming.Streams.streamSignalMaintenance(
+        stream, s"$base/store", "del")(signals)
+      graft.ops.StateStore.read(s, s"$base/store")
     })
   )
 
@@ -4040,6 +4070,11 @@ object SparkEntry {
         "OR (doc_id % 7 = 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0)"),
 
     "q200_incremental_signals" ->
+      ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE doc_id % 13 <> 0"),
+
+    "q201_stream_signal_maintenance" ->
+      // identical final state to q200: the same churn, micro-batched
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
         "FROM documents WHERE doc_id % 13 <> 0")
   )

@@ -426,4 +426,35 @@ object Streams {
     q.awaitTermination()
     acc.synchronized(acc.toMap)
   }
+
+  /** Maintain a per-document signal store over a document UPDATE stream —
+    * the streaming face of the q200 incremental-maintenance shape. Each
+    * micro-batch scores its OWN documents (`signals` must keep the
+    * store's key column) and upserts them into the bucket-pruned
+    * [[graft.ops.StateStore]]; rows flagged in `deleteCol` tombstone
+    * their key. Per batch the work is O(batch + touched buckets) — never
+    * a corpus rescan — so signal freshness costs churn, not corpus. The
+    * drained store equals a batch recompute over the final per-document
+    * state regardless of micro-batching: a key's updates apply in stream
+    * order (within one batch a key appears at most once, by the same
+    * unique-key delta contract StateStore.upsert itself carries). */
+  def streamSignalMaintenance(stream: DataFrame, storePath: String,
+      deleteCol: String)(signals: DataFrame => DataFrame): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val keyCol = graft.ops.StateStore.meta(spark, storePath).keyCol
+          val df = batch.toDF().localCheckpoint(true)
+          val delta = signals(df).join(
+            df.select(col(keyCol),
+              coalesce(col(deleteCol), lit(false)).as(deleteCol)), keyCol)
+          graft.ops.StateStore.upsert(spark, storePath, delta, Some(deleteCol))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

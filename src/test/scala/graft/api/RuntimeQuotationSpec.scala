@@ -48,6 +48,8 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "surface macro aborts as compile errors at quote time" in {
+    // dependent on a DISTRIBUTED bag (the literal DataBag(seq) spelling
+    // now derives a local flatMap instead — ComprehensionSpec)
     val bad = """
       (s0: org.apache.spark.sql.SparkSession) => {
         implicit val spark: org.apache.spark.sql.SparkSession = s0
@@ -55,11 +57,13 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
         import graft.api._
         import graft.api.comprehensions.onSpark
         val xs = DataBag((1L to 5L).toSeq)
-        onSpark { for { x <- xs; y <- DataBag(Seq(x)) } yield x + y }.toDF
+        val ys = DataBag((1L to 5L).toSeq)
+        val zs = DataBag((6L to 9L).toSeq)
+        onSpark { for { x <- xs; y <- (if (x > 2L) ys else zs) } yield x + y }.toDF
       }"""
     val e = intercept[Throwable] {
       RuntimeQuotation.compile[SparkSession => DataFrame](bad)
     }
-    e.getMessage should include("dependent generators are not derived")
+    e.getMessage should include("depends on an earlier generator variable")
   }
 }
