@@ -145,12 +145,10 @@ object StateStore {
     // materializes only the TOUCHED buckets (bounded by the delta spread)
     val merged = merged0.localCheckpoint(true)
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option (not session conf): concurrent writers on the same
+    // session can't observe a half-toggled overwrite mode
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$path/data")
   }
 }
