@@ -2526,6 +2526,20 @@ object SparkEntry {
       graft.streaming.Streams.streamSignalMaintenance(
         stream, s"$base/store", "del")(signals)
       graft.ops.StateStore.read(s, s"$base/store")
+    }),
+
+    // Shard-export integrity manifest: per shard, count + max pos + the
+    // dense-positions invariant + an order-insensitive md5-prefix
+    // checksum — the oracle recomputes shard assignment and checksum
+    // from nothing but the corpus
+    "q202_shard_manifest" -> ((s, d) => {
+      val docs = tbl(s, d, "documents").select("doc_id")
+      val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+      graft.ops.Shuffling.writeShards(docs, col("doc_id"), nShards = 8,
+        seed = 42L, dir)
+      graft.ops.Shuffling.shardManifest(s, dir, "doc_id")
+        .select(col("shard").cast("long").as("shard"), col("n_rows"),
+          col("max_pos"), col("dense"), col("checksum"))
     })
   )
 
@@ -4076,6 +4090,24 @@ object SparkEntry {
     "q201_stream_signal_maintenance" ->
       // identical final state to q200: the same churn, micro-batched
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
-        "FROM documents WHERE doc_id % 13 <> 0")
+        "FROM documents WHERE doc_id % 13 <> 0"),
+
+    "q202_shard_manifest" ->
+      // shard = q178's 4-nibble arithmetic; checksum rebuilt digit-by-digit
+      // (the q86 pattern: integers < 2^53 are exact doubles, so the sum is
+      // bit-identical to Spark's conv(hex,16,10) BIGINT sum); `dense` is a
+      // Spark-proven invariant pinned true (q35 pattern)
+      ("WITH k AS (SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "s AS (SELECT doc_id, " +
+        "((4096*(strpos('0123456789abcdef', substr(h,1,1))-1) " +
+        "+ 256*(strpos('0123456789abcdef', substr(h,2,1))-1) " +
+        "+ 16*(strpos('0123456789abcdef', substr(h,3,1))-1) " +
+        "+ (strpos('0123456789abcdef', substr(h,4,1))-1)) % 8) AS shard FROM k), " +
+        "c AS (SELECT shard, doc_id, CAST(list_sum(list_transform(range(1, 9), " +
+        "i -> (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1) * 16.0 ^ (8 - i))) AS BIGINT) AS v FROM s) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows, " +
+        "CAST(COUNT(*) - 1 AS BIGINT) AS max_pos, true AS dense, " +
+        "CAST(SUM(v) AS BIGINT) AS checksum " +
+        "FROM c GROUP BY shard")
   )
 }

@@ -155,6 +155,26 @@ object Shuffling {
     readShards(spark, path)
       .where(col("shard") === shard && col("pos") >= fromPos)
 
+  /** Integrity manifest of a [[writeShards]] export — one row per shard:
+    * row count, max position, the dense-positions invariant (pos is
+    * exactly 0..n-1), and an ORDER-INSENSITIVE content checksum (sum of
+    * each key's 32-bit md5 prefix — commutative, so any read order or
+    * partitioning yields the same value, and it is seed-independent:
+    * re-sharding the same corpus under a new training order keeps
+    * per-corpus total checksums comparable). ONE scan of the export, K
+    * rows out; a trainer verifies a shard before consuming it, and two
+    * engines must agree on every cell (the gate's oracle recomputes the
+    * shard assignment and checksum from scratch). */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame =
+    readShards(spark, path).groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("pos")).as("max_pos"),
+        (count(lit(1)) === max(col("pos")) + 1 && min(col("pos")) === 0)
+          .as("dense"),
+        sum(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   /** Deterministic weighted interleave of K corpora — the data-mixing step

@@ -160,6 +160,32 @@ class CurationReportSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "manifest every shard with exact counts and a tamper-sensitive checksum" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_manifest").toString
+    try {
+      Shuffling.writeShards(spark.range(0, 500).toDF("id"), col("id"),
+        nShards = 4, seed = 7L, s"$dir/shards")
+      val m = Shuffling.shardManifest(spark, s"$dir/shards", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      m.length shouldBe 4
+      m.map(_._2).sum shouldBe 500L
+      all(m.map(_._4)) shouldBe true          // dense 0..n-1 positions
+      m.foreach { case (_, n, maxPos, _, _) => maxPos shouldBe n - 1 }
+      m.map(_._5).distinct.length shouldBe 4  // checksums differ per shard
+      // checksum is content-addressed: dropping one row changes it
+      val tampered = Shuffling.readShards(spark, s"$dir/shards")
+        .where(col("shard") === m.head._1)
+      val fullSum = m.find(_._1 == m.head._1).get._5
+      val minusOne = tampered.where(col("pos") =!= 0L)
+        .agg(sum(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))).head().getLong(0)
+      minusOne should not be fullSum
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   it should "resume a shard from a position with pruning, not a scan" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_resume").toString
     try {
