@@ -97,7 +97,10 @@ object RuntimeQuotation {
   }
 
   private def jarOf(dir: Path, n: Int): Path = {
-    val jarPath = Files.createTempDirectory("graft_rtq_jar").resolve(s"rtq$n.jar")
+    // the jar lives inside the snippet's own class dir (already
+    // deleteOnExit) — a fresh temp dir per compile would leak one
+    // directory per snippet for the life of the machine
+    val jarPath = dir.resolve(s"rtq$n.jar")
     val out = new java.util.jar.JarOutputStream(
       Files.newOutputStream(jarPath))
     val walk = Files.walk(dir)

@@ -195,6 +195,28 @@ object Curation {
           lit(0.0)).as("contam_frac"))
   }
 
+  /** Corpus snapshot diff — the incremental-processing primitive: which
+    * documents were `added`, `removed`, or `changed` between two corpus
+    * versions (unchanged docs are omitted). Built for 100 TB × 100 TB:
+    * each side reduces to `(id, md5(text))` AT THE SCAN, so the full-outer
+    * join shuffles ~50 bytes per document, never the text; downstream
+    * passes then touch only the delta (see the incremental signal
+    * maintenance gate, which feeds this into [[StateStore]]). */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // coalesce BEFORE hashing: md5(null) is null, which the when-chain
+    // below would read as "row absent" — a null-text doc must still count
+    // as present (and differ from an empty-text doc only if texts differ)
+    val o = oldV.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("__oh"))
+    val n = newV.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed").as("change"))
+      .where(col("change").isNotNull)
+  }
+
   /** Multi-benchmark decontamination in ONE corpus pass — the production
     * form of [[contamination]]: a real pre-training run screens against
     * DOZENS of eval sets at once, and re-scanning 100 TB per benchmark is
@@ -208,25 +230,6 @@ object Curation {
     * `(doc_id, benchmark, n_hit, n_shingles, contam_frac)` — so 100 TB in
     * yields only the offender rows out, ready for a per-benchmark
     * threshold cut or a `keepList`-style anti-join. */
-  /** Corpus snapshot diff — the incremental-processing primitive: which
-    * documents were `added`, `removed`, or `changed` between two corpus
-    * versions (unchanged docs are omitted). Built for 100 TB × 100 TB:
-    * each side reduces to `(id, md5(text))` AT THE SCAN, so the full-outer
-    * join shuffles ~50 bytes per document, never the text; downstream
-    * passes then touch only the delta (see the incremental signal
-    * maintenance gate, which feeds this into [[StateStore]]). */
-  def corpusDiff(oldV: DataFrame, newV: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val o = oldV.select(col(idCol), md5(col(textCol)).as("__oh"))
-    val n = newV.select(col(idCol), md5(col(textCol)).as("__nh"))
-    o.join(n, Seq(idCol), "full_outer")
-      .select(col(idCol),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed").as("change"))
-      .where(col("change").isNotNull)
-  }
-
   def contaminationMatrix(docs: DataFrame, evals: Seq[(String, DataFrame)],
       textCol: String = "text", shingleN: Int = 3): DataFrame = {
     require(evals.nonEmpty, "need at least one eval set")

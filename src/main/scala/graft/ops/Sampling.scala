@@ -108,6 +108,23 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Shared membership tail of the domain-mixing ops: `frac` is a
+    * `(__domain, __f)` relation (one row per domain, fraction in [0, 1]);
+    * keep each row of `df` whose md5 draw clears its domain's 32-bit
+    * threshold. The `__f >= 1.0` disjunct is NOT redundant: a fraction of
+    * exactly 1.0 floors to threshold "ffffffff"+1 clamped to "ffffffff",
+    * which a draw of "ffffffff" would fail — keep-all must not drop that
+    * one draw. One definition so the clamp/keep-all subtleties cannot
+    * drift between [[domainMix]] and [[temperatureMix]]. */
+  private def keepByFraction(df: DataFrame, frac: DataFrame, domainCol: String,
+      key: Column): DataFrame = {
+    val thresholdHexCol = format_string("%08x",
+      least(floor(col("__f") * lit(4294967296.0)).cast("long"), lit(4294967295L)))
+    df.join(broadcast(frac), col(domainCol) === col("__domain"))
+      .where(col("__f") >= 1.0 || hashDraw(key) < thresholdHexCol)
+      .drop("__domain", "__f")
+  }
+
   /** Domain mixing: sample the corpus toward a TARGET distribution —
     * `targets(domain)` is the desired weight of each domain in an output of
     * ~`targetTotal` rows, so each domain keeps fraction
@@ -133,11 +150,7 @@ object Sampling {
       .select(col("__domain"),
         least(lit(1.0), col("__w") * lit(targetTotal.toDouble) /
           col("__cnt").cast("double")).as("__f"))
-    val thresholdHexCol = format_string("%08x",
-      least(floor(col("__f") * lit(4294967296.0)).cast("long"), lit(4294967295L)))
-    df.join(broadcast(frac), col(domainCol) === col("__domain"))
-      .where(col("__f") >= 1.0 || hashDraw(key) < thresholdHexCol)
-      .drop("__domain", "__w", "__f")
+    keepByFraction(df, frac, domainCol, key)
   }
 
   /** Temperature-scaled domain mixing — [[domainMix]] with the target
@@ -173,11 +186,7 @@ object Sampling {
         Portable.round(
           least(lit(1.0), col("__p") / col("__t") * lit(targetTotal.toDouble) /
             col("__cnt").cast("double")), 6).as("__f"))
-    val thresholdHexCol = format_string("%08x",
-      least(floor(col("__f") * lit(4294967296.0)).cast("long"), lit(4294967295L)))
-    df.join(broadcast(frac), col(domainCol) === col("__domain"))
-      .where(col("__f") >= 1.0 || hashDraw(key) < thresholdHexCol)
-      .drop("__domain", "__f")
+    keepByFraction(df, frac, domainCol, key)
   }
 
   /** Deterministic fractional UPSAMPLING — the repetition side of data

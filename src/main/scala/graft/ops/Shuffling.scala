@@ -170,8 +170,10 @@ object Shuffling {
     readShards(spark, path).groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         max(col("pos")).as("max_pos"),
-        (count(lit(1)) === max(col("pos")) + 1 && min(col("pos")) === 0)
-          .as("dense"),
+        // countDistinct matters: without it a duplicated position plus a
+        // lost row (count unchanged, min/max unchanged) would pass
+        (count(lit(1)) === max(col("pos")) + 1 && min(col("pos")) === 0 &&
+          countDistinct(col("pos")) === count(lit(1))).as("dense"),
         sum(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
           .cast("long")).as("checksum"))
 

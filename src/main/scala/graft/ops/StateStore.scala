@@ -150,5 +150,21 @@ object StateStore {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(s"$path/data")
+
+    // dynamic overwrite only REPLACES partitions it writes rows for — a
+    // touched bucket whose every key was tombstoned produces zero output
+    // rows and would silently keep its old files. Drop those directories
+    // explicitly (driver-side, O(touched) like everything else here).
+    val alive = merged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = buckets.filterNot(alive)
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(s"$path/data")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
   }
 }

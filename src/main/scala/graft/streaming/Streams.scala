@@ -446,10 +446,21 @@ object Streams {
           val spark = batch.sparkSession
           val keyCol = graft.ops.StateStore.meta(spark, storePath).keyCol
           val df = batch.toDF().localCheckpoint(true)
-          val delta = signals(df).join(
-            df.select(col(keyCol),
-              coalesce(col(deleteCol), lit(false)).as(deleteCol)), keyCol)
-          graft.ops.StateStore.upsert(spark, storePath, delta, Some(deleteCol))
+          val delFlag = coalesce(col(deleteCol), lit(false))
+          // tombstones are framework-derived from the batch itself — they
+          // must NOT route through the user's `signals` transform (a scorer
+          // that skips empty/deleted docs would silently drop the delete);
+          // `signals` only ever sees live rows and must keep the key column
+          val scored = signals(df.where(!delFlag))
+            .withColumn(deleteCol, lit(false))
+          val sigCols = scored.columns.filter(c => c != keyCol && c != deleteCol)
+          val tombs = df.where(delFlag).select(
+            col(keyCol) +:
+              sigCols.map(c =>
+                lit(null).cast(scored.schema(c).dataType).as(c)) :+
+              lit(true).as(deleteCol): _*)
+          graft.ops.StateStore.upsert(spark, storePath,
+            scored.unionByName(tombs), Some(deleteCol))
         }
         ()
       }

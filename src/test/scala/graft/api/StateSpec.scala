@@ -86,6 +86,7 @@ class StateSpec extends AnyFlatSpec with Matchers {
 
   "MutableBag state" should "cogroup with zero Exchange on the state side, every round" in {
     val st = MutableBag[Long, Long](DataBag((1L to 100L).map(i => (i, i))))
+    st.capturePlans = true // opt-in: production rounds don't pin the cogroup
     for (r <- 1 to 3) {
       val delta = st.update(DataBag(Seq(
         Group(5L, 1000L + r), Group(200L + r, r.toLong))))((_, _, m) => Some(m))

@@ -567,6 +567,14 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map(2L -> "changed", 3L -> "removed", 4L -> "added")
     // identical snapshots diff to nothing
     Curation.corpusDiff(v1, v1).count() shouldBe 0L
+    // null text is PRESENCE, not absence: md5(null) must not read as
+    // "row missing" (a null-text doc present only in v1 is removed, and
+    // null -> value is changed, not added)
+    val n1 = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    val n2 = Seq((1L, "now filled")).toDF("doc_id", "text")
+    Curation.corpusDiff(n1, n2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(1L -> "changed", 2L -> "removed")
   }
 
   "Sweep.concurrency" should "count open intervals with exclusive ends across bucket boundaries" in {

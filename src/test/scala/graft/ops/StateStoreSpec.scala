@@ -100,6 +100,32 @@ class StateStoreSpec extends AnyFlatSpec with Matchers {
       ("""PartitionFilters: \[(isnotnull\(bucket#\d+\), )?\(?bucket#\d+ (= |IN \()""")
   }
 
+  it should "clear a bucket whose every key was tombstoned" in {
+    // dynamic partition overwrite only replaces partitions it writes rows
+    // for — a fully-tombstoned bucket yields zero output rows and must be
+    // deleted explicitly or the old files silently survive
+    val dir = tmp()
+    StateStore.create(Seq((17L, 1.0)).toDF("k", "v"), "k", 16, dir)
+    StateStore.upsert(spark, dir,
+      Seq((17L, 0.0, true)).toDF("k", "v", "del"), Some("del"))
+    val b = StateStore.bucketOfLocal("17", 16)
+    new File(s"$dir/data/bucket=$b").exists() shouldBe false
+    // a mixed delta that empties one bucket but writes another
+    val dir2 = tmp()
+    StateStore.create((1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      "k", 4, dir2)
+    val doomed = (1L to 40L)
+      .filter(k => StateStore.bucketOfLocal(k.toString, 4) == 0)
+    StateStore.upsert(spark, dir2,
+      (doomed.map(k => (k, 0.0, true)) :+ ((99L, 9.0, false)))
+        .toDF("k", "v", "del"), Some("del"))
+    val got = StateStore.read(spark, dir2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    doomed.foreach(k => got.contains(k) shouldBe false)
+    got(99L) shouldBe 9.0
+    got.size shouldBe 40 - doomed.size + 1
+  }
+
   it should "survive sequential point updates (the loop-tail shape)" in {
     val dir = tmp()
     StateStore.create((1L to 50L).map(k => (k, 0.0)).toDF("k", "v"), "k", 4, dir)
