@@ -2540,6 +2540,62 @@ object SparkEntry {
       graft.ops.Shuffling.shardManifest(s, dir, "doc_id")
         .select(col("shard").cast("long").as("shard"), col("n_rows"),
           col("max_pos"), col("dense"), col("checksum"))
+    }),
+
+    // Hybrid retrieval: BM25 top-10 fused with a global length-prior
+    // ranking by reciprocal-rank fusion (integer contributions, so the
+    // fused scores are engine-exact); oracle recomputes BOTH rankings
+    // and the fusion from scratch
+    "q203_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, d, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val qs = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(8)
+        .select(col("token").as("query_id"), col("token").as("qtext"))
+      val bm = graft.ops.Retrieval.bm25TopK(docs, qs, k = 10)
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      val bmRank = bm.select(col("query_id"), col("doc_id"),
+        row_number().over(wq).cast("long").as("rank"))
+      // dense-retriever stand-in: one global prior list served per query
+      val prior = docs.orderBy(col("n_chars").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc))
+          .cast("long").as("rank"))
+      val priorPerQ = qs.select("query_id").crossJoin(prior)
+      graft.ops.Retrieval.rrfFuse(Seq(bmRank, priorPerQ), k = 10)
+    }),
+
+    // Vector-store deletion: tombstone ids in the SAVED IVF index (no
+    // rebuild, no file rewrite); loaded probes exclude them and equal the
+    // in-memory probe over the filtered assignment (q171-style contract)
+    "q204_ann_delete" -> ((s, d) => {
+      import s.implicits._
+      import graft.ops.AnnIndex
+      val emb = tbl(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+      val idx = AnnIndex.buildIvf(emb, nlist = 8, maxIter = 4)
+      AnnIndex.save(idx, dir)
+      val doomed = emb.where(col("vec_id") % 5 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      AnnIndex.deleteSaved(s, dir, doomed)
+      val loaded = AnnIndex.load(s, dir)
+      val got = AnnIndex.probe(loaded, qs, k = 3, nprobe = 2)
+        .select("qid", "did").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val filtered = AnnIndex.Ivf(idx.centroids,
+        idx.assigned.where(col("did") % 5 =!= 0))
+      val expect = AnnIndex.probe(filtered, qs, k = 3, nprobe = 2)
+        .select("qid", "did").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val doomedSet = doomed.toSet
+      Seq((got.length.toLong, got.forall(p => !doomedSet.contains(p._2)),
+          got.sameElements(expect)))
+        .toDF("n_results", "no_deleted_returned", "matches_filtered_probe")
     })
   )
 
@@ -4091,6 +4147,35 @@ object SparkEntry {
       // identical final state to q200: the same churn, micro-batched
       ("SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens " +
         "FROM documents WHERE doc_id % 13 <> 0"),
+
+    "q203_hybrid_rrf" ->
+      ("WITH tok AS (SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) WHERE length(token) > 0), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl), " +
+        "dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "qs AS (SELECT token AS query_id, token FROM dfreq ORDER BY df DESC, token ASC LIMIT 8), " +
+        "sc AS (SELECT q.query_id, tf.doc_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+        "((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micros " +
+        "FROM qs q JOIN tf ON tf.token = q.token JOIN dfreq ON dfreq.token = q.token " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2), " +
+        "bmk AS (SELECT query_id, doc_id, r FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM sc) WHERE r <= 10), " +
+        "pr AS (SELECT doc_id, r FROM (SELECT doc_id, " +
+        "row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS r FROM documents) WHERE r <= 10), " +
+        "prq AS (SELECT q.query_id, p.doc_id, p.r FROM qs q CROSS JOIN pr p), " +
+        "co AS (SELECT query_id, doc_id, CAST(floor(1000000.0 / (60.0 + r)) AS BIGINT) AS c FROM " +
+        "(SELECT query_id, doc_id, r FROM bmk UNION ALL SELECT query_id, doc_id, r FROM prq)), " +
+        "fu AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micros FROM co GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, doc_id, rrf_micros, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY rrf_micros DESC, doc_id ASC) AS rr FROM fu) " +
+        "SELECT query_id, doc_id, rrf_micros FROM rk WHERE rr <= 10"),
+
+    "q204_ann_delete" ->
+      ("SELECT CAST(24 AS BIGINT) AS n_results, true AS no_deleted_returned, " +
+        "true AS matches_filtered_probe"),
 
     "q202_shard_manifest" ->
       // shard = q178's 4-nibble arithmetic; checksum rebuilt digit-by-digit

@@ -51,15 +51,33 @@ object AnnIndex {
       .partitionBy("cell").parquet(s"$dir/assigned")
   }
 
-  /** Reload a saved index. */
+  /** Reload a saved index. Tombstoned vectors ([[deleteSaved]]) are
+    * filtered out with a broadcast anti-join at load — the assignment
+    * files themselves are never rewritten. */
   def load(spark: SparkSession, dir: String): Ivf = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val assigned0 = spark.read.parquet(s"$dir/assigned")
       .select(col("did"), col("dv"), col("cell").cast("int").as("cell"))
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assigned = if (fs.exists(delPath))
+      assigned0.join(broadcast(spark.read.parquet(s"$dir/deleted")),
+        Seq("did"), "left_anti")
+    else assigned0
     Ivf(cents, assigned)
+  }
+
+  /** Tombstone vectors in a SAVED index without rebuilding or rewriting
+    * any assignment file: the ids append to a `deleted` relation that
+    * [[load]] anti-joins away (broadcast — tombstone sets are tiny next
+    * to the corpus). Reclaim the space eventually by re-saving a loaded
+    * index (compaction); until then deletes are O(|ids|) appends. */
+  def deleteSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("did").write.mode("append").parquet(s"$dir/deleted")
   }
 
   /** Assign a new batch against the EXISTING quantizer — the ingest path.

@@ -71,4 +71,33 @@ object Retrieval {
     graft.plans.TopK.perKey(
       bm25Scores(docs, queries, textCol, qCol, k1, b),
       Seq("query_id"), Seq(col("bm25_micros").desc, col("doc_id").asc), k)
+
+  /** Reciprocal-rank fusion of several per-query rankings — the standard
+    * hybrid-retrieval combiner (lexical BM25 + dense ANN + anything else):
+    * each input relation is `(query_id, doc_id, rank)` with rank 1-based;
+    * a document scores `Σ floor(1e6 / (rrfK + rank))` over the lists that
+    * ranked it, and the fused top-k is total-ordered by
+    * `(rrf_micros desc, doc_id asc)`.
+    *
+    * Engine-portable by construction: the contribution is BIGINT integer
+    * division, so any engine computes the identical fused score. Scale
+    * shape: inputs are top-k lists (k·|queries| rows each — droplets at
+    * any corpus size); fusion is one combinable aggregation plus the
+    * bounded-heap top-k operator, no global sort, corpus untouched. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 0, s"rrfK must be non-negative: $rrfK")
+    // floor of a correctly-rounded double division over small integers is
+    // the exact rational floor (denominators ≤ rrfK + k can't produce a
+    // near-integer quotient within rounding distance), so any engine
+    // computes the identical contribution
+    val contrib = rankings.map(_.select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0) / (lit(rrfK.toDouble) + col("rank").cast("double")))
+          .cast("long").as("__c")))
+      .reduce(_.unionByName(_))
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("rrf_micros"))
+    graft.plans.TopK.perKey(fused,
+      Seq("query_id"), Seq(col("rrf_micros").desc, col("doc_id").asc), k)
+  }
 }

@@ -84,6 +84,37 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers {
     hits should not contain 999L
   }
 
+  "AnnIndex.deleteSaved" should "tombstone vectors without rewriting assignments" in {
+    val c = corpus()
+    val idx = AnnIndex.buildIvf(c, nlist = 4, maxIter = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    try {
+      AnnIndex.save(idx, dir)
+      val before = new java.io.File(s"$dir/assigned").listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      AnnIndex.deleteSaved(spark, dir, Seq(4L, 8L, 12L))
+      // the assignment files are untouched — deletion is an append-only op
+      new java.io.File(s"$dir/assigned").listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap shouldBe before
+      val loaded = AnnIndex.load(spark, dir)
+      loaded.assigned.count() shouldBe (c.count() - 3)
+      loaded.assigned.where(col("did").isin(4L, 8L, 12L)).count() shouldBe 0L
+      // probe equals the in-memory probe over the filtered assignment
+      val qs = c.where(col("vec_id") < 6)
+      def res(i: AnnIndex.Ivf) = AnnIndex.probe(i, qs, k = 3, nprobe = 2)
+        .select("qid", "did").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      res(loaded) shouldBe res(AnnIndex.Ivf(idx.centroids,
+        idx.assigned.where(!col("did").isin(4L, 8L, 12L))))
+      // deletes accumulate across calls
+      AnnIndex.deleteSaved(spark, dir, Seq(16L))
+      AnnIndex.load(spark, dir).assigned.count() shouldBe (c.count() - 4)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   "AnnIndex.extend / appendSaved" should "equal a probe over the in-memory extension" in {
     val c = corpus()
     val old = c.where(col("vec_id") < 60)

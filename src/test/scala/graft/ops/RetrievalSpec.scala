@@ -55,6 +55,25 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
     top.head.getLong(1) shouldBe 4L
   }
 
+  "Retrieval.rrfFuse" should "sum reciprocal-rank contributions and keep top-k" in {
+    // q: list A ranks docs 1,2,3; list B ranks 3,2,1 — the end docs tie
+    // (floor(1e6/61)+floor(1e6/63) = 16393+15873 = 32266) above the
+    // middle doc (2*floor(1e6/62) = 32258); ties break by doc_id asc
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 3L, 1L), ("q", 2L, 2L), ("q", 1L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy { case (d, s) => (-s, d) }
+    got shouldBe Array((1L, 32266L), (3L, 32266L), (2L, 32258L))
+    // a doc missing from one list still scores from the other
+    val single = Retrieval.rrfFuse(
+      Seq(Seq(("q", 9L, 1L)).toDF("query_id", "doc_id", "rank")), k = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    single shouldBe Array((9L, 16393L))
+  }
+
   "Retrieval.bm25TopK" should "keep exactly k docs per query in total order" in {
     val qs = Seq(("q1", "query"), ("q2", "big data")).toDF("query_id", "qtext")
     val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), qs, k = 2)
