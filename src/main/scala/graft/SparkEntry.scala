@@ -2596,6 +2596,32 @@ object SparkEntry {
       Seq((got.length.toLong, got.forall(p => !doomedSet.contains(p._2)),
           got.sameElements(expect)))
         .toDF("n_results", "no_deleted_returned", "matches_filtered_probe")
+    }),
+
+    // IMAGE near-duplicate detection: real PNG decode → perceptual dHash
+    // (9×8 average-pooled gradient signs) → the same multi-probe banded
+    // hamming join text simhash uses. Planted one-pixel-perturbed copies
+    // must pair with their originals; structurally distinct patterns
+    // (unique slope triples below 385, CRT) must not pair
+    "q205_image_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents").where(col("doc_id") < 385)
+        .select(col("doc_id"), length(col("text")).as("n"))
+      val base = docs.select(col("doc_id"), col("doc_id").as("pattern_id"),
+        col("n"), lit(false).as("perturb"))
+      val copies = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("doc_id").as("pattern_id"), col("n"), lit(true).as("perturb"))
+      val media = graft.ops.Multimodal.asPatternedPngMediaTable(
+        base.unionByName(copies))
+      val pairs = graft.ops.Multimodal.imageNearDups(media, maxHamming = 4)
+      val planted = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1000000L).as("id2"))
+      val found = pairs.join(planted, Seq("id1", "id2"), "semi").count()
+      val extra = pairs.join(planted, Seq("id1", "id2"), "left_anti").count()
+      val nPlanted = planted.count()
+      Seq((nPlanted, found == nPlanted, extra))
+        .toDF("n_planted", "all_planted_found", "n_extra")
     })
   )
 
@@ -4176,6 +4202,12 @@ object SparkEntry {
     "q204_ann_delete" ->
       ("SELECT CAST(24 AS BIGINT) AS n_results, true AS no_deleted_returned, " +
         "true AS matches_filtered_probe"),
+
+    "q205_image_near_dup" ->
+      // n_planted is corpus-derived; the two invariants are Spark-proven
+      // facts pinned by the oracle (q35 pattern)
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, true AS all_planted_found, " +
+        "CAST(0 AS BIGINT) AS n_extra FROM documents WHERE doc_id < 385 AND doc_id % 5 = 0"),
 
     "q202_shard_manifest" ->
       // shard = q178's 4-nibble arithmetic; checksum rebuilt digit-by-digit

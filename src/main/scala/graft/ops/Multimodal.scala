@@ -155,6 +155,131 @@ object Multimodal {
     }
   }
 
+  /** Patterned PNG encoder for the image-dedup gates: per-pixel gray from
+    * an integer hash mix of (x, y, patternId) — every pattern id is an
+    * independent noise field, so the dHash gradient signs of DISTINCT ids
+    * are effectively independent coin flips (expected hamming ≈ 32 of 64;
+    * a ≤ 4 collision is astronomically unlikely), while a re-encode of
+    * the same id is byte-identical. A smooth/linear pattern would NOT
+    * work here: dHash of a ramp is mostly-ones, and distinct ramps
+    * collide — the earlier slope-triple design failed exactly that way.
+    * `perturb` brightens ONE pixel by 3 — an invisible edit that leaves
+    * the perceptual hash within a couple of bits. */
+  private[ops] def encodePatternedPng(width: Int, height: Int, patternId: Long,
+      perturb: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    def mix(x: Int, y: Int): Int = {
+      var v = x.toLong * 0x9E3779B1L + y.toLong * 0x85EBCA77L +
+        patternId * 0xC2B2AE3DL
+      v ^= (v >>> 15); v *= 0x27D4EB2FL; v ^= (v >>> 13)
+      (v & 0xff).toInt
+    }
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, mix(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    if (perturb) raster.setSample(width / 2, height / 2, 0,
+      math.min(255, raster.getSample(width / 2, height / 2, 0) + 3))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table of REAL patterned PNGs from a spec relation
+    * `(doc_id, pattern_id, n, perturb)` — doc_id keys the output row,
+    * pattern_id selects the pixel pattern (copies of an image share it),
+    * `n` sizes the raster, `perturb` applies the invisible one-pixel
+    * edit. Encode is partition-local; payloads never cross a shuffle. */
+  def asPatternedPngMediaTable(spec: DataFrame): DataFrame =
+    transformBatches(
+      spec.select(col("doc_id"), col("pattern_id"), col("n").cast("int"),
+        col("perturb")), mediaSchema) { rows =>
+      rows.map { r =>
+        val n = r.getInt(2)
+        val w = 16 + n % 17
+        val h = 16 + n % 9
+        Row(r.getLong(0), "image/png",
+          encodePatternedPng(w, h, r.getLong(1), r.getBoolean(3)),
+          Row(w, h, null))
+      }
+    }
+
+  /** Perceptual difference-hash (dHash) of a decoded image: average-pool
+    * the luma to a 9×8 grid, then bit i = "right cell brighter than left"
+    * over each row's 8 adjacent pairs — 64 bits total. Identical images
+    * hash identically; small edits flip few bits; structurally different
+    * images land far apart in hamming space. */
+  private[ops] def dhash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val (w, h) = (img.getWidth, img.getHeight)
+    def luma(x: Int, y: Int): Double =
+      if (bands >= 3)
+        0.299 * raster.getSample(x, y, 0) + 0.587 * raster.getSample(x, y, 1) +
+          0.114 * raster.getSample(x, y, 2)
+      else raster.getSample(x, y, 0).toDouble
+    val grid = Array.ofDim[Double](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8
+      val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += luma(x, y); x += 1 }
+          y += 1
+        }
+        grid(gy)(gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val (row, pos) = (i / 8, i % 8)
+      if (grid(row)(pos + 1) > grid(row)(pos)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("simhash", LongType, nullable = false)))
+
+  /** Per-image perceptual hash relation `(doc_id, simhash)` — decode +
+    * dHash in one partition-local pass (payloads never shuffle); the
+    * output feeds the SAME banded-hamming machinery as text simhash. */
+  def imageDHash(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), dhashSchema) { rows =>
+      rows.map(r => Row(r.getLong(0), dhash64(r.getAs[Array[Byte]](1))))
+    }
+
+  /** Image near-duplicate pairs: perceptual dHash + multi-probe banded
+    * hamming join ([[Dedup.simhashBandedPairs]] — guaranteed recall at
+    * `maxHamming` by pigeonhole, candidates bounded by band-bucket
+    * occupancy, no pairwise scan). Blobs are decoded exactly once and
+    * only 8-byte hashes ever cross a shuffle. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 4,
+      blocksPerKey: Int = 1): DataFrame =
+    Dedup.simhashBandedPairs(imageDHash(media), 64, maxHamming, blocksPerKey)
+
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),

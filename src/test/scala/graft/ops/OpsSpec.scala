@@ -203,6 +203,23 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     f(1L)._1 shouldBe "the quick brown fox jumps".getBytes("UTF-8").length
   }
 
+  "Multimodal.imageNearDups" should "pair perturbed copies and separate distinct patterns" in {
+    // 20 distinct noise patterns + one-pixel-perturbed copies of 2 of them
+    val spec = ((1L to 20L).map(i => (i, i, 40 + i.toInt, false)) ++
+      Seq((101L, 1L, 41, true), (105L, 5L, 45, true)))
+      .toDF("doc_id", "pattern_id", "n", "perturb")
+    val media = Multimodal.asPatternedPngMediaTable(spec)
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 101L), (5L, 105L))
+    val hashes = Multimodal.imageDHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    java.lang.Long.bitCount(hashes(1L) ^ hashes(101L)) should be <= 4
+    // distinct patterns sit far apart in hamming space (noise fields)
+    java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) should be > 10
+  }
+
   "Multimodal.sampleFrames" should "keep every stride-th fixed-size frame" in {
     val media = Multimodal.asMediaTable(Seq((1L, "a" * 300)).toDF("doc_id", "text"))
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
