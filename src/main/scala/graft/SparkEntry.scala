@@ -2622,6 +2622,18 @@ object SparkEntry {
       val nPlanted = planted.count()
       Seq((nPlanted, found == nPlanted, extra))
         .toDF("n_planted", "all_planted_found", "n_extra")
+    }),
+
+    // Pack LAYOUT: q84's boundary packing plus per-document segment index
+    // and in-pack token offset — the attention-mask/position-id metadata;
+    // everything closed-form, full-value oracle
+    "q206_pack_layout" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      graft.ops.Packing.packLayout(docs, col("doc_id"),
+          size(split(trim(col("text")), "\\s+")), targetTokens = 2048L,
+          numBuckets = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
+          col("seg"), col("pack_offset"))
     })
   )
 
@@ -4208,6 +4220,16 @@ object SparkEntry {
       // facts pinned by the oracle (q35 pattern)
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, true AS all_planted_found, " +
         "CAST(0 AS BIGINT) AS n_extra FROM documents WHERE doc_id < 385 AND doc_id % 5 = 0"),
+
+    "q206_pack_layout" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +
+        "doc_id % 8 AS bucket FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, bucket, " +
+        "SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st FROM t), " +
+        "p AS (SELECT doc_id, n_tokens, bucket, st, st // 2048 AS pack FROM c) " +
+        "SELECT doc_id, n_tokens, bucket, CAST(pack AS BIGINT) AS pack, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY bucket, pack ORDER BY doc_id) - 1 AS BIGINT) AS seg, " +
+        "CAST(st - pack * 2048 AS BIGINT) AS pack_offset FROM p"),
 
     "q202_shard_manifest" ->
       // shard = q178's 4-nibble arithmetic; checksum rebuilt digit-by-digit

@@ -37,6 +37,30 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Full training-sequence layout: [[packByTokens]] plus, per document,
+    * its SEGMENT index within the pack (0-based, key order) and the token
+    * offset its first token occupies in the pack — exactly what a trainer
+    * needs to build position ids and block-diagonal attention masks for
+    * packed sequences. Same boundary formulation and scale shape (one
+    * window per bucket plus a row_number over each pack's handful of
+    * members); the offset is closed-form (`start − pack·targetTokens`),
+    * so the layout stays engine-portable. */
+  def packLayout(docs: DataFrame, key: Column, tokenCount: Column,
+      targetTokens: Long, numBuckets: Int = 32): DataFrame = {
+    require(targetTokens >= 1 && numBuckets >= 1)
+    val w = Window.partitionBy(col("bucket")).orderBy(key.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy(col("bucket"), col("pack")).orderBy(key.asc)
+    docs
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("bucket", pmod(key, lit(numBuckets.toLong)))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack", expr(s"__start div $targetTokens"))
+      .withColumn("seg", (row_number().over(wp) - 1).cast("long"))
+      .withColumn("pack_offset", col("__start") - col("pack") * targetTokens)
+      .drop("__start")
+  }
+
   /** Split documents into token-bounded overlapping chunks (the
     * context-window prep step upstream of packing): chunk i covers tokens
     * `[i·(chunkTokens−overlap), …+chunkTokens)` on the whitespace

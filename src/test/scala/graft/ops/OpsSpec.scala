@@ -203,6 +203,20 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     f(1L)._1 shouldBe "the quick brown fox jumps".getBytes("UTF-8").length
   }
 
+  "Packing.packLayout" should "assign segments and in-pack offsets" in {
+    // one bucket, target 10: docs of 4,5,3,6 tokens lay out end-to-end at
+    // starts 0,4,9,12 -> packs 0,0,0,1; segments 0,1,2 then 0; offsets
+    // 0,4,9 then 2 (12 - 1*10)
+    val docs = Seq((0L, 4L), (8L, 5L), (16L, 3L), (24L, 6L)).toDF("id", "nt")
+    val got = Packing.packLayout(docs, col("id"), col("nt"),
+        targetTokens = 10L, numBuckets = 8)
+      .select("id", "pack", "seg", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    got shouldBe Array((0L, 0L, 0L, 0L), (8L, 0L, 1L, 4L),
+      (16L, 0L, 2L, 9L), (24L, 1L, 0L, 2L))
+  }
+
   "Multimodal.imageNearDups" should "pair perturbed copies and separate distinct patterns" in {
     // 20 distinct noise patterns + one-pixel-perturbed copies of 2 of them
     val spec = ((1L to 20L).map(i => (i, i, 40 + i.toInt, false)) ++
