@@ -190,6 +190,30 @@ object ProfileScale {
       pos0, k = 5, nDraws = 12, seed = 7L).count())
     println(f"round-7b ratios at ${n}x: index=${oiN / oi1}%.1f negsample=${nsN / ns1}%.1f " +
       f"(index linear would be <= $n; negsample with fixed anchors should be ~flat)")
+
+    // round-8: multi-benchmark decontamination (fixed eval sets, Nx corpus
+    // — one scan regardless of benchmark count), corpus diff (narrow hash
+    // + one join — linear), image near-dups (decode + banded hamming over
+    // 8-byte hashes — linear in images, candidates bounded by buckets)
+    val evals = Seq("b97" -> docs1.where(col("doc_id") % 97 === 0),
+      "b89" -> docs1.where(col("doc_id") % 89 === 0))
+    val cm1 = time("contam matrix 1x")(
+      ops.Curation.contaminationMatrix(docs1, evals).count())
+    val cmN = time(s"contam matrix ${n}x")(
+      ops.Curation.contaminationMatrix(docsN, evals).count())
+    val v2docs1 = docs1.where(col("doc_id") % 13 =!= 0)
+    val v2docsN = docsN.where(col("doc_id") % 13 =!= 0)
+    val cd1 = time("corpus diff 1x")(ops.Curation.corpusDiff(docs1, v2docs1).count())
+    val cdN = time(s"corpus diff ${n}x")(ops.Curation.corpusDiff(docsN, v2docsN).count())
+    def imgSpec(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      col("doc_id").as("pattern_id"), (length(col("text")) % 37 + 16).as("n"),
+      lit(false).as("perturb"))
+    val in1 = time("image neardups 1x")(ops.Multimodal.imageNearDups(
+      ops.Multimodal.asPatternedPngMediaTable(imgSpec(docs1)), maxHamming = 4).count())
+    val inN = time(s"image neardups ${n}x")(ops.Multimodal.imageNearDups(
+      ops.Multimodal.asPatternedPngMediaTable(imgSpec(docsN)), maxHamming = 4).count())
+    println(f"round-8 ratios at ${n}x: contam=${cmN / cm1}%.1f diff=${cdN / cd1}%.1f " +
+      f"imgdedup=${inN / in1}%.1f (all linear would be <= $n)")
     spark.stop()
   }
 }
