@@ -280,6 +280,97 @@ object Multimodal {
       blocksPerKey: Int = 1): DataFrame =
     Dedup.simhashBandedPairs(imageDHash(media), 64, maxHamming, blocksPerKey)
 
+  /** Patterned WAV encoder for the audio-dedup gates: hash-noise PCM16
+    * samples per (patternId, i) — distinct ids are independent noise
+    * waveforms (energy-envelope hashes land ~32/64 bits apart) while a
+    * re-encode of the same id is byte-identical. `perturb` nudges ONE
+    * sample's amplitude by +3 — inaudible, envelope hash within a couple
+    * of bits. */
+  private[ops] def encodePatternedWav(patternId: Long, nSamples: Int,
+      perturb: Boolean): Array[Byte] = {
+    require(nSamples > 0, s"bad sample count $nSamples")
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      var v = i.toLong * 0x9E3779B1L + patternId * 0xC2B2AE3DL
+      v ^= (v >>> 15); v *= 0x27D4EB2FL; v ^= (v >>> 13)
+      samples(i) = ((v & 0x7ff) - 1024).toShort
+      i += 1
+    }
+    if (perturb)
+      samples(nSamples / 2) =
+        math.min(1023, samples(nSamples / 2) + 3).toShort
+    encodeWav(8000, samples)
+  }
+
+  /** Media table of REAL patterned WAVs from a spec relation
+    * `(doc_id, pattern_id, n, perturb)` — the audio twin of
+    * [[asPatternedPngMediaTable]]. */
+  def asPatternedWavMediaTable(spec: DataFrame): DataFrame =
+    transformBatches(
+      spec.select(col("doc_id"), col("pattern_id"), col("n").cast("int"),
+        col("perturb")), mediaSchema) { rows =>
+      rows.map { r =>
+        val n = 256 + r.getInt(2) % 257
+        Row(r.getLong(0), "audio/wav",
+          encodePatternedWav(r.getLong(1), n, r.getBoolean(3)),
+          Row(null, null, 8000))
+      }
+    }
+
+  /** Energy-envelope fingerprint of a mono PCM16 payload: split the
+    * samples into 65 equal windows, compute each window's mean energy
+    * (sum of squares over count), hash bit i = "window i+1 louder than
+    * window i" — the audio analogue of the image dHash: identical audio
+    * hashes identically, tiny edits flip few bits, different material
+    * lands far apart. */
+  private[ops] def audioEnvelopeHash64(payload: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && !f.isBigEndian && f.getChannels == 1,
+      s"expected mono PCM16LE, got $f")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    require(n >= 65, s"need >= 65 samples for the 65-window envelope, got $n")
+    val energy = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      val s0 = w * n / 65
+      val s1 = math.max(s0 + 1, (w + 1) * n / 65)
+      var sum = 0.0
+      var i = s0
+      while (i < s1) {
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        sum += s.toDouble * s
+        i += 1
+      }
+      energy(w) = sum / (s1 - s0)
+      w += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i + 1) > energy(i)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-clip fingerprint relation `(doc_id, simhash)` — decode +
+    * envelope hash in one partition-local pass. */
+  def audioFingerprint(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), dhashSchema) { rows =>
+      rows.map(r => Row(r.getLong(0), audioEnvelopeHash64(r.getAs[Array[Byte]](1))))
+    }
+
+  /** Audio near-duplicate pairs: envelope fingerprint + the same
+    * multi-probe banded hamming join as text simhash and image dHash —
+    * payloads decode once, only 8-byte hashes shuffle. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 4,
+      blocksPerKey: Int = 1): DataFrame =
+    Dedup.simhashBandedPairs(audioFingerprint(media), 64, maxHamming, blocksPerKey)
+
   val imageFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
