@@ -2649,6 +2649,31 @@ object SparkEntry {
         .toDF("n_planted", "all_planted_found", "n_extra")
     }),
 
+    // VIDEO near-duplicate detection — the third modality on the same
+    // banded hamming machinery: real animated-GIF decode → 65-bin
+    // temporal luma-envelope fingerprint; planted one-frame-perturbed
+    // clips pair, independent noise sequences don't
+    "q208_video_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents").where(col("doc_id") < 385)
+        .select(col("doc_id"), length(col("text")).as("n"))
+      val base = docs.select(col("doc_id"), col("doc_id").as("pattern_id"),
+        col("n"), lit(false).as("perturb"))
+      val copies = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("doc_id").as("pattern_id"), col("n"), lit(true).as("perturb"))
+      val media = graft.ops.Multimodal.asPatternedGifMediaTable(
+        base.unionByName(copies))
+      val pairs = graft.ops.Multimodal.videoNearDups(media, maxHamming = 4)
+      val planted = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1000000L).as("id2"))
+      val found = pairs.join(planted, Seq("id1", "id2"), "semi").count()
+      val extra = pairs.join(planted, Seq("id1", "id2"), "left_anti").count()
+      val nPlanted = planted.count()
+      Seq((nPlanted, found == nPlanted, extra))
+        .toDF("n_planted", "all_planted_found", "n_extra")
+    }),
+
     // Pack LAYOUT: q84's boundary packing plus per-document segment index
     // and in-pack token offset — the attention-mask/position-id metadata;
     // everything closed-form, full-value oracle
@@ -4247,6 +4272,10 @@ object SparkEntry {
         "CAST(0 AS BIGINT) AS n_extra FROM documents WHERE doc_id < 385 AND doc_id % 5 = 0"),
 
     "q207_audio_near_dup" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, true AS all_planted_found, " +
+        "CAST(0 AS BIGINT) AS n_extra FROM documents WHERE doc_id < 385 AND doc_id % 5 = 0"),
+
+    "q208_video_near_dup" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, true AS all_planted_found, " +
         "CAST(0 AS BIGINT) AS n_extra FROM documents WHERE doc_id < 385 AND doc_id % 5 = 0"),
 

@@ -357,6 +357,79 @@ object Multimodal {
     bits
   }
 
+  /** Patterned animated-GIF encoder for the video-dedup gates: 72 frames
+    * of hash-noise solid grays per (patternId, frame) — the temporal twin
+    * of [[encodePatternedPng]]/[[encodePatternedWav]]. `perturb` nudges
+    * ONE frame's gray by +2. */
+  private[ops] def encodePatternedGif(patternId: Long, nFrames: Int,
+      perturb: Boolean): Array[Byte] = {
+    require(nFrames >= 66, s"need >= 66 frames for the envelope, got $nFrames")
+    val grays = (0 until nFrames).map { i =>
+      var v = i.toLong * 0x9E3779B1L + patternId * 0xC2B2AE3DL
+      v ^= (v >>> 15); v *= 0x27D4EB2FL; v ^= (v >>> 13)
+      (v & 0xff).toInt
+    }
+    val g2 = if (perturb)
+      grays.updated(nFrames / 2, math.min(255, grays(nFrames / 2) + 2))
+    else grays
+    encodeGif(8, 8, g2)
+  }
+
+  /** Media table of REAL patterned animated GIFs from a spec relation
+    * `(doc_id, pattern_id, n, perturb)`. */
+  def asPatternedGifMediaTable(spec: DataFrame): DataFrame =
+    transformBatches(
+      spec.select(col("doc_id"), col("pattern_id"), col("n").cast("int"),
+        col("perturb")), mediaSchema) { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), "video/gif",
+          encodePatternedGif(r.getLong(1), 66 + r.getInt(2) % 32,
+            r.getBoolean(3)),
+          Row(8, 8, null))
+      }
+    }
+
+  /** Temporal-envelope fingerprint of an animated GIF: per-frame mean
+    * luma, resampled to 65 equal bins over the frame sequence, hash bit
+    * i = "bin i+1 brighter than bin i" — the VIDEO analogue of the image
+    * dHash (spatial) and audio envelope hash (amplitude): scene-stable
+    * edits flip few bits, different material lands ~32/64 apart. */
+  private[ops] def videoEnvelopeHash64(payload: Array[Byte]): Long = {
+    val (_, _, lumas) = decodeGifFrames(payload)
+    val n = lumas.length
+    require(n >= 65, s"need >= 65 frames for the 65-bin envelope, got $n")
+    val bins = new Array[Double](65)
+    var b = 0
+    while (b < 65) {
+      val f0 = b * n / 65
+      val f1 = math.max(f0 + 1, (b + 1) * n / 65)
+      var sum = 0.0
+      var i = f0
+      while (i < f1) { sum += lumas(i); i += 1 }
+      bins(b) = sum / (f1 - f0)
+      b += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (bins(i + 1) > bins(i)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-video fingerprint relation `(doc_id, simhash)`. */
+  def videoFingerprint(media: DataFrame): DataFrame =
+    transformBatches(media.select("doc_id", "payload"), dhashSchema) { rows =>
+      rows.map(r => Row(r.getLong(0), videoEnvelopeHash64(r.getAs[Array[Byte]](1))))
+    }
+
+  /** Video near-duplicate pairs — the third modality over the SAME banded
+    * hamming machinery; payloads decode once, only 8-byte hashes shuffle. */
+  def videoNearDups(media: DataFrame, maxHamming: Int = 4,
+      blocksPerKey: Int = 1): DataFrame =
+    Dedup.simhashBandedPairs(videoFingerprint(media), 64, maxHamming, blocksPerKey)
+
   /** Per-clip fingerprint relation `(doc_id, simhash)` — decode +
     * envelope hash in one partition-local pass. */
   def audioFingerprint(media: DataFrame): DataFrame =

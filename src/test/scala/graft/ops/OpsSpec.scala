@@ -249,6 +249,21 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) should be > 10
   }
 
+  "Multimodal.videoNearDups" should "pair perturbed sequences and separate distinct ones" in {
+    val spec = ((1L to 12L).map(i => (i, i, 40 + i.toInt, false)) ++
+      Seq((101L, 1L, 41, true), (105L, 5L, 45, true)))
+      .toDF("doc_id", "pattern_id", "n", "perturb")
+    val media = Multimodal.asPatternedGifMediaTable(spec)
+    val pairs = Multimodal.videoNearDups(media, maxHamming = 4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 101L), (5L, 105L))
+    val hashes = Multimodal.videoFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    java.lang.Long.bitCount(hashes(1L) ^ hashes(101L)) should be <= 4
+    java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) should be > 10
+  }
+
   "Multimodal.sampleFrames" should "keep every stride-th fixed-size frame" in {
     val media = Multimodal.asMediaTable(Seq((1L, "a" * 300)).toDF("doc_id", "text"))
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
