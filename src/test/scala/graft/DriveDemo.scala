@@ -336,6 +336,41 @@ object DriveDemo {
       println("contamination matrix offender rows = " + cm.count())
     }
 
+    // 10c. round-8b ops: corpus diff, shard manifest, hybrid RRF, pack
+    // layout, multimodal near-dups
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+      val diff = graft.ops.Curation.corpusDiff(docs, v2)
+      println("corpus diff: " + diff.groupBy("change").count().orderBy("change")
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
+      val shardDir = java.nio.file.Files.createTempDirectory("drive_shards").toString
+      graft.ops.Shuffling.writeShards(docs.select("doc_id"), col("doc_id"), 4, 42L, shardDir)
+      val mf = graft.ops.Shuffling.shardManifest(spark, shardDir, "doc_id")
+      println("shard manifest: rows = " + mf.agg(sum("n_rows")).head().getLong(0) +
+        ", all dense = " + mf.agg(bool_and(col("dense"))).head().getBoolean(0))
+      val rankA = docs.orderBy(col("n_chars").desc, col("doc_id").asc).limit(5)
+        .select(lit("q").as("query_id"), col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long").as("rank"))
+      val fused = graft.ops.Retrieval.rrfFuse(Seq(rankA, rankA), k = 3)
+      println("rrf fused top: " + fused.orderBy(col("rrf_micros").desc).limit(3)
+        .collect().map(r => s"${r.getLong(1)}:${r.getLong(2)}").mkString(", "))
+      val layout = graft.ops.Packing.packLayout(docs, col("doc_id"),
+        size(split(trim(col("text")), "\\s+")), 2048L, 8)
+      println("pack layout: max seg = " + layout.agg(max("seg")).head().getLong(0) +
+        ", max offset = " + layout.agg(max("pack_offset")).head().getLong(0))
+      val imgSpec = docs.where(col("doc_id") < 40).select(col("doc_id"),
+        col("doc_id").as("pattern_id"), col("n_chars").as("n"), lit(false).as("perturb"))
+      val copies = imgSpec.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500L).as("doc_id"), col("pattern_id"), col("n"),
+          lit(true).as("perturb"))
+      val media = graft.ops.Multimodal.asPatternedPngMediaTable(imgSpec.unionByName(copies))
+      println("image near-dups found = " +
+        graft.ops.Multimodal.imageNearDups(media).count())
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
