@@ -2674,6 +2674,30 @@ object SparkEntry {
         .toDF("n_planted", "all_planted_found", "n_extra")
     }),
 
+    // IR evaluation metrics: BM25 top-10 scored against a labeled
+    // relevant subset (docs containing the term with doc_id % 3 == 0) —
+    // capped recall@10, MRR, nDCG@10, all micro-rounded; the oracle
+    // recomputes ranking, truth, and every metric from scratch
+    "q209_ranking_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, d, "documents")
+      val tok = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .where(length(col("token")) > 0)
+      val qs = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(8)
+        .select(col("token").as("query_id"), col("token").as("qtext"))
+      val bm = graft.ops.Retrieval.bm25TopK(docs, qs, k = 10)
+      val wq = Window.partitionBy("query_id")
+        .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      val results = bm.select(col("query_id"), col("doc_id"),
+        row_number().over(wq).cast("long").as("rank"))
+      val truth = tok.select(col("token").as("query_id"), col("doc_id")).distinct()
+        .where(col("doc_id") % 3 === 0)
+        .join(qs.select("query_id"), "query_id")
+      graft.ops.Retrieval.rankingMetrics(results, truth, k = 10)
+    }),
+
     // Pack LAYOUT: q84's boundary packing plus per-document segment index
     // and in-pack token offset — the attention-mask/position-id metadata;
     // everything closed-form, full-value oracle
@@ -4278,6 +4302,35 @@ object SparkEntry {
     "q208_video_near_dup" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, true AS all_planted_found, " +
         "CAST(0 AS BIGINT) AS n_extra FROM documents WHERE doc_id < 385 AND doc_id % 5 = 0"),
+
+    "q209_ranking_metrics" ->
+      ("WITH tok AS (SELECT doc_id, token FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents) WHERE length(token) > 0), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl), " +
+        "dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "qs AS (SELECT token AS query_id, token FROM dfreq ORDER BY df DESC, token ASC LIMIT 8), " +
+        "sc AS (SELECT q.query_id, tf.doc_id, CAST(SUM(CAST(floor(" +
+        "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+        "((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) " +
+        "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bm25_micros " +
+        "FROM qs q JOIN tf ON tf.token = q.token JOIN dfreq ON dfreq.token = q.token " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1, 2), " +
+        "bmk AS (SELECT query_id, doc_id, r FROM (SELECT query_id, doc_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY bm25_micros DESC, doc_id ASC) AS r FROM sc) WHERE r <= 10), " +
+        "tr AS (SELECT t.token AS query_id, t.doc_id FROM (SELECT DISTINCT token, doc_id FROM tok) t " +
+        "JOIN qs ON t.token = qs.query_id WHERE t.doc_id % 3 = 0), " +
+        "nr AS (SELECT query_id, COUNT(*) AS nrel FROM tr GROUP BY 1), " +
+        "h AS (SELECT b.query_id, b.r, CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel " +
+        "FROM bmk b LEFT JOIN tr t ON b.query_id = t.query_id AND b.doc_id = t.doc_id), " +
+        "agg AS (SELECT query_id, SUM(rel) AS nhits, MIN(CASE WHEN rel = 1 THEN r END) AS firsth, " +
+        "SUM(CASE WHEN rel = 1 THEN 1.0 / log2(r + 1.0) ELSE 0.0 END) AS dcg FROM h GROUP BY 1) " +
+        "SELECT a.query_id, " +
+        "CAST(floor(CAST(nhits AS DOUBLE) / least(nrel, 10) * 1000000.0 + 0.5) AS BIGINT) AS recall_micros, " +
+        "CAST(floor(COALESCE(1.0 / firsth, 0.0) * 1000000.0 + 0.5) AS BIGINT) AS mrr_micros, " +
+        "CAST(floor(dcg / list_sum(list_transform(range(1, least(nrel, 10) + 1), " +
+        "i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))) * 1000000.0 + 0.5) AS BIGINT) AS ndcg_micros " +
+        "FROM agg a JOIN nr ON a.query_id = nr.query_id"),
 
     "q206_pack_layout" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens, " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the corpus: Okapi BM25 scoring and top-k search
@@ -71,6 +71,43 @@ object Retrieval {
     graft.plans.TopK.perKey(
       bm25Scores(docs, queries, textCol, qCol, k1, b),
       Seq("query_id"), Seq(col("bm25_micros").desc, col("doc_id").asc), k)
+
+  /** Per-query IR evaluation metrics over a ranked result list and a
+    * binary-relevance truth set: capped recall@k
+    * (`hits / min(|truth|, k)`), MRR (reciprocal of the first hit's
+    * rank), and nDCG@k — the retrieval-quality scoreboard a RAG/training
+    * pipeline runs after every index or ranking change.
+    *
+    * `results` is `(query_id, doc_id, rank)` (1-based), `truth` is
+    * `(query_id, doc_id)`. All three metrics are emitted micro-rounded
+    * (`floor(x·1e6 + 0.5)`) so the values are engine-exact; the ideal
+    * DCG is a per-row left fold over `sequence(1, min(|truth|, k))` —
+    * the same order any engine folds a list, so sub-ulp sum noise can't
+    * survive the rounding. One join + one aggregation, both keyed by
+    * query: |queries|·k rows in, |queries| rows out, corpus untouched. */
+  def rankingMetrics(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val nTruth = truth.groupBy("query_id").agg(count(lit(1)).as("__nrel"))
+    val hits = results.where(col("rank") <= k)
+      .join(truth.withColumn("__rel", lit(1)), Seq("query_id", "doc_id"), "left")
+    val per = hits.groupBy("query_id").agg(
+      sum(coalesce(col("__rel"), lit(0))).as("__nhits"),
+      min(when(col("__rel").isNotNull, col("rank"))).as("__first"),
+      sum(when(col("__rel").isNotNull,
+        lit(1.0) / log2(col("rank").cast("double") + lit(1.0)))
+        .otherwise(lit(0.0))).as("__dcg"))
+    def micros(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    val idcg = aggregate(
+      sequence(lit(1L), least(col("__nrel"), lit(k.toLong))),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))
+    per.join(nTruth, "query_id")
+      .select(col("query_id"),
+        micros(col("__nhits").cast("double") /
+          least(col("__nrel"), lit(k.toLong)).cast("double")).as("recall_micros"),
+        micros(coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)))
+          .as("mrr_micros"),
+        micros(col("__dcg") / idcg).as("ndcg_micros"))
+  }
 
   /** Reciprocal-rank fusion of several per-query rankings — the standard
     * hybrid-retrieval combiner (lexical BM25 + dense ANN + anything else):

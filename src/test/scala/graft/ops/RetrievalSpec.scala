@@ -55,6 +55,26 @@ class RetrievalSpec extends AnyFlatSpec with Matchers {
     top.head.getLong(1) shouldBe 4L
   }
 
+  "Retrieval.rankingMetrics" should "compute capped recall, MRR, and nDCG" in {
+    // q: results ranked 1..4 = docs 10,20,30,40; truth = {20, 40, 99}
+    // hits at ranks 2 and 4: recall@3... k=4: nhits=2, nrel=3 -> 2/3;
+    // mrr = 1/2; dcg = 1/log2(3) + 1/log2(5); idcg = 1/log2(2) + 1/log2(3)
+    // + 1/log2(4) (min(nrel,k)=3 ideal hits)
+    val results = Seq(("q", 10L, 1L), ("q", 20L, 2L), ("q", 30L, 3L), ("q", 40L, 4L))
+      .toDF("query_id", "doc_id", "rank")
+    val truth = Seq(("q", 20L), ("q", 40L), ("q", 99L)).toDF("query_id", "doc_id")
+    val r = Retrieval.rankingMetrics(results, truth, k = 4).collect().head
+    r.getLong(1) shouldBe math.floor(2.0 / 3.0 * 1e6 + 0.5).toLong
+    r.getLong(2) shouldBe 500000L
+    val dcg = 1.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(5) / math.log(2))
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2)) + 0.5
+    r.getLong(3) shouldBe math.floor(dcg / idcg * 1e6 + 0.5).toLong
+    // no hits at all: every metric zero
+    val none = Retrieval.rankingMetrics(results,
+      Seq(("q", 77L)).toDF("query_id", "doc_id"), k = 4).collect().head
+    (none.getLong(1), none.getLong(2), none.getLong(3)) shouldBe ((0L, 0L, 0L))
+  }
+
   "Retrieval.rrfFuse" should "sum reciprocal-rank contributions and keep top-k" in {
     // q: list A ranks docs 1,2,3; list B ranks 3,2,1 — the end docs tie
     // (floor(1e6/61)+floor(1e6/63) = 16393+15873 = 32266) above the
