@@ -73,11 +73,26 @@ object AnnIndex {
   /** Tombstone vectors in a SAVED index without rebuilding or rewriting
     * any assignment file: the ids append to a `deleted` relation that
     * [[load]] anti-joins away (broadcast — tombstone sets are tiny next
-    * to the corpus). Reclaim the space eventually by re-saving a loaded
-    * index (compaction); until then deletes are O(|ids|) appends. */
+    * to the corpus). Reclaim the space with [[compactSaved]]; until then
+    * deletes are O(|ids|) appends. */
   def deleteSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     ids.toDF("did").write.mode("append").parquet(s"$dir/deleted")
+  }
+
+  /** Compaction: physically rewrite the assignment table without the
+    * tombstoned rows and clear the `deleted` relation — run when the
+    * tombstone set has grown enough that the per-probe anti-join (or the
+    * dead bytes on disk) is worth reclaiming. One read + one partitioned
+    * write of the LIVE rows; the quantizer is untouched. */
+  def compactSaved(spark: SparkSession, dir: String): Unit = {
+    val live = load(spark, dir)
+    // localCheckpoint breaks the read-from/write-to path dependency
+    live.assigned.localCheckpoint(true).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assigned")
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delPath)) fs.delete(delPath, true)
   }
 
   /** Assign a new batch against the EXISTING quantizer — the ingest path.

@@ -109,6 +109,13 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers {
       // deletes accumulate across calls
       AnnIndex.deleteSaved(spark, dir, Seq(16L))
       AnnIndex.load(spark, dir).assigned.count() shouldBe (c.count() - 4)
+      // compaction physically drops the tombstoned rows and clears the
+      // deleted relation; the loaded view is unchanged
+      AnnIndex.compactSaved(spark, dir)
+      new java.io.File(s"$dir/deleted").exists() shouldBe false
+      spark.read.parquet(s"$dir/assigned")
+        .where(col("did").isin(4L, 8L, 12L, 16L)).count() shouldBe 0L
+      AnnIndex.load(spark, dir).assigned.count() shouldBe (c.count() - 4)
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
