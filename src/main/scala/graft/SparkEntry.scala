@@ -2708,6 +2708,45 @@ object SparkEntry {
           numBuckets = 8)
         .select(col("doc_id"), col("n_tokens"), col("bucket"), col("pack"),
           col("seg"), col("pack_offset"))
+    }),
+
+    // Token-budget allocation across domains: water-filling with per-domain
+    // epoch caps — proportional-to-weight shares, over-subscribed domains
+    // capped at maxEpochs × available, surplus redistributed (closed-form
+    // prefix formulation, exact micro-unit integers). The budget is
+    // corpus-derived (1.4× the weighted domains' tokens) so the capping
+    // structure survives any SF; the oracle replays the whole computation
+    // with 128-bit window sums
+    "q210_token_budget" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val weights = Map("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.15,
+        "src7" -> 0.1, "src9" -> 0.04, "src11" -> 0.01)
+      val total = graft.ops.Mixture.domainTokenCounts(docs, "source", ntok)
+        .where(col("domain").isin(weights.keys.toSeq: _*))
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+      graft.ops.Mixture.tokenBudgetAllocation(docs, "source", ntok,
+        weights, budgetTokens = total * 14L / 10L, maxEpochs = 2.5)
+    }),
+
+    // Materialized epoch mix: each document emitted once per whole epoch its
+    // domain was allocated plus a hash-thresholded partial epoch — E[tokens]
+    // equals the q210 allocation, membership a pure function of
+    // (seed, doc_id, allocation). The oracle recomputes the allocation AND
+    // every epoch row from scratch
+    "q211_epoch_mix" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val weights = Map("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.15,
+        "src7" -> 0.1, "src9" -> 0.04, "src11" -> 0.01)
+      val counts = graft.ops.Mixture.domainTokenCounts(docs, "source", ntok)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val total = counts.filter(c => weights.contains(c._1)).map(_._2).sum
+      val allocs = graft.ops.Mixture.allocate(counts, weights,
+        budgetTokens = total * 14L / 10L, maxEpochs = 2.5)
+      graft.ops.Mixture.applyAllocation(docs, "source", col("doc_id"),
+          allocs, seed = 7L)
+        .select(col("doc_id"), col("source"), col("epoch"))
     })
   )
 
@@ -4358,6 +4397,50 @@ object SparkEntry {
         "SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_rows, " +
         "CAST(COUNT(*) - 1 AS BIGINT) AS max_pos, true AS dense, " +
         "CAST(SUM(v) AS BIGINT) AS checksum " +
-        "FROM c GROUP BY shard")
+        "FROM c GROUP BY shard"),
+
+    "q210_token_budget" ->
+      (mixtureAllocCte +
+        " SELECT domain, n_tokens, cappedi = 1 AS capped, " +
+        "CAST(allocmu // 1000000 AS BIGINT) AS alloc_tokens, " +
+        "CAST(allocmu // n_tokens AS BIGINT) AS epochs_micros FROM a"),
+
+    "q211_epoch_mix" ->
+      (mixtureAllocCte +
+        ", em AS (SELECT domain, CAST(allocmu // n_tokens AS BIGINT) AS em FROM a), " +
+        "fz AS (SELECT domain, em // 1000000 AS whole, " +
+        "printf('%08x', CAST((em % 1000000) * 4294967296 // 1000000 AS BIGINT)) AS thr FROM em), " +
+        // epoch series as a join (an unnest inside a subquery trips DuckDB's
+        // binder when the outer WHERE references it); 2.5 epochs → e in 0..2
+        "g AS (SELECT unnest(range(0, 4)) AS e) " +
+        "SELECT d.doc_id, d.source, CAST(g.e AS BIGINT) AS epoch " +
+        "FROM documents d JOIN fz ON d.source = fz.domain " +
+        "JOIN g ON g.e <= fz.whole " +
+        "WHERE g.e < fz.whole OR " +
+        "substring(md5('7-' || CAST(d.doc_id AS VARCHAR)), 1, 8) < fz.thr")
   )
+
+  /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer
+    * computation [[graft.ops.Mixture.allocate]] performs, replayed with
+    * 128-bit window sums: caps and budget in micro-tokens, weights in
+    * micro-units (2500000 = 2.5 epochs in micros), domains ordered by the
+    * IEEE-exact double n/w, the capped set the maximal prefix where
+    * `w·(B−Σcap_prev) ≥ cap·Σw_remaining` holds under a running AND. */
+  private val mixtureAllocCte =
+    "WITH n AS (SELECT source AS domain, CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+      "w(domain, wmu) AS (VALUES ('src1', 400000), ('src3', 300000), ('src5', 150000), ('src7', 100000), ('src9', 40000), ('src11', 10000)), " +
+      "j AS (SELECT n.domain, n.n_tokens, w.wmu FROM n JOIN w ON n.domain = w.domain WHERE n.n_tokens > 0), " +
+      "b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) * 14 // 10 AS budget FROM j), " +
+      "o AS (SELECT j.domain, j.n_tokens, j.wmu, CAST(j.n_tokens AS DOUBLE) / CAST(j.wmu AS DOUBLE) AS ratio FROM j), " +
+      "p AS (SELECT *, COALESCE(SUM(CAST(n_tokens AS HUGEINT) * 2500000) OVER (ORDER BY ratio, domain ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev, " +
+      "SUM(CAST(wmu AS HUGEINT)) OVER (ORDER BY ratio, domain ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wge FROM o), " +
+      "c AS (SELECT p.*, CASE WHEN CAST(p.wmu AS HUGEINT) * (CAST(b.budget AS HUGEINT) * 1000000 - p.cprev) >= CAST(p.n_tokens AS HUGEINT) * 2500000 * p.wge THEN 1 ELSE 0 END AS cond FROM p CROSS JOIN b), " +
+      "f AS (SELECT *, MIN(cond) OVER (ORDER BY ratio, domain ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cappedi FROM c), " +
+      "t AS (SELECT COALESCE(SUM(CASE WHEN cappedi = 1 THEN CAST(n_tokens AS HUGEINT) * 2500000 END), 0) AS cs, " +
+      "COALESCE(SUM(CASE WHEN cappedi = 0 THEN CAST(wmu AS HUGEINT) END), 0) AS wr FROM f), " +
+      "a AS (SELECT f.domain, f.n_tokens, f.cappedi, " +
+      "CASE WHEN f.cappedi = 1 THEN CAST(f.n_tokens AS HUGEINT) * 2500000 " +
+      "WHEN t.wr = 0 THEN 0 " +
+      "ELSE CAST(f.wmu AS HUGEINT) * (CAST(b.budget AS HUGEINT) * 1000000 - t.cs) // t.wr END AS allocmu " +
+      "FROM f CROSS JOIN t CROSS JOIN b)"
 }

@@ -371,6 +371,27 @@ object DriveDemo {
         graft.ops.Multimodal.imageNearDups(media).count())
     }
 
+    // 10d. token-budget mixture: water-fill the budget across domains with
+    // an epoch cap, then materialize the epoch mix
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val weights = Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2)
+      val alloc = graft.ops.Mixture.tokenBudgetAllocation(docs, "source", ntok,
+        weights, budgetTokens = 1000L, maxEpochs = 2.0)
+      println("mixture allocation: " + alloc.orderBy("domain").collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(3)}tok@${r.getLong(4)}ue")
+        .mkString(", "))
+      val counts = graft.ops.Mixture.domainTokenCounts(docs, "source", ntok)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val allocs = graft.ops.Mixture.allocate(counts, weights, 1000L, 2.0)
+      val mixed = graft.ops.Mixture.applyAllocation(docs, "source",
+        col("doc_id"), allocs, seed = 5L)
+      println("materialized mix rows = " + mixed.count() +
+        ", max epoch = " + mixed.agg(max("epoch")).head().getLong(0))
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
