@@ -2747,6 +2747,34 @@ object SparkEntry {
       graft.ops.Mixture.applyAllocation(docs, "source", col("doc_id"),
           allocs, seed = 7L)
         .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // SFT chat-data prep: documents become conversations (8-token turns,
+    // alternating user/assistant), rendered to one training string per
+    // conversation with <|role|>…<|end|> tags; the output is every
+    // assistant turn's loss-mask span [start_off, end_off) plus the
+    // rendered length — the oracle rebuilds turns, template, and every
+    // offset from scratch
+    "q212_sft_spans" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val tok = docs.select(col("doc_id").as("conv"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .toDF("conv", "pos", "w")
+        .where(length(col("w")) > 0)
+      val turns = tok
+        .groupBy(col("conv"), expr("pos div 8").cast("long").as("turn"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("w")))), x => x.getField("w")), " ").as("content"))
+        .withColumn("role",
+          when(col("turn") % 2 === 0, "user").otherwise("assistant"))
+      val spans = graft.ops.Sft.lossSpans(turns, "conv", "turn", "role", "content")
+      val rendered = graft.ops.Sft.renderConversations(
+        turns, "conv", "turn", "role", "content")
+      spans.where(col("role") === "assistant")
+        .join(rendered.select(col("conv"),
+          length(col("text")).cast("long").as("conv_chars")), "conv")
+        .select(col("conv"), col("turn"), col("start_off"), col("end_off"),
+          col("conv_chars"))
     })
   )
 
@@ -4417,7 +4445,25 @@ object SparkEntry {
         "FROM documents d JOIN fz ON d.source = fz.domain " +
         "JOIN g ON g.e <= fz.whole " +
         "WHERE g.e < fz.whole OR " +
-        "substring(md5('7-' || CAST(d.doc_id AS VARCHAR)), 1, 8) < fz.thr")
+        "substring(md5('7-' || CAST(d.doc_id AS VARCHAR)), 1, 8) < fz.thr"),
+
+    "q212_sft_spans" ->
+      ("WITH t AS (SELECT doc_id AS conv, string_split_regex(trim(text), '\\s+') AS arr FROM documents), " +
+        "w0 AS (SELECT conv, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos FROM t), " +
+        "w1 AS (SELECT * FROM w0 WHERE length(w) > 0), " +
+        "tu AS (SELECT conv, pos // 8 AS turn, string_agg(w, ' ' ORDER BY pos) AS content FROM w1 GROUP BY 1, 2), " +
+        "r AS (SELECT conv, turn, CASE WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, content FROM tu), " +
+        "re AS (SELECT conv, turn, role, content, '<|' || role || '|>' AS hdr, " +
+        "'<|' || role || '|>' || content || '<|end|>' AS rt FROM r), " +
+        "sp AS (SELECT conv, turn, role, " +
+        "COALESCE(SUM(length(rt)) OVER (PARTITION BY conv ORDER BY turn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(hdr) AS start_off, " +
+        "length(content) AS clen FROM re), " +
+        "cl AS (SELECT conv, SUM(length(rt)) AS conv_chars FROM re GROUP BY 1) " +
+        "SELECT sp.conv, CAST(sp.turn AS BIGINT) AS turn, " +
+        "CAST(sp.start_off AS BIGINT) AS start_off, " +
+        "CAST(sp.start_off + sp.clen AS BIGINT) AS end_off, " +
+        "CAST(cl.conv_chars AS BIGINT) AS conv_chars " +
+        "FROM sp JOIN cl ON sp.conv = cl.conv WHERE sp.role = 'assistant'")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -392,6 +392,27 @@ object DriveDemo {
         ", max epoch = " + mixed.agg(max("epoch")).head().getLong(0))
     }
 
+    // 10e. SFT chat-data prep: render + loss-mask spans, alignment-checked
+    locally {
+      import org.apache.spark.sql.functions._
+      val turns = Seq(
+        (1L, 0L, "user", "what is a monad"),
+        (1L, 1L, "assistant", "a monoid in the category of endofunctors"),
+        (2L, 0L, "user", "ping"), (2L, 1L, "assistant", "pong"))
+        .toDF("conv", "turn", "role", "content")
+      val rendered = graft.ops.Sft.renderConversations(
+        turns, "conv", "turn", "role", "content")
+      val spans = graft.ops.Sft.lossSpans(
+          turns, "conv", "turn", "role", "content")
+        .where(col("role") === "assistant")
+      val aligned = spans.join(rendered, "conv").join(turns, Seq("conv", "turn"))
+        .select((expr("substring(text, cast(start_off as int) + 1, " +
+          "cast(end_off - start_off as int))") === col("content")).as("ok"))
+        .agg(bool_and(col("ok"))).head().getBoolean(0)
+      println("sft spans aligned = " + aligned +
+        ", rendered convs = " + rendered.count())
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
