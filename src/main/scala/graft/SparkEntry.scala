@@ -2775,6 +2775,42 @@ object SparkEntry {
           length(col("text")).cast("long").as("conv_chars")), "conv")
         .select(col("conv"), col("turn"), col("start_off"), col("end_off"),
           col("conv_chars"))
+    }),
+
+    // Product-quantized ANN: 64-dim embeddings compress to 8 small codes
+    // (8 subspaces × 16-centroid codebooks), ADC scoring via per-query
+    // lookup tables, exact-cosine rerank of the top 4k candidates.
+    // Planted-near-copy contract (q205 pattern — scale-robust where a raw
+    // recall bound on near-random vectors is not): 3 perturbed copies of
+    // each query are planted in the corpus and every one must surface in
+    // that query's top-10; full k per query; codes re-encode
+    // bit-identically
+    "q213_pq_ann" -> ((s, d) => {
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val copies = qs.crossJoin(Seq(1, 2, 3).toDF("j"))
+        .select((lit(1000000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((col("vec_id") * 7 + col("j") * 3 + i) % 5).cast("float") * lit(0.001f))
+            .as("embedding"),
+          lit(0).as("label"))
+      val corpus = emb.unionByName(copies)
+      val cb = graft.ops.Pq.train(emb, m = 8, ksub = 16, maxIter = 4)
+      val codes = graft.ops.Pq.encode(cb, corpus)
+      val got = graft.ops.Pq.adcTopK(cb, codes, qs, k = 10,
+        rerankWith = Some(corpus), rerankFactor = 4).select("qid", "did")
+      val planted = qs.crossJoin(Seq(1, 2, 3).toDF("j"))
+        .select(col("vec_id").as("qid"),
+          (lit(1000000L) + col("vec_id") * 10 + col("j")).as("did"))
+      val stable = codes.select(col("did"), col("code").as("c1"))
+        .join(graft.ops.Pq.encode(cb, corpus)
+          .select(col("did"), col("code").as("c2")), "did")
+        .agg(bool_and(col("c1") === col("c2")).as("codes_stable"))
+      got.agg(count(lit(1)).as("n_results")).crossJoin(
+        planted.join(got, Seq("qid", "did"), "left_semi")
+          .agg((count(lit(1)) === 24L).as("all_planted_found")))
+        .crossJoin(stable)
     })
   )
 
@@ -4463,7 +4499,13 @@ object SparkEntry {
         "CAST(sp.start_off AS BIGINT) AS start_off, " +
         "CAST(sp.start_off + sp.clen AS BIGINT) AS end_off, " +
         "CAST(cl.conv_chars AS BIGINT) AS conv_chars " +
-        "FROM sp JOIN cl ON sp.conv = cl.conv WHERE sp.role = 'assistant'")
+        "FROM sp JOIN cl ON sp.conv = cl.conv WHERE sp.role = 'assistant'"),
+
+    "q213_pq_ann" ->
+      // planted-copy retrieval and code stability are Spark-proven contract
+      // facts pinned true (q205 pattern); n_results = 8 queries × k=10
+      ("SELECT CAST(80 AS BIGINT) AS n_results, true AS all_planted_found, " +
+        "true AS codes_stable")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the vector store — the MEMORY/IO scale
+  * path for embedding search: each d-dim vector compresses to `m` small
+  * codes (one per d/m-dim subspace, each quantized by its own ksub-centroid
+  * codebook), so a 100 TB float corpus becomes a few TB of codes, and a
+  * query scans codes instead of vectors.
+  *
+  * Scoring is ADC (asymmetric distance computation): per query, ONE
+  * m×ksub lookup table of subspace inner products is computed up front
+  * (a per-row projection on the broadcast query side); each candidate then
+  * costs `m` table lookups instead of a d-term dot product — compute drops
+  * d/m-fold and the scan reads `m` bytes per vector instead of `4·d`.
+  * Cosine needs the reconstruction norm, which is a pure function of the
+  * code, so it's materialized ONCE at encode time as a column.
+  *
+  * Everything is Catalyst higher-order functions (no UDF, codegen'd); the
+  * codebooks ride into the plan as literals (m·ksub·d/m = ksub·d doubles —
+  * droplet-sized). Training reuses the deterministic Lloyd trainer
+  * ([[graft.lib.KMeans.centroids]], lowest-id init) per subspace, so
+  * build → encode → probe reproduces bit-for-bit anywhere.
+  *
+  * Compositionality: codes are a relation keyed by vector id — partition
+  * them by an IVF cell ([[AnnIndex]]) for the classic IVF-PQ layout where a
+  * probe reads only `nprobe` cells of an already-32×-smaller table.
+  */
+object Pq {
+
+  /** Trained codebooks: `books(s)` = the ksub (cid → centroid) pairs of
+    * subspace `s`, each centroid `dsub` doubles. */
+  case class Codebooks(m: Int, dsub: Int, books: Array[Array[(Int, Seq[Double])]])
+
+  /** Train one codebook per subspace (deterministic Lloyd; at 100 TB pass a
+    * [[Sampling.hashSample]] of the corpus — quantizer quality saturates at
+    * modest training sizes). `d` must divide evenly into `m` subspaces. */
+  def train(corpus: DataFrame, m: Int, ksub: Int = 16, maxIter: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Codebooks = {
+    require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val books = (0 until m).toArray.map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
+      graft.lib.KMeans.centroids(sub, ksub, maxIter, idCol, "__sub")
+    }
+    Codebooks(m, dsub, books)
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, x) => s + x)
+
+  /** codes: the per-subspace nearest-centroid ids, `array<int>` length m. */
+  private def codeExpr(cb: Codebooks, v: Column): Column =
+    array((0 until cb.m).map { s =>
+      graft.lib.KMeans.nearestCentroids(cb.books(s),
+        slice(v, s * cb.dsub + 1, cb.dsub), 1)(0)
+    }: _*)
+
+  /** ‖centroid‖² table literal: normLut(s)(cid). */
+  private def normLut(cb: Codebooks): Column =
+    array(cb.books.map { book =>
+      array(book.sortBy(_._1).map { case (_, c) =>
+        lit(c.map(x => x * x).sum)
+      }: _*)
+    }: _*)
+
+  /** Encode the corpus: `(did, code, est_norm)` — `code` is m ints,
+    * `est_norm` = ‖reconstruction‖ (a pure function of the code, looked up
+    * from the codebook norms). One narrow map, no shuffle. */
+  def encode(cb: Codebooks, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Par.spread(corpus)
+      .select(col(idCol).as("did"), codeExpr(cb, col(vecCol)).as("code"))
+      .withColumn("est_norm", sqrt(aggregate(
+        zip_with(col("code"), normLut(cb), (c, nl) => element_at(nl, c + 1)),
+        lit(0.0), (s, x) => s + x)))
+
+  /** Codebook literal for the query-side LUT: cbLit(s)(cid) = centroid. */
+  private def cbLit(cb: Codebooks): Column =
+    array(cb.books.map { book =>
+      array(book.sortBy(_._1).map { case (_, c) =>
+        array(c.map(lit): _*)
+      }: _*)
+    }: _*)
+
+  /** ADC top-k cosine over the code relation; optionally rerank the top
+    * `rerankFactor·k` ADC candidates with EXACT cosine against the original
+    * vectors (`rerankWith` = the corpus) — the standard two-stage probe:
+    * the full scan touches only codes, exact math only the candidate set
+    * (|queries|·k·factor rows, broadcast back against the corpus).
+    * Deterministic: scores rounded to 4 decimals, ties broken by id. */
+  def adcTopK(cb: Codebooks, codes: DataFrame, queries: DataFrame, k: Int,
+      rerankWith: Option[DataFrame] = None, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && rerankFactor > 0, s"k=$k factor=$rerankFactor")
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"),
+      // the per-query LUT: lut(s)(cid) = <q_s, centroid> — computed once
+      // per query row, every candidate afterwards costs m lookups
+      transform(cbLit(cb), (book, s) =>
+        transform(book, c =>
+          dot(slice(col(vecCol), s * lit(cb.dsub) + lit(1), lit(cb.dsub)), c))).as("lut"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm")))
+    val ip = aggregate(
+      zip_with(col("code"), col("lut"), (c, tab) => element_at(tab, c + 1)),
+      lit(0.0), (s, x) => s + x)
+    val scored = q.join(codes, col("qid") =!= col("did"))
+      .select(col("qid"), col("qv"), col("did"),
+        Portable.round(ip / (col("qnorm") * col("est_norm")), 4).as("sim"))
+      .where(!isnan(col("sim"))) // zero-norm codes: NaN sorts first under desc
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
+    rerankWith match {
+      case None =>
+        scored.drop("qv")
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      case Some(corpus) =>
+        val cand = scored
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k * rerankFactor)
+          .select("qid", "qv", "did")
+        val exact = broadcast(cand)
+          .join(corpus.select(col(idCol).as("did"), col(vecCol).as("dv")), "did")
+          .select(col("qid"), col("did"),
+            Portable.round(Similarity.cosine(
+              col("qv").cast("array<float>"), col("dv").cast("array<float>")), 4).as("sim"))
+          .where(!isnan(col("sim")))
+        exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+  }
+}

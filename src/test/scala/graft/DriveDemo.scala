@@ -413,6 +413,18 @@ object DriveDemo {
         ", rendered convs = " + rendered.count())
     }
 
+    // 10f. product-quantized ANN: train codebooks, encode, ADC + rerank
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.ops.Pq.train(emb, m = 8, ksub = 8, maxIter = 3)
+      val codes = graft.ops.Pq.encode(cb, emb)
+      val got = graft.ops.Pq.adcTopK(cb, codes, emb.where(col("vec_id") < 3),
+        k = 5, rerankWith = Some(emb), rerankFactor = 4)
+      println("pq: codes = " + codes.count() + ", probe rows = " + got.count() +
+        ", top sim = " + got.agg(max("sim")).head().getDouble(0))
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
