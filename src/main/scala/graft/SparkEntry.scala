@@ -2811,6 +2811,36 @@ object SparkEntry {
         planted.join(got, Seq("qid", "did"), "left_semi")
           .agg((count(lit(1)) === 24L).as("all_planted_found")))
         .crossJoin(stable)
+    }),
+
+    // Model-based quality filter end-to-end: docs with doc_id % 3 == 0 get
+    // a planted garbage suffix (repetition + digits), a logistic-regression
+    // quality model trains on the 4/5 train split's weak labels (clean vs
+    // corrupted), and holdout accuracy on the 1/5 test split must clear
+    // 90% — the CCNet/fastText classifier step with a deterministic,
+    // SF-robust separability contract
+    "q214_quality_model" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val suffix = " " + ("zzz " * 60) +
+        ("000 111 222 333 444 555 666 777 888 999 " * 3)
+      val labeled = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(suffix)))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 3 =!= 0).cast("int").as("y"))
+      val train = labeled.where(col("doc_id") % 5 =!= 0)
+      val test = labeled.where(col("doc_id") % 5 === 0)
+      val model = graft.ops.Quality.train(train,
+        train.select(col("doc_id").as("id"), col("y")), "doc_id", "text",
+        lr = 8.0, iters = 60)
+      val scored = graft.ops.Quality.score(test, model, "doc_id", "text")
+      scored.agg(
+        count(lit(1)).as("n_test"),
+        sum(((col("quality") >= 0.5).cast("int") === col("y"))
+          .cast("long")).as("__hits"))
+        .crossJoin(train.agg(count(lit(1)).as("n_train")))
+        .select(col("n_train"), col("n_test"),
+          (col("__hits").cast("double") >= col("n_test").cast("double") * 0.9)
+            .as("acc_ok"))
     })
   )
 
@@ -4505,7 +4535,14 @@ object SparkEntry {
       // planted-copy retrieval and code stability are Spark-proven contract
       // facts pinned true (q205 pattern); n_results = 8 queries × k=10
       ("SELECT CAST(80 AS BIGINT) AS n_results, true AS all_planted_found, " +
-        "true AS codes_stable")
+        "true AS codes_stable"),
+
+    "q214_quality_model" ->
+      // split sizes are corpus-derived; holdout accuracy >= 0.9 is the
+      // Spark-proven contract fact pinned true (q35 pattern)
+      ("SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT) AS n_train, " +
+        "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_test, " +
+        "true AS acc_ok")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -425,6 +425,24 @@ object DriveDemo {
         ", top sim = " + got.agg(max("sim")).head().getDouble(0))
     }
 
+    // 10g. model-based quality filter: featurize → logreg → score → filter
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val suffix = " " + ("zzz " * 60) + ("000 111 222 333 444 555 " * 3)
+      val labeled = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(suffix)))
+          .otherwise(col("text")).as("text"),
+        (col("doc_id") % 3 =!= 0).cast("int").as("y"))
+      val model = graft.ops.Quality.train(labeled,
+        labeled.select(col("doc_id").as("id"), col("y")), "doc_id", "text",
+        lr = 8.0, iters = 40)
+      val kept = graft.ops.Quality.filterByQuality(labeled, model,
+        "doc_id", "text", 0.5)
+      println("quality filter kept = " + kept.count() + " of " + docs.count() +
+        ", clean kept = " + kept.where(col("y") === 1).count())
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
