@@ -2841,6 +2841,43 @@ object SparkEntry {
         .select(col("n_train"), col("n_test"),
           (col("__hits").cast("double") >= col("n_test").cast("double") * 0.9)
             .as("acc_ok"))
+    }),
+
+    // Persisted IVF-PQ index — the production ANN layout: coarse cells give
+    // planning-time partition pruning (q171 property), PQ codes give a
+    // 32×-smaller scan, ADC + exact rerank give quality. Contract: planted
+    // near-copies of every query surface through the SAVED index's probe,
+    // and the loaded probe equals the in-memory probe row-for-row
+    "q215_ivfpq_index" -> ((s, d) => {
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val copies = qs.crossJoin(Seq(1, 2, 3).toDF("j"))
+        .select((lit(2000000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((col("vec_id") * 5 + col("j") * 7 + i) % 5).cast("float") * lit(0.001f))
+            .as("embedding"),
+          lit(0).as("label"))
+      val corpus = emb.unionByName(copies)
+      val idx = graft.ops.PqIndex.build(corpus, nlist = 8, m = 8, ksub = 16,
+        maxIter = 4)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_gate").toString
+      graft.ops.PqIndex.save(idx, dir)
+      val loaded = graft.ops.PqIndex.load(s, dir)
+      def run(i: graft.ops.PqIndex.IvfPq) =
+        graft.ops.PqIndex.probe(i, qs, k = 10, nprobe = 4,
+          rerankWith = Some(corpus), rerankFactor = 4)
+          .select("qid", "did").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val got = run(loaded)
+      val mem = run(idx)
+      val gotSet = got.toSet
+      val planted = (0L until 8L).flatMap(q => (1 to 3).map(j =>
+        (q, 2000000L + q * 10 + j)))
+      Seq((got.length.toLong,
+          planted.forall(gotSet.contains),
+          got.sameElements(mem)))
+        .toDF("n_results", "all_planted_found", "loaded_matches_memory")
     })
   )
 
@@ -4542,7 +4579,13 @@ object SparkEntry {
       // Spark-proven contract fact pinned true (q35 pattern)
       ("SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 <> 0) AS BIGINT) AS n_train, " +
         "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS n_test, " +
-        "true AS acc_ok")
+        "true AS acc_ok"),
+
+    "q215_ivfpq_index" ->
+      // planted retrieval and save/load equivalence are Spark-proven
+      // contract facts pinned true; n_results = 8 queries × k=10
+      ("SELECT CAST(80 AS BIGINT) AS n_results, true AS all_planted_found, " +
+        "true AS loaded_matches_memory")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -88,32 +88,32 @@ object Pq {
       }: _*)
     }: _*)
 
-  /** ADC top-k cosine over the code relation; optionally rerank the top
-    * `rerankFactor·k` ADC candidates with EXACT cosine against the original
-    * vectors (`rerankWith` = the corpus) — the standard two-stage probe:
-    * the full scan touches only codes, exact math only the candidate set
-    * (|queries|·k·factor rows, broadcast back against the corpus).
-    * Deterministic: scores rounded to 4 decimals, ties broken by id. */
-  def adcTopK(cb: Codebooks, codes: DataFrame, queries: DataFrame, k: Int,
-      rerankWith: Option[DataFrame] = None, rerankFactor: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k > 0 && rerankFactor > 0, s"k=$k factor=$rerankFactor")
-    val q = broadcast(queries.select(col(idCol).as("qid"),
+  /** The broadcastable query side: `(qid, qv, lut, qnorm)` — the per-query
+    * LUT `lut(s)(cid) = <q_s, centroid>` is computed once per query row;
+    * every candidate afterwards costs m lookups. */
+  private[ops] def querySide(cb: Codebooks, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("qid"),
       col(vecCol).as("qv"),
-      // the per-query LUT: lut(s)(cid) = <q_s, centroid> — computed once
-      // per query row, every candidate afterwards costs m lookups
       transform(cbLit(cb), (book, s) =>
         transform(book, c =>
           dot(slice(col(vecCol), s * lit(cb.dsub) + lit(1), lit(cb.dsub)), c))).as("lut"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm")))
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnorm"))
+
+  /** ADC cosine estimate from a joined (query-side × code) row. */
+  private[ops] def adcSim: Column = {
     val ip = aggregate(
       zip_with(col("code"), col("lut"), (c, tab) => element_at(tab, c + 1)),
       lit(0.0), (s, x) => s + x)
-    val scored = q.join(codes, col("qid") =!= col("did"))
-      .select(col("qid"), col("qv"), col("did"),
-        Portable.round(ip / (col("qnorm") * col("est_norm")), 4).as("sim"))
-      .where(!isnan(col("sim"))) // zero-norm codes: NaN sorts first under desc
+    Portable.round(ip / (col("qnorm") * col("est_norm")), 4)
+  }
+
+  /** Rank scored `(qid, qv, did, sim)` rows per query; optionally rerank
+    * the top `factor·k` with EXACT cosine against the original vectors. */
+  private[ops] def rankAndRerank(scored: DataFrame, k: Int,
+      rerankWith: Option[DataFrame], rerankFactor: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     rerankWith match {
       case None =>
@@ -132,5 +132,22 @@ object Pq {
           .where(!isnan(col("sim")))
         exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     }
+  }
+
+  /** ADC top-k cosine over the code relation; optionally rerank the top
+    * `rerankFactor·k` ADC candidates with EXACT cosine against the original
+    * vectors (`rerankWith` = the corpus) — the standard two-stage probe:
+    * the full scan touches only codes, exact math only the candidate set
+    * (|queries|·k·factor rows, broadcast back against the corpus).
+    * Deterministic: scores rounded to 4 decimals, ties broken by id. */
+  def adcTopK(cb: Codebooks, codes: DataFrame, queries: DataFrame, k: Int,
+      rerankWith: Option[DataFrame] = None, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerankFactor > 0, s"k=$k factor=$rerankFactor")
+    val q = broadcast(querySide(cb, queries, idCol, vecCol))
+    val scored = q.join(codes, col("qid") =!= col("did"))
+      .select(col("qid"), col("qv"), col("did"), adcSim.as("sim"))
+      .where(!isnan(col("sim"))) // zero-norm codes: NaN sorts first under desc
+    rankAndRerank(scored, k, rerankWith, rerankFactor, idCol, vecCol)
   }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ vector index — the production composition of
+  * [[AnnIndex]] (coarse cells → planning-time partition pruning) and
+  * [[Pq]] (codes → a 32×-smaller scan): the classic large-scale ANN layout.
+  *
+  * On disk: coarse centroids + PQ codebooks as droplet-sized relations, and
+  * the CODE table (did, code, est_norm) Hive-partitioned by coarse cell.
+  * A probe therefore reads `nprobe/nlist` of a table that is already m
+  * bytes per vector — at 100 TB of raw embeddings, a probe of an 8-byte
+  * 64-cell index touches ~1/32 × nprobe/64 of the original bytes, with the
+  * pruning visible in the plan (`PartitionFilters`, spec-asserted).
+  * Scoring is [[Pq.adcTopK]]'s ADC with optional exact rerank against the
+  * raw corpus (which stays wherever it lives — the index never duplicates
+  * vectors).
+  *
+  * Both quantizers are deterministic (lowest-id Lloyd init), so
+  * build → save → load → probe reproduces the in-memory probe exactly.
+  */
+object PqIndex {
+
+  /** An IVF-PQ index: coarse centroids, PQ codebooks, and the cell-tagged
+    * code relation `(did, code, est_norm, cell)`. */
+  case class IvfPq(coarse: Array[(Int, Seq[Double])], cb: Pq.Codebooks,
+      codes: DataFrame)
+
+  /** Train coarse + product quantizers and encode the corpus. */
+  def build(corpus: DataFrame, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
+      maxIter: Int = 10, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPq = {
+    val coarse = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol)
+    val cb = Pq.train(corpus, m, ksub, maxIter, idCol, vecCol)
+    val codes = Pq.encode(cb, corpus, idCol, vecCol)
+      .join(Par.spread(corpus).select(col(idCol).as("did"),
+        graft.lib.KMeans.nearestCentroids(coarse, col(vecCol), 1)(0).as("cell")),
+        "did")
+    IvfPq(coarse, cb, codes)
+  }
+
+  /** Persist: quantizers as flat relations, codes PARTITIONED BY CELL. */
+  def save(idx: IvfPq, dir: String): Unit = {
+    val spark = idx.codes.sparkSession
+    import spark.implicits._
+    idx.coarse.toSeq
+      .flatMap { case (cid, v) => v.zipWithIndex.map { case (x, i) => (cid, i, x) } }
+      .toDF("cid", "dim", "x")
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    idx.cb.books.zipWithIndex.toSeq
+      .flatMap { case (book, s) =>
+        book.toSeq.flatMap { case (cid, v) =>
+          v.zipWithIndex.map { case (x, i) => (s, cid, i, x) } } }
+      .toDF("s", "cid", "dim", "x")
+      .write.mode("overwrite").parquet(s"$dir/books")
+    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Reload a saved index. */
+  def load(spark: SparkSession, dir: String): IvfPq = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+    val raw = spark.read.parquet(s"$dir/books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val books = raw.groupBy(_._1).toArray.sortBy(_._1).map { case (_, rows) =>
+      rows.groupBy(_._2).toArray.sortBy(_._1).map { case (cid, cs) =>
+        (cid, cs.sortBy(_._3).map(_._4).toSeq) }
+    }
+    val dsub = books.head.head._2.length
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("did"), col("code"), col("est_norm"),
+        col("cell").cast("int").as("cell"))
+    IvfPq(coarse, Pq.Codebooks(books.length, dsub, books), codes)
+  }
+
+  /** ADC top-k over the probed cells only: each query's `nprobe` nearest
+    * coarse cells resolve up front (the probe-cell union is ≤
+    * nprobe×|queries| ints), so a LOADED index scans only the matching
+    * cell partitions — planning-time `PartitionFilters`, the q171
+    * property, on a code table 32× smaller than the vectors. */
+  def probe(idx: IvfPq, queries: DataFrame, k: Int = 10, nprobe: Int = 2,
+      rerankWith: Option[DataFrame] = None, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the probe cells ride WITH each query row (per-query candidate sets,
+    // the IVF semantic), duplicating only the droplet-sized query side
+    val q = broadcast(Pq.querySide(idx.cb, queries, idCol, vecCol)
+      .join(queries.select(col(idCol).as("qid"),
+        explode(graft.lib.KMeans.nearestCentroids(idx.coarse, col(vecCol),
+          nprobe)).as("cell")), "qid"))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val cand = idx.codes.where(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val scored = q.join(cand, Seq("cell"))
+      .where(col("qid") =!= col("did"))
+      .select(col("qid"), col("qv"), col("did"), Pq.adcSim.as("sim"))
+      .where(!isnan(col("sim")))
+    Pq.rankAndRerank(scored, k, rerankWith, rerankFactor, idCol, vecCol)
+  }
+}

@@ -443,6 +443,20 @@ object DriveDemo {
         ", clean kept = " + kept.where(col("y") === 1).count())
     }
 
+    // 10h. persisted IVF-PQ: build, save, load, pruned ADC probe
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val idx = graft.ops.PqIndex.build(emb, nlist = 4, m = 8, ksub = 8, maxIter = 3)
+      val dir = java.nio.file.Files.createTempDirectory("drive_ivfpq").toString
+      graft.ops.PqIndex.save(idx, dir)
+      val loaded = graft.ops.PqIndex.load(spark, dir)
+      val got = graft.ops.PqIndex.probe(loaded, emb.where(col("vec_id") < 3),
+        k = 5, nprobe = 2, rerankWith = Some(emb))
+      println("ivfpq: cells = " + loaded.codes.select("cell").distinct().count() +
+        ", probe rows = " + got.count())
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
