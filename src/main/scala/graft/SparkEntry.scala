@@ -2831,7 +2831,7 @@ object SparkEntry {
       val test = labeled.where(col("doc_id") % 5 === 0)
       val model = graft.ops.Quality.train(train,
         train.select(col("doc_id").as("id"), col("y")), "doc_id", "text",
-        lr = 8.0, iters = 60)
+        lr = 16.0, iters = 30)
       val scored = graft.ops.Quality.score(test, model, "doc_id", "text")
       scored.agg(
         count(lit(1)).as("n_test"),

@@ -33,20 +33,63 @@ object Pq {
     * subspace `s`, each centroid `dsub` doubles. */
   case class Codebooks(m: Int, dsub: Int, books: Array[Array[(Int, Seq[Double])]])
 
-  /** Train one codebook per subspace (deterministic Lloyd; at 100 TB pass a
-    * [[Sampling.hashSample]] of the corpus — quantizer quality saturates at
-    * modest training sizes). `d` must divide evenly into `m` subspaces. */
+  /** Train one codebook per subspace with a FUSED multi-subspace Lloyd:
+    * every iteration computes all m assignments in one projection and all
+    * m·ksub centroid updates in ONE map-side-combinable aggregation keyed
+    * (subspace, cluster, dim) — m× fewer jobs and shuffles than m
+    * independent kMeans loops, same deterministic semantics (lowest-id
+    * init, ties to the lower cid, empty clusters keep their centroid).
+    * At 100 TB pass a [[Sampling.hashSample]] of the corpus — quantizer
+    * quality saturates at modest training sizes. `d` must divide evenly
+    * into `m` subspaces. */
   def train(corpus: DataFrame, m: Int, ksub: Int = 16, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding"): Codebooks = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val d = corpus.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
-    val books = (0 until m).toArray.map { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
-      graft.lib.KMeans.centroids(sub, ksub, maxIter, idCol, "__sub")
-    }
+    val pts = Par.spread(corpus).select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v")).persist()
+    val seed = pts.orderBy("id").limit(ksub).collect()
+      .map(_.getSeq[Double](1))
+    var books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m)(s =>
+      seed.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * dsub, s * dsub + dsub)) })
+    // identical tiny shuffles every round — AQE re-planning is pure
+    // overhead (the KMeans.centroids rationale)
+    val sess = corpus.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    var iter = 0
+    var moved = true
+    try while (iter < maxIter && moved) {
+      val perSub = array((0 until m).map { s =>
+        val sub = slice(col("v"), s * dsub + 1, dsub)
+        struct(lit(s).as("s"),
+          graft.lib.KMeans.nearestCentroids(books(s), sub, 1)(0).as("cluster"),
+          sub.as("sv"))
+      }: _*)
+      val upd = pts.select(explode(perSub).as("e"))
+        .select(col("e.s").as("s"), col("e.cluster").as("cluster"),
+          posexplode(col("e.sv")))
+        .groupBy("s", "cluster", "pos").agg(avg("col").as("mn"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      val byS = upd.groupBy(_._1)
+      val merged = Array.tabulate(m) { s =>
+        val byCid = byS.getOrElse(s, Array.empty[(Int, Int, Int, Double)])
+          .groupBy(_._2)
+        books(s).map { case (cid, old) =>
+          (cid, byCid.get(cid).map(_.sortBy(_._3).map(_._4).toSeq).getOrElse(old))
+        }
+      }
+      moved = merged.zip(books).exists { case (nb, ob) =>
+        nb.zip(ob).exists { case ((_, nv), (_, ov)) =>
+          nv.zip(ov).map { case (a, b) => math.abs(a - b) }.max > 1e-9 }
+      }
+      books = merged
+      iter += 1
+    } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    pts.unpersist()
     Codebooks(m, dsub, books)
   }
 

@@ -55,12 +55,19 @@ object Quality {
     docs.select(col(idCol).as("id"), featureVector(col(textCol)).as("x"))
 
   /** Train the quality model on weakly-labeled docs (`labels`: (id, y) with
-    * y ∈ {0,1}; 1 = keep-quality). Returns (weights, bias). */
+    * y ∈ {0,1}; 1 = keep-quality). Returns (weights, bias).
+    *
+    * The labeled set is small by construction (curated/sampled), so it is
+    * coalesced to `parts` partitions before the GD loop — each of the
+    * `iters` tiny aggregates then costs `parts` tasks, not one per
+    * shuffle partition (measured 5× on the gate). Raise `parts` if the
+    * labeled set is genuinely large. */
   def train(docs: DataFrame, labels: DataFrame, idCol: String,
       textCol: String, lr: Double = 0.5, iters: Int = 40,
-      l2: Double = 0.0): (Array[Double], Double) = {
+      l2: Double = 0.0, parts: Int = 8): (Array[Double], Double) = {
     val data = features(docs, idCol, textCol)
       .join(labels.select(col("id"), col("y").cast("double").as("y")), "id")
+      .coalesce(parts)
     val (w, b, _) = graft.lib.ML.gd(data, dim = 8, lr = lr, iters = iters,
       lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
     (w, b)

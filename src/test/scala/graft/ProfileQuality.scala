@@ -22,7 +22,7 @@ object ProfileQuality {
       println(s"[q] y=$y means = " + rows.sortBy(_.getInt(1))
         .map(r => f"${r.getDouble(2)}%.3f").mkString(", "))
     }
-    for (iters <- Seq(60, 100, 150); lr <- Seq(8.0, 16.0, 32.0)) {
+    for (iters <- Seq(15, 20, 30); lr <- Seq(8.0, 16.0, 32.0)) {
       val train = labeled.where(col("doc_id") % 5 =!= 0)
       val test = labeled.where(col("doc_id") % 5 === 0)
       val model = graft.ops.Quality.train(train,
