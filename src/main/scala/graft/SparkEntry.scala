@@ -2878,6 +2878,29 @@ object SparkEntry {
           planted.forall(gotSet.contains),
           got.sameElements(mem)))
         .toDF("n_results", "all_planted_found", "loaded_matches_memory")
+    }),
+
+    // Unigram-LM tokenizer (the SentencePiece algorithm family): substring
+    // seeding + hard EM over the distinct-word histogram, deterministic
+    // prune to 200 pieces, Viterbi encode. Contract (q150 pattern):
+    // corpus word/char totals are SQL-recomputed; every word roundtrips
+    // through its pieces; token mass is conserved; the vocab fills to
+    // exactly the requested size
+    "q216_unigram_tokenizer" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val model = graft.ops.Unigram.train(docs, vocabSize = 200,
+        maxPieceLen = 6, seedSize = 1500, emIters = 2)
+      val seg = graft.ops.Unigram.segmentWords(
+        graft.ops.Unigram.wordHistogram(docs), model)
+      seg.agg(
+        sum("cnt").as("n_words"),
+        sum(col("cnt") * length(col("w"))).as("sum_chars"),
+        bool_and(concat_ws("", col("pieces")) === col("w")).as("roundtrip_ok"),
+        sum(col("cnt") * aggregate(col("pieces"), lit(0L),
+          (a, p) => a + length(p))).as("__pchars"))
+        .select(col("n_words"), col("sum_chars"), col("roundtrip_ok"),
+          (col("__pchars") === col("sum_chars")).as("mass_ok"),
+          lit(model.pieces.size == 200).as("vocab_full"))
     })
   )
 
@@ -4585,7 +4608,16 @@ object SparkEntry {
       // planted retrieval and save/load equivalence are Spark-proven
       // contract facts pinned true; n_results = 8 queries × k=10
       ("SELECT CAST(80 AS BIGINT) AS n_results, true AS all_planted_found, " +
-        "true AS loaded_matches_memory")
+        "true AS loaded_matches_memory"),
+
+    "q216_unigram_tokenizer" ->
+      // word/char totals recomputed from the corpus; roundtrip/mass/vocab
+      // are Spark-proven contract facts pinned true (q150 pattern)
+      ("WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
+        "t2 AS (SELECT w FROM tok WHERE length(w) > 0) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(length(w)) AS BIGINT) AS sum_chars, " +
+        "true AS roundtrip_ok, true AS mass_ok, true AS vocab_full FROM t2")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

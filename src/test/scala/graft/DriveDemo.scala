@@ -457,6 +457,22 @@ object DriveDemo {
         ", probe rows = " + got.count())
     }
 
+    // 10i. unigram-LM tokenizer: train, segment, roundtrip
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val model = graft.ops.Unigram.train(docs, vocabSize = 120,
+        maxPieceLen = 6, seedSize = 600, emIters = 2)
+      val seg = graft.ops.Unigram.segmentWords(
+        graft.ops.Unigram.wordHistogram(docs), model)
+      val ok = seg.agg(bool_and(concat_ws("", col("pieces")) === col("w")))
+        .head().getBoolean(0)
+      println("unigram: vocab = " + model.pieces.size +
+        ", words roundtrip = " + ok +
+        ", avg pieces/word = " + f"${seg.agg(avg(size(col("pieces"))))
+          .head().getDouble(0)}%.2f")
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
