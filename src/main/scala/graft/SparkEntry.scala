@@ -2901,6 +2901,60 @@ object SparkEntry {
         .select(col("n_words"), col("sum_chars"), col("roundtrip_ok"),
           (col("__pchars") === col("sum_chars")).as("mass_ok"),
           lit(model.pieces.size == 200).as("vocab_full"))
+    }),
+
+    // First-fit-decreasing packing — the hard-cap complement of q84/q206's
+    // boundary packing: one bucket shuffle + in-partition sort + a
+    // sequential per-bucket pass. Contract: corpus totals SQL-recomputed;
+    // no pack over target (oversized docs are singletons); the classic FFD
+    // guarantee — at most one pack per bucket below half full
+    "q217_pack_firstfit" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val asg = graft.ops.Packing.packFirstFit(docs, col("doc_id"), ntok,
+        targetTokens = 256L, numBuckets = 8)
+      val fills = asg.groupBy("bucket", "pack")
+        .agg(sum("n_tokens").as("fill"), count(lit(1)).as("m"))
+      val capOk = fills
+        .agg(bool_and(col("fill") <= 256L || col("m") === 1L)).head().getBoolean(0)
+      val halfOk = fills.where(col("fill") < 128L)
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+        .agg(coalesce(max("c"), lit(0L))).head().getLong(0) <= 1L
+      asg.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .select(col("n_docs"), col("sum_tokens"),
+          lit(capOk).as("cap_ok"), lit(halfOk).as("halfempty_ok"))
+    }),
+
+    // Rule + MODEL curation cascade in ONE report: the q177 nested-when
+    // cascade with the q214 quality model's score as a stage — removal
+    // attribution for a length rule and the classifier together. Rule-stage
+    // count and totals are SQL-recomputed; the model stage must remove
+    // every planted-garbage doc the rule let through
+    "q218_model_cascade" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents")
+      val suffix = " " + ("zzz " * 60) +
+        ("000 111 222 333 444 555 666 777 888 999 " * 3)
+      val labeled = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(suffix)))
+          .otherwise(col("text")).as("text"))
+      val train = labeled.where(col("doc_id") % 5 =!= 0)
+        .withColumn("y", (col("doc_id") % 3 =!= 0).cast("int"))
+      val model = graft.ops.Quality.train(train,
+        train.select(col("doc_id").as("id"), col("y")), "doc_id", "text",
+        lr = 16.0, iters = 30)
+      val scored = graft.ops.Quality.score(labeled, model, "doc_id", "text")
+      val cascade = Seq(
+        "too_short" -> (length(col("text")) >= 100),
+        "model_quality" -> (col("quality") >= 0.5))
+      val report = graft.ops.Filters.filterReport(scored, cascade)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = graft.ops.Filters.applyCascade(scored, cascade)
+      val keptGarbage = kept.where(col("doc_id") % 3 === 0).count()
+      val nTotal = report.values.sum
+      Seq((nTotal, report("too_short"), keptGarbage == 0L,
+          nTotal == docs.count()))
+        .toDF("n_total", "n_too_short", "garbage_gone", "report_conserves")
     })
   )
 
@@ -4617,7 +4671,21 @@ object SparkEntry {
         "t2 AS (SELECT w FROM tok WHERE length(w) > 0) " +
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, " +
         "CAST(SUM(length(w)) AS BIGINT) AS sum_chars, " +
-        "true AS roundtrip_ok, true AS mass_ok, true AS vocab_full FROM t2")
+        "true AS roundtrip_ok, true AS mass_ok, true AS vocab_full FROM t2"),
+
+    "q217_pack_firstfit" ->
+      // totals recomputed from the corpus; cap/half-empty are Spark-proven
+      // FFD guarantees pinned true (q35 pattern)
+      ("WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n FROM documents) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens, " +
+        "true AS cap_ok, true AS halfempty_ok FROM t"),
+
+    "q218_model_cascade" ->
+      // the rule stage's count is SQL-exact (the garbage suffix keeps every
+      // doc_id%3==0 doc over the length rule); model-stage facts pinned true
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_total, " +
+        "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0 AND length(text) < 100) AS BIGINT) AS n_too_short, " +
+        "true AS garbage_gone, true AS report_conserves FROM documents")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -61,6 +61,49 @@ object Packing {
       .drop("__start")
   }
 
+  /** First-fit-decreasing packing — the HARD-CAP complement of
+    * [[packByTokens]] (which never splits but may overrun): within each
+    * bucket, documents are taken largest-first (ties by key) and placed in
+    * the first open pack with room; a document larger than `targetTokens`
+    * gets a pack of its own. No pack except oversized singletons exceeds
+    * the target, and the classic FFD guarantee holds — at most one pack
+    * per bucket ends up less than half full (gated as a contract).
+    *
+    * Scale: ONE shuffle (repartition by bucket) + an in-partition sort,
+    * then a single sequential pass per bucket (first-fit state is a plain
+    * in-memory list of open packs — bounded by the bucket's pack count, so
+    * size buckets to the cluster). Deterministic for a fixed engine: the
+    * order and the placement rule are pure functions of (key, tokens).
+    * Returns the assignment relation `(key, n_tokens, bucket, pack,
+    * pack_offset)` — join it back to the corpus by key. */
+  def packFirstFit(docs: DataFrame, key: Column, tokenCount: Column,
+      targetTokens: Long, numBuckets: Int = 32): DataFrame = {
+    require(targetTokens >= 1 && numBuckets >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepped = docs
+      .select(key.cast("long").as("key"), tokenCount.cast("long").as("n_tokens"),
+        pmod(key, lit(numBuckets.toLong)).as("bucket"))
+      .repartition(math.min(numBuckets, 256), col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("n_tokens").desc, col("key").asc)
+      .as[(Long, Long, Long)]
+    prepped.mapPartitions { it =>
+      // a partition holds whole buckets, bucket-contiguous after the sort;
+      // reset first-fit state at each bucket change
+      var curBucket = Long.MinValue
+      var packs = scala.collection.mutable.ArrayBuffer.empty[Long] // fill per pack
+      it.map { case (k, n, b) =>
+        if (b != curBucket) { curBucket = b; packs = scala.collection.mutable.ArrayBuffer.empty }
+        var p = 0
+        while (p < packs.length && packs(p) + n > targetTokens) p += 1
+        if (p == packs.length) packs += 0L
+        val offset = packs(p)
+        packs(p) += n
+        (k, n, b, p.toLong, offset)
+      }
+    }.toDF("key", "n_tokens", "bucket", "pack", "pack_offset")
+  }
+
   /** Split documents into token-bounded overlapping chunks (the
     * context-window prep step upstream of packing): chunk i covers tokens
     * `[i·(chunkTokens−overlap), …+chunkTokens)` on the whitespace

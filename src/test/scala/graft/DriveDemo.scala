@@ -473,6 +473,19 @@ object DriveDemo {
           .head().getDouble(0)}%.2f")
     }
 
+    // 10j. first-fit packing: hard cap + utilization
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val ntok = size(split(trim(col("text")), "\\s+")).cast("long")
+      val asg = graft.ops.Packing.packFirstFit(docs, col("doc_id"), ntok,
+        targetTokens = 256L, numBuckets = 4)
+      val fills = asg.groupBy("bucket", "pack").agg(sum("n_tokens").as("fill"))
+      println("ffd packing: packs = " + fills.count() +
+        ", max fill = " + fills.agg(max("fill")).head().getLong(0) +
+        ", mean fill = " + f"${fills.agg(avg("fill")).head().getDouble(0)}%.1f")
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
