@@ -52,8 +52,12 @@ object Mixture {
       s"maxEpochs must be in (0, 1024]: $maxEpochs")
     val eMicro = BigInt(math.floor(maxEpochs * 1e6 + 0.5).toLong)
     val wMicro: Map[String, Long] = weights.map { case (d, w) =>
-      require(w > 0.0, s"weight for $d must be positive: $w")
-      d -> math.floor(w * 1e6 + 0.5).toLong
+      val micro = math.floor(w * 1e6 + 0.5).toLong
+      // a weight that rounds to zero micro-units would make the capping
+      // condition vacuous (0 ≥ cap·0) and hand the domain its full cap
+      // regardless of budget — reject instead of silently over-allocating
+      require(micro > 0L, s"weight for $d must be >= 5e-7: $w")
+      d -> micro
     }
     val joined = counts.filter { case (d, n) => wMicro.contains(d) && n > 0 }
     require(joined.map(_._1).distinct.size == joined.size,
@@ -131,10 +135,9 @@ object Mixture {
       val thr = f"${fracMicro * 4294967296L / 1000000L}%08x"
       (a.domain, whole, thr)
     }.toDF("__domain", "__whole", "__thr")
-    val draw = substring(md5(concat_ws("-", lit(seed), key.cast("string"))), 1, 8)
-    df.join(broadcast(factors), col(domainCol) === col("__domain"))
-      .withColumn("epoch", explode(sequence(lit(0L), col("__whole"))))
-      .where(col("epoch") < col("__whole") || draw < col("__thr"))
+    Sampling.epochExplode(
+        df.join(broadcast(factors), col(domainCol) === col("__domain")),
+        col("__whole"), col("__thr"), Sampling.seededDraw(key, seed))
       .drop("__domain", "__whole", "__thr")
   }
 }

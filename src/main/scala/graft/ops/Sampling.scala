@@ -206,10 +206,23 @@ object Sampling {
     require(factor > 0.0 && factor <= 1024.0, s"factor must be in (0, 1024]: $factor")
     val whole = math.floor(factor).toLong
     val fracThr = thresholdHex(factor - whole)
-    val draw = substring(md5(concat_ws("-", lit(seed), key.cast("string"))), 1, 8)
-    df.withColumn("epoch", explode(sequence(lit(0L), lit(whole))))
-      .where(col("epoch") < lit(whole) || draw < lit(fracThr))
+    epochExplode(df, lit(whole), lit(fracThr), seededDraw(key, seed))
   }
+
+  /** The seeded md5 draw shared by every per-key epoch sampler. */
+  private[ops] def seededDraw(key: Column, seed: Long): Column =
+    substring(md5(concat_ws("-", lit(seed), key.cast("string"))), 1, 8)
+
+  /** Shared epoch-explode tail of the deterministic upsamplers
+    * ([[upsampleDeterministic]], [[Mixture.applyAllocation]]): emit each
+    * row once per whole epoch (`epoch` 0..whole−1) plus one final partial
+    * epoch iff `draw` clears the 8-hex threshold — ONE definition so the
+    * draw/threshold contract cannot drift between the fixed-factor and
+    * per-domain variants. The explode is narrow (no shuffle). */
+  private[ops] def epochExplode(df: DataFrame, whole: Column,
+      thrHex: Column, draw: Column): DataFrame =
+    df.withColumn("epoch", explode(sequence(lit(0L), whole)))
+      .where(col("epoch") < whole || draw < thrHex)
 
   /** EXACT k rows per group, deterministic and engine-portable: rank rows
     * within each group by the md5 draw of their key (tie-broken by the key

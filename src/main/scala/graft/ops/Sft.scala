@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * spans the loss mask should keep (the assistant turns' content).
   *
   * Template: every turn renders as `<|role|>content<|end|>` (tags
-  * configurable). Offsets are CHARACTER offsets into the rendered
-  * conversation — `[start_off, end_off)` covers exactly the turn's content,
-  * `substring(text, start_off, end_off - start_off)` returns it verbatim
-  * (SftSpec pins the alignment) — so a tokenizer downstream can map spans to
-  * token masks without re-scanning the template.
+  * configurable). Offsets are 0-based CHARACTER offsets into the rendered
+  * conversation — `[start_off, end_off)` covers exactly the turn's content;
+  * with SQL's 1-based substring that is
+  * `substring(text, start_off + 1, end_off - start_off)` (SftSpec pins the
+  * alignment) — so a tokenizer downstream can map spans to token masks
+  * without re-scanning the template.
   *
   * Everything is closed-form relational: rendering is an ordered
   * per-conversation concat (one shuffle on the conversation key; a
@@ -57,8 +58,11 @@ object Sft {
       eot: String = "<|end|>"): DataFrame = {
     val rt = renderedTurn(col(roleCol), col(contentCol), openTag, closeTag, eot)
     val hdrLen = length(concat(lit(openTag), col(roleCol), lit(closeTag)))
+    // tie-break duplicate turn numbers by the rendered text — the SAME
+    // order array_sort gives renderConversations' struct(t, rt), so spans
+    // stay aligned (and deterministic) even on pathological input
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(convCol)).orderBy(col(turnCol))
+      .partitionBy(col(convCol)).orderBy(col(turnCol), rt)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val start = (coalesce(sum(length(rt)).over(w), lit(0L)) + hdrLen.cast("long"))
     turns.select(col(convCol).as("conv"), col(turnCol).as("turn"),

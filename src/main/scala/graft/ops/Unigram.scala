@@ -124,10 +124,12 @@ object Unigram {
               least(lit(maxPieceLen), length(col("w")) - i)), len =>
               col("w").substr(i + 1, len))))).as("p"), col("cnt"))
         .groupBy("p").agg(sum("cnt").as("freq"))
+        .persist() // consumed twice: top-seedSize AND the full alphabet
       val seeds = cand.orderBy(col("freq").desc, col("p").asc)
         .limit(seedSize).collect().map(r => (r.getString(0), r.getLong(1)))
-      val chars = seeds.filter(_._1.length == 1).map(_._1).toSet ++
-        cand.where(length(col("p")) === 1).collect().map(_.getString(0))
+      val chars = cand.where(length(col("p")) === 1).collect()
+        .map(_.getString(0)).toSet
+      cand.unpersist()
       val seedUsage = (seeds.toMap ++
         chars.filterNot(c => seeds.exists(_._1 == c)).map(_ -> 1L)).toSeq
       var lp = toLogp(seedUsage)

@@ -70,6 +70,14 @@ class MixtureSpec extends AnyFlatSpec with Matchers {
       Map("a" -> 15L, "b" -> 30L)
   }
 
+  it should "reject weights that round to zero micro-units" in {
+    // a zero micro-weight would make the capping test vacuous and hand the
+    // domain its full cap regardless of budget
+    an[IllegalArgumentException] should be thrownBy
+      Mixture.allocate(Seq("a" -> 100L), Map("a" -> 1e-9),
+        budgetTokens = 10L, maxEpochs = 2.0)
+  }
+
   it should "ignore unweighted and empty domains" in {
     val got = Mixture.allocate(
       Seq("a" -> 100L, "zero" -> 0L, "noweight" -> 50L),

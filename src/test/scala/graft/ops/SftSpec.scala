@@ -71,6 +71,19 @@ class SftSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "keep spans aligned even with duplicate turn numbers" in {
+    val dup = Seq((1L, 0L, "user", "aa"), (1L, 0L, "assistant", "b"),
+      (1L, 1L, "user", "cc")).toDF("conv", "turn", "role", "content")
+    val rendered = Sft.renderConversations(dup, "conv", "turn", "role", "content")
+    val joined = Sft.lossSpans(dup, "conv", "turn", "role", "content")
+      .join(rendered, "conv").join(dup, Seq("conv", "turn", "role"))
+      .select(col("content"),
+        expr("substring(text, cast(start_off as int) + 1, cast(end_off - start_off as int))").as("cut"))
+      .collect()
+    joined.length shouldBe 3
+    joined.foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
   it should "count characters, not bytes" in {
     val uni = Seq((1L, 0L, "user", "héllo"), (1L, 1L, "assistant", "ok"))
       .toDF("conv", "turn", "role", "content")
