@@ -2955,6 +2955,77 @@ object SparkEntry {
       Seq((nTotal, report("too_short"), keptGarbage == 0L,
           nTotal == docs.count()))
         .toDF("n_total", "n_too_short", "garbage_gone", "report_conserves")
+    }),
+
+    // END-TO-END SFT pipeline: documents → conversations (q212's turns) →
+    // render + assistant loss spans → pack the rendered conversations by
+    // char length (q206's boundary layout) → loss spans REPOSITIONED into
+    // pack coordinates (global = pack_offset + start_off) — the packed
+    // training-example metadata a trainer consumes, every number
+    // closed-form and recomputed by the oracle as one composition
+    "q219_sft_pipeline" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val tok = docs.select(col("doc_id").as("conv"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .toDF("conv", "pos", "w")
+        .where(length(col("w")) > 0)
+      val turns = tok
+        .groupBy(col("conv"), expr("pos div 8").cast("long").as("turn"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"),
+          col("w")))), x => x.getField("w")), " ").as("content"))
+        .withColumn("role",
+          when(col("turn") % 2 === 0, "user").otherwise("assistant"))
+      val rendered = graft.ops.Sft.renderConversations(
+        turns, "conv", "turn", "role", "content")
+      val packed = graft.ops.Packing.packLayout(rendered, col("conv"),
+        length(col("text")).cast("long"), targetTokens = 4096L, numBuckets = 8)
+        .select(col("conv"), col("bucket"), col("pack"), col("seg"),
+          col("pack_offset"))
+      val spans = graft.ops.Sft.lossSpans(turns, "conv", "turn", "role", "content")
+        .where(col("role") === "assistant")
+      spans.join(packed, "conv")
+        .select(col("conv"), col("turn"), col("bucket"), col("pack"),
+          col("seg"),
+          (col("pack_offset") + col("start_off")).as("global_start"),
+          (col("pack_offset") + col("end_off")).as("global_end"))
+    }),
+
+    // IVF-PQ index LIFECYCLE: save → append a batch against the immutable
+    // quantizers (only touched cells gain files) → tombstone ids (no file
+    // rewrite) → loaded probe equals the in-memory probe over the same
+    // union-minus-deleted codes, and the appended near-copies surface
+    "q220_ivfpq_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+      val idx = graft.ops.PqIndex.build(emb, nlist = 8, m = 8, ksub = 16,
+        maxIter = 4)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_life").toString
+      graft.ops.PqIndex.save(idx, dir)
+      val batch = qs.crossJoin(Seq(1, 2).toDF("j"))
+        .select((lit(3000000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.002f)).as("embedding"),
+          lit(0).as("label"))
+      graft.ops.PqIndex.appendSaved(s, dir, batch)
+      val doomed = emb.where(col("vec_id") % 7 === 0 && col("vec_id") >= 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      graft.ops.PqIndex.deleteSaved(s, dir, doomed)
+      // (loaded ≡ in-memory is q215's witness; this gate proves the
+      // lifecycle-specific facts on ONE loaded probe)
+      val loaded = graft.ops.PqIndex.load(s, dir)
+      val corpus = emb.unionByName(batch)
+      val got = graft.ops.PqIndex.probe(loaded, qs, k = 10, nprobe = 4,
+          rerankWith = Some(corpus), rerankFactor = 4)
+        .select("qid", "did").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      val doomedSet = doomed.toSet
+      val gotSet = got.toSet
+      val planted = (0L until 8L).flatMap(q => (1 to 2).map(j =>
+        (q, 3000000L + q * 10 + j)))
+      Seq((got.length.toLong,
+          planted.forall(gotSet.contains),
+          got.forall(p => !doomedSet.contains(p._2))))
+        .toDF("n_results", "appended_found", "no_deleted_returned")
     })
   )
 
@@ -4685,7 +4756,35 @@ object SparkEntry {
       // doc_id%3==0 doc over the length rule); model-stage facts pinned true
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_total, " +
         "CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0 AND length(text) < 100) AS BIGINT) AS n_too_short, " +
-        "true AS garbage_gone, true AS report_conserves FROM documents")
+        "true AS garbage_gone, true AS report_conserves FROM documents"),
+
+    "q219_sft_pipeline" ->
+      ("WITH t AS (SELECT doc_id AS conv, string_split_regex(trim(text), '\\s+') AS arr FROM documents), " +
+        "w0 AS (SELECT conv, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS pos FROM t), " +
+        "w1 AS (SELECT * FROM w0 WHERE length(w) > 0), " +
+        "tu AS (SELECT conv, pos // 8 AS turn, string_agg(w, ' ' ORDER BY pos) AS content FROM w1 GROUP BY 1, 2), " +
+        "r AS (SELECT conv, turn, CASE WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, content FROM tu), " +
+        "re AS (SELECT conv, turn, role, content, '<|' || role || '|>' AS hdr, " +
+        "'<|' || role || '|>' || content || '<|end|>' AS rt FROM r), " +
+        "sp AS (SELECT conv, turn, role, " +
+        "COALESCE(SUM(length(rt)) OVER (PARTITION BY conv ORDER BY turn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(hdr) AS start_off, " +
+        "length(content) AS clen FROM re), " +
+        "cl AS (SELECT conv, SUM(length(rt)) AS conv_chars FROM re GROUP BY 1), " +
+        "pk1 AS (SELECT conv, conv % 8 AS bucket, " +
+        "SUM(conv_chars) OVER (PARTITION BY conv % 8 ORDER BY conv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - conv_chars AS st FROM cl), " +
+        "ps AS (SELECT conv, bucket, st // 4096 AS pack, st - (st // 4096) * 4096 AS pack_offset, " +
+        "ROW_NUMBER() OVER (PARTITION BY bucket, st // 4096 ORDER BY conv) - 1 AS seg FROM pk1) " +
+        "SELECT sp.conv, CAST(sp.turn AS BIGINT) AS turn, CAST(ps.bucket AS BIGINT) AS bucket, " +
+        "CAST(ps.pack AS BIGINT) AS pack, CAST(ps.seg AS BIGINT) AS seg, " +
+        "CAST(ps.pack_offset + sp.start_off AS BIGINT) AS global_start, " +
+        "CAST(ps.pack_offset + sp.start_off + sp.clen AS BIGINT) AS global_end " +
+        "FROM sp JOIN ps ON sp.conv = ps.conv WHERE sp.role = 'assistant'"),
+
+    "q220_ivfpq_lifecycle" ->
+      // lifecycle facts are Spark-proven contracts pinned true; n_results =
+      // 8 queries × k=10
+      ("SELECT CAST(80 AS BIGINT) AS n_results, true AS appended_found, " +
+        "true AS no_deleted_returned")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -57,6 +57,28 @@ object PqIndex {
     idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Extend a SAVED index in place: encode the batch with the saved
+    * (immutable) quantizers and APPEND the code rows — only the touched
+    * cell partitions gain files, nothing is re-read or rewritten (the
+    * [[AnnIndex.appendSaved]] ingest shape on the compressed relation). */
+  def appendSaved(spark: SparkSession, dir: String, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val idx = load(spark, dir)
+    Pq.encode(idx.cb, newVecs, idCol, vecCol)
+      .join(Par.spread(newVecs).select(col(idCol).as("did"),
+        graft.lib.KMeans.nearestCentroids(idx.coarse, col(vecCol), 1)(0).as("cell")),
+        "did")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Tombstone vectors in a SAVED index: ids append to a `deleted`
+    * relation that [[load]] anti-joins away (broadcast) — no code file is
+    * rewritten; probes exclude the ids immediately. */
+  def deleteSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("did").write.mode("append").parquet(s"$dir/deleted")
+  }
+
   /** Reload a saved index. */
   def load(spark: SparkSession, dir: String): IvfPq = {
     val coarse = spark.read.parquet(s"$dir/coarse")
@@ -70,9 +92,15 @@ object PqIndex {
         (cid, cs.sortBy(_._3).map(_._4).toSeq) }
     }
     val dsub = books.head.head._2.length
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes0 = spark.read.parquet(s"$dir/codes")
       .select(col("did"), col("code"), col("est_norm"),
         col("cell").cast("int").as("cell"))
+    val delPath = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = if (fs.exists(delPath))
+      codes0.join(broadcast(spark.read.parquet(s"$dir/deleted")),
+        Seq("did"), "left_anti")
+    else codes0
     IvfPq(coarse, Pq.Codebooks(books.length, dsub, books), codes)
   }
 

@@ -455,6 +455,15 @@ object DriveDemo {
         k = 5, nprobe = 2, rerankWith = Some(emb))
       println("ivfpq: cells = " + loaded.codes.select("cell").distinct().count() +
         ", probe rows = " + got.count())
+      val batch = emb.where(col("vec_id") < 2)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"), col("label"))
+      graft.ops.PqIndex.appendSaved(spark, dir, batch)
+      graft.ops.PqIndex.deleteSaved(spark, dir, Seq(9001L))
+      val after = graft.ops.PqIndex.load(spark, dir)
+      println("ivfpq lifecycle: appended visible = " +
+        (after.codes.where(col("did") === 9000L).count() == 1L) +
+        ", tombstoned gone = " +
+        (after.codes.where(col("did") === 9001L).count() == 0L))
     }
 
     // 10i. unigram-LM tokenizer: train, segment, roundtrip

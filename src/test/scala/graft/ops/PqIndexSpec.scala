@@ -66,6 +66,44 @@ class PqIndexSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "append and tombstone in place without rewriting untouched cells" in {
+    val idx = PqIndex.build(vecs, nlist = 4, m = 4, ksub = 8, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq3").toString
+    try {
+      PqIndex.save(idx, dir)
+      // snapshot code files before the append
+      val before = {
+        val base = new java.io.File(s"$dir/codes")
+        base.listFiles().filter(_.isDirectory).flatMap(d =>
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getPath -> f.lastModified())).toMap
+      }
+      // batch lands in cluster 1's cell only (copies of vec 1's cluster)
+      val batch = vecs.where(col("vec_id") % 4 === 1 && col("vec_id") < 20)
+        .select((col("vec_id") + 5000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      PqIndex.appendSaved(spark, dir, batch)
+      // untouched files are byte-identical (same path, same mtime)
+      val after = {
+        val base = new java.io.File(s"$dir/codes")
+        base.listFiles().filter(_.isDirectory).flatMap(d =>
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getPath -> f.lastModified())).toMap
+      }
+      before.foreach { case (p, m) => after.get(p) shouldBe Some(m) }
+      // appended ids are probe-visible; tombstoned ids vanish
+      val loaded = PqIndex.load(spark, dir)
+      loaded.codes.where(col("did") >= 5000L).count() shouldBe batch.count()
+      PqIndex.deleteSaved(spark, dir, Seq(5001L, 5005L))
+      val pruned = PqIndex.load(spark, dir)
+      pruned.codes.where(col("did").isin(5001L, 5005L)).count() shouldBe 0L
+      pruned.codes.count() shouldBe loaded.codes.count() - 2
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   it should "surface planted near-copies through ADC + rerank" in {
     val copies = vecs.where(col("vec_id") < 4)
       .select((col("vec_id") + 1000L).as("vec_id"),
