@@ -18,6 +18,11 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shared (non-isolated) artifact state: runtime-quotation jars ride
+      // the SparkContext-lifetime addJar channel instead of per-session
+      // artifact stores, whose per-clone cleanup (streaming queries clone
+      // the session) flakily unregistered a jar mid-run
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

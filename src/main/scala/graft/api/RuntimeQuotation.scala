@@ -81,12 +81,21 @@ object RuntimeQuotation {
     // ship the classes the way spark-shell does: executors fetch the jar
     // before deserializing tasks, so the snippet's lambdas resolve there.
     // Spark 4 isolates SQL-execution classloaders per session (artifact
-    // isolation), so the jar must go through the SESSION's artifact
-    // manager — a bare sparkContext.addJar lands in the default state
-    // that SQL tasks no longer see.
+    // isolation) by default, so the jar must go through the SESSION's
+    // artifact manager — a bare sparkContext.addJar lands in the default
+    // state that SQL tasks no longer see. When the session was created
+    // with `spark.sql.artifact.isolation.enabled=false` (the Bench/Verify
+    // driver surface), the classic context channel is the ROBUST one: its
+    // file-server registration lives for the SparkContext lifetime,
+    // immune to the per-clone artifact-store cleanup that streaming
+    // queries' cloned sessions can trigger mid-run (observed as a flaky
+    // "Stream .../rtqN.jar was not found" in later, unrelated queries).
     val jar = jarOf(snippetDir, n)
     lastJar = Some(jar)
-    spark.addArtifact(jar.toString)
+    val isolated = spark.conf
+      .get("spark.sql.artifact.isolation.enabled", "true").toBoolean
+    if (isolated) spark.addArtifact(jar.toString)
+    else spark.sparkContext.addJar(jar.toString)
 
     // NOT closed: the snippet's classes (and its lambdas inside running
     // plans) stay loadable for the life of the session
