@@ -3026,7 +3026,33 @@ object SparkEntry {
           planted.forall(gotSet.contains),
           got.forall(p => !doomedSet.contains(p._2))))
         .toDF("n_results", "appended_found", "no_deleted_returned")
-    })
+    }),
+
+    // Hard-negative mining: each anchor's top-5 most-similar items that
+    // are NOT its positives (positives = same-label items) — the
+    // confusables a contrastive embedding model trains against. The op
+    // takes a generic positives relation; the oracle recomputes every
+    // cosine and the label anti-join in closed form (full-value)
+    "q221_hard_negatives" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val anchors = emb.where(col("vec_id") < 8)
+      val positives = anchors
+        .select(col("vec_id").as("anchor_id"), col("label").as("__al"))
+        .join(emb.select(col("vec_id").as("pos_id"), col("label").as("__pl")),
+          col("__al") === col("__pl"))
+        .select("anchor_id", "pos_id")
+      graft.ops.Similarity.hardNegatives(emb, anchors, positives, k = 5)
+    }),
+
+    // Near-dup-aware train/val/test split: split membership drawn on the
+    // duplicate-cluster canonical id, so near-copies never straddle a
+    // split boundary (the leakage a row-keyed split leaves open); oracle
+    // recomputes LSH clusters AND the split thresholds (full-value)
+    "q222_dedup_aware_split" -> ((s, d) =>
+      graft.ops.Curation.dedupAwareSplit(tbl(s, d, "documents"),
+          splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2),
+          minJaccard = 0.2)
+        .select(col("doc_id"), col("split")))
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -4784,7 +4810,32 @@ object SparkEntry {
       // lifecycle facts are Spark-proven contracts pinned true; n_results =
       // 8 queries × k=10
       ("SELECT CAST(80 AS BIGINT) AS n_results, true AS appended_found, " +
-        "true AS no_deleted_returned")
+        "true AS no_deleted_returned"),
+
+    "q221_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id AS did, embedding AS dv, label AS cl FROM embeddings), " +
+        "p AS (SELECT qid, did, " +
+        "list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE))) AS dot, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nq, " +
+        "sqrt(list_sum(list_transform(generate_series(1, len(dv)), i -> CAST(dv[i] AS DOUBLE) * CAST(dv[i] AS DOUBLE)))) AS nd " +
+        "FROM q CROSS JOIN c WHERE qid <> did AND ql <> cl), " +
+        "r AS (SELECT qid, did, floor(dot / (nq * nd) * 10000.0 + 0.5) / 10000.0 AS sim FROM p) " +
+        "SELECT qid, did, sim, rank FROM (SELECT qid, did, sim, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rank FROM r) x WHERE rank <= 5"),
+
+    "q222_dedup_aware_split" ->
+      // q65's cluster CTEs + COALESCE canonical + q180's threshold CASE
+      // (0.6 → '99999999', 0.8 → 'cccccccc')
+      (s"WITH RECURSIVE $shingleCtes, $sigCte, $bandCtes, ${jaccardVerifySql(0.2)}, " +
+        "und AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2 AS src, id1 AS dst FROM pairs), " +
+        "r AS (SELECT DISTINCT src AS v, src AS u FROM und UNION SELECT r.v, und.dst AS u FROM r JOIN und ON r.u = und.src), " +
+        "cl AS (SELECT v AS doc_id, MIN(u) AS canon FROM r GROUP BY v) " +
+        "SELECT d.doc_id, CASE " +
+        "WHEN substring(md5(CAST(COALESCE(cl.canon, d.doc_id) AS VARCHAR)), 1, 8) < '99999999' THEN 'train' " +
+        "WHEN substring(md5(CAST(COALESCE(cl.canon, d.doc_id) AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'val' " +
+        "ELSE 'test' END AS split " +
+        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -45,6 +45,22 @@ object Curation {
       .select(col("vertex").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Near-dup-aware train/val/test split: split membership is drawn on
+    * each document's duplicate-cluster CANONICAL id (singletons are their
+    * own canonical), so near-duplicate documents can never straddle a
+    * split boundary — the train/test leakage hole a row-keyed
+    * [[Sampling.hashSplit]] leaves open when the corpus carries
+    * near-copies. Same engine-portable md5 thresholds; one extra join
+    * against the (clustered-docs-only) canonical relation. */
+  def dedupAwareSplit(docs: DataFrame, textCol: String = "text",
+      splits: Seq[(String, Double)], minJaccard: Double = 0.5): DataFrame = {
+    val clusters = duplicateClusters(docs, textCol, minJaccard)
+    val withRep = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("__rep", coalesce(col("canonical_id"), col("doc_id")))
+    Sampling.hashSplit(withRep, col("__rep"), splits)
+      .drop("canonical_id", "__rep")
+  }
+
   /** Incremental near-duplicate check: probe a NEW batch of documents
     * against an EXISTING corpus through its persisted LSH index
     * ([[Dedup.lshBands]]) instead of re-running global dedup.

@@ -52,6 +52,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: each
+    * anchor's top-k most-SIMILAR corpus items that are NOT its positives —
+    * the negatives that actually move an embedding model, versus the
+    * uninformative random draws of [[Shuffling.negativeSample]].
+    * `positives` is an `(anchor_id, pos_id)` relation; positives and the
+    * anchor itself are excluded BEFORE ranking, so every returned row is a
+    * genuine confusable. Exact and deterministic (broadcast anchors, one
+    * corpus scan, 4-decimal rounding, id tie-break); at index scale run
+    * the same anti-join + rank over `PqIndex.probe`/[[ivfTopK]] candidates
+    * instead of the full scan. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+      positives: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    val q = broadcast(anchors.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"))
+    val scored = q.join(c, col("qid") =!= col("did"))
+      .join(positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
+        Seq("qid", "did"), "left_anti")
+      .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
+      .where(!isnan(col("sim")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized into `nlist`
     * kMeans cells; each query probes only its `nprobe` nearest cells —
     * an `nlist/nprobe`-fold scan reduction with recall controlled by nprobe.

@@ -495,6 +495,26 @@ object DriveDemo {
         ", mean fill = " + f"${fills.agg(avg("fill")).head().getDouble(0)}%.1f")
     }
 
+    // 10k. hard-negative mining + near-dup-aware split
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val anchors = emb.where(col("vec_id") < 3)
+      val positives = anchors
+        .select(col("vec_id").as("anchor_id"), col("label").as("al"))
+        .join(emb.select(col("vec_id").as("pos_id"), col("label").as("pl")),
+          col("al") === col("pl")).select("anchor_id", "pos_id")
+      val hn = graft.ops.Similarity.hardNegatives(emb, anchors, positives, k = 4)
+      println("hard negatives: rows = " + hn.count() +
+        ", top sim = " + hn.agg(max("sim")).head().getDouble(0))
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val split = graft.ops.Curation.dedupAwareSplit(docs, "text",
+        Seq("train" -> 0.8, "val" -> 0.2), minJaccard = 0.2)
+      println("dedup-aware split: " + split.groupBy("split").count()
+        .orderBy("split").collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
