@@ -81,6 +81,14 @@ object Packing {
     require(targetTokens >= 1 && numBuckets >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
+    // fail fast on non-integral keys: the silent cast("long") below would
+    // truncate doubles (merging distinct keys) or null out strings
+    docs.select(key).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packFirstFit needs an integral key column, got $other")
+    }
     val prepped = docs
       .select(key.cast("long").as("key"), tokenCount.cast("long").as("n_tokens"),
         pmod(key, lit(numBuckets.toLong)).as("bucket"))

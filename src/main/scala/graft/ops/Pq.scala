@@ -88,8 +88,10 @@ object Pq {
       }
       books = merged
       iter += 1
-    } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    pts.unpersist()
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      pts.unpersist() // exception-safe: a failed iteration must not pin the cache
+    }
     Codebooks(m, dsub, books)
   }
 
@@ -98,7 +100,7 @@ object Pq {
       lit(0.0), (s, x) => s + x)
 
   /** codes: the per-subspace nearest-centroid ids, `array<int>` length m. */
-  private def codeExpr(cb: Codebooks, v: Column): Column =
+  private[ops] def codeExpr(cb: Codebooks, v: Column): Column =
     array((0 until cb.m).map { s =>
       graft.lib.KMeans.nearestCentroids(cb.books(s),
         slice(v, s * cb.dsub + 1, cb.dsub), 1)(0)
@@ -112,6 +114,12 @@ object Pq {
       }: _*)
     }: _*)
 
+  /** ‖reconstruction‖ from the `code` column — a pure codebook lookup. */
+  private[ops] def estNormExpr(cb: Codebooks): Column =
+    sqrt(aggregate(
+      zip_with(col("code"), normLut(cb), (c, nl) => element_at(nl, c + 1)),
+      lit(0.0), (s, x) => s + x))
+
   /** Encode the corpus: `(did, code, est_norm)` — `code` is m ints,
     * `est_norm` = ‖reconstruction‖ (a pure function of the code, looked up
     * from the codebook norms). One narrow map, no shuffle. */
@@ -119,9 +127,7 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Par.spread(corpus)
       .select(col(idCol).as("did"), codeExpr(cb, col(vecCol)).as("code"))
-      .withColumn("est_norm", sqrt(aggregate(
-        zip_with(col("code"), normLut(cb), (c, nl) => element_at(nl, c + 1)),
-        lit(0.0), (s, x) => s + x)))
+      .withColumn("est_norm", estNormExpr(cb))
 
   /** Codebook literal for the query-side LUT: cbLit(s)(cid) = centroid. */
   private def cbLit(cb: Codebooks): Column =

@@ -27,17 +27,28 @@ object PqIndex {
   case class IvfPq(coarse: Array[(Int, Seq[Double])], cb: Pq.Codebooks,
       codes: DataFrame)
 
+  /** ONE narrow pass producing `(did, code, est_norm, cell)` — PQ codes
+    * and the coarse-cell assignment are per-row projections of the same
+    * input row, so materializing them together avoids a second corpus
+    * scan and a corpus-wide join on did. */
+  private def encodeWithCell(cb: Pq.Codebooks,
+      coarse: Array[(Int, Seq[Double])], vecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    Par.spread(vecs)
+      .select(col(idCol).as("did"), col(vecCol).as("__v"),
+        Pq.codeExpr(cb, col(vecCol)).as("code"))
+      .withColumn("est_norm", Pq.estNormExpr(cb))
+      .withColumn("cell",
+        graft.lib.KMeans.nearestCentroids(coarse, col("__v"), 1)(0))
+      .drop("__v")
+
   /** Train coarse + product quantizers and encode the corpus. */
   def build(corpus: DataFrame, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
       maxIter: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding"): IvfPq = {
     val coarse = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol)
     val cb = Pq.train(corpus, m, ksub, maxIter, idCol, vecCol)
-    val codes = Pq.encode(cb, corpus, idCol, vecCol)
-      .join(Par.spread(corpus).select(col(idCol).as("did"),
-        graft.lib.KMeans.nearestCentroids(coarse, col(vecCol), 1)(0).as("cell")),
-        "did")
-    IvfPq(coarse, cb, codes)
+    IvfPq(coarse, cb, encodeWithCell(cb, coarse, corpus, idCol, vecCol))
   }
 
   /** Persist: quantizers as flat relations, codes PARTITIONED BY CELL. */
@@ -64,10 +75,7 @@ object PqIndex {
   def appendSaved(spark: SparkSession, dir: String, newVecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val idx = load(spark, dir)
-    Pq.encode(idx.cb, newVecs, idCol, vecCol)
-      .join(Par.spread(newVecs).select(col(idCol).as("did"),
-        graft.lib.KMeans.nearestCentroids(idx.coarse, col(vecCol), 1)(0).as("cell")),
-        "did")
+    encodeWithCell(idx.cb, idx.coarse, newVecs, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 

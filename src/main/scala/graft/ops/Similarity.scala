@@ -41,16 +41,26 @@ object Similarity {
     * broadcast (it is small by construction); ranking rounds the similarity
     * to 4 decimals and tie-breaks on neighbor id so results are deterministic
     * across engines and partitionings. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared exact-scoring pipeline: broadcast queries × corpus scan,
+    * 4-decimal rounded cosine, NaN (zero-norm) rows dropped — ONE
+    * definition so the determinism convention cannot drift between the
+    * top-k and hard-negative surfaces. */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"))
-    val scored = q.join(c, col("qid") =!= col("did"))
+    q.join(c, col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
       .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
+    rankTopK(scoredPairs(corpus, queries), k)
 
   /** Hard-negative mining for contrastive/retrieval training: each
     * anchor's top-k most-SIMILAR corpus items that are NOT its positives —
@@ -64,17 +74,12 @@ object Similarity {
     * instead of the full scan. */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame,
       positives: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k must be positive: $k")
-    val q = broadcast(anchors.select(col("vec_id").as("qid"), col("embedding").as("qv")))
-    val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"))
-    val scored = q.join(c, col("qid") =!= col("did"))
-      .join(positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
-        Seq("qid", "did"), "left_anti")
-      .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
-      .where(!isnan(col("sim")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(
+      scoredPairs(corpus, anchors)
+        .join(positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
+          Seq("qid", "did"), "left_anti"),
+      k)
   }
 
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized into `nlist`

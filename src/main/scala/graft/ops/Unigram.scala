@@ -78,24 +78,18 @@ object Unigram {
 
   /** One hard-EM E-step over the word histogram: Viterbi-segment every
     * distinct word under the broadcast model, aggregate per-piece usage
-    * (weighted by word count) and the total best-segmentation score. */
+    * weighted by word count. */
   private def usagePass(hist: DataFrame, lp: Map[String, Long], maxLen: Int)
-      : (Array[(String, Long)], Long) = {
+      : Array[(String, Long)] = {
     val spark = hist.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(lp)
-    val seg = hist.as[(String, Long)].mapPartitions { it =>
+    hist.as[(String, Long)].mapPartitions { it =>
       val m = bc.value
-      it.flatMap { case (w, c) =>
-        val ps = viterbi(w, m, maxLen)
-        val score = ps.map(p => m.getOrElse(p, UnkMicro)).sum * c
-        ps.iterator.map(p => (p, c, 0L)) ++ Iterator(("", 0L, score))
-      }
-    }.toDF("p", "u", "sc")
-    val rows = seg.groupBy("p").agg(sum("u").as("u"), sum("sc").as("sc")).collect()
-    val total = rows.find(_.getString(0) == "").map(_.getLong(2)).getOrElse(0L)
-    (rows.filter(_.getString(0).nonEmpty)
-      .map(r => (r.getString(0), r.getLong(1))), total)
+      it.flatMap { case (w, c) => viterbi(w, m, maxLen).iterator.map(p => (p, c)) }
+    }.toDF("p", "u")
+      .groupBy("p").agg(sum("u").as("u")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
   }
 
   /** Laplace-smoothed micro log-probs from usage counts. */
@@ -125,17 +119,19 @@ object Unigram {
               col("w").substr(i + 1, len))))).as("p"), col("cnt"))
         .groupBy("p").agg(sum("cnt").as("freq"))
         .persist() // consumed twice: top-seedSize AND the full alphabet
-      val seeds = cand.orderBy(col("freq").desc, col("p").asc)
-        .limit(seedSize).collect().map(r => (r.getString(0), r.getLong(1)))
-      val chars = cand.where(length(col("p")) === 1).collect()
-        .map(_.getString(0)).toSet
-      cand.unpersist()
+      val (seeds, chars) =
+        try {
+          (cand.orderBy(col("freq").desc, col("p").asc)
+            .limit(seedSize).collect().map(r => (r.getString(0), r.getLong(1))),
+           cand.where(length(col("p")) === 1).collect()
+            .map(_.getString(0)).toSet)
+        } finally { cand.unpersist(); () }
       val seedUsage = (seeds.toMap ++
         chars.filterNot(c => seeds.exists(_._1 == c)).map(_ -> 1L)).toSeq
       var lp = toLogp(seedUsage)
       var it = 0
       while (it < emIters) {
-        val (usage, _) = usagePass(hist, lp, maxPieceLen)
+        val usage = usagePass(hist, lp, maxPieceLen)
         // unused pieces drop out; single chars stay for coverage
         val kept = usage.filter(_._2 > 0).toMap
         val withChars = kept ++ chars.filterNot(kept.contains).map(_ -> 0L)
@@ -146,7 +142,7 @@ object Unigram {
       // by (usage desc, piece asc); hard EM concentrates usage, so fill any
       // remaining slots from the frequency-ranked seed candidates — the
       // vocabulary always reaches the requested size deterministically
-      val (usage, _) = usagePass(hist, lp, maxPieceLen)
+      val usage = usagePass(hist, lp, maxPieceLen)
       val byPiece = usage.toMap
       val charSeq = chars.toSeq.sorted.map(c => (c, byPiece.getOrElse(c, 0L)))
       require(charSeq.size <= vocabSize,
@@ -163,7 +159,7 @@ object Unigram {
       val finalPieces = charSeq ++ multi ++ pad
       val finalLp = toLogp(finalPieces)
       // final EM round on the pruned vocabulary re-balances probabilities
-      val (finalUsage, _) = usagePass(hist, finalLp, maxPieceLen)
+      val finalUsage = usagePass(hist, finalLp, maxPieceLen)
       val fu = finalUsage.toMap
       val rebalanced = finalPieces.map { case (p, _) => (p, fu.getOrElse(p, 0L)) }
       val lpFinal = toLogp(rebalanced)
