@@ -3052,7 +3052,48 @@ object SparkEntry {
       graft.ops.Curation.dedupAwareSplit(tbl(s, d, "documents"),
           splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2),
           minJaccard = 0.2)
-        .select(col("doc_id"), col("split")))
+        .select(col("doc_id"), col("split"))),
+
+    // Tokenizer EVALUATION: train BPE (200 merges) and the unigram LM
+    // (200 pieces) on the 4/5 split, encode the held-out 1/5 with both,
+    // and contract the cross-tokenizer facts — exact char-mass
+    // conservation through each encoding, token counts inside their
+    // provable bounds (>= words resp. >= ceil(chars/maxPieceLen), <=
+    // chars), and genuine compression (tokens < chars) for both
+    "q223_tokenizer_eval" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents")
+      val train = docs.where(col("doc_id") % 5 =!= 0)
+      val hold = docs.where(col("doc_id") % 5 === 0)
+      val (mergesDf, _) = graft.ops.Bpe.trainLocal(train, "text", numMerges = 200)
+      val merges = mergesDf.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val bpe = graft.ops.Bpe.encodeFast(hold, merges)
+        .agg(sum(size(col("tokens"))).cast("long").as("t"),
+          sum(aggregate(col("tokens"), lit(0L), (a, t) => a + length(t))).as("c"))
+        .head()
+      val model = graft.ops.Unigram.train(train, vocabSize = 200,
+        maxPieceLen = 6, seedSize = 1500, emIters = 2)
+      val uni = graft.ops.Unigram.encode(hold, model)
+        .agg(sum(size(col("pieces"))).cast("long").as("t"),
+          sum(aggregate(col("pieces"), lit(0L), (a, t) => a + length(t))).as("c"))
+        .head()
+      val truth = hold
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0)
+        .agg(count(lit(1)).as("w"), sum(length(col("w"))).cast("long").as("c"))
+        .head()
+      val (nWords, nChars) = (truth.getLong(0), truth.getLong(1))
+      val (bpeT, bpeC) = (bpe.getLong(0), bpe.getLong(1))
+      val (uniT, uniC) = (uni.getLong(0), uni.getLong(1))
+      Seq((nWords, nChars,
+          bpeC == nChars && uniC == nChars,
+          bpeT >= nWords && bpeT <= nChars,
+          uniT >= (nChars + 5) / 6 && uniT <= nChars,
+          bpeT < nChars && uniT < nChars))
+        .toDF("n_words", "n_chars", "mass_ok", "bpe_bounds_ok",
+          "unigram_bounds_ok", "both_compress")
+    })
   )
 
   /** Demo enumeration for q165 — ids follow declaration order 0..4,
@@ -4835,7 +4876,17 @@ object SparkEntry {
         "WHEN substring(md5(CAST(COALESCE(cl.canon, d.doc_id) AS VARCHAR)), 1, 8) < '99999999' THEN 'train' " +
         "WHEN substring(md5(CAST(COALESCE(cl.canon, d.doc_id) AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'val' " +
         "ELSE 'test' END AS split " +
-        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id")
+        "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id"),
+
+    "q223_tokenizer_eval" ->
+      // holdout totals recomputed from the corpus; the cross-tokenizer
+      // facts are Spark-proven contracts pinned true (q150 pattern)
+      ("WITH w0 AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents WHERE doc_id % 5 = 0), " +
+        "w1 AS (SELECT w FROM w0 WHERE length(w) > 0) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(length(w)) AS BIGINT) AS n_chars, " +
+        "true AS mass_ok, true AS bpe_bounds_ok, " +
+        "true AS unigram_bounds_ok, true AS both_compress FROM w1")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

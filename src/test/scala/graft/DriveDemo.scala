@@ -515,6 +515,28 @@ object DriveDemo {
         .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(", "))
     }
 
+    // 10l. tokenizer evaluation: BPE vs unigram compression on a holdout
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val train = docs.where(col("doc_id") % 5 =!= 0)
+      val hold = docs.where(col("doc_id") % 5 === 0)
+      val (mergesDf, _) = graft.ops.Bpe.trainLocal(train, "text", 100)
+      val merges = mergesDf.orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val bpeT = graft.ops.Bpe.encodeFast(hold, merges)
+        .agg(sum(size(col("tokens")))).head().getLong(0)
+      val model = graft.ops.Unigram.train(train, vocabSize = 120,
+        maxPieceLen = 6, seedSize = 600, emIters = 2)
+      val uniT = graft.ops.Unigram.encode(hold, model)
+        .agg(sum(size(col("pieces")))).head().getLong(0)
+      val chars = hold.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .where(length(col("w")) > 0).agg(sum(length(col("w")))).head().getLong(0)
+      println(f"tokenizer eval: holdout chars = $chars, " +
+        f"bpe cpt = ${chars.toDouble / bpeT}%.2f, " +
+        f"unigram cpt = ${chars.toDouble / uniT}%.2f")
+    }
+
     // 11. the comprehension front-end: natural for-syntax, macro-derived join
     locally {
       import org.apache.spark.sql.functions.col
