@@ -2803,8 +2803,15 @@ object SparkEntry {
       val planted = qs.crossJoin(Seq(1, 2, 3).toDF("j"))
         .select(col("vec_id").as("qid"),
           (lit(1000000L) + col("vec_id") * 10 + col("j")).as("did"))
+      // the stability witness must be able to FAIL: re-encode through a
+      // SAVED + RELOADED codebook (parquet roundtrip), not the same
+      // in-memory object — this checks the persistence layer preserves
+      // every codebook double bit-exactly
+      val cbDir = java.nio.file.Files.createTempDirectory("graft_pq_cb").toString
+      graft.ops.Pq.saveCodebooks(s, cb, cbDir)
+      val cb2 = graft.ops.Pq.loadCodebooks(s, cbDir)
       val stable = codes.select(col("did"), col("code").as("c1"))
-        .join(graft.ops.Pq.encode(cb, corpus)
+        .join(graft.ops.Pq.encode(cb2, corpus)
           .select(col("did"), col("code").as("c2")), "did")
         .agg(bool_and(col("c1") === col("c2")).as("codes_stable"))
       got.agg(count(lit(1)).as("n_results")).crossJoin(
@@ -2943,7 +2950,11 @@ object SparkEntry {
       val model = graft.ops.Quality.train(train,
         train.select(col("doc_id").as("id"), col("y")), "doc_id", "text",
         lr = 16.0, iters = 30)
+      // the scored relation feeds TWO actions (report + kept-garbage
+      // count); persist it so the featurize+sigmoid pass runs once — the
+      // auto-cache rule, applied by hand across the op boundary
       val scored = graft.ops.Quality.score(labeled, model, "doc_id", "text")
+        .persist()
       val cascade = Seq(
         "too_short" -> (length(col("text")) >= 100),
         "model_quality" -> (col("quality") >= 0.5))
@@ -2951,6 +2962,7 @@ object SparkEntry {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val kept = graft.ops.Filters.applyCascade(scored, cascade)
       val keptGarbage = kept.where(col("doc_id") % 3 === 0).count()
+      scored.unpersist()
       val nTotal = report.values.sum
       Seq((nTotal, report("too_short"), keptGarbage == 0L,
           nTotal == docs.count()))

@@ -185,6 +185,66 @@ object ML {
     (w, b, losses.toSeq)
   }
 
+  /** Driver-side twin of [[gd]] for a SMALL collected dataset — when the
+    * labeled set is a few thousand rows, a 30-50-iteration GD loop costs
+    * 30-50 Spark jobs of pure scheduling overhead; running the identical
+    * update arithmetic over the collected rows turns that into
+    * microseconds. Same rate schedule (lr/√(i+1)), same margin fold order
+    * (bias + Σ xⱼwⱼ left-to-right), same err/loss formulas, same
+    * n-normalization and L2 handling as the distributed pass; the only
+    * difference is gradient summation order (row order here vs Spark's
+    * partial-aggregate tree), which can move weights by last-ulp amounts —
+    * callers that need robustness to THAT (every contract gate here) are
+    * unaffected, and QualitySpec parity-pins the two paths. */
+  def gdLocal(rows: Array[(Array[Double], Double)], dim: Int,
+      lr: Double = 0.5, iters: Int = 50, lossFn: LossFn = SquaredLoss,
+      l2: Double = 0.0): (Array[Double], Double, Seq[Double]) = {
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val n = math.max(rows.length, 1).toDouble
+    var i = 0
+    while (i < iters) {
+      val rate = lr / math.sqrt(i + 1.0)
+      val gs = new Array[Double](dim)
+      var gb = 0.0
+      var lossSum = 0.0
+      rows.foreach { case (x, y) =>
+        var m = b
+        var j = 0
+        while (j < dim) { m += x(j) * w(j); j += 1 }
+        val sigmoid = 1.0 / (1.0 + math.exp(-m))
+        val y2 = y * 2.0 - 1.0
+        val err = lossFn match {
+          case SquaredLoss  => m - y
+          case LogisticLoss => sigmoid - y
+          case HingeLoss    => if (y2 * m < 1.0) -y2 else 0.0
+        }
+        lossSum += (lossFn match {
+          case SquaredLoss  => (m - y) * (m - y) * 0.5
+          case LogisticLoss =>
+            -(y * math.log(math.max(sigmoid, 1e-12)) +
+              (1.0 - y) * math.log(math.max(1.0 - sigmoid, 1e-12)))
+          case HingeLoss    => math.max(0.0, 1.0 - y2 * m)
+        })
+        j = 0
+        while (j < dim) { gs(j) += err * x(j); j += 1 }
+        gb += err
+      }
+      var reg = 0.0
+      var j = 0
+      while (j < dim) {
+        reg += w(j) * w(j)
+        w(j) -= rate * (gs(j) / n + l2 * w(j))
+        j += 1
+      }
+      b -= rate * (gb / n)
+      losses += lossSum / n + l2 / 2.0 * reg
+      i += 1
+    }
+    (w, b, losses.toSeq)
+  }
+
   /** Per-group simple OLS (closed form): slope/intercept of `yCol ~ xCol`
     * within each group, from order-independent decimal power sums — ONE
     * map-side combinable aggregation for any number of groups (no per-group

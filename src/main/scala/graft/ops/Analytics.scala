@@ -67,7 +67,8 @@ object Analytics {
     import spark.implicits._
     val stageDim = stages.zipWithIndex
       .map { case ((name, _), i) => (i, name) }.toDF("i", "stage")
-    stageDim.join(counts, Seq("i"), "left")
+    // hint the RIGHT (non-preserved) side: the per-stage counts are ≤ K rows
+    stageDim.join(broadcast(counts), Seq("i"), "left")
       .select(col("stage"), coalesce(col("users"), lit(0L)).as("users"))
   }
 

@@ -54,11 +54,15 @@ object Curation {
     * against the (clustered-docs-only) canonical relation. */
   def dedupAwareSplit(docs: DataFrame, textCol: String = "text",
       splits: Seq[(String, Double)], minJaccard: Double = 0.5): DataFrame = {
+    // alias the cluster relation to reserved __-names BEFORE the join, so
+    // an input that already carries a `canonical_id` column cannot make
+    // the coalesce reference ambiguous (the __rep convention)
     val clusters = duplicateClusters(docs, textCol, minJaccard)
-    val withRep = docs.join(clusters, Seq("doc_id"), "left")
-      .withColumn("__rep", coalesce(col("canonical_id"), col("doc_id")))
+      .select(col("doc_id").as("__cid"), col("canonical_id").as("__canon"))
+    val withRep = docs.join(clusters, col("doc_id") === col("__cid"), "left")
+      .withColumn("__rep", coalesce(col("__canon"), col("doc_id")))
     Sampling.hashSplit(withRep, col("__rep"), splits)
-      .drop("canonical_id", "__rep")
+      .drop("__cid", "__canon", "__rep")
   }
 
   /** Incremental near-duplicate check: probe a NEW batch of documents

@@ -45,8 +45,10 @@ object Filters {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = (filters.map(_._1) :+ KeptLabel).toDF("filter")
-    // the dim side is K rows — broadcast, no shuffle beyond the count agg
-    broadcast(dim).join(counts, Seq("filter"), "left")
+    // both sides are K rows; the hint must go on the RIGHT (non-preserved)
+    // side — Spark cannot build a left-outer join from its preserved side,
+    // so broadcast(dim) would be a dead hint (HintErrorLogger)
+    dim.join(broadcast(counts), Seq("filter"), "left")
       .select(col("filter"), coalesce(col("n"), lit(0L)).as("n"))
   }
 

@@ -124,6 +124,11 @@ object Mixture {
     * `thr = (epochs_micros mod 1e6) · 2^32 div 1e6` (max ~4.3e15, well inside
     * a long), rendered as 8 lowercase hex chars — the same comparison every
     * other portable sampler here uses. */
+  /** NOTE on coverage: the factor join is INNER, so rows whose domain has
+    * no entry in `allocs` are DROPPED — i.e. an absent domain means
+    * "allocate zero epochs", exactly like an explicit
+    * `DomainAlloc(d, 0L)`. Callers that want unlisted domains preserved
+    * must add them to `allocs` (e.g. at 1.0 epochs) explicitly. */
   def applyAllocation(df: DataFrame, domainCol: String, key: Column,
       allocs: Seq[DomainAlloc], seed: Long): DataFrame = {
     require(allocs.nonEmpty, "allocs must not be empty")

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * Everything is Catalyst higher-order functions (no UDF, codegen'd); the
   * codebooks ride into the plan as literals (m·ksub·d/m = ksub·d doubles —
   * droplet-sized). Training reuses the deterministic Lloyd trainer
-  * ([[graft.lib.KMeans.centroids]], lowest-id init) per subspace, so
-  * build → encode → probe reproduces bit-for-bit anywhere.
+  * ([[graft.lib.KMeans.centroids]], lowest-id init); as with
+  * KMeans.centroids, the centroid means are distributed double averages,
+  * so codebooks are deterministic for a fixed partitioning but not
+  * bit-portable across engines — the 4-decimal-rounded ADC scores and the
+  * GIVEN-a-codebook encode (a pure argmin Column expression) are what
+  * reproduce exactly anywhere.
   *
   * Compositionality: codes are a relation keyed by vector id — partition
   * them by an IVF cell ([[AnnIndex]]) for the classic IVF-PQ layout where a
@@ -129,6 +133,34 @@ object Pq {
       .select(col(idCol).as("did"), codeExpr(cb, col(vecCol)).as("code"))
       .withColumn("est_norm", estNormExpr(cb))
 
+  /** Persist trained codebooks as a tiny long-form parquet relation
+    * `(s, cid, dim, x)` — the layout [[PqIndex.save]] uses for its `books`
+    * subdirectory, exposed so a bare-PQ (no IVF) deployment can reuse one
+    * trained model across sessions. Doubles roundtrip parquet bit-exactly,
+    * so encode-after-reload is code-identical to encode-before-save. */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession, cb: Codebooks,
+      dir: String): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.toSeq
+      .flatMap { case (book, s) =>
+        book.toSeq.flatMap { case (cid, v) =>
+          v.zipWithIndex.map { case (x, i) => (s, cid, i, x) } } }
+      .toDF("s", "cid", "dim", "x")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload codebooks written by [[saveCodebooks]]. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Codebooks = {
+    val raw = spark.read.parquet(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val books = raw.groupBy(_._1).toArray.sortBy(_._1).map { case (_, rows) =>
+      rows.groupBy(_._2).toArray.sortBy(_._1).map { case (cid, cs) =>
+        (cid, cs.sortBy(_._3).map(_._4).toSeq) }
+    }
+    Codebooks(books.length, books.head.head._2.length, books)
+  }
+
   /** Codebook literal for the query-side LUT: cbLit(s)(cid) = centroid. */
   private def cbLit(cb: Codebooks): Column =
     array(cb.books.map { book =>
@@ -158,20 +190,20 @@ object Pq {
   }
 
   /** Rank scored `(qid, qv, did, sim)` rows per query; optionally rerank
-    * the top `factor·k` with EXACT cosine against the original vectors. */
+    * the top `factor·k` with EXACT cosine against the original vectors.
+    * Ranking is the bounded-heap [[graft.plans.TopK.perKey]] operator
+    * (via [[Similarity.rankTopK]]) — ≤k (or ≤k·factor) candidates per
+    * query survive each partition BEFORE any shuffle; no Window over the
+    * full ADC candidate set. */
   private[ops] def rankAndRerank(scored: DataFrame, k: Int,
       rerankWith: Option[DataFrame], rerankFactor: Int,
       idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
     rerankWith match {
       case None =>
-        scored.drop("qv")
-          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        Similarity.rankTopK(scored.select("qid", "did", "sim"), k)
       case Some(corpus) =>
-        val cand = scored
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= k * rerankFactor)
+        val cand = graft.plans.TopK.perKey(scored,
+            Seq("qid"), Seq(col("sim").desc, col("did").asc), k * rerankFactor)
           .select("qid", "qv", "did")
         val exact = broadcast(cand)
           .join(corpus.select(col(idCol).as("did"), col(vecCol).as("dv")), "did")
@@ -179,7 +211,7 @@ object Pq {
             Portable.round(Similarity.cosine(
               col("qv").cast("array<float>"), col("dv").cast("array<float>")), 4).as("sim"))
           .where(!isnan(col("sim")))
-        exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        Similarity.rankTopK(exact, k)
     }
   }
 

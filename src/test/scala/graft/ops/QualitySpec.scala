@@ -65,6 +65,25 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     m1._2 shouldBe m2._2
   }
 
+  it should "train local ≡ distributed (same arithmetic, last-ulp-only drift)" in {
+    // localThreshold = 0 forces the distributed GD; default takes the
+    // driver-side twin. Same rate schedule, same formulas — only gradient
+    // SUMMATION order differs (row order vs partial-aggregate tree), so
+    // weights agree to ~1e-9 and every downstream decision is identical.
+    val local = Quality.train(docs, labels, "doc_id", "text", iters = 30)
+    val dist = Quality.train(docs, labels, "doc_id", "text", iters = 30,
+      localThreshold = 0)
+    local._1.zip(dist._1).foreach { case (a, b) =>
+      math.abs(a - b) should be < 1e-9 * math.max(1.0, math.abs(b))
+    }
+    math.abs(local._2 - dist._2) should be < 1e-9
+    val keptLocal = Quality.filterByQuality(docs, local, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptDist = Quality.filterByQuality(docs, dist, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    keptLocal shouldBe keptDist
+  }
+
   it should "generalize to held-out docs of the same kinds" in {
     val held = (Seq((201L, "A plain sentence about nothing much at all but " +
       "written the ordinary way with small words")) ++
