@@ -3105,6 +3105,47 @@ object SparkEntry {
           bpeT < nChars && uniT < nChars))
         .toDF("n_words", "n_chars", "mass_ok", "bpe_bounds_ok",
           "unigram_bounds_ok", "both_compress")
+    }),
+
+    // Hard-negative mining AT INDEX SCALE: candidates come from the IVF-PQ
+    // probe (pruned cells, ADC + exact rerank) instead of a full corpus
+    // scan; positives are anti-joined away and the survivors re-ranked.
+    // Planted-confusable contract (q213/q215 pattern): 3 perturbed copies
+    // of each anchor carry a label no positive has, so every one must
+    // surface in that anchor's top-5 negatives; full k per anchor; no
+    // positive may be returned
+    "q224_hard_negatives_indexed" -> ((s, d) => {
+      import s.implicits._
+      val emb = tbl(s, d, "embeddings")
+      val anchors = emb.where(col("vec_id") < 8)
+      val copies = anchors.crossJoin(Seq(1, 2, 3).toDF("j"))
+        .select((lit(3000000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((col("vec_id") * 3 + col("j") * 11 + i) % 5).cast("float") * lit(0.001f))
+            .as("embedding"),
+          lit(99).as("label"))
+      val corpus = emb.unionByName(copies)
+      val positives = anchors
+        .select(col("vec_id").as("anchor_id"), col("label").as("__al"))
+        .join(emb.select(col("vec_id").as("pos_id"), col("label").as("__pl")),
+          col("__al") === col("__pl"))
+        .select("anchor_id", "pos_id")
+      val idx = graft.ops.PqIndex.build(corpus, nlist = 8, m = 8, ksub = 16,
+        maxIter = 4)
+      val got = graft.ops.Similarity.hardNegativesIndexed(idx, anchors,
+        positives, k = 5, nprobe = 4, rerankWith = Some(corpus),
+        rerankFactor = 4, overfetch = 4)
+        .select("qid", "did")
+      val planted = anchors.crossJoin(Seq(1, 2, 3).toDF("j"))
+        .select(col("vec_id").as("qid"),
+          (lit(3000000L) + col("vec_id") * 10 + col("j")).as("did"))
+      got.agg(count(lit(1)).as("n_results")).crossJoin(
+        planted.join(got, Seq("qid", "did"), "left_semi")
+          .agg((count(lit(1)) === 24L).as("all_planted_found")))
+        .crossJoin(got.join(
+            positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
+            Seq("qid", "did"), "left_semi")
+          .agg((count(lit(1)) === 0L).as("no_positive_returned")))
     })
   )
 
@@ -4898,7 +4939,11 @@ object SparkEntry {
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_words, " +
         "CAST(SUM(length(w)) AS BIGINT) AS n_chars, " +
         "true AS mass_ok, true AS bpe_bounds_ok, " +
-        "true AS unigram_bounds_ok, true AS both_compress FROM w1")
+        "true AS unigram_bounds_ok, true AS both_compress FROM w1"),
+
+    "q224_hard_negatives_indexed" ->
+      ("SELECT CAST(40 AS BIGINT) AS n_results, true AS all_planted_found, " +
+        "true AS no_positive_returned")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -47,10 +47,22 @@ object AutoCache {
     lazy val value: B = thunk()
   }
 
+  /** A fold queued for fusion: holds its bag + algebra until the batch
+    * runs, then its slot of the foldAll result. */
+  private final class PendingFold[A, B](val bag: DataBag[A], val alg: graft.api.alg.Alg[A, B]) {
+    private var result: Option[Any] = None
+    private[AutoCache] def set(r: Any): Unit = result = Some(r)
+    private[AutoCache] def get: B = result.getOrElse(
+      throw new IllegalStateException("deferred fold read before batch ran")
+    ).asInstanceOf[B]
+  }
+
   final class Scope private[AutoCache] () {
     private val seen = new java.util.IdentityHashMap[Dataset[_], Integer]
     private val persisted = new java.util.ArrayList[Dataset[_]]
     private val deferred = new java.util.ArrayList[Deferred[_]]
+    private val pendingFolds =
+      new java.util.IdentityHashMap[Dataset[_], java.util.ArrayList[PendingFold[_, _]]]
 
     private[api] def note(ds: Dataset[_]): Unit = {
       val n = seen.merge(ds, 1, (a, b) => a + b)
@@ -67,6 +79,38 @@ object AutoCache {
       val d = new Deferred(() => f(bag))
       deferred.add(d)
       d
+    }
+
+    /** Defer a FOLD so that all deferred folds of the SAME bag execute as
+      * ONE [[DataBag.foldAll]] job — the reference's fold-forest fusion
+      * (compiler/opt/FoldForestFusion.scala:293-327) as a runtime rule:
+      * the compiler fuses N independent folds of one bag into a single
+      * banana; here the scope accumulates them and fuses at first read
+      * (or scope exit, whichever comes first). Results are bit-identical
+      * to running each fold alone — AlgAll evaluates every algebra on the
+      * same element stream in registration order. */
+    def deferFold[A, B](bag: DataBag[A])(alg: graft.api.alg.Alg[A, B]): Deferred[B] = {
+      note(bag.ds)
+      val pf = new PendingFold(bag, alg)
+      pendingFolds
+        .computeIfAbsent(bag.ds, _ => new java.util.ArrayList[PendingFold[_, _]])
+        .add(pf)
+      val d = new Deferred(() => { runPendingFolds(bag.ds); pf.get })
+      deferred.add(d)
+      d
+    }
+
+    private def runPendingFolds(ds: Dataset[_]): Unit = {
+      val list = pendingFolds.remove(ds)
+      if (list != null && !list.isEmpty) {
+        val pfs = new Array[PendingFold[_, _]](list.size())
+        list.toArray(pfs)
+        val bag = pfs(0).bag.asInstanceOf[DataBag[Any]]
+        val algs = pfs.map(_.alg.asInstanceOf[graft.api.alg.Alg[Any, _]]).toSeq
+        val results = bag.foldAll(algs: _*)
+        var i = 0
+        while (i < pfs.length) { pfs(i).set(results(i)); i += 1 }
+      }
     }
 
     private[AutoCache] def flush(): Unit =

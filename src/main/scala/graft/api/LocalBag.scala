@@ -60,6 +60,41 @@ final class LocalBag[A](val values: Seq[A]) extends Serializable {
   def union(that: LocalBag[A]): LocalBag[A] = new LocalBag(values ++ that.values)
   def distinct: LocalBag[A] = new LocalBag(values.distinct)
 
+  // ----------------------------------------------------------------- file IO
+  // Driver-side twins of DataBag's sinks (reference ScalaSeq.scala:98-135):
+  // no SparkSession anywhere — plain java.nio writes of ONE file. The
+  // distributed twin reads these directly, and [[LocalBag.readCSV]]/
+  // [[LocalBag.readText]] read the distributed twin's part-file
+  // directories, so bags round-trip across the two backends.
+
+  /** Write one CSV file (quoting/escaping per `format`; embedded newlines
+    * and nulls are out of scope, as in the reference's local backend). */
+  def writeCSV(path: String, format: CSV = CSV())(
+      implicit c: CsvConverter[A]): Unit = {
+    val sep = format.delimiter
+    def render(field: String): String = {
+      val needsQuote = field.exists(ch => ch == sep || ch == '\n' || ch == '\r') ||
+        format.quote.exists(q => field.indexOf(q.toInt) >= 0)
+      format.quote match {
+        case Some(q) if needsQuote =>
+          val esc = format.escape.getOrElse(q)
+          val body = field.flatMap(ch =>
+            if (ch == q || ch == esc) s"$esc$ch" else ch.toString)
+          s"$q$body$q"
+        case _ => field
+      }
+    }
+    val lines = new scala.collection.mutable.ArrayBuffer[String](values.size + 1)
+    if (format.header)
+      lines += (1 to c.arity).map("_" + _).mkString(sep.toString)
+    values.foreach(a => lines += c.toFields(a).map(render).mkString(sep.toString))
+    LocalBag.writeLines(path, lines.toSeq, format.charset)
+  }
+
+  /** Write one text file, one element per line (String bags only). */
+  def writeText(path: String)(implicit ev: A <:< String): Unit =
+    LocalBag.writeLines(path, values.map(ev), "UTF-8")
+
   // --------------------------------------------------------------- conversion
   def collect(): Seq[A] = values
   override def toString: String = values.mkString("LocalBag(", ", ", ")")
@@ -79,4 +114,71 @@ object LocalBag {
   def empty[A]: LocalBag[A] = new LocalBag(Seq.empty)
   def apply[A](values: A*): LocalBag[A] = new LocalBag(values.toSeq)
   def of[A](values: Seq[A]): LocalBag[A] = new LocalBag(values)
+
+  /** Read a text file — or a directory of `part-*` files as written by
+    * [[DataBag.writeText]] — one element per line, no SparkSession. */
+  def readText(path: String): LocalBag[String] =
+    new LocalBag(readLines(path, "UTF-8"))
+
+  /** Read a CSV file — or a `part-*` directory as written by
+    * [[DataBag.writeCSV]] — without a SparkSession. */
+  def readCSV[A](path: String, format: CSV = CSV())(
+      implicit c: CsvConverter[A]): LocalBag[A] = {
+    val raw = readLines(path, format.charset).filter(_.nonEmpty)
+    val body = if (format.header) raw.drop(1) else raw
+    new LocalBag(body.map(line => c.fromFields(parseLine(line, format))))
+  }
+
+  /** One CSV record: a linear scan honoring the quote char (RFC doubled
+    * quotes AND the escape char inside quoted fields — both spellings
+    * Spark's writer can produce). */
+  private[api] def parseLine(line: String, format: CSV): Seq[String] = {
+    val sep = format.delimiter
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val ch = line(i)
+      if (inQ) {
+        if (format.escape.contains(ch) && i + 1 < line.length &&
+            (format.quote.contains(line(i + 1)) || format.escape.contains(line(i + 1)))) {
+          cur += line(i + 1); i += 2
+        } else if (format.quote.contains(ch)) {
+          if (i + 1 < line.length && format.quote.contains(line(i + 1))) {
+            cur += ch; i += 2
+          } else { inQ = false; i += 1 }
+        } else { cur += ch; i += 1 }
+      } else {
+        if (ch == sep) { out += cur.result(); cur.clear(); i += 1 }
+        else if (format.quote.contains(ch) && cur.isEmpty) { inQ = true; i += 1 }
+        else { cur += ch; i += 1 }
+      }
+    }
+    out += cur.result()
+    out.toSeq
+  }
+
+  private def readLines(path: String, charset: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    val cs = java.nio.charset.Charset.forName(charset)
+    val files =
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq
+          .filter(f => f.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+      else Seq(p)
+    files.flatMap(f => java.nio.file.Files.readAllLines(f, cs).asScala.toSeq)
+  }
+
+  private[api] def writeLines(path: String, lines: Seq[String],
+      charset: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, lines.asJava,
+      java.nio.charset.Charset.forName(charset))
+    ()
+  }
 }

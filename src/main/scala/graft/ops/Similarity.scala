@@ -88,9 +88,9 @@ object Similarity {
     * `positives` is an `(anchor_id, pos_id)` relation; positives and the
     * anchor itself are excluded BEFORE ranking, so every returned row is a
     * genuine confusable. Exact and deterministic (broadcast anchors, one
-    * corpus scan, 4-decimal rounding, id tie-break); at index scale run
-    * the same anti-join + rank over `PqIndex.probe`/[[ivfTopK]] candidates
-    * instead of the full scan. */
+    * corpus scan, 4-decimal rounding, id tie-break); at index scale use
+    * [[hardNegativesIndexed]], which runs the same anti-join + rank over
+    * `PqIndex.probe` candidates instead of the full scan. */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame,
       positives: DataFrame, k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -99,6 +99,32 @@ object Similarity {
         .join(positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
           Seq("qid", "did"), "left_anti"),
       k)
+  }
+
+  /** [[hardNegatives]] at index scale: candidates come from
+    * [[PqIndex.probe]] — partition-pruned coarse cells, ADC scoring over
+    * m-byte codes, exact-cosine rerank — instead of a full corpus scan, so
+    * mining cost tracks `nprobe/nlist` of an already-compressed relation
+    * while the anti-join + final ranking are row-identical to the brute
+    * path over whatever candidates surface. `overfetch` sets how many
+    * reranked candidates per anchor enter the positives anti-join
+    * (`k·overfetch`): it must exceed `k` plus the positives expected among
+    * the anchor's nearest neighbors, or true negatives are crowded out —
+    * the same recall dial as `nprobe`, priced per anchor, not per corpus.
+    * With full probing (`nprobe = nlist`) and generous
+    * `overfetch·rerankFactor` the result equals [[hardNegatives]] exactly
+    * (MiningSpec parity-pins this). */
+  def hardNegativesIndexed(idx: PqIndex.IvfPq, anchors: DataFrame,
+      positives: DataFrame, k: Int = 5, nprobe: Int = 4,
+      rerankWith: Option[DataFrame] = None, rerankFactor: Int = 4,
+      overfetch: Int = 4): DataFrame = {
+    require(k > 0 && overfetch > 0, s"k=$k overfetch=$overfetch")
+    val cand = PqIndex.probe(idx, anchors, k = k * overfetch, nprobe = nprobe,
+        rerankWith = rerankWith, rerankFactor = rerankFactor)
+      .select("qid", "did", "sim")
+      .join(positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
+        Seq("qid", "did"), "left_anti")
+    rankTopK(cand, k)
   }
 
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized into `nlist`

@@ -56,6 +56,39 @@ class AutoCacheSpec extends AnyFlatSpec with Matchers {
     bag.ds.storageLevel shouldBe StorageLevel.NONE
   }
 
+  "deferred folds" should "fuse N folds of one bag into ONE Spark job, bit-identical results" in {
+    import graft.api.alg._
+    val (bag, acc) = countedBag(1000)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (s, n, m, t) = AutoCache.scope { sc =>
+        val sum = sc.deferFold(bag)(Sum(Numeric[Long]))
+        val cnt = sc.deferFold(bag)(Size)
+        val mx = sc.deferFold(bag)(Max(Ordering.Long))
+        val top = sc.deferFold(bag)(Top(3, Ordering.Long))
+        (sum, cnt, mx, top)
+      }
+      // results bit-identical to the standalone folds
+      s.value shouldBe (0L until 1000L).sum
+      n.value shouldBe 1000L
+      m.value shouldBe Some(999L)
+      t.value shouldBe List(999L, 998L, 997L)
+      acc.value shouldBe 1000L // one scan of the source
+      // listener events post asynchronously — wait for the count to settle
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      jobs.get() shouldBe 1 // four folds, ONE job
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   "join inputs" should "count both sides and persist a bag reused across joins" in {
     val (bag, acc) = countedBag(100)
     val small = DataBag(Seq(1L, 2L, 3L))

@@ -47,6 +47,40 @@ class LocalBagSpec extends AnyFlatSpec with Matchers {
     LocalBag(1, 2) should not be LocalBag(1, 2, 2)
   }
 
+  "LocalBag file IO" should "round-trip CSV and text without a SparkSession" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_localbag_io")
+    val rows = LocalBag.of(Seq(
+      (1L, "plain", 1.5), (2L, "with,comma", -2.0), (3L, "with \"quote\"", 0.25)))
+    rows.writeCSV(s"$dir/rows.csv")
+    LocalBag.readCSV[(Long, String, Double)](s"$dir/rows.csv") shouldBe rows
+    // header + alternate delimiter
+    rows.writeCSV(s"$dir/rows2.csv", CSV(header = true, delimiter = ';'))
+    LocalBag.readCSV[(Long, String, Double)](s"$dir/rows2.csv",
+      CSV(header = true, delimiter = ';')) shouldBe rows
+    val texts = LocalBag("alpha", "beta gamma", "delta")
+    texts.writeText(s"$dir/t.txt")
+    LocalBag.readText(s"$dir/t.txt") shouldBe texts
+  }
+
+  it should "interoperate with DataBag IO on the same files (both directions)" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_localbag_interop")
+    val rows = Seq((1L, "alpha", 10.5), (2L, "beta,comma", -3.0), (3L, "ga\"mma", 0.125))
+    // local write -> distributed read
+    LocalBag.of(rows).writeCSV(s"$dir/local.csv")
+    DataBag.readCSV[(Long, String, Double)](s"$dir/local.csv").collect()
+      .sorted shouldBe rows.sorted
+    // distributed write -> local read (a part-file directory)
+    DataBag(rows).writeCSV(s"$dir/dist_csv")
+    LocalBag.readCSV[(Long, String, Double)](s"$dir/dist_csv")
+      .collect().sorted shouldBe rows.sorted
+    // text, both directions
+    val texts = Seq("one line", "another line", "third")
+    LocalBag.of(texts).writeText(s"$dir/local.txt")
+    DataBag.readText(s"$dir/local.txt").collect().sorted shouldBe texts.sorted
+    DataBag(texts).writeText(s"$dir/dist_txt")
+    LocalBag.readText(s"$dir/dist_txt").collect().sorted shouldBe texts.sorted
+  }
+
   "DataBag.flatMapBag" should "run a local-bag comprehension inside the closure" in {
     val dist = new DataBag(spark.createDataset(Seq(1, 2, 3)))
     // per-element local comprehension (the reference's DataBagSpec.scala:

@@ -47,6 +47,29 @@ class MiningSpec extends AnyFlatSpec with Matchers {
     Similarity.hardNegatives(vecs, anchors, none, k = 19).count() shouldBe 19
   }
 
+  behavior of "Similarity.hardNegativesIndexed"
+
+  it should "equal the brute path under a full probe with generous overfetch" in {
+    // nprobe = nlist probes every cell and k·overfetch ≥ corpus size makes
+    // the candidate set exhaustive, so the indexed result must be
+    // ROW-IDENTICAL to the brute scan (same exact-rerank cosine, same
+    // anti-join, same ranking arithmetic)
+    val anchors = vecs.where(col("vec_id") < 2)
+    val positives = anchors.select(col("vec_id").as("anchor_id"), col("label").as("al"))
+      .join(vecs.select(col("vec_id").as("pos_id"), col("label").as("pl")),
+        col("al") === col("pl")).select("anchor_id", "pos_id")
+    val idx = PqIndex.build(vecs, nlist = 4, m = 4, ksub = 4, maxIter = 3)
+    val indexed = Similarity.hardNegativesIndexed(idx, anchors, positives,
+        k = 3, nprobe = 4, rerankWith = Some(vecs), rerankFactor = 8,
+        overfetch = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val brute = Similarity.hardNegatives(vecs, anchors, positives, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    indexed shouldBe brute
+  }
+
   behavior of "Curation.dedupAwareSplit"
 
   private val base = "the quick brown fox jumps over the lazy dog again and " +
