@@ -51,6 +51,16 @@ import scala.reflect.macros.blackbox
   * a job per row; its guards post-filter the pair, and later generators
   * keep deriving joins on top.
   *
+  * HEAD NESTING (one level, the reference's Normalize.scala:44-52 UnnestGenerator
+  * applied to the most common shape users write): a yield whose body
+  * contains a nested comprehension over a literal `DataBag(seq)` — e.g.
+  * `yield (x, (for { w <- DataBag(1L to x) } yield w).sum)` — re-roots the
+  * inner comprehension onto the closure-safe [[LocalBag]] (whose ops and
+  * folds share the distributed bag's Alg algebras, so the value is
+  * identical) and runs it narrowly inside the map closure. A DISTRIBUTED
+  * bag captured in the yield aborts with guidance (it would crash on the
+  * executor).
+  *
   * Not derived (compile-time abort with guidance, never a silent
   * per-element job): dependent generators over a DISTRIBUTED bag (a later
   * bag genuinely built from an earlier row) and non-linear shapes — the reference's full
@@ -176,6 +186,83 @@ class ComprehensionMacro(val c: blackbox.Context) {
   private def localBagArg(t: Tree): Option[Tree] = t match {
     case Call1(_, TermName("apply"), a) => Some(a)
     case _ => None
+  }
+
+  /** A `DataBag`-typed Ident/Select inside the yield head — a DISTRIBUTED
+    * bag captured in a closure that will execute on executors (a guaranteed
+    * runtime crash: no SparkSession there). The literal-ctor chain never
+    * trips this: its `DataBag.apply(...)` node is an Apply, not an
+    * Ident/Select. */
+  private def distributedRefInHead(t: Tree): Option[Tree] = {
+    // the `DataBag` companion MODULE reference inside a ctor chain must not
+    // trip this (its module-class fullName collides with the class)
+    def isValueRef(r: Tree): Boolean =
+      isDataBag(r) && (r.symbol == null || !r.symbol.isModule)
+    t.find {
+      case i @ Ident(_) => isValueRef(i)
+      case s @ Select(_, _) => isValueRef(s)
+      case _ => false
+    }
+  }
+
+  /** HEAD NESTING (one level, the reference's most common
+    * Normalize.scala:44-52 shape): a yield whose body contains a nested
+    * comprehension over a literal `DataBag(seq)` — provably a local,
+    * per-element collection — re-rooted onto the closure-safe
+    * [[graft.api.LocalBag]], whose ops and folds share the distributed
+    * bag's Alg algebras, so the value is identical and the inner
+    * comprehension runs narrowly inside the map closure instead of
+    * crashing on a per-row SparkSession. Name-based on the untyped tree
+    * (symbols are gone after untypecheck); only applied when the TYPED
+    * body proved a literal ctor is present. */
+  /** DataBag methods whose trailing implicit list is an Encoder — LocalBag's
+    * twins take no such list, so the residual list the untypecheck keeps
+    * must be dropped when the receiver chain is being localized. (Numeric/
+    * Ordering implicit lists on sum/min/top/... are IDENTICAL on LocalBag
+    * and stay.) */
+  private val encoderMethods: Set[TermName] =
+    Set(TermName("map"), TermName("flatMap"), TermName("groupBy"),
+      TermName("foldGroup"))
+
+  /** True when `t` is a method-call chain whose RECEIVER root is a literal
+    * `DataBag(seq)` ctor (arguments are not searched). */
+  private def rootsInCtor(t: Tree): Boolean = t match {
+    case Call1(q, TermName("apply"), _) if isDataBagName(q) => true
+    case Apply(fun, _) => rootsInCtor(fun)
+    case TypeApply(fun, _) => rootsInCtor(fun)
+    case Select(qual, _) => rootsInCtor(qual)
+    case _ => false
+  }
+
+  private def calledName(fun: Tree): Option[TermName] = fun match {
+    case Select(_, n: TermName) => Some(n)
+    case TypeApply(Select(_, n: TermName), _) => Some(n)
+    case _ => None
+  }
+
+  private def localizeHead(t: Tree): Tree = {
+    val tr = new Transformer {
+      override def transform(tree: Tree): Tree = tree match {
+        case Apply(inner @ Apply(fun, _), _)
+            if calledName(fun).exists(encoderMethods) && rootsInCtor(inner) =>
+          transform(inner) // drop the residual Encoder argument list
+        case Call1(q, TermName("apply"), a) if isDataBagName(q) =>
+          q"_root_.graft.api.LocalBag.of(${transform(a)})"
+        case _ => super.transform(tree)
+      }
+    }
+    // the transplanted untypechecked subtrees can carry residual
+    // attribution (symbol'd Selects, This-prefixed implicit refs) that
+    // poisons re-typechecking of the REWRITTEN chain; a print/parse
+    // round-trip yields a genuinely fresh tree — safe here because the
+    // localized head is a plain expression (showCode of these shapes is
+    // valid source)
+    c.parse(showCode(tr.transform(t)))
+  }
+  private def isDataBagName(q: Tree): Boolean = q match {
+    case Ident(TermName("DataBag")) => true
+    case Select(_, TermName("DataBag")) => true
+    case _ => false
   }
 
   /** Reference detection by SYMBOL identity on the typed tree — a guard
@@ -305,8 +392,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
     val typedChain = flatten(expr)
     typedChain match {
-      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
+      case Some((gens, tbody)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
           gens.tail.exists(g => isDataBag(g.bag)) =>
+        // head-nesting guard: a distributed bag captured inside the yield
+        // is a guaranteed executor-side crash — abort with guidance now
+        for (r <- distributedRefInHead(tbody))
+          c.abort(c.enclosingPosition,
+            s"onSpark: the yield references the distributed bag '$r'; only a nested " +
+            "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
+            "element) — fold the bag outside the comprehension or restructure")
+        val headHasCtor = tbody.exists(isLocalBagCtor)
         val allNames = gens.flatMap(g => g.pat.map(bindNames).getOrElse(List(g.v.name)))
         if (allNames.distinct.length != allNames.length)
           c.abort(c.enclosingPosition,
@@ -401,8 +496,31 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case (acc, ((_, None), _)) => acc
             }
             val last = ugens.last
-            q"$joinedAll.map(${bound(binders, ugens.length, ubody, Some(Binder(last.v.name, last.pat)))})"
+            val body = if (headHasCtor) localizeHead(ubody) else ubody
+            q"$joinedAll.map(${bound(binders, ugens.length, body, Some(Binder(last.v.name, last.pat)))})"
           case None =>
+            c.abort(c.enclosingPosition,
+              "internal: untypechecked tree no longer matches the comprehension shape")
+        }
+
+      // single-generator comprehension with a nested head: localize the
+      // yield's literal-ctor comprehension (or abort on a captured
+      // distributed bag) — same head-nesting rule as the multi-generator
+      // branch, without any joins to derive
+      case Some((gens, tbody)) if gens.length == 1 && isDataBag(gens.head.bag) &&
+          (tbody.exists(isLocalBagCtor) || distributedRefInHead(tbody).isDefined) =>
+        for (r <- distributedRefInHead(tbody))
+          c.abort(c.enclosingPosition,
+            s"onSpark: the yield references the distributed bag '$r'; only a nested " +
+            "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
+            "element) — fold the bag outside the comprehension or restructure")
+        flatten(c.untypecheck(expr)) match {
+          case Some((List(g), ubody)) =>
+            val first = g.guards.foldLeft(g.bag) { case (acc, gd) =>
+              q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
+            }
+            q"$first.map(${binderLam(g.v.name, g.pat, localizeHead(ubody))})"
+          case _ =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")
         }

@@ -63,7 +63,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def timeOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -73,10 +73,29 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val sorted = times.map(_._1).sorted
-      val median = sorted(sorted.size / 2)
-      val noisy = sorted.last / sorted.head.max(1e-9) > 2.0
-      (name, median, times.forall(_._2), noisy, sorted.head, sorted.last)
+      // Outlier re-run pass: a rep that lands in a host-load window can be
+      // 10-75x the clean time, which poisoned the recorded medians of two
+      // consecutive rounds (r7: 36 noisy rows, r8: 62). When the spread
+      // exceeds 4x, buy up to 2 extra reps so clean runs outvote the
+      // loaded one; the reported median/noisy-flag then consider only the
+      // CLEAN reps (within 4x of the best), while min/max still record the
+      // full observed spread for triage.
+      var times = (1 to reps).map(_ => timeOnce())
+      var extra = 0
+      while (extra < 2 && reps > 1 && {
+        val s = times.map(_._1).sorted; s.last / s.head.max(1e-9) > 4.0
+      }) {
+        times = times :+ timeOnce(); extra += 1
+      }
+      val all = times.map(_._1).sorted
+      val clean = all.filter(_ <= all.head * 4.0)
+      val median = clean(clean.size / 2)
+      // noisy = the recorded number is not a usable signal: relative spread
+      // over 2x AND absolute spread over 1s (sub-second queries jitter 2x
+      // on constant scheduler overhead without carrying any information)
+      val noisy = clean.last / clean.head.max(1e-9) > 2.0 &&
+        clean.last - clean.head > 1.0
+      (name, median, times.forall(_._2), noisy, all.head, all.last)
     }
     // A failed query reports -1 (not its elapsed time) so breakage can't be
     // mistaken for a speedup in benchmark history; failures also get their
@@ -103,8 +122,9 @@ object Bench {
       val perQuery = results.map { case (k, med, ok, noisyQ, mn, mx) =>
         s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ}"""
       }.mkString("{\n", ",\n", "\n}")
+      val minTotalHist = results.collect { case (_, _, true, _, mn, _) => mn }.sum
       val body =
-        s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus","total_sec":${f"$total%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"queries":$perQuery}"""
+        s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus","total_sec":${f"$total%.2f"},"min_total_sec":${f"$minTotalHist%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"queries":$perQuery}"""
       java.nio.file.Files.writeString(dir.resolve(s"$ts.json"), body)
     }
     // End with a compact digest that always fits a ~2000-char tail: total,
@@ -113,7 +133,10 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_digest","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
+    // min_total = Σ per-query min — the load-robust statistic (a rep's min
+    // is never inflated by a host-load window, only by genuine cost)
+    val minTotal = results.collect { case (_, _, true, _, mn, _) => mn }.sum
+    println(s"""{"metric":"total_digest","value":${f"$total%.2f"},"unit":"sec","min_total":${f"$minTotal%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

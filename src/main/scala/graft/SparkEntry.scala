@@ -1216,10 +1216,12 @@ object SparkEntry {
         .groupBy("rf", "ls").agg(count(lit(1)).as("n"))
     }),
 
-    // Exact k-per-group deterministic sample (ops.Sampling.stratifiedExactK):
-    // winners are a pure function of the ids — row-level oracle equality
+    // Exact k-per-group deterministic sample, served by the bounded-heap
+    // TopKPerKey path (row-identical to the window form — SkewSpec pins
+    // the differential): winners are a pure function of the ids —
+    // row-level oracle equality
     "q123_exact_k_sample" -> ((s, d) =>
-      Sampling.stratifiedExactK(
+      Sampling.stratifiedExactKFast(
         tbl(s, d, "documents").select("doc_id", "source"),
         "source", col("doc_id"), k = 20)),
 
@@ -3146,6 +3148,34 @@ object SparkEntry {
             positives.select(col("anchor_id").as("qid"), col("pos_id").as("did")),
             Seq("qid", "did"), "left_semi")
           .agg((count(lit(1)) === 0L).as("no_positive_returned")))
+    }),
+
+    // One level of HEAD NESTING in the macro (the reference's
+    // Normalize.scala UnnestGenerator shape): q183's corpus, but the yield
+    // contains a nested comprehension over a per-row literal DataBag(seq)
+    // folded with .sum — the macro re-roots it onto the closure-safe
+    // LocalBag so it runs narrowly inside the join's map. The oracle
+    // flattens the triangular sum Σ 1..n (n = o_orderkey%5+1) in SQL
+    "q225_comprehension_nested_yield" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      implicit val sp: SparkSession = s
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .as[CustRow])
+      val res = onSpark {
+        for {
+          o <- orders
+          cu <- custs
+          if o.o_custkey == cu.c_custkey
+          if cu.c_acctbal > 5000.0
+        } yield (o.o_orderkey, cu.c_name,
+          (for { w <- DataBag((1L to (o.o_orderkey % 5 + 1)).toSeq) } yield w).sum)
+      }
+      res.ds.toDF("o_orderkey", "c_name", "tri")
     })
   )
 
@@ -4943,7 +4973,13 @@ object SparkEntry {
 
     "q224_hard_negatives_indexed" ->
       ("SELECT CAST(40 AS BIGINT) AS n_results, true AS all_planted_found, " +
-        "true AS no_positive_returned")
+        "true AS no_positive_returned"),
+
+    "q225_comprehension_nested_yield" ->
+      ("SELECT o_orderkey, c_name, " +
+        "CAST((o_orderkey % 5 + 1) * (o_orderkey % 5 + 2) // 2 AS BIGINT) AS tri " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_acctbal > 5000.0")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -58,9 +58,12 @@ object ML {
         (coalesce(col("ll_obs"), lit(0.0)) +
           (col("doc_tf") - coalesce(col("seen_tf"), lit(0.0))) * col("log_floor") +
           col("log_prior")).as("score"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy(col("score").desc, col("label").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    // argmax per doc via the bounded-heap top-k operator (k = 1): same
+    // (score desc, label asc) total order as a row_number window, but each
+    // partition reduces to one candidate per doc BEFORE the shuffle — no
+    // full sort of the |docs|×|labels| scored relation
+    graft.plans.TopK.perKey(scored, Seq("id"),
+        Seq(col("score").desc, col("label").asc), 1)
       .select(col("id"), col("label").as("pred"), col("score"))
   }
 

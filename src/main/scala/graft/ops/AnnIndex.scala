@@ -126,7 +126,6 @@ object AnnIndex {
     * to 4 decimals, tie-broken by neighbor id. */
   def probe(index: Ivf, queries: DataFrame, k: Int = 3, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // probe cells are computed on the RAW vector — the same arithmetic the
     // corpus assignment used — so quantization is symmetric for any input
     // precision; only the scoring copy is float-cast (cosine's input type)
@@ -143,7 +142,7 @@ object AnnIndex {
       // real double under `desc` — drop them or they steal a top-k slot from
       // a true neighbor for every query probing their cell
       .where(!isnan(col("sim")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("did").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // bounded-heap per-query top-k (no Window sort of the probed candidates)
+    Similarity.rankTopK(scored, k)
   }
 }

@@ -111,13 +111,15 @@ object PqIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the probe cells ride WITH each query row (per-query candidate sets,
     // the IVF semantic), duplicating only the droplet-sized query side
-    val q = broadcast(Pq.querySide(idx.cb, queries, idCol, vecCol)
+    val q = Pq.querySide(idx.cb, queries, idCol, vecCol)
       .join(queries.select(col(idCol).as("qid"),
         explode(graft.lib.KMeans.nearestCentroids(idx.coarse, col(vecCol),
-          nprobe)).as("cell")), "qid"))
+          nprobe)).as("cell")), "qid")
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val cand = idx.codes.where(col("cell").isin(cells.map(Integer.valueOf): _*))
-    val scored = q.join(cand, Seq("cell"))
+    // hint at the JOIN site only — hinting `q` itself would leave a dead
+    // broadcast hint in the cell-resolution plan above (no join there)
+    val scored = broadcast(q).join(cand, Seq("cell"))
       .where(col("qid") =!= col("did"))
       .select(col("qid"), col("qv"), col("did"), Pq.adcSim.as("sim"))
       .where(!isnan(col("sim")))

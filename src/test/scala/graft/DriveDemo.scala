@@ -554,6 +554,43 @@ object DriveDemo {
       val plan = joined.toDF.queryExecution.executedPlan.toString
       println(s"comprehension join rows = ${joined.ds.count()}, " +
         s"cartesian in plan = ${plan.toLowerCase.contains("cartesian")}")
+      // head nesting: a per-row local comprehension folded in the yield
+      val nested = onSpark {
+        for { o <- orders; cu <- custs; if o.o_custkey == cu.c_custkey }
+          yield (o.o_orderkey,
+            (for { w <- DataBag((1L to (o.o_orderkey % 4 + 1)).toSeq) } yield w).sum)
+      }
+      println("nested-yield comprehension rows = " + nested.ds.count())
+    }
+
+    // 12. round-9 surfaces: indexed hard negatives, LocalBag IO, fold fusion
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val anchors = emb.where(col("vec_id") < 3)
+      val positives = anchors
+        .select(col("vec_id").as("anchor_id"), col("label").as("al"))
+        .join(emb.select(col("vec_id").as("pos_id"), col("label").as("pl")),
+          col("al") === col("pl")).select("anchor_id", "pos_id")
+      val idx = graft.ops.PqIndex.build(emb, nlist = 4, m = 8, ksub = 8, maxIter = 3)
+      val hni = graft.ops.Similarity.hardNegativesIndexed(idx, anchors, positives,
+        k = 3, nprobe = 4, rerankWith = Some(emb), rerankFactor = 4, overfetch = 4)
+      println("indexed hard negatives: rows = " + hni.count())
+      // LocalBag file IO: local write -> distributed read and back
+      val dir = java.nio.file.Files.createTempDirectory("drive_localbag").toString
+      val lb = graft.api.LocalBag.of(Seq((1L, "a"), (2L, "b,c")))
+      lb.writeCSV(s"$dir/lb.csv")
+      val back = DataBag.readCSV[(Long, String)](s"$dir/lb.csv").collect().sorted
+      println("localbag csv roundtrip via spark = " + back.mkString(";"))
+      // deferred-fold fusion: 3 folds, one job
+      import graft.api.alg._
+      val bag = DataBag.from(spark.range(1000).as[Long])
+      val (s1, s2, s3) = graft.api.AutoCache.scope { sc =>
+        (sc.deferFold(bag)(Sum(Numeric[Long])),
+          sc.deferFold(bag)(Size),
+          sc.deferFold(bag)(Max(Ordering.Long)))
+      }
+      println(s"fused folds: sum=${s1.value} n=${s2.value} max=${s3.value}")
     }
 
     spark.stop()

@@ -315,6 +315,45 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "localize a nested head comprehension over a literal DataBag(seq)" in {
+    // one level of head nesting (the reference's UnnestGenerator shape):
+    // the inner comprehension ranges over a per-element literal bag and is
+    // folded in the yield — it must run locally inside the map closure,
+    // with Seq-identical semantics
+    val xs = bagL(1L to 10L)
+    val ys = bagL(Seq(2L, 4L, 6L))
+    val out = onSpark {
+      for { x <- xs; y <- ys; if x % 3 == y % 5 }
+        yield (x, y, (for { w <- DataBag(1L to x) } yield w * y).sum)
+    }
+    val seqRef = for { x <- 1L to 10L; y <- Seq(2L, 4L, 6L); if x % 3 == y % 5 }
+      yield (x, y, (for { w <- 1L to x } yield w * y).sum)
+    out.collect().sorted shouldBe seqRef.sorted
+    // and the outer chain still plans the equi-join
+    val plan = out.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+  }
+
+  it should "localize a nested head over a SINGLE generator (guards kept)" in {
+    val xs = bagL(1L to 8L)
+    val out = onSpark {
+      for { x <- xs; if x % 2 == 0 }
+        yield (x, (for { w <- DataBag(Seq(x, x + 1)); if w % 2 == 1 } yield w).size)
+    }
+    val seqRef = for { x <- 1L to 8L; if x % 2 == 0 }
+      yield (x, (for { w <- Seq(x, x + 1); if w % 2 == 1 } yield w).size.toLong)
+    out.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "reject a DISTRIBUTED bag captured in the yield at compile time" in {
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    val zs = bagL(6L to 9L)
+    onSpark { for { x <- xs; y <- ys; if x == y } yield (x, zs.sum) }
+    """ shouldNot compile
+  }
+
   it should "leave non-DataBag comprehensions untouched" in {
     val r = onSpark { for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y }
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
