@@ -3176,6 +3176,34 @@ object SparkEntry {
           (for { w <- DataBag((1L to (o.o_orderkey % 5 + 1)).toSeq) } yield w).sum)
       }
       res.ds.toDF("o_orderkey", "c_name", "tri")
+    }),
+
+    // PointBag — the IN-FLIGHT half of the IndexedRDD gap (the at-rest half
+    // is q195's StateStore): keyed state hash-partitioned at the RDD tier,
+    // point upserts/deletes touch ONLY the partitions owning the delta's
+    // keys (PointBagSpec machine-asserts the task counts). Three upsert
+    // rounds + an insert round + a delete pass over customer balances in
+    // integer cents (exact Long arithmetic — order-free, oracle-exact).
+    "q226_point_bag" -> ((s, d) => {
+      import s.implicits._
+      def cents(c: Column): Column = round(c * 100).cast("long")
+      val base = tbl(s, d, "customer")
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("v")).as[(Long, Long)]
+      val pb = graft.api.PointBag(DataBag.from(base), compactEvery = 2)
+      val add = (k: Long, old: Option[Long], m: Long) => Some(old.getOrElse(0L) + m)
+      val msgs = tbl(s, d, "orders").where(col("o_orderkey") % 1000 < 40)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("m"),
+          (col("o_orderkey") % 3).as("r")).as[(Long, Long, Long)].collect()
+      for (r <- 0L to 2L) // the converging-fixpoint shape: small driver-known deltas
+        pb.update(msgs.filter(_._3 == r).map(t => (t._1, t._2)).toSeq)(add)
+      val ins = tbl(s, d, "orders").where(col("o_orderkey") % 1000 < 5)
+        .select(col("o_custkey") + 10000000L, cents(col("o_totalprice")))
+        .as[(Long, Long)].collect()
+      pb.update(ins.toSeq)(add) // keys absent from the state: pure inserts
+      val dels = tbl(s, d, "customer").where(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey")).as[Long].collect()
+      pb.delete(dels.toSeq)
+      pb.bag().ds.toDF("c_custkey", "balance_cents")
     })
   )
 
@@ -4979,7 +5007,24 @@ object SparkEntry {
       ("SELECT o_orderkey, c_name, " +
         "CAST((o_orderkey % 5 + 1) * (o_orderkey % 5 + 2) // 2 AS BIGINT) AS tri " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
-        "WHERE c_acctbal > 5000.0")
+        "WHERE c_acctbal > 5000.0"),
+
+    // Upserts are exact Long adds (order-free), inserts land on shifted
+    // keys, deletes hit original custkeys % 97 — all replayable as one
+    // grouped union. cents via the portable floor(x*100 + 0.5) spelling.
+    "q226_point_bag" ->
+      ("WITH base AS (SELECT c_custkey AS k, " +
+        "CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents FROM customer), " +
+        "msg AS (SELECT o_custkey AS k, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 1000 < 40), " +
+        "ins AS (SELECT o_custkey + 10000000 AS k, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
+        "FROM orders WHERE o_orderkey % 1000 < 5) " +
+        "SELECT k AS c_custkey, CAST(SUM(cents) AS BIGINT) AS balance_cents " +
+        "FROM (SELECT * FROM base UNION ALL SELECT * FROM msg " +
+        "UNION ALL SELECT * FROM ins) " +
+        "GROUP BY 1 HAVING NOT (k < 10000000 AND k % 97 = 0)")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

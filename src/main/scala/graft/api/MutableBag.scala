@@ -22,7 +22,11 @@ import org.apache.spark.sql.graft.bridge
   * the checkpoint, zero Exchange, and the cogroup's output (new values
   * computed in the partition that held the key) re-asserts the same layout.
   * That closes the IndexedRDD gap for large-delta rounds; small-delta
-  * rounds can avoid even the message shuffle via [[updateBroadcast]].
+  * rounds can avoid even the message shuffle via [[updateBroadcast]]
+  * (still an O(|state|) narrow scan per round — Datasets have no index).
+  * When rounds are genuinely point-sized and unique-keyed, [[PointBag]]
+  * closes the remaining gap at the RDD tier: per-round tasks bounded by
+  * the TOUCHED partitions, the true IndexedRDD property.
   * Eager localCheckpoint cuts lineage across fixpoint iterations (the role
   * of the reference's auto-cache rule, Caching.scala:74-139).
   */

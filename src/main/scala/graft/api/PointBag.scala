@@ -1,0 +1,181 @@
+package graft.api
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+import scala.reflect.ClassTag
+
+/** In-memory keyed state with TRUE point updates — the in-flight twin of
+  * [[graft.ops.StateStore]] (which closes the same gap for state at rest).
+  *
+  * The reference backs `MutableBag` with AMPLab IndexedRDD precisely so a
+  * small update touches only the partitions holding the updated keys
+  * (emma-spark SparkMutableBag.scala:22,39-50). [[MutableBag]] reproduces
+  * the reference SEMANTICS on Datasets (zero state Exchange per round), but
+  * any Dataset pass — even a narrow one — scans the whole state when it
+  * materializes. This class drops to the RDD tier (the documented "genuine
+  * per-partition imperative logic" exception) to get the missing property:
+  *
+  *   - state lives hash-partitioned by key ([[HashPartitioner]], whose
+  *     `getPartition` is DRIVER-CALLABLE — the index);
+  *   - an update/lookup resolves its key set to a partition set on the
+  *     driver and runs a [[PartitionPruningRDD]] job over ONLY those
+  *     partitions — per-round tasks = |touched partitions|, not |parts|
+  *     (PointBagSpec asserts the task counts via a listener);
+  *   - untouched partitions chain by PASS-THROUGH iterators (no closure
+  *     work, no copy) until the next compaction; every `compactEvery`
+  *     updates the chain is cut with a materialized `localCheckpoint`, so
+  *     amortized full-scan cost is O(|state| / compactEvery) per round.
+  *
+  * At 100 TB / 4096 partitions, a 1000-key round reads ≤ 1000/4096 of the
+  * state; the scan the Dataset tier cannot avoid happens once per
+  * `compactEvery` rounds instead of every round.
+  *
+  * Contract: UNIQUE key per row (an indexed store, like [[graft.ops.StateStore]];
+  * `MutableBag`'s duplicate-key passthrough is not supported), and `K` must
+  * have a deterministic `hashCode` (primitives, String, case classes of
+  * those — anything `HashPartitioner` routes stably). Messages for one key
+  * apply in sequence, each seeing the previous result; `f` returning `None`
+  * leaves the current value unchanged (use [[delete]] to remove keys).
+  * `localCheckpoint` blocks are executor-local: single-app lifetime, same
+  * stance as [[MutableBag]]/[[Iterate]].
+  */
+final class PointBag[K, V] private (
+    @transient private var state: RDD[(K, V)],
+    private val parts: Int,
+    private val compactEvery: Int,
+    spark: SparkSession,
+    encK: Encoder[K], encV: Encoder[V]) {
+
+  private implicit val kvTag: ClassTag[(K, V)] =
+    ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[(K, V)]]
+  private implicit val kvEnc: Encoder[(K, V)] = Encoders.tuple(encK, encV)
+
+  private val partitioner = new HashPartitioner(parts)
+  private var sinceCompact = 0
+  // the last COMPACTED state — its blocks back the pass-through chain and
+  // must stay alive until the next compaction materializes
+  private var anchor: RDD[(K, V)] = state
+
+  private def pidOf(k: K): Int = partitioner.getPartition(k)
+
+  /** Apply point upserts. Each `(key, message)` routes to the one partition
+    * owning the key; messages for absent keys insert via `f(k, None, m)`.
+    * Returns the new value per touched key (one pruned job over the
+    * touched partitions — the IndexedRDD `multiput` shape). Call only when
+    * the messages fit on the driver (the point-update premise). */
+  def update[M](msgs: Seq[(K, M)])(f: (K, Option[V], M) => Option[V]): Map[K, V] = {
+    if (msgs.isEmpty) return Map.empty
+    // group per partition up front: each task looks up ONLY its own slice
+    val byPid: Map[Int, Map[K, Seq[M]]] = msgs.groupBy { case (k, _) => pidOf(k) }
+      .view.mapValues(_.groupBy(_._1).view.mapValues(_.map(_._2)).toMap).toMap
+    val touched = byPid.keySet
+    val bc = spark.sparkContext.broadcast(byPid)
+    val next = state.mapPartitionsWithIndex({ (pid, it) =>
+      bc.value.get(pid) match {
+        case None => it // pass-through: zero closure work for this partition
+        case Some(ms) =>
+          val seen = scala.collection.mutable.HashSet.empty[K]
+          val updated = it.map { case (k, v) =>
+            ms.get(k) match {
+              case None => (k, v)
+              case Some(list) =>
+                seen += k
+                (k, list.foldLeft(v)((acc, m) => f(k, Some(acc), m).getOrElse(acc)))
+            }
+          }
+          // inserts resolve AFTER the partition's rows are exhausted —
+          // Iterator.++'s right operand is BY-NAME, so this def only runs
+          // once `updated` is drained and `seen` is complete (an anonymous
+          // Iterator subclass here would also capture PointBag.this into
+          // the task closure); keys sorted by hashCode for a deterministic
+          // row order within the partition
+          def inserts = ms.view.filterKeys(!seen(_)).toSeq
+            .sortBy(_._1.hashCode).iterator.flatMap { case (k, list) =>
+              list.foldLeft(Option.empty[V])((acc, m) => f(k, acc, m).orElse(acc))
+                .map(k -> _)
+            }
+          updated ++ inserts
+      }
+    }, preservesPartitioning = true)
+    advance(next)
+    // the delta read: one job of |touched| tasks, not |parts|
+    val keys = msgs.map(_._1).toSet
+    PartitionPruningRDD.create(state, touched)
+      .mapPartitions(_.filter { case (k, _) => keys(k) }, true)
+      .collect().toMap
+  }
+
+  /** Remove keys (touched-partition pass; absent keys are a no-op). */
+  def delete(keys: Seq[K]): Unit = {
+    if (keys.isEmpty) return
+    val byPid = keys.groupBy(pidOf).view.mapValues(_.toSet).toMap
+    val bc = spark.sparkContext.broadcast(byPid)
+    val next = state.mapPartitionsWithIndex({ (pid, it) =>
+      bc.value.get(pid) match {
+        case None => it
+        case Some(ks) => it.filter { case (k, _) => !ks(k) }
+      }
+    }, preservesPartitioning = true)
+    advance(next)
+  }
+
+  /** Point lookup: one pruned job over the partitions owning `keys` —
+    * the IndexedRDD `multiget`. */
+  def multiget(keys: Seq[K]): Map[K, V] = {
+    if (keys.isEmpty) return Map.empty
+    val touched = keys.map(pidOf).toSet
+    val ks = keys.toSet
+    PartitionPruningRDD.create(state, touched)
+      .mapPartitions(_.filter { case (k, _) => ks(k) }, true)
+      .collect().toMap
+  }
+
+  /** Snapshot of the full state as a [[DataBag]] (one full pass, as any
+    * whole-bag read must be). */
+  def bag(): DataBag[(K, V)] = DataBag.from(spark.createDataset(state))
+
+  /** Cut the pass-through chain NOW: materialize + localCheckpoint, free
+    * the previous anchor's blocks. Runs automatically every `compactEvery`
+    * updates. */
+  def compact(): Unit = {
+    val cut = state.localCheckpoint()
+    cut.count() // materialize the checkpoint blocks
+    if (!(anchor eq cut)) anchor.unpersist(blocking = false)
+    anchor = cut
+    state = cut
+    sinceCompact = 0
+  }
+
+  private def advance(next: RDD[(K, V)]): Unit = {
+    state = next
+    sinceCompact += 1
+    if (sinceCompact >= compactEvery) compact()
+  }
+
+  private[graft] def currentChainLength: Int = sinceCompact
+}
+
+object PointBag {
+  /** Build from an initial state (one hash Exchange; every later round is
+    * pruned to its touched partitions). `parts` defaults to the session's
+    * shuffle parallelism; `compactEvery` bounds the pass-through chain —
+    * raise it when updates are tiny relative to the state. */
+  def apply[K, V](init: DataBag[(K, V)], parts: Int = 0, compactEvery: Int = 8)(
+      implicit encK: Encoder[K], encV: Encoder[V]): PointBag[K, V] = {
+    val spark = init.ds.sparkSession
+    val p = if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // element ClassTags only parameterize PairRDDFunctions' serializers —
+    // AnyRef is safe here (rows are boxed in the tuple); the COLLECT-side
+    // tag (the one that must be Tuple2, see the verify-skill gotcha) is the
+    // class-level kvTag
+    implicit val kTag: ClassTag[K] = ClassTag.AnyRef.asInstanceOf[ClassTag[K]]
+    implicit val vTag: ClassTag[V] = ClassTag.AnyRef.asInstanceOf[ClassTag[V]]
+    val base = init.ds.rdd.partitionBy(new HashPartitioner(p))
+      .localCheckpoint()
+    base.count()
+    new PointBag(base, p, compactEvery, spark, encK, encV)
+  }
+}

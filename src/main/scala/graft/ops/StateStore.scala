@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * (emma-spark SparkMutableBag.scala:22,39-50). Spark Datasets have no
   * in-memory index, so [[graft.api.MutableBag]] keeps IN-FLIGHT loop state
   * hash-partitioned (zero state Exchange per round) but still scans the
-  * whole state each round. This store closes the AT-REST half of the gap:
+  * whole state each round ([[graft.api.PointBag]] closes that IN-FLIGHT
+  * half at the RDD tier). This store closes the AT-REST half of the gap:
   * state persists Hive-partitioned by a stable key bucket, and a point
   * update
   *   1. resolves the delta's bucket set (≤ |delta| ints, driver-side),

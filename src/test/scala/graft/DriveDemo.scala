@@ -591,6 +591,14 @@ object DriveDemo {
           sc.deferFold(bag)(Max(Ordering.Long)))
       }
       println(s"fused folds: sum=${s1.value} n=${s2.value} max=${s3.value}")
+      // PointBag: pruned point rounds over a keyed store
+      val pb = graft.api.PointBag(
+        DataBag.from(spark.range(100).as[Long].map(i => (i, i * 10L))), parts = 8)
+      val d1 = pb.update(Seq((7L, 5L), (700L, 1L)))(
+        (_, old, m) => Some(old.getOrElse(0L) + m))
+      pb.delete(Seq(3L))
+      println(s"pointbag: delta=$d1 get=${pb.multiget(Seq(7L, 3L, 700L))} " +
+        s"n=${pb.bag().ds.count()}")
     }
 
     spark.stop()
