@@ -52,11 +52,69 @@ object KMeans {
           .otherwise(acc)
       }).getField("cid")
 
-  /** Train the centroids (Lloyd iterations, deterministic init). */
+  /** The Lloyd loop run DRIVER-SIDE over collected points in id order —
+    * same init (k lowest ids), same strict-< argmin in cid order, same
+    * mean update, same empty-cluster and 1e-9 convergence rules as the
+    * distributed loop. Centroid values may differ from the distributed
+    * path in the last ulps (FP summation order — the documented
+    * `centroids` caveat applies to BOTH paths); each path is
+    * deterministic. */
+  private[graft] def lloydLocal(ptsSorted: Array[Seq[Double]], k: Int,
+      maxIter: Int): Array[(Int, Seq[Double])] = {
+    var cents: Array[(Int, Seq[Double])] =
+      ptsSorted.take(k).zipWithIndex.map { case (v, i) => (i, v) }
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(cents.length)(Option.empty[(Array[Double], Long)])
+      ptsSorted.foreach { v =>
+        var best = -1; var bd = Double.MaxValue
+        cents.foreach { case (cid, c) =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = cid }
+        }
+        val (acc, n) = sums(best).getOrElse((new Array[Double](v.length), 0L))
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        sums(best) = Some((acc, n + 1))
+      }
+      val merged = cents.map { case (cid, old) =>
+        (cid, sums(cid).map { case (acc, n) => acc.map(_ / n).toSeq }.getOrElse(old))
+      }
+      moved = merged.zip(cents).exists { case ((_, nv), (_, ov)) =>
+        nv.zip(ov).map { case (a, b) => math.abs(a - b) }.max > 1e-9
+      }
+      cents = merged
+      iter += 1
+    }
+    cents
+  }
+
+  /** Train the centroids (Lloyd iterations, deterministic init).
+    *
+    * When the training relation is small (`<= localThreshold` rows — the
+    * NORMAL case: quantizer quality saturates at modest sample sizes, and
+    * the 100-TB guidance is to train on a `hashSample`), the loop runs
+    * driver-side on the collected points: each distributed iteration costs
+    * a full job PLUS a fresh whole-stage-codegen compile (the centroid
+    * literals change every round, so no generated-code cache hit —
+    * measured as the dominant term of every index-build gate). Above the
+    * threshold the distributed loop runs as before. */
   def centroids(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Seq[Double])] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      localThreshold: Long = 65536): Array[(Int, Seq[Double])] = {
     val pts = graft.ops.Par.spread(vectors).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
+
+    if (pts.count() <= localThreshold) {
+      // engine-sorted by id: the seed is the same k lowest ids, and the
+      // update's summation order is id order — deterministic across runs
+      // AND across input partitionings (stronger than the distributed path)
+      val sorted = pts.orderBy("id").collect().map(_.getSeq[Double](1))
+      pts.unpersist()
+      return lloydLocal(sorted, k, maxIter)
+    }
 
     var cents: Array[(Int, Seq[Double])] = pts
       .orderBy("id").limit(k).collect()

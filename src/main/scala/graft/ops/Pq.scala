@@ -47,13 +47,32 @@ object Pq {
     * quality saturates at modest training sizes. `d` must divide evenly
     * into `m` subspaces. */
   def train(corpus: DataFrame, m: Int, ksub: Int = 16, maxIter: Int = 10,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Codebooks = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      localThreshold: Long = 65536): Codebooks = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val d = corpus.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
     val pts = Par.spread(corpus).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
+
+    // small training relation (the normal case — quantizer quality
+    // saturates at modest sample sizes, and at 100 TB callers pass a
+    // hashSample): run m INDEPENDENT local Lloyd loops over the collected
+    // slices — each distributed iteration costs a job plus a fresh codegen
+    // compile (centroid literals change per round), the dominant term of
+    // every index-build gate. Same semantics per subspace as the fused
+    // loop; see KMeans.lloydLocal for the ulp caveat.
+    if (pts.count() <= localThreshold) {
+      val sorted = pts.orderBy("id").collect().map(_.getSeq[Double](1))
+      pts.unpersist()
+      val localBooks = Array.tabulate(m) { s =>
+        graft.lib.KMeans.lloydLocal(
+          sorted.map(_.slice(s * dsub, s * dsub + dsub)), ksub, maxIter)
+      }
+      return Codebooks(m, dsub, localBooks)
+    }
+
     val seed = pts.orderBy("id").limit(ksub).collect()
       .map(_.getSeq[Double](1))
     var books: Array[Array[(Int, Seq[Double])]] = Array.tabulate(m)(s =>

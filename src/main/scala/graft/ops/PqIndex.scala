@@ -31,7 +31,7 @@ object PqIndex {
     * and the coarse-cell assignment are per-row projections of the same
     * input row, so materializing them together avoids a second corpus
     * scan and a corpus-wide join on did. */
-  private def encodeWithCell(cb: Pq.Codebooks,
+  private[graft] def encodeWithCell(cb: Pq.Codebooks,
       coarse: Array[(Int, Seq[Double])], vecs: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     Par.spread(vecs)

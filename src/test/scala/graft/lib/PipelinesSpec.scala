@@ -35,4 +35,33 @@ class PipelinesSpec extends AnyFlatSpec with Matchers {
     byCluster.values.toSet shouldBe Set(
       (0L until 10L).toSet, (100L until 110L).toSet)
   }
+
+  it should "train driver-side ≡ distributed (same seed/argmin/update rules)" in {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300)(i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val local = KMeans.centroids(pts, k = 5, maxIter = 6) // under threshold
+    val dist = KMeans.centroids(pts, k = 5, maxIter = 6, localThreshold = 0)
+    local.map(_._1) shouldBe dist.map(_._1)
+    // centroid parity to FP-summation-order tolerance (the documented caveat)
+    local.zip(dist).foreach { case ((_, lv), (_, dv)) =>
+      lv.zip(dv).foreach { case (a, b) => math.abs(a - b) should be < 1e-9 }
+    }
+    // and the induced assignment is identical
+    KMeans.assign(pts, local).collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sorted shouldBe
+      KMeans.assign(pts, dist).collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    // PQ codebooks: same parity through the subspace trainer
+    val cbL = graft.ops.Pq.train(pts, m = 2, ksub = 4, maxIter = 5)
+    val cbD = graft.ops.Pq.train(pts, m = 2, ksub = 4, maxIter = 5,
+      localThreshold = 0)
+    cbL.m shouldBe cbD.m
+    cbL.books.zip(cbD.books).foreach { case (bl, bd) =>
+      bl.zip(bd).foreach { case ((cl, vl), (cd, vd)) =>
+        cl shouldBe cd
+        vl.zip(vd).foreach { case (a, b) => math.abs(a - b) should be < 1e-9 }
+      }
+    }
+  }
 }
