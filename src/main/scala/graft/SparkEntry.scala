@@ -1696,7 +1696,9 @@ object SparkEntry {
       val m50 = ms.take(50)
       val slice = corpus.where(col("doc_id") % 10 === 0)
       val parity50 = chk(Bpe.encode(slice, m50)) == chk(Bpe.encodeFast(slice, m50))
-      val (mDist, _) = Bpe.train(corpus, numMerges = 8)
+      // localThreshold=0 forces the DISTRIBUTED loop: the twin witness must
+      // exercise a different code path than trainLocal, or it's vacuous
+      val (mDist, _) = Bpe.train(corpus, numMerges = 8, localThreshold = 0)
       val twinOk = mDist.orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq == ms.take(8)
       Seq((tokensBefore, ms.length.toLong, parity50, tokensFast == tokensTrain,

@@ -44,14 +44,37 @@ object Bpe {
         .otherwise(concat(acc, array(s))))
 
   /** Train `numMerges` merges. Returns the ranked merge table and the final
-    * merged word relation `(syms, cnt)` (for inspection / token counts). */
-  def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 50)
-      : (DataFrame, DataFrame) = {
+    * merged word relation `(syms, cnt)` (for inspection / token counts).
+    *
+    * When the word histogram is small (`<= localThreshold` distinct words
+    * — the normal case: training cost is a function of the VOCABULARY, not
+    * the corpus, after the one count pass), the merge loop runs
+    * driver-side over the collected histogram via [[trainLocal]]'s
+    * incremental-heap core: the distributed loop pays ~2 jobs per merge
+    * round (pair-count aggregation + checkpoint of the merged words),
+    * which dominates every tokenizer gate. Pair counts are exact integers
+    * and tie-breaks use UTF-8 byte order, so the merge table is
+    * BIT-IDENTICAL to the distributed loop's (BpeSpec pins the parity).
+    * Above the threshold the distributed loop runs as before. */
+  def train(docs: DataFrame, textCol: String = "text", numMerges: Int = 50,
+      localThreshold: Long = 65536): (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     val spark = docs.sparkSession
     val bridge = org.apache.spark.sql.graft.bridge
     var words = bridge.dropOriginStats(
       wordSymbols(docs, textCol).localCheckpoint())
+
+    if (words.count() <= localThreshold) {
+      import spark.implicits._
+      val hist = words.collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      bridge.freeLocalCheckpoint(words)
+      val (merges, outWords, outCnts) =
+        trainLocalHist(hist.map(_._1), hist.map(_._2), numMerges)
+      return (merges.toDF("rank", "left", "right", "pair_count"),
+        outWords.zip(outCnts).toSeq.map { case (s, c) => (s.toSeq, c) }
+          .toDF("syms", "cnt"))
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false
@@ -232,9 +255,21 @@ object Bpe {
     import spark.implicits._
     val hist = wordSymbols(docs, textCol)
       .select(col("syms"), col("cnt")).as[(Seq[String], Long)].collect()
-    val words: Array[Array[String]] = hist.map(_._1.toArray)
-    val cnts: Array[Long] = hist.map(_._2)
+    val (merges, outWords, outCnts) =
+      trainLocalHist(hist.map(_._1.toArray), hist.map(_._2), numMerges)
+    (merges.toDF("rank", "left", "right", "pair_count"),
+      outWords.zip(outCnts).toSeq.map { case (s, c) => (s.toSeq, c) }
+        .toDF("syms", "cnt"))
+  }
 
+  /** The incremental-heap BPE core over an in-memory word histogram
+    * (shared by [[trainLocal]] and [[train]]'s small-histogram path):
+    * exact integer pair counts, `(count desc, l, r)` selection with UTF-8
+    * byte tie-breaks — bit-identical merge decisions to the distributed
+    * loop, at O(merges · touched words) instead of a job per round. */
+  private def trainLocalHist(wordsIn: Array[Array[String]], cnts: Array[Long],
+      numMerges: Int): (Seq[(Int, String, String, Long)], Array[Array[String]], Array[Long]) = {
+    val words = wordsIn.clone()
     val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val pairWords = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.HashSet[Int]]
@@ -316,8 +351,7 @@ object Bpe {
         case _ => done = true
       }
     }
-    (merges.toSeq.toDF("rank", "left", "right", "pair_count"),
-      words.zip(cnts).toSeq.toDF("syms", "cnt"))
+    (merges.toSeq, words, cnts)
   }
 
   /** The corpus's base-symbol alphabet: distinct non-whitespace characters

@@ -54,6 +54,22 @@ class BpeSpec extends AnyFlatSpec with Matchers {
     got shouldBe seqBpe(corpus, 12)
   }
 
+  it should "train bit-identically driver-side and distributed" in {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val corpus = Seq.fill(30)(Seq.fill(rnd.nextInt(8) + 1)(
+        Seq.fill(rnd.nextInt(6) + 1)("abc" (rnd.nextInt(3))).mkString).mkString(" "))
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (mL, wL) = Bpe.train(docs, numMerges = 10) // under threshold → local
+      val (mD, wD) = Bpe.train(docs, numMerges = 10, localThreshold = 0)
+      mL.orderBy("rank").collect().map(_.toSeq) shouldBe
+        mD.orderBy("rank").collect().map(_.toSeq)
+      wL.collect().map(r => (r.getSeq[String](0), r.getLong(1))).sortBy(_.toString) shouldBe
+        wD.collect().map(r => (r.getSeq[String](0), r.getLong(1))).sortBy(_.toString)
+    }
+  }
+
   it should "stop early when no pair repeats, and encode() applies merges greedily" in {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val (merges, words) = Bpe.train(docs, numMerges = 10)
