@@ -3136,10 +3136,12 @@ object SparkEntry {
         .select("anchor_id", "pos_id")
       val idx = graft.ops.PqIndex.build(corpus, nlist = 8, m = 8, ksub = 16,
         maxIter = 4)
+      // the three witnesses below all consume `got` — materialize the
+      // probe ONCE or the whole index-probe pipeline re-executes per branch
       val got = graft.ops.Similarity.hardNegativesIndexed(idx, anchors,
         positives, k = 5, nprobe = 4, rerankWith = Some(corpus),
         rerankFactor = 4, overfetch = 4)
-        .select("qid", "did")
+        .select("qid", "did").localCheckpoint()
       val planted = anchors.crossJoin(Seq(1, 2, 3).toDF("j"))
         .select(col("vec_id").as("qid"),
           (lit(3000000L) + col("vec_id") * 10 + col("j")).as("did"))
