@@ -428,8 +428,9 @@ object SparkEntry {
     "q54_ivf_ann" -> ((s, d) => {
       val emb = tbl(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 8)
+      // ivf feeds both witnesses — one materialization, not two probe runs
       val ivf = Similarity.ivfTopK(emb, qs, k = 3, nlist = 8, nprobe = 2, maxIter = 4)
-        .select("qid", "did")
+        .select("qid", "did").localCheckpoint()
       val brute = Similarity.cosineTopK(emb, qs, k = 3).select("qid", "did")
       ivf.agg(count(lit(1)).as("n_results")).crossJoin(
         ivf.join(brute, Seq("qid", "did"), "left_semi")
@@ -2801,9 +2802,12 @@ object SparkEntry {
           lit(0).as("label"))
       val corpus = emb.unionByName(copies)
       val cb = graft.ops.Pq.train(emb, m = 8, ksub = 16, maxIter = 4)
-      val codes = graft.ops.Pq.encode(cb, corpus)
+      // codes feed the probe AND the stability witness; got feeds two
+      // witnesses — materialize each once, not once per consumer
+      val codes = graft.ops.Pq.encode(cb, corpus).localCheckpoint()
       val got = graft.ops.Pq.adcTopK(cb, codes, qs, k = 10,
         rerankWith = Some(corpus), rerankFactor = 4).select("qid", "did")
+        .localCheckpoint()
       val planted = qs.crossJoin(Seq(1, 2, 3).toDF("j"))
         .select(col("vec_id").as("qid"),
           (lit(1000000L) + col("vec_id") * 10 + col("j")).as("did"))
