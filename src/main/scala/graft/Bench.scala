@@ -113,7 +113,9 @@ object Bench {
     // loaded host aren't triage-able without min/max spread. One JSON file
     // per run (timestamped, kept in-repo) makes regression triage a file
     // diff instead of a guess against a 2000-char tail.
-    locally {
+    // full runs only: SPARK_GRAFT_ONLY subset runs are iteration probes and
+    // would bury the regression trend in partial rows
+    if (only.isEmpty) {
       val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
         .format(new java.util.Date())
       val dir = java.nio.file.Paths.get(
