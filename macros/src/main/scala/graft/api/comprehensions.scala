@@ -224,13 +224,33 @@ class ComprehensionMacro(val c: blackbox.Context) {
     Set(TermName("map"), TermName("flatMap"), TermName("groupBy"),
       TermName("foldGroup"))
 
+  /** The SOURCE names the literal ctors were written with in the TYPED
+    * body (symbols prove DataBag-ness; the Ident keeps the name as
+    * written) — a renamed import (`import graft.api.{DataBag => DB}`)
+    * must still be found by the name-based untyped-tree rewriter, or the
+    * head compiles unrewritten and crashes on executors. "DataBag" is
+    * always included (fully-qualified spellings select by symbol name). */
+  private def ctorNamesIn(t: Tree): Set[TermName] = {
+    val b = Set.newBuilder[TermName]
+    t.foreach {
+      case ct @ Call1(q, TermName("apply"), _) if isLocalBagCtor(ct) =>
+        q match {
+          case Ident(n: TermName) => b += n
+          case Select(_, n: TermName) => b += n
+          case _ => ()
+        }
+      case _ => ()
+    }
+    b.result() + TermName("DataBag")
+  }
+
   /** True when `t` is a method-call chain whose RECEIVER root is a literal
     * `DataBag(seq)` ctor (arguments are not searched). */
-  private def rootsInCtor(t: Tree): Boolean = t match {
-    case Call1(q, TermName("apply"), _) if isDataBagName(q) => true
-    case Apply(fun, _) => rootsInCtor(fun)
-    case TypeApply(fun, _) => rootsInCtor(fun)
-    case Select(qual, _) => rootsInCtor(qual)
+  private def rootsInCtor(t: Tree, names: Set[TermName]): Boolean = t match {
+    case Call1(q, TermName("apply"), _) if isDataBagName(q, names) => true
+    case Apply(fun, _) => rootsInCtor(fun, names)
+    case TypeApply(fun, _) => rootsInCtor(fun, names)
+    case Select(qual, _) => rootsInCtor(qual, names)
     case _ => false
   }
 
@@ -240,28 +260,40 @@ class ComprehensionMacro(val c: blackbox.Context) {
     case _ => None
   }
 
-  private def localizeHead(t: Tree): Tree = {
+  private def localizeHead(t: Tree, names: Set[TermName]): Tree = {
     val tr = new Transformer {
       override def transform(tree: Tree): Tree = tree match {
         case Apply(inner @ Apply(fun, _), _)
-            if calledName(fun).exists(encoderMethods) && rootsInCtor(inner) =>
+            if calledName(fun).exists(encoderMethods) && rootsInCtor(inner, names) =>
           transform(inner) // drop the residual Encoder argument list
-        case Call1(q, TermName("apply"), a) if isDataBagName(q) =>
+        case Call1(q, TermName("apply"), a) if isDataBagName(q, names) =>
           q"_root_.graft.api.LocalBag.of(${transform(a)})"
         case _ => super.transform(tree)
       }
     }
+    val localized = tr.transform(t)
+    // defensive backstop for the compile-time guarantee: the typed tree
+    // PROVED a literal ctor is in the head — if a shape the name-based
+    // rewriter cannot see survived, the emitted closure would build a
+    // Dataset on executors; abort here instead of crashing at runtime
+    if (localized.exists {
+      case a @ Apply(_, _) => rootsInCtor(a, names)
+      case _ => false
+    }) c.abort(c.enclosingPosition,
+      "onSpark: the yield contains a DataBag(seq) constructor spelling the head " +
+      "rewriter does not recognize; bind the DataBag companion by its plain name " +
+      "(`DataBag(...)`) inside the yield, or fold outside the comprehension")
     // the transplanted untypechecked subtrees can carry residual
     // attribution (symbol'd Selects, This-prefixed implicit refs) that
     // poisons re-typechecking of the REWRITTEN chain; a print/parse
     // round-trip yields a genuinely fresh tree — safe here because the
     // localized head is a plain expression (showCode of these shapes is
     // valid source)
-    c.parse(showCode(tr.transform(t)))
+    c.parse(showCode(localized))
   }
-  private def isDataBagName(q: Tree): Boolean = q match {
-    case Ident(TermName("DataBag")) => true
-    case Select(_, TermName("DataBag")) => true
+  private def isDataBagName(q: Tree, names: Set[TermName]): Boolean = q match {
+    case Ident(n: TermName) => names(n)
+    case Select(_, n: TermName) => names(n)
     case _ => false
   }
 
@@ -402,6 +434,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
             "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
             "element) — fold the bag outside the comprehension or restructure")
         val headHasCtor = tbody.exists(isLocalBagCtor)
+        val headCtorNames = ctorNamesIn(tbody)
         val allNames = gens.flatMap(g => g.pat.map(bindNames).getOrElse(List(g.v.name)))
         if (allNames.distinct.length != allNames.length)
           c.abort(c.enclosingPosition,
@@ -496,7 +529,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case (acc, ((_, None), _)) => acc
             }
             val last = ugens.last
-            val body = if (headHasCtor) localizeHead(ubody) else ubody
+            val body = if (headHasCtor) localizeHead(ubody, headCtorNames) else ubody
             q"$joinedAll.map(${bound(binders, ugens.length, body, Some(Binder(last.v.name, last.pat)))})"
           case None =>
             c.abort(c.enclosingPosition,
@@ -514,12 +547,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
             s"onSpark: the yield references the distributed bag '$r'; only a nested " +
             "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
             "element) — fold the bag outside the comprehension or restructure")
+        val singleCtorNames = ctorNamesIn(tbody)
         flatten(c.untypecheck(expr)) match {
           case Some((List(g), ubody)) =>
             val first = g.guards.foldLeft(g.bag) { case (acc, gd) =>
               q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
             }
-            q"$first.map(${binderLam(g.v.name, g.pat, localizeHead(ubody))})"
+            q"$first.map(${binderLam(g.v.name, g.pat, localizeHead(ubody, singleCtorNames))})"
           case _ =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")

@@ -118,14 +118,19 @@ object LocalBag {
   /** Read a text file — or a directory of `part-*` files as written by
     * [[DataBag.writeText]] — one element per line, no SparkSession. */
   def readText(path: String): LocalBag[String] =
-    new LocalBag(readLines(path, "UTF-8"))
+    new LocalBag(readLines(path, "UTF-8").flatten)
 
   /** Read a CSV file — or a `part-*` directory as written by
-    * [[DataBag.writeCSV]] — without a SparkSession. */
+    * [[DataBag.writeCSV]] — without a SparkSession. With `header = true`
+    * the header is dropped PER FILE: Spark's distributed writer emits a
+    * header line into every part file, the local writer into its one file.
+    * Empty lines are kept — they are the legitimate encoding of an
+    * empty-string single-field row. */
   def readCSV[A](path: String, format: CSV = CSV())(
       implicit c: CsvConverter[A]): LocalBag[A] = {
-    val raw = readLines(path, format.charset).filter(_.nonEmpty)
-    val body = if (format.header) raw.drop(1) else raw
+    val body = readLines(path, format.charset).flatMap { fileLines =>
+      if (format.header) fileLines.drop(1) else fileLines
+    }
     new LocalBag(body.map(line => c.fromFields(parseLine(line, format))))
   }
 
@@ -159,17 +164,21 @@ object LocalBag {
     out.toSeq
   }
 
-  private def readLines(path: String, charset: String): Seq[String] = {
+  /** Lines grouped per file (callers that must treat file boundaries —
+    * e.g. per-part CSV headers — need the grouping; flatten otherwise). */
+  private def readLines(path: String, charset: String): Seq[Seq[String]] = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
     val cs = java.nio.charset.Charset.forName(charset)
     val files =
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.toSeq
+      if (java.nio.file.Files.isDirectory(p)) {
+        val stream = java.nio.file.Files.list(p)
+        try stream.iterator().asScala.toSeq
           .filter(f => f.getFileName.toString.startsWith("part-"))
           .sortBy(_.getFileName.toString)
-      else Seq(p)
-    files.flatMap(f => java.nio.file.Files.readAllLines(f, cs).asScala.toSeq)
+        finally stream.close()
+      } else Seq(p)
+    files.map(f => java.nio.file.Files.readAllLines(f, cs).asScala.toSeq)
   }
 
   private[api] def writeLines(path: String, lines: Seq[String],

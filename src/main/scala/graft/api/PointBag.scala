@@ -57,6 +57,19 @@ final class PointBag[K, V] private (
   // the last COMPACTED state — its blocks back the pass-through chain and
   // must stay alive until the next compaction materializes
   private var anchor: RDD[(K, V)] = state
+  // broadcasts feeding the (unpersisted, recomputable) pass-through chain:
+  // alive until the next compaction materializes past them, then
+  // unpersisted deterministically — thousands of point rounds must not
+  // wait on driver GC + ContextCleaner to reclaim broadcast BLOCKS.
+  // unpersist, NOT destroy: the checkpointed MapPartitionsRDD still holds
+  // its closure (and thus the Broadcast object) after markCheckpointed
+  // clears the lineage, and task serialization asserts broadcast validity
+  // — a destroyed broadcast fails every later job over the cut state.
+  // unpersist frees the blocks but keeps the handle serializable; the
+  // residual driver-held values are the point-message maps (tiny by the
+  // point-update premise) until ContextCleaner collects the chain.
+  private val pendingBcs =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
 
   private def pidOf(k: K): Int = partitioner.getPartition(k)
 
@@ -99,7 +112,7 @@ final class PointBag[K, V] private (
           updated ++ inserts
       }
     }, preservesPartitioning = true)
-    advance(next)
+    advance(next, bc)
     // the delta read: one job of |touched| tasks, not |parts|
     val keys = msgs.map(_._1).toSet
     PartitionPruningRDD.create(state, touched)
@@ -118,7 +131,7 @@ final class PointBag[K, V] private (
         case Some(ks) => it.filter { case (k, _) => !ks(k) }
       }
     }, preservesPartitioning = true)
-    advance(next)
+    advance(next, bc)
   }
 
   /** Point lookup: one pruned job over the partitions owning `keys` —
@@ -146,15 +159,23 @@ final class PointBag[K, V] private (
     anchor = cut
     state = cut
     sinceCompact = 0
+    // the checkpoint blocks are materialized — the chain can no longer be
+    // recomputed; free the broadcast blocks now (see field comment for
+    // why unpersist rather than destroy)
+    pendingBcs.foreach(_.unpersist())
+    pendingBcs.clear()
   }
 
-  private def advance(next: RDD[(K, V)]): Unit = {
+  private def advance(next: RDD[(K, V)],
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+    pendingBcs += bc
     state = next
     sinceCompact += 1
     if (sinceCompact >= compactEvery) compact()
   }
 
   private[graft] def currentChainLength: Int = sinceCompact
+  private[graft] def pendingBroadcasts: Int = pendingBcs.size
 }
 
 object PointBag {

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
+  /** Cap on rows × dim for the driver-side training paths (here and
+    * [[graft.ops.Pq.train]]): ~32M doubles ≈ 256 MB unboxed, a safe
+    * driver collect even after Row/Seq boxing. Row count alone is the
+    * wrong gate — 65k rows of dim-1536 embeddings are GBs. */
+  val defaultLocalCellBudget: Long = 32L * 1024 * 1024
+
   /** Squared euclidean distance from a centroid vector Column to `v`. */
   private[graft] def distToCentroid(c: Column, v: Column): Column =
     aggregate(zip_with(v, c, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
@@ -103,11 +109,20 @@ object KMeans {
     * threshold the distributed loop runs as before. */
   def centroids(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      localThreshold: Long = 65536): Array[(Int, Seq[Double])] = {
+      localThreshold: Long = 65536,
+      localCellBudget: Long = KMeans.defaultLocalCellBudget): Array[(Int, Seq[Double])] = {
     val pts = graft.ops.Par.spread(vectors).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
 
-    if (pts.count() <= localThreshold) {
+    // gate on rows AND total cells (rows × dim): row count alone would
+    // collect wide-embedding corpora (65k × dim-1536 ≈ GBs boxed) onto a
+    // driver that never previously materialized the corpus
+    val n = pts.count()
+    val dim =
+      if (n == 0) 0L
+      else pts.select(org.apache.spark.sql.functions.size(col("v")))
+        .head().getInt(0).toLong
+    if (n <= localThreshold && n * dim <= localCellBudget) {
       // engine-sorted by id: the seed is the same k lowest ids, and the
       // update's summation order is id order — deterministic across runs
       // AND across input partitionings (stronger than the distributed path)

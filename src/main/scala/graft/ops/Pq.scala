@@ -48,7 +48,8 @@ object Pq {
     * into `m` subspaces. */
   def train(corpus: DataFrame, m: Int, ksub: Int = 16, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      localThreshold: Long = 65536): Codebooks = {
+      localThreshold: Long = 65536,
+      localCellBudget: Long = graft.lib.KMeans.defaultLocalCellBudget): Codebooks = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val d = corpus.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
@@ -63,7 +64,11 @@ object Pq {
     // compile (centroid literals change per round), the dominant term of
     // every index-build gate. Same semantics per subspace as the fused
     // loop; see KMeans.lloydLocal for the ulp caveat.
-    if (pts.count() <= localThreshold) {
+    // gate on rows AND total cells (rows × dim): row count alone would
+    // collect wide-embedding corpora (65k × dim-1536 ≈ GBs boxed) onto a
+    // driver that never previously materialized the corpus
+    val n = pts.count()
+    if (n <= localThreshold && n * d <= localCellBudget) {
       val sorted = pts.orderBy("id").collect().map(_.getSeq[Double](1))
       pts.unpersist()
       val localBooks = Array.tabulate(m) { s =>

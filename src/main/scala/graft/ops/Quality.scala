@@ -79,22 +79,25 @@ object Quality {
       textCol: String, lr: Double = 0.5, iters: Int = 40,
       l2: Double = 0.0, parts: Int = 8,
       localThreshold: Int = 200000): (Array[Double], Double) = {
+    // persist the featurized join: the size probe and whichever training
+    // path runs share ONE featurize+join execution instead of two
     val data = features(docs, idCol, textCol)
       .join(labels.select(col("id"), col("y").cast("double").as("y")), "id")
-    val head =
-      if (localThreshold > 0)
-        data.select(col("x"), col("y")).limit(localThreshold + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (localThreshold > 0 && head.length <= localThreshold) {
-      val rows = head.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-      val (w, b, _) = graft.lib.ML.gdLocal(rows, dim = 8, lr = lr,
-        iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
-      (w, b)
-    } else {
-      val (w, b, _) = graft.lib.ML.gd(data.coalesce(parts), dim = 8, lr = lr,
-        iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
-      (w, b)
-    }
+      .persist()
+    try {
+      val n = if (localThreshold > 0) data.count() else Long.MaxValue
+      if (localThreshold > 0 && n <= localThreshold) {
+        val rows = data.select(col("x"), col("y")).collect()
+          .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        val (w, b, _) = graft.lib.ML.gdLocal(rows, dim = 8, lr = lr,
+          iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
+        (w, b)
+      } else {
+        val (w, b, _) = graft.lib.ML.gd(data.coalesce(parts), dim = 8, lr = lr,
+          iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
+        (w, b)
+      }
+    } finally { data.unpersist(blocking = false); () }
   }
 
   /** Score the corpus: sigmoid(w·x + b) as `quality` alongside the id. */

@@ -345,6 +345,21 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     out.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "localize a nested head written through a RENAMED DataBag import" in {
+    // the typed tree proves ctor-ness by SYMBOL but the untyped rewriter
+    // matches by NAME — a renamed companion import must still be rewritten
+    // (previously it compiled unrewritten and crashed on executors)
+    import graft.api.{DataBag => DB}
+    val xs = bagL(1L to 6L)
+    val out = onSpark {
+      for { x <- xs; if x % 2 == 0 }
+        yield (x, (for { w <- DB(1L to x) } yield w * 2).sum)
+    }
+    val seqRef = for { x <- 1L to 6L; if x % 2 == 0 }
+      yield (x, (for { w <- 1L to x } yield w * 2).sum)
+    out.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "reject a DISTRIBUTED bag captured in the yield at compile time" in {
     """
     val xs = bagL(1L to 5L)

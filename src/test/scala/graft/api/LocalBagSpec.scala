@@ -81,6 +81,32 @@ class LocalBagSpec extends AnyFlatSpec with Matchers {
     LocalBag.readText(s"$dir/dist_txt").collect().sorted shouldBe texts.sorted
   }
 
+  it should "drop the per-part-file headers of a multi-part distributed write" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_localbag_multipart")
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+    // Spark's writer emits a header into EVERY part file; the local reader
+    // must drop one per file, not one per directory
+    DataBag.from(spark.createDataset(rows).repartition(3))
+      .writeCSV(s"$dir/multi", CSV(header = true))
+    val parts = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/multi"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+      } finally s.close()
+    }
+    parts should be >= 2 // the scenario under test needs multiple part files
+    LocalBag.readCSV[(Long, String)](s"$dir/multi", CSV(header = true))
+      .collect().sorted shouldBe rows.sorted
+  }
+
+  it should "round-trip an empty-string single-field row (empty line kept)" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_localbag_empty")
+    val vals = Seq("alpha", "", "beta")
+    LocalBag.of(vals).writeCSV(s"$dir/empty.csv")
+    LocalBag.readCSV[String](s"$dir/empty.csv").collect() shouldBe vals
+  }
+
   "DataBag.flatMapBag" should "run a local-bag comprehension inside the closure" in {
     val dist = new DataBag(spark.createDataset(Seq(1, 2, 3)))
     // per-element local comprehension (the reference's DataBagSpec.scala:

@@ -109,4 +109,28 @@ class PointBagSpec extends AnyFlatSpec with Matchers {
     got(3L) shouldBe 4.0
     got(49L) shouldBe 49.0
   }
+
+  it should "unpersist chain broadcasts at compaction and stay readable after" in {
+    // the pass-through chain holds one broadcast per round until the
+    // checkpoint cuts it; block reclamation must be deterministic (not
+    // GC-paced) and must never fire while the chain is still recomputable
+    // — and it must be unpersist, not destroy: the checkpointed RDD's
+    // closure still serializes the Broadcast handle into later tasks
+    val pb = freshBag(40, compactEvery = 3)
+    pb.update(Seq((1L, 1.0)))((_, o, m) => Some(o.getOrElse(0.0) + m))
+    pb.update(Seq((2L, 1.0)))((_, o, m) => Some(o.getOrElse(0.0) + m))
+    pb.pendingBroadcasts shouldBe 2
+    // a full-state read BETWEEN rounds recomputes through both broadcasts
+    pb.bag().collect().toMap.apply(2L) shouldBe 3.0
+    pb.update(Seq((3L, 1.0)))((_, o, m) => Some(o.getOrElse(0.0) + m)) // compacts
+    pb.pendingBroadcasts shouldBe 0
+    pb.delete(Seq(4L))
+    pb.pendingBroadcasts shouldBe 1
+    // post-destroy reads: the checkpointed blocks back everything
+    val got = pb.bag().collect().toMap
+    got(1L) shouldBe 2.0
+    got(3L) shouldBe 4.0
+    got.contains(4L) shouldBe false
+    pb.multiget(Seq(1L, 3L, 39L)) shouldBe Map(1L -> 2.0, 3L -> 4.0, 39L -> 39.0)
+  }
 }

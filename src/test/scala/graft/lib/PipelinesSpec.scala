@@ -63,5 +63,21 @@ class PipelinesSpec extends AnyFlatSpec with Matchers {
         vl.zip(vd).foreach { case (a, b) => math.abs(a - b) should be < 1e-9 }
       }
     }
+    // the CELL budget (rows × dim) also gates the local path — wide
+    // embeddings must route distributed even under the row threshold
+    // (the driver-OOM guard); result parity to the same tolerance
+    val viaCell = KMeans.centroids(pts, k = 5, maxIter = 6, localCellBudget = 1)
+    viaCell.map(_._1) shouldBe dist.map(_._1)
+    viaCell.zip(dist).foreach { case ((_, cv), (_, dv)) =>
+      cv.zip(dv).foreach { case (a, b) => math.abs(a - b) should be < 1e-9 }
+    }
+    val cbCell = graft.ops.Pq.train(pts, m = 2, ksub = 4, maxIter = 5,
+      localCellBudget = 1)
+    cbCell.books.zip(cbD.books).foreach { case (bl, bd) =>
+      bl.zip(bd).foreach { case ((cl, vl), (cd, vd)) =>
+        cl shouldBe cd
+        vl.zip(vd).foreach { case (a, b) => math.abs(a - b) should be < 1e-9 }
+      }
+    }
   }
 }
