@@ -51,6 +51,19 @@ import scala.reflect.macros.blackbox
   * a job per row; its guards post-filter the pair, and later generators
   * keep deriving joins on top.
   *
+  * QUANTIFIED GUARDS derive semi/anti joins (the reference reaches these
+  * shapes through fold fusion over nested comprehensions,
+  * emma-compiler FoldForestFusion + Combination; here the SQL-shaped
+  * subset lowers to the relational operator directly):
+  * `if ys.exists(y => k(y) == k'(x) [&& p(y) ...])` becomes
+  * `.semiJoin(ys.withFilter(p))(k', k)` — the correlated-EXISTS subquery —
+  * its negation becomes `.antiJoin` (NOT EXISTS), and
+  * `ys.forall(y => k(y) != k'(x))` is recognized as the same anti join.
+  * Multiple separable equalities tuple into a composite key; `ys` must be
+  * independent of the generators. Any OTHER guard that references a
+  * distributed bag aborts at compile time (it would capture the bag in an
+  * executor-side closure — a guaranteed runtime crash).
+  *
   * HEAD NESTING (one level, the reference's Normalize.scala:44-52 UnnestGenerator
   * applied to the most common shape users write): a yield whose body
   * contains a nested comprehension over a literal `DataBag(seq)` — e.g.
@@ -129,6 +142,29 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
+  private object Neq {
+    def unapply(t: Tree): Option[(Tree, Tree)] = t match {
+      case Apply(Select(l, TermName("$bang$eq")), List(r)) => Some((l, r))
+      case Apply(TypeApply(Select(l, TermName("$bang$eq")), _), List(r)) => Some((l, r))
+      case _ => None
+    }
+  }
+
+  /** `bag.exists(lam)` / `bag.forall(lam)`, under any number of `!`s.
+    * Returns (bag, lambda param, lambda pattern, lambda body, method name,
+    * negated). Shape-only — works on typed AND untyped trees. */
+  private object QuantCall {
+    def unapply(t: Tree): Option[(Tree, ValDef, Option[Tree], Tree, TermName, Boolean)] =
+      t match {
+        case Select(QuantCall(b, v, p, body, m, neg), TermName("unary_$bang")) =>
+          Some((b, v, p, body, m, !neg))
+        case Call1(b, m, GenLam(v, p, body))
+            if m == TermName("exists") || m == TermName("forall") =>
+          Some((b, v, p, body, m, false))
+        case _ => None
+      }
+  }
+
   /** `base.withFilter(g1).withFilter(g2)...` peeled into (base, guards).
     * Top-level `&&` conjunctions split into separate guards (the
     * reference's MatchCollectEqualityGuards behavior) so an equality
@@ -193,9 +229,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * runtime crash: no SparkSession there). The literal-ctor chain never
     * trips this: its `DataBag.apply(...)` node is an Apply, not an
     * Ident/Select. */
-  private def distributedRefInHead(t: Tree): Option[Tree] = {
-    // the `DataBag` companion MODULE reference inside a ctor chain must not
-    // trip this (its module-class fullName collides with the class)
+  private def distributedRefInHead(t: Tree): Option[Tree] = distributedValueRef(t)
+
+  /** A `DataBag`-typed VALUE reference anywhere in `t` — a distributed bag
+    * captured in a closure that would execute on executors. The `DataBag`
+    * companion MODULE reference inside a ctor chain must not trip this
+    * (its module-class fullName collides with the class). */
+  private def distributedValueRef(t: Tree): Option[Tree] = {
     def isValueRef(r: Tree): Boolean =
       isDataBag(r) && (r.symbol == null || !r.symbol.isModule)
     t.find {
@@ -204,6 +244,109 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case _ => false
     }
   }
+
+  // --------------------------------------- quantified (EXISTS) guards
+
+  /** How one conjunct of a quantified guard's lambda body participates. */
+  private sealed trait ConjRole
+  /** Uses only the quantifier's lambda variables: pre-filters the bag. */
+  private case object InnerFilter extends ConjRole
+  /** An equality (inequality under forall) separable into a generator-
+    * variables side and a lambda-variables side: the semi/anti join key.
+    * `swapped` = the LEFT side is the lambda (inner) side. */
+  private case class KeyPair(swapped: Boolean) extends ConjRole
+  /** A guard `[!]bag.exists(y => ...)` / `bag.forall(y => k != k')`
+    * derived as a semi (anti) join of the accumulated chain against
+    * `bag`. Computed on the TYPED guard; applied positionally to the
+    * untyped twin (conjunct splitting is deterministic on both). */
+  private case class SemiPlan(anti: Boolean, conj: List[ConjRole])
+
+  /** The reference normalizes quantified guards through fold fusion
+    * (emma-language Fold-Group-Fusion + Combination); here the SQL-shaped
+    * subset lowers to the relational operator directly:
+    * `bag.exists(y => k(y) == k'(vars) [&& p(y) ...])` ⇒ semiJoin,
+    * its negation ⇒ antiJoin, `bag.forall(y => k(y) != k'(vars))` ⇒
+    * antiJoin (and its negation ⇒ semiJoin). `bag` must be independent of
+    * the generators; extra conjuncts must use only the lambda variable
+    * (they pre-filter `bag` — sound for exists/NOT-exists since
+    * ¬∃y. p(y) ∧ q(y) ⟺ no match in the p-filtered bag; under an
+    * UN-negated forall a conjunction is NOT one anti join, so it is
+    * rejected there). Returns None for underivable shapes (callers abort
+    * with guidance — never compile a bag capture into an executor
+    * closure). */
+  private def semiPlanOf(allGen: Seq[Symbol], cond: Tree): Option[SemiPlan] = cond match {
+    case QuantCall(bag, v, pat, body, m, neg) if isDataBag(bag) && !usesAny(bag, allGen) =>
+      val inner = pat.map(bindSyms).getOrElse(List(v.symbol))
+      val isForall = m == TermName("forall")
+      val anti = neg ^ isForall
+      val cs = conjuncts(body)
+      def keyOf(l: Tree, r: Tree, cj: Tree): Option[ConjRole] = {
+        val (lIn, rIn) = (usesAny(l, inner), usesAny(r, inner))
+        if (distributedValueRef(cj).isDefined) None
+        else if (lIn && !rIn && !usesAny(l, allGen) && usesAny(r, allGen))
+          Some(KeyPair(swapped = true))
+        else if (rIn && !lIn && !usesAny(r, allGen) && usesAny(l, allGen))
+          Some(KeyPair(swapped = false))
+        else None
+      }
+      val roles: List[Option[ConjRole]] = cs.map { cj =>
+        val asKey = cj match {
+          case Eq(l, r) if !isForall => keyOf(l, r, cj)
+          case Neq(l, r) if isForall => keyOf(l, r, cj)
+          case _ => None
+        }
+        asKey.orElse {
+          // inner-only conjuncts pre-filter the bag — sound for exists
+          // and NOT exists, NOT decomposable under (negated) forall
+          if (!isForall && !usesAny(cj, allGen) && distributedValueRef(cj).isEmpty)
+            Some(InnerFilter)
+          else None
+        }
+      }
+      if (roles.forall(_.isDefined) && roles.flatten.exists(_.isInstanceOf[KeyPair]))
+        Some(SemiPlan(anti, roles.map(_.get)))
+      else None
+    case _ => None
+  }
+
+  /** Lower one quantified guard (untyped twin `g`, typed-derived `plan`)
+    * onto the accumulated chain: pre-filter the bag with the inner-only
+    * conjuncts, key the semi/anti join on the (tupled) separable
+    * equalities. `mkOuter` builds the accumulated-side key lambda (a
+    * plain binder at level 1, the stage-tuple rebind at level i). */
+  private def lowerSemi(acc: Tree, g: Guard, plan: SemiPlan, mkOuter: Tree => Tree): Tree =
+    g.cond match {
+      case QuantCall(bag, v, pat, body, _, _) =>
+        val cs = conjuncts(body)
+        if (cs.length != plan.conj.length)
+          c.abort(c.enclosingPosition,
+            "internal: quantified guard shape changed after untypecheck")
+        val zipped = cs.zip(plan.conj)
+        val bagF = zipped.collect { case (cj, InnerFilter) => cj }
+          .foldLeft(bag)((b, cj) => q"$b.withFilter(${binderLam(v.name, pat, cj)})")
+        val pairs = zipped.collect { case (cj, KeyPair(sw)) =>
+          val (l, r) = Eq.unapply(cj).orElse(Neq.unapply(cj)).getOrElse(
+            c.abort(c.enclosingPosition,
+              "internal: key conjunct shape changed after untypecheck"))
+          if (sw) (r, l) else (l, r) // (outer, inner)
+        }
+        val (outerK, innerK) = pairs match {
+          case List((o, in)) => (o, in)
+          case more => (q"(..${more.map(_._1)})", q"(..${more.map(_._2)})")
+        }
+        val meth = TermName(if (plan.anti) "antiJoin" else "semiJoin")
+        q"$acc.$meth($bagF)(${mkOuter(outerK)}, ${binderLam(v.name, pat, innerK)})"
+      case _ =>
+        c.abort(c.enclosingPosition,
+          "internal: quantified guard no longer matches after untypecheck")
+    }
+
+  private def abortBagGuard(r: Tree): Nothing =
+    c.abort(c.enclosingPosition,
+      s"onSpark: a guard references the distributed bag '$r'; only " +
+      "`bag.exists(y => key(y) == key(vars) [&& p(y) ...])`, its negation, and " +
+      "`bag.forall(y => key(y) != key(vars))` are derived (as semi/anti joins) — " +
+      "restructure the guard or join explicitly")
 
   /** HEAD NESTING (one level, the reference's most common
     * Normalize.scala:44-52 shape): a yield whose body contains a nested
@@ -460,6 +603,18 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // What remains aborted is a DISTRIBUTED bag built from an earlier
         // row — the one-job-per-element cliff.
         val syms = gens.map(levelSyms)
+        // quantified guards (EXISTS over an independent distributed bag)
+        // derive semi/anti joins; any OTHER guard that captures a
+        // distributed bag would crash in an executor closure — abort
+        val allGenSyms = syms.flatten
+        // a guard's binder for the CURRENT level is its own lambda's
+        // param/pattern symbols (guardSyms), not the generator lambda's —
+        // both count as comprehension variables for key separation
+        val semiPlans: List[List[Option[SemiPlan]]] =
+          gens.map(_.guards.map(g => semiPlanOf(allGenSyms ++ guardSyms(g), g.cond)))
+        for ((gen, plans) <- gens.zip(semiPlans); (g, p) <- gen.guards.zip(plans)
+             if p.isEmpty; r <- distributedValueRef(g.cond))
+          abortBagGuard(r)
         val depLocal: Set[Int] = gens.zipWithIndex.drop(1).collect {
           case (gen, i) if usesAny(gen.bag, syms.take(i).flatten) &&
               isLocalBagCtor(gen.bag) && gen.pat.isEmpty => i
@@ -481,20 +636,30 @@ class ComprehensionMacro(val c: blackbox.Context) {
           case Some((ugens, ubody)) =>
             val binders = ugens.map(g => Binder(g.v.name, g.pat))
             val head = ugens.head
-            // level-1 guards reference only level 1: pre-filter the first bag
-            val first = head.guards.foldLeft(head.bag) { case (acc, g) =>
-              q"$acc.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
+            // level-1 guards reference only level 1: pre-filter the first
+            // bag (quantified guards semi/anti-join it)
+            val first = head.guards.zip(semiPlans.head).foldLeft(head.bag) {
+              case (acc, (g, Some(plan))) =>
+                lowerSemi(acc, g, plan, o => binderLam(g.v.name, g.pat, o))
+              case (acc, (g, None)) =>
+                q"$acc.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
             }
             val joinedAll = ugens.zip(roles.map(Some(_)).prepended(None))
               .zipWithIndex.drop(1)
               .foldLeft(first) { case (acc, ((gen, Some(levelRoles)), idx)) =>
                 val i = idx + 1 // 1-based stage AFTER this join
-                val own = gen.guards.zip(levelRoles).collect {
-                  case (g, OwnFilter) => g }
-                val key = gen.guards.zip(levelRoles).collectFirst {
-                  case (g, JoinKey(sw)) => (g, sw) }
-                val post = gen.guards.zip(levelRoles).collect {
-                  case (g, PostFilter) => g }
+                // quantified guards leave the role machinery (their role
+                // slot is garbage) and semi/anti-join after the level's
+                // join; everything else keeps its analyzed role
+                val tagged = gen.guards.zip(levelRoles).zip(semiPlans(idx))
+                val own = tagged.collect {
+                  case ((g, OwnFilter), None) => g }
+                val key = tagged.collectFirst {
+                  case ((g, JoinKey(sw)), None) => (g, sw) }
+                val post = tagged.collect {
+                  case ((g, PostFilter), None) => g }
+                val semis = tagged.collect {
+                  case ((g, _), Some(plan)) => (g, plan) }
                 val bag = own.foldLeft(gen.bag) { case (b, g) =>
                   q"$b.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
                 }
@@ -523,8 +688,15 @@ class ComprehensionMacro(val c: blackbox.Context) {
                 }
                 // demoted / mixed guards filter the joined pair; the guard's
                 // own binder (name or pattern) binds the NEW side
-                post.foldLeft(joined) { case (j, g) =>
+                val filtered = post.foldLeft(joined) { case (j, g) =>
                   q"$j.withFilter(${bound(binders, i, g.cond, Some(Binder(g.v.name, g.pat)))})"
+                }
+                // quantified guards: semi/anti join the stage tuple (the
+                // outer key rebinds levels 1..i, the guard's own binder
+                // covers the new side — the post-filter pattern)
+                semis.foldLeft(filtered) { case (j, (g, plan)) =>
+                  lowerSemi(j, g, plan,
+                    o => bound(binders, i, o, Some(Binder(g.v.name, g.pat))))
                 }
               case (acc, ((_, None), _)) => acc
             }
@@ -536,24 +708,37 @@ class ComprehensionMacro(val c: blackbox.Context) {
               "internal: untypechecked tree no longer matches the comprehension shape")
         }
 
-      // single-generator comprehension with a nested head: localize the
-      // yield's literal-ctor comprehension (or abort on a captured
-      // distributed bag) — same head-nesting rule as the multi-generator
-      // branch, without any joins to derive
+      // single-generator comprehension with a nested head and/or
+      // quantified (EXISTS) guards: localize the yield's literal-ctor
+      // comprehension, derive semi/anti joins for exists guards, abort on
+      // any other captured distributed bag — same rules as the
+      // multi-generator branch, without equi joins to derive
       case Some((gens, tbody)) if gens.length == 1 && isDataBag(gens.head.bag) &&
-          (tbody.exists(isLocalBagCtor) || distributedRefInHead(tbody).isDefined) =>
+          (tbody.exists(isLocalBagCtor) || distributedRefInHead(tbody).isDefined ||
+            gens.head.guards.exists(g => distributedValueRef(g.cond).isDefined)) =>
         for (r <- distributedRefInHead(tbody))
           c.abort(c.enclosingPosition,
             s"onSpark: the yield references the distributed bag '$r'; only a nested " +
             "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
             "element) — fold the bag outside the comprehension or restructure")
+        val singlePlans = gens.head.guards.map(g =>
+          semiPlanOf(levelSyms(gens.head) ++ guardSyms(g), g.cond))
+        for ((g, p) <- gens.head.guards.zip(singlePlans)
+             if p.isEmpty; r <- distributedValueRef(g.cond))
+          abortBagGuard(r)
+        val singleHasCtor = tbody.exists(isLocalBagCtor)
         val singleCtorNames = ctorNamesIn(tbody)
         flatten(c.untypecheck(expr)) match {
           case Some((List(g), ubody)) =>
-            val first = g.guards.foldLeft(g.bag) { case (acc, gd) =>
-              q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
+            val first = g.guards.zip(singlePlans).foldLeft(g.bag) {
+              case (acc, (gd, Some(plan))) =>
+                lowerSemi(acc, gd, plan, o => binderLam(gd.v.name, gd.pat, o))
+              case (acc, (gd, None)) =>
+                q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
             }
-            q"$first.map(${binderLam(g.v.name, g.pat, localizeHead(ubody, singleCtorNames))})"
+            val body1 =
+              if (singleHasCtor) localizeHead(ubody, singleCtorNames) else ubody
+            q"$first.map(${binderLam(g.v.name, g.pat, body1)})"
           case _ =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")

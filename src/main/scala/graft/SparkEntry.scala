@@ -3212,6 +3212,33 @@ object SparkEntry {
         .select(col("c_custkey")).as[Long].collect()
       pb.delete(dels.toSeq)
       pb.bag().ds.toDF("c_custkey", "balance_cents")
+    }),
+
+    // Correlated EXISTS / NOT EXISTS in comprehension syntax: the macro
+    // derives `orders.exists(o => key == key && p(o))` as a semiJoin of
+    // the pre-filtered bag and its negation as an antiJoin — the SQL
+    // subquery shapes planned as LeftSemi/LeftAnti hash joins, never a
+    // bag captured in an executor-side filter closure (that spelling used
+    // to compile and crash at runtime; underivable shapes now abort at
+    // compile time with guidance).
+    "q227_comprehension_exists" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          if orders.exists(o =>
+            o.o_custkey == cu.c_custkey && o.o_totalprice > 150000.0)
+          if !orders.exists(o =>
+            o.o_custkey == cu.c_custkey && o.o_totalprice < 5000.0)
+        } yield (cu.c_custkey, cu.c_name)
+      }
+      res.ds.toDF("c_custkey", "c_name")
     })
   )
 
@@ -5032,7 +5059,14 @@ object SparkEntry {
         "SELECT k AS c_custkey, CAST(SUM(cents) AS BIGINT) AS balance_cents " +
         "FROM (SELECT * FROM base UNION ALL SELECT * FROM msg " +
         "UNION ALL SELECT * FROM ins) " +
-        "GROUP BY 1 HAVING NOT (k < 10000000 AND k % 97 = 0)")
+        "GROUP BY 1 HAVING NOT (k < 10000000 AND k % 97 = 0)"),
+
+    "q227_comprehension_exists" ->
+      ("SELECT c_custkey, c_name FROM customer cu " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
+        "AND o.o_totalprice > 150000.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
+        "AND o.o_totalprice < 5000.0)")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -360,6 +360,108 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     out.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "derive a semi join from an EXISTS guard (single generator)" in {
+    val xs = bagL(1L to 30L)
+    val ys = bagL(Seq(2L, 4L, 6L))
+    val r = onSpark { for { x <- xs; if ys.exists(y => y == x % 7) } yield x }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should include("LeftSemi")
+    val seqRef = for { x <- 1L to 30L; if Seq(2L, 4L, 6L).exists(y => y == x % 7) }
+      yield x
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "derive an anti join from a NOT-EXISTS guard and from forall(!=)" in {
+    val xs = bagL(1L to 30L)
+    val ys = bagL(Seq(2L, 4L, 6L))
+    val notExists = onSpark {
+      for { x <- xs; if !ys.exists(y => y == x % 7) } yield x
+    }
+    notExists.toDF.queryExecution.executedPlan.toString should include("LeftAnti")
+    val seqRef = for { x <- 1L to 30L; if !Seq(2L, 4L, 6L).exists(y => y == x % 7) }
+      yield x
+    notExists.collect().sorted shouldBe seqRef.sorted
+    // forall over an inequality is the same anti join...
+    val viaForall = onSpark {
+      for { x <- xs; if ys.forall(y => y != x % 7) } yield x
+    }
+    viaForall.toDF.queryExecution.executedPlan.toString should include("LeftAnti")
+    viaForall.collect().sorted shouldBe seqRef.sorted
+    // ...and its negation is the semi join
+    val negForall = onSpark {
+      for { x <- xs; if !ys.forall(y => y != x % 7) } yield x
+    }
+    negForall.toDF.queryExecution.executedPlan.toString should include("LeftSemi")
+    negForall.collect().sorted shouldBe ((1L to 30L).toSeq diff seqRef).sorted
+  }
+
+  it should "pre-filter the EXISTS bag with inner-only conjuncts and tuple composite keys" in {
+    val xs = bagL(1L to 40L)
+    val ys = bagL(1L to 10L)
+    // inner-only conjunct y > 2 pre-filters ys; the equality keys the semi
+    val r = onSpark {
+      for { x <- xs; if ys.exists(y => x % 7 == y && y > 2L) } yield x
+    }
+    val seqRef = for { x <- 1L to 40L; if (1L to 10L).exists(y => x % 7 == y && y > 2L) }
+      yield x
+    r.collect().sorted shouldBe seqRef.sorted
+    // two separable equalities tuple into one composite key
+    val pairs = DataBag((1L to 20L).map(i => (i % 5, i % 3)))
+    val r2 = onSpark {
+      for { x <- xs; if pairs.exists(p => p._1 == x % 5 && p._2 == x % 3) } yield x
+    }
+    val pairSeq = (1L to 20L).map(i => (i % 5, i % 3))
+    val seqRef2 = for { x <- 1L to 40L
+      if pairSeq.exists(p => p._1 == x % 5 && p._2 == x % 3) } yield x
+    r2.toDF.queryExecution.executedPlan.toString should include("LeftSemi")
+    r2.collect().sorted shouldBe seqRef2.sorted
+  }
+
+  it should "apply an EXISTS guard over the joined tuple in a multi-generator chain" in {
+    val xs = bagL(1L to 12L)
+    val ys = bagL(1L to 12L)
+    val zs = bagL(Seq(4L, 7L, 10L, 22L))
+    val r = onSpark {
+      for { x <- xs; y <- ys; if x % 3 == y % 3; if zs.exists(z => z == x + y) }
+        yield (x, y)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should include("LeftSemi")
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for { x <- 1L to 12L; y <- 1L to 12L; if x % 3 == y % 3
+      if Seq(4L, 7L, 10L, 22L).exists(z => z == x + y) } yield (x, y)
+    r.collect().sorted shouldBe seqRef.sorted
+    // level-1 exists BEFORE a derived equi join: semi joins the first bag
+    val r2 = onSpark {
+      for { x <- xs; if zs.exists(z => z == x * 2); y <- ys; if x % 4 == y % 4 }
+        yield (x, y)
+    }
+    val seqRef2 = for { x <- 1L to 12L; if Seq(4L, 7L, 10L, 22L).exists(z => z == x * 2)
+      y <- 1L to 12L; if x % 4 == y % 4 } yield (x, y)
+    r2.collect().sorted shouldBe seqRef2.sorted
+  }
+
+  it should "reject underivable distributed-bag guards at compile time" in {
+    // non-equality correlation: no semi-join key to derive
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; if ys.exists(y => y > x) } yield x }
+    """ shouldNot compile
+    // a fold over a distributed bag captured in a guard closure
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; if ys.size > x } yield x }
+    """ shouldNot compile
+    // forall with a conjunction is not a single anti join
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; if ys.forall(y => y != x && y > 0L) } yield x }
+    """ shouldNot compile
+  }
+
   it should "reject a DISTRIBUTED bag captured in the yield at compile time" in {
     """
     val xs = bagL(1L to 5L)
