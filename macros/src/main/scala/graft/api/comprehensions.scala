@@ -341,12 +341,236 @@ class ComprehensionMacro(val c: blackbox.Context) {
           "internal: quantified guard no longer matches after untypecheck")
     }
 
+  private def abortBagHead(r: Tree): Nothing =
+    c.abort(c.enclosingPosition,
+      s"onSpark: the yield references the distributed bag '$r'; derived head shapes are " +
+      "a nested comprehension over a literal DataBag(seq) (runs locally per element) " +
+      "and a correlated monoid fold — `bag.withFilter(y => key(y) == key(vars))" +
+      "[.map(v)].sum` / `.size` / `bag.count(y => key == key [&& p(y)])` (pre-aggregated " +
+      "and left-outer-joined) — fold the bag outside the comprehension or restructure")
+
   private def abortBagGuard(r: Tree): Nothing =
     c.abort(c.enclosingPosition,
       s"onSpark: a guard references the distributed bag '$r'; only " +
       "`bag.exists(y => key(y) == key(vars) [&& p(y) ...])`, its negation, and " +
       "`bag.forall(y => key(y) != key(vars))` are derived (as semi/anti joins) — " +
       "restructure the guard or join explicitly")
+
+  // ------------------------------------ correlated scalar folds in the head
+
+  /** A monoid fold terminating a filter/map chain: (chain, fold kind,
+    * optional fold-lambda). Shape-only (typed and untyped); sees through
+    * `sum`'s implicit Numeric list. Only zero-default folds are listed —
+    * a correlated `min`/`max` has no empty-group value to left-join in. */
+  private object FoldCall {
+    def unapply(t: Tree): Option[(Tree, TermName, Option[Tree])] = t match {
+      case Select(q, n @ TermName("size")) => Some((q, n, None))
+      case Apply(Select(q, n @ TermName("sum")), _) => Some((q, n, None))
+      case Select(q, n @ TermName("sum")) => Some((q, n, None))
+      case Apply(Select(q, n @ TermName("count")), List(lam)) => Some((q, n, Some(lam)))
+      case _ => None
+    }
+  }
+
+  /** The chain under a [[FoldCall]]: `root.withFilter(f)*.map(m)?`
+    * decomposed as (root, peeled guards, optional map lambda). Total —
+    * derivability is decided by [[foldPlanOf]]'s classification. */
+  private def foldChainOf(t: Tree): (Tree, List[Guard], Option[(ValDef, Option[Tree], Tree)]) =
+    t match {
+      case Call1(FilterChain(root, gs), TermName("map"), GenLam(v, p, b)) =>
+        (root, gs, Some((v, p, b)))
+      case FilterChain(root, gs) => (root, gs, None)
+      case other => (other, Nil, None)
+    }
+
+  /** A correlated scalar fold derived as pre-aggregate + left outer join
+    * (the reference's FoldGroupFusion shape). Role lists align with the
+    * untyped twin positionally. */
+  private case class FoldPlan(
+      kind: TermName,              // size | count | sum
+      guardRoles: List[ConjRole],  // one per withFilter guard (pre-split conjuncts)
+      countRoles: List[ConjRole],  // count-lambda conjuncts (count ≡ withFilter(p).size)
+      hasMap: Boolean)
+
+  /** Separable-equality classification shared with the quantified-guard
+    * derivation: l/r must split into an inner-only side and a side that
+    * uses the comprehension variables. */
+  private def separableKey(allGen: Seq[Symbol], inner: Seq[Symbol],
+      l: Tree, r: Tree, cj: Tree): Option[ConjRole] = {
+    val (lIn, rIn) = (usesAny(l, inner), usesAny(r, inner))
+    if (distributedValueRef(cj).isDefined) None
+    else if (lIn && !rIn && !usesAny(l, allGen) && usesAny(r, allGen))
+      Some(KeyPair(swapped = true))
+    else if (rIn && !lIn && !usesAny(r, allGen) && usesAny(l, allGen))
+      Some(KeyPair(swapped = false))
+    else None
+  }
+
+  private def innerOnly(allGen: Seq[Symbol], cj: Tree): Boolean =
+    !usesAny(cj, allGen) && distributedValueRef(cj).isEmpty
+
+  /** Derivability analysis of one TYPED head fold occurrence:
+    * the root must be a distributed bag independent of the generators
+    * (literal-ctor chains stay with the head-localization path), every
+    * withFilter conjunct must be a separable key equality or inner-only,
+    * at least one key must exist, and the map / count lambdas must be
+    * inner-only (a generator-dependent value can't pre-aggregate). */
+  private def foldPlanOf(allGen: Seq[Symbol], t: Tree): Option[FoldPlan] = t match {
+    case FoldCall(chain, kind, arg) if !t.exists(isLocalBagCtor) =>
+      val (root, gs, mapLam) = foldChainOf(chain)
+      // count's predicate sees the CHAIN-END element: with a trailing map
+      // it would filter mapped values — not expressible as a root
+      // pre-filter, so rejected
+      if (!isDataBag(root) || usesAny(root, allGen) ||
+          (kind == TermName("count") && mapLam.isDefined)) None
+      else {
+        def conjRole(inner: Seq[Symbol])(cj: Tree): Option[ConjRole] = cj match {
+          case Eq(l, r) => separableKey(allGen, inner, l, r, cj)
+            .orElse(if (innerOnly(allGen, cj)) Some(InnerFilter) else None)
+          case _ => if (innerOnly(allGen, cj)) Some(InnerFilter) else None
+        }
+        val guardRoles: List[Option[ConjRole]] =
+          gs.map(g => conjRole(guardSyms(g))(g.cond))
+        // count(p) ≡ withFilter(p).size: its conjuncts classify exactly
+        // like guard conjuncts (the canonical correlated count puts the
+        // key INSIDE the predicate)
+        val countRoles: Option[List[Option[ConjRole]]] = arg match {
+          case None => Some(Nil)
+          case Some(GenLam(v, p, body)) =>
+            val inner = p.map(bindSyms).getOrElse(List(v.symbol))
+            Some(conjuncts(body).map(conjRole(inner)))
+          case Some(_) => None
+        }
+        val mapOk = mapLam.forall { case (_, _, b) => innerOnly(allGen, b) }
+        val allRoles = guardRoles ++ countRoles.getOrElse(Nil)
+        if (countRoles.isDefined && allRoles.forall(_.isDefined) && mapOk &&
+            allRoles.flatten.exists(_.isInstanceOf[KeyPair]))
+          Some(FoldPlan(kind, guardRoles.map(_.get),
+            countRoles.get.map(_.get), mapLam.isDefined))
+        else None
+      }
+    case _ => None
+  }
+
+  /** Preorder head-fold occurrences (derived subtrees are not descended
+    * into). `analyze` is None for the untyped pass — every shape match is
+    * collected and paired positionally with the typed pass. */
+  private def collectFoldCalls(body: Tree,
+      plan: Tree => Option[FoldPlan]): List[(Tree, Option[FoldPlan])] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Tree, Option[FoldPlan])]
+    val trav = new Traverser {
+      override def traverse(t: Tree): Unit = t match {
+        case FoldCall(_, _, _) => out += ((t, plan(t)))
+        case _ => super.traverse(t)
+      }
+    }
+    trav.traverse(body)
+    out.toList
+  }
+
+  /** [[distributedValueRef]] skipping the derived fold subtrees. */
+  private def distributedRefOutside(t: Tree, skip: List[Tree]): Option[Tree] = {
+    def isValueRef(r: Tree): Boolean =
+      isDataBag(r) && (r.symbol == null || !r.symbol.isModule)
+    var found: Option[Tree] = None
+    val trav = new Traverser {
+      override def traverse(tr: Tree): Unit =
+        if (found.isEmpty && !skip.exists(_ eq tr)) tr match {
+          case i @ Ident(_) if isValueRef(i) => found = Some(i)
+          case s @ Select(_, _) if isValueRef(s) => found = Some(s)
+          case _ => super.traverse(tr)
+        }
+    }
+    trav.traverse(t)
+    found
+  }
+
+  /** Replace each derived fold subtree (by reference identity) with its
+    * fresh fold-value name. */
+  private def substituteAll(body: Tree, pairs: List[(Tree, TermName)]): Tree = {
+    val tr = new Transformer {
+      override def transform(tree: Tree): Tree =
+        pairs.find(_._1 eq tree) match {
+          case Some((_, n)) => Ident(n)
+          case None => super.transform(tree)
+        }
+    }
+    tr.transform(body)
+  }
+
+  /** Rebind the chain-element lambda names (guard binders, map binder)
+    * onto one fresh param — every withFilter/map lambda in the chain
+    * binds the SAME element type, so a plain `val` / pattern re-match is
+    * value-identical. Deduplicates by rendered binder. */
+  private def rebindAll(fp: TermName, binders: List[(TermName, Option[Tree])],
+      inner: Tree): Tree =
+    binders.map { case (n, p) => (p.map(showCode(_)).getOrElse(n.toString), (n, p)) }
+      .distinctBy(_._1).map(_._2)
+      .foldRight(inner) {
+        case ((n, None), acc) => q"{ val $n = ${Ident(fp)}; $acc }"
+        case ((_, Some(pt)), acc) => Match(Ident(fp), List(CaseDef(pt, EmptyTree, acc)))
+      }
+
+  /** Lower one derived head fold (untyped twin `t`, typed-derived `plan`)
+    * onto the accumulated chain `acc`: build the keyed value bag
+    * (inner-filtered, mapped to (key, contribution)), wrap `acc` in
+    * `FoldGroups.sumJoin`, and return the new chain — the fold value rides
+    * as the appended pair element. `mkOuter` builds the accumulated-side
+    * key lambda. */
+  private def lowerFold(acc: Tree, t: Tree, plan: FoldPlan,
+      mkOuter: Tree => Tree): Tree = t match {
+    case FoldCall(chain, _, arg) =>
+      val (root, gs, mapLam) = foldChainOf(chain)
+      if (gs.length != plan.guardRoles.length)
+        c.abort(c.enclosingPosition,
+          "internal: head fold shape changed after untypecheck")
+      // unify withFilter guard conjuncts and count-predicate conjuncts
+      // (count ≡ withFilter(p).size; count-with-map is rejected by
+      // analysis, so the predicate sees the root element here)
+      val countConjs: List[(TermName, Option[Tree], Tree)] = arg match {
+        case Some(GenLam(v, p, body)) => conjuncts(body).map(cj => (v.name, p, cj))
+        case Some(_) => c.abort(c.enclosingPosition,
+          "internal: count lambda shape changed after untypecheck")
+        case None => Nil
+      }
+      if (countConjs.length != plan.countRoles.length)
+        c.abort(c.enclosingPosition,
+          "internal: count lambda shape changed after untypecheck")
+      val tagged: List[((TermName, Option[Tree], Tree), ConjRole)] =
+        gs.map(g => (g.v.name, g.pat, g.cond)).zip(plan.guardRoles) ++
+          countConjs.zip(plan.countRoles)
+      val filtered = tagged.collect { case (cj, InnerFilter) => cj }
+        .foldLeft(root) { case (b, (n, p, cj)) =>
+          q"$b.withFilter(${binderLam(n, p, cj)})"
+        }
+      // separable equalities: (outer, inner) sides
+      val pairs = tagged.collect { case ((n, p, cj), KeyPair(sw)) =>
+        val (l, r) = Eq.unapply(cj).getOrElse(c.abort(c.enclosingPosition,
+          "internal: fold key conjunct shape changed after untypecheck"))
+        (if (sw) (r, l) else (l, r), (n, p))
+      }
+      val (outerK, innerK) = pairs.map(_._1) match {
+        case List((o, in)) => (o, in)
+        case more => (q"(..${more.map(_._1)})", q"(..${more.map(_._2)})")
+      }
+      // the (key, contribution) projection: key sides from the guard
+      // binders, the contribution from the map lambda (sum), the element
+      // itself (bare sum), or 1L (size/count)
+      val fp = TermName(c.freshName("e$"))
+      val (valueTree, valueBinders) = (plan.kind, mapLam) match {
+        case (TermName("sum"), Some((v, p, b))) => (b, List((v.name, p)))
+        case (TermName("sum"), None) => (Ident(fp), Nil)
+        case _ => (q"1L", Nil)
+      }
+      val keyBinders = pairs.map(_._2)
+      val projected = lam(fp,
+        rebindAll(fp, keyBinders ++ valueBinders, q"($innerK, $valueTree)"))
+      val keyed = q"$filtered.map($projected)"
+      q"_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})"
+    case _ =>
+      c.abort(c.enclosingPosition,
+        "internal: head fold no longer matches after untypecheck")
+  }
 
   /** HEAD NESTING (one level, the reference's most common
     * Normalize.scala:44-52 shape): a yield whose body contains a nested
@@ -569,13 +793,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
     typedChain match {
       case Some((gens, tbody)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
           gens.tail.exists(g => isDataBag(g.bag)) =>
-        // head-nesting guard: a distributed bag captured inside the yield
-        // is a guaranteed executor-side crash — abort with guidance now
-        for (r <- distributedRefInHead(tbody))
-          c.abort(c.enclosingPosition,
-            s"onSpark: the yield references the distributed bag '$r'; only a nested " +
-            "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
-            "element) — fold the bag outside the comprehension or restructure")
+        val symsEarly = gens.map(levelSyms)
+        // correlated scalar folds in the yield derive as pre-aggregate +
+        // left outer join (the reference's FoldGroupFusion shape); any
+        // OTHER distributed bag captured inside the yield is a guaranteed
+        // executor-side crash — abort with guidance now
+        val headFolds = collectFoldCalls(tbody,
+          t => foldPlanOf(symsEarly.flatten, t))
+        for (r <- distributedRefOutside(tbody,
+            headFolds.collect { case (t, Some(_)) => t }))
+          abortBagHead(r)
         val headHasCtor = tbody.exists(isLocalBagCtor)
         val headCtorNames = ctorNamesIn(tbody)
         val allNames = gens.flatMap(g => g.pat.map(bindNames).getOrElse(List(g.v.name)))
@@ -602,7 +829,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // flatMap (the inner Seq is driver-shaped, never a job per row).
         // What remains aborted is a DISTRIBUTED bag built from an earlier
         // row — the one-job-per-element cliff.
-        val syms = gens.map(levelSyms)
+        val syms = symsEarly
         // quantified guards (EXISTS over an independent distributed bag)
         // derive semi/anti joins; any OTHER guard that captures a
         // distributed bag would crash in an executor closure — abort
@@ -700,9 +927,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
                 }
               case (acc, ((_, None), _)) => acc
             }
-            val last = ugens.last
-            val body = if (headHasCtor) localizeHead(ubody, headCtorNames) else ubody
-            q"$joinedAll.map(${bound(binders, ugens.length, body, Some(Binder(last.v.name, last.pat)))})"
+            // correlated head folds: one sumJoin per derived fold — the
+            // fold value rides as one more pair level of the stage tuple
+            // (the untyped twins pair positionally with the typed pass)
+            val ufolds = collectFoldCalls(ubody, _ => None).map(_._1)
+            if (ufolds.length != headFolds.length)
+              c.abort(c.enclosingPosition,
+                "internal: head folds changed after untypecheck")
+            val derivedF = ufolds.zip(headFolds.map(_._2))
+              .collect { case (t, Some(p)) => (t, p) }
+            val foldNames = derivedF.map(_ => TermName(c.freshName("fold$")))
+            val foldBinders = foldNames.map(n => Binder(n, None))
+            val withFolds = derivedF.zip(foldNames).zipWithIndex
+              .foldLeft(joinedAll) { case (acc, (((t, plan), _), j)) =>
+                lowerFold(acc, t, plan,
+                  o => bound(binders ++ foldBinders.take(j), ugens.length + j, o))
+              }
+            val substituted = substituteAll(ubody, derivedF.map(_._1).zip(foldNames))
+            val body = if (headHasCtor) localizeHead(substituted, headCtorNames)
+              else substituted
+            q"$withFolds.map(${bound(binders ++ foldBinders, ugens.length + derivedF.length, body)})"
           case None =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")
@@ -716,11 +960,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case Some((gens, tbody)) if gens.length == 1 && isDataBag(gens.head.bag) &&
           (tbody.exists(isLocalBagCtor) || distributedRefInHead(tbody).isDefined ||
             gens.head.guards.exists(g => distributedValueRef(g.cond).isDefined)) =>
-        for (r <- distributedRefInHead(tbody))
-          c.abort(c.enclosingPosition,
-            s"onSpark: the yield references the distributed bag '$r'; only a nested " +
-            "comprehension over a literal DataBag(seq) is derived (it runs locally per " +
-            "element) — fold the bag outside the comprehension or restructure")
+        val singleFolds = collectFoldCalls(tbody,
+          t => foldPlanOf(levelSyms(gens.head), t))
+        for (r <- distributedRefOutside(tbody,
+            singleFolds.collect { case (t, Some(_)) => t }))
+          abortBagHead(r)
         val singlePlans = gens.head.guards.map(g =>
           semiPlanOf(levelSyms(gens.head) ++ guardSyms(g), g.cond))
         for ((g, p) <- gens.head.guards.zip(singlePlans)
@@ -736,9 +980,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case (acc, (gd, None)) =>
                 q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
             }
+            val ufolds1 = collectFoldCalls(ubody, _ => None).map(_._1)
+            if (ufolds1.length != singleFolds.length)
+              c.abort(c.enclosingPosition,
+                "internal: head folds changed after untypecheck")
+            val derivedF1 = ufolds1.zip(singleFolds.map(_._2))
+              .collect { case (t, Some(p)) => (t, p) }
+            val foldNames1 = derivedF1.map(_ => TermName(c.freshName("fold$")))
+            val binders1 = Binder(g.v.name, g.pat) :: foldNames1.map(Binder(_, None))
+            val withFolds1 = derivedF1.zip(foldNames1).zipWithIndex
+              .foldLeft(first) { case (acc, (((t, plan), _), j)) =>
+                lowerFold(acc, t, plan, o => bound(binders1.take(1 + j), 1 + j, o))
+              }
+            val substituted1 = substituteAll(ubody, derivedF1.map(_._1).zip(foldNames1))
             val body1 =
-              if (singleHasCtor) localizeHead(ubody, singleCtorNames) else ubody
-            q"$first.map(${binderLam(g.v.name, g.pat, body1)})"
+              if (singleHasCtor) localizeHead(substituted1, singleCtorNames)
+              else substituted1
+            if (derivedF1.isEmpty)
+              q"$withFolds1.map(${binderLam(g.v.name, g.pat, body1)})"
+            else
+              q"$withFolds1.map(${bound(binders1, binders1.length, body1)})"
           case _ =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")

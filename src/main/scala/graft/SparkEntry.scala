@@ -3239,6 +3239,33 @@ object SparkEntry {
         } yield (cu.c_custkey, cu.c_name)
       }
       res.ds.toDF("c_custkey", "c_name")
+    }),
+
+    // Correlated scalar folds in the comprehension head — the reference's
+    // FoldGroupFusion (emma-compiler FoldGroupFusion.scala) reached from
+    // the quotation front-end: `orders.count(o => key == key && p)` and a
+    // nested `(for {o <- orders; if key == key} yield v).sum` each lower
+    // to ONE combinable pre-aggregation of orders by custkey plus a left
+    // outer join with the monoid zero for matchless customers — never a
+    // per-row job or an executor-side bag capture. Sum in integer cents
+    // (exact, order-free) for a portable oracle.
+    "q228_comprehension_foldgroup" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { cu <- custs; if cu.c_acctbal > 0.0 } yield (
+          cu.c_custkey, cu.c_name,
+          orders.count(o =>
+            o.o_custkey == cu.c_custkey && o.o_totalprice > 100000.0),
+          (for { o <- orders; if o.o_custkey == cu.c_custkey }
+            yield (o.o_totalprice * 100 + 0.5).floor.toLong).sum)
+      }
+      res.ds.toDF("c_custkey", "c_name", "big_orders", "total_cents")
     })
   )
 
@@ -5066,7 +5093,16 @@ object SparkEntry {
         "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
         "AND o.o_totalprice > 150000.0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
-        "AND o.o_totalprice < 5000.0)")
+        "AND o.o_totalprice < 5000.0)"),
+
+    "q228_comprehension_foldgroup" ->
+      ("SELECT c_custkey, c_name, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o " +
+        "WHERE o.o_custkey = cu.c_custkey AND o.o_totalprice > 100000.0) AS big_orders, " +
+        "(SELECT COALESCE(CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) " +
+        "AS BIGINT), 0) FROM orders o " +
+        "WHERE o.o_custkey = cu.c_custkey) AS total_cents " +
+        "FROM customer cu WHERE c_acctbal > 0.0")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

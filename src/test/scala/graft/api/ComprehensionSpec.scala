@@ -441,6 +441,89 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r2.collect().sorted shouldBe seqRef2.sorted
   }
 
+  it should "derive a correlated count in the yield as pre-aggregate + left outer join" in {
+    val xs = bagL(1L to 20L)
+    val ys = bagL(Seq(1L, 2L, 2L, 3L, 3L, 3L))
+    // the canonical correlated-count spelling: key inside the predicate;
+    // outer rows with no match get 0 (the monoid zero via the outer join)
+    val r = onSpark { for { x <- xs } yield (x, ys.count(y => y == x % 5)) }
+    val yseq = Seq(1L, 2L, 2L, 3L, 3L, 3L)
+    val seqRef = for { x <- 1L to 20L } yield (x, yseq.count(y => y == x % 5).toLong)
+    r.collect().sorted shouldBe seqRef.sorted
+    // an extra inner-only conjunct pre-filters the aggregated bag
+    val r2 = onSpark { for { x <- xs } yield (x, ys.count(y => y == x % 5 && y > 1L)) }
+    val seqRef2 = for { x <- 1L to 20L }
+      yield (x, yseq.count(y => y == x % 5 && y > 1L).toLong)
+    r2.collect().sorted shouldBe seqRef2.sorted
+  }
+
+  it should "derive a correlated nested-comprehension sum in the yield (FoldGroupFusion)" in {
+    val xs = bagL(1L to 15L)
+    val ys = bagL(1L to 30L)
+    val r = onSpark {
+      for { x <- xs }
+        yield (x, (for { y <- ys; if y % 7 == x % 7; if y > 3L } yield y * 2L).sum)
+    }
+    val seqRef = for { x <- 1L to 15L }
+      yield (x, (for { y <- 1L to 30L; if y % 7 == x % 7; if y > 3L } yield y * 2L).sum)
+    r.collect().sorted shouldBe seqRef.sorted
+    // .size spelling, and TWO independent folds in one yield
+    val r2 = onSpark {
+      for { x <- xs } yield (x,
+        ys.withFilter(y => y % 7 == x % 7).size,
+        ys.count(y => y == x + 1L))
+    }
+    val seqRef2 = for { x <- 1L to 15L } yield (x,
+      (1L to 30L).count(y => y % 7 == x % 7).toLong,
+      (1L to 30L).count(y => y == x + 1L).toLong)
+    r2.collect().sorted shouldBe seqRef2.sorted
+  }
+
+  it should "derive head folds over the joined tuple in a multi-generator chain" in {
+    val xs = bagL(1L to 10L)
+    val ys = bagL(1L to 10L)
+    val zs = bagL(Seq(4L, 4L, 7L, 10L))
+    val r = onSpark {
+      for { x <- xs; y <- ys; if x % 2 == y % 2 }
+        yield (x, y, zs.count(z => z == x + y))
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val zseq = Seq(4L, 4L, 7L, 10L)
+    val seqRef = for { x <- 1L to 10L; y <- 1L to 10L; if x % 2 == y % 2 }
+      yield (x, y, zseq.count(z => z == x + y).toLong)
+    r.collect().sorted shouldBe seqRef.sorted
+    // alongside an EXISTS guard — both derivations compose
+    val r2 = onSpark {
+      for { x <- xs; if ys.exists(y => y == x * 2) }
+        yield (x, zs.count(z => z == x))
+    }
+    val seqRef2 = for { x <- 1L to 10L; if (1L to 10L).exists(y => y == x * 2) }
+      yield (x, zseq.count(z => z == x).toLong)
+    r2.collect().sorted shouldBe seqRef2.sorted
+  }
+
+  it should "reject underivable head folds at compile time" in {
+    // no correlation key: nothing to pre-aggregate against
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs } yield (x, ys.sum) }
+    """ shouldNot compile
+    // min has no empty-group default to left-join in
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs } yield (x, ys.withFilter(y => y == x).min) }
+    """ shouldNot compile
+    // a generator-dependent mapped value cannot pre-aggregate
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs } yield (x, ys.withFilter(y => y == x).map(y => y + x).sum) }
+    """ shouldNot compile
+  }
+
   it should "reject underivable distributed-bag guards at compile time" in {
     // non-equality correlation: no semi-join key to derive
     """
