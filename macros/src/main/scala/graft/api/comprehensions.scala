@@ -64,6 +64,17 @@ import scala.reflect.macros.blackbox
   * distributed bag aborts at compile time (it would capture the bag in an
   * executor-side closure — a guaranteed runtime crash).
   *
+  * CORRELATED SCALAR FOLDS (the reference's FoldGroupFusion pass reached
+  * from the quotation front-end) derive in BOTH positions: in the head —
+  * `yield (x, ys.count(y => k(y) == k'(x) [&& p(y)]))`, `.withFilter(key)
+  * [.map(v)].sum`, `.size` — and in guards — `if ys.count(key) >= 2`
+  * (the SQL correlated-HAVING shape). Each fold becomes ONE combinable
+  * pre-aggregation of the inner bag by its key ([[FoldGroups.sumJoin]])
+  * plus a left outer join whose miss-default is the monoid zero; guard
+  * folds filter on the widened tuple and project the fold levels back
+  * off. Folds with no empty-group default (`min`/`max`), keyless folds,
+  * and generator-dependent mapped values abort with guidance.
+  *
   * HEAD NESTING (one level, the reference's Normalize.scala:44-52 UnnestGenerator
   * applied to the most common shape users write): a yield whose body
   * contains a nested comprehension over a literal `DataBag(seq)` — e.g.
@@ -341,6 +352,49 @@ class ComprehensionMacro(val c: blackbox.Context) {
           "internal: quantified guard no longer matches after untypecheck")
     }
 
+  /** A guard whose condition compares correlated fold values (the SQL
+    * correlated-HAVING shape, `if ys.count(y => k(y) == k'(x)) >= 2`):
+    * every [[FoldCall]] occurrence must be derivable and no other
+    * distributed reference may remain. Plans align positionally with the
+    * untyped twin. */
+  private case class GuardFolds(plans: List[Option[FoldPlan]])
+
+  private def guardFoldsOf(allGen: Seq[Symbol], cond: Tree): Option[GuardFolds] = {
+    val occ = collectFoldCalls(cond, t => foldPlanOf(allGen, t))
+    val derived = occ.collect { case (t, Some(_)) => t }
+    if (derived.nonEmpty && distributedRefOutside(cond, derived).isEmpty)
+      Some(GuardFolds(occ.map(_._2)))
+    else None
+  }
+
+  /** Lower one fold-comparing guard: append the fold values via
+    * [[lowerFold]]'s sumJoins, filter on the substituted condition over
+    * the widened tuple, then project the fold levels back off so later
+    * stages see the unchanged stage shape. `stageBinders` are the current
+    * stage's binders with the guard's OWN binder in the last generator
+    * slot. */
+  private def lowerGuardFolds(acc: Tree, g: Guard, gf: GuardFolds,
+      stageBinders: List[Binder]): Tree = {
+    val occ = collectFoldCalls(g.cond, _ => None).map(_._1)
+    if (occ.length != gf.plans.length)
+      c.abort(c.enclosingPosition,
+        "internal: guard folds changed after untypecheck")
+    val derived = occ.zip(gf.plans).collect { case (t, Some(p)) => (t, p) }
+    val names = derived.map(_ => TermName(c.freshName("fold$")))
+    val foldBinders = names.map(Binder(_, None))
+    val n0 = stageBinders.length
+    val withFolds = derived.zip(names).zipWithIndex.foldLeft(acc) {
+      case (a, (((t, p), _), j)) =>
+        lowerFold(a, t, p, o => bound(stageBinders ++ foldBinders.take(j), n0 + j, o))
+    }
+    val cond2 = substituteAll(g.cond, derived.map(_._1).zip(names))
+    val filtered = q"$withFolds.withFilter(${
+      bound(stageBinders ++ foldBinders, n0 + derived.length, cond2)})"
+    val p = TermName(c.freshName("p$"))
+    val back = (1 to derived.length).foldLeft(q"${Ident(p)}": Tree)((t, _) => q"$t._1")
+    q"$filtered.map(${lam(p, back)})"
+  }
+
   private def abortBagHead(r: Tree): Nothing =
     c.abort(c.enclosingPosition,
       s"onSpark: the yield references the distributed bag '$r'; derived head shapes are " +
@@ -351,10 +405,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   private def abortBagGuard(r: Tree): Nothing =
     c.abort(c.enclosingPosition,
-      s"onSpark: a guard references the distributed bag '$r'; only " +
-      "`bag.exists(y => key(y) == key(vars) [&& p(y) ...])`, its negation, and " +
-      "`bag.forall(y => key(y) != key(vars))` are derived (as semi/anti joins) — " +
-      "restructure the guard or join explicitly")
+      s"onSpark: a guard references the distributed bag '$r'; derived guard shapes are " +
+      "`bag.exists(y => key(y) == key(vars) [&& p(y) ...])` / its negation / " +
+      "`bag.forall(y => key(y) != key(vars))` (semi/anti joins) and comparisons of " +
+      "correlated monoid folds `bag.count(y => key == key [&& p]) <op> e` " +
+      "(pre-aggregate + join + filter) — restructure the guard or join explicitly")
 
   // ------------------------------------ correlated scalar folds in the head
 
@@ -839,8 +894,18 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // both count as comprehension variables for key separation
         val semiPlans: List[List[Option[SemiPlan]]] =
           gens.map(_.guards.map(g => semiPlanOf(allGenSyms ++ guardSyms(g), g.cond)))
-        for ((gen, plans) <- gens.zip(semiPlans); (g, p) <- gen.guards.zip(plans)
-             if p.isEmpty; r <- distributedValueRef(g.cond))
+        // guards comparing correlated fold values (the HAVING shape)
+        // derive sumJoin + filter + project-back
+        val guardFoldPlans: List[List[Option[GuardFolds]]] =
+          gens.zip(semiPlans).map { case (gen, sp) =>
+            gen.guards.zip(sp).map {
+              case (_, Some(_)) => None
+              case (g, None) => guardFoldsOf(allGenSyms ++ guardSyms(g), g.cond)
+            }
+          }
+        for (((gen, plans), gfs) <- gens.zip(semiPlans).zip(guardFoldPlans);
+             ((g, p), gf) <- gen.guards.zip(plans).zip(gfs)
+             if p.isEmpty && gf.isEmpty; r <- distributedValueRef(g.cond))
           abortBagGuard(r)
         val depLocal: Set[Int] = gens.zipWithIndex.drop(1).collect {
           case (gen, i) if usesAny(gen.bag, syms.take(i).flatten) &&
@@ -865,28 +930,35 @@ class ComprehensionMacro(val c: blackbox.Context) {
             val head = ugens.head
             // level-1 guards reference only level 1: pre-filter the first
             // bag (quantified guards semi/anti-join it)
-            val first = head.guards.zip(semiPlans.head).foldLeft(head.bag) {
-              case (acc, (g, Some(plan))) =>
-                lowerSemi(acc, g, plan, o => binderLam(g.v.name, g.pat, o))
-              case (acc, (g, None)) =>
-                q"$acc.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
-            }
+            val first = head.guards.zip(semiPlans.head).zip(guardFoldPlans.head)
+              .foldLeft(head.bag) {
+                case (acc, ((g, Some(plan)), _)) =>
+                  lowerSemi(acc, g, plan, o => binderLam(g.v.name, g.pat, o))
+                case (acc, ((g, None), Some(gf))) =>
+                  lowerGuardFolds(acc, g, gf, List(Binder(g.v.name, g.pat)))
+                case (acc, ((g, None), None)) =>
+                  q"$acc.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
+              }
             val joinedAll = ugens.zip(roles.map(Some(_)).prepended(None))
               .zipWithIndex.drop(1)
               .foldLeft(first) { case (acc, ((gen, Some(levelRoles)), idx)) =>
                 val i = idx + 1 // 1-based stage AFTER this join
-                // quantified guards leave the role machinery (their role
-                // slot is garbage) and semi/anti-join after the level's
-                // join; everything else keeps its analyzed role
+                // quantified and fold-comparing guards leave the role
+                // machinery (their role slot is garbage) and apply after
+                // the level's join; everything else keeps its analyzed role
                 val tagged = gen.guards.zip(levelRoles).zip(semiPlans(idx))
+                  .zip(guardFoldPlans(idx))
+                  .map { case (((g, role), sp), gf) => (g, role, sp, gf) }
                 val own = tagged.collect {
-                  case ((g, OwnFilter), None) => g }
+                  case (g, OwnFilter, None, None) => g }
                 val key = tagged.collectFirst {
-                  case ((g, JoinKey(sw)), None) => (g, sw) }
+                  case (g, JoinKey(sw), None, None) => (g, sw) }
                 val post = tagged.collect {
-                  case ((g, PostFilter), None) => g }
+                  case (g, PostFilter, None, None) => g }
                 val semis = tagged.collect {
-                  case ((g, _), Some(plan)) => (g, plan) }
+                  case (g, _, Some(plan), _) => (g, plan) }
+                val gfolds = tagged.collect {
+                  case (g, _, None, Some(gf)) => (g, gf) }
                 val bag = own.foldLeft(gen.bag) { case (b, g) =>
                   q"$b.withFilter(${binderLam(g.v.name, g.pat, g.cond)})"
                 }
@@ -921,9 +993,15 @@ class ComprehensionMacro(val c: blackbox.Context) {
                 // quantified guards: semi/anti join the stage tuple (the
                 // outer key rebinds levels 1..i, the guard's own binder
                 // covers the new side — the post-filter pattern)
-                semis.foldLeft(filtered) { case (j, (g, plan)) =>
+                val afterSemis = semis.foldLeft(filtered) { case (j, (g, plan)) =>
                   lowerSemi(j, g, plan,
                     o => bound(binders, i, o, Some(Binder(g.v.name, g.pat))))
+                }
+                // fold-comparing guards: widen with the fold values,
+                // filter, project the stage tuple back
+                gfolds.foldLeft(afterSemis) { case (j, (g, gf)) =>
+                  lowerGuardFolds(j, g, gf,
+                    binders.take(i).toList.updated(i - 1, Binder(g.v.name, g.pat)))
                 }
               case (acc, ((_, None), _)) => acc
             }
@@ -967,17 +1045,24 @@ class ComprehensionMacro(val c: blackbox.Context) {
           abortBagHead(r)
         val singlePlans = gens.head.guards.map(g =>
           semiPlanOf(levelSyms(gens.head) ++ guardSyms(g), g.cond))
-        for ((g, p) <- gens.head.guards.zip(singlePlans)
-             if p.isEmpty; r <- distributedValueRef(g.cond))
+        val singleGF = gens.head.guards.zip(singlePlans).map {
+          case (_, Some(_)) => None
+          case (g, None) =>
+            guardFoldsOf(levelSyms(gens.head) ++ guardSyms(g), g.cond)
+        }
+        for (((g, p), gf) <- gens.head.guards.zip(singlePlans).zip(singleGF)
+             if p.isEmpty && gf.isEmpty; r <- distributedValueRef(g.cond))
           abortBagGuard(r)
         val singleHasCtor = tbody.exists(isLocalBagCtor)
         val singleCtorNames = ctorNamesIn(tbody)
         flatten(c.untypecheck(expr)) match {
           case Some((List(g), ubody)) =>
-            val first = g.guards.zip(singlePlans).foldLeft(g.bag) {
-              case (acc, (gd, Some(plan))) =>
+            val first = g.guards.zip(singlePlans).zip(singleGF).foldLeft(g.bag) {
+              case (acc, ((gd, Some(plan)), _)) =>
                 lowerSemi(acc, gd, plan, o => binderLam(gd.v.name, gd.pat, o))
-              case (acc, (gd, None)) =>
+              case (acc, ((gd, None), Some(gf))) =>
+                lowerGuardFolds(acc, gd, gf, List(Binder(gd.v.name, gd.pat)))
+              case (acc, ((gd, None), None)) =>
                 q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
             }
             val ufolds1 = collectFoldCalls(ubody, _ => None).map(_._1)

@@ -3266,6 +3266,30 @@ object SparkEntry {
             yield (o.o_totalprice * 100 + 0.5).floor.toLong).sum)
       }
       res.ds.toDF("c_custkey", "c_name", "big_orders", "total_cents")
+    }),
+
+    // Correlated HAVING: a guard comparing a correlated fold value —
+    // `if orders.count(o => key == key) >= 12` — derives the same
+    // pre-aggregate + left outer join, filters on the widened tuple, and
+    // projects the fold level back off; a second fold in the head rides
+    // its own sumJoin. SQL's `WHERE (SELECT COUNT(*) ...) >= n` from
+    // comprehension syntax, with zero driver-side evaluation.
+    "q229_comprehension_having" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { cu <- custs
+              if orders.count(o => o.o_custkey == cu.c_custkey) >= 12L }
+          yield (cu.c_custkey, cu.c_name,
+            orders.count(o =>
+              o.o_custkey == cu.c_custkey && o.o_totalprice > 100000.0))
+      }
+      res.ds.toDF("c_custkey", "c_name", "big_orders")
     })
   )
 
@@ -5102,7 +5126,14 @@ object SparkEntry {
         "(SELECT COALESCE(CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) " +
         "AS BIGINT), 0) FROM orders o " +
         "WHERE o.o_custkey = cu.c_custkey) AS total_cents " +
-        "FROM customer cu WHERE c_acctbal > 0.0")
+        "FROM customer cu WHERE c_acctbal > 0.0"),
+
+    "q229_comprehension_having" ->
+      ("SELECT c_custkey, c_name, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o " +
+        "WHERE o.o_custkey = cu.c_custkey AND o.o_totalprice > 100000.0) AS big_orders " +
+        "FROM customer cu " +
+        "WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = cu.c_custkey) >= 12")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

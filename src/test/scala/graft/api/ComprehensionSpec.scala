@@ -503,6 +503,35 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r2.collect().sorted shouldBe seqRef2.sorted
   }
 
+  it should "derive a fold-comparing guard (correlated HAVING) via sumJoin + filter" in {
+    val xs = bagL(1L to 20L)
+    val ys = bagL(Seq(1L, 2L, 2L, 3L, 3L, 3L))
+    val yseq = Seq(1L, 2L, 2L, 3L, 3L, 3L)
+    val r = onSpark {
+      for { x <- xs; if ys.count(y => y == x % 5) >= 2L } yield x * 10L
+    }
+    val seqRef = for { x <- 1L to 20L; if yseq.count(y => y == x % 5) >= 2 }
+      yield x * 10L
+    r.collect().sorted shouldBe seqRef.sorted
+    // guard fold at level 2 of a join chain; later shape unaffected
+    val zs = bagL(1L to 20L)
+    val r2 = onSpark {
+      for { x <- xs; z <- zs; if x % 4 == z % 4
+            if ys.count(y => y == (x + z) % 5) == 3L } yield (x, z)
+    }
+    val seqRef2 = for { x <- 1L to 20L; z <- 1L to 20L; if x % 4 == z % 4
+      if yseq.count(y => y == (x + z) % 5) == 3 } yield (x, z)
+    r2.collect().sorted shouldBe seqRef2.sorted
+    // a guard fold COMBINED with a head fold in the same comprehension
+    val r3 = onSpark {
+      for { x <- xs; if ys.count(y => y == x % 5) >= 2L }
+        yield (x, ys.count(y => y == x % 7))
+    }
+    val seqRef3 = for { x <- 1L to 20L; if yseq.count(y => y == x % 5) >= 2 }
+      yield (x, yseq.count(y => y == x % 7).toLong)
+    r3.collect().sorted shouldBe seqRef3.sorted
+  }
+
   it should "reject underivable head folds at compile time" in {
     // no correlation key: nothing to pre-aggregate against
     """
