@@ -375,7 +375,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * slot. */
   private def lowerGuardFolds(acc: Tree, g: Guard, gf: GuardFolds,
       stageBinders: List[Binder]): Tree = {
-    val occ = collectFoldCalls(g.cond, _ => None).map(_._1)
+    val occ = collectFoldCallsReplay(g.cond, gf.plans.map(_.isDefined))
     if (occ.length != gf.plans.length)
       c.abort(c.enclosingPosition,
         "internal: guard folds changed after untypecheck")
@@ -418,11 +418,15 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * `sum`'s implicit Numeric list. Only zero-default folds are listed —
     * a correlated `min`/`max` has no empty-group value to left-join in. */
   private object FoldCall {
-    def unapply(t: Tree): Option[(Tree, TermName, Option[Tree])] = t match {
-      case Select(q, n @ TermName("size")) => Some((q, n, None))
-      case Apply(Select(q, n @ TermName("sum")), _) => Some((q, n, None))
-      case Select(q, n @ TermName("sum")) => Some((q, n, None))
-      case Apply(Select(q, n @ TermName("count")), List(lam)) => Some((q, n, Some(lam)))
+    def unapply(t: Tree): Option[(Tree, TermName, List[Tree])] = t match {
+      case Select(q, n @ TermName("size")) => Some((q, n, Nil))
+      case Apply(Select(q, n @ TermName("sum")), _) => Some((q, n, Nil))
+      case Select(q, n @ TermName("sum")) => Some((q, n, Nil))
+      case Apply(Select(q, n @ TermName("count")), List(lam)) => Some((q, n, List(lam)))
+      case Apply(Apply(Select(q, n @ TermName("top")), List(k)), List(ord)) =>
+        Some((q, n, List(k, ord)))
+      case Apply(Apply(Select(q, n @ TermName("bottom")), List(k)), List(ord)) =>
+        Some((q, n, List(k, ord)))
       case _ => None
     }
   }
@@ -471,13 +475,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * at least one key must exist, and the map / count lambdas must be
     * inner-only (a generator-dependent value can't pre-aggregate). */
   private def foldPlanOf(allGen: Seq[Symbol], t: Tree): Option[FoldPlan] = t match {
-    case FoldCall(chain, kind, arg) if !t.exists(isLocalBagCtor) =>
+    case FoldCall(chain, kind, args) if !t.exists(isLocalBagCtor) =>
       val (root, gs, mapLam) = foldChainOf(chain)
+      val arg = if (kind == TermName("count")) args.headOption else None
       // count's predicate sees the CHAIN-END element: with a trailing map
       // it would filter mapped values — not expressible as a root
-      // pre-filter, so rejected
+      // pre-filter, so rejected; top/bottom's k and Ordering must not
+      // depend on the generators (they parameterize ONE shared aggregate)
       if (!isDataBag(root) || usesAny(root, allGen) ||
-          (kind == TermName("count") && mapLam.isDefined)) None
+          (kind == TermName("count") && mapLam.isDefined) ||
+          (kind != TermName("count") && !args.forall(a => innerOnly(allGen, a)))) None
       else {
         def conjRole(inner: Seq[Symbol])(cj: Tree): Option[ConjRole] = cj match {
           case Eq(l, r) => separableKey(allGen, inner, l, r, cj)
@@ -507,15 +514,39 @@ class ComprehensionMacro(val c: blackbox.Context) {
     case _ => None
   }
 
-  /** Preorder head-fold occurrences (derived subtrees are not descended
-    * into). `analyze` is None for the untyped pass — every shape match is
-    * collected and paired positionally with the typed pass. */
+  /** Preorder head-fold occurrences: DERIVED subtrees are not descended
+    * into; underivable matches ARE (a nested derivable fold may hide
+    * inside, e.g. `chain.top(3).sum` where the outer sum is a plain List
+    * op over the substituted value). */
   private def collectFoldCalls(body: Tree,
       plan: Tree => Option[FoldPlan]): List[(Tree, Option[FoldPlan])] = {
     val out = scala.collection.mutable.ListBuffer.empty[(Tree, Option[FoldPlan])]
     val trav = new Traverser {
       override def traverse(t: Tree): Unit = t match {
-        case FoldCall(_, _, _) => out += ((t, plan(t)))
+        case FoldCall(_, _, _) =>
+          val p = plan(t)
+          out += ((t, p))
+          if (p.isEmpty) super.traverse(t)
+        case _ => super.traverse(t)
+      }
+    }
+    trav.traverse(body)
+    out.toList
+  }
+
+  /** The untyped twin of [[collectFoldCalls]]: replays the typed pass's
+    * descend/skip decisions positionally (the untyped tree is structurally
+    * identical, so preorder replay pairs the occurrences exactly). */
+  private def collectFoldCallsReplay(body: Tree, derived: List[Boolean]): List[Tree] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tree]
+    var i = 0
+    val trav = new Traverser {
+      override def traverse(t: Tree): Unit = t match {
+        case FoldCall(_, _, _) =>
+          out += t
+          val d = i < derived.length && derived(i)
+          i += 1
+          if (!d) super.traverse(t)
         case _ => super.traverse(t)
       }
     }
@@ -574,7 +605,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * key lambda. */
   private def lowerFold(acc: Tree, t: Tree, plan: FoldPlan,
       mkOuter: Tree => Tree): Tree = t match {
-    case FoldCall(chain, _, arg) =>
+    case FoldCall(chain, _, args) =>
+      val arg = if (plan.kind == TermName("count")) args.headOption else None
       val (root, gs, mapLam) = foldChainOf(chain)
       if (gs.length != plan.guardRoles.length)
         c.abort(c.enclosingPosition,
@@ -612,16 +644,24 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // binders, the contribution from the map lambda (sum), the element
       // itself (bare sum), or 1L (size/count)
       val fp = TermName(c.freshName("e$"))
+      val isTopK = plan.kind == TermName("top") || plan.kind == TermName("bottom")
       val (valueTree, valueBinders) = (plan.kind, mapLam) match {
         case (TermName("sum"), Some((v, p, b))) => (b, List((v.name, p)))
-        case (TermName("sum"), None) => (Ident(fp), Nil)
+        case (TermName("sum"), None) => (Ident(fp): Tree, Nil)
+        case (_, Some((v, p, b))) if isTopK => (b, List((v.name, p)))
+        case (_, None) if isTopK => (Ident(fp): Tree, Nil)
         case _ => (q"1L", Nil)
       }
       val keyBinders = pairs.map(_._2)
       val projected = lam(fp,
         rebindAll(fp, keyBinders ++ valueBinders, q"($innerK, $valueTree)"))
       val keyed = q"$filtered.map($projected)"
-      q"_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})"
+      if (isTopK) {
+        val smallest = plan.kind == TermName("bottom")
+        q"""_root_.graft.api.FoldGroups.topJoin($acc, $keyed, ${args(0)},
+            ${args(1)}, $smallest)(${mkOuter(outerK)})"""
+      } else
+        q"_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})"
     case _ =>
       c.abort(c.enclosingPosition,
         "internal: head fold no longer matches after untypecheck")
@@ -1008,7 +1048,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
             // correlated head folds: one sumJoin per derived fold — the
             // fold value rides as one more pair level of the stage tuple
             // (the untyped twins pair positionally with the typed pass)
-            val ufolds = collectFoldCalls(ubody, _ => None).map(_._1)
+            val ufolds = collectFoldCallsReplay(ubody, headFolds.map(_._2.isDefined))
             if (ufolds.length != headFolds.length)
               c.abort(c.enclosingPosition,
                 "internal: head folds changed after untypecheck")
@@ -1065,7 +1105,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case (acc, ((gd, None), None)) =>
                 q"$acc.withFilter(${binderLam(gd.v.name, gd.pat, gd.cond)})"
             }
-            val ufolds1 = collectFoldCalls(ubody, _ => None).map(_._1)
+            val ufolds1 = collectFoldCallsReplay(ubody, singleFolds.map(_._2.isDefined))
             if (ufolds1.length != singleFolds.length)
               c.abort(c.enclosingPosition,
                 "internal: head folds changed after untypecheck")

@@ -3290,6 +3290,28 @@ object SparkEntry {
               o.o_custkey == cu.c_custkey && o.o_totalprice > 100000.0))
       }
       res.ds.toDF("c_custkey", "c_name", "big_orders")
+    }),
+
+    // Correlated top-k head fold: `(for {o <- orders; if key} yield
+    // cents).top(3)` pre-aggregates through the bag's own bounded-heap
+    // Top algebra (AlgAggregator typed UDAF — ≤ k values per key per
+    // partition reach the shuffle), left-outer-joins with Nil default,
+    // and the trailing `.sum` is plain List code over the substituted
+    // value. Exact integer cents for a portable oracle.
+    "q230_comprehension_topk" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { cu <- custs } yield (cu.c_custkey, cu.c_name,
+          (for { o <- orders; if o.o_custkey == cu.c_custkey }
+            yield (o.o_totalprice * 100 + 0.5).floor.toLong).top(3).sum)
+      }
+      res.ds.toDF("c_custkey", "c_name", "top3_cents")
     })
   )
 
@@ -5133,7 +5155,14 @@ object SparkEntry {
         "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o " +
         "WHERE o.o_custkey = cu.c_custkey AND o.o_totalprice > 100000.0) AS big_orders " +
         "FROM customer cu " +
-        "WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = cu.c_custkey) >= 12")
+        "WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = cu.c_custkey) >= 12"),
+
+    "q230_comprehension_topk" ->
+      ("SELECT c_custkey, c_name, " +
+        "(SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) FROM (" +
+        "SELECT CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders o " +
+        "WHERE o.o_custkey = cu.c_custkey ORDER BY c DESC LIMIT 3) t) AS top3_cents " +
+        "FROM customer cu")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

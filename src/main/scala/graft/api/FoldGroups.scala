@@ -32,4 +32,25 @@ object FoldGroups {
     left.leftOuterJoin(summed)(ka, _._1)
       .map { case (a, opt) => (a, opt.map(_._2).getOrElse(num.zero)) }
   }
+
+  /** For each left element: the top (or bottom, `smallest = true`) `n`
+    * right values under the matching key as a sorted list, `Nil` when
+    * none — the correlated `filter(key match).top(n)` fold. The per-key
+    * aggregation runs the bag's own bounded-heap [[graft.api.alg.Top]]
+    * algebra through the typed-UDAF adapter, so each partition sends at
+    * most n values per key to the shuffle. */
+  def topJoin[A, K, V](left: DataBag[A], right: DataBag[(K, V)], n: Int,
+      ord: Ordering[V], smallest: Boolean)(ka: A => K)(
+      implicit encK: Encoder[K], encList: Encoder[List[V]],
+      encOut: Encoder[(A, List[V])],
+      encOpt: Encoder[(A, Option[(K, List[V])])]): DataBag[(A, List[V])] = {
+    import graft.api.alg.{Alg, AlgAggregator, Bottom, MapAlg, Top}
+    implicit val encKL: Encoder[(K, List[V])] = Encoders.tuple(encK, encList)
+    val alg: Alg[(K, V), List[V]] =
+      MapAlg((kv: (K, V)) => kv._2, if (smallest) Bottom(n, ord) else Top(n, ord))
+    val agged = new DataBag(
+      right.ds.groupByKey(_._1).agg(AlgAggregator.column(alg)))
+    left.leftOuterJoin(agged)(ka, _._1)
+      .map { case (a, opt) => (a, opt.map(_._2).getOrElse(Nil: List[V])) }
+  }
 }

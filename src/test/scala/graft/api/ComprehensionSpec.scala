@@ -532,6 +532,27 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r3.collect().sorted shouldBe seqRef3.sorted
   }
 
+  it should "derive a correlated top-k head fold via the bounded-heap algebra" in {
+    val xs = bagL(1L to 10L)
+    val ys = bagL(1L to 40L)
+    // top(3) feeds a plain List .sum — the OUTER sum is local code over
+    // the substituted fold value, only the top(3) pre-aggregates
+    val r = onSpark {
+      for { x <- xs }
+        yield (x, (for { y <- ys; if y % 10 == x % 10 } yield y).top(3).sum)
+    }
+    val seqRef = for { x <- 1L to 10L }
+      yield (x, (1L to 40L).filter(y => y % 10 == x % 10).sorted.reverse.take(3).sum)
+    r.collect().sorted shouldBe seqRef.sorted
+    // bottom(n) with the List value returned directly
+    val r2 = onSpark {
+      for { x <- xs } yield (x, ys.withFilter(y => y % 10 == x % 10).bottom(2))
+    }
+    val seqRef2 = for { x <- 1L to 10L }
+      yield (x, (1L to 40L).filter(y => y % 10 == x % 10).sorted.take(2).toList)
+    r2.collect().toMap shouldBe seqRef2.toMap
+  }
+
   it should "reject underivable head folds at compile time" in {
     // no correlation key: nothing to pre-aggregate against
     """
