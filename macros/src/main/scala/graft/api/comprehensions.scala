@@ -395,6 +395,131 @@ class ComprehensionMacro(val c: blackbox.Context) {
     q"$filtered.map(${lam(p, back)})"
   }
 
+  // ----------------------------------------- groupBy-comprehension fusion
+
+  private val seqFoldKinds: Set[TermName] =
+    Set("count", "sum", "product", "min", "max").map(TermName(_))
+  private val seqStageKinds: Set[TermName] =
+    Set("filter", "map").map(TermName(_))
+
+  /** One Seq-fold over a group's values — `<root>.filter(p)*.map(f)?.FOLD`
+    * with FOLD ∈ size|count|sum|product|min|max — as (root, stages
+    * root-first, fold kind, fold argument). Shape-only (typed and untyped);
+    * implicit Numeric/Ordering arguments arrive as the fold argument. */
+  private def seqFoldChain(t: Tree)
+      : Option[(Tree, List[(TermName, Tree)], TermName, Option[Tree])] = {
+    def peel(t: Tree, acc: List[(TermName, Tree)]): (Tree, List[(TermName, Tree)]) =
+      t match {
+        case Call1(q, n, a) if seqStageKinds(n) => peel(q, (n, a) :: acc)
+        case other => (other, acc)
+      }
+    t match {
+      case Select(q, n @ TermName("size")) =>
+        val (r, st) = peel(q, Nil); Some((r, st, n, None))
+      case Call1(q, n, a) if seqFoldKinds(n) =>
+        val (r, st) = peel(q, Nil); Some((r, st, n, Some(a)))
+      case _ => None
+    }
+  }
+
+  private type GroupFoldOcc = (Tree, List[(TermName, Tree)], TermName, Option[Tree])
+
+  /** Preorder `values`-rooted Seq-fold occurrences (matched subtrees are
+    * not descended into — validation rejects nested `g` references, so
+    * valid programs have none). */
+  private def collectGroupFolds(body: Tree, isRoot: Tree => Boolean)
+      : List[GroupFoldOcc] = {
+    val out = scala.collection.mutable.ListBuffer.empty[GroupFoldOcc]
+    val trav = new Traverser {
+      override def traverse(t: Tree): Unit = seqFoldChain(t) match {
+        case Some((root, st, kind, arg)) if isRoot(root) => out += ((t, st, kind, arg))
+        case _ => super.traverse(t)
+      }
+    }
+    trav.traverse(body)
+    out.toList
+  }
+
+  /** TYPED validation of one groupBy-comprehension body (the yield, or a
+    * guard condition) under its Group binder symbol: every reference to
+    * the binder must be `<g>.key` or the root of a collected fold whose
+    * stage lambdas / fold argument do not re-capture the binder, and no
+    * distributed bag may be referenced. Returns the collected folds, or
+    * None when the body is not fusible (callers fall back to the
+    * unfused groupBy — correct, just group-materializing). */
+  private def groupFoldsOf(sym: Symbol, body: Tree): Option[List[GroupFoldOcc]] = {
+    val isRootT: Tree => Boolean = {
+      case Select(i @ Ident(_), TermName("values")) => i.symbol == sym
+      case _ => false
+    }
+    val folds = collectGroupFolds(body, isRootT)
+    def usesG(t: Tree): Boolean =
+      t.exists { case i: Ident => i.symbol == sym; case _ => false }
+    def restOk(t: Tree): Boolean = t match {
+      case _ if folds.exists(_._1 eq t) => true
+      case Select(i @ Ident(_), TermName("key")) if i.symbol == sym => true
+      case i @ Ident(_) if i.symbol == sym => false
+      case _ => t.children.forall(restOk)
+    }
+    val ok = distributedValueRef(body).isEmpty && restOk(body) &&
+      folds.forall { case (_, st, _, arg) =>
+        st.forall(s => !usesG(s._2)) && arg.forall(a => !usesG(a))
+      }
+    if (ok) Some(folds) else None
+  }
+
+  /** The algebra tree for one fold occurrence, plus the conversion the
+    * substituted accessor needs (Seq.size/count are Int where the algebra
+    * yields Long; Seq.min/max are total where the algebra yields Option —
+    * groups are never empty, so `.get` is safe). */
+  private def groupFoldAlg(occ: GroupFoldOcc): (Tree, Option[TermName]) = {
+    val (_, stages, kind, arg) = occ
+    val base: (Tree, Option[TermName]) = kind match {
+      case TermName("size") => (q"_root_.graft.api.alg.Size", Some(TermName("toInt")))
+      case TermName("count") =>
+        (q"_root_.graft.api.alg.Count(${arg.get})", Some(TermName("toInt")))
+      case TermName("sum") => (q"_root_.graft.api.alg.Sum(${arg.get})", None)
+      case TermName("product") => (q"_root_.graft.api.alg.Product(${arg.get})", None)
+      case TermName("min") =>
+        (q"_root_.graft.api.alg.Min(${arg.get})", Some(TermName("get")))
+      case TermName("max") =>
+        (q"_root_.graft.api.alg.Max(${arg.get})", Some(TermName("get")))
+      case other => c.abort(c.enclosingPosition, s"internal: unknown group fold $other")
+    }
+    val alg = stages.foldRight(base._1) {
+      case ((TermName("filter"), p), inner) => q"_root_.graft.api.alg.WithFilterAlg($p, $inner)"
+      case ((TermName("map"), f), inner) => q"_root_.graft.api.alg.MapAlg($f, $inner)"
+      case ((other, _), _) =>
+        c.abort(c.enclosingPosition, s"internal: unknown group fold stage $other")
+    }
+    (alg, base._2)
+  }
+
+  /** Accessor into the right-nested Alg2 value tuple for fold j of n. */
+  private def groupFoldAccessor(base: Tree, j: Int, n: Int,
+      conv: Option[TermName]): Tree = {
+    val downs = (1 to j).foldLeft(base)((t, _) => q"$t._2")
+    val slot = if (j == n - 1) downs else q"$downs._1"
+    conv.fold(slot)(m => q"$slot.$m")
+  }
+
+  /** TYPED fusibility of a whole groupBy comprehension: the generator is
+    * `xs.groupBy(k)` over a distributed bag with plain binders, and the
+    * yield + every guard validate under [[groupFoldsOf]] with at least
+    * one fold somewhere. Returns (body folds, per-guard folds). */
+  private def groupFusionOf(gen: Gen, tbody: Tree)
+      : Option[(List[GroupFoldOcc], List[List[GroupFoldOcc]])] = gen.bag match {
+    case Call1(xs, TermName("groupBy"), _)
+        if isDataBag(xs) && gen.pat.isEmpty && gen.guards.forall(_.pat.isEmpty) =>
+      val bodyFolds = groupFoldsOf(gen.v.symbol, tbody)
+      val gfs = gen.guards.map(gd => groupFoldsOf(gd.v.symbol, gd.cond))
+      if (bodyFolds.isDefined && gfs.forall(_.isDefined) &&
+          (bodyFolds.get.nonEmpty || gfs.exists(_.get.nonEmpty)))
+        Some((bodyFolds.get, gfs.map(_.get)))
+      else None
+    case _ => None
+  }
+
   private def abortBagHead(r: Tree): Nothing =
     c.abort(c.enclosingPosition,
       s"onSpark: the yield references the distributed bag '$r'; derived head shapes are " +
@@ -573,11 +698,15 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   /** Replace each derived fold subtree (by reference identity) with its
     * fresh fold-value name. */
-  private def substituteAll(body: Tree, pairs: List[(Tree, TermName)]): Tree = {
+  private def substituteAll(body: Tree, pairs: List[(Tree, TermName)]): Tree =
+    substituteTrees(body, pairs.map { case (t, n) => (t, Ident(n): Tree) })
+
+  /** Replace subtrees (matched by reference identity) with replacements. */
+  private def substituteTrees(body: Tree, pairs: List[(Tree, Tree)]): Tree = {
     val tr = new Transformer {
       override def transform(tree: Tree): Tree =
         pairs.find(_._1 eq tree) match {
-          case Some((_, n)) => Ident(n)
+          case Some((_, r)) => r
           case None => super.transform(tree)
         }
     }
@@ -1066,6 +1195,69 @@ class ComprehensionMacro(val c: blackbox.Context) {
               else substituted
             q"$withFolds.map(${bound(binders ++ foldBinders, ugens.length + derivedF.length, body)})"
           case None =>
+            c.abort(c.enclosingPosition,
+              "internal: untypechecked tree no longer matches the comprehension shape")
+        }
+
+      // groupBy comprehension — the reference's FoldGroupFusion
+      // (FoldGroupFusion.scala:49-82): `for { g <- xs.groupBy(k); if
+      // <folds of g.values> } yield <g.key / folds of g.values>` rewrites
+      // to ONE fused foldGroup (map-side partial aggregation over an
+      // Alg2-composed algebra; groups never materialize), guards filter
+      // the aggregated rows, the yield reads the algebra tuple.
+      // Non-fusible shapes (bare `g`, `g.values` outside a fold, pattern
+      // binders) pass through to the unfused groupBy — correct, just
+      // group-materializing.
+      case Some((gens, tbody)) if gens.length == 1 &&
+          groupFusionOf(gens.head, tbody).isDefined =>
+        val (tBodyFolds, tGuardFolds) = groupFusionOf(gens.head, tbody).get
+        flatten(c.untypecheck(expr)) match {
+          case Some((List(ug), ubody)) =>
+            def isRootU(n: TermName): Tree => Boolean = {
+              case Select(Ident(m: TermName), TermName("values")) => m == n
+              case _ => false
+            }
+            val (xsU, kLamU) = ug.bag match {
+              case Call1(q, TermName("groupBy"), kl) => (q, kl)
+              case _ => c.abort(c.enclosingPosition,
+                "internal: groupBy shape changed after untypecheck")
+            }
+            val uBodyFolds = collectGroupFolds(ubody, isRootU(ug.v.name))
+            val uGuardFolds =
+              ug.guards.map(gd => collectGroupFolds(gd.cond, isRootU(gd.v.name)))
+            // the typed pass matched by SYMBOL, this one by NAME — a
+            // shadowing inner binder would silently mis-fuse, so require
+            // exact agreement
+            if (uBodyFolds.length != tBodyFolds.length ||
+                uGuardFolds.map(_.length) != tGuardFolds.map(_.length))
+              c.abort(c.enclosingPosition,
+                "onSpark: an inner binder shadows the Group binder inside the " +
+                "comprehension — rename it so the fused rewrite can tell which " +
+                "`.values` folds belong to the group")
+            val all = uGuardFolds.flatten ++ uBodyFolds
+            val algsConvs = all.map(groupFoldAlg)
+            val algTree = algsConvs.map(_._1)
+              .reduceRight((a, b) => q"_root_.graft.api.alg.Alg2($a, $b)")
+            val nFolds = all.length
+            var idx = -1
+            def subsFor(folds: List[GroupFoldOcc], binder: TermName): List[(Tree, Tree)] =
+              folds.map { occ =>
+                idx += 1
+                (occ._1,
+                  groupFoldAccessor(q"${Ident(binder)}.values", idx, nFolds,
+                    algsConvs(idx)._2))
+              }
+            val guardSubs = ug.guards.zip(uGuardFolds).map { case (gd, folds) =>
+              subsFor(folds, gd.v.name)
+            }
+            val bodySubs = subsFor(uBodyFolds, ug.v.name)
+            val fused = q"$xsU.foldGroup($kLamU, $algTree)"
+            val filtered = ug.guards.zip(guardSubs).foldLeft(fused) {
+              case (acc, (gd, subs)) =>
+                q"$acc.withFilter(${lam(gd.v.name, substituteTrees(gd.cond, subs))})"
+            }
+            q"$filtered.map(${lam(ug.v.name, substituteTrees(ubody, bodySubs))})"
+          case _ =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")
         }

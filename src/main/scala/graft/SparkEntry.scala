@@ -3312,6 +3312,29 @@ object SparkEntry {
             yield (o.o_totalprice * 100 + 0.5).floor.toLong).top(3).sum)
       }
       res.ds.toDF("c_custkey", "c_name", "top3_cents")
+    }),
+
+    // The reference's FoldGroupFusion applied to the groupBy comprehension
+    // itself (FoldGroupFusion.scala:49-82): `for { g <- orders.groupBy(k);
+    // if g.values.size >= 12 } yield <folds of g.values>` rewrites to ONE
+    // fused foldGroup over an Alg2-composed algebra — a combinable
+    // aggregation with map-side partials; the group Seqs never
+    // materialize (ComprehensionSpec plan-asserts no MapGroups). The
+    // unfused spelling would shuffle every order row into whole-group
+    // buffers.
+    "q231_comprehension_groupfusion" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { g <- orders.groupBy(o => o.o_custkey); if g.values.size >= 12 }
+          yield (g.key, g.values.size,
+            g.values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).sum,
+            g.values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
+      }
+      res.ds.toDF("o_custkey", "n_orders", "total_cents", "max_cents")
     })
   )
 
@@ -5162,7 +5185,15 @@ object SparkEntry {
         "(SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) FROM (" +
         "SELECT CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders o " +
         "WHERE o.o_custkey = cu.c_custkey ORDER BY c DESC LIMIT 3) t) AS top3_cents " +
-        "FROM customer cu")
+        "FROM customer cu"),
+
+    "q231_comprehension_groupfusion" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_orders, " +
+        "CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS total_cents, " +
+        "CAST(MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS max_cents " +
+        "FROM orders GROUP BY 1 HAVING COUNT(*) >= 12")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

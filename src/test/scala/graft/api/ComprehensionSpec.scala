@@ -553,6 +553,36 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r2.collect().toMap shouldBe seqRef2.toMap
   }
 
+  it should "fuse a groupBy comprehension into one foldGroup (FoldGroupFusion)" in {
+    val xs = bagL(1L to 100L)
+    val fused = onSpark {
+      for { g <- xs.groupBy(x => x % 7); if g.values.size >= 14 }
+        yield (g.key, g.values.size,
+          g.values.filter(_ > 50L).map(v => v * 2L).sum, g.values.min)
+    }
+    // fused = ONE foldGroup: no group materialization (MapGroups) in plan
+    val plan = fused.toDF.queryExecution.executedPlan.toString
+    plan should not include "MapGroups"
+    val seqRef = (1L to 100L).groupBy(_ % 7).toSeq.collect {
+      case (k, vs) if vs.size >= 14 =>
+        (k, vs.size, vs.filter(_ > 50L).map(_ * 2L).sum, vs.min)
+    }
+    fused.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "pass non-fusible groupBy comprehensions through to the unfused path" in {
+    val xs = bagL(1L to 30L)
+    // `.sorted.take(2)` is not a derivable fold — the comprehension runs
+    // via the group-materializing groupBy, unchanged semantics
+    val r = onSpark {
+      for { g <- xs.groupBy(x => x % 5) } yield (g.key, g.values.sorted.take(2).sum)
+    }
+    val seqRef = (1L to 30L).groupBy(_ % 5).toSeq.map { case (k, vs) =>
+      (k, vs.sorted.take(2).sum)
+    }
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "reject underivable head folds at compile time" in {
     // no correlation key: nothing to pre-aggregate against
     """
