@@ -398,7 +398,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
   // ----------------------------------------- groupBy-comprehension fusion
 
   private val seqFoldKinds: Set[TermName] =
-    Set("count", "sum", "product", "min", "max").map(TermName(_))
+    Set("count", "sum", "product", "min", "max", "exists", "forall").map(TermName(_))
   private val seqStageKinds: Set[TermName] =
     Set("filter", "map").map(TermName(_))
 
@@ -484,6 +484,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
         (q"_root_.graft.api.alg.Min(${arg.get})", Some(TermName("get")))
       case TermName("max") =>
         (q"_root_.graft.api.alg.Max(${arg.get})", Some(TermName("get")))
+      case TermName("exists") => (q"_root_.graft.api.alg.Exists(${arg.get})", None)
+      case TermName("forall") => (q"_root_.graft.api.alg.Forall(${arg.get})", None)
       case other => c.abort(c.enclosingPosition, s"internal: unknown group fold $other")
     }
     val alg = stages.foldRight(base._1) {

@@ -568,6 +568,16 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
         (k, vs.size, vs.filter(_ > 50L).map(_ * 2L).sum, vs.min)
     }
     fused.collect().sorted shouldBe seqRef.sorted
+    // exists/forall folds — the HAVING predicates — fuse too
+    val preds = onSpark {
+      for { g <- xs.groupBy(x => x % 7); if g.values.exists(_ > 95L) }
+        yield (g.key, g.values.forall(_ >= 7L))
+    }
+    preds.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val predRef = (1L to 100L).groupBy(_ % 7).toSeq.collect {
+      case (k, vs) if vs.exists(_ > 95L) => (k, vs.forall(_ >= 7L))
+    }
+    preds.collect().sorted shouldBe predRef.sorted
   }
 
   it should "pass non-fusible groupBy comprehensions through to the unfused path" in {
