@@ -291,32 +291,30 @@ class ComprehensionMacro(val c: blackbox.Context) {
       val isForall = m == TermName("forall")
       val anti = neg ^ isForall
       val cs = conjuncts(body)
-      def keyOf(l: Tree, r: Tree, cj: Tree): Option[ConjRole] = {
-        val (lIn, rIn) = (usesAny(l, inner), usesAny(r, inner))
-        if (distributedValueRef(cj).isDefined) None
-        else if (lIn && !rIn && !usesAny(l, allGen) && usesAny(r, allGen))
-          Some(KeyPair(swapped = true))
-        else if (rIn && !lIn && !usesAny(r, allGen) && usesAny(l, allGen))
-          Some(KeyPair(swapped = false))
+      // forall decomposes ONLY as a single inequality: forall(a != k1 &&
+      // b != k2) means every y misses k1 AND misses k2 — a conjunction of
+      // two anti joins, NOT one composite-key anti join (which would only
+      // drop rows where a single y matches BOTH)
+      if (isForall && cs.length != 1) None
+      else {
+        val roles: List[Option[ConjRole]] = cs.map { cj =>
+          val asKey = cj match {
+            case Eq(l, r) if !isForall => separableKey(allGen, inner, l, r, cj)
+            case Neq(l, r) if isForall => separableKey(allGen, inner, l, r, cj)
+            case _ => None
+          }
+          asKey.orElse {
+            // inner-only conjuncts pre-filter the bag — sound for exists
+            // and NOT exists, NOT decomposable under (negated) forall
+            if (!isForall && !usesAny(cj, allGen) && distributedValueRef(cj).isEmpty)
+              Some(InnerFilter)
+            else None
+          }
+        }
+        if (roles.forall(_.isDefined) && roles.flatten.exists(_.isInstanceOf[KeyPair]))
+          Some(SemiPlan(anti, roles.map(_.get)))
         else None
       }
-      val roles: List[Option[ConjRole]] = cs.map { cj =>
-        val asKey = cj match {
-          case Eq(l, r) if !isForall => keyOf(l, r, cj)
-          case Neq(l, r) if isForall => keyOf(l, r, cj)
-          case _ => None
-        }
-        asKey.orElse {
-          // inner-only conjuncts pre-filter the bag — sound for exists
-          // and NOT exists, NOT decomposable under (negated) forall
-          if (!isForall && !usesAny(cj, allGen) && distributedValueRef(cj).isEmpty)
-            Some(InnerFilter)
-          else None
-        }
-      }
-      if (roles.forall(_.isDefined) && roles.flatten.exists(_.isInstanceOf[KeyPair]))
-        Some(SemiPlan(anti, roles.map(_.get)))
-      else None
     case _ => None
   }
 
@@ -469,23 +467,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
   }
 
   /** The algebra tree for one fold occurrence, plus the conversion the
-    * substituted accessor needs (Seq.size/count are Int where the algebra
+    * substituted accessor needs: Seq.size/count are Int where the algebra
     * yields Long; Seq.min/max are total where the algebra yields Option —
-    * groups are never empty, so `.get` is safe). */
-  private def groupFoldAlg(occ: GroupFoldOcc): (Tree, Option[TermName]) = {
+    * groups are never empty, but a fused filter stage CAN empty one, so
+    * the miss raises the same UnsupportedOperationException the unfused
+    * Seq spelling would. */
+  private def groupFoldAlg(occ: GroupFoldOcc): (Tree, Tree => Tree) = {
     val (_, stages, kind, arg) = occ
-    val base: (Tree, Option[TermName]) = kind match {
-      case TermName("size") => (q"_root_.graft.api.alg.Size", Some(TermName("toInt")))
+    def emptyMinMax(t: Tree): Tree =
+      q"""$t.getOrElse(throw new _root_.java.lang.UnsupportedOperationException(
+            ${Literal(Constant("empty." + kind.toString))}))"""
+    val base: (Tree, Tree => Tree) = kind match {
+      case TermName("size") => (q"_root_.graft.api.alg.Size", t => q"$t.toInt")
       case TermName("count") =>
-        (q"_root_.graft.api.alg.Count(${arg.get})", Some(TermName("toInt")))
-      case TermName("sum") => (q"_root_.graft.api.alg.Sum(${arg.get})", None)
-      case TermName("product") => (q"_root_.graft.api.alg.Product(${arg.get})", None)
-      case TermName("min") =>
-        (q"_root_.graft.api.alg.Min(${arg.get})", Some(TermName("get")))
-      case TermName("max") =>
-        (q"_root_.graft.api.alg.Max(${arg.get})", Some(TermName("get")))
-      case TermName("exists") => (q"_root_.graft.api.alg.Exists(${arg.get})", None)
-      case TermName("forall") => (q"_root_.graft.api.alg.Forall(${arg.get})", None)
+        (q"_root_.graft.api.alg.Count(${arg.get})", t => q"$t.toInt")
+      case TermName("sum") => (q"_root_.graft.api.alg.Sum(${arg.get})", identity)
+      case TermName("product") => (q"_root_.graft.api.alg.Product(${arg.get})", identity)
+      case TermName("min") => (q"_root_.graft.api.alg.Min(${arg.get})", emptyMinMax)
+      case TermName("max") => (q"_root_.graft.api.alg.Max(${arg.get})", emptyMinMax)
+      case TermName("exists") => (q"_root_.graft.api.alg.Exists(${arg.get})", identity)
+      case TermName("forall") => (q"_root_.graft.api.alg.Forall(${arg.get})", identity)
       case other => c.abort(c.enclosingPosition, s"internal: unknown group fold $other")
     }
     val alg = stages.foldRight(base._1) {
@@ -499,10 +500,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   /** Accessor into the right-nested Alg2 value tuple for fold j of n. */
   private def groupFoldAccessor(base: Tree, j: Int, n: Int,
-      conv: Option[TermName]): Tree = {
+      conv: Tree => Tree): Tree = {
     val downs = (1 to j).foldLeft(base)((t, _) => q"$t._2")
     val slot = if (j == n - 1) downs else q"$downs._1"
-    conv.fold(slot)(m => q"$slot.$m")
+    conv(slot)
   }
 
   /** TYPED fusibility of a whole groupBy comprehension: the generator is
@@ -715,18 +716,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
     tr.transform(body)
   }
 
-  /** Rebind the chain-element lambda names (guard binders, map binder)
-    * onto one fresh param — every withFilter/map lambda in the chain
-    * binds the SAME element type, so a plain `val` / pattern re-match is
-    * value-identical. Deduplicates by rendered binder. */
-  private def rebindAll(fp: TermName, binders: List[(TermName, Option[Tree])],
-      inner: Tree): Tree =
-    binders.map { case (n, p) => (p.map(showCode(_)).getOrElse(n.toString), (n, p)) }
-      .distinctBy(_._1).map(_._2)
-      .foldRight(inner) {
-        case ((n, None), acc) => q"{ val $n = ${Ident(fp)}; $acc }"
-        case ((_, Some(pt)), acc) => Match(Ident(fp), List(CaseDef(pt, EmptyTree, acc)))
-      }
+  /** Evaluate `inner` (written against one chain-lambda's binder) against
+    * the fresh element param — a plain `val` alias or a pattern re-match.
+    * Each key/value side gets its OWN scope: flattening all binders into
+    * one scope would let a reused name bound to DIFFERENT pattern
+    * components capture wrongly. */
+  private def underChainBinder(fp: TermName, b: (TermName, Option[Tree]),
+      inner: Tree): Tree = b match {
+    case (n, None) => q"{ val $n = ${Ident(fp)}; $inner }"
+    case (_, Some(pt)) => Match(Ident(fp), List(CaseDef(pt, EmptyTree, inner)))
+  }
 
   /** Lower one derived head fold (untyped twin `t`, typed-derived `plan`)
     * onto the accumulated chain `acc`: build the keyed value bag
@@ -767,25 +766,35 @@ class ComprehensionMacro(val c: blackbox.Context) {
           "internal: fold key conjunct shape changed after untypecheck"))
         (if (sw) (r, l) else (l, r), (n, p))
       }
-      val (outerK, innerK) = pairs.map(_._1) match {
-        case List((o, in)) => (o, in)
-        case more => (q"(..${more.map(_._1)})", q"(..${more.map(_._2)})")
+      val outerK = pairs.map(_._1._1) match {
+        case List(o) => o
+        case more => q"(..$more)"
       }
-      // the (key, contribution) projection: key sides from the guard
-      // binders, the contribution from the map lambda (sum), the element
-      // itself (bare sum), or 1L (size/count)
+      // the (key, contribution) projection: each key side evaluates in
+      // ITS OWN guard-binder scope (a reused name bound to different
+      // pattern components must not cross-capture), the contribution in
+      // the map lambda's (sum/top), the element itself (bare sum/top),
+      // or 1L (size/count)
       val fp = TermName(c.freshName("e$"))
       val isTopK = plan.kind == TermName("top") || plan.kind == TermName("bottom")
-      val (valueTree, valueBinders) = (plan.kind, mapLam) match {
-        case (TermName("sum"), Some((v, p, b))) => (b, List((v.name, p)))
-        case (TermName("sum"), None) => (Ident(fp): Tree, Nil)
-        case (_, Some((v, p, b))) if isTopK => (b, List((v.name, p)))
-        case (_, None) if isTopK => (Ident(fp): Tree, Nil)
-        case _ => (q"1L", Nil)
+      val (valueTree, valueBinder) = (plan.kind, mapLam) match {
+        case (TermName("sum"), Some((v, p, b))) => (b, Some((v.name, p)))
+        case (TermName("sum"), None) => (Ident(fp): Tree, None)
+        case (_, Some((v, p, b))) if isTopK => (b, Some((v.name, p)))
+        case (_, None) if isTopK => (Ident(fp): Tree, None)
+        case _ => (q"1L", None)
       }
-      val keyBinders = pairs.map(_._2)
-      val projected = lam(fp,
-        rebindAll(fp, keyBinders ++ valueBinders, q"($innerK, $valueTree)"))
+      val keyVals = pairs.map { case ((_, in), b) =>
+        (TermName(c.freshName("k$")), underChainBinder(fp, b, in))
+      }
+      val vName = TermName(c.freshName("v$"))
+      val valExpr = valueBinder.fold(valueTree)(b => underChainBinder(fp, b, valueTree))
+      val keyTuple = keyVals.map(kv => Ident(kv._1): Tree) match {
+        case List(one) => one
+        case more => q"(..$more)"
+      }
+      val stmts = keyVals.map { case (kn, e) => q"val $kn = $e" } :+ q"val $vName = $valExpr"
+      val projected = lam(fp, q"{ ..$stmts; ($keyTuple, ${Ident(vName)}) }")
       val keyed = q"$filtered.map($projected)"
       if (isTopK) {
         val smallest = plan.kind == TermName("bottom")
@@ -953,17 +962,24 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * variables are identified by the symbols of the flatMap/map lambda
     * params (or their pattern binds); each guard's OWN variables by its
     * own lambda's param/pattern symbols. */
-  private def analyze(gens: List[Gen]): List[List[GuardRole]] = {
+  private def analyze(gens: List[Gen],
+      claimed: List[List[Boolean]]): List[List[GuardRole]] = {
     val syms = gens.map(levelSyms)
     gens.zipWithIndex.drop(1).map { case (gen, i) =>
       val outer = syms.take(i).flatten
       var keyTaken = false
-      gen.guards.map { g =>
-        roleOf(outer, guardSyms(g), g.cond) match {
-          case JoinKey(sw) if !keyTaken => keyTaken = true; JoinKey(sw)
-          case JoinKey(_) => PostFilter
-          case other => other
-        }
+      gen.guards.zip(claimed(i)).map {
+        // a guard already claimed by the semi/anti or fold derivation must
+        // NOT consume the level's join-key slot: an Eq-shaped fold
+        // comparison (count(...) == z) would otherwise demote the genuine
+        // equality guard to a post filter and cross the level
+        case (_, true) => PostFilter
+        case (g, false) =>
+          roleOf(outer, guardSyms(g), g.cond) match {
+            case JoinKey(sw) if !keyTaken => keyTaken = true; JoinKey(sw)
+            case JoinKey(_) => PostFilter
+            case other => other
+          }
       }
     }
   }
@@ -1016,6 +1032,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
     val typedChain = flatten(expr)
+    // groupBy-fusion applicability, computed ONCE (the validation walks
+    // the whole yield + guards)
+    val groupFusionInfo: Option[(List[GroupFoldOcc], List[List[GroupFoldOcc]])] =
+      typedChain match {
+        case Some((List(gen), tbody)) => groupFusionOf(gen, tbody)
+        case _ => None
+      }
     typedChain match {
       case Some((gens, tbody)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
           gens.tail.exists(g => isDataBag(g.bag)) =>
@@ -1074,9 +1097,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case (g, None) => guardFoldsOf(allGenSyms ++ guardSyms(g), g.cond)
             }
           }
+        // literal DataBag(seq) ctors count too: an underivable guard over
+        // one would otherwise compile the ctor into an executor-side
+        // closure (distributedValueRef only sees Ident/Select value refs)
         for (((gen, plans), gfs) <- gens.zip(semiPlans).zip(guardFoldPlans);
              ((g, p), gf) <- gen.guards.zip(plans).zip(gfs)
-             if p.isEmpty && gf.isEmpty; r <- distributedValueRef(g.cond))
+             if p.isEmpty && gf.isEmpty;
+             r <- distributedValueRef(g.cond).orElse(g.cond.find(isLocalBagCtor)))
           abortBagGuard(r)
         val depLocal: Set[Int] = gens.zipWithIndex.drop(1).collect {
           case (gen, i) if usesAny(gen.bag, syms.take(i).flatten) &&
@@ -1091,7 +1118,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
         }
         // a dependent-local level's guards all post-filter the flatMapped
         // pair (its inner bag is local and per-element small; no join to key)
-        val roles = analyze(gens).zipWithIndex.map { case (rs, k) =>
+        val claimed = semiPlans.zip(guardFoldPlans).map { case (sp, gf) =>
+          sp.zip(gf).map { case (s, f) => s.isDefined || f.isDefined }
+        }
+        val roles = analyze(gens, claimed).zipWithIndex.map { case (rs, k) =>
           if (depLocal(k + 1)) rs.map(_ => PostFilter: GuardRole) else rs
         }
         // rebuild from a single whole-expression untypecheck
@@ -1210,9 +1240,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // Non-fusible shapes (bare `g`, `g.values` outside a fold, pattern
       // binders) pass through to the unfused groupBy — correct, just
       // group-materializing.
-      case Some((gens, tbody)) if gens.length == 1 &&
-          groupFusionOf(gens.head, tbody).isDefined =>
-        val (tBodyFolds, tGuardFolds) = groupFusionOf(gens.head, tbody).get
+      case Some((gens, tbody)) if gens.length == 1 && groupFusionInfo.isDefined =>
+        val _ = (gens, tbody)
+        val (tBodyFolds, tGuardFolds) = groupFusionInfo.get
         flatten(c.untypecheck(expr)) match {
           case Some((List(ug), ubody)) =>
             def isRootU(n: TermName): Tree => Boolean = {
@@ -1271,7 +1301,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // multi-generator branch, without equi joins to derive
       case Some((gens, tbody)) if gens.length == 1 && isDataBag(gens.head.bag) &&
           (tbody.exists(isLocalBagCtor) || distributedRefInHead(tbody).isDefined ||
-            gens.head.guards.exists(g => distributedValueRef(g.cond).isDefined)) =>
+            gens.head.guards.exists(g => distributedValueRef(g.cond).isDefined ||
+              g.cond.exists(isLocalBagCtor))) =>
         val singleFolds = collectFoldCalls(tbody,
           t => foldPlanOf(levelSyms(gens.head), t))
         for (r <- distributedRefOutside(tbody,
@@ -1285,7 +1316,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
             guardFoldsOf(levelSyms(gens.head) ++ guardSyms(g), g.cond)
         }
         for (((g, p), gf) <- gens.head.guards.zip(singlePlans).zip(singleGF)
-             if p.isEmpty && gf.isEmpty; r <- distributedValueRef(g.cond))
+             if p.isEmpty && gf.isEmpty;
+             r <- distributedValueRef(g.cond).orElse(g.cond.find(isLocalBagCtor)))
           abortBagGuard(r)
         val singleHasCtor = tbody.exists(isLocalBagCtor)
         val singleCtorNames = ctorNamesIn(tbody)

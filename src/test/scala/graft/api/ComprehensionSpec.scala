@@ -614,6 +614,55 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "evaluate composite-key sides in their OWN pattern scopes (no cross-capture)" in {
+    // two withFilter patterns REUSE names for different components — each
+    // key side must see its own lambda's binding, not the innermost one
+    val xs = bagL(1L to 30L)
+    val pairs = DataBag((1L to 20L).map(i => (i % 5, i % 3)))
+    val r = onSpark {
+      for { x <- xs } yield (x,
+        (for { p <- pairs; if p._1 == x % 5; if p._2 == x % 3 } yield 1L).sum)
+    }
+    val pairSeq = (1L to 20L).map(i => (i % 5, i % 3))
+    val seqRef = for { x <- 1L to 30L }
+      yield (x, pairSeq.count(p => p._1 == x % 5 && p._2 == x % 3).toLong)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "not let an Eq-shaped fold guard steal a level's join key" in {
+    // `ys.count(...) == z` is equality-shaped; it must not consume the
+    // join-key slot and demote the REAL equi guard to a post filter
+    val xs = bagL(1L to 12L)
+    val zs = bagL(1L to 12L)
+    val ys = bagL(Seq(1L, 1L, 2L, 3L))
+    val r = onSpark {
+      for { x <- xs; z <- zs; if ys.count(y => y == x % 4) == z
+            if x % 3 == z % 3 } yield (x, z)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val yseq = Seq(1L, 1L, 2L, 3L)
+    val seqRef = for { x <- 1L to 12L; z <- 1L to 12L
+      if yseq.count(y => y == x % 4).toLong == z; if x % 3 == z % 3 } yield (x, z)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "reject multi-inequality forall and ctor-bag guards at compile time" in {
+    // forall over a conjunction of inequalities is TWO anti joins, not one
+    // composite-key anti join — deriving it would silently keep rows
+    """
+    val xs = bagL(1L to 5L)
+    val pairs = DataBag(Seq((1L, 2L)))
+    onSpark { for { x <- xs; if pairs.forall(p => p._1 != x && p._2 != x + 1) } yield x }
+    """ shouldNot compile
+    // a literal DataBag(seq) ctor in an underivable guard would compile
+    // into an executor-side closure and crash at runtime — abort instead
+    """
+    val xs = bagL(1L to 5L)
+    onSpark { for { x <- xs; if DataBag(Seq(1L, 2L)).exists(w => w > x) } yield x }
+    """ shouldNot compile
+  }
+
   it should "reject underivable distributed-bag guards at compile time" in {
     // non-equality correlation: no semi-join key to derive
     """
