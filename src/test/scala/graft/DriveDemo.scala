@@ -561,6 +561,34 @@ object DriveDemo {
             (for { w <- DataBag((1L to (o.o_orderkey % 4 + 1)).toSeq) } yield w).sum)
       }
       println("nested-yield comprehension rows = " + nested.ds.count())
+      // quantified guards: EXISTS -> semiJoin, NOT EXISTS -> antiJoin
+      val active = onSpark {
+        for { cu <- custs
+              if orders.exists(o => o.o_custkey == cu.c_custkey &&
+                o.o_totalprice > 150000.0)
+              if !orders.exists(o => o.o_custkey == cu.c_custkey &&
+                o.o_totalprice < 5000.0) }
+          yield cu.c_custkey
+      }
+      println("exists/not-exists comprehension rows = " + active.ds.count())
+      // correlated scalar folds (FoldGroupFusion): count + top-k in the head
+      val summary = onSpark {
+        for { cu <- custs; if orders.count(o => o.o_custkey == cu.c_custkey) >= 8L }
+          yield (cu.c_custkey,
+            orders.count(o => o.o_custkey == cu.c_custkey),
+            (for { o <- orders; if o.o_custkey == cu.c_custkey }
+              yield (o.o_totalprice * 100 + 0.5).floor.toLong).top(3).sum)
+      }
+      println("correlated-fold comprehension rows = " + summary.ds.count())
+      // groupBy comprehension fused into one foldGroup (no group Seqs)
+      val grouped = onSpark {
+        for { g <- orders.groupBy(o => o.o_custkey); if g.values.size >= 8 }
+          yield (g.key, g.values.size,
+            g.values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
+      }
+      val gplan = grouped.toDF.queryExecution.executedPlan.toString
+      println(s"groupBy-fusion rows = ${grouped.ds.count()}, " +
+        s"mapGroups in plan = ${gplan.contains("MapGroups")}")
     }
 
     // 12. round-9 surfaces: indexed hard negatives, LocalBag IO, fold fusion
