@@ -1,0 +1,80 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.api.comprehensions.onSpark
+
+/** Randomized-data differential for the macro derivations: a fixed set of
+  * comprehension SHAPES (the shapes are compile-time; the data and the
+  * closure-captured parameters vary per trial) must match the plain Seq
+  * semantics of the same comprehension. Complements ComprehensionSpec's
+  * targeted cases the way FuzzDifferentialSpec backs DataBagSpec. */
+class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private def bag(s: Seq[Long]): DataBag[Long] = DataBag(s)
+
+  behavior of "onSpark derivations under randomized data"
+
+  it should "match Seq semantics across joins, EXISTS, folds, and group fusion" in {
+    val rnd = new scala.util.Random(20260814L)
+    def draw(n: Int, bound: Long): Seq[Long] =
+      Seq.fill(n)(math.floorMod(rnd.nextLong(), bound))
+    for (trial <- 1 to 5) {
+      withClue(s"trial $trial: ") {
+        val xsSeq = draw(30 + rnd.nextInt(30), 40)
+        val ysSeq = draw(20 + rnd.nextInt(20), 15)
+        val zsSeq = draw(10 + rnd.nextInt(10), 60)
+        val xs = bag(xsSeq); val ys = bag(ysSeq); val zs = bag(zsSeq)
+        val m = 2L + rnd.nextInt(7) // closure-captured join modulus
+        val t = 1L + rnd.nextInt(3) // fold-guard threshold
+
+        // join + EXISTS guard + correlated head count
+        val r1 = onSpark {
+          for { x <- xs; y <- ys; if x % m == y % m; if zs.exists(z => z == x + y) }
+            yield (x, y, ys.count(w => w == x % 7))
+        }
+        val e1 = for { x <- xsSeq; y <- ysSeq; if x % m == y % m
+          if zsSeq.exists(z => z == x + y) }
+          yield (x, y, ysSeq.count(w => w == x % 7).toLong)
+        r1.collect().sorted shouldBe e1.sorted
+
+        // NOT EXISTS + nested-comprehension sum + HAVING-style fold guard
+        val r2 = onSpark {
+          for { x <- xs; if !ys.exists(y => y == x % 9)
+                if zs.count(z => z % m == x % m) >= t }
+            yield (x, (for { y <- ys; if y % 5 == x % 5 } yield y * 3L).sum)
+        }
+        val e2 = for { x <- xsSeq; if !ysSeq.exists(y => y == x % 9)
+          if zsSeq.count(z => z % m == x % m) >= t }
+          yield (x, ysSeq.filter(y => y % 5 == x % 5).map(_ * 3L).sum)
+        r2.collect().sorted shouldBe e2.sorted
+
+        // correlated top-k (List value consumed by local code)
+        val r3 = onSpark {
+          for { x <- xs } yield (x, ys.withFilter(y => y % 4 == x % 4).top(2).sum)
+        }
+        val e3 = for { x <- xsSeq }
+          yield (x, ysSeq.filter(y => y % 4 == x % 4).sorted.reverse.take(2).sum)
+        r3.collect().sorted shouldBe e3.sorted
+
+        // groupBy fusion with filter/map stages and a HAVING guard
+        val r4 = onSpark {
+          for { g <- xs.groupBy(v => v % m); if g.values.size >= 2 }
+            yield (g.key, g.values.size, g.values.filter(_ > 10L).map(_ * 2L).sum,
+              g.values.min)
+        }
+        val e4 = xsSeq.groupBy(_ % m).toSeq.collect {
+          case (k, vs) if vs.size >= 2 =>
+            (k, vs.size, vs.filter(_ > 10L).map(_ * 2L).sum, vs.min)
+        }
+        r4.collect().sorted shouldBe e4.sorted
+      }
+    }
+  }
+}

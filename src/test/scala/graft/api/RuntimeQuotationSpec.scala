@@ -41,6 +41,31 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
     got shouldBe exp.toArray
   }
 
+  it should "derive EXISTS guards and correlated folds in runtime-compiled snippets" in {
+    // the round's new derivations ride the same macro, so the source-text
+    // channel must carry them too: semi join + fold-group sumJoin
+    val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val xs = DataBag((1L to 30L).toSeq)
+        val ys = DataBag(Seq(2L, 4L, 4L, 6L))
+        onSpark {
+          for { x <- xs; if ys.exists(y => y == x % 7) }
+            yield (x, ys.count(y => y == x % 7))
+        }.ds.toDF("x", "n")
+      }""")
+    val out = pipeline(spark)
+    out.queryExecution.executedPlan.toString should include("LeftSemi")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val yseq = Seq(2L, 4L, 4L, 6L)
+    val exp = (for { x <- 1L to 30L; if yseq.exists(y => y == x % 7) }
+      yield (x, yseq.count(y => y == x % 7).toLong)).sorted
+    got shouldBe exp.toArray
+  }
+
   it should "evaluate plain expressions and reusable closures" in {
     RuntimeQuotation.compile[Long]("40L + 2L") shouldBe 42L
     val f = RuntimeQuotation.compile[Long => Long]("(n: Long) => n * n")
