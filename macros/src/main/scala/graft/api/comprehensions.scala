@@ -59,6 +59,9 @@ import scala.reflect.macros.blackbox
   * `.semiJoin(ys.withFilter(p))(k', k)` — the correlated-EXISTS subquery —
   * its negation becomes `.antiJoin` (NOT EXISTS), and
   * `ys.forall(y => k(y) != k'(x))` is recognized as the same anti join.
+  * The emptiness spellings normalize to the same plans:
+  * `ys.withFilter(y => ...).nonEmpty` IS `ys.exists(y => ...)` and
+  * `.isEmpty` its negation.
   * Multiple separable equalities tuple into a composite key; `ys` must be
   * independent of the generators. Any OTHER guard that references a
   * distributed bag aborts at compile time (it would capture the bag in an
@@ -163,7 +166,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   /** `bag.exists(lam)` / `bag.forall(lam)`, under any number of `!`s.
     * Returns (bag, lambda param, lambda pattern, lambda body, method name,
-    * negated). Shape-only — works on typed AND untyped trees. */
+    * negated). The emptiness spellings normalize here too:
+    * `bag.withFilter(lam).nonEmpty` IS `bag.exists(lam)` and
+    * `.isEmpty` its negation (earlier withFilters stay fused to the bag,
+    * where inner-only ones remain derivable as bag pre-filters).
+    * Shape-only — works on typed AND untyped trees. */
   private object QuantCall {
     def unapply(t: Tree): Option[(Tree, ValDef, Option[Tree], Tree, TermName, Boolean)] =
       t match {
@@ -172,6 +179,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
         case Call1(b, m, GenLam(v, p, body))
             if m == TermName("exists") || m == TermName("forall") =>
           Some((b, v, p, body, m, false))
+        case Select(Call1(b, TermName("withFilter"), GenLam(v, p, body)), m)
+            if m == TermName("nonEmpty") || m == TermName("isEmpty") =>
+          Some((b, v, p, body, TermName("exists"), m == TermName("isEmpty")))
         case _ => None
       }
   }
@@ -535,6 +545,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
     c.abort(c.enclosingPosition,
       s"onSpark: a guard references the distributed bag '$r'; derived guard shapes are " +
       "`bag.exists(y => key(y) == key(vars) [&& p(y) ...])` / its negation / " +
+      "`bag.withFilter(...).nonEmpty` / `.isEmpty` / " +
       "`bag.forall(y => key(y) != key(vars))` (semi/anti joins) and comparisons of " +
       "correlated monoid folds `bag.count(y => key == key [&& p]) <op> e` " +
       "(pre-aggregate + join + filter) — restructure the guard or join explicitly")

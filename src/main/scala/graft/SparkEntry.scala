@@ -3335,6 +3335,32 @@ object SparkEntry {
             g.values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
       }
       res.ds.toDF("o_custkey", "n_orders", "total_cents", "max_cents")
+    }),
+
+    // The emptiness spellings of the correlated subquery guards:
+    // `bag.withFilter(key-eq && p).nonEmpty` normalizes to the same
+    // semiJoin `exists` derives, `.isEmpty` to the antiJoin — the macro
+    // treats `withFilter(f).nonEmpty` AS `exists(f)` so SQL's
+    // EXISTS/NOT EXISTS derive from either spelling. Same query as q227
+    // (same oracle): the two spellings must hash-match.
+    "q232_comprehension_nonempty" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          if orders.withFilter(o =>
+            o.o_custkey == cu.c_custkey && o.o_totalprice > 150000.0).nonEmpty
+          if orders.withFilter(o =>
+            o.o_custkey == cu.c_custkey && o.o_totalprice < 5000.0).isEmpty
+        } yield (cu.c_custkey, cu.c_name)
+      }
+      res.ds.toDF("c_custkey", "c_name")
     })
   )
 
@@ -5193,7 +5219,14 @@ object SparkEntry {
         "AS total_cents, " +
         "CAST(MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) " +
         "AS max_cents " +
-        "FROM orders GROUP BY 1 HAVING COUNT(*) >= 12")
+        "FROM orders GROUP BY 1 HAVING COUNT(*) >= 12"),
+
+    "q232_comprehension_nonempty" ->
+      ("SELECT c_custkey, c_name FROM customer cu " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
+        "AND o.o_totalprice > 150000.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
+        "AND o.o_totalprice < 5000.0)")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -571,6 +571,16 @@ object DriveDemo {
           yield cu.c_custkey
       }
       println("exists/not-exists comprehension rows = " + active.ds.count())
+      // the emptiness spellings normalize to the same semi/anti joins
+      val activeE = onSpark {
+        for { cu <- custs
+              if orders.withFilter(o => o.o_custkey == cu.c_custkey &&
+                o.o_totalprice > 150000.0).nonEmpty
+              if orders.withFilter(o => o.o_custkey == cu.c_custkey &&
+                o.o_totalprice < 5000.0).isEmpty }
+          yield cu.c_custkey
+      }
+      println("nonEmpty/isEmpty comprehension rows = " + activeE.ds.count())
       // correlated scalar folds (FoldGroupFusion): count + top-k in the head
       val summary = onSpark {
         for { cu <- custs; if orders.count(o => o.o_custkey == cu.c_custkey) >= 8L }

@@ -395,6 +395,33 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     negForall.collect().sorted shouldBe ((1L to 30L).toSeq diff seqRef).sorted
   }
 
+  it should "derive semi/anti joins from the withFilter emptiness spellings" in {
+    val xs = bagL(1L to 30L)
+    val ys = bagL(Seq(2L, 4L, 6L))
+    // withFilter(f).nonEmpty IS exists(f)
+    val nonE = onSpark {
+      for { x <- xs; if ys.withFilter(y => y == x % 7).nonEmpty } yield x
+    }
+    nonE.toDF.queryExecution.executedPlan.toString should include("LeftSemi")
+    val seqRef = for { x <- 1L to 30L
+      if Seq(2L, 4L, 6L).exists(y => y == x % 7) } yield x
+    nonE.collect().sorted shouldBe seqRef.sorted
+    // .isEmpty is the negation; inner-only conjunct still pre-filters
+    val isE = onSpark {
+      for { x <- xs; if ys.withFilter(y => y == x % 7 && y > 2L).isEmpty } yield x
+    }
+    isE.toDF.queryExecution.executedPlan.toString should include("LeftAnti")
+    val seqRef2 = for { x <- 1L to 30L
+      if !Seq(2L, 4L, 6L).exists(y => y == x % 7 && y > 2L) } yield x
+    isE.collect().sorted shouldBe seqRef2.sorted
+    // an outer ! flips the emptiness spelling too
+    val negNonE = onSpark {
+      for { x <- xs; if !ys.withFilter(y => y == x % 7).nonEmpty } yield x
+    }
+    negNonE.toDF.queryExecution.executedPlan.toString should include("LeftAnti")
+    negNonE.collect().sorted shouldBe ((1L to 30L).toSeq diff seqRef).sorted
+  }
+
   it should "pre-filter the EXISTS bag with inner-only conjuncts and tuple composite keys" in {
     val xs = bagL(1L to 40L)
     val ys = bagL(1L to 10L)
@@ -675,6 +702,12 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
     onSpark { for { x <- xs; if ys.size > x } yield x }
+    """ shouldNot compile
+    // emptiness without a separable key equality: no join to derive
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; if ys.withFilter(y => y > x).nonEmpty } yield x }
     """ shouldNot compile
     // forall with a conjunction is not a single anti join
     """
