@@ -75,8 +75,23 @@ import scala.reflect.macros.blackbox
   * pre-aggregation of the inner bag by its key ([[FoldGroups.sumJoin]])
   * plus a left outer join whose miss-default is the monoid zero; guard
   * folds filter on the widened tuple and project the fold levels back
-  * off. Folds with no empty-group default (`min`/`max`), keyless folds,
-  * and generator-dependent mapped values abort with guidance.
+  * off. `min`/`max` (no empty-group zero) pre-aggregate the same way but
+  * join in a THROW for a missing group — the sequential semantics of
+  * `min` on an empty bag, so non-crashing programs get identical values.
+  * Keyless folds hoist (see below) and generator-dependent mapped values
+  * abort with guidance.
+  *
+  * UNCORRELATED GLOBAL FOLDS (SQL's uncorrelated scalar subquery,
+  * e.g. `if o.price > orders.map(cents).sum / orders.size`): a fold /
+  * quantifier / emptiness call on a distributed bag that references no
+  * comprehension-bound variable hoists into a driver `val` before the
+  * pipeline — evaluated eagerly, ONCE, in occurrence order — and the
+  * comprehension re-derives with the value as a plain local. The hoist
+  * covers every position (guards, the yield, generator bag expressions)
+  * and every fold spelling (`sum`/`size`/`count`/`min`/`max`/`product`/
+  * `exists`/`forall`/`nonEmpty`/`isEmpty`/`find`/`top`/`bottom`/
+  * `reduce`/`fold`/`sample`); without it the bag would ride an
+  * executor-side closure — a guaranteed runtime crash.
   *
   * HEAD NESTING (one level, the reference's Normalize.scala:44-52 UnnestGenerator
   * applied to the most common shape users write): a yield whose body
@@ -391,10 +406,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
     val names = derived.map(_ => TermName(c.freshName("fold$")))
     val foldBinders = names.map(Binder(_, None))
     val n0 = stageBinders.length
-    val withFolds = derived.zip(names).zipWithIndex.foldLeft(acc) {
-      case (a, (((t, p), _), j)) =>
-        lowerFold(a, t, p, o => bound(stageBinders ++ foldBinders.take(j), n0 + j, o))
-    }
+    val withFolds = lowerFoldChain(acc, derived,
+      j => o => bound(stageBinders ++ foldBinders.take(j), n0 + j, o))
     val cond2 = substituteAll(g.cond, derived.map(_._1).zip(names))
     val filtered = q"$withFolds.withFilter(${
       bound(stageBinders ++ foldBinders, n0 + derived.length, cond2)})"
@@ -538,8 +551,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
       s"onSpark: the yield references the distributed bag '$r'; derived head shapes are " +
       "a nested comprehension over a literal DataBag(seq) (runs locally per element) " +
       "and a correlated monoid fold — `bag.withFilter(y => key(y) == key(vars))" +
-      "[.map(v)].sum` / `.size` / `bag.count(y => key == key [&& p(y)])` (pre-aggregated " +
-      "and left-outer-joined) — fold the bag outside the comprehension or restructure")
+      "[.map(v)].sum/.min/.max` / `.size` / `bag.count(y => key == key [&& p(y)])` " +
+      "(pre-aggregated and joined); generator-INDEPENDENT folds hoist into driver vals " +
+      "automatically — fold the bag outside the comprehension or restructure")
 
   private def abortBagGuard(r: Tree): Nothing =
     c.abort(c.enclosingPosition,
@@ -550,17 +564,118 @@ class ComprehensionMacro(val c: blackbox.Context) {
       "correlated monoid folds `bag.count(y => key == key [&& p]) <op> e` " +
       "(pre-aggregate + join + filter) — restructure the guard or join explicitly")
 
+  // --------------------------------- uncorrelated global folds (hoisting)
+
+  private val globalFoldNames: Set[TermName] =
+    Set("min", "max", "minBy", "maxBy", "product", "nonEmpty", "isEmpty",
+      "find", "reduce", "reduceOption", "fold", "foldAll", "sample")
+      .map(TermName(_))
+
+  /** Shape anchor for a scalar fold / quantifier / emptiness call at the
+    * end of a bag chain: returns the receiver. Shape-only — matches typed
+    * and untyped trees identically (the positional-replay contract). */
+  private object GlobalAnchor {
+    def unapply(t: Tree): Option[Tree] = t match {
+      case FoldCall(q, _, _) => Some(q)
+      case QuantCall(b, _, _, _, _, _) => Some(b)
+      case Select(q, n: TermName) if globalFoldNames(n) => Some(q)
+      case Apply(Select(q, n: TermName), _) if globalFoldNames(n) => Some(q)
+      case Apply(TypeApply(Select(q, n: TermName), _), _) if globalFoldNames(n) => Some(q)
+      case Apply(Apply(Select(q, n: TermName), _), _) if globalFoldNames(n) => Some(q)
+      case Apply(Apply(TypeApply(Select(q, n: TermName), _), _), _) if globalFoldNames(n) =>
+        Some(q)
+      case _ => None
+    }
+  }
+
+  /** Every symbol DEFINED anywhere inside `t` (generator/guard lambda
+    * params, pattern binds, local vals in the yield, nested-comprehension
+    * binders). */
+  private def defSymsIn(t: Tree): Set[Symbol] = {
+    val b = Set.newBuilder[Symbol]
+    t.foreach {
+      case d: DefTree if d.symbol != null && d.symbol != NoSymbol => b += d.symbol
+      case _ => ()
+    }
+    b.result()
+  }
+
+  /** Preorder anchor decisions on the TYPED tree: `true` = this anchor is
+    * a scalar fold of a distributed bag that references NO symbol bound
+    * elsewhere in the comprehension — its value is one constant for the
+    * whole pipeline, so it hoists into a driver `val` (SQL's uncorrelated
+    * scalar subquery). Qualified anchors are not descended into;
+    * unqualified ones are (a hoistable fold may hide inside, e.g. the
+    * inner `ys.size` of a correlated `minBy(y => f(y, ys.size))`). */
+  private def globalFoldDecisions(expr: Tree): List[Boolean] = {
+    val allDefs = defSymsIn(expr)
+    val out = scala.collection.mutable.ListBuffer.empty[Boolean]
+    val trav = new Traverser {
+      override def traverse(t: Tree): Unit = t match {
+        case GlobalAnchor(recv) =>
+          val boundOutside = (allDefs -- defSymsIn(t)).toSeq
+          val ok = isDataBag(recv) && !isDataBag(t) &&
+            distributedValueRef(t).isDefined &&
+            !t.exists(isLocalBagCtor) && !usesAny(t, boundOutside)
+          out += ok
+          if (!ok) super.traverse(t)
+        case _ => super.traverse(t)
+      }
+    }
+    trav.traverse(expr)
+    out.toList
+  }
+
+  /** Hoists every generator-independent fold of a distributed bag out of
+    * the comprehension into a driver `val` — evaluated eagerly, ONCE, in
+    * occurrence order — and re-expands `onSpark` on the rewritten
+    * comprehension, where the fold value is now a plain local and the
+    * remaining shape derives as usual. Without the hoist the fold's bag
+    * would ride an executor-side closure (a guaranteed runtime crash) or
+    * abort. Returns None when nothing qualifies. */
+  private def hoistGlobalFolds(expr: Tree): Option[Tree] = {
+    val decisions = globalFoldDecisions(expr)
+    if (!decisions.contains(true)) return None
+    val names = scala.collection.mutable.ListBuffer.empty[TermName]
+    val rhss = scala.collection.mutable.ListBuffer.empty[Tree]
+    var i = 0
+    val tf = new Transformer {
+      override def transform(t: Tree): Tree = t match {
+        case GlobalAnchor(_) =>
+          val d = i < decisions.length && decisions(i)
+          i += 1
+          if (d) {
+            val n = TermName(c.freshName("glob$"))
+            names += n
+            rhss += t
+            Ident(n)
+          } else super.transform(t)
+        case _ => super.transform(t)
+      }
+    }
+    val rewritten = tf.transform(c.untypecheck(expr))
+    if (i != decisions.length || names.isEmpty)
+      c.abort(c.enclosingPosition,
+        "internal: global fold occurrences changed after untypecheck")
+    val vals = names.toList.zip(rhss.toList).map { case (n, r) => q"val $n = $r" }
+    Some(q"{ ..$vals; _root_.graft.api.comprehensions.onSpark($rewritten) }")
+  }
+
   // ------------------------------------ correlated scalar folds in the head
 
   /** A monoid fold terminating a filter/map chain: (chain, fold kind,
     * optional fold-lambda). Shape-only (typed and untyped); sees through
-    * `sum`'s implicit Numeric list. Only zero-default folds are listed —
-    * a correlated `min`/`max` has no empty-group value to left-join in. */
+    * `sum`'s implicit Numeric list. `min`/`max` carry their implicit
+    * Ordering as the argument — they have no empty-group zero, so their
+    * derivation joins in a THROW for a missing group (the sequential
+    * semantics of `min` on an empty bag). */
   private object FoldCall {
     def unapply(t: Tree): Option[(Tree, TermName, List[Tree])] = t match {
       case Select(q, n @ TermName("size")) => Some((q, n, Nil))
       case Apply(Select(q, n @ TermName("sum")), _) => Some((q, n, Nil))
       case Select(q, n @ TermName("sum")) => Some((q, n, Nil))
+      case Apply(Select(q, n @ TermName("min")), List(ord)) => Some((q, n, List(ord)))
+      case Apply(Select(q, n @ TermName("max")), List(ord)) => Some((q, n, List(ord)))
       case Apply(Select(q, n @ TermName("count")), List(lam)) => Some((q, n, List(lam)))
       case Apply(Apply(Select(q, n @ TermName("top")), List(k)), List(ord)) =>
         Some((q, n, List(k, ord)))
@@ -585,10 +700,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * (the reference's FoldGroupFusion shape). Role lists align with the
     * untyped twin positionally. */
   private case class FoldPlan(
-      kind: TermName,              // size | count | sum
+      kind: TermName,              // size | count | sum | min | max | top | bottom
       guardRoles: List[ConjRole],  // one per withFilter guard (pre-split conjuncts)
       countRoles: List[ConjRole],  // count-lambda conjuncts (count ≡ withFilter(p).size)
-      hasMap: Boolean)
+      hasMap: Boolean,
+      vTpe: Type)                  // the fold's TYPED value type (batch zero[V] emission)
 
   /** Separable-equality classification shared with the quantified-guard
     * derivation: l/r must split into an inner-only side and a side that
@@ -647,7 +763,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
         if (countRoles.isDefined && allRoles.forall(_.isDefined) && mapOk &&
             allRoles.flatten.exists(_.isInstanceOf[KeyPair]))
           Some(FoldPlan(kind, guardRoles.map(_.get),
-            countRoles.get.map(_.get), mapLam.isDefined))
+            countRoles.get.map(_.get), mapLam.isDefined,
+            if (t.tpe == null) NoType else t.tpe.dealias))
         else None
       }
     case _ => None
@@ -788,11 +905,12 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // or 1L (size/count)
       val fp = TermName(c.freshName("e$"))
       val isTopK = plan.kind == TermName("top") || plan.kind == TermName("bottom")
+      val isMinMax = plan.kind == TermName("min") || plan.kind == TermName("max")
       val (valueTree, valueBinder) = (plan.kind, mapLam) match {
         case (TermName("sum"), Some((v, p, b))) => (b, Some((v.name, p)))
         case (TermName("sum"), None) => (Ident(fp): Tree, None)
-        case (_, Some((v, p, b))) if isTopK => (b, Some((v.name, p)))
-        case (_, None) if isTopK => (Ident(fp): Tree, None)
+        case (_, Some((v, p, b))) if isTopK || isMinMax => (b, Some((v.name, p)))
+        case (_, None) if isTopK || isMinMax => (Ident(fp): Tree, None)
         case _ => (q"1L", None)
       }
       val keyVals = pairs.map { case ((_, in), b) =>
@@ -811,11 +929,187 @@ class ComprehensionMacro(val c: blackbox.Context) {
         val smallest = plan.kind == TermName("bottom")
         q"""_root_.graft.api.FoldGroups.topJoin($acc, $keyed, ${args(0)},
             ${args(1)}, $smallest)(${mkOuter(outerK)})"""
+      } else if (isMinMax) {
+        val smallest = plan.kind == TermName("min")
+        q"""_root_.graft.api.FoldGroups.minMaxJoin($acc, $keyed, $smallest,
+            ${args(0)})(${mkOuter(outerK)})"""
       } else
         q"_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})"
     case _ =>
       c.abort(c.enclosingPosition,
         "internal: head fold no longer matches after untypecheck")
+  }
+
+  // ------------------------------- fold-forest fusion (same-key batching)
+
+  /** Kinds whose contributions combine componentwise in one
+    * [[FoldGroups.reduceJoin]] batch (top/bottom ride their own heap
+    * aggregator and stay unbatched). */
+  private val batchableFoldKinds: Set[TermName] =
+    Set("size", "sum", "count", "min", "max").map(TermName(_))
+
+  /** The decomposed pieces of one derivable fold occurrence (untyped
+    * twin), aligned with its plan: root chain, unified guard/count
+    * conjuncts with roles, optional map lambda, kind, fold args. */
+  private case class FoldPieces(root: Tree,
+      tagged: List[((TermName, Option[Tree], Tree), ConjRole)],
+      mapLam: Option[(TermName, Option[Tree], Tree)],
+      kind: TermName, args: List[Tree], vTpe: Type)
+
+  private def foldPieces(t: Tree, plan: FoldPlan): Option[FoldPieces] = t match {
+    case FoldCall(chain, _, args) =>
+      val arg = if (plan.kind == TermName("count")) args.headOption else None
+      val (root, gs, mapLam) = foldChainOf(chain)
+      if (gs.length != plan.guardRoles.length) None
+      else {
+        val countConjs: Option[List[(TermName, Option[Tree], Tree)]] = arg match {
+          case Some(GenLam(v, p, body)) => Some(conjuncts(body).map(cj => (v.name, p, cj)))
+          case Some(_) => None
+          case None => Some(Nil)
+        }
+        countConjs.filter(_.length == plan.countRoles.length).map { ccs =>
+          FoldPieces(root,
+            gs.map(g => (g.v.name, g.pat, g.cond)).zip(plan.guardRoles) ++
+              ccs.zip(plan.countRoles),
+            mapLam.map { case (v, p, b) => (v.name, p, b) }, plan.kind, args,
+            plan.vTpe)
+        }
+      }
+    case _ => None
+  }
+
+  /** Two folds batch when their root chain, every conjunct (binder names
+    * included — structural equality), and every role coincide: the
+    * filtered keyed relation is then IDENTICAL and only the contribution
+    * differs. */
+  private def sameFoldShape(a: FoldPieces, b: FoldPieces): Boolean =
+    a.root.equalsStructure(b.root) && a.tagged.length == b.tagged.length &&
+      a.tagged.zip(b.tagged).forall {
+        case (((n1, p1, c1), r1), ((n2, p2, c2), r2)) =>
+          n1 == n2 && r1 == r2 && c1.equalsStructure(c2) &&
+            p1.size == p2.size &&
+            p1.zip(p2).forall { case (x, y) => x.equalsStructure(y) }
+      }
+
+  /** Untyped two-param lambda. */
+  private def lam2(a: TermName, b: TermName, body: Tree): Tree =
+    Function(List(ValDef(Modifiers(Flag.PARAM), a, TypeTree(), EmptyTree),
+      ValDef(Modifiers(Flag.PARAM), b, TypeTree(), EmptyTree)), body)
+
+  /** Lower a batch (≥2) of same-shaped folds as ONE keyed relation whose
+    * value is the tuple of per-fold contributions, one combinable
+    * [[FoldGroups.reduceJoin]], and a re-nesting map that restores the
+    * one-pair-per-fold stage-tuple shape downstream accessors expect. */
+  private def lowerFoldBatch(acc: Tree, group: List[FoldPieces],
+      mkOuter: Tree => Tree): Tree = {
+    val h = group.head
+    val filtered = h.tagged.collect { case (cj, InnerFilter) => cj }
+      .foldLeft(h.root) { case (b, (n, p, cj)) =>
+        q"$b.withFilter(${binderLam(n, p, cj)})"
+      }
+    val pairs = h.tagged.collect { case ((n, p, cj), KeyPair(sw)) =>
+      val (l, r) = Eq.unapply(cj).getOrElse(c.abort(c.enclosingPosition,
+        "internal: fold key conjunct shape changed after untypecheck"))
+      (if (sw) (r, l) else (l, r), (n, p))
+    }
+    val outerK = pairs.map(_._1._1) match {
+      case List(o) => o
+      case more => q"(..$more)"
+    }
+    val fp = TermName(c.freshName("e$"))
+    val keyVals = pairs.map { case ((_, in), b) =>
+      (TermName(c.freshName("k$")), underChainBinder(fp, b, in))
+    }
+    val keyTuple = keyVals.map(kv => Ident(kv._1): Tree) match {
+      case List(one) => one
+      case more => q"(..$more)"
+    }
+    val valVals = group.map { pc =>
+      val isSumLike = pc.kind == TermName("sum") ||
+        pc.kind == TermName("min") || pc.kind == TermName("max")
+      val (valueTree, valueBinder) = (isSumLike, pc.mapLam) match {
+        case (true, Some((n, p, b))) => (b, Some((n, p)))
+        case (true, None) => (Ident(fp): Tree, None)
+        case _ => (q"1L": Tree, None) // size / count contribute 1L
+      }
+      (TermName(c.freshName("v$")),
+        valueBinder.fold(valueTree)(b => underChainBinder(fp, b, valueTree)))
+    }
+    val stmts = (keyVals ++ valVals).map { case (n, e) => q"val $n = $e" }
+    val vTuple = q"(..${valVals.map(v => Ident(v._1))})"
+    val projected = lam(fp, q"{ ..$stmts; ($keyTuple, $vTuple) }")
+    val keyed = q"$filtered.map($projected)"
+    val aN = TermName(c.freshName("a$"))
+    val bN = TermName(c.freshName("b$"))
+    val slots = group.zipWithIndex.map { case (pc, j) =>
+      val tj = TermName("_" + (j + 1))
+      pc.kind match {
+        case TermName("min") =>
+          q"_root_.graft.api.FoldGroups.lesser(${Ident(aN)}.$tj, ${Ident(bN)}.$tj, ${pc.args(0)})"
+        case TermName("max") =>
+          q"_root_.graft.api.FoldGroups.greater(${Ident(aN)}.$tj, ${Ident(bN)}.$tj, ${pc.args(0)})"
+        case _ =>
+          q"_root_.graft.api.FoldGroups.plus(${Ident(aN)}.$tj, ${Ident(bN)}.$tj)"
+      }
+    }
+    val comb = lam2(aN, bN, q"(..$slots)")
+    // a min/max slot makes the WHOLE empty-group tuple throw (building it
+    // would throw at that slot anyway — and a Nothing-typed slot beside
+    // the polymorphic zero derails scalac's tuple inference)
+    val missBody: Tree = group.find(pc =>
+        pc.kind == TermName("min") || pc.kind == TermName("max")) match {
+      case Some(mm) =>
+        q"_root_.graft.api.FoldGroups.emptyGroup(${mm.kind.toString})"
+      case None =>
+        val zeros = group.map { pc =>
+          // zero's Numeric resolves only with the type arg EXPLICIT (an
+          // expected-return-type-only inference leaves V undetermined)
+          if (pc.kind == TermName("sum")) {
+            if (pc.vTpe == NoType)
+              c.abort(c.enclosingPosition, "internal: untyped sum fold in batch")
+            q"_root_.graft.api.FoldGroups.zero[${pc.vTpe}]": Tree
+          } else q"0L": Tree // size / count
+        }
+        q"(..$zeros)"
+    }
+    val miss = Function(Nil, missBody)
+    val call =
+      q"_root_.graft.api.FoldGroups.reduceJoin($acc, $keyed)($comb)($miss)(${mkOuter(outerK)})"
+    val pn = TermName(c.freshName("p$"))
+    val nest = (1 to group.length).foldLeft(q"${Ident(pn)}._1": Tree) {
+      (t, j) => q"($t, ${Ident(pn)}._2.${TermName("_" + j)})"
+    }
+    q"$call.map(${lam(pn, nest)})"
+  }
+
+  /** Lower a sequence of derived folds onto `acc`, batching CONSECUTIVE
+    * same-shaped batchable folds into one [[FoldGroups.reduceJoin]]
+    * (fold-forest fusion); `mkOuterAt(j)` builds the accumulated-side key
+    * lambda for the fold at position j (j folds already appended). */
+  private def lowerFoldChain(acc0: Tree, derived: List[(Tree, FoldPlan)],
+      mkOuterAt: Int => Tree => Tree): Tree = {
+    val pieces = derived.map { case (t, p) =>
+      (t, p, if (batchableFoldKinds(p.kind)) foldPieces(t, p) else None)
+    }
+    var acc = acc0
+    var j = 0
+    while (j < pieces.length) {
+      val (t, plan, pc) = pieces(j)
+      val run = pc match {
+        case Some(hd) =>
+          var k = j + 1
+          while (k < pieces.length && pieces(k)._3.exists(sameFoldShape(hd, _))) k += 1
+          k - j
+        case None => 1
+      }
+      if (sys.props.contains("graft.macro.debug"))
+        c.info(c.enclosingPosition, s"fold batch at $j run=$run kind=${plan.kind}", force = true)
+      acc =
+        if (run >= 2) lowerFoldBatch(acc, pieces.slice(j, j + run).map(_._3.get), mkOuterAt(j))
+        else lowerFold(acc, t, plan, mkOuterAt(j))
+      j += run
+    }
+    acc
   }
 
   /** HEAD NESTING (one level, the reference's most common
@@ -1043,6 +1337,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
     val typedChain = flatten(expr)
+    // generator-independent folds of a distributed bag hoist FIRST into
+    // driver vals (the uncorrelated scalar subquery), then the macro
+    // re-expands on the rewritten comprehension
+    typedChain match {
+      case Some((gens, _)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
+        hoistGlobalFolds(expr) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
     // groupBy-fusion applicability, computed ONCE (the validation walks
     // the whole yield + guards)
     val groupFusionInfo: Option[(List[GroupFoldOcc], List[List[GroupFoldOcc]])] =
@@ -1228,11 +1533,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
               .collect { case (t, Some(p)) => (t, p) }
             val foldNames = derivedF.map(_ => TermName(c.freshName("fold$")))
             val foldBinders = foldNames.map(n => Binder(n, None))
-            val withFolds = derivedF.zip(foldNames).zipWithIndex
-              .foldLeft(joinedAll) { case (acc, (((t, plan), _), j)) =>
-                lowerFold(acc, t, plan,
-                  o => bound(binders ++ foldBinders.take(j), ugens.length + j, o))
-              }
+            val withFolds = lowerFoldChain(joinedAll, derivedF,
+              j => o => bound(binders ++ foldBinders.take(j), ugens.length + j, o))
             val substituted = substituteAll(ubody, derivedF.map(_._1).zip(foldNames))
             val body = if (headHasCtor) localizeHead(substituted, headCtorNames)
               else substituted
@@ -1350,10 +1652,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
               .collect { case (t, Some(p)) => (t, p) }
             val foldNames1 = derivedF1.map(_ => TermName(c.freshName("fold$")))
             val binders1 = Binder(g.v.name, g.pat) :: foldNames1.map(Binder(_, None))
-            val withFolds1 = derivedF1.zip(foldNames1).zipWithIndex
-              .foldLeft(first) { case (acc, (((t, plan), _), j)) =>
-                lowerFold(acc, t, plan, o => bound(binders1.take(1 + j), 1 + j, o))
-              }
+            val withFolds1 = lowerFoldChain(first, derivedF1,
+              j => o => bound(binders1.take(1 + j), 1 + j, o))
             val substituted1 = substituteAll(ubody, derivedF1.map(_._1).zip(foldNames1))
             val body1 =
               if (singleHasCtor) localizeHead(substituted1, singleCtorNames)

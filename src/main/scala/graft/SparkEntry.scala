@@ -3361,6 +3361,65 @@ object SparkEntry {
         } yield (cu.c_custkey, cu.c_name)
       }
       res.ds.toDF("c_custkey", "c_name")
+    }),
+
+    // Uncorrelated global folds (SQL's uncorrelated scalar subquery):
+    // generator-independent folds hoist into driver vals evaluated once —
+    // here a mean-balance threshold (spelled multiplication-only: exact
+    // integer cents, no division-semantics divergence) and a global max
+    // order price, composed with a derived equi join. The macro turns
+    // `custs.map(cents).sum`, `custs.size` and `orders.map(cents).max`
+    // into three hoisted vals; without the hoist the bags would ride an
+    // executor closure.
+    "q233_comprehension_global_fold" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          o <- orders
+          if o.o_custkey == cu.c_custkey
+          // above-mean balance: bal*n > sum (exact integers, no division)
+          if (cu.c_acctbal * 100 + 0.5).floor.toLong * custs.size >
+            custs.map(c => (c.c_acctbal * 100 + 0.5).floor.toLong).sum
+          // an order above half the global maximum price
+          if (o.o_totalprice * 100 + 0.5).floor.toLong * 2L >
+            orders.map(o2 => (o2.o_totalprice * 100 + 0.5).floor.toLong).max
+        } yield (cu.c_custkey, o.o_orderkey)
+      }
+      res.ds.toDF("c_custkey", "o_orderkey")
+    }),
+
+    // Correlated min/max folds (SQL's correlated MIN/MAX scalar
+    // subquery): `orders.withFilter(key).map(cents).max` pre-aggregates
+    // to one combinable reduce + join (FoldGroups.minMaxJoin) instead of
+    // a per-customer scan; an empty group would throw the sequential
+    // `max of empty bag` — the EXISTS guard (a derived semi join)
+    // restricts to customers with orders, so the query is total.
+    "q234_comprehension_minmax" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          if orders.exists(o => o.o_custkey == cu.c_custkey)
+        } yield (cu.c_custkey,
+          orders.withFilter(o => o.o_custkey == cu.c_custkey)
+            .map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).min,
+          orders.withFilter(o => o.o_custkey == cu.c_custkey)
+            .map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
+      }
+      res.ds.toDF("c_custkey", "min_cents", "max_cents")
     })
   )
 
@@ -5226,7 +5285,25 @@ object SparkEntry {
         "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
         "AND o.o_totalprice > 150000.0) " +
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
-        "AND o.o_totalprice < 5000.0)")
+        "AND o.o_totalprice < 5000.0)"),
+
+    "q233_comprehension_global_fold" ->
+      ("SELECT c.c_custkey, o.o_orderkey " +
+        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey " +
+        "WHERE CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) * " +
+        "(SELECT COUNT(*) FROM customer) > " +
+        "(SELECT SUM(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) FROM customer) " +
+        "AND CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) * 2 > " +
+        "(SELECT MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FROM orders)"),
+
+    "q234_comprehension_minmax" ->
+      ("SELECT cu.c_custkey, " +
+        "(SELECT MIN(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FROM orders o " +
+        "WHERE o.o_custkey = cu.c_custkey) AS min_cents, " +
+        "(SELECT MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FROM orders o " +
+        "WHERE o.o_custkey = cu.c_custkey) AS max_cents " +
+        "FROM customer cu " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey)")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

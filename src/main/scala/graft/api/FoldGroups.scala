@@ -33,6 +33,62 @@ object FoldGroups {
       .map { case (a, opt) => (a, opt.map(_._2).getOrElse(num.zero)) }
   }
 
+  /** The fold-FOREST fusion shape (the reference fuses N independent
+    * folds of one group into one pass, FoldForestFusion.scala): the macro
+    * batches same-root/same-key correlated folds into ONE keyed relation
+    * whose value is the TUPLE of per-fold contributions, combined
+    * componentwise by `comb` — one combinable aggregation + one join for
+    * the whole batch instead of one of each PER FOLD. `miss` supplies the
+    * empty-group tuple (monoid zeros; a `min`/`max` component throws — the
+    * sequential semantics). */
+  def reduceJoin[A, K, V](left: DataBag[A], right: DataBag[(K, V)])(
+      comb: (V, V) => V)(miss: () => V)(ka: A => K)(
+      implicit encK: Encoder[K], encV: Encoder[V], encOut: Encoder[(A, V)],
+      encOpt: Encoder[(A, Option[(K, V)])]): DataBag[(A, V)] = {
+    implicit val encKV: Encoder[(K, V)] = Encoders.tuple(encK, encV)
+    val reduced = new DataBag(
+      right.ds.groupByKey(_._1)
+        .reduceGroups((a: (K, V), b: (K, V)) => (a._1, comb(a._2, b._2)))
+        .map(_._2))
+    left.leftOuterJoin(reduced)(ka, _._1)
+      .map { case (a, opt) => (a, opt.map(_._2).getOrElse(miss())) }
+  }
+
+  /** Componentwise combiners/zeros for [[reduceJoin]] batches — implicit
+    * Numeric/Ordering re-resolve at the macro's emitted call site. */
+  def plus[V](a: V, b: V)(implicit num: Numeric[V]): V = num.plus(a, b)
+  def lesser[V](a: V, b: V, ord: Ordering[V]): V =
+    if (ord.compare(a, b) <= 0) a else b
+  def greater[V](a: V, b: V, ord: Ordering[V]): V =
+    if (ord.compare(a, b) >= 0) a else b
+  def zero[V](implicit num: Numeric[V]): V = num.zero
+  def emptyGroup(kind: String): Nothing =
+    throw new NoSuchElementException(kind + " of an empty group")
+
+  /** For each left element: the MIN (`smallest = true`) or MAX of right
+    * values under the matching key — the correlated `filter(key match)
+    * [.map(v)].min/max` fold. An empty group THROWS the same
+    * `NoSuchElementException` the sequential `min` of an empty bag throws
+    * (surfacing wrapped in the task failure), so programs that do not
+    * crash get identical values and the plan is one combinable reduce +
+    * one join instead of a per-outer-row scan or an executor-side bag
+    * capture. */
+  def minMaxJoin[A, K, V](left: DataBag[A], right: DataBag[(K, V)],
+      smallest: Boolean, ord: Ordering[V])(ka: A => K)(
+      implicit encK: Encoder[K], encV: Encoder[V], encOut: Encoder[(A, V)],
+      encOpt: Encoder[(A, Option[(K, V)])]): DataBag[(A, V)] = {
+    implicit val encKV: Encoder[(K, V)] = Encoders.tuple(encK, encV)
+    val reduced = new DataBag(
+      right.ds.groupByKey(_._1)
+        .reduceGroups((a: (K, V), b: (K, V)) =>
+          if ((ord.compare(a._2, b._2) <= 0) == smallest) a else b)
+        .map(_._2))
+    left.leftOuterJoin(reduced)(ka, _._1)
+      .map { case (a, opt) => (a, opt.map(_._2).getOrElse(
+        throw new NoSuchElementException(
+          (if (smallest) "min" else "max") + " of an empty group"))) }
+  }
+
   /** For each left element: the top (or bottom, `smallest = true`) `n`
     * right values under the matching key as a sorted list, `Nil` when
     * none — the correlated `filter(key match).top(n)` fold. The per-key

@@ -581,6 +581,23 @@ object DriveDemo {
           yield cu.c_custkey
       }
       println("nonEmpty/isEmpty comprehension rows = " + activeE.ds.count())
+      // uncorrelated global folds hoist into driver vals (scalar subquery)
+      val richAboveMean = onSpark {
+        for { cu <- custs
+              if (cu.c_acctbal * 100 + 0.5).floor.toLong * custs.size >
+                custs.map(c => (c.c_acctbal * 100 + 0.5).floor.toLong).sum }
+          yield cu.c_custkey
+      }
+      println("above-mean-balance comprehension rows = " + richAboveMean.ds.count())
+      // correlated min/max folds pre-aggregate + join (EXISTS keeps groups
+      // non-empty, so the derived throw-on-miss never fires)
+      val spans = onSpark {
+        for { cu <- custs; if orders.exists(o => o.o_custkey == cu.c_custkey) }
+          yield (cu.c_custkey,
+            orders.withFilter(o => o.o_custkey == cu.c_custkey)
+              .map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
+      }
+      println("max-order comprehension rows = " + spans.ds.count())
       // correlated scalar folds (FoldGroupFusion): count + top-k in the head
       val summary = onSpark {
         for { cu <- custs; if orders.count(o => o.o_custkey == cu.c_custkey) >= 8L }

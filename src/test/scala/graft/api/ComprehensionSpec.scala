@@ -422,6 +422,114 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     negNonE.collect().sorted shouldBe ((1L to 30L).toSeq diff seqRef).sorted
   }
 
+  it should "hoist uncorrelated global folds into driver vals (scalar subqueries)" in {
+    val xs = bagL(1L to 30L)
+    val ys = bagL(Seq(2L, 4L, 6L))
+    // folds in a guard: sum and size hoist, the guard becomes a plain
+    // filter on the hoisted values (here: x > (4+8+12)/3 = 8)
+    val guarded = onSpark {
+      for { x <- xs; if x > ys.map(_ * 2L).sum / ys.size } yield x
+    }
+    guarded.collect().sorted shouldBe (9L to 30L)
+    // a fold in the yield
+    val inHead = onSpark { for { x <- xs; if x <= 3L } yield x * ys.size }
+    inHead.collect().sorted shouldBe Seq(3L, 6L, 9L)
+    // min/max hoist (no empty-group default needed on the driver)
+    val belowMax = onSpark { for { x <- xs; if x < ys.min || x > ys.max * 4L } yield x }
+    belowMax.collect().sorted shouldBe (Seq(1L) ++ (25L to 30L))
+    // an uncorrelated quantifier next to a derived equi join
+    val zs = bagL(Seq(100L))
+    val joined = onSpark {
+      for { x <- xs; y <- ys; if x % 7 == y % 5; if zs.exists(_ > 50L) }
+        yield (x, y)
+    }
+    val plan = joined.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for { x <- 1L to 30L; y <- Seq(2L, 4L, 6L); if x % 7 == y % 5 }
+      yield (x, y)
+    joined.collect().sorted shouldBe seqRef.sorted
+    val emptied = onSpark {
+      for { x <- xs; y <- ys; if x % 7 == y % 5; if zs.exists(_ > 500L) }
+        yield (x, y)
+    }
+    emptied.collect() shouldBe empty
+  }
+
+  it should "compose hoisted globals with correlated fold guards" in {
+    val xs = bagL(1L to 20L)
+    val ys = bagL(1L to 12L)
+    // correlated count (pre-aggregate + join) compared against a hoisted
+    // global: ys.size / 6 = 2, count(y == x % 7) is 2 for x % 7 in 1..5
+    val res = onSpark {
+      for { x <- xs; if ys.count(y => y % 6L == x % 7L) >= ys.size / 6L } yield x
+    }
+    val seqRef = for { x <- 1L to 20L
+      if (1L to 12L).count(y => y % 6L == x % 7L) >= 2 } yield x
+    res.collect().sorted shouldBe seqRef.sorted
+    // non-anchored bag use still aborts at compile time
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; if ys.collect().length > x } yield x }
+    """ shouldNot compile
+  }
+
+  it should "derive correlated min/max folds via pre-aggregate + join (throwing on empty groups)" in {
+    val xs = bagL(1L to 6L)
+    val ys = bagL(1L to 40L)
+    // every x % 3 group of ys is non-empty: values must equal the
+    // sequential semantics exactly (bare max + mapped min)
+    val res = onSpark {
+      for { x <- xs } yield (x,
+        ys.withFilter(y => y % 3L == x % 3L).max,
+        ys.withFilter(y => y % 3L == x % 3L).map(y => y * 2L).min)
+    }
+    val seqRef = for { x <- 1L to 6L } yield (x,
+      (1L to 40L).filter(y => y % 3L == x % 3L).max,
+      (1L to 40L).filter(y => y % 3L == x % 3L).map(y => y * 2L).min)
+    res.collect().sorted shouldBe seqRef.sorted
+    // the plan pre-aggregates: no per-row jobs, a single collect works
+    // on a guard too (the correlated-HAVING shape with max)
+    val guarded = onSpark {
+      for { x <- xs; if ys.withFilter(y => y % 3L == x % 3L).max >= 39L } yield x
+    }
+    val seqG = for { x <- 1L to 6L
+      if (1L to 40L).filter(y => y % 3L == x % 3L).max >= 39L } yield x
+    guarded.collect().sorted shouldBe seqG.sorted
+    // an EMPTY group throws — the sequential `min of empty bag` semantics
+    // (wrapped in Spark's task-failure chain)
+    val zs = bagL(Seq(2L, 4L))
+    val crashing = onSpark {
+      for { x <- bagL(Seq(1L, 3L)) } yield (x, zs.withFilter(z => z == x).min)
+    }
+    val thrown = intercept[Throwable] { crashing.collect() }
+    Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.isInstanceOf[NoSuchElementException]) shouldBe true
+  }
+
+  it should "batch same-key correlated folds into ONE aggregation (fold-forest fusion)" in {
+    val xs = bagL(1L to 6L)
+    val ys = bagL(1L to 40L)
+    val res = onSpark {
+      for { x <- xs } yield (x,
+        ys.withFilter(y => y % 3L == x % 3L).size,
+        ys.withFilter(y => y % 3L == x % 3L).map(y => y * 2L).sum,
+        ys.withFilter(y => y % 3L == x % 3L).min,
+        ys.withFilter(y => y % 3L == x % 3L).max)
+    }
+    val seqRef = for { x <- 1L to 6L } yield {
+      val g = (1L to 40L).filter(y => y % 3L == x % 3L)
+      (x, g.size.toLong, g.map(_ * 2L).sum, g.min, g.max)
+    }
+    res.collect().sorted shouldBe seqRef.sorted
+    // all four folds share one filtered root and key, so they must ride
+    // ONE combinable aggregation: a single partial/final pair in the
+    // final plan (AQE's string repeats nodes under "== Initial Plan ==")
+    val plan = res.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "ObjectHashAggregate".r.findAllIn(plan).size shouldBe 2
+  }
+
   it should "pre-filter the EXISTS bag with inner-only conjuncts and tuple composite keys" in {
     val xs = bagL(1L to 40L)
     val ys = bagL(1L to 10L)
@@ -621,17 +729,19 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "reject underivable head folds at compile time" in {
-    // no correlation key: nothing to pre-aggregate against
+    // non-equality correlation: no key to pre-aggregate against (an
+    // UNCORRELATED ys.sum would hoist instead — see the hoist tests)
     """
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
-    onSpark { for { x <- xs } yield (x, ys.sum) }
+    onSpark { for { x <- xs } yield (x, ys.count(y => y > x)) }
     """ shouldNot compile
-    // min has no empty-group default to left-join in
+    // non-equality correlated min: no key to pre-aggregate against (a
+    // KEYED correlated min derives via minMaxJoin — see its tests)
     """
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
-    onSpark { for { x <- xs } yield (x, ys.withFilter(y => y == x).min) }
+    onSpark { for { x <- xs } yield (x, ys.withFilter(y => y > x).min) }
     """ shouldNot compile
     // a generator-dependent mapped value cannot pre-aggregate
     """
@@ -697,11 +807,11 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val ys = bagL(1L to 5L)
     onSpark { for { x <- xs; if ys.exists(y => y > x) } yield x }
     """ shouldNot compile
-    // a fold over a distributed bag captured in a guard closure
+    // a generator-dependent reduction: neither hoistable nor derivable
     """
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
-    onSpark { for { x <- xs; if ys.size > x } yield x }
+    onSpark { for { x <- xs; if ys.reduce(0L)((a, b) => a + b + x) > 3L } yield x }
     """ shouldNot compile
     // emptiness without a separable key equality: no join to derive
     """
@@ -718,11 +828,13 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "reject a DISTRIBUTED bag captured in the yield at compile time" in {
+    // generator-correlated without an equality key (an uncorrelated
+    // zs.sum would hoist into a driver val instead)
     """
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
     val zs = bagL(6L to 9L)
-    onSpark { for { x <- xs; y <- ys; if x == y } yield (x, zs.sum) }
+    onSpark { for { x <- xs; y <- ys; if x == y } yield (x, zs.count(z => z > x)) }
     """ shouldNot compile
   }
 
