@@ -461,14 +461,65 @@ class ComprehensionMacro(val c: blackbox.Context) {
     out.toList
   }
 
+  /** Inline Block-level `val a = <g>.values` / `val a = <g>.key` aliases so
+    * fold chains and key reads root at the Group binder itself — the
+    * reference's FoldGroup "of case classes multiple times" spelling
+    * (BaseCodegenIntegrationSpec.scala:322-336) binds `decade.values` to a
+    * local val and folds THAT. Runs on both the typed tree (symbol-keyed
+    * substitution) and the untyped rebuild (name-keyed); a name-shadowing
+    * disagreement between the two is caught by the fold count-agreement
+    * abort. Aliases chain (`val w = v`) because each rhs is substituted
+    * before classification; non-alias vals (incl. fold-valued ones) stay
+    * in place and get their rhs folds substituted like any other subtree. */
+  private def inlineGroupAliases(body: Tree, isG: Tree => Boolean): Tree = {
+    val tr = new Transformer {
+      private var subs = List.empty[(Tree => Boolean, Tree)]
+      override def transform(t: Tree): Tree = t match {
+        case i: Ident =>
+          subs.collectFirst { case (m, r) if m(i) => r }.getOrElse(i)
+        case Block(stats, expr) =>
+          val saved = subs
+          val kept = stats.flatMap {
+            case vd @ ValDef(mods, name, tpt, rhs0)
+                if !mods.hasFlag(Flag.LAZY) && !mods.hasFlag(Flag.MUTABLE) &&
+                  rhs0.nonEmpty =>
+              val rhs = transform(rhs0)
+              rhs match {
+                case Select(q, TermName("values" | "key")) if isG(q) =>
+                  val matcher: Tree => Boolean =
+                    if (vd.symbol != null && vd.symbol != NoSymbol)
+                      x => x.symbol == vd.symbol
+                    else {
+                      case Ident(m: TermName) => m == name
+                      case _ => false
+                    }
+                  subs = (matcher, rhs) :: subs
+                  Nil
+                case r => List(treeCopy.ValDef(vd, mods, name, tpt, r))
+              }
+            case st => List(transform(st))
+          }
+          val newExpr = transform(expr)
+          subs = saved
+          if (kept.isEmpty) newExpr else treeCopy.Block(t, kept, newExpr)
+        case _ => super.transform(t)
+      }
+    }
+    tr.transform(body)
+  }
+
   /** TYPED validation of one groupBy-comprehension body (the yield, or a
     * guard condition) under its Group binder symbol: every reference to
     * the binder must be `<g>.key` or the root of a collected fold whose
     * stage lambdas / fold argument do not re-capture the binder, and no
-    * distributed bag may be referenced. Returns the collected folds, or
-    * None when the body is not fusible (callers fall back to the
-    * unfused groupBy — correct, just group-materializing). */
-  private def groupFoldsOf(sym: Symbol, body: Tree): Option[List[GroupFoldOcc]] = {
+    * distributed bag may be referenced. Block-level aliases of
+    * `<g>.values`/`<g>.key` inline first ([[inlineGroupAliases]]).
+    * Returns the collected folds, or None when the body is not fusible
+    * (callers fall back to the unfused groupBy — correct, just
+    * group-materializing). */
+  private def groupFoldsOf(sym: Symbol, rawBody: Tree): Option[List[GroupFoldOcc]] = {
+    val body = inlineGroupAliases(rawBody,
+      { case i: Ident => i.symbol == sym; case _ => false })
     val isRootT: Tree => Boolean = {
       case Select(i @ Ident(_), TermName("values")) => i.symbol == sym
       case _ => false
@@ -659,6 +710,147 @@ class ComprehensionMacro(val c: blackbox.Context) {
         "internal: global fold occurrences changed after untypecheck")
     val vals = names.toList.zip(rhss.toList).map { case (n, r) => q"val $n = $r" }
     Some(q"{ ..$vals; _root_.graft.api.comprehensions.onSpark($rewritten) }")
+  }
+
+  // --------------------------------- multi-generator groupBy fusion
+
+  /** TYPED fusibility of one groupBy generator inside a MULTI-generator
+    * chain: across every tree its binder is in scope for, each reference
+    * must be `<g>.key` or a fusible Seq-fold of `<g>.values` whose stage
+    * lambdas / fold argument do not recapture the binder. Unlike
+    * [[groupFoldsOf]] this does NOT constrain other bags/binders — the
+    * re-expanded macro adjudicates those. Returns the folds per tree (in
+    * the callers' canonical tree order), or None when not fusible. */
+  private def multiGroupFoldsOf(treesSyms: List[(Tree, Symbol)])
+      : Option[List[List[GroupFoldOcc]]] = {
+    val perTree = treesSyms.map { case (body, sym) =>
+      val isRootT: Tree => Boolean = {
+        case Select(i @ Ident(_), TermName("values")) => i.symbol == sym
+        case _ => false
+      }
+      def usesG(t: Tree): Boolean =
+        t.exists { case i: Ident => i.symbol == sym; case _ => false }
+      val folds = collectGroupFolds(body, isRootT)
+      def restOk(t: Tree): Boolean = t match {
+        case _ if folds.exists(_._1 eq t) => true
+        case Select(i @ Ident(_), TermName("key")) if i.symbol == sym => true
+        case i @ Ident(_) if i.symbol == sym => false
+        case _ => t.children.forall(restOk)
+      }
+      val ok = restOk(body) && folds.forall { case (_, st, _, arg) =>
+        st.forall(s => !usesG(s._2)) && arg.forall(a => !usesG(a))
+      }
+      if (ok) Some(folds) else None
+    }
+    if (perTree.forall(_.isDefined)) Some(perTree.map(_.get)) else None
+  }
+
+  /** The canonical scan order for one generator's binder: the yield, every
+    * guard condition in chain order, then every LATER generator's bag
+    * expression (an earlier bag cannot reference the binder). Must produce
+    * the same structure on the typed and untyped chains. */
+  private def multiGroupScanTrees(idx: Int, gens: List[Gen], body: Tree): List[Tree] =
+    (body :: gens.flatMap(_.guards).map(_.cond)) ::: gens.drop(idx + 1).map(_.bag)
+
+  /** [[multiGroupScanTrees]] paired with the symbol the binder resolves to
+    * in EACH tree: a guard attached to generator `idx` itself rebinds the
+    * name through the guard lambda's OWN param (scalac desugaring), while
+    * the yield, other generators' guards, and later bags see the
+    * generator lambda's param. */
+  private def multiGroupScanTreesT(idx: Int, gens: List[Gen], body: Tree)
+      : List[(Tree, Symbol)] = {
+    val gsym = gens(idx).v.symbol
+    val guardPairs = gens.zipWithIndex.flatMap { case (g, j) =>
+      g.guards.map(gd => (gd.cond, if (j == idx) gd.v.symbol else gsym))
+    }
+    ((body, gsym) :: guardPairs) ::: gens.drop(idx + 1).map(g => (g.bag, gsym))
+  }
+
+  /** Multi-generator groupBy fusion (the reference's FoldGroup "with
+    * multiple groups in the same comprehension",
+    * BaseCodegenIntegrationSpec.scala:365-372, via FoldGroupFusion): in a
+    * chain of >= 2 generators, any `g <- xs.groupBy(k)` whose binder is
+    * referenced ONLY as `g.key` / fusible folds of `g.values` rewrites to
+    * `xs.foldGroup(k, <Alg2-composed algebra>)` with each fold occurrence
+    * replaced by its tuple accessor, and the macro re-expands on the
+    * rewritten comprehension: group Seqs never materialize, and the
+    * key-equality guards then derive the equi join between PRE-AGGREGATED
+    * relations (K rows a side) instead of joining materialized groups.
+    * Generators that fail validation stay on the materializing path. */
+  private def fuseMultiGroupBys(expr: Tree, gens: List[Gen], tbody: Tree)
+      : Option[Tree] = {
+    val candidates = gens.zipWithIndex.collect {
+      case (g, i) if g.pat.isEmpty && (g.bag match {
+        case Call1(xs, TermName("groupBy"), _) => isDataBag(xs)
+        case _ => false
+      }) => i
+    }
+    if (candidates.isEmpty) return None
+    val validated = candidates.flatMap { i =>
+      multiGroupFoldsOf(multiGroupScanTreesT(i, gens, tbody)).map(i -> _)
+    }
+    if (validated.isEmpty) return None
+    val uexpr = c.untypecheck(expr)
+    flatten(uexpr) match {
+      case Some((ugens, ubody)) if ugens.length == gens.length &&
+          ugens.map(_.guards.length) == gens.map(_.guards.length) =>
+        val subs = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
+        for ((i, tFolds) <- validated) {
+          val ug = ugens(i)
+          val name = ug.v.name
+          val isRootU: Tree => Boolean = {
+            case Select(Ident(m: TermName), TermName("values")) => m == name
+            case _ => false
+          }
+          val uFolds = multiGroupScanTrees(i, ugens, ubody)
+            .map(collectGroupFolds(_, isRootU))
+          // typed matched by SYMBOL, this pass by NAME — exact agreement
+          // or a shadowing binder could silently mis-fuse
+          if (uFolds.map(_.length) != tFolds.map(_.length))
+            c.abort(c.enclosingPosition,
+              "onSpark: an inner binder shadows the Group binder '" + name +
+              "' inside the comprehension — rename it so the fused rewrite can " +
+              "tell which `.values` folds belong to the group")
+          val (xsU, kLamU) = ug.bag match {
+            case Call1(q, TermName("groupBy"), kl) => (q, kl)
+            case _ => c.abort(c.enclosingPosition,
+              "internal: groupBy shape changed after untypecheck")
+          }
+          val all = uFolds.flatten
+          // a key-only binder still fuses: Size is the placeholder algebra
+          // (the values slot is simply never read)
+          val algsConvs =
+            if (all.isEmpty) List((q"_root_.graft.api.alg.Size": Tree, identity[Tree] _))
+            else all.map(groupFoldAlg)
+          val algTree = algsConvs.map(_._1)
+            .reduceRight((a, b) => q"_root_.graft.api.alg.Alg2($a, $b)")
+          all.zipWithIndex.foreach { case (occ, j) =>
+            subs += ((occ._1, groupFoldAccessor(q"${Ident(name)}.values", j,
+              algsConvs.length, algsConvs(j)._2)))
+          }
+          subs += ((ug.bag, q"$xsU.foldGroup($kLamU, $algTree)"))
+        }
+        val substituted = substituteTrees(uexpr, subs.toList)
+        // c.untypecheck keeps lambda-param type annotations: every lambda
+        // binding a fused binder still says Group[K, Seq[A]] while the
+        // rewritten bag yields Group[K, <fold tuple>] — clear those tpts
+        // so the re-expansion re-infers them
+        val fusedNames = validated.map { case (i, _) => ugens(i).v.name }.toSet
+        val clearTpts = new Transformer {
+          override def transform(t: Tree): Tree = t match {
+            case Function(params, body) =>
+              val ps = params.map { vd =>
+                if (fusedNames.contains(vd.name))
+                  treeCopy.ValDef(vd, vd.mods, vd.name, TypeTree(), vd.rhs)
+                else vd
+              }
+              treeCopy.Function(t, ps, transform(body))
+            case _ => super.transform(t)
+          }
+        }
+        Some(q"_root_.graft.api.comprehensions.onSpark(${clearTpts.transform(substituted)})")
+      case _ => None
+    }
   }
 
   // ------------------------------------ correlated scalar folds in the head
@@ -1348,6 +1540,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
         }
       case _ => ()
     }
+    // groupBy generators in MULTI-generator chains pre-rewrite to fused
+    // foldGroups (the single-generator case fuses below, guards included)
+    typedChain match {
+      case Some((gens, tbody)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
+          gens.tail.forall(g => isDataBag(g.bag)) =>
+        fuseMultiGroupBys(expr, gens, tbody) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
     // groupBy-fusion applicability, computed ONCE (the validation walks
     // the whole yield + guards)
     val groupFusionInfo: Option[(List[GroupFoldOcc], List[List[GroupFoldOcc]])] =
@@ -1567,9 +1770,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case _ => c.abort(c.enclosingPosition,
                 "internal: groupBy shape changed after untypecheck")
             }
-            val uBodyFolds = collectGroupFolds(ubody, isRootU(ug.v.name))
-            val uGuardFolds =
-              ug.guards.map(gd => collectGroupFolds(gd.cond, isRootU(gd.v.name)))
+            def isIdentU(n: TermName): Tree => Boolean = {
+              case Ident(m: TermName) => m == n
+              case _ => false
+            }
+            val ubodyI = inlineGroupAliases(ubody, isIdentU(ug.v.name))
+            val guardCondsI =
+              ug.guards.map(gd => inlineGroupAliases(gd.cond, isIdentU(gd.v.name)))
+            val uBodyFolds = collectGroupFolds(ubodyI, isRootU(ug.v.name))
+            val uGuardFolds = ug.guards.zip(guardCondsI).map {
+              case (gd, cond) => collectGroupFolds(cond, isRootU(gd.v.name))
+            }
             // the typed pass matched by SYMBOL, this one by NAME — a
             // shadowing inner binder would silently mis-fuse, so require
             // exact agreement
@@ -1597,11 +1808,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
             }
             val bodySubs = subsFor(uBodyFolds, ug.v.name)
             val fused = q"$xsU.foldGroup($kLamU, $algTree)"
-            val filtered = ug.guards.zip(guardSubs).foldLeft(fused) {
-              case (acc, (gd, subs)) =>
-                q"$acc.withFilter(${lam(gd.v.name, substituteTrees(gd.cond, subs))})"
+            val filtered = ug.guards.zip(guardCondsI).zip(guardSubs).foldLeft(fused) {
+              case (acc, ((gd, cond), subs)) =>
+                q"$acc.withFilter(${lam(gd.v.name, substituteTrees(cond, subs))})"
             }
-            q"$filtered.map(${lam(ug.v.name, substituteTrees(ubody, bodySubs))})"
+            q"$filtered.map(${lam(ug.v.name, substituteTrees(ubodyI, bodySubs))})"
           case _ =>
             c.abort(c.enclosingPosition,
               "internal: untypechecked tree no longer matches the comprehension shape")

@@ -15,6 +15,8 @@ case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
 case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
 case class CustRow(c_custkey: Long, c_name: String, c_acctbal: Double)
 case class UEdge(s: Long, d: Long)
+case class OrderYearRow(o_year: Long, o_totalprice: Double)
+case class ShipYearRow(l_year: Long, l_quantity: Double)
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle in [[SparkEntry.oracleSql]]
@@ -3420,6 +3422,63 @@ object SparkEntry {
             .map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
       }
       res.ds.toDF("c_custkey", "min_cents", "max_cents")
+    }),
+
+    // The reference's FoldGroup "of case classes multiple times" spelling
+    // (BaseCodegenIntegrationSpec.scala:322-336): the group's values/key
+    // are bound to BLOCK VALS, folds run on the alias, fold results feed
+    // derived arithmetic (the avg) and string interpolation. The macro
+    // inlines the aliases and fuses to ONE foldGroup — combinable
+    // aggregation, group Seqs never materialize. The avg divides two
+    // exact integers in double arithmetic — identical IEEE ops in DuckDB.
+    "q235_comprehension_group_block" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_totalprice")).as[OrderYearRow])
+      val res = onSpark {
+        for { g <- orders.groupBy(o => o.o_year) } yield {
+          val values = g.values
+          val yr = g.key
+          val total = values.size
+          val avg = values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).sum /
+            (total * 100.0)
+          val mn = values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).min
+          val mx = values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max
+          (s"$yr orders", total, avg, mn, mx)
+        }
+      }
+      res.ds.toDF("label", "n_orders", "avg_price", "min_cents", "max_cents")
+    }),
+
+    // The reference's FoldGroup "with multiple groups in the same
+    // comprehension" (BaseCodegenIntegrationSpec.scala:365-372): two
+    // grouped bags joined on the group key. Each groupBy generator
+    // pre-rewrites to a fused foldGroup (no group Seq materializes on
+    // either side), then the key guard derives the equi join between the
+    // two PRE-AGGREGATED relations — K rows a side instead of shuffling
+    // materialized groups.
+    "q236_comprehension_multi_group" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val ords = DataBag.from(tbl(s, d, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_totalprice")).as[OrderYearRow])
+      val items = DataBag.from(tbl(s, d, "lineitem")
+        .select(year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_quantity")).as[ShipYearRow])
+      val res = onSpark {
+        for {
+          oy <- ords.groupBy(o => o.o_year)
+          ly <- items.groupBy(l => l.l_year)
+          if oy.key == ly.key
+        } yield (oy.key, oy.values.size,
+          oy.values.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).sum,
+          ly.values.size,
+          ly.values.map(l => (l.l_quantity * 100 + 0.5).floor.toLong).sum)
+      }
+      res.ds.toDF("y", "n_orders", "ord_cents", "n_items", "qty_cents")
     })
   )
 
@@ -5303,7 +5362,27 @@ object SparkEntry {
         "(SELECT MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) FROM orders o " +
         "WHERE o.o_custkey = cu.c_custkey) AS max_cents " +
         "FROM customer cu " +
-        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey)")
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey)"),
+
+    "q235_comprehension_group_block" ->
+      ("SELECT CAST(year(o_orderdate) AS VARCHAR) || ' orders' AS label, " +
+        "CAST(COUNT(*) AS INT) AS n_orders, " +
+        "CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) / " +
+        "(COUNT(*) * 100.0) AS avg_price, " +
+        "MIN(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS min_cents, " +
+        "MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS max_cents " +
+        "FROM orders GROUP BY year(o_orderdate)"),
+
+    "q236_comprehension_multi_group" ->
+      ("SELECT o.y, o.n_orders, o.ord_cents, l.n_items, l.qty_cents FROM " +
+        "(SELECT CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(COUNT(*) AS INT) AS n_orders, " +
+        "CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS ord_cents FROM orders GROUP BY 1) o JOIN " +
+        "(SELECT CAST(year(l_shipdate) AS BIGINT) AS y, " +
+        "CAST(COUNT(*) AS INT) AS n_items, " +
+        "CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) " +
+        "AS qty_cents FROM lineitem GROUP BY 1) l ON o.y = l.y")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

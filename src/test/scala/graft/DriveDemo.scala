@@ -616,6 +616,30 @@ object DriveDemo {
       val gplan = grouped.toDF.queryExecution.executedPlan.toString
       println(s"groupBy-fusion rows = ${grouped.ds.count()}, " +
         s"mapGroups in plan = ${gplan.contains("MapGroups")}")
+      // block-val aliases of g.values/g.key inline and still fuse
+      val blocked = onSpark {
+        for { g <- orders.groupBy(o => o.o_custkey) } yield {
+          val vs = g.values
+          val total = vs.size
+          (g.key, total, vs.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong)
+            .sum / (total * 100.0))
+        }
+      }
+      val bplan = blocked.toDF.queryExecution.executedPlan.toString
+      println(s"groupBy-block-fusion rows = ${blocked.ds.count()}, " +
+        s"mapGroups in plan = ${bplan.contains("MapGroups")}")
+      // two groupBys joined on key: both sides pre-aggregate (foldGroup),
+      // the key guard joins the K-row aggregated relations
+      val byCust = onSpark {
+        for {
+          go <- orders.groupBy(o => o.o_custkey % 100)
+          gc <- custs.groupBy(c => c.c_custkey % 100)
+          if go.key == gc.key
+        } yield (go.key, go.values.size, gc.values.size)
+      }
+      val mplan = byCust.toDF.queryExecution.executedPlan.toString
+      println(s"multi-groupBy-fusion rows = ${byCust.ds.count()}, " +
+        s"mapGroups in plan = ${mplan.contains("MapGroups")}")
     }
 
     // 12. round-9 surfaces: indexed hard negatives, LocalBag IO, fold fusion

@@ -715,6 +715,128 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     preds.collect().sorted shouldBe predRef.sorted
   }
 
+  it should "fuse groupBy yields that alias g.values/g.key through block vals" in {
+    // the reference's FoldGroup "of case classes multiple times" spelling
+    // (BaseCodegenIntegrationSpec.scala:322-336): the group's values and
+    // key are bound to local vals, folds run on the alias, fold RESULTS
+    // feed derived vals and arbitrary arithmetic/string interpolation
+    val xs = bagL(1L to 100L)
+    val fused = onSpark {
+      for { g <- xs.groupBy(x => x / 10) } yield {
+        val values = g.values
+        val decade = g.key
+        val total = values.size
+        val avg = values.map(_ * 10L).sum / (total * 10.0)
+        val mn = values.min
+        val mx = values.max
+        (s"${decade * 10} - ${decade * 10 + 9}", total, avg, mn, mx)
+      }
+    }
+    fused.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val seqRef = (1L to 100L).groupBy(_ / 10).toSeq.map { case (k, vs) =>
+      (s"${k * 10} - ${k * 10 + 9}", vs.size, vs.map(_ * 10L).sum / (vs.size * 10.0),
+        vs.min, vs.max)
+    }
+    fused.collect().sorted shouldBe seqRef.sorted
+    // alias inside a GUARD condition block, chained alias in the yield
+    val guarded = onSpark {
+      for { g <- xs.groupBy(x => x % 7)
+            if { val vs = g.values; vs.size >= 14 } }
+        yield { val vs = g.values; val ws = vs; (g.key, ws.sum) }
+    }
+    guarded.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val guardRef = (1L to 100L).groupBy(_ % 7).toSeq.collect {
+      case (k, vs) if vs.size >= 14 => (k, vs.sum)
+    }
+    guarded.collect().sorted shouldBe guardRef.sorted
+    // a complex (tuple) key destructured from the alias still fuses
+    val pairs = DataBag((1L to 60L).map(i => (i % 4, i % 3, i)))
+    val complexKey = onSpark {
+      for { g <- pairs.groupBy(p => (p._1, p._2)) } yield {
+        val (a, b) = g.key
+        (a, b, g.values.map(_._3).sum)
+      }
+    }
+    complexKey.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val ckRef = (1L to 60L).map(i => (i % 4, i % 3, i)).groupBy(p => (p._1, p._2))
+      .toSeq.map { case ((a, b), vs) => (a, b, vs.map(_._3).sum) }
+    complexKey.collect().sorted shouldBe ckRef.sorted
+  }
+
+  it should "fuse multiple groupBys in one comprehension and join pre-aggregates" in {
+    // the reference's FoldGroup "with multiple groups in the same
+    // comprehension" (BaseCodegenIntegrationSpec.scala:365-372): two
+    // grouped bags joined on key — each side pre-aggregates via foldGroup
+    // (no group Seq ever materializes), the key guard derives the equi
+    // join between the K-row aggregated relations
+    val cannes = DataBag((1L to 80L).map(i => (1900L + i % 40, i)))
+    val berlin = DataBag((1L to 60L).map(i => (1910L + i % 30, i * 2)))
+    val r = onSpark {
+      for {
+        can10 <- cannes.groupBy(_._1 / 10)
+        ber10 <- berlin.groupBy(_._1 / 10)
+        if can10.key == ber10.key
+      } yield (can10.key, can10.values.size, ber10.values.map(_._2).sum)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include "MapGroups"
+    val canRef = (1L to 80L).map(i => (1900L + i % 40, i)).groupBy(_._1 / 10)
+    val berRef = (1L to 60L).map(i => (1910L + i % 30, i * 2)).groupBy(_._1 / 10)
+    val seqRef = for {
+      (ck, cvs) <- canRef.toSeq
+      (bk, bvs) <- berRef.toSeq
+      if ck == bk
+    } yield (ck, cvs.size, bvs.map(_._2).sum)
+    r.collect().sorted shouldBe seqRef.sorted
+    // a guard COMPARING folds across the two groups fuses on both sides
+    val guarded = onSpark {
+      for {
+        can10 <- cannes.groupBy(_._1 / 10)
+        ber10 <- berlin.groupBy(_._1 / 10)
+        if can10.key == ber10.key
+        if can10.values.size > ber10.values.size
+      } yield (can10.key, can10.values.size, ber10.values.size)
+    }
+    guarded.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val guardRef = for {
+      (ck, cvs) <- canRef.toSeq
+      (bk, bvs) <- berRef.toSeq
+      if ck == bk && cvs.size > bvs.size
+    } yield (ck, cvs.size, bvs.size)
+    guarded.collect().sorted shouldBe guardRef.sorted
+    // mixed chain: a grouped bag joined with a PLAIN bag on the group key
+    val dims = DataBag((188L to 196L).map(d => (d, s"dim$d")))
+    val mixed = onSpark {
+      for {
+        g <- cannes.groupBy(_._1 / 10)
+        d <- dims
+        if g.key == d._1
+      } yield (d._2, g.values.size)
+    }
+    mixed.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val mixedRef = for {
+      (ck, cvs) <- canRef.toSeq
+      (dk, dn) <- (188L to 196L).map(d => (d, s"dim$d"))
+      if ck == dk
+    } yield (dn, cvs.size)
+    mixed.collect().sorted shouldBe mixedRef.sorted
+    // a non-fusible side (values used beyond folds) falls back to the
+    // materializing groupBy on THAT side only — same results
+    val partial = onSpark {
+      for {
+        can10 <- cannes.groupBy(_._1 / 10)
+        ber10 <- berlin.groupBy(_._1 / 10)
+        if can10.key == ber10.key
+      } yield (can10.key, can10.values.size, ber10.values.map(_._2).sorted.take(2).sum)
+    }
+    val partialRef = for {
+      (ck, cvs) <- canRef.toSeq
+      (bk, bvs) <- berRef.toSeq
+      if ck == bk
+    } yield (ck, cvs.size, bvs.map(_._2).sorted.take(2).sum)
+    partial.collect().sorted shouldBe partialRef.sorted
+  }
+
   it should "pass non-fusible groupBy comprehensions through to the unfused path" in {
     val xs = bagL(1L to 30L)
     // `.sorted.take(2)` is not a derivable fold — the comprehension runs
