@@ -766,6 +766,198 @@ class ComprehensionMacro(val c: blackbox.Context) {
     ((body, gsym) :: guardPairs) ::: gens.drop(idx + 1).map(g => (g.bag, gsym))
   }
 
+  /** A `Group(k, v)` two-slot pattern with plain bind-or-wildcard
+    * sub-patterns: returns each slot's bound name (None for `_`). The
+    * typed check requires the pattern's type to be [[graft.api.Group]];
+    * untyped callers destructure by shape only (they re-locate lambdas
+    * the TYPED pass already adjudicated). */
+  private object GroupPat {
+    private def slot(t: Tree): Option[Option[TermName]] = t match {
+      case Bind(n: TermName, Ident(termNames.WILDCARD)) => Some(Some(n))
+      case Bind(n: TermName, Typed(Ident(termNames.WILDCARD), _)) => Some(Some(n))
+      case Ident(termNames.WILDCARD) => Some(None)
+      case Typed(Ident(termNames.WILDCARD), _) => Some(None)
+      case _ => None
+    }
+    def unapply(t: Tree): Option[(Option[TermName], Option[TermName])] = {
+      val args = t match {
+        case Apply(_, List(a, b)) => Some((a, b))
+        case UnApply(_, List(a, b)) => Some((a, b))
+        case _ => None
+      }
+      val groupTyped = t.tpe == null ||
+        t.tpe.baseClasses.exists(_.fullName == "graft.api.Group")
+      if (!groupTyped) None
+      else args.flatMap { case (a, b) =>
+        for (ka <- slot(a); vb <- slot(b)) yield (ka, vb)
+      }
+    }
+  }
+
+  /** The single-param lambda whose param ValDef is `param` (by reference
+    * identity — flatten returns the actual subtrees). */
+  private def lambdaOf(root: Tree, param: ValDef): Option[Tree] =
+    root.find {
+      case Function(List(p), _) => p eq param
+      case _ => false
+    }
+
+  /** scalac inserts `withFilter { case <pat> => true; case _ => false }`
+    * (check$ifrefutable) before a pattern generator's match-lambda; on a
+    * groupBy bag the Group pattern is irrefutable, so the check is the
+    * identity — strip it for the plain-binder rewrite. */
+  private def stripRefutCheck(bag: Tree): Tree = bag match {
+    case Call1(inner, TermName("withFilter"), f) if isRefutCheck(f) => inner
+    case _ => bag
+  }
+  private def isRefutCheck(f: Tree): Boolean = f match {
+    case Block(Nil, inner) => isRefutCheck(inner)
+    case Function(List(_), Match(_, List(
+        CaseDef(_, EmptyTree, Literal(Constant(true))),
+        CaseDef(_, EmptyTree, Literal(Constant(false)))))) => true
+    case _ => false
+  }
+
+  /** The check$ifrefutable filter as peeled by FilterChain: GenLam's
+    * plain-function fallback captures the whole 2-case match as the
+    * guard condition (pat = None). Identity on a Group bag. */
+  private def isRefutCheckGuard(gd: Guard): Boolean =
+    gd.pat.isEmpty && (gd.cond match {
+      case Match(_, List(CaseDef(_, EmptyTree, Literal(Constant(true))),
+          CaseDef(_, EmptyTree, Literal(Constant(false))))) => true
+      case _ => false
+    })
+
+  /** Group-PATTERN generators over groupBy bags (the reference's
+    * "with duplicate group names" spelling,
+    * BaseCodegenIntegrationSpec.scala:350-363: `Group(decade, dmovies) <-
+    * movies groupBy ...`): rewrite each such match-lambda (the
+    * generator's and its guards') to a plain-binder lambda that reads
+    * `g.key` / `g.values` — an irrefutable-pattern desugaring, identical
+    * semantics — and re-expand, so the plain-binder fusion passes
+    * (foldGroup fusion, HAVING guards, multi-group joins) all apply. A
+    * name-shadowing disagreement between the typed and untyped reference
+    * counts skips the rewrite entirely (the materializing path is
+    * correct), never mis-substitutes. */
+  private def rewriteGroupPatterns(expr: Tree, gens: List[Gen]): Option[Tree] = {
+    // typed adjudication: generator index -> (kName, vName) slots, with
+    // every guard of that generator also a two-slot Group pattern
+    val targets = gens.zipWithIndex.flatMap { case (g, i) =>
+      (g.pat, stripRefutCheck(g.bag)) match {
+        case (Some(GroupPat(k, v)), Call1(xs, TermName("groupBy"), _))
+            if isDataBag(xs) &&
+              g.guards.forall(gd => isRefutCheckGuard(gd) || (gd.pat match {
+                case Some(GroupPat(_, _)) => true
+                case _ => false
+              })) =>
+          Some((i, (k, v)))
+        case _ => None
+      }
+    }
+    if (targets.isEmpty) return None
+    def refCount(body: Tree, matches: Tree => Boolean): Int = {
+      var n = 0
+      body.foreach { case t if matches(t) => n += 1; case _ => () }
+      n
+    }
+    def countsT(f: Tree): Option[(Int, Int)] = f match {
+      case Function(List(_), Match(_, List(CaseDef(pat, EmptyTree, mbody)))) =>
+        def symOf(slotName: Option[TermName]): Option[Symbol] = slotName.flatMap { n =>
+          var s: Option[Symbol] = None
+          pat.foreach {
+            case b @ Bind(`n`, _) => s = Some(b.symbol)
+            case _ => ()
+          }
+          s
+        }
+        pat match {
+          case GroupPat(k, v) =>
+            val kc = symOf(k).map(sym => refCount(mbody,
+              { case i: Ident => i.symbol == sym; case _ => false })).getOrElse(0)
+            val vc = symOf(v).map(sym => refCount(mbody,
+              { case i: Ident => i.symbol == sym; case _ => false })).getOrElse(0)
+            Some((kc, vc))
+          case _ => None
+        }
+      case _ => None
+    }
+    def countsU(f: Tree): Option[(Int, Int)] = f match {
+      case Function(List(_), Match(_, List(CaseDef(pat @ GroupPat(k, v), EmptyTree,
+          mbody)))) =>
+        def c(n: Option[TermName]) = n.map(nm => refCount(mbody,
+          { case Ident(m: TermName) => m == nm; case _ => false })).getOrElse(0)
+        Some((c(k), c(v)))
+      case _ => None
+    }
+    val uexpr = c.untypecheck(expr)
+    flatten(uexpr) match {
+      case Some((ugens, _)) if ugens.length == gens.length &&
+          ugens.map(_.guards.length) == gens.map(_.guards.length) =>
+        val subs = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
+        // a Group match-lambda rewritten to a plain-binder lambda reading
+        // .key/.values; None = shadowing or shape drift (keep unfused)
+        def rewriteLambda(tf: Tree, uf: Tree): Option[(Tree, Tree)] = {
+          (countsT(tf), countsU(uf)) match {
+            case (Some(tc), Some(uc)) if tc == uc => ()
+            case _ => return None
+          }
+          uf match {
+            case Function(List(_), Match(_, List(CaseDef(GroupPat(k, v),
+                EmptyTree, mbody)))) =>
+              val gN = TermName(c.freshName("g$"))
+              val rw = new Transformer {
+                override def transform(t: Tree): Tree = t match {
+                  case Ident(m: TermName) if k.contains(m) =>
+                    q"${Ident(gN)}.key"
+                  case Ident(m: TermName) if v.contains(m) =>
+                    q"${Ident(gN)}.values"
+                  case _ => super.transform(t)
+                }
+              }
+              Some((uf, lam(gN, rw.transform(mbody))))
+            case _ => None
+          }
+        }
+        for ((i, _) <- targets) {
+          val tg = gens(i)
+          val ug = ugens(i)
+          // the generator's own lambda; guards are either the identity
+          // check$ifrefutable (neutralized to `_ => true`) or Group
+          // pattern re-matches (rewritten like the generator)
+          val genPair = for {
+            tf <- lambdaOf(expr, tg.v)
+            uf <- lambdaOf(uexpr, ug.v)
+            rw <- rewriteLambda(tf, uf)
+          } yield rw
+          genPair match {
+            case Some(p) => subs += p
+            case None => return None
+          }
+          for ((tgd, ugd) <- tg.guards.zip(ug.guards)) {
+            val uf = lambdaOf(uexpr, ugd.v) match {
+              case Some(f) => f
+              case None => return None
+            }
+            if (isRefutCheckGuard(tgd)) {
+              val gN = TermName(c.freshName("g$"))
+              subs += ((uf, lam(gN, Literal(Constant(true)))))
+            } else {
+              val pair = for {
+                tf <- lambdaOf(expr, tgd.v)
+                rw <- rewriteLambda(tf, uf)
+              } yield rw
+              pair match {
+                case Some(p) => subs += p
+                case None => return None
+              }
+            }
+          }
+        }
+        Some(q"_root_.graft.api.comprehensions.onSpark(${substituteTrees(uexpr, subs.toList)})")
+      case _ => None
+    }
+  }
+
   /** Multi-generator groupBy fusion (the reference's FoldGroup "with
     * multiple groups in the same comprehension",
     * BaseCodegenIntegrationSpec.scala:365-372, via FoldGroupFusion): in a
@@ -835,7 +1027,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // binding a fused binder still says Group[K, Seq[A]] while the
         // rewritten bag yields Group[K, <fold tuple>] — clear those tpts
         // so the re-expansion re-infers them
-        val fusedNames = validated.map { case (i, _) => ugens(i).v.name }.toSet
+        val fusedNames = validated.flatMap { case (i, _) =>
+          ugens(i).v.name :: ugens(i).guards.map(_.v.name)
+        }.toSet
         val clearTpts = new Transformer {
           override def transform(t: Tree): Tree = t match {
             case Function(params, body) =>
@@ -1535,6 +1729,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
     typedChain match {
       case Some((gens, _)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
         hoistGlobalFolds(expr) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
+    // Group-PATTERN generators over groupBy bags desugar to plain-binder
+    // lambdas reading .key/.values, then re-expand (so the fusion passes
+    // below all apply to the pattern spelling too)
+    typedChain match {
+      case Some((gens, _)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
+        rewriteGroupPatterns(expr, gens) match {
           case Some(res) => return res
           case None => ()
         }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.api.{CSV, DataBag}
+import graft.api.{CSV, DataBag, Group}
 import graft.lib.{Graphs, KMeans, TextPipelines}
 import graft.ops.{AsOf, Curation, Dedup, Multimodal, Portable, RangeJoin, Sampling, Similarity, TextAnalysis}
 
@@ -3479,6 +3479,29 @@ object SparkEntry {
           ly.values.map(l => (l.l_quantity * 100 + 0.5).floor.toLong).sum)
       }
       res.ds.toDF("y", "n_orders", "ord_cents", "n_items", "qty_cents")
+    }),
+
+    // The reference's FoldGroup "with duplicate group names" spelling
+    // (BaseCodegenIntegrationSpec.scala:350-363): the generator
+    // DESTRUCTURES the group — `Group(ck, os) <- orders.groupBy(...)`.
+    // The macro desugars the pattern (and scalac's check$ifrefutable
+    // filter) to `.key`/`.values` reads on a plain binder and re-expands,
+    // so the same fused foldGroup derives — one combinable aggregation,
+    // HAVING guard on the aggregated rows, no group Seqs.
+    "q237_comprehension_group_pattern" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { Group(ck, os) <- orders.groupBy(o => o.o_custkey)
+              if os.size >= 12 }
+          yield (ck, os.size,
+            os.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).min,
+            os.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
+      }
+      res.ds.toDF("o_custkey", "n_orders", "min_cents", "max_cents")
     })
   )
 
@@ -5382,7 +5405,13 @@ object SparkEntry {
         "(SELECT CAST(year(l_shipdate) AS BIGINT) AS y, " +
         "CAST(COUNT(*) AS INT) AS n_items, " +
         "CAST(SUM(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) " +
-        "AS qty_cents FROM lineitem GROUP BY 1) l ON o.y = l.y")
+        "AS qty_cents FROM lineitem GROUP BY 1) l ON o.y = l.y"),
+
+    "q237_comprehension_group_pattern" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_orders, " +
+        "MIN(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS min_cents, " +
+        "MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS max_cents " +
+        "FROM orders GROUP BY 1 HAVING COUNT(*) >= 12")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -640,6 +640,16 @@ object DriveDemo {
       val mplan = byCust.toDF.queryExecution.executedPlan.toString
       println(s"multi-groupBy-fusion rows = ${byCust.ds.count()}, " +
         s"mapGroups in plan = ${mplan.contains("MapGroups")}")
+      // the Group-PATTERN spelling desugars to .key/.values and fuses too
+      val patterned = onSpark {
+        for { graft.api.Group(ck, os) <- orders.groupBy(o => o.o_custkey)
+              if os.size >= 8 }
+          yield (ck, os.size,
+            os.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
+      }
+      val pplan = patterned.toDF.queryExecution.executedPlan.toString
+      println(s"group-pattern-fusion rows = ${patterned.ds.count()}, " +
+        s"mapGroups in plan = ${pplan.contains("MapGroups")}")
     }
 
     // 12. round-9 surfaces: indexed hard negatives, LocalBag IO, fold fusion

@@ -837,6 +837,61 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     partial.collect().sorted shouldBe partialRef.sorted
   }
 
+  it should "fuse Group-pattern generators over groupBy bags" in {
+    // the reference's FoldGroup "with duplicate group names" spelling
+    // (BaseCodegenIntegrationSpec.scala:350-363): the generator
+    // destructures Group(decade, dmovies) — the macro desugars the
+    // pattern to .key/.values and the plain-binder fusion applies
+    val movies = DataBag((1L to 90L).map(i => (1920L + i % 60, i % 10)))
+    val least = onSpark {
+      for { g @ Group(decade, dmovies) <- movies.groupBy(_._1 / 10) }
+        yield (decade, dmovies.size, dmovies.map(_._2).min)
+    }
+    val ref = (1L to 90L).map(i => (1920L + i % 60, i % 10)).groupBy(_._1 / 10)
+    least.collect().sorted shouldBe
+      ref.toSeq.map { case (k, vs) => (k, vs.size, vs.map(_._2).min) }.sorted
+    // without the `g @` prefix (the reference's exact spelling)
+    val most = onSpark {
+      for { Group(decade, dmovies) <- movies.groupBy(_._1 / 10)
+            if dmovies.size >= 10 }
+        yield (decade, dmovies.size, dmovies.map(_._2).max)
+    }
+    most.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    most.collect().sorted shouldBe ref.toSeq.collect {
+      case (k, vs) if vs.size >= 10 => (k, vs.size, vs.map(_._2).max)
+    }.sorted
+    // a wildcard values slot (key-only) still derives
+    val keys = onSpark {
+      for { Group(decade, _) <- movies.groupBy(_._1 / 10) } yield decade * 10
+    }
+    keys.collect().sorted shouldBe ref.keySet.toSeq.map(_ * 10).sorted
+    // pattern spelling in a MULTI-generator chain joins pre-aggregates
+    val later = DataBag((1L to 40L).map(i => (1950L + i % 30, i)))
+    val joined = onSpark {
+      for {
+        Group(d1, m1) <- movies.groupBy(_._1 / 10)
+        Group(d2, m2) <- later.groupBy(_._1 / 10)
+        if d1 == d2
+      } yield (d1, m1.size, m2.size)
+    }
+    joined.toDF.queryExecution.executedPlan.toString should not include "MapGroups"
+    val laterRef = (1L to 40L).map(i => (1950L + i % 30, i)).groupBy(_._1 / 10)
+    val joinedRef = for {
+      (k1, v1) <- ref.toSeq
+      (k2, v2) <- laterRef.toSeq
+      if k1 == k2
+    } yield (k1, v1.size, v2.size)
+    joined.collect().sorted shouldBe joinedRef.sorted
+    // non-fold use of the values bind falls back to the materializing
+    // path — same results
+    val sortedTake = onSpark {
+      for { Group(d, ms) <- movies.groupBy(_._1 / 10) }
+        yield (d, ms.map(_._2).sorted.take(2).sum)
+    }
+    sortedTake.collect().sorted shouldBe
+      ref.toSeq.map { case (k, vs) => (k, vs.map(_._2).sorted.take(2).sum) }.sorted
+  }
+
   it should "pass non-fusible groupBy comprehensions through to the unfused path" in {
     val xs = bagL(1L to 30L)
     // `.sorted.take(2)` is not a derivable fold — the comprehension runs
