@@ -723,7 +723,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * the callers' canonical tree order), or None when not fusible. */
   private def multiGroupFoldsOf(treesSyms: List[(Tree, Symbol)])
       : Option[List[List[GroupFoldOcc]]] = {
-    val perTree = treesSyms.map { case (body, sym) =>
+    val perTree = treesSyms.map { case (rawBody, sym) =>
+      val body = inlineGroupAliases(rawBody,
+        { case i: Ident => i.symbol == sym; case _ => false })
       val isRootT: Tree => Boolean = {
         case Select(i @ Ident(_), TermName("values")) => i.symbol == sym
         case _ => false
@@ -764,6 +766,18 @@ class ComprehensionMacro(val c: blackbox.Context) {
       g.guards.map(gd => (gd.cond, if (j == idx) gd.v.symbol else gsym))
     }
     ((body, gsym) :: guardPairs) ::: gens.drop(idx + 1).map(g => (g.bag, gsym))
+  }
+
+  /** The untyped twin of [[multiGroupScanTreesT]]: each tree paired with
+    * the NAME the binder goes by there (guards attached to generator
+    * `idx` use their own lambda param's name). */
+  private def multiGroupScanTreesU(idx: Int, gens: List[Gen], body: Tree)
+      : List[(Tree, TermName)] = {
+    val gn = gens(idx).v.name
+    val guardPairs = gens.zipWithIndex.flatMap { case (g, j) =>
+      g.guards.map(gd => (gd.cond, if (j == idx) gd.v.name else gn))
+    }
+    ((body, gn) :: guardPairs) ::: gens.drop(idx + 1).map(g => (g.bag, gn))
   }
 
   /** A `Group(k, v)` two-slot pattern with plain bind-or-wildcard
@@ -978,58 +992,77 @@ class ComprehensionMacro(val c: blackbox.Context) {
       }) => i
     }
     if (candidates.isEmpty) return None
-    val validated = candidates.flatMap { i =>
-      multiGroupFoldsOf(multiGroupScanTreesT(i, gens, tbody)).map(i -> _)
+    // fuse the FIRST validating candidate; the emitted onSpark re-expands
+    // and fuses the next one, so a chain of N groupBys converges in N
+    // passes without cross-generator substitution conflicts
+    val validated = candidates.iterator.map { i =>
+      (i, multiGroupFoldsOf(multiGroupScanTreesT(i, gens, tbody)))
+    }.collectFirst { case (i, Some(folds)) => (i, folds) }
+    val (i, tFolds) = validated match {
+      case Some(v) => v
+      case None => return None
     }
-    if (validated.isEmpty) return None
     val uexpr = c.untypecheck(expr)
     flatten(uexpr) match {
       case Some((ugens, ubody)) if ugens.length == gens.length &&
           ugens.map(_.guards.length) == gens.map(_.guards.length) =>
-        val subs = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
-        for ((i, tFolds) <- validated) {
-          val ug = ugens(i)
-          val name = ug.v.name
-          val isRootU: Tree => Boolean = {
-            case Select(Ident(m: TermName), TermName("values")) => m == name
-            case _ => false
-          }
-          val uFolds = multiGroupScanTrees(i, ugens, ubody)
-            .map(collectGroupFolds(_, isRootU))
-          // typed matched by SYMBOL, this pass by NAME — exact agreement
-          // or a shadowing binder could silently mis-fuse
-          if (uFolds.map(_.length) != tFolds.map(_.length))
-            c.abort(c.enclosingPosition,
-              "onSpark: an inner binder shadows the Group binder '" + name +
-              "' inside the comprehension — rename it so the fused rewrite can " +
-              "tell which `.values` folds belong to the group")
-          val (xsU, kLamU) = ug.bag match {
-            case Call1(q, TermName("groupBy"), kl) => (q, kl)
-            case _ => c.abort(c.enclosingPosition,
-              "internal: groupBy shape changed after untypecheck")
-          }
-          val all = uFolds.flatten
-          // a key-only binder still fuses: Size is the placeholder algebra
-          // (the values slot is simply never read)
-          val algsConvs =
-            if (all.isEmpty) List((q"_root_.graft.api.alg.Size": Tree, identity[Tree] _))
-            else all.map(groupFoldAlg)
-          val algTree = algsConvs.map(_._1)
-            .reduceRight((a, b) => q"_root_.graft.api.alg.Alg2($a, $b)")
-          all.zipWithIndex.foreach { case (occ, j) =>
-            subs += ((occ._1, groupFoldAccessor(q"${Ident(name)}.values", j,
-              algsConvs.length, algsConvs(j)._2)))
-          }
-          subs += ((ug.bag, q"$xsU.foldGroup($kLamU, $algTree)"))
+        val ug = ugens(i)
+        def isIdentN(n: TermName): Tree => Boolean = {
+          case Ident(m: TermName) => m == n
+          case _ => false
         }
+        def isRootN(n: TermName): Tree => Boolean = {
+          case Select(Ident(m: TermName), TermName("values")) => m == n
+          case _ => false
+        }
+        // per scan tree: inline block aliases of <binder>.values/.key,
+        // collect that tree's folds from the INLINED version
+        val scanU = multiGroupScanTreesU(i, ugens, ubody).map { case (t, n) =>
+          val inlined = inlineGroupAliases(t, isIdentN(n))
+          (t, n, inlined, collectGroupFolds(inlined, isRootN(n)))
+        }
+        // typed matched by SYMBOL, this pass by NAME — exact agreement
+        // or a shadowing binder could silently mis-fuse
+        if (scanU.map(_._4.length) != tFolds.map(_.length))
+          c.abort(c.enclosingPosition,
+            "onSpark: an inner binder shadows the Group binder '" + ug.v.name +
+            "' inside the comprehension — rename it so the fused rewrite can " +
+            "tell which `.values` folds belong to the group")
+        val (xsU, kLamU) = ug.bag match {
+          case Call1(q, TermName("groupBy"), kl) => (q, kl)
+          case _ => c.abort(c.enclosingPosition,
+            "internal: groupBy shape changed after untypecheck")
+        }
+        val all = scanU.flatMap(_._4)
+        // a key-only binder still fuses: Size is the placeholder algebra
+        // (the values slot is simply never read)
+        val algsConvs =
+          if (all.isEmpty) List((q"_root_.graft.api.alg.Size": Tree, identity[Tree] _))
+          else all.map(groupFoldAlg)
+        val algTree = algsConvs.map(_._1)
+          .reduceRight((a, b) => q"_root_.graft.api.alg.Alg2($a, $b)")
+        // one substitution pair PER SCAN TREE (original -> inlined with
+        // this tree's fold occurrences replaced by tuple accessors rooted
+        // at the tree's OWN binder name), plus the fused bag
+        var off = 0
+        val subs = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
+        for ((orig, n, inlined, folds) <- scanU) {
+          if (folds.nonEmpty || !(inlined eq orig)) {
+            val pairs = folds.zipWithIndex.map { case (occ, j) =>
+              (occ._1, groupFoldAccessor(q"${Ident(n)}.values", off + j,
+                algsConvs.length, algsConvs(off + j)._2))
+            }
+            subs += ((orig, substituteTrees(inlined, pairs)))
+          }
+          off += folds.length
+        }
+        subs += ((ug.bag, q"$xsU.foldGroup($kLamU, $algTree)"))
         val substituted = substituteTrees(uexpr, subs.toList)
         // c.untypecheck keeps lambda-param type annotations: every lambda
-        // binding a fused binder still says Group[K, Seq[A]] while the
+        // binding the fused binder still says Group[K, Seq[A]] while the
         // rewritten bag yields Group[K, <fold tuple>] — clear those tpts
         // so the re-expansion re-infers them
-        val fusedNames = validated.flatMap { case (i, _) =>
-          ugens(i).v.name :: ugens(i).guards.map(_.v.name)
-        }.toSet
+        val fusedNames = (ug.v.name :: ug.guards.map(_.v.name)).toSet
         val clearTpts = new Transformer {
           override def transform(t: Tree): Tree = t match {
             case Function(params, body) =>

@@ -66,6 +66,42 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
     got shouldBe exp.toArray
   }
 
+  it should "fuse groupBy spellings (block vals, patterns, multi-group) at runtime" in {
+    // the round's groupBy-fusion spellings ride the same macro through the
+    // source-text channel: block-val aliases, the Group pattern, and two
+    // groupBys joined on key must all fuse (no MapGroups) and agree with Seq
+    val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val xs = DataBag((1L to 60L).map(i => (i % 8, i)))
+        val ys = DataBag((1L to 40L).map(i => (i % 8, i * 3)))
+        onSpark {
+          for {
+            Group(k1, v1) <- xs.groupBy(_._1)
+            g2 <- ys.groupBy(_._1)
+            if k1 == g2.key
+          } yield {
+            val vs2 = g2.values
+            (k1, v1.size, vs2.map(_._2).sum)
+          }
+        }.ds.toDF("k", "n1", "s2")
+      }""")
+    val out = pipeline(spark)
+    out.queryExecution.executedPlan.toString should not include "MapGroups"
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val xref = (1L to 60L).map(i => (i % 8, i)).groupBy(_._1)
+    val yref = (1L to 40L).map(i => (i % 8, i * 3)).groupBy(_._1)
+    val exp = (for {
+      (k1, v1) <- xref.toSeq
+      (k2, v2) <- yref.toSeq
+      if k1 == k2
+    } yield (k1, v1.size, v2.map(_._2).sum)).sorted
+    got shouldBe exp.toArray
+  }
+
   it should "evaluate plain expressions and reusable closures" in {
     RuntimeQuotation.compile[Long]("40L + 2L") shouldBe 42L
     val f = RuntimeQuotation.compile[Long => Long]("(n: Long) => n * n")
