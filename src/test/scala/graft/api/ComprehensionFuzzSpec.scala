@@ -74,6 +74,45 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
             (k, vs.size, vs.filter(_ > 10L).map(_ * 2L).sum, vs.min)
         }
         r4.collect().sorted shouldBe e4.sorted
+
+        // block-val aliases + derived arithmetic over fold results
+        val r5 = onSpark {
+          for { g <- xs.groupBy(v => v % m) } yield {
+            val vs = g.values
+            val n = vs.size
+            (g.key, n, vs.sum * 10L / n, vs.max)
+          }
+        }
+        val e5 = xsSeq.groupBy(_ % m).toSeq.map { case (k, vs) =>
+          (k, vs.size, vs.sum * 10L / vs.size, vs.max)
+        }
+        r5.collect().sorted shouldBe e5.sorted
+
+        // two groupBys joined on key (pattern + plain spellings mixed)
+        val r6 = onSpark {
+          for {
+            Group(k1, v1) <- xs.groupBy(v => v % m)
+            g2 <- ys.groupBy(v => v % m)
+            if k1 == g2.key
+          } yield (k1, v1.size, g2.values.sum)
+        }
+        val e6 = for {
+          (k1, v1) <- xsSeq.groupBy(_ % m).toSeq
+          (k2, v2) <- ysSeq.groupBy(_ % m).toSeq
+          if k1 == k2
+        } yield (k1, v1.size, v2.sum)
+        r6.collect().sorted shouldBe e6.sorted
+
+        // global-fold hoist composed with a fused group HAVING
+        val r7 = onSpark {
+          for { g <- xs.groupBy(v => v % m)
+                if g.values.size.toLong * ys.size >= t }
+            yield (g.key, g.values.size)
+        }
+        val e7 = xsSeq.groupBy(_ % m).toSeq.collect {
+          case (k, vs) if vs.size.toLong * ysSeq.size >= t => (k, vs.size)
+        }
+        r7.collect().sorted shouldBe e7.sorted
       }
     }
   }
