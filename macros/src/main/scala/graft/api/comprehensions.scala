@@ -1100,6 +1100,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
         Some((q, n, List(k, ord)))
       case Apply(Apply(Select(q, n @ TermName("bottom")), List(k)), List(ord)) =>
         Some((q, n, List(k, ord)))
+      // the nested-result fold: chain.collect() — zero args distinguishes
+      // it from Seq.collect(partialFunction)
+      case Apply(Select(q, n @ TermName("collect")), Nil) => Some((q, n, Nil))
       case _ => None
     }
   }
@@ -1325,11 +1328,14 @@ class ComprehensionMacro(val c: blackbox.Context) {
       val fp = TermName(c.freshName("e$"))
       val isTopK = plan.kind == TermName("top") || plan.kind == TermName("bottom")
       val isMinMax = plan.kind == TermName("min") || plan.kind == TermName("max")
+      val isCollect = plan.kind == TermName("collect")
       val (valueTree, valueBinder) = (plan.kind, mapLam) match {
         case (TermName("sum"), Some((v, p, b))) => (b, Some((v.name, p)))
         case (TermName("sum"), None) => (Ident(fp): Tree, None)
-        case (_, Some((v, p, b))) if isTopK || isMinMax => (b, Some((v.name, p)))
-        case (_, None) if isTopK || isMinMax => (Ident(fp): Tree, None)
+        case (_, Some((v, p, b))) if isTopK || isMinMax || isCollect =>
+          (b, Some((v.name, p)))
+        case (_, None) if isTopK || isMinMax || isCollect =>
+          (Ident(fp): Tree, None)
         case _ => (q"1L", None)
       }
       val keyVals = pairs.map { case ((_, in), b) =>
@@ -1352,7 +1358,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
         val smallest = plan.kind == TermName("min")
         q"""_root_.graft.api.FoldGroups.minMaxJoin($acc, $keyed, $smallest,
             ${args(0)})(${mkOuter(outerK)})"""
-      } else
+      } else if (isCollect)
+        q"_root_.graft.api.FoldGroups.collectJoin($acc, $keyed)(${mkOuter(outerK)})"
+      else
         q"_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})"
     case _ =>
       c.abort(c.enclosingPosition,

@@ -3502,6 +3502,31 @@ object SparkEntry {
             os.map(o => (o.o_totalprice * 100 + 0.5).floor.toLong).max)
       }
       res.ds.toDF("o_custkey", "n_orders", "min_cents", "max_cents")
+    }),
+
+    // The NESTED-RESULT comprehension (SQL's correlated ARRAY subquery;
+    // the reference reaches the shape by comprehension nesting + fold
+    // fusion): `orders.withFilter(key).map(cents).collect()` pre-groups
+    // the inner bag by its key (grouped materialization — every value
+    // crosses the shuffle by definition of the result) and outer-joins
+    // with Nil for customers without orders; the List's order is
+    // unspecified (the DataBag.collect contract), so the deterministic
+    // rendering sorts locally before joining to a string.
+    "q238_comprehension_collect" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { cu <- custs } yield (cu.c_custkey,
+          orders.withFilter(o => o.o_custkey == cu.c_custkey)
+            .map(o => (o.o_totalprice * 100 + 0.5).floor.toLong)
+            .collect().sorted.mkString(","))
+      }
+      res.ds.toDF("c_custkey", "cents_list")
     })
   )
 
@@ -5411,7 +5436,13 @@ object SparkEntry {
       ("SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_orders, " +
         "MIN(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS min_cents, " +
         "MAX(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS max_cents " +
-        "FROM orders GROUP BY 1 HAVING COUNT(*) >= 12")
+        "FROM orders GROUP BY 1 HAVING COUNT(*) >= 12"),
+
+    "q238_comprehension_collect" ->
+      ("SELECT cu.c_custkey, COALESCE((SELECT string_agg(CAST(c AS VARCHAR), " +
+        "',' ORDER BY c) FROM (SELECT CAST(floor(o_totalprice*100 + 0.5) " +
+        "AS BIGINT) AS c FROM orders o WHERE o.o_custkey = cu.c_custkey) t)" +
+        ", '') AS cents_list FROM customer cu")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

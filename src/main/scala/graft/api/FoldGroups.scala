@@ -95,6 +95,28 @@ object FoldGroups {
     * aggregation runs the bag's own bounded-heap [[graft.api.alg.Top]]
     * algebra through the typed-UDAF adapter, so each partition sends at
     * most n values per key to the shuffle. */
+  /** For each left element: ALL right values under the matching key as a
+    * List — ORDER UNSPECIFIED, the same contract as `DataBag.collect()`
+    * on a bag — `Nil` when none. This is the correlated
+    * `filter(key match)[.map(v)].collect()` NESTED-RESULT fold (SQL's
+    * correlated ARRAY subquery; the reference reaches the shape through
+    * comprehension nesting + fold fusion). There is nothing to reduce —
+    * every value crosses the shuffle by definition of the result — so the
+    * aggregation is a grouped materialization (mapGroups), costed exactly
+    * like the groupBy the query semantically is; deterministic consumers
+    * sort the list locally (`.sorted.mkString`, etc.). */
+  def collectJoin[A, K, V](left: DataBag[A], right: DataBag[(K, V)])(
+      ka: A => K)(implicit encK: Encoder[K], encList: Encoder[List[V]],
+      encOut: Encoder[(A, List[V])],
+      encOpt: Encoder[(A, Option[(K, List[V])])]): DataBag[(A, List[V])] = {
+    implicit val encKL: Encoder[(K, List[V])] = Encoders.tuple(encK, encList)
+    val agged = new DataBag(
+      right.ds.groupByKey(_._1)
+        .mapGroups((k: K, it: Iterator[(K, V)]) => (k, it.map(_._2).toList)))
+    left.leftOuterJoin(agged)(ka, _._1)
+      .map { case (a, opt) => (a, opt.map(_._2).getOrElse(Nil: List[V])) }
+  }
+
   def topJoin[A, K, V](left: DataBag[A], right: DataBag[(K, V)], n: Int,
       ord: Ordering[V], smallest: Boolean)(ka: A => K)(
       implicit encK: Encoder[K], encList: Encoder[List[V]],

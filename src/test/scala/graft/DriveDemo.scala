@@ -650,6 +650,13 @@ object DriveDemo {
       val pplan = patterned.toDF.queryExecution.executedPlan.toString
       println(s"group-pattern-fusion rows = ${patterned.ds.count()}, " +
         s"mapGroups in plan = ${pplan.contains("MapGroups")}")
+      // correlated collect(): the nested-result fold (ARRAY subquery)
+      val nestedLists = onSpark {
+        for { cu <- custs } yield (cu.c_custkey,
+          orders.withFilter(o => o.o_custkey == cu.c_custkey)
+            .map(o => o.o_orderkey).collect().sorted.mkString(","))
+      }
+      println("correlated-collect comprehension rows = " + nestedLists.ds.count())
     }
 
     // 12. round-9 surfaces: indexed hard negatives, LocalBag IO, fold fusion

@@ -507,6 +507,53 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
       .exists(_.isInstanceOf[NoSuchElementException]) shouldBe true
   }
 
+  it should "derive correlated collect() heads as grouped lists + outer join" in {
+    // the NESTED-RESULT shape (SQL's correlated ARRAY subquery; the
+    // reference reaches it by comprehension nesting + fold fusion):
+    // `ys.withFilter(key)[.map(v)].collect()` pre-groups the inner bag by
+    // its key, outer-joins with Nil default; the List's order is
+    // UNSPECIFIED (the DataBag.collect contract) so deterministic
+    // consumers sort locally — which stays plain local code over the
+    // substituted value
+    val xs = bagL(1L to 10L)
+    val ys = bagL(1L to 40L)
+    val r = onSpark {
+      for { x <- xs } yield
+        (x, ys.withFilter(y => y % 12 == x).map(y => y * 2L).collect()
+          .sorted.mkString(","))
+    }
+    val seqRef = for { x <- 1L to 10L } yield
+      (x, (1L to 40L).filter(y => y % 12 == x).map(_ * 2L).sorted.mkString(","))
+    r.collect().sorted shouldBe seqRef.sorted
+    // the empty group yields Nil -> "" (x = 12.. never matches y % 12)
+    seqRef.exists(_._2.isEmpty) shouldBe false
+    val rEmpty = onSpark {
+      for { x <- bagL(11L to 13L) } yield
+        (x, ys.withFilter(y => y % 50 == x).collect().sorted.mkString(","))
+    }
+    rEmpty.collect().sorted shouldBe (11L to 13L).map(x =>
+      (x, (1L to 40L).filter(y => y % 50 == x).sorted.mkString(","))).sorted
+    // the nested-comprehension spelling lowers identically
+    val rNested = onSpark {
+      for { x <- xs } yield
+        (x, (for { y <- ys; if y % 12 == x } yield y + 1L).collect().sorted.sum)
+    }
+    rNested.collect().sorted shouldBe (for { x <- 1L to 10L } yield
+      (x, (1L to 40L).filter(y => y % 12 == x).map(_ + 1L).sum)).sorted
+    // an UNCORRELATED collect hoists into a driver val
+    val rGlobal = onSpark {
+      for { x <- bagL(1L to 5L) } yield (x, ys.collect().sorted.take(3).sum)
+    }
+    rGlobal.collect().sorted shouldBe (for { x <- 1L to 5L } yield
+      (x, (1L to 40L).sorted.take(3).sum)).sorted
+    // non-equality correlation still rejects at compile time
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs } yield (x, ys.withFilter(y => y > x).collect()) }
+    """ shouldNot compile
+  }
+
   it should "batch same-key correlated folds into ONE aggregation (fold-forest fusion)" in {
     val xs = bagL(1L to 6L)
     val ys = bagL(1L to 40L)
