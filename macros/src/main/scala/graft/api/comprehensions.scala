@@ -1103,6 +1103,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // the nested-result fold: chain.collect() — zero args distinguishes
       // it from Seq.collect(partialFunction)
       case Apply(Select(q, n @ TermName("collect")), Nil) => Some((q, n, Nil))
+      // HEAD-position exists (SQL's SELECT-list EXISTS): classifies like
+      // count (exists(p) ≡ count(p) > 0); GUARD-position exists keeps
+      // deriving semi joins (semiPlanOf runs first there)
+      case Apply(Select(q, n @ TermName("exists")), List(lam)) => Some((q, n, List(lam)))
       case _ => None
     }
   }
@@ -1151,17 +1155,23 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * withFilter conjunct must be a separable key equality or inner-only,
     * at least one key must exist, and the map / count lambdas must be
     * inner-only (a generator-dependent value can't pre-aggregate). */
+  /** Predicate-carrying fold kinds: count(p) and HEAD-position exists(p)
+    * (exists ≡ count(p) > 0) — their lambda's conjuncts classify exactly
+    * like withFilter guard conjuncts. */
+  private def isPredFold(kind: TermName): Boolean =
+    kind == TermName("count") || kind == TermName("exists")
+
   private def foldPlanOf(allGen: Seq[Symbol], t: Tree): Option[FoldPlan] = t match {
     case FoldCall(chain, kind, args) if !t.exists(isLocalBagCtor) =>
       val (root, gs, mapLam) = foldChainOf(chain)
-      val arg = if (kind == TermName("count")) args.headOption else None
-      // count's predicate sees the CHAIN-END element: with a trailing map
-      // it would filter mapped values — not expressible as a root
-      // pre-filter, so rejected; top/bottom's k and Ordering must not
+      val arg = if (isPredFold(kind)) args.headOption else None
+      // count's/exists's predicate sees the CHAIN-END element: with a
+      // trailing map it would filter mapped values — not expressible as a
+      // root pre-filter, so rejected; top/bottom's k and Ordering must not
       // depend on the generators (they parameterize ONE shared aggregate)
       if (!isDataBag(root) || usesAny(root, allGen) ||
-          (kind == TermName("count") && mapLam.isDefined) ||
-          (kind != TermName("count") && !args.forall(a => innerOnly(allGen, a)))) None
+          (isPredFold(kind) && mapLam.isDefined) ||
+          (!isPredFold(kind) && !args.forall(a => innerOnly(allGen, a)))) None
       else {
         def conjRole(inner: Seq[Symbol])(cj: Tree): Option[ConjRole] = cj match {
           case Eq(l, r) => separableKey(allGen, inner, l, r, cj)
@@ -1286,7 +1296,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
   private def lowerFold(acc: Tree, t: Tree, plan: FoldPlan,
       mkOuter: Tree => Tree): Tree = t match {
     case FoldCall(chain, _, args) =>
-      val arg = if (plan.kind == TermName("count")) args.headOption else None
+      val arg = if (isPredFold(plan.kind)) args.headOption else None
       val (root, gs, mapLam) = foldChainOf(chain)
       if (gs.length != plan.guardRoles.length)
         c.abort(c.enclosingPosition,
@@ -1360,6 +1370,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
             ${args(0)})(${mkOuter(outerK)})"""
       } else if (isCollect)
         q"_root_.graft.api.FoldGroups.collectJoin($acc, $keyed)(${mkOuter(outerK)})"
+      else if (plan.kind == TermName("exists"))
+        // exists(p) ≡ count(p) > 0: the sumJoin's zero default makes a
+        // missing group false, exactly the empty-bag exists
+        q"""_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})
+            .map(p => (p._1, p._2 > 0L))"""
       else
         q"_root_.graft.api.FoldGroups.sumJoin($acc, $keyed)(${mkOuter(outerK)})"
     case _ =>

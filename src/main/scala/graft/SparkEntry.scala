@@ -3527,6 +3527,28 @@ object SparkEntry {
             .collect().sorted.mkString(","))
       }
       res.ds.toDF("c_custkey", "cents_list")
+    }),
+
+    // SELECT-list EXISTS: a correlated `orders.exists(key && p)` in the
+    // YIELD derives as count-pre-aggregate + outer join compared > 0 (a
+    // missing group joins the zero default = false), composed with a
+    // plain correlated count in the same yield — two combinable
+    // aggregations + two key joins, no per-row subqueries.
+    "q239_comprehension_exists_head" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { cu <- custs } yield (cu.c_custkey,
+          orders.exists(o =>
+            o.o_custkey == cu.c_custkey && o.o_totalprice > 150000.0),
+          orders.count(o => o.o_custkey == cu.c_custkey))
+      }
+      res.ds.toDF("c_custkey", "has_big", "n_orders")
     })
   )
 
@@ -5442,7 +5464,14 @@ object SparkEntry {
       ("SELECT cu.c_custkey, COALESCE((SELECT string_agg(CAST(c AS VARCHAR), " +
         "',' ORDER BY c) FROM (SELECT CAST(floor(o_totalprice*100 + 0.5) " +
         "AS BIGINT) AS c FROM orders o WHERE o.o_custkey = cu.c_custkey) t)" +
-        ", '') AS cents_list FROM customer cu")
+        ", '') AS cents_list FROM customer cu"),
+
+    "q239_comprehension_exists_head" ->
+      ("SELECT cu.c_custkey, " +
+        "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
+        "AND o.o_totalprice > 150000.0) AS has_big, " +
+        "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey = cu.c_custkey) " +
+        "AS n_orders FROM customer cu")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

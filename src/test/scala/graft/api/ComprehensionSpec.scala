@@ -466,11 +466,18 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val seqRef = for { x <- 1L to 20L
       if (1L to 12L).count(y => y % 6L == x % 7L) >= 2 } yield x
     res.collect().sorted shouldBe seqRef.sorted
-    // non-anchored bag use still aborts at compile time
+    // uncorrelated collect() now HOISTS too (a driver val holding the
+    // Seq), so Seq ops over it in a guard are plain local code
+    val viaCollect = onSpark {
+      for { x <- xs; if ys.collect().length > x } yield x
+    }
+    viaCollect.collect().sorted shouldBe (1L to 20L).filter(_ < 12L).sorted
+    // a fold whose RECEIVER depends on the generator cannot hoist and
+    // still aborts (the bag would ride the executor closure)
     """
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
-    onSpark { for { x <- xs; if ys.collect().length > x } yield x }
+    onSpark { for { x <- xs; if (if (x > 2L) ys else xs).size > x } yield x }
     """ shouldNot compile
   }
 
@@ -551,6 +558,40 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val xs = bagL(1L to 5L)
     val ys = bagL(1L to 5L)
     onSpark { for { x <- xs } yield (x, ys.withFilter(y => y > x).collect()) }
+    """ shouldNot compile
+  }
+
+  it should "derive HEAD-position exists as count > 0 (SELECT-list EXISTS)" in {
+    // `yield (x, ys.exists(y => key && p))` — SQL's EXISTS in the select
+    // list — pre-aggregates a count under the same classification as
+    // count(p); a missing group joins the zero default, i.e. false
+    val xs = bagL(1L to 20L)
+    val ys = bagL(Seq(2L, 4L, 4L, 6L, 9L))
+    val r = onSpark {
+      for { x <- xs } yield (x, ys.exists(y => y == x % 7 && y > 3L))
+    }
+    val ySeq = Seq(2L, 4L, 4L, 6L, 9L)
+    val exp = for { x <- 1L to 20L } yield (x, ySeq.exists(y => y == x % 7 && y > 3L))
+    r.collect().sorted shouldBe exp.sorted
+    // guard-position exists keeps deriving the semi join
+    val g = onSpark {
+      for { x <- xs; if ys.exists(y => y == x % 7) } yield x
+    }
+    g.toDF.queryExecution.executedPlan.toString should include("LeftSemi")
+    g.collect().sorted shouldBe (1L to 20L).filter(x => ySeq.contains(x % 7)).sorted
+    // exists composed with other head folds in one yield
+    val both = onSpark {
+      for { x <- xs } yield
+        (x, ys.exists(y => y == x % 7), ys.count(y => y == x % 7))
+    }
+    val expBoth = for { x <- 1L to 20L } yield
+      (x, ySeq.exists(_ == x % 7), ySeq.count(_ == x % 7).toLong)
+    both.collect().sorted shouldBe expBoth.sorted
+    // non-equality exists in the head still rejects
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs } yield (x, ys.exists(y => y > x)) }
     """ shouldNot compile
   }
 
