@@ -1731,6 +1731,177 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
+  // ----------------------------- nested-comprehension generator unnesting
+
+  /** FREE term names of a TYPED tree: every `Ident` whose symbol is not
+    * defined inside the tree itself. */
+  private def freeTermNames(t: Tree): Set[TermName] = {
+    val defs = defSymsIn(t)
+    val b = Set.newBuilder[TermName]
+    t.foreach {
+      case i @ Ident(n: TermName) if i.symbol == null || !defs(i.symbol) => b += n
+      case _ => ()
+    }
+    b.result()
+  }
+
+  /** Every term name BOUND anywhere inside `t` (lambda params, local vals,
+    * pattern binds) — works on typed and untyped trees. */
+  private def boundNamesIn(t: Tree): Set[TermName] = {
+    val b = Set.newBuilder[TermName]
+    t.foreach {
+      case d: DefTree => d.name match { case n: TermName => b += n; case _ => () }
+      case _ => ()
+    }
+    b.result()
+  }
+
+  /** Substitute `rep` for every FREE `Ident(n)` in `t` (name-keyed, for
+    * the untyped rebuild), not descending where `n` is rebound; returns
+    * the rewritten tree and the replacement count. Callers verify the
+    * count against the typed symbol-reference count — a disagreement
+    * (name shadowing the typed/untyped walks see differently) skips the
+    * rewrite entirely rather than mis-substituting. */
+  private def substFreeName(t: Tree, n: TermName, rep: Tree): (Tree, Int) = {
+    var cnt = 0
+    val tr = new Transformer {
+      override def transform(x: Tree): Tree = x match {
+        case Ident(`n`) => cnt += 1; rep.duplicate
+        case f @ Function(ps, _) if ps.exists(_.name == n) => f
+        case b @ Block(stats, _) if stats.exists {
+            case vd: ValDef => vd.name == n
+            case _ => false } => b
+        case m @ Match(sel, cases) =>
+          treeCopy.Match(m, transform(sel), cases.map { cd =>
+            if (bindNames(cd.pat).contains(n)) cd
+            else treeCopy.CaseDef(cd, cd.pat, transform(cd.guard), transform(cd.body))
+          })
+        case _ => super.transform(x)
+      }
+    }
+    (tr.transform(t), cnt)
+  }
+
+  /** References to symbol `s` in `t` (typed tree, Ident occurrences). */
+  private def symRefCount(t: Tree, s: Symbol): Int = {
+    if (s == null || s == NoSymbol) return 0
+    var n = 0
+    t.foreach { case i: Ident if i.symbol == s => n += 1; case _ => () }
+    n
+  }
+
+  /** Descend `k` flatMap levels into a comprehension chain (typed or
+    * untyped) and return the node there — the subtree (by reference) whose
+    * Call1 is generator k's own map/flatMap call. Mirrors [[flatten]]. */
+  private def nodeAt(t: Tree, k: Int): Option[Tree] =
+    if (k == 0) Some(t)
+    else t match {
+      case Call1(_, TermName("flatMap"), GenLam(_, _, rest)) => nodeAt(rest, k - 1)
+      case _ => None
+    }
+
+  /** The reference's UnnestGenerator rule (emma-language
+    * lang/comprehension/Normalize.scala:44-52) for the DEPENDENT case the
+    * linear engine otherwise aborts on: a generator whose bag is ITSELF a
+    * comprehension chain over distributed bags and references earlier
+    * generator variables (inside its guards and/or its yield), e.g.
+    * `for { c <- cs; r <- (for { o <- os; if o.ck == c.ck } yield f(o, c)) } yield g(c, r)`.
+    * By monad associativity the inner generators splice into the outer
+    * chain, the inner YIELD value substitutes for the binder in every
+    * downstream tree, and guards ON the binder become filters at the
+    * spliced terminal level:
+    * `cs.flatMap(c => os.withFilter(o => o.ck == c.ck).map(o => g(c, f(o, c))))`.
+    * The macro then RE-EXPANDS on the flattened chain, where the former
+    * inner guards are ordinary cross-variable guards — the correlation
+    * derives an equi join exactly as if the user had flattened by hand.
+    * Comprehension purity (the calculus contract) licenses duplicating
+    * the inner yield expression into each use site.
+    *
+    * Conservative by construction — returns None (the existing
+    * abort-with-guidance applies) unless: the binder, its guards' binders
+    * and the typed/untyped walks all agree; every name substitution
+    * replaces exactly as many occurrences as the typed tree has symbol
+    * references; and no free name of a moved tree can be captured by a
+    * binder it moves under (outer trees move INTO the inner lambdas; the
+    * inner yield moves INTO downstream lambdas). */
+  private def unnestGenerators(expr: Tree, gens: List[Gen]): Option[Tree] = {
+    val syms = gens.map(levelSyms)
+    // typed inner-chain walk: binder names bound by the chain + the yield
+    def walk(t: Tree, acc: List[TermName]): Option[(List[TermName], Tree)] = t match {
+      case Call1(base, TermName("map"), GenLam(zv, zpat, e)) if isDataBag(base) =>
+        Some((acc ++ (zv.name :: zpat.map(bindNames).getOrElse(Nil)), e))
+      case Call1(base, TermName("flatMap"), GenLam(zv, zpat, b)) if isDataBag(base) =>
+        walk(b, acc ++ (zv.name :: zpat.map(bindNames).getOrElse(Nil)))
+      case _ => None
+    }
+    val cand = gens.zipWithIndex.drop(1).collectFirst {
+      case (g, i) if g.pat.isEmpty && g.guards.forall(_.pat.isEmpty) &&
+          usesAny(g.bag, syms.take(i).flatten) && !isLocalBagCtor(g.bag) &&
+          walk(g.bag, Nil).isDefined =>
+        (g, i, walk(g.bag, Nil).get)
+    }
+    cand.flatMap { case (tg, i, (innerNames, typedE)) =>
+      // the typed downstream (generator i's lambda body) for count checks
+      val typedNode = nodeAt(expr, i)
+      val parts = typedNode.flatMap {
+        case Call1(_, m, GenLam(yv, None, restT))
+            if m == TermName("map") || m == TermName("flatMap") =>
+          Some((m, yv, restT))
+        case _ => None
+      }
+      parts.flatMap { case (mT, yvT, restT) =>
+        val inner = innerNames.toSet
+        // capture safety: the inner yield's free names must not be
+        // re-bound inside the trees it is substituted into; the moved
+        // downstream/guard trees' free names must not collide with the
+        // inner chain's binders they move under
+        val freeE = freeTermNames(typedE)
+        val movedOk =
+          (freeE & boundNamesIn(restT)).isEmpty &&
+          tg.guards.forall(g => (freeE & boundNamesIn(g.cond)).isEmpty) &&
+          ((freeTermNames(restT) - yvT.name) & inner).isEmpty &&
+          tg.guards.forall(g => ((freeTermNames(g.cond) - g.v.name) & inner).isEmpty)
+        if (!movedOk) None
+        else {
+          val expectRest = symRefCount(restT, yvT.symbol)
+          val expectGuards = tg.guards.map(g => symRefCount(g.cond, g.v.symbol))
+          val u = c.untypecheck(expr)
+          nodeAt(u, i).flatMap { un =>
+            un match {
+              case Call1(recvU, mU, GenLam(yvU, None, restU)) if mU == mT =>
+                val (ibagU, yGuardsU) = FilterChain.unapply(recvU).get
+                if (yGuardsU.length != tg.guards.length) None
+                else {
+                  def spliceU(t: Tree): Option[Tree] = t match {
+                    case Call1(base, TermName("map"), GenLam(zv, zpat, e)) =>
+                      val subGs = yGuardsU.zip(expectGuards).map { case (g, exp) =>
+                        val (gc, n) = substFreeName(g.cond, g.v.name, e)
+                        if (n == exp) Some(gc) else None
+                      }
+                      val (newRest, nRest) = substFreeName(restU, yvU.name, e)
+                      if (subGs.exists(_.isEmpty) || nRest != expectRest) None
+                      else {
+                        val guarded = subGs.flatten.foldLeft(base)((b, gc) =>
+                          q"$b.withFilter(${binderLam(zv.name, zpat, gc)})")
+                        Some(q"$guarded.$mU(${binderLam(zv.name, zpat, newRest)})")
+                      }
+                    case Call1(base, TermName("flatMap"), GenLam(zv, zpat, body)) =>
+                      spliceU(body).map(r =>
+                        q"$base.flatMap(${binderLam(zv.name, zpat, r)})")
+                    case _ => None
+                  }
+                  spliceU(ibagU).map { newNode =>
+                    q"_root_.graft.api.comprehensions.onSpark(${substituteTrees(u, List((un, newNode)))})"
+                  }
+                }
+              case _ => None
+            }
+          }
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------ rebuild (untyped)
 
   /** How level j binds when re-destructured from the join tuple. */
@@ -1807,6 +1978,18 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case Some((gens, tbody)) if gens.length >= 2 && isDataBag(gens.head.bag) &&
           gens.tail.forall(g => isDataBag(g.bag)) =>
         fuseMultiGroupBys(expr, gens, tbody) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
+    // a DEPENDENT generator whose bag is itself a comprehension chain
+    // splices into the outer chain (the reference's UnnestGenerator,
+    // Normalize.scala:44-52) and the macro re-expands — the former inner
+    // guards then derive joins as ordinary cross-variable guards
+    typedChain match {
+      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) =>
+        unnestGenerators(expr, gens) match {
           case Some(res) => return res
           case None => ()
         }

@@ -3549,6 +3549,60 @@ object SparkEntry {
           orders.count(o => o.o_custkey == cu.c_custkey))
       }
       res.ds.toDF("c_custkey", "has_big", "n_orders")
+    }),
+
+    // The reference's UnnestGenerator (Normalize.scala:44-52) on the
+    // DEPENDENT case: a generator whose bag is a nested comprehension
+    // correlated with the outer row. The macro splices the inner chain
+    // into the outer one by monad associativity and re-expands — the
+    // correlation guard then derives the SAME equi join a hand-flattened
+    // comprehension gets (one shuffle on the key, inner filter pushed to
+    // the orders scan).
+    "q240_comprehension_unnest" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          cents <- (for {
+            o <- orders
+            if o.o_custkey == cu.c_custkey && o.o_totalprice > 100000.0
+          } yield (o.o_totalprice * 100 + 0.5).floor.toLong)
+        } yield (cu.c_custkey, cu.c_name, cents)
+      }
+      res.ds.toDF("c_custkey", "c_name", "cents")
+    }),
+
+    // Deeper unnesting: a MULTI-generator inner comprehension (its own
+    // join inside), guards on the nested binder, and a post-splice use of
+    // the inner yield in a later guard — the whole thing flattens to the
+    // 3-relation join chain with every correlation as an equi key.
+    "q241_comprehension_unnest_multi" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          pay <- (for {
+            o <- orders
+            if o.o_custkey == cu.c_custkey
+            o2 <- orders
+            if o2.o_orderkey == o.o_orderkey
+          } yield (o.o_orderkey, (o2.o_totalprice * 100 + 0.5).floor.toLong))
+          if pay._2 >= 10000000L
+        } yield (cu.c_custkey, pay._1, pay._2)
+      }
+      res.ds.toDF("c_custkey", "o_orderkey", "cents")
     })
   )
 
@@ -5471,7 +5525,20 @@ object SparkEntry {
         "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cu.c_custkey " +
         "AND o.o_totalprice > 150000.0) AS has_big, " +
         "(SELECT COUNT(*) FROM orders o WHERE o.o_custkey = cu.c_custkey) " +
-        "AS n_orders FROM customer cu")
+        "AS n_orders FROM customer cu"),
+
+    "q240_comprehension_unnest" ->
+      ("SELECT cu.c_custkey, cu.c_name, " +
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "WHERE o.o_totalprice > 100000.0"),
+
+    "q241_comprehension_unnest_multi" ->
+      ("SELECT cu.c_custkey, o.o_orderkey, " +
+        "CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "JOIN orders o2 ON o2.o_orderkey = o.o_orderkey " +
+        "WHERE CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

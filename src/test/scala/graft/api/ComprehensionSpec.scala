@@ -1103,6 +1103,87 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "unnest a dependent nested-comprehension generator into a join" in {
+    val xs = bagL(1L to 30L)
+    val ys = bagL(1L to 40L)
+    val r = onSpark {
+      for {
+        x <- xs
+        v <- (for { y <- ys; if y % 7 == x % 5 } yield y * 10 + x)
+      } yield (x, v)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    val seqRef = for {
+      x <- 1L to 30L
+      v <- (for { y <- 1L to 40L; if y % 7 == x % 5 } yield y * 10 + x)
+    } yield (x, v)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "unnest a multi-generator inner comprehension, guards on the binder included" in {
+    val xs = bagL(1L to 10L)
+    val ys = bagL(1L to 12L)
+    val zs = bagL(1L to 8L)
+    val r = onSpark {
+      for {
+        x <- xs
+        v <- (for { y <- ys; if y % 3 == x % 3; z <- zs; if z % 4 == y % 4 }
+          yield y * 100 + z)
+        if v % 2 == 0L
+        w <- zs
+        if w % 5 == v % 5
+      } yield (x, v, w)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for {
+      x <- 1L to 10L
+      v <- (for { y <- 1L to 12L; if y % 3 == x % 3; z <- 1L to 8L; if z % 4 == y % 4 }
+        yield y * 100 + z)
+      if v % 2 == 0L
+      w <- 1L to 8L
+      if w % 5 == v % 5
+    } yield (x, v, w)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "unnest when the inner yield is used several times downstream" in {
+    val xs = bagL(1L to 15L)
+    val ys = bagL(1L to 9L)
+    val r = onSpark {
+      for {
+        x <- xs
+        v <- (for { y <- ys; if y % 4 == x % 4 } yield y + x)
+      } yield (x, v, v * v, v % 3)
+    }
+    val seqRef = for {
+      x <- 1L to 15L
+      v <- (for { y <- 1L to 9L; if y % 4 == x % 4 } yield y + x)
+    } yield (x, v, v * v, v % 3)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "still reject dependent bags that are not comprehension chains" in {
+    // a method call building a DataBag from the row: not a spliceable
+    // chain — the one-job-per-element cliff aborts as before
+    """
+    val xs = bagL(1L to 5L)
+    def f(x: Long): DataBag[Long] = DataBag(Seq(x, x + 1))
+    onSpark { for { x <- xs; y <- f(x) } yield y }
+    """ shouldNot compile
+    // capture hazard: the inner yield's free name is re-bound by a lambda
+    // in a downstream guard — the conservative check declines, so the
+    // dependent-generator abort stands instead of a mis-capture
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; v <- (for { y <- ys; if y == x } yield y)
+      if ys.exists(y => y == v) } yield v }
+    """ shouldNot compile
+  }
+
   it should "leave non-DataBag comprehensions untouched" in {
     val r = onSpark { for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y }
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
