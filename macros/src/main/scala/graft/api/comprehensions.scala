@@ -1800,6 +1800,50 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case _ => None
     }
 
+  /** A literal TupleN construction `(e1, ..., eN)` on typed or untyped
+    * trees (untypecheck spells it `scala.TupleN.apply(e1, ..., eN)`). */
+  private object TupleCtor {
+    def unapply(t: Tree): Option[List[Tree]] = t match {
+      case Apply(TypeApply(f, _), args) if isTupleApply(f, args.length) => Some(args)
+      case Apply(f, args) if isTupleApply(f, args.length) => Some(args)
+      case _ => None
+    }
+    private def isTupleApply(f: Tree, n: Int): Boolean = {
+      val bySym = f.symbol != null && f.symbol != NoSymbol &&
+        f.symbol.fullName == s"scala.Tuple$n.apply"
+      def tn(q: Tree): Boolean = q match {
+        case Ident(TermName(m)) => m == s"Tuple$n"
+        case Select(_, TermName(m)) => m == s"Tuple$n"
+        case _ => false
+      }
+      bySym || (f match {
+        case Select(q, TermName("apply")) => tn(q)
+        case _ => false
+      })
+    }
+  }
+
+  /** A tuple pattern of PLAIN binds `(a, b, ...)` — each component a
+    * `Bind(name, _)` — on typed or untyped trees. Returns the bind names
+    * in component order. */
+  private object TuplePat {
+    def unapply(p: Tree): Option[List[TermName]] = {
+      val args = p match {
+        case Apply(_, as) => Some(as)
+        case UnApply(_, as) => Some(as)
+        case _ => None
+      }
+      args.flatMap { as =>
+        val names = as.map {
+          case Bind(n: TermName, Ident(termNames.WILDCARD)) => Some(n)
+          case _ => None
+        }
+        if (names.nonEmpty && names.forall(_.isDefined)) Some(names.flatten)
+        else None
+      }
+    }
+  }
+
   /** The reference's UnnestGenerator rule (emma-language
     * lang/comprehension/Normalize.scala:44-52) for the DEPENDENT case the
     * linear engine otherwise aborts on: a generator whose bag is ITSELF a
@@ -1834,67 +1878,159 @@ class ComprehensionMacro(val c: blackbox.Context) {
         walk(b, acc ++ (zv.name :: zpat.map(bindNames).getOrElse(Nil)))
       case _ => None
     }
-    val cand = gens.zipWithIndex.drop(1).collectFirst {
-      case (g, i) if g.pat.isEmpty && g.guards.forall(_.pat.isEmpty) &&
-          usesAny(g.bag, syms.take(i).flatten) && !isLocalBagCtor(g.bag) &&
-          walk(g.bag, Nil).isDefined =>
-        (g, i, walk(g.bag, Nil).get)
+    // the generator binder's substitution plan: a plain binder substitutes
+    // the whole inner yield; a tuple pattern of plain binds substitutes
+    // component-wise when the inner yield is a literal TupleN of the same
+    // arity (each bind name -> its component expression)
+    def binderNames(pat: Option[Tree]): Option[List[TermName]] = pat match {
+      case None => Some(Nil) // sentinel: plain (names resolved per side)
+      case Some(TuplePat(names)) => Some(names)
+      case _ => None
     }
+    val dbg = sys.props.contains("graft.unnest.debug")
+    def trace(msg: => String): Unit =
+      if (dbg) c.info(c.enclosingPosition, s"unnest: $msg", force = true)
+    val cand = gens.zipWithIndex.drop(1).collectFirst {
+      case (g, i) if binderNames(g.pat).isDefined &&
+          usesAny(stripRefutCheck(g.bag), syms.take(i).flatten) &&
+          !isLocalBagCtor(g.bag) && walk(stripRefutCheck(g.bag), Nil).isDefined =>
+        (g, i, walk(stripRefutCheck(g.bag), Nil).get)
+    }
+    if (dbg && cand.isEmpty)
+      trace("no candidate: " + gens.zipWithIndex.drop(1).map { case (g, i) =>
+        s"[$i pat=${g.pat.map(showRaw(_))} bn=${binderNames(g.pat)} " +
+          s"dep=${usesAny(stripRefutCheck(g.bag), syms.take(i).flatten)} " +
+          s"walk=${walk(stripRefutCheck(g.bag), Nil).isDefined}]"
+      }.mkString(" "))
     cand.flatMap { case (tg, i, (innerNames, typedE)) =>
       // the typed downstream (generator i's lambda body) for count checks
       val typedNode = nodeAt(expr, i)
       val parts = typedNode.flatMap {
-        case Call1(_, m, GenLam(yv, None, restT))
-            if m == TermName("map") || m == TermName("flatMap") =>
-          Some((m, yv, restT))
+        case Call1(_, m, GenLam(yv, ypat, restT))
+            if (m == TermName("map") || m == TermName("flatMap")) &&
+              ypat == tg.pat =>
+          Some((m, yv, ypat, restT))
         case _ => None
       }
-      parts.flatMap { case (mT, yvT, restT) =>
+      if (dbg && parts.isEmpty)
+        trace(s"no parts at i=$i: node=${typedNode.map(showRaw(_)).getOrElse("<none>").take(400)}")
+      if (dbg && parts.nonEmpty)
+        trace(s"parts ok; ypat=${parts.get._3.map(showRaw(_))}; typedE=${showRaw(typedE)}")
+      parts.flatMap { case (mT, yvT, ypatT, restT) =>
         val inner = innerNames.toSet
-        // capture safety: the inner yield's free names must not be
-        // re-bound inside the trees it is substituted into; the moved
-        // downstream/guard trees' free names must not collide with the
-        // inner chain's binders they move under
-        val freeE = freeTermNames(typedE)
-        val movedOk =
-          (freeE & boundNamesIn(restT)).isEmpty &&
-          tg.guards.forall(g => (freeE & boundNamesIn(g.cond)).isEmpty) &&
-          ((freeTermNames(restT) - yvT.name) & inner).isEmpty &&
-          tg.guards.forall(g => ((freeTermNames(g.cond) - g.v.name) & inner).isEmpty)
-        if (!movedOk) None
-        else {
-          val expectRest = symRefCount(restT, yvT.symbol)
-          val expectGuards = tg.guards.map(g => symRefCount(g.cond, g.v.symbol))
-          val u = c.untypecheck(expr)
-          nodeAt(u, i).flatMap { un =>
-            un match {
-              case Call1(recvU, mU, GenLam(yvU, None, restU)) if mU == mT =>
-                val (ibagU, yGuardsU) = FilterChain.unapply(recvU).get
-                if (yGuardsU.length != tg.guards.length) None
-                else {
-                  def spliceU(t: Tree): Option[Tree] = t match {
-                    case Call1(base, TermName("map"), GenLam(zv, zpat, e)) =>
-                      val subGs = yGuardsU.zip(expectGuards).map { case (g, exp) =>
-                        val (gc, n) = substFreeName(g.cond, g.v.name, e)
-                        if (n == exp) Some(gc) else None
-                      }
-                      val (newRest, nRest) = substFreeName(restU, yvU.name, e)
-                      if (subGs.exists(_.isEmpty) || nRest != expectRest) None
-                      else {
-                        val guarded = subGs.flatten.foldLeft(base)((b, gc) =>
-                          q"$b.withFilter(${binderLam(zv.name, zpat, gc)})")
-                        Some(q"$guarded.$mU(${binderLam(zv.name, zpat, newRest)})")
-                      }
-                    case Call1(base, TermName("flatMap"), GenLam(zv, zpat, body)) =>
-                      spliceU(body).map(r =>
-                        q"$base.flatMap(${binderLam(zv.name, zpat, r)})")
-                    case _ => None
-                  }
-                  spliceU(ibagU).map { newNode =>
-                    q"_root_.graft.api.comprehensions.onSpark(${substituteTrees(u, List((un, newNode)))})"
+        // typed substitution spec: (name, typed symbol, component index);
+        // index -1 = the whole inner yield (plain binder)
+        val specT: Option[List[(TermName, Symbol, Int)]] = ypatT match {
+          case None => Some(List((yvT.name, yvT.symbol, -1)))
+          case Some(pt) => (TuplePat.unapply(pt), typedE) match {
+            case (Some(names), TupleCtor(comps)) if names.length == comps.length =>
+              val ss = bindSyms(pt)
+              if (ss.length == names.length)
+                Some(names.zip(ss).zipWithIndex.map { case ((n, s), k) => (n, s, k) })
+              else None
+            case _ => None
+          }
+        }
+        // guards at the binder's level must carry the same binder shape;
+        // their substitution symbols are their OWN lambda/pattern binds
+        def guardSpec(g: Guard, names: List[TermName]): Option[List[Symbol]] =
+          (g.pat, names) match {
+            case (None, List(n)) if g.v.name == n => Some(List(g.v.symbol))
+            case (Some(pt), _) => TuplePat.unapply(pt) match {
+              case Some(gn) if gn == names => Some(bindSyms(pt))
+              case _ => None
+            }
+            case _ => None
+          }
+        specT.flatMap { spec =>
+          val names = spec.map(_._1)
+          // scalac's check$ifrefutable guard is the identity here (the
+          // pattern is an irrefutable tuple of plain binds over a tuple
+          // yield) and the pattern disappears entirely after substitution
+          // — drop it on both the typed and the untyped side
+          val realGuards = tg.guards.filterNot(isRefutCheckGuard)
+          val gSpecs = realGuards.map(g => guardSpec(g, names))
+          // the components substituted for the binder(s)
+          val typedComps: List[Tree] =
+            if (spec.head._3 == -1) List(typedE)
+            else TupleCtor.unapply(typedE).get
+          // capture safety: the substituted expressions' free names must
+          // not be re-bound inside the trees they are substituted into
+          // (nor collide with the bind names — sequential substitution
+          // must not rewrite inside an earlier replacement); the moved
+          // downstream/guard trees' free names must not collide with the
+          // inner chain's binders they move under
+          val freeE = typedComps.iterator.flatMap(freeTermNames).toSet
+          val nameSet = names.toSet
+          val movedOk = gSpecs.forall(_.isDefined) &&
+            (freeE & nameSet).isEmpty &&
+            (freeE & boundNamesIn(restT)).isEmpty &&
+            realGuards.forall(g => (freeE & boundNamesIn(g.cond)).isEmpty) &&
+            ((freeTermNames(restT) -- nameSet) & inner).isEmpty &&
+            realGuards.forall(g =>
+              ((freeTermNames(g.cond) -- nameSet) & inner).isEmpty)
+          if (dbg) trace(s"spec=$spec gSpecs=$gSpecs freeE=$freeE nameSet=$nameSet " +
+            s"inner=$inner movedOk=$movedOk guards=${realGuards.map(g =>
+              (g.v.name, g.pat.map(showRaw(_)), showRaw(g.cond).take(200)))}")
+          if (!movedOk) None
+          else {
+            val expectRest = spec.map { case (_, s, _) => symRefCount(restT, s) }
+            val expectGuards = realGuards.zip(gSpecs).map { case (g, gs) =>
+              gs.get.map(symRefCount(g.cond, _))
+            }
+            // substitute every (name -> component) pair, verifying counts
+            def substAll(t: Tree, comps: List[Tree], expect: List[Int]): Option[Tree] = {
+              val (res, ok) = names.zip(comps).zip(expect)
+                .foldLeft((t, true)) { case ((acc, good), ((n, rep), exp)) =>
+                  if (!good) (acc, false)
+                  else {
+                    val (nt, cnt) = substFreeName(acc, n, rep)
+                    (nt, cnt == exp)
                   }
                 }
-              case _ => None
+              if (ok) Some(res) else None
+            }
+            val u = c.untypecheck(expr)
+            nodeAt(u, i).flatMap { un =>
+              un match {
+                case Call1(recvU, mU, GenLam(uv, upat, restU)) if mU == mT &&
+                    ((upat.isEmpty && ypatT.isEmpty && uv.name == names.head) ||
+                      (upat.nonEmpty && ypatT.nonEmpty &&
+                        upat.flatMap(TuplePat.unapply).contains(names))) =>
+                  val (ibagU0, yGuardsU0) = FilterChain.unapply(recvU).get
+                  val ibagU = stripRefutCheck(ibagU0)
+                  val yGuardsU = yGuardsU0.filterNot(isRefutCheckGuard)
+                  if (yGuardsU.length != realGuards.length) None
+                  else {
+                    def spliceU(t: Tree): Option[Tree] = t match {
+                      case Call1(base, TermName("map"), GenLam(zv, zpat, e)) =>
+                        val compsU: Option[List[Tree]] =
+                          if (spec.head._3 == -1) Some(List(e))
+                          else TupleCtor.unapply(e)
+                            .filter(_.length == names.length)
+                        compsU.flatMap { cs =>
+                          val subGs = yGuardsU.zip(expectGuards).map {
+                            case (g, exp) => substAll(g.cond, cs, exp)
+                          }
+                          val newRest = substAll(restU, cs, expectRest)
+                          if (subGs.exists(_.isEmpty) || newRest.isEmpty) None
+                          else {
+                            val guarded = subGs.flatten.foldLeft(base)((b, gc) =>
+                              q"$b.withFilter(${binderLam(zv.name, zpat, gc)})")
+                            Some(q"$guarded.$mU(${binderLam(zv.name, zpat, newRest.get)})")
+                          }
+                        }
+                      case Call1(base, TermName("flatMap"), GenLam(zv, zpat, body)) =>
+                        spliceU(body).map(r =>
+                          q"$base.flatMap(${binderLam(zv.name, zpat, r)})")
+                      case _ => None
+                    }
+                    spliceU(ibagU).map { newNode =>
+                      q"_root_.graft.api.comprehensions.onSpark(${substituteTrees(u, List((un, newNode)))})"
+                    }
+                  }
+                case _ => None
+              }
             }
           }
         }

@@ -3603,6 +3603,32 @@ object SparkEntry {
         } yield (cu.c_custkey, pay._1, pay._2)
       }
       res.ds.toDF("c_custkey", "o_orderkey", "cents")
+    }),
+
+    // PATTERN-bound unnesting: the nested generator destructures the
+    // inner yield (`(ok, cents) <- (for ... yield (k, v))`). The macro
+    // substitutes COMPONENT-WISE — each bind name gets its tuple slot's
+    // expression — so the splice needs no intermediate tuple at all and
+    // the flattened chain derives the same join-plus-filter plan.
+    "q242_comprehension_unnest_pattern" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          (ok, cents) <- (for {
+            o <- orders
+            if o.o_custkey == cu.c_custkey
+          } yield (o.o_orderkey, (o.o_totalprice * 100 + 0.5).floor.toLong))
+          if cents >= 10000000L
+        } yield (cu.c_custkey, ok, cents)
+      }
+      res.ds.toDF("c_custkey", "o_orderkey", "cents")
     })
   )
 
@@ -5538,7 +5564,13 @@ object SparkEntry {
         "CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
         "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
         "JOIN orders o2 ON o2.o_orderkey = o.o_orderkey " +
-        "WHERE CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000")
+        "WHERE CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000"),
+
+    "q242_comprehension_unnest_pattern" ->
+      ("SELECT cu.c_custkey, o.o_orderkey, " +
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -657,6 +657,20 @@ object DriveDemo {
             .map(o => o.o_orderkey).collect().sorted.mkString(","))
       }
       println("correlated-collect comprehension rows = " + nestedLists.ds.count())
+      // UnnestGenerator: a dependent nested-comprehension generator
+      // splices into the outer chain and derives the same equi join
+      val unnested = onSpark {
+        for {
+          cu <- custs
+          (ok, cents) <- (for {
+            o <- orders; if o.o_custkey == cu.c_custkey
+          } yield (o.o_orderkey, (o.o_totalprice * 100 + 0.5).floor.toLong))
+          if cents >= 10000000L
+        } yield (cu.c_custkey, ok, cents)
+      }
+      val uplan = unnested.toDF.queryExecution.executedPlan.toString
+      println(s"unnest-generator comprehension rows = ${unnested.ds.count()}, " +
+        s"cartesian in plan = ${uplan.toLowerCase.contains("cartesian")}")
     }
 
     // 12. round-9 surfaces: indexed hard negatives, LocalBag IO, fold fusion

@@ -113,6 +113,40 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
           case (k, vs) if vs.size.toLong * ysSeq.size >= t => (k, vs.size)
         }
         r7.collect().sorted shouldBe e7.sorted
+
+        // UnnestGenerator: dependent nested-comprehension generator
+        // (plain binder) with a guard on the binder and downstream reuse
+        val r8 = onSpark {
+          for {
+            x <- xs
+            v <- (for { y <- ys; if y % m == x % m } yield y * 10L + x)
+            if v % 3 != t
+          } yield (x, v, v + x)
+        }
+        val e8 = for {
+          x <- xsSeq
+          v <- (for { y <- ysSeq; if y % m == x % m } yield y * 10L + x)
+          if v % 3 != t
+        } yield (x, v, v + x)
+        r8.collect().sorted shouldBe e8.sorted
+
+        // UnnestGenerator: pattern binder over a tuple inner yield, with
+        // a multi-generator inner chain (its own join inside)
+        val r9 = onSpark {
+          for {
+            x <- xs
+            (a, b) <- (for { y <- ys; if y % m == x % m; z <- zs; if z % 4 == y % 4 }
+              yield (y, z * 2L))
+            if b >= t
+          } yield (x, a, b)
+        }
+        val e9 = for {
+          x <- xsSeq
+          (a, b) <- (for { y <- ysSeq; if y % m == x % m; z <- zsSeq; if z % 4 == y % 4 }
+            yield (y, z * 2L))
+          if b >= t
+        } yield (x, a, b)
+        r9.collect().sorted shouldBe e9.sorted
       }
     }
   }

@@ -1165,6 +1165,26 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "unnest a PATTERN-bound nested generator when the inner yield is a tuple" in {
+    val xs = bagL(1L to 12L)
+    val ys = bagL(1L to 20L)
+    val r = onSpark {
+      for {
+        x <- xs
+        (a, b) <- (for { y <- ys; if y % 6 == x % 6 } yield (y, y * x))
+        if b % 3 == 0L
+      } yield (x, a, b + 1)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for {
+      x <- 1L to 12L
+      (a, b) <- (for { y <- 1L to 20L; if y % 6 == x % 6 } yield (y, y * x))
+      if b % 3 == 0L
+    } yield (x, a, b + 1)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "still reject dependent bags that are not comprehension chains" in {
     // a method call building a DataBag from the row: not a spliceable
     // chain — the one-job-per-element cliff aborts as before
