@@ -66,6 +66,35 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
     got shouldBe exp.toArray
   }
 
+  it should "unnest dependent nested-comprehension generators at runtime" in {
+    // UnnestGenerator rides the same macro through the source-text channel
+    val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val xs = DataBag((1L to 20L).toSeq)
+        val ys = DataBag((1L to 15L).toSeq)
+        onSpark {
+          for {
+            x <- xs
+            (a, b) <- (for { y <- ys; if y % 5 == x % 5 } yield (y, y * x))
+            if b % 2 == 0L
+          } yield (x, a, b)
+        }.ds.toDF("x", "a", "b")
+      }""")
+    val out = pipeline(spark)
+    out.queryExecution.executedPlan.toString should not include regex("(?i)cartesian")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val exp = (for {
+      x <- 1L to 20L
+      (a, b) <- (for { y <- 1L to 15L; if y % 5 == x % 5 } yield (y, y * x))
+      if b % 2 == 0L
+    } yield (x, a, b)).sorted
+    got shouldBe exp.toArray
+  }
+
   it should "fuse groupBy spellings (block vals, patterns, multi-group) at runtime" in {
     // the round's groupBy-fusion spellings ride the same macro through the
     // source-text channel: block-val aliases, the Group pattern, and two
