@@ -1185,6 +1185,36 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "unnest DOUBLY nested generators through repeated re-expansion" in {
+    val xs = bagL(1L to 8L)
+    val ys = bagL(1L to 10L)
+    val zs = bagL(1L to 6L)
+    // the inner comprehension's own generator is itself a nested
+    // comprehension — one splice per expansion, the re-expanded macro
+    // picks up the next level
+    val r = onSpark {
+      for {
+        x <- xs
+        v <- (for {
+          u <- (for { z <- zs; if z % 3 == x % 3 } yield z + 100L)
+          y <- ys
+          if y % 2 == u % 2
+        } yield u * 1000L + y)
+      } yield (x, v)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for {
+      x <- 1L to 8L
+      v <- (for {
+        u <- (for { z <- 1L to 6L; if z % 3 == x % 3 } yield z + 100L)
+        y <- 1L to 10L
+        if y % 2 == u % 2
+      } yield u * 1000L + y)
+    } yield (x, v)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
   it should "still reject dependent bags that are not comprehension chains" in {
     // a method call building a DataBag from the row: not a spliceable
     // chain — the one-job-per-element cliff aborts as before
