@@ -1234,6 +1234,20 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "evaluate val destructuring of a composite group key (reference val-destructuring shape)" in {
+    val xs = bagL(1L to 40L)
+    val r = onSpark {
+      for { g <- xs.groupBy(v => (v % 4, v % 3)) } yield {
+        val (a, b) = g.key
+        (a, b, g.values.size)
+      }
+    }
+    val e = (1L to 40L).groupBy(v => (v % 4, v % 3)).toSeq.map {
+      case ((a, b), vs) => (a, b, vs.size)
+    }
+    r.collect().sorted shouldBe e.sorted
+  }
+
   it should "leave non-DataBag comprehensions untouched" in {
     val r = onSpark { for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y }
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
