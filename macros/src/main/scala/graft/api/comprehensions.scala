@@ -836,7 +836,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * plain-function fallback captures the whole 2-case match as the
     * guard condition (pat = None). Identity on a Group bag. */
   private def isRefutCheckGuard(gd: Guard): Boolean =
-    gd.pat.isEmpty && (gd.cond match {
+    gd.pat.isEmpty &&
+      gd.v.name.toString.startsWith("check$ifrefutable") && (gd.cond match {
       case Match(_, List(CaseDef(_, EmptyTree, Literal(Constant(true))),
           CaseDef(_, EmptyTree, Literal(Constant(false))))) => true
       case _ => false
@@ -1761,16 +1762,29 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * the rewritten tree and the replacement count. Callers verify the
     * count against the typed symbol-reference count — a disagreement
     * (name shadowing the typed/untyped walks see differently) skips the
-    * rewrite entirely rather than mis-substituting. */
+    * rewrite entirely rather than mis-substituting. Shadowing scopes the
+    * skip models EXACTLY: a Function param (whole body shadowed) and a
+    * CaseDef pattern bind (guard+body shadowed). Scopes it cannot split
+    * precisely — a Block whose stats rebind `n` as a val/def (occurrences
+    * BEFORE the binding are free, after are not) or a local def with a
+    * shadowing param — POISON the count (-1) so the caller declines;
+    * skipping or descending either one could pair an over- and an
+    * under-count into a passing total that substitutes the wrong sites. */
   private def substFreeName(t: Tree, n: TermName, rep: Tree): (Tree, Int) = {
     var cnt = 0
+    var poisoned = false
     val tr = new Transformer {
       override def transform(x: Tree): Tree = x match {
         case Ident(`n`) => cnt += 1; rep.duplicate
         case f @ Function(ps, _) if ps.exists(_.name == n) => f
+        case d: DefDef if d.name == n ||
+            d.vparamss.exists(_.exists(_.name == n)) =>
+          poisoned = true; d
         case b @ Block(stats, _) if stats.exists {
             case vd: ValDef => vd.name == n
-            case _ => false } => b
+            case dd: DefDef => dd.name == n
+            case _ => false } =>
+          poisoned = true; b
         case m @ Match(sel, cases) =>
           treeCopy.Match(m, transform(sel), cases.map { cd =>
             if (bindNames(cd.pat).contains(n)) cd
@@ -1779,7 +1793,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
         case _ => super.transform(x)
       }
     }
-    (tr.transform(t), cnt)
+    val res = tr.transform(t)
+    (res, if (poisoned) -1 else cnt)
   }
 
   /** References to symbol `s` in `t` (typed tree, Ident occurrences). */
@@ -1823,23 +1838,50 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
-  /** A tuple pattern of PLAIN binds `(a, b, ...)` — each component a
-    * `Bind(name, _)` — on typed or untyped trees. Returns the bind names
-    * in component order. */
+  /** A genuine `scala.TupleN` pattern of PLAIN binds `(a, b, ...)` — each
+    * component a `Bind(name, _)` — on typed or untyped trees. Returns the
+    * bind names in component order. The constructor must BE a TupleN
+    * (typed: by the pattern's type symbol; untyped: by the ctor name) —
+    * a custom extractor with plain binds must NOT match: its components
+    * need not align positionally with a tuple yield, and a partial
+    * extractor's refutation check is not the identity. */
   private object TuplePat {
     def unapply(p: Tree): Option[List[TermName]] = {
-      val args = p match {
-        case Apply(_, as) => Some(as)
-        case UnApply(_, as) => Some(as)
+      val funArgs: Option[(Tree, List[Tree])] = p match {
+        case Apply(f, as) => Some((f, as))
+        case UnApply(f, as) => Some((f, as))
         case _ => None
       }
-      args.flatMap { as =>
-        val names = as.map {
-          case Bind(n: TermName, Ident(termNames.WILDCARD)) => Some(n)
-          case _ => None
+      funArgs.flatMap { case (f, as) =>
+        val n = as.length
+        val typedTuple = p.tpe != null && p.tpe.typeSymbol != null &&
+          p.tpe.typeSymbol != NoSymbol &&
+          p.tpe.typeSymbol.fullName == s"scala.Tuple$n"
+        if (!typedTuple && !tupleFun(f, n)) None
+        else {
+          val names = as.map {
+            case Bind(nm: TermName, Ident(termNames.WILDCARD)) => Some(nm)
+            case _ => None
+          }
+          if (names.nonEmpty && names.forall(_.isDefined)) Some(names.flatten)
+          else None
         }
-        if (names.nonEmpty && names.forall(_.isDefined)) Some(names.flatten)
-        else None
+      }
+    }
+    private def tupleFun(f: Tree, n: Int): Boolean = {
+      def bySym = f.symbol != null && f.symbol != NoSymbol && {
+        val fn = f.symbol.fullName
+        fn == s"scala.Tuple$n" || fn == s"scala.Tuple$n.apply" ||
+          fn == s"scala.Tuple$n.unapply"
+      }
+      f match {
+        case Ident(nm) => nm.toString == s"Tuple$n" || bySym
+        case Select(_, nm) =>
+          nm.toString == s"Tuple$n" || nm.toString == "unapply" && bySym || bySym
+        case Apply(inner, _) => tupleFun(inner, n) // UnApply's fun is a call
+        case TypeApply(inner, _) => tupleFun(inner, n)
+        case tt: TypeTree if tt.original != null => tupleFun(tt.original, n)
+        case _ => bySym
       }
     }
   }
@@ -1890,12 +1932,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
     val dbg = sys.props.contains("graft.unnest.debug")
     def trace(msg: => String): Unit =
       if (dbg) c.info(c.enclosingPosition, s"unnest: $msg", force = true)
-    val cand = gens.zipWithIndex.drop(1).collectFirst {
-      case (g, i) if binderNames(g.pat).isDefined &&
+    val cand = gens.zipWithIndex.drop(1).iterator.map { case (g, i) =>
+      if (binderNames(g.pat).isDefined &&
           usesAny(stripRefutCheck(g.bag), syms.take(i).flatten) &&
-          !isLocalBagCtor(g.bag) && walk(stripRefutCheck(g.bag), Nil).isDefined =>
-        (g, i, walk(stripRefutCheck(g.bag), Nil).get)
-    }
+          !isLocalBagCtor(g.bag))
+        walk(stripRefutCheck(g.bag), Nil).map(w => (g, i, w))
+      else None
+    }.collectFirst { case Some(x) => x }
     if (dbg && cand.isEmpty)
       trace("no candidate: " + gens.zipWithIndex.drop(1).map { case (g, i) =>
         s"[$i pat=${g.pat.map(showRaw(_))} bn=${binderNames(g.pat)} " +

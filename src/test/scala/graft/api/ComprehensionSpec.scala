@@ -1215,6 +1215,45 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "keep a user guard spelled as a two-case boolean match (not the refut check)" in {
+    // the guard's shape coincides with scalac's check$ifrefutable (a
+    // 2-case true/false match) — only the REAL check (param named
+    // check$ifrefutable$N) may be dropped as identity
+    val xs = bagL(1L to 6L)
+    val ys = bagL(1L to 9L)
+    val r = onSpark {
+      for {
+        x <- xs
+        v <- (for { y <- ys; if y % 3 == x % 3 } yield (y, y * 2L))
+        if (v match { case (1L, _) => true; case _ => false })
+      } yield (x, v._1, v._2)
+    }
+    val seqRef = for {
+      x <- 1L to 6L
+      v <- (for { y <- 1L to 9L; if y % 3 == x % 3 } yield (y, y * 2L))
+      if (v match { case (1L, _) => true; case _ => false })
+    } yield (x, v._1, v._2)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "not treat a custom extractor with plain binds as a tuple pattern" in {
+    // Swap's components are NOT positionally the tuple's — substituting
+    // a->first, b->second would silently swap every row; must abort
+    """
+    object Swap { def unapply(t: (Long, Long)): Option[(Long, Long)] = Some((t._2, t._1)) }
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; Swap(a, b) <- (for { y <- ys; if y == x } yield (y, y * 2L)) } yield (x, a, b) }
+    """ shouldNot compile
+    // a local def whose param shadows the binder name poisons the
+    // name-keyed substitution count — decline (abort), never over-replace
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark { for { x <- xs; w <- (for { y <- ys; if y == x } yield y) } yield { def g(w: Long) = w * 2; g(w) } }
+    """ shouldNot compile
+  }
+
   it should "still reject dependent bags that are not comprehension chains" in {
     // a method call building a DataBag from the row: not a spliceable
     // chain — the one-job-per-element cliff aborts as before
