@@ -1815,76 +1815,89 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case _ => None
     }
 
-  /** A literal TupleN construction `(e1, ..., eN)` on typed or untyped
-    * trees (untypecheck spells it `scala.TupleN.apply(e1, ..., eN)`). */
-  private object TupleCtor {
-    def unapply(t: Tree): Option[List[Tree]] = t match {
-      case Apply(TypeApply(f, _), args) if isTupleApply(f, args.length) => Some(args)
-      case Apply(f, args) if isTupleApply(f, args.length) => Some(args)
-      case _ => None
-    }
-    private def isTupleApply(f: Tree, n: Int): Boolean = {
-      val bySym = f.symbol != null && f.symbol != NoSymbol &&
-        f.symbol.fullName == s"scala.Tuple$n.apply"
-      def tn(q: Tree): Boolean = q match {
-        case Ident(TermName(m)) => m == s"Tuple$n"
-        case Select(_, TermName(m)) => m == s"Tuple$n"
-        case _ => false
-      }
-      bySym || (f match {
-        case Select(q, TermName("apply")) => tn(q)
+  /** TYPED positional-constructor PATTERN of plain binds over a CASE
+    * class — `(a, b) <- ...` (tuples are case classes) or
+    * `P(a, b) <- ...`. Returns (bind names in component order, the class
+    * symbol). Strictly the Apply-form scalac gives case-CLASS patterns;
+    * an UnApply (custom extractor) must NOT match: its components need
+    * not align positionally with the constructor call, and a partial
+    * extractor's refutation check is not the identity. Arity must equal
+    * the single primary-constructor parameter list. */
+  private def casePat(p: Tree): Option[(List[TermName], Symbol)] = p match {
+    case Apply(_, as) if p.tpe != null && p.tpe.typeSymbol != null &&
+        p.tpe.typeSymbol != NoSymbol && p.tpe.typeSymbol.isClass &&
+        p.tpe.typeSymbol.asClass.isCaseClass =>
+      val cls = p.tpe.typeSymbol
+      val ctor = cls.asClass.primaryConstructor
+      val okArity = ctor != NoSymbol && (ctor.asMethod.paramLists match {
+        case List(ps) => ps.length == as.length
         case _ => false
       })
-    }
-  }
-
-  /** A genuine `scala.TupleN` pattern of PLAIN binds `(a, b, ...)` — each
-    * component a `Bind(name, _)` — on typed or untyped trees. Returns the
-    * bind names in component order. The constructor must BE a TupleN
-    * (typed: by the pattern's type symbol; untyped: by the ctor name) —
-    * a custom extractor with plain binds must NOT match: its components
-    * need not align positionally with a tuple yield, and a partial
-    * extractor's refutation check is not the identity. */
-  private object TuplePat {
-    def unapply(p: Tree): Option[List[TermName]] = {
-      val funArgs: Option[(Tree, List[Tree])] = p match {
-        case Apply(f, as) => Some((f, as))
-        case UnApply(f, as) => Some((f, as))
+      val names = as.map {
+        case Bind(nm: TermName, Ident(termNames.WILDCARD)) => Some(nm)
         case _ => None
       }
-      funArgs.flatMap { case (f, as) =>
-        val n = as.length
-        val typedTuple = p.tpe != null && p.tpe.typeSymbol != null &&
-          p.tpe.typeSymbol != NoSymbol &&
-          p.tpe.typeSymbol.fullName == s"scala.Tuple$n"
-        if (!typedTuple && !tupleFun(f, n)) None
-        else {
-          val names = as.map {
-            case Bind(nm: TermName, Ident(termNames.WILDCARD)) => Some(nm)
-            case _ => None
-          }
-          if (names.nonEmpty && names.forall(_.isDefined)) Some(names.flatten)
-          else None
-        }
-      }
-    }
-    private def tupleFun(f: Tree, n: Int): Boolean = {
-      def bySym = f.symbol != null && f.symbol != NoSymbol && {
-        val fn = f.symbol.fullName
-        fn == s"scala.Tuple$n" || fn == s"scala.Tuple$n.apply" ||
-          fn == s"scala.Tuple$n.unapply"
-      }
-      f match {
-        case Ident(nm) => nm.toString == s"Tuple$n" || bySym
-        case Select(_, nm) =>
-          nm.toString == s"Tuple$n" || nm.toString == "unapply" && bySym || bySym
-        case Apply(inner, _) => tupleFun(inner, n) // UnApply's fun is a call
-        case TypeApply(inner, _) => tupleFun(inner, n)
-        case tt: TypeTree if tt.original != null => tupleFun(tt.original, n)
-        case _ => bySym
-      }
-    }
+      if (okArity && names.nonEmpty && names.forall(_.isDefined))
+        Some((names.flatten, cls))
+      else None
+    case _ => None
   }
+
+  /** TYPED positional construction of `cls` — the SYNTHETIC companion
+    * `apply` (case classes and tuples) or the primary constructor — whose
+    * components therefore align positionally with [[casePat]]'s binds.
+    * A non-synthetic (user-defined) apply must not match. */
+  private def caseYield(t: Tree, cls: Symbol): Option[List[Tree]] = t match {
+    case Apply(f, comps) if t.tpe != null && t.tpe.typeSymbol == cls &&
+        f.symbol != null && f.symbol != NoSymbol &&
+        ((f.symbol.isSynthetic && f.symbol.name == TermName("apply")) ||
+          f.symbol == cls.asClass.primaryConstructor) =>
+      Some(comps)
+    case _ => None
+  }
+
+  /** Does an UNTYPED constructor/pattern fun tree mention the class's
+    * simple name? (untypecheck renders `(x, y)` as `scala.TupleN.apply(x,
+    * y)` and a typed pattern's TypeTree as its original.) Used only for
+    * typed-vs-untyped agreement — the strict adjudication is [[casePat]]/
+    * [[caseYield]] on the typed tree. */
+  private def mentionsCtorName(f: Tree, simple: String): Boolean = f match {
+    case Ident(n) => n.toString == simple
+    case Select(q, n) => n.toString == simple ||
+      ((n == TermName("apply") || n == termNames.CONSTRUCTOR) &&
+        mentionsCtorName(q, simple))
+    case New(tpt) => mentionsCtorName(tpt, simple)
+    case TypeApply(inner, _) => mentionsCtorName(inner, simple)
+    case Apply(inner, _) => mentionsCtorName(inner, simple)
+    case AppliedTypeTree(inner, _) => mentionsCtorName(inner, simple)
+    case Annotated(_, inner) => mentionsCtorName(inner, simple)
+    case tt: TypeTree if tt.original != null => mentionsCtorName(tt.original, simple)
+    case _ => f.symbol != null && f.symbol != NoSymbol &&
+      (f.symbol.name.toString == simple || f.symbol.owner.name.toString == simple)
+  }
+
+  /** UNTYPED twin of [[casePat]]: plain binds under a ctor pattern whose
+    * fun mentions `simple`. */
+  private def untypedPatNames(p: Tree, simple: String): Option[List[TermName]] =
+    p match {
+      case Apply(f, as) if mentionsCtorName(f, simple) =>
+        val names = as.map {
+          case Bind(nm: TermName, Ident(termNames.WILDCARD)) => Some(nm)
+          case _ => None
+        }
+        if (names.nonEmpty && names.forall(_.isDefined)) Some(names.flatten)
+        else None
+      case _ => None
+    }
+
+  /** UNTYPED twin of [[caseYield]]: an n-ary ctor call mentioning
+    * `simple`. */
+  private def untypedCtorComps(t: Tree, simple: String, n: Int): Option[List[Tree]] =
+    t match {
+      case Apply(f, comps) if comps.length == n && mentionsCtorName(f, simple) =>
+        Some(comps)
+      case _ => None
+    }
 
   /** The reference's UnnestGenerator rule (emma-language
     * lang/comprehension/Normalize.scala:44-52) for the DEPENDENT case the
@@ -1926,8 +1939,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
     // arity (each bind name -> its component expression)
     def binderNames(pat: Option[Tree]): Option[List[TermName]] = pat match {
       case None => Some(Nil) // sentinel: plain (names resolved per side)
-      case Some(TuplePat(names)) => Some(names)
-      case _ => None
+      case Some(pt) => casePat(pt).map(_._1)
     }
     val dbg = sys.props.contains("graft.unnest.debug")
     def trace(msg: => String): Unit =
@@ -1961,42 +1973,53 @@ class ComprehensionMacro(val c: blackbox.Context) {
         trace(s"parts ok; ypat=${parts.get._3.map(showRaw(_))}; typedE=${showRaw(typedE)}")
       parts.flatMap { case (mT, yvT, ypatT, restT) =>
         val inner = innerNames.toSet
-        // typed substitution spec: (name, typed symbol, component index);
-        // index -1 = the whole inner yield (plain binder)
-        val specT: Option[List[(TermName, Symbol, Int)]] = ypatT match {
-          case None => Some(List((yvT.name, yvT.symbol, -1)))
-          case Some(pt) => (TuplePat.unapply(pt), typedE) match {
-            case (Some(names), TupleCtor(comps)) if names.length == comps.length =>
-              val ss = bindSyms(pt)
-              if (ss.length == names.length)
-                Some(names.zip(ss).zipWithIndex.map { case ((n, s), k) => (n, s, k) })
-              else None
-            case _ => None
+        // typed substitution spec: (name, typed symbol, component index),
+        // plus the pattern's class symbol when destructuring; index -1 =
+        // the whole inner yield (plain binder)
+        val specT: Option[(List[(TermName, Symbol, Int)], Option[Symbol])] =
+          ypatT match {
+            case None => Some((List((yvT.name, yvT.symbol, -1)), None))
+            case Some(pt) => casePat(pt) match {
+              case Some((names, cls)) => caseYield(typedE, cls) match {
+                case Some(comps) if names.length == comps.length =>
+                  val ss = bindSyms(pt)
+                  if (ss.length == names.length)
+                    Some((names.zip(ss).zipWithIndex.map {
+                      case ((n, s), k) => (n, s, k) }, Some(cls)))
+                  else None
+                case _ => None
+              }
+              case None => None
+            }
           }
-        }
-        // guards at the binder's level must carry the same binder shape;
-        // their substitution symbols are their OWN lambda/pattern binds
-        def guardSpec(g: Guard, names: List[TermName]): Option[List[Symbol]] =
+        // guards at the binder's level must carry the same binder shape
+        // (same class, same bind names); their substitution symbols are
+        // their OWN lambda/pattern binds
+        def guardSpec(g: Guard, names: List[TermName],
+            patCls: Option[Symbol]): Option[List[Symbol]] =
           (g.pat, names) match {
-            case (None, List(n)) if g.v.name == n => Some(List(g.v.symbol))
-            case (Some(pt), _) => TuplePat.unapply(pt) match {
-              case Some(gn) if gn == names => Some(bindSyms(pt))
+            case (None, List(n)) if g.v.name == n && patCls.isEmpty =>
+              Some(List(g.v.symbol))
+            case (Some(pt), _) => casePat(pt) match {
+              case Some((gn, gcls)) if gn == names && patCls.contains(gcls) =>
+                Some(bindSyms(pt))
               case _ => None
             }
             case _ => None
           }
-        specT.flatMap { spec =>
+        specT.flatMap { case (spec, patCls) =>
           val names = spec.map(_._1)
+          val clsSimple = patCls.map(_.name.toString)
           // scalac's check$ifrefutable guard is the identity here (the
           // pattern is an irrefutable tuple of plain binds over a tuple
           // yield) and the pattern disappears entirely after substitution
           // — drop it on both the typed and the untyped side
           val realGuards = tg.guards.filterNot(isRefutCheckGuard)
-          val gSpecs = realGuards.map(g => guardSpec(g, names))
+          val gSpecs = realGuards.map(g => guardSpec(g, names, patCls))
           // the components substituted for the binder(s)
           val typedComps: List[Tree] =
             if (spec.head._3 == -1) List(typedE)
-            else TupleCtor.unapply(typedE).get
+            else caseYield(typedE, patCls.get).get
           // capture safety: the substituted expressions' free names must
           // not be re-bound inside the trees they are substituted into
           // (nor collide with the bind names — sequential substitution
@@ -2038,8 +2061,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
               un match {
                 case Call1(recvU, mU, GenLam(uv, upat, restU)) if mU == mT &&
                     ((upat.isEmpty && ypatT.isEmpty && uv.name == names.head) ||
-                      (upat.nonEmpty && ypatT.nonEmpty &&
-                        upat.flatMap(TuplePat.unapply).contains(names))) =>
+                      (upat.nonEmpty && ypatT.nonEmpty && clsSimple.exists(cs =>
+                        upat.flatMap(untypedPatNames(_, cs)).contains(names)))) =>
                   val (ibagU0, yGuardsU0) = FilterChain.unapply(recvU).get
                   val ibagU = stripRefutCheck(ibagU0)
                   val yGuardsU = yGuardsU0.filterNot(isRefutCheckGuard)
@@ -2049,8 +2072,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
                       case Call1(base, TermName("map"), GenLam(zv, zpat, e)) =>
                         val compsU: Option[List[Tree]] =
                           if (spec.head._3 == -1) Some(List(e))
-                          else TupleCtor.unapply(e)
-                            .filter(_.length == names.length)
+                          else clsSimple.flatMap(cs =>
+                            untypedCtorComps(e, cs, names.length))
                         compsU.flatMap { cs =>
                           val subGs = yGuardsU.zip(expectGuards).map {
                             case (g, exp) => substAll(g.cond, cs, exp)

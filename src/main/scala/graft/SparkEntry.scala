@@ -17,6 +17,8 @@ case class CustRow(c_custkey: Long, c_name: String, c_acctbal: Double)
 case class UEdge(s: Long, d: Long)
 case class OrderYearRow(o_year: Long, o_totalprice: Double)
 case class ShipYearRow(l_year: Long, l_quantity: Double)
+/** Inner-yield row for the case-class unnest gate (q243). */
+case class PayInfo(o_orderkey: Long, cents: Long)
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle in [[SparkEntry.oracleSql]]
@@ -3629,6 +3631,34 @@ object SparkEntry {
         } yield (cu.c_custkey, ok, cents)
       }
       res.ds.toDF("c_custkey", "o_orderkey", "cents")
+    }),
+
+    // CASE-CLASS-bound unnesting: the nested generator destructures a
+    // case-class inner yield (`PayInfo(ok, cents) <- ... yield
+    // PayInfo(...)`). The synthetic companion apply and the case pattern
+    // are positional inverses, so each bind substitutes its constructor
+    // argument and the case class vanishes from the flattened chain — a
+    // custom extractor (whose components need not align) still aborts.
+    "q243_comprehension_unnest_case_class" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          PayInfo(ok, cents) <- (for {
+            o <- orders
+            if o.o_custkey == cu.c_custkey
+          } yield PayInfo(o.o_orderkey,
+            (o.o_totalprice * 100 + 0.5).floor.toLong))
+          if cents >= 10000000L
+        } yield (cu.c_custkey, ok, cents)
+      }
+      res.ds.toDF("c_custkey", "o_orderkey", "cents")
     })
   )
 
@@ -5567,6 +5597,12 @@ object SparkEntry {
         "WHERE CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000"),
 
     "q242_comprehension_unnest_pattern" ->
+      ("SELECT cu.c_custkey, o.o_orderkey, " +
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000"),
+
+    "q243_comprehension_unnest_case_class" ->
       ("SELECT cu.c_custkey, o.o_orderkey, " +
         "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
         "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +

@@ -12,6 +12,8 @@ import graft.api.comprehensions.onSpark
   * exactly what the explicit equiJoin returns; unmatched shapes must pass
   * through unchanged. */
 case class TriEdge(src: Long, dst: Long)
+/** Inner-yield row for the case-class unnest shape. */
+case class PayRow(ok: Long, cents: Long)
 
 class ComprehensionSpec extends AnyFlatSpec with Matchers {
 
@@ -1212,6 +1214,28 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
         if y % 2 == u % 2
       } yield u * 1000L + y)
     } yield (x, v)
+    r.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "unnest a CASE-CLASS-bound nested generator (synthetic ctor alignment)" in {
+    val xs = bagL(1L to 10L)
+    val ys = bagL(1L to 14L)
+    val r = onSpark {
+      for {
+        x <- xs
+        PayRow(ok, cents) <- (for { y <- ys; if y % 4 == x % 4 }
+          yield PayRow(y, y * 3L))
+        if cents % 2 == 0L
+      } yield (x, ok, cents)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    val seqRef = for {
+      x <- 1L to 10L
+      PayRow(ok, cents) <- (for { y <- 1L to 14L; if y % 4 == x % 4 }
+        yield PayRow(y, y * 3L))
+      if cents % 2 == 0L
+    } yield (x, ok, cents)
     r.collect().sorted shouldBe seqRef.sorted
   }
 
