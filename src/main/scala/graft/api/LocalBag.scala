@@ -95,6 +95,39 @@ final class LocalBag[A](val values: Seq[A]) extends Serializable {
   def writeText(path: String)(implicit ev: A <:< String): Unit =
     LocalBag.writeLines(path, values.map(ev), "UTF-8")
 
+  /** Write one Parquet file — no SparkSession, via parquet-mr's example
+    * Group API (the reference's local backend writes Parquet the same
+    * way, io/parquet/ParquetScalaSupport.scala). Column names match the
+    * distributed twin's Dataset columns (`value` / `_1.._n`), so
+    * [[DataBag.readParquet]] reads these files directly. */
+  def writeParquet(path: String, format: Parquet = Parquet())(
+      implicit pc: ParquetConverter[A]): Unit = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(pc.schema, conf)
+    val codec = CompressionCodecName.valueOf(format.codec.toUpperCase match {
+      case "NONE" => "UNCOMPRESSED"
+      case other => other
+    })
+    val target = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(target)) java.nio.file.Files.delete(target)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf).withType(pc.schema).withCompressionCodec(codec)
+      .build()
+    try {
+      val factory = new SimpleGroupFactory(pc.schema)
+      values.foreach { a =>
+        val g = factory.newGroup()
+        pc.write(g, a)
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
+
   // --------------------------------------------------------------- conversion
   def collect(): Seq[A] = values
   override def toString: String = values.mkString("LocalBag(", ", ", ")")
@@ -119,6 +152,44 @@ object LocalBag {
     * [[DataBag.writeText]] — one element per line, no SparkSession. */
   def readText(path: String): LocalBag[String] =
     new LocalBag(readLines(path, "UTF-8").flatten)
+
+  /** Read a Parquet file — or a directory of `part-*` files as written by
+    * [[DataBag.writeParquet]] — without a SparkSession, via parquet-mr's
+    * example Group API. Fields are read BY NAME from each file's own
+    * schema, so both the local single-file layout and Spark's part-file
+    * output parse identically. */
+  def readParquet[A](path: String)(
+      implicit pc: ParquetConverter[A]): LocalBag[A] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    val files: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val stream = java.nio.file.Files.list(p)
+        try stream.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }.toSeq.sortBy(_.getFileName.toString)
+        finally stream.close()
+      } else Seq(p)
+    val conf = new Configuration()
+    val out = Seq.newBuilder[A]
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f.toString))
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += pc.read(g)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    new LocalBag(out.result())
+  }
 
   /** Read a CSV file — or a `part-*` directory as written by
     * [[DataBag.writeCSV]] — without a SparkSession. With `header = true`

@@ -111,3 +111,127 @@ object CsvConverter {
           fe.read(fs(4)))
     }
 }
+
+/** One Parquet field's type + read/write pair over the parquet-mr example
+  * Group API — the driver-side analogue of the reference's per-type
+  * Parquet column converters (reference io/parquet/ParquetColumn.scala),
+  * powering [[LocalBag]]'s SparkSession-free Parquet IO. */
+trait ParquetField[A] extends Serializable {
+  def typ(name: String): org.apache.parquet.schema.Type
+  def write(g: org.apache.parquet.example.data.Group, name: String, a: A): Unit
+  def read(g: org.apache.parquet.example.data.Group, name: String): A
+}
+
+object ParquetField {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Type, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  implicit val string: ParquetField[String] = new ParquetField[String] {
+    def typ(name: String): Type = Types.required(BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    def write(g: Group, name: String, a: String): Unit =
+      g.add(name, Binary.fromString(a))
+    def read(g: Group, name: String): String =
+      g.getBinary(name, 0).toStringUsingUTF8
+  }
+  implicit val long: ParquetField[Long] = new ParquetField[Long] {
+    def typ(name: String): Type = Types.required(INT64).named(name)
+    def write(g: Group, name: String, a: Long): Unit = g.add(name, a)
+    def read(g: Group, name: String): Long = g.getLong(name, 0)
+  }
+  implicit val int: ParquetField[Int] = new ParquetField[Int] {
+    def typ(name: String): Type = Types.required(INT32).named(name)
+    def write(g: Group, name: String, a: Int): Unit = g.add(name, a)
+    def read(g: Group, name: String): Int = g.getInteger(name, 0)
+  }
+  implicit val double: ParquetField[Double] = new ParquetField[Double] {
+    def typ(name: String): Type = Types.required(DOUBLE).named(name)
+    def write(g: Group, name: String, a: Double): Unit = g.add(name, a)
+    def read(g: Group, name: String): Double = g.getDouble(name, 0)
+  }
+  implicit val float: ParquetField[Float] = new ParquetField[Float] {
+    def typ(name: String): Type = Types.required(FLOAT).named(name)
+    def write(g: Group, name: String, a: Float): Unit = g.add(name, a)
+    def read(g: Group, name: String): Float = g.getFloat(name, 0)
+  }
+  implicit val boolean: ParquetField[Boolean] = new ParquetField[Boolean] {
+    def typ(name: String): Type = Types.required(BOOLEAN).named(name)
+    def write(g: Group, name: String, a: Boolean): Unit = g.add(name, a)
+    def read(g: Group, name: String): Boolean = g.getBoolean(name, 0)
+  }
+}
+
+/** Whole-record Parquet codec: schema + row render/parse over parquet-mr
+  * Groups. Field NAMES match the distributed twin's Dataset columns —
+  * `value` for a single field, `_1.._n` for tuples — so files round-trip
+  * across [[LocalBag]] and [[DataBag]] in both directions. */
+trait ParquetConverter[A] extends Serializable {
+  def schema: org.apache.parquet.schema.MessageType
+  def write(g: org.apache.parquet.example.data.Group, a: A): Unit
+  def read(g: org.apache.parquet.example.data.Group): A
+}
+
+object ParquetConverter {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.{MessageType, Types}
+
+  private def msg(fields: Seq[org.apache.parquet.schema.Type]): MessageType = {
+    val b = Types.buildMessage()
+    fields.foreach(b.addField)
+    b.named("spark_schema")
+  }
+
+  implicit def single[A](implicit f: ParquetField[A]): ParquetConverter[A] =
+    new ParquetConverter[A] {
+      val schema: MessageType = msg(Seq(f.typ("value")))
+      def write(g: Group, a: A): Unit = f.write(g, "value", a)
+      def read(g: Group): A = f.read(g, "value")
+    }
+  implicit def tuple2[A, B](implicit fa: ParquetField[A],
+      fb: ParquetField[B]): ParquetConverter[(A, B)] =
+    new ParquetConverter[(A, B)] {
+      val schema: MessageType = msg(Seq(fa.typ("_1"), fb.typ("_2")))
+      def write(g: Group, t: (A, B)): Unit = {
+        fa.write(g, "_1", t._1); fb.write(g, "_2", t._2)
+      }
+      def read(g: Group): (A, B) = (fa.read(g, "_1"), fb.read(g, "_2"))
+    }
+  implicit def tuple3[A, B, C](implicit fa: ParquetField[A], fb: ParquetField[B],
+      fc: ParquetField[C]): ParquetConverter[(A, B, C)] =
+    new ParquetConverter[(A, B, C)] {
+      val schema: MessageType = msg(Seq(fa.typ("_1"), fb.typ("_2"), fc.typ("_3")))
+      def write(g: Group, t: (A, B, C)): Unit = {
+        fa.write(g, "_1", t._1); fb.write(g, "_2", t._2); fc.write(g, "_3", t._3)
+      }
+      def read(g: Group): (A, B, C) =
+        (fa.read(g, "_1"), fb.read(g, "_2"), fc.read(g, "_3"))
+    }
+  implicit def tuple4[A, B, C, D](implicit fa: ParquetField[A],
+      fb: ParquetField[B], fc: ParquetField[C],
+      fd: ParquetField[D]): ParquetConverter[(A, B, C, D)] =
+    new ParquetConverter[(A, B, C, D)] {
+      val schema: MessageType =
+        msg(Seq(fa.typ("_1"), fb.typ("_2"), fc.typ("_3"), fd.typ("_4")))
+      def write(g: Group, t: (A, B, C, D)): Unit = {
+        fa.write(g, "_1", t._1); fb.write(g, "_2", t._2)
+        fc.write(g, "_3", t._3); fd.write(g, "_4", t._4)
+      }
+      def read(g: Group): (A, B, C, D) =
+        (fa.read(g, "_1"), fb.read(g, "_2"), fc.read(g, "_3"), fd.read(g, "_4"))
+    }
+  implicit def tuple5[A, B, C, D, E](implicit fa: ParquetField[A],
+      fb: ParquetField[B], fc: ParquetField[C], fd: ParquetField[D],
+      fe: ParquetField[E]): ParquetConverter[(A, B, C, D, E)] =
+    new ParquetConverter[(A, B, C, D, E)] {
+      val schema: MessageType = msg(Seq(fa.typ("_1"), fb.typ("_2"),
+        fc.typ("_3"), fd.typ("_4"), fe.typ("_5")))
+      def write(g: Group, t: (A, B, C, D, E)): Unit = {
+        fa.write(g, "_1", t._1); fb.write(g, "_2", t._2)
+        fc.write(g, "_3", t._3); fd.write(g, "_4", t._4); fe.write(g, "_5", t._5)
+      }
+      def read(g: Group): (A, B, C, D, E) = (fa.read(g, "_1"), fb.read(g, "_2"),
+        fc.read(g, "_3"), fd.read(g, "_4"), fe.read(g, "_5"))
+    }
+}

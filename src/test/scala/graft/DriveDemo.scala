@@ -692,6 +692,10 @@ object DriveDemo {
       lb.writeCSV(s"$dir/lb.csv")
       val back = DataBag.readCSV[(Long, String)](s"$dir/lb.csv").collect().sorted
       println("localbag csv roundtrip via spark = " + back.mkString(";"))
+      lb.writeParquet(s"$dir/lb.parquet")
+      val backP = DataBag.readParquet[(Long, String)](s"$dir/lb.parquet")
+        .collect().sorted
+      println("localbag parquet roundtrip via spark = " + backP.mkString(";"))
       // deferred-fold fusion: 3 folds, one job
       import graft.api.alg._
       val bag = DataBag.from(spark.range(1000).as[Long])

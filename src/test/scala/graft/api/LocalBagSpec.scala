@@ -62,6 +62,35 @@ class LocalBagSpec extends AnyFlatSpec with Matchers {
     LocalBag.readText(s"$dir/t.txt") shouldBe texts
   }
 
+  it should "round-trip Parquet without a SparkSession and interoperate with DataBag" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft_localbag_parquet")
+    val rows = Seq((1L, "alpha", 10.5, true), (2L, "beta éü", -3.0, false),
+      (3L, "gamma", 0.125, true))
+    val bag = LocalBag.of(rows)
+    // local write -> local read (snappy default and uncompressed)
+    bag.writeParquet(s"$dir/local.parquet")
+    LocalBag.readParquet[(Long, String, Double, Boolean)](
+      s"$dir/local.parquet") shouldBe bag
+    bag.writeParquet(s"$dir/plain.parquet", Parquet(codec = "none"))
+    LocalBag.readParquet[(Long, String, Double, Boolean)](
+      s"$dir/plain.parquet") shouldBe bag
+    // local write -> DISTRIBUTED read (column names value/_1.._n align)
+    DataBag.readParquet[(Long, String, Double, Boolean)](s"$dir/local.parquet")
+      .collect().sorted shouldBe rows.sorted
+    // distributed write -> LOCAL read (a part-file directory)
+    DataBag(rows).writeParquet(s"$dir/dist_parquet")
+    LocalBag.readParquet[(Long, String, Double, Boolean)](s"$dir/dist_parquet")
+      .collect().sorted shouldBe rows.sorted
+    // single-column bags use Spark's `value` column name in both backends
+    val singles = Seq(5L, 7L, 11L)
+    LocalBag.of(singles).writeParquet(s"$dir/single.parquet")
+    DataBag.readParquet[Long](s"$dir/single.parquet").collect()
+      .sorted shouldBe singles.sorted
+    DataBag(singles).writeParquet(s"$dir/dist_single")
+    LocalBag.readParquet[Long](s"$dir/dist_single").collect()
+      .sorted shouldBe singles.sorted
+  }
+
   it should "interoperate with DataBag IO on the same files (both directions)" in {
     val dir = java.nio.file.Files.createTempDirectory("graft_localbag_interop")
     val rows = Seq((1L, "alpha", 10.5), (2L, "beta,comma", -3.0), (3L, "ga\"mma", 0.125))
