@@ -1705,29 +1705,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case _ => PostFilter
     }
 
-  /** Per level ≥ 2: the roles of its guards, with at most one JoinKey (the
-    * first; later key-shaped guards demote to post filters). Generator
-    * variables are identified by the symbols of the flatMap/map lambda
-    * params (or their pattern binds); each guard's OWN variables by its
-    * own lambda's param/pattern symbols. */
+  /** Per level ≥ 2: the roles of its guards. EVERY key-shaped guard keeps
+    * its JoinKey role — the rebuild tuples them into ONE composite-key
+    * equi join (the reference's MatchEquiJoin collects all equality
+    * guards the same way). Joining on a partial key and post-filtering
+    * the rest would be correct but explodes the intermediate when the
+    * partial key is low-cardinality or skewed. Generator variables are
+    * identified by the symbols of the flatMap/map lambda params (or their
+    * pattern binds); each guard's OWN variables by its own lambda's
+    * param/pattern symbols. */
   private def analyze(gens: List[Gen],
       claimed: List[List[Boolean]]): List[List[GuardRole]] = {
     val syms = gens.map(levelSyms)
     gens.zipWithIndex.drop(1).map { case (gen, i) =>
       val outer = syms.take(i).flatten
-      var keyTaken = false
       gen.guards.zip(claimed(i)).map {
         // a guard already claimed by the semi/anti or fold derivation must
-        // NOT consume the level's join-key slot: an Eq-shaped fold
-        // comparison (count(...) == z) would otherwise demote the genuine
-        // equality guard to a post filter and cross the level
+        // NOT consume a join-key slot: an Eq-shaped fold comparison
+        // (count(...) == z) would otherwise ride the composite key
         case (_, true) => PostFilter
-        case (g, false) =>
-          roleOf(outer, guardSyms(g), g.cond) match {
-            case JoinKey(sw) if !keyTaken => keyTaken = true; JoinKey(sw)
-            case JoinKey(_) => PostFilter
-            case other => other
-          }
+        case (g, false) => roleOf(outer, guardSyms(g), g.cond)
       }
     }
   }
@@ -2317,7 +2314,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
                   .map { case (((g, role), sp), gf) => (g, role, sp, gf) }
                 val own = tagged.collect {
                   case (g, OwnFilter, None, None) => g }
-                val key = tagged.collectFirst {
+                val keys = tagged.collect {
                   case (g, JoinKey(sw), None, None) => (g, sw) }
                 val post = tagged.collect {
                   case (g, PostFilter, None, None) => g }
@@ -2338,8 +2335,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
                   val y = gen.v.name
                   q"$acc.flatMap(${boundRef(binders, i - 1, p =>
                     q"$seqArg.map(${lam(y, q"(${Ident(p)}, ${Ident(y)})")})")})"
-                } else key match {
-                  case Some((g, swapped)) =>
+                } else keys match {
+                  case Nil =>
+                    q"$acc.cross($bag)"
+                  case List((g, swapped)) =>
                     val (accSide, newSide) = g.cond match {
                       case Eq(l, r) => if (swapped) (r, l) else (l, r)
                       case _ => c.abort(c.enclosingPosition, "internal: key guard shape changed")
@@ -2348,8 +2347,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
                     val kAcc = bound(binders, i - 1, accSide)
                     val kNew = binderLam(g.v.name, g.pat, newSide)
                     q"$acc.equiJoin($bag)($kAcc, $kNew)"
-                  case None =>
-                    q"$acc.cross($bag)"
+                  case more =>
+                    // COMPOSITE key: every equality guard contributes one
+                    // slot; the new-side tuple evaluates each guard's
+                    // expression under its OWN binder scope (shared-name
+                    // patterns must not cross-capture — underChainBinder)
+                    val sides = more.map { case (g, swapped) =>
+                      g.cond match {
+                        case Eq(l, r) => if (swapped) ((r, l), g) else ((l, r), g)
+                        case _ => c.abort(c.enclosingPosition,
+                          "internal: key guard shape changed")
+                      }
+                    }
+                    val kAcc = bound(binders, i - 1,
+                      q"(..${sides.map(_._1._1)})")
+                    val fp = TermName(c.freshName("k$"))
+                    val slots = sides.map { case ((_, newSide), g) =>
+                      underChainBinder(fp, (g.v.name, g.pat), newSide)
+                    }
+                    val kNew = lam(fp, q"(..$slots)")
+                    q"$acc.equiJoin($bag)($kAcc, $kNew)"
                 }
                 // demoted / mixed guards filter the joined pair; the guard's
                 // own binder (name or pattern) binds the NEW side

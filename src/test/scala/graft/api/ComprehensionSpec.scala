@@ -41,6 +41,33 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     joined.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "tuple MULTIPLE equality guards into one composite-key join" in {
+    val xs = bagL(1L to 40L)
+    val ys = bagL(1L to 40L)
+    val r = onSpark {
+      for { x <- xs; y <- ys; if x % 7 == y % 7; if y % 5 == x % 5; if x + y > 10L }
+        yield (x, y)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    // ONE join keyed on BOTH equalities — the second must not demote to a
+    // post filter over a partial-key join
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    joins shouldBe 1
+    val seqRef = for { x <- 1L to 40L; y <- 1L to 40L
+      if x % 7 == y % 7; if y % 5 == x % 5; if x + y > 10L } yield (x, y)
+    r.collect().sorted shouldBe seqRef.sorted
+    // spelled as one && conjunction: same derivation
+    val r2 = onSpark {
+      for { x <- xs; y <- ys; if x % 7 == y % 7 && y % 5 == x % 5 } yield (x, y)
+    }
+    val seqRef2 = for { x <- 1L to 40L; y <- 1L to 40L
+      if x % 7 == y % 7 && y % 5 == x % 5 } yield (x, y)
+    r2.collect().sorted shouldBe seqRef2.sorted
+  }
+
   it should "rewrite when the guard sides are swapped" in {
     val xs = bagL(1L to 20L)
     val ys = bagL(1L to 20L)
