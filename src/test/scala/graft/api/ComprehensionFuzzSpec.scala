@@ -147,6 +147,15 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
           if b >= t
         } yield (x, a, b)
         r9.collect().sorted shouldBe e9.sorted
+
+        // composite-key join: several equality guards tuple into ONE key
+        val r10 = onSpark {
+          for { x <- xs; y <- ys; if x % m == y % m; if y % 4 == x % 4
+                if x + y >= t } yield (x, y)
+        }
+        val e10 = for { x <- xsSeq; y <- ysSeq; if x % m == y % m
+          if y % 4 == x % 4; if x + y >= t } yield (x, y)
+        r10.collect().sorted shouldBe e10.sorted
       }
     }
   }
