@@ -826,9 +826,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
   }
   private def isRefutCheck(f: Tree): Boolean = f match {
     case Block(Nil, inner) => isRefutCheck(inner)
-    case Function(List(_), Match(_, List(
+    // the param-name gate keeps a USER filter that happens to be a 2-case
+    // true/false match from being stripped (and keeps this walk agreeing
+    // with isRefutCheckGuard's identically-gated guard drop)
+    case Function(List(vd), Match(_, List(
         CaseDef(_, EmptyTree, Literal(Constant(true))),
-        CaseDef(_, EmptyTree, Literal(Constant(false)))))) => true
+        CaseDef(_, EmptyTree, Literal(Constant(false)))))) =>
+      vd.name.toString.startsWith("check$ifrefutable")
     case _ => false
   }
 
@@ -1710,10 +1714,18 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * equi join (the reference's MatchEquiJoin collects all equality
     * guards the same way). Joining on a partial key and post-filtering
     * the rest would be correct but explodes the intermediate when the
-    * partial key is low-cardinality or skewed. Generator variables are
-    * identified by the symbols of the flatMap/map lambda params (or their
-    * pattern binds); each guard's OWN variables by its own lambda's
-    * param/pattern symbols. */
+    * partial key is low-cardinality or skewed (273x at 200k rows —
+    * PROFILE.md ProfileCompositeKey). Two consequences of riding the key,
+    * both shared with the FIRST equality guard since the original
+    * derivation and licensed by the comprehension-calculus purity
+    * contract (see FilterChain's conjunct-splitting note): key
+    * expressions are TOTAL — a later equality's sides evaluate on rows an
+    * earlier guard would have short-circuited away — and floating-point
+    * keys follow Spark join-key equality (NaN = NaN matches, unlike a
+    * Scala == post-filter). Generator variables are identified by the
+    * symbols of the flatMap/map lambda params (or their pattern binds);
+    * each guard's OWN variables by its own lambda's param/pattern
+    * symbols. */
   private def analyze(gens: List[Gen],
       claimed: List[List[Boolean]]): List[List[GuardRole]] = {
     val syms = gens.map(levelSyms)

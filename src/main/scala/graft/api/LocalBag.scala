@@ -108,12 +108,21 @@ final class LocalBag[A](val values: Seq[A]) extends Serializable {
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     val conf = new Configuration()
     GroupWriteSupport.setSchema(pc.schema, conf)
-    val codec = CompressionCodecName.valueOf(format.codec.toUpperCase match {
-      case "NONE" => "UNCOMPRESSED"
-      case other => other
-    })
+    val codec = CompressionCodecName.valueOf(
+      format.codec.toUpperCase(java.util.Locale.ROOT) match {
+        case "NONE" => "UNCOMPRESSED"
+        case other => other
+      })
+    // overwrite semantics matching the distributed twin's mode("overwrite"):
+    // the target may be a previous Spark-written part-file DIRECTORY
     val target = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(target)) java.nio.file.Files.delete(target)
+    if (java.nio.file.Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(target)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
     val writer = ExampleParquetWriter
       .builder(new org.apache.hadoop.fs.Path(path))
       .withConf(conf).withType(pc.schema).withCompressionCodec(codec)

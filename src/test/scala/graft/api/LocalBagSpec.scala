@@ -81,6 +81,10 @@ class LocalBagSpec extends AnyFlatSpec with Matchers {
     DataBag(rows).writeParquet(s"$dir/dist_parquet")
     LocalBag.readParquet[(Long, String, Double, Boolean)](s"$dir/dist_parquet")
       .collect().sorted shouldBe rows.sorted
+    // local OVERWRITE of the Spark-written DIRECTORY (mode-overwrite twin)
+    bag.writeParquet(s"$dir/dist_parquet")
+    LocalBag.readParquet[(Long, String, Double, Boolean)](
+      s"$dir/dist_parquet") shouldBe bag
     // single-column bags use Spark's `value` column name in both backends
     val singles = Seq(5L, 7L, 11L)
     LocalBag.of(singles).writeParquet(s"$dir/single.parquet")
