@@ -3659,6 +3659,31 @@ object SparkEntry {
         } yield (cu.c_custkey, ok, cents)
       }
       res.ds.toDF("c_custkey", "o_orderkey", "cents")
+    }),
+
+    // Composite-key equi join: BOTH equality guards key ONE join (the
+    // reference's MatchEquiJoin equality-guard collection). Joining on
+    // the first key alone (8-ish distinct mod values) and post-filtering
+    // the second would shuffle an intermediate |orders|x|lineitem|/k —
+    // the 100-TB blowup ProfileCompositeKey measures at 273x.
+    "q244_comprehension_composite_key" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          o <- orders
+          if o.o_custkey % 7 == cu.c_custkey % 7
+          if o.o_custkey == cu.c_custkey
+          if o.o_totalprice > 50000.0
+        } yield (cu.c_custkey, o.o_orderkey)
+      }
+      res.ds.toDF("c_custkey", "o_orderkey")
     })
   )
 
@@ -5606,7 +5631,13 @@ object SparkEntry {
       ("SELECT cu.c_custkey, o.o_orderkey, " +
         "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents " +
         "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
-        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000")
+        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) >= 10000000"),
+
+    "q244_comprehension_composite_key" ->
+      ("SELECT cu.c_custkey, o.o_orderkey " +
+        "FROM customer cu JOIN orders o " +
+        "ON o.o_custkey % 7 = cu.c_custkey % 7 AND o.o_custkey = cu.c_custkey " +
+        "WHERE o.o_totalprice > 50000.0")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer
