@@ -156,6 +156,24 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
         val e10 = for { x <- xsSeq; y <- ysSeq; if x % m == y % m
           if y % 4 == x % 4; if x + y >= t } yield (x, y)
         r10.collect().sorted shouldBe e10.sorted
+
+        // case-class unnest: the nested binder destructures a case-class
+        // inner yield; components substitute positionally
+        val r11 = onSpark {
+          for {
+            x <- xs
+            PayRow(ok, cents) <- (for { y <- ys; if y % m == x % m }
+              yield PayRow(y, y * t))
+            if cents % 2 == 0L
+          } yield (x, ok, cents)
+        }
+        val e11 = for {
+          x <- xsSeq
+          PayRow(ok, cents) <- (for { y <- ysSeq; if y % m == x % m }
+            yield PayRow(y, y * t))
+          if cents % 2 == 0L
+        } yield (x, ok, cents)
+        r11.collect().sorted shouldBe e11.sorted
       }
     }
   }
