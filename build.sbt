@@ -40,6 +40,12 @@ lazy val root = (project in file("."))
     ),
     Test / fork := true,
     run / fork := true,
+    // Bench/Verify print machine-read JSON lines on stdout; the default
+    // LoggedOutput strategy prefixes every forked line with "[info] ",
+    // which breaks the driver's line-wise JSON parse (BENCH parsed=null
+    // in rounds 1-9). StdoutOutput passes the forked JVM's stdout through
+    // verbatim.
+    run / outputStrategy := Some(OutputStrategy.StdoutOutput),
     javaOptions ++= jdk17AddOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",

@@ -107,7 +107,12 @@ object Bench {
     val noisy = results.collect { case (k, _, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
+    // per-query MIN alongside the median: min is the load-robust statistic
+    // (never inflated by a host-load window), so the machine-readable
+    // artifact carries both signals per query.
+    val mins = results.map { case (k, _, ok, _, mn, _) => "\"" + k + "\":" + (if (ok) mn else -1) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
     // Full per-query history as a FILE artifact: stdout tail buffers
     // truncate the line above at 170+ queries, and recorded medians on a
     // loaded host aren't triage-able without min/max spread. One JSON file
