@@ -2159,7 +2159,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
     lam(p, body)
   }
 
-  def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = {
+  def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = expandTop(expr)
+
+  /** One full expansion pass over a TYPED tree — the body behind the
+    * `onSpark` entry, directly recursable: [[deepRewrite]] calls it on
+    * chain subtrees found in driver-side positions of non-chain
+    * expressions (wrapping those subtrees in nested `onSpark` calls
+    * instead corrupts either materialized-encoder TypeCreator trees on a
+    * second untypecheck, or symbol owner chains when the typed subtree is
+    * re-parented). */
+  private def expandTop(expr: Tree): Tree = {
     val typedChain = flatten(expr)
     // generator-independent folds of a distributed bag hoist FIRST into
     // driver vals (the uncorrelated scalar subquery), then the macro
@@ -2557,13 +2566,102 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // cannot combine: error NOW, not per-element at runtime
       case _ =>
         expr match {
+          // method-spelling MatchFlatMap1 (ref Combination.scala:188-209):
+          // `xs.flatMap(x => DataBag(seq(x)))` — the inner ctor is provably
+          // a driver-shaped local Seq per element, so this lowers to the
+          // IterableOnce flatMap overload exactly like the comprehension
+          // spelling (`y <- DataBag(f(x))`); the receiver re-expands
+          case Call1(xs, TermName("flatMap"), GenLam(_, _, inner))
+              if isDataBag(xs) && ctorChainTyped(inner) =>
+            c.untypecheck(expr) match {
+              case Call1(uxs, TermName("flatMap"), GenLam(uv, upat, uinner)) =>
+                val arg = ctorChainArg(uinner).getOrElse(
+                  c.abort(c.enclosingPosition,
+                    "internal: flatMap ctor shape changed after untypecheck"))
+                q"_root_.graft.api.comprehensions.onSpark($uxs).flatMap(${binderLam(uv.name, upat, arg)})"
+              case _ =>
+                c.abort(c.enclosingPosition,
+                  "internal: flatMap ctor shape changed after untypecheck")
+            }
           case Call1(xs, TermName("flatMap"), GenLam(_, _, inner))
               if isDataBag(xs) && isDataBag(inner) =>
             c.abort(c.enclosingPosition,
               "onSpark could not derive joins for this comprehension shape; " +
               "use explicit equiJoin/cross or restructure the generators")
-          case _ => expr
+          case _ => deepRewrite(expr)
         }
+    }
+  }
+
+  /** The inner tree of a flatMap lambda is a (possibly block-wrapped)
+    * literal `DataBag(seq)` constructor — TYPED-side decision twin of
+    * [[ctorChainArg]]. */
+  private def ctorChainTyped(t: Tree): Boolean = t match {
+    case _ if isLocalBagCtor(t) => true
+    case Block(_, e) => ctorChainTyped(e)
+    case _ => false
+  }
+
+  /** Shape-only (untyped-side) extraction of the ctor's Seq argument,
+    * preserving any wrapping block's statements. */
+  private def ctorChainArg(t: Tree): Option[Tree] = t match {
+    case Call1(_, TermName("apply"), a) => Some(a)
+    case Block(stats, e) => ctorChainArg(e).map(a => Block(stats, a))
+    case _ => None
+  }
+
+  /** Default-case deep pass. The reference normalizes WHOLE programs to a
+    * fixpoint (Normalize.scala:44-52 rewrites every subtree); this macro
+    * re-expands instead: when the quoted expression is not itself a
+    * comprehension chain (a block of vals over several comprehensions, a
+    * tuple of them, a loop assigning one to a var, ...), each maximal
+    * derivable chain found in a DRIVER-side position is wrapped in a
+    * nested `onSpark` call and the typer re-expands it there. Function and
+    * local-def BODIES are never entered — a chain inside a lambda may
+    * execute on executors, where the rewrite's joins would crash; those
+    * shapes keep the existing per-case analysis (head/guard aborts).
+    * Without this pass a block spelling silently passed through to
+    * `DataBag.flatMap`'s distributed-inner overload and threw at RUNTIME —
+    * deriving here turns those programs into the same join plans as their
+    * chain-only spellings. */
+  private def deepRewrite(expr: Tree): Tree = {
+    // a chain at the ROOT was already analyzed by the per-case matches and
+    // deliberately passed through (plain map/filter shapes run correctly
+    // as-is) — do not re-wrap it or any node on its call spine (Call1
+    // strips implicit-arg Apply layers, so a child one level under the
+    // root can spuriously re-match the same chain)
+    if (isChainCandidate(expr)) return expr
+    var hits = 0
+    val tr = new Transformer {
+      override def transform(t: Tree): Tree = t match {
+        case _: Function | _: DefDef | _: ClassDef | _: ModuleDef => t
+        case _ if isChainCandidate(t) =>
+          // expand in place (single untypecheck inside expandTop); an
+          // unchanged result means the chain is a plain shape that runs
+          // correctly as-is — keep it typed and atomic either way
+          val r = expandTop(t)
+          if (r eq t) t else { hits += 1; r }
+        case _ => super.transform(t)
+      }
+    }
+    val out = tr.transform(expr)
+    // untypecheck the WHOLE result once (the battle-tested main-path
+    // idiom): replaced subtrees are untyped while their parents kept
+    // types, and the typer skips typed parents — it must re-descend
+    // through the full tree to adapt the new parts
+    if (hits == 0) expr else c.untypecheck(out)
+  }
+
+  /** A subtree worth re-expanding: a comprehension chain rooted at a
+    * distributed bag, or a direct flatMap whose inner is a bag (derivable
+    * ctor or abort-worthy distributed — both belong to the re-expanded
+    * macro's per-case analysis). */
+  private def isChainCandidate(t: Tree): Boolean = flatten(t) match {
+    case Some((gens, _)) => gens.nonEmpty && isDataBag(gens.head.bag)
+    case None => t match {
+      case Call1(xs, TermName("flatMap"), GenLam(_, _, inner))
+          if isDataBag(xs) && (isDataBag(inner) || ctorChainTyped(inner)) => true
+      case _ => false
     }
   }
 }

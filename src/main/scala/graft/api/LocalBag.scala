@@ -114,10 +114,30 @@ final class LocalBag[A](val values: Seq[A]) extends Serializable {
         case other => other
       })
     // overwrite semantics matching the distributed twin's mode("overwrite"):
-    // the target may be a previous Spark-written part-file DIRECTORY
+    // the target may be a previous Spark-written part-file DIRECTORY — but
+    // ONLY that: a directory holding anything other than prior bag output
+    // (part-*/_SUCCESS/*.parquet/*.crc entries) is refused instead of
+    // recursively deleted, so a mistyped path cannot silently lose an
+    // unrelated tree (Spark's own overwrite has the same bounded blast
+    // radius: it replaces its own output layout)
     val target = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(target)) {
       import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(target)) {
+        val entries = {
+          val s = java.nio.file.Files.list(target)
+          try s.iterator().asScala.map(_.getFileName.toString).toList
+          finally s.close()
+        }
+        val foreign = entries.filterNot { n =>
+          n.startsWith("part-") || n == "_SUCCESS" || n.startsWith("._SUCCESS") ||
+            n.endsWith(".parquet") || n.endsWith(".crc") || n.startsWith(".part-")
+        }
+        require(foreign.isEmpty,
+          s"writeParquet refuses to overwrite '$path': directory contains " +
+          s"non-bag-output entries ${foreign.take(3).mkString(", ")} — " +
+          "delete it explicitly or pick a fresh path")
+      }
       val walk = java.nio.file.Files.walk(target)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.delete)
@@ -176,12 +196,24 @@ object LocalBag {
     val p = java.nio.file.Paths.get(path)
     val files: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(p)) {
-        val stream = java.nio.file.Files.list(p)
-        try stream.iterator().asScala.filter { f =>
+        val entries = {
+          val stream = java.nio.file.Files.list(p)
+          try stream.iterator().asScala.toSeq
+          finally stream.close()
+        }
+        // a Spark partitionBy layout nests key=value SUBDIRECTORIES; the
+        // flat reader would silently return only the top level's rows —
+        // fail loudly instead (read it with DataBag.readParquet)
+        val subdirs = entries.filter(java.nio.file.Files.isDirectory(_))
+        require(subdirs.isEmpty,
+          s"LocalBag.readParquet: '$path' contains subdirectories " +
+          s"(${subdirs.take(3).map(_.getFileName).mkString(", ")}) — " +
+          "partitioned layouts are not supported by the flat local reader; " +
+          "use DataBag.readParquet")
+        entries.filter { f =>
           val n = f.getFileName.toString
           n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-        }.toSeq.sortBy(_.getFileName.toString)
-        finally stream.close()
+        }.sortBy(_.getFileName.toString)
       } else Seq(p)
     val conf = new Configuration()
     val out = Seq.newBuilder[A]

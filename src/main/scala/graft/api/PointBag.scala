@@ -112,12 +112,62 @@ final class PointBag[K, V] private (
           updated ++ inserts
       }
     }, preservesPartitioning = true)
-    advance(next, bc)
+    advance(next, Some(bc))
     // the delta read: one job of |touched| tasks, not |parts|
     val keys = msgs.map(_._1).toSet
     PartitionPruningRDD.create(state, touched)
       .mapPartitions(_.filter { case (k, _) => keys(k) }, true)
       .collect().toMap
+  }
+
+  /** Apply a DISTRIBUTED delta: the messages hash-partition WITH the
+    * state's partitioner and each state partition zips its delta slice —
+    * the state side never shuffles (its blocks stay put; the ONLY
+    * ShuffledRDD in the new state's lineage is the delta's), closing the
+    * reference's IndexedRDD `multiputRDD` gap (SparkMutableBag.scala:39-50)
+    * for deltas too large for the driver. Deltas at or below
+    * `localThreshold` rows short-circuit to the driver-routed [[update]]
+    * (probed with one `limit(threshold+1)` job — no count), whose
+    * follow-up reads prune to the touched partitions.
+    *
+    * Message application order within one key follows the delta's
+    * post-shuffle partition order, which is NOT deterministic across runs
+    * — pre-aggregate per key upstream or use an order-insensitive `f`
+    * (same contract as [[MutableBag.update]]'s grouped messages). */
+  def updateBag[M](msgs: DataBag[(K, M)], localThreshold: Int = 10000)(
+      f: (K, Option[V], M) => Option[V]): Unit = {
+    val probe = msgs.ds.limit(localThreshold + 1).collect()
+    if (probe.length <= localThreshold) {
+      if (probe.nonEmpty) { val _ = update(probe.toSeq)(f) }
+      return
+    }
+    implicit val kTag: ClassTag[K] = ClassTag.AnyRef.asInstanceOf[ClassTag[K]]
+    implicit val mTag: ClassTag[M] = ClassTag.AnyRef.asInstanceOf[ClassTag[M]]
+    val delta: RDD[(K, M)] = msgs.ds.rdd.partitionBy(partitioner)
+    val next = state.zipPartitions(delta, preservesPartitioning = true) {
+      (stateIt, msgIt) =>
+        if (msgIt.isEmpty) stateIt // pass-through for untouched partitions
+        else {
+          val ms: Map[K, Seq[M]] = msgIt.toSeq.groupBy(_._1)
+            .view.mapValues(_.map(_._2)).toMap
+          val seen = scala.collection.mutable.HashSet.empty[K]
+          val updated = stateIt.map { case (k, v) =>
+            ms.get(k) match {
+              case None => (k, v)
+              case Some(list) =>
+                seen += k
+                (k, list.foldLeft(v)((acc, m) => f(k, Some(acc), m).getOrElse(acc)))
+            }
+          }
+          def inserts = ms.view.filterKeys(!seen(_)).toSeq
+            .sortBy(_._1.hashCode).iterator.flatMap { case (k, list) =>
+              list.foldLeft(Option.empty[V])((acc, m) => f(k, acc, m).orElse(acc))
+                .map(k -> _)
+            }
+          updated ++ inserts
+        }
+    }
+    advance(next, None)
   }
 
   /** Remove keys (touched-partition pass; absent keys are a no-op). */
@@ -131,7 +181,7 @@ final class PointBag[K, V] private (
         case Some(ks) => it.filter { case (k, _) => !ks(k) }
       }
     }, preservesPartitioning = true)
-    advance(next, bc)
+    advance(next, Some(bc))
   }
 
   /** Point lookup: one pruned job over the partitions owning `keys` —
@@ -167,8 +217,8 @@ final class PointBag[K, V] private (
   }
 
   private def advance(next: RDD[(K, V)],
-      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
-    pendingBcs += bc
+      bc: Option[org.apache.spark.broadcast.Broadcast[_]]): Unit = {
+    bc.foreach(pendingBcs += _)
     state = next
     sinceCompact += 1
     if (sinceCompact >= compactEvery) compact()
@@ -176,6 +226,7 @@ final class PointBag[K, V] private (
 
   private[graft] def currentChainLength: Int = sinceCompact
   private[graft] def pendingBroadcasts: Int = pendingBcs.size
+  private[graft] def stateDebugString: String = state.toDebugString
 }
 
 object PointBag {

@@ -131,10 +131,26 @@ object ParquetField {
   implicit val string: ParquetField[String] = new ParquetField[String] {
     def typ(name: String): Type = Types.required(BINARY)
       .as(LogicalTypeAnnotation.stringType()).named(name)
-    def write(g: Group, name: String, a: String): Unit =
+    def write(g: Group, name: String, a: String): Unit = {
+      // ParquetField schemas are all `required` (the CSV codecs share the
+      // non-null contract): a null String cannot be written, and a
+      // Spark-written file whose string column is optional-with-nulls
+      // cannot be read back through this codec — name the field instead
+      // of NPEing inside parquet-mr
+      require(a != null,
+        s"ParquetField[String]: field '$name' is null — LocalBag Parquet " +
+        "fields are `required` (non-null); filter nulls or model the " +
+        "field as a sentinel before writing")
       g.add(name, Binary.fromString(a))
-    def read(g: Group, name: String): String =
+    }
+    def read(g: Group, name: String): String = {
+      require(g.getFieldRepetitionCount(name) > 0,
+        s"ParquetField[String]: field '$name' has no value in this row " +
+        "(optional/null column, likely Spark-written with nulls) — " +
+        "LocalBag's codec reads `required` fields only; use " +
+        "DataBag.readParquet for nullable data")
       g.getBinary(name, 0).toStringUsingUTF8
+    }
   }
   implicit val long: ParquetField[Long] = new ParquetField[Long] {
     def typ(name: String): Type = Types.required(INT64).named(name)

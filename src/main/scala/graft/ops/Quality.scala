@@ -78,24 +78,41 @@ object Quality {
   def train(docs: DataFrame, labels: DataFrame, idCol: String,
       textCol: String, lr: Double = 0.5, iters: Int = 40,
       l2: Double = 0.0, parts: Int = 8,
-      localThreshold: Int = 200000): (Array[Double], Double) = {
+      localThreshold: Int = 200000,
+      sizeHint: Long = -1L): (Array[Double], Double) = {
     // persist the featurized join: the size probe and whichever training
     // path runs share ONE featurize+join execution instead of two
     val data = features(docs, idCol, textCol)
       .join(labels.select(col("id"), col("y").cast("double").as("y")), "id")
       .persist()
     try {
-      val n = if (localThreshold > 0) data.count() else Long.MaxValue
-      if (localThreshold > 0 && n <= localThreshold) {
-        val rows = data.select(col("x"), col("y")).collect()
-          .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-        val (w, b, _) = graft.lib.ML.gdLocal(rows, dim = 8, lr = lr,
-          iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
-        (w, b)
-      } else {
-        val (w, b, _) = graft.lib.ML.gd(data.coalesce(parts), dim = 8, lr = lr,
-          iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
-        (w, b)
+      // path choice WITHOUT a dedicated count job: a caller-supplied
+      // sizeHint decides directly; otherwise collect AT MOST threshold+1
+      // rows — when the data fits, that single job IS the training set
+      // (rows come back in partition order, same as a full collect), and
+      // one extra row proves it doesn't, falling back to distributed GD
+      val probe: Option[Array[org.apache.spark.sql.Row]] =
+        if (localThreshold <= 0) None
+        else if (sizeHint >= 0) {
+          if (sizeHint <= localThreshold)
+            Some(data.select(col("x"), col("y")).collect())
+          else None
+        } else {
+          val rows = data.select(col("x"), col("y"))
+            .limit(localThreshold + 1).collect()
+          if (rows.length <= localThreshold) Some(rows) else None
+        }
+      probe match {
+        case Some(collected) =>
+          val rows = collected
+            .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+          val (w, b, _) = graft.lib.ML.gdLocal(rows, dim = 8, lr = lr,
+            iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
+          (w, b)
+        case None =>
+          val (w, b, _) = graft.lib.ML.gd(data.coalesce(parts), dim = 8, lr = lr,
+            iters = iters, lossFn = graft.lib.ML.LogisticLoss, l2 = l2)
+          (w, b)
       }
     } finally { data.unpersist(blocking = false); () }
   }

@@ -110,6 +110,50 @@ class PointBagSpec extends AnyFlatSpec with Matchers {
     got(49L) shouldBe 49.0
   }
 
+  it should "apply a distributed delta with NO state-side shuffle (updateBag)" in {
+    val pb = freshBag(200, parts = 8, compactEvery = 1000)
+    // above-threshold delta: forces the zip-partitions path (threshold 10)
+    val msgs = DataBag.from(spark.createDataset(
+      (0L until 100L).map(k => (k % 50, 1.0)))) // 2 msgs per key 0..49
+    val shufflesBefore = "ShuffledRDD".r.findAllIn(pb.stateDebugString).length
+    pb.updateBag(msgs, localThreshold = 10)((_, o, m) => Some(o.getOrElse(0.0) + m))
+    // the round adds exactly ONE shuffle to the lineage — the DELTA's
+    // partitionBy; the state side chains narrowly from its checkpoint
+    "ShuffledRDD".r.findAllIn(pb.stateDebugString).length shouldBe (shufflesBefore + 1)
+    // values: keys 0..49 gained +2, the rest untouched
+    val got = pb.bag().collect().toMap
+    (0L until 50L).foreach(k => got(k) shouldBe k.toDouble + 2.0)
+    (50L until 200L).foreach(k => got(k) shouldBe k.toDouble)
+    // point reads through the zipped chain still prune to touched partitions
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        val _ = tasks.addAndGet(ss.stageInfo.numTasks)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      pb.multiget(Seq(3L, 11L)) // both pid 3: ONE pruned task
+      val deadline = System.nanoTime() + 5000000000L
+      while (tasks.get() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      tasks.get() shouldBe 1
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  it should "route small deltas through the driver path and match update()" in {
+    val pbA = freshBag(60, parts = 8, compactEvery = 1000)
+    val pbB = freshBag(60, parts = 8, compactEvery = 1000)
+    val msgs = Seq((1L, 2.0), (9L, 3.0), (999L, 5.0)) // incl. an insert
+    val f: (Long, Option[Double], Double) => Option[Double] =
+      (_, o, m) => Some(o.getOrElse(0.0) + m)
+    // under the default threshold — routes via the driver path
+    pbA.updateBag(DataBag.from(spark.createDataset(msgs)))(f)
+    val _ = pbB.update(msgs)(f)
+    pbA.bag().collect().sorted shouldBe pbB.bag().collect().sorted
+  }
+
   it should "unpersist chain broadcasts at compaction and stay readable after" in {
     // the pass-through chain holds one broadcast per round until the
     // checkpoint cuts it; block reclamation must be deterministic (not

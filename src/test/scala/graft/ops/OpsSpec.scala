@@ -676,6 +676,19 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     conc shouldBe Map(0L -> 1L, 5L -> 2L, 10L -> 2L)
   }
 
+  it should "carry offsets across SUPER-bucket boundaries" in {
+    // bucketUs=1 makes bucket == t, so these intervals span several
+    // superFactor-sized super-buckets; the long interval must stay
+    // counted in every later super-bucket's carry-in
+    val sf = Sweep.superFactor
+    val iv = Seq((0L, 3 * sf + 10L), (sf + 4L, sf + 9L), (2 * sf + 7L, 3 * sf))
+      .toDF("s", "e")
+    val conc = Sweep.concurrency(iv, "s", "e", bucketUs = 1L)
+      .where(col("delta") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    conc shouldBe Map(0L -> 1L, (sf + 4L) -> 2L, (2 * sf + 7L) -> 2L)
+  }
+
   "Curation.percentileCut" should "keep rows at or below the discrete per-group percentile" in {
     // group g: values 1..10 -> p90 cut at cume_dist>=0.9 is 9 (9/10=0.9);
     // group h: all equal values -> cume_dist=1 for every row, all kept

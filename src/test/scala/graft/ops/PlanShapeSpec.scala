@@ -86,6 +86,20 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers {
     plan should include("Window")
   }
 
+  "Sweep.concurrency" should "run its only single-partition window over the super-bucket aggregate" in {
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L)).toDF("s", "e")
+    val plan = physical(Sweep.concurrency(iv, "s", "e", bucketUs = 8L))
+    // one global scan, over one-row-per-SUPER-bucket (the sweep_sb
+    // aggregate) — never over the per-bucket or per-event relation
+    "SinglePartition".r.findAllIn(plan).length shouldBe 1
+    // the subtree UNDER the single-partition exchange (printed after its
+    // line) must immediately aggregate by sweep_sb — the first aggregate
+    // below the funnel is the super-bucket rollup, not per-bucket/event
+    val below = plan.linesIterator.dropWhile(!_.contains("SinglePartition")).toSeq
+    val firstAgg = below.find(_.contains("HashAggregate")).get
+    firstAgg should include("sweep_sb")
+  }
+
   "Filters.filterReport" should "broadcast the filter dimension" in {
     val docs = Seq((1L, 10), (2L, 200)).toDF("id", "len")
     val plan = physical(Filters.filterReport(docs,

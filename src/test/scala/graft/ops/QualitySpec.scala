@@ -84,6 +84,55 @@ class QualitySpec extends AnyFlatSpec with Matchers {
     keptLocal shouldBe keptDist
   }
 
+  it should "probe the local path in ONE data job (no dedicated count)" in {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val model = Quality.train(docs, labels, "doc_id", "text", iters = 20)
+      Thread.sleep(300) // listener bus drains asynchronously
+      val defaultJobs = jobs.get()
+      // the limit-probe collect IS the training collect: the labels-side
+      // broadcast build plus executeTake's incremental partition sweep
+      // (at most two rounds here) — ONE data pass total, where a
+      // dedicated count() added a second full pass
+      defaultJobs should be <= 3
+      // a caller-supplied exact size hint must not add any job either, and
+      // trains the identical model
+      jobs.set(0)
+      val hinted = Quality.train(docs, labels, "doc_id", "text", iters = 20,
+        sizeHint = docs.count())
+      Thread.sleep(300)
+      // the caller's count() plus the hint path's single full collect —
+      // loose bound, the hard claim is the model identity below
+      jobs.get() should be <= (defaultJobs + 2)
+      hinted._1.toSeq shouldBe model._1.toSeq
+      hinted._2 shouldBe model._2
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  it should "fall back to distributed GD when the probe exceeds the threshold" in {
+    // localThreshold = 3 < |docs|: the limit-probe returns threshold+1
+    // rows, proving the data doesn't fit — identical to the forced
+    // distributed path (deterministic GD ⇒ exact equality)
+    val viaProbe = Quality.train(docs, labels, "doc_id", "text", iters = 15,
+      localThreshold = 3)
+    val forced = Quality.train(docs, labels, "doc_id", "text", iters = 15,
+      localThreshold = 0)
+    // same distributed GD; only the probe's partial cache materialization
+    // differs, which can reorder gradient SUMMATION (plan-variant FP
+    // drift, same bound as the local-vs-distributed pin above)
+    viaProbe._1.zip(forced._1).foreach { case (a, b) =>
+      math.abs(a - b) should be < 1e-9 * math.max(1.0, math.abs(b))
+    }
+    math.abs(viaProbe._2 - forced._2) should be < 1e-9
+  }
+
   it should "generalize to held-out docs of the same kinds" in {
     val held = (Seq((201L, "A plain sentence about nothing much at all but " +
       "written the ordinary way with small words")) ++
