@@ -19,6 +19,7 @@ case class OrderYearRow(o_year: Long, o_totalprice: Double)
 case class ShipYearRow(l_year: Long, l_quantity: Double)
 /** Inner-yield row for the case-class unnest gate (q243). */
 case class PayInfo(o_orderkey: Long, cents: Long)
+case class LineQtyRow(l_orderkey: Long, l_quantity: Double)
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle in [[SparkEntry.oracleSql]]
@@ -3684,6 +3685,58 @@ object SparkEntry {
         } yield (cu.c_custkey, o.o_orderkey)
       }
       res.ds.toDF("c_custkey", "o_orderkey")
+    }),
+
+    // Depth-3 dependent comprehension: the lineitem chain nests inside the
+    // orders chain which nests inside the customer chain, each level
+    // correlated with the one above. The UnnestGenerator splice re-expands
+    // per level (ref Normalize.scala:44-52 runs to fixpoint), flattening
+    // to customer JOIN orders JOIN lineitem with every correlation an equi
+    // key — ComprehensionSpec plan-asserts 2 joins, no cartesian.
+    "q245_comprehension_depth3" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val lines = DataBag.from(tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")).as[LineQtyRow])
+      val res = onSpark {
+        for {
+          cu <- custs
+          v <- (for {
+            o <- orders
+            if o.o_custkey == cu.c_custkey && o.o_totalprice > 200000.0
+            q <- (for {
+              l <- lines
+              if l.l_orderkey == o.o_orderkey && l.l_quantity > 45.0
+            } yield (l.l_quantity * 100 + 0.5).floor.toLong)
+          } yield q + o.o_orderkey)
+        } yield (cu.c_custkey, cu.c_name, v)
+      }
+      res.ds.toDF("c_custkey", "c_name", "v")
+    }),
+
+    // PointBag distributed-delta round: the orders relation (too large for
+    // the driver-routed point path) hash-partitions WITH the state's
+    // partitioner and zips partitions — the customer state never shuffles
+    // (PointBagSpec lineage-asserts exactly one ShuffledRDD added, the
+    // delta's). Integer cents keep the per-key fold order-insensitive.
+    "q246_pointbag_delta" -> ((s, d) => {
+      import s.implicits._
+      val state = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("cents"))
+        .as[(Long, Long)])
+      val pb = graft.api.PointBag(state, parts = 32)
+      val delta = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("m"))
+        .as[(Long, Long)])
+      pb.updateBag(delta)((_, old, m) => Some(old.getOrElse(0L) + m))
+      pb.bag().ds.toDF("c_custkey", "cents")
     })
   )
 
@@ -5637,7 +5690,21 @@ object SparkEntry {
       ("SELECT cu.c_custkey, o.o_orderkey " +
         "FROM customer cu JOIN orders o " +
         "ON o.o_custkey % 7 = cu.c_custkey % 7 AND o.o_custkey = cu.c_custkey " +
-        "WHERE o.o_totalprice > 50000.0")
+        "WHERE o.o_totalprice > 50000.0"),
+
+    "q245_comprehension_depth3" ->
+      ("SELECT cu.c_custkey, cu.c_name, " +
+        "CAST(floor(l.l_quantity*100 + 0.5) AS BIGINT) + o.o_orderkey AS v " +
+        "FROM customer cu " +
+        "JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_totalprice > 200000.0 AND l.l_quantity > 45.0"),
+
+    "q246_pointbag_delta" ->
+      ("SELECT c.c_custkey, CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) + COALESCE(s.m, 0) AS cents " +
+        "FROM customer c LEFT JOIN (" +
+        "SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS m " +
+        "FROM orders GROUP BY 1) s ON s.o_custkey = c.c_custkey")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

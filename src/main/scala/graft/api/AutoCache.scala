@@ -63,6 +63,10 @@ object AutoCache {
     private val deferred = new java.util.ArrayList[Deferred[_]]
     private val pendingFolds =
       new java.util.IdentityHashMap[Dataset[_], java.util.ArrayList[PendingFold[_, _]]]
+    // fold results memoized per (dataset identity, algebra value) — the
+    // PLAIN-spelling half of fold-forest fusion (see [[namedFold]])
+    private val foldMemo =
+      new java.util.IdentityHashMap[Dataset[_], java.util.HashMap[Any, Any]]
 
     private[api] def note(ds: Dataset[_]): Unit = {
       val n = seen.merge(ds, 1, (a, b) => a + b)
@@ -109,8 +113,50 @@ object AutoCache {
         val algs = pfs.map(_.alg.asInstanceOf[graft.api.alg.Alg[Any, _]]).toSeq
         val results = bag.foldAll(algs: _*)
         var i = 0
-        while (i < pfs.length) { pfs(i).set(results(i)); i += 1 }
+        val memo = foldMemo.computeIfAbsent(ds, _ => new java.util.HashMap[Any, Any])
+        while (i < pfs.length) {
+          pfs(i).set(results(i))
+          // every batch slot also memoizes by algebra VALUE: a later plain
+          // fold of the same algebra returns without a job
+          if (!memo.containsKey(pfs(i).alg)) memo.put(pfs(i).alg, results(i))
+          i += 1
+        }
       }
+    }
+
+    /** The PLAIN-spelling half of fold-forest fusion (ref
+      * FoldForestFusion.scala:293-327; the `deferFold` spelling above is
+      * the opt-in half): a plain named fold (`xs.sum`, `xs.size`,
+      * `xs.min`, any `xs.fold(alg)`) inside a scope
+      *
+      *  1. returns memoized — ZERO jobs — when this algebra (by value
+      *     equality) already ran for this dataset in this scope;
+      *  2. otherwise joins the pending batch (any `deferFold`s queued so
+      *     far plus cheap speculative COMPANIONS the call site supplies —
+      *     `Size` always, `Max` alongside `min`, ...) and runs the whole
+      *     batch as ONE `foldAll` job, memoizing every slot.
+      *
+      * So the reference-natural spelling `val s = xs.sum; val n = xs.size`
+      * costs one job, not two, with bit-identical results (AlgAll runs
+      * each algebra over the same element stream). Eagerness is
+      * preserved — each call still returns its value immediately; only
+      * ALREADY-KNOWN work is elided. */
+    private[api] def namedFold[A, B](bag: DataBag[A], alg: graft.api.alg.Alg[A, B],
+        companions: Seq[graft.api.alg.Alg[A, _]]): B = {
+      val memo = foldMemo.computeIfAbsent(bag.ds, _ => new java.util.HashMap[Any, Any])
+      if (memo.containsKey(alg)) return memo.get(alg).asInstanceOf[B]
+      val list = pendingFolds
+        .computeIfAbsent(bag.ds, _ => new java.util.ArrayList[PendingFold[_, _]])
+      val queued = new java.util.HashSet[Any]
+      list.forEach(pf => { val _ = queued.add(pf.alg) })
+      (alg +: companions).foreach { a =>
+        if (!queued.contains(a) && !memo.containsKey(a)) {
+          val _ = queued.add(a)
+          list.add(new PendingFold(bag, a))
+        }
+      }
+      runPendingFolds(bag.ds)
+      memo.get(alg).asInstanceOf[B]
     }
 
     private[AutoCache] def flush(): Unit =
@@ -143,4 +189,14 @@ object AutoCache {
     val s = active.get()
     if (s != null) s.note(b.ds)
   }
+
+  /** Route a named fold through the active scope's batch/memo machinery;
+    * outside any scope, run it directly (zero-overhead no-op). */
+  private[api] def foldThrough[A, B](bag: DataBag[A], alg: graft.api.alg.Alg[A, B],
+      companions: Seq[graft.api.alg.Alg[A, _]])(run: () => B): B = {
+    val s = active.get()
+    if (s == null) run() else s.namedFold(bag, alg, companions)
+  }
+
+  private[api] def isActive: Boolean = active.get() != null
 }

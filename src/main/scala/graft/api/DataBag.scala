@@ -95,8 +95,17 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   /** Structural recursion over a commutative monoid: executes as map-side
     * partial aggregation per partition, then a driver-side combine of one
     * value per partition (same physics as the reference's
-    * `rdd.map(alg.init).fold(alg.zero)(alg.plus)`, SparkRDD.scala:45-46). */
-  def fold[B](alg: Alg[A, B]): B = {
+    * `rdd.map(alg.init).fold(alg.zero)(alg.plus)`, SparkRDD.scala:45-46).
+    * Inside an [[AutoCache.scope]], plain folds route through the scope's
+    * fold-forest batch (memoized by algebra value; joins any pending
+    * `deferFold`s; `Size` speculated alongside — see
+    * [[AutoCache.Scope.namedFold]]); outside, they run directly. */
+  def fold[B](alg: Alg[A, B]): B =
+    AutoCache.foldThrough(this, alg, Seq(Size))(() => foldNow(alg))
+
+  /** The raw fold execution, bypassing the scope hook (the batch runner
+    * itself comes through here — reentrancy cut). */
+  private[api] def foldNow[B](alg: Alg[A, B]): B = {
     implicit val ct: ClassTag[B] = ClassTag.AnyRef.asInstanceOf[ClassTag[B]]
     src.rdd
       .mapPartitions { it =>
@@ -110,22 +119,35 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
     fold(Fold(zero, init, plus))
 
   /** Any number of independent folds in ONE pass over the bag (positional
-    * results; use Alg2..Alg8 when tuple types are wanted). */
-  def foldAll(algs: Alg[A, _]*): Seq[Any] = fold(AlgAll(algs.toSeq))
+    * results; use Alg2..Alg8 when tuple types are wanted). Always runs
+    * directly — it IS the batch shape. */
+  def foldAll(algs: Alg[A, _]*): Seq[Any] = foldNow(AlgAll(algs.toSeq))
 
   def reduce(zero: A)(p: (A, A) => A): A = fold(Reduce(zero, p))
   def reduceOption(p: (A, A) => A): Option[A] = fold(ReduceOpt(p))
   def isEmpty: Boolean = src.isEmpty
   def nonEmpty: Boolean = !isEmpty
-  def size: Long = src.count()
+  def size: Long =
+    if (AutoCache.isActive) fold(Size) else src.count()
   def count(p: A => Boolean): Long = src.filter(p).count()
   def min(implicit ord: Ordering[A]): A =
-    extremeViaAgg(F.min, ord).getOrElse(fold(Min(ord)).get)
+    if (AutoCache.isActive)
+      AutoCache.foldThrough(this, Min(ord), Seq(Max(ord), Size))(
+        () => foldNow(Min(ord))).get
+    else extremeViaAgg(F.min, ord).getOrElse(fold(Min(ord)).get)
   def max(implicit ord: Ordering[A]): A =
-    extremeViaAgg(F.max, ord).getOrElse(fold(Max(ord)).get)
+    if (AutoCache.isActive)
+      AutoCache.foldThrough(this, Max(ord), Seq(Min(ord), Size))(
+        () => foldNow(Max(ord))).get
+    else extremeViaAgg(F.max, ord).getOrElse(fold(Max(ord)).get)
   def minBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Min(Ordering.by(k)))
   def maxBy[K](k: A => K)(implicit ord: Ordering[K]): Option[A] = fold(Max(Ordering.by(k)))
-  def sum(implicit num: Numeric[A]): A = sumViaAgg.getOrElse(fold(Sum(num)))
+  /** Inside a scope the batch path wins over the columnar fast path: the
+    * one object pass fuses with sibling folds and memoizes (exact for the
+    * integral types the fast path covers anyway). */
+  def sum(implicit num: Numeric[A]): A =
+    if (AutoCache.isActive) fold(Sum(num))
+    else sumViaAgg.getOrElse(fold(Sum(num)))
 
   // ------------------------------------- Catalyst fast paths for named folds
   // A bag of one integral column lowers sum/min/max to df.agg — a codegen'd

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 profile: MutableBag cogroup rounds vs MutableBag broadcast
+  * rounds vs PointBag point rounds on FIXPOINT-SHAPED updates (CC's
+  * min-label Long merge and PageRank's additive Double merge) at 8x and
+  * 16x state — the measured evidence behind the in-flight point-update
+  * claim (VERDICT r9 asked for it on the fixpoint gates' shapes).
+  *
+  * The message-COMPUTE side (delta join edges + per-vertex fold) is
+  * identical machinery for all three backends, so each round times only
+  * the state-update application: 100-vertex deltas, 10 rounds, warm.
+  */
+object ProfileRound10 {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.api.{DataBag, MutableBag, PointBag}
+    spark.read.parquet("/root/testdata/sf0.1/nation.parquet").count()
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    for (scale <- Seq(8, 16)) {
+      val v = 100000L * scale
+      println(s"== state $v vertices (${scale}x) ==")
+      val ccInit = DataBag.from(spark.range(v).map(i => (i, i)))
+      val prInit = DataBag.from(spark.range(v).map(i => (i, 1.0 / 3)))
+      val rnd = new scala.util.Random(7)
+      def delta(round: Int): Seq[(Long, Long)] =
+        Seq.fill(100)((math.abs(rnd.nextLong()) % v, round.toLong))
+
+      // CC-shaped: min-label merge
+      locally {
+        val mb = MutableBag(ccInit)
+        time(s"cc mutable.update 10x100 @${scale}x") {
+          for (r <- 1 to 10) {
+            val ms = DataBag(delta(r)).foldGroup[Long, Long](_._1,
+              graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
+            val _ = mb.update(ms)((_, vo, m) => vo.map(math.min(_, m)))
+          }
+        }
+      }
+      locally {
+        val mb = MutableBag(ccInit)
+        time(s"cc mutable.updateBroadcast 10x100 @${scale}x") {
+          for (r <- 1 to 10) {
+            val ms = DataBag(delta(r)).foldGroup[Long, Long](_._1,
+              graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
+            val _ = mb.updateBroadcast(ms)((_, vo, m) => vo.map(math.min(_, m)))
+          }
+        }
+      }
+      locally {
+        val pb = PointBag(ccInit, parts = 32, compactEvery = 100)
+        time(s"cc pointbag.update 10x100 @${scale}x") {
+          for (r <- 1 to 10) {
+            val _ = pb.update(delta(r))((_, vo, m) =>
+              Some(math.min(vo.getOrElse(Long.MaxValue), m)))
+          }
+        }
+      }
+
+      // PageRank-shaped: additive Double merge
+      locally {
+        val pb = PointBag(prInit, parts = 32, compactEvery = 100)
+        time(s"pr pointbag.update 10x100 @${scale}x") {
+          for (r <- 1 to 10) {
+            val _ = pb.update(delta(r).map { case (k, _) => (k, 0.01) })(
+              (_, vo, m) => Some(vo.getOrElse(0.0) + m))
+          }
+        }
+      }
+      locally {
+        val mb = MutableBag(prInit)
+        time(s"pr mutable.updateBroadcast 10x100 @${scale}x") {
+          for (r <- 1 to 10) {
+            val ms = DataBag(delta(r).map { case (k, _) => (k, 0.01) })
+              .foldGroup[Long, Double](_._1,
+                graft.api.alg.Fold(0.0, _._2, _ + _))
+            val _ = mb.updateBroadcast(ms)((_, vo, m) => vo.map(_ + m))
+          }
+        }
+      }
+
+      // distributed-delta round (updateBag zip) vs cogroup at a LARGE delta
+      locally {
+        val pb = PointBag(ccInit, parts = 32, compactEvery = 100)
+        val bigDelta = DataBag.from(spark.range(v / 4)
+          .map(i => (i * 3 % v, 0L)))
+        time(s"cc pointbag.updateBag big-delta @${scale}x") {
+          pb.updateBag(bigDelta)((_, vo, m) =>
+            Some(math.min(vo.getOrElse(Long.MaxValue), m)))
+          pb.compact()
+        }
+      }
+      locally {
+        val mb = MutableBag(ccInit)
+        val bigDelta = DataBag.from(spark.range(v / 4)
+          .map(i => (i * 3 % v, 0L)))
+        time(s"cc mutable.update big-delta @${scale}x") {
+          val ms = bigDelta.foldGroup[Long, Long](_._1,
+            graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
+          val _ = mb.update(ms)((_, vo, m) => vo.map(math.min(_, m)))
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -89,6 +89,62 @@ class AutoCacheSpec extends AnyFlatSpec with Matchers {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  "plain named folds in a scope" should "auto-fuse: N folds of one bag, ONE job, bit-identical" in {
+    val (bag, acc) = countedBag(1000)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    // standalone (non-scope) twins computed FIRST, for bit-identity
+    val expSum = bag.sum
+    val expN = bag.size
+    val expMin = bag.min
+    val expMax = bag.max
+    val accAfterTwins = acc.value // the 4 standalone scans above
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the reference-natural spelling — no defer, no API opt-in: the
+      // first fold runs one batch (Sum + speculative Size), `size` is a
+      // memo hit; `min` opens the second batch (Min + Max + Size-hit),
+      // `max` is a memo hit — 2 jobs for 4 folds, and the (sum, size)
+      // pair costs ONE
+      val (s1, n1, mn, mx) = AutoCache.scope { _ =>
+        val s = bag.sum
+        val n = bag.size
+        val mnv = bag.min
+        val mxv = bag.max
+        (s, n, mnv, mxv)
+      }
+      s1 shouldBe expSum
+      n1 shouldBe expN
+      mn shouldBe expMin
+      mx shouldBe expMax
+      (acc.value - accAfterTwins) shouldBe 2000L // two scans (two batches), not four
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      jobs.get() shouldBe 2
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  "plain folds" should "join a pending deferFold batch of the same bag" in {
+    val (bag, acc) = countedBag(500)
+    import graft.api.alg._
+    val (s, n) = AutoCache.scope { sc =>
+      val deferredSum = sc.deferFold(bag)(Sum(Numeric[Long]))
+      // the PLAIN size call flushes the pending batch WITH itself:
+      // one job computes both
+      val nNow = bag.size
+      (deferredSum, nNow)
+    }
+    s.value shouldBe (0L until 500L).sum
+    n shouldBe 500L
+    acc.value shouldBe 500L // one scan for both folds
+  }
+
   "join inputs" should "count both sides and persist a bag reused across joins" in {
     val (bag, acc) = countedBag(100)
     val small = DataBag(Seq(1L, 2L, 3L))

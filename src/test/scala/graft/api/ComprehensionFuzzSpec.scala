@@ -174,6 +174,37 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
           if cents % 2 == 0L
         } yield (x, ok, cents)
         r11.collect().sorted shouldBe e11.sorted
+
+        // DEPTH-3 unnest: the inner chain's own generator is itself a
+        // dependent comprehension chain — the splice recurses per level
+        // (r10 shape; ref Normalize runs to fixpoint)
+        val r12 = onSpark {
+          for {
+            x <- xs
+            v <- (for {
+              y <- ys
+              if y % m == x % m
+              w <- (for { z <- zs; if z % 4 == y % 4 } yield z + y)
+            } yield w + x)
+          } yield (x, v)
+        }
+        val e12 = for {
+          x <- xsSeq
+          y <- ysSeq; if y % m == x % m
+          z <- zsSeq; if z % 4 == y % 4
+        } yield (x, (z + y) + x)
+        r12.collect().sorted shouldBe e12.sorted
+
+        // BLOCK spelling: two derived comprehensions assembled by vals and
+        // unioned — the deep default-case pass re-expands each statement
+        val r13 = onSpark {
+          val a = for { x <- xs; y <- ys; if x % m == y % m } yield x + y
+          val b = for { x <- xs; z <- zs; if z % 4 == x % 4 } yield x * z
+          a union b
+        }
+        val e13 = (for { x <- xsSeq; y <- ysSeq; if x % m == y % m } yield x + y) ++
+          (for { x <- xsSeq; z <- zsSeq; if z % 4 == x % 4 } yield x * z)
+        r13.collect().sorted shouldBe e13.sorted
       }
     }
   }

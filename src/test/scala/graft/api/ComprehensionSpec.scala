@@ -1342,4 +1342,82 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val r = onSpark { for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y }
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
   }
+
+  it should "unnest DEPTH-3 dependent comprehension chains to a 3-way join plan" in {
+    val as = DataBag((1L to 20L).map(i => (i, i % 5)))
+    val bs = DataBag((1L to 30L).map(i => (i, i % 5, i % 3)))
+    val cs = DataBag((1L to 40L).map(i => (i, i % 3)))
+    val r = onSpark {
+      for {
+        a <- as
+        v <- (for {
+          b <- bs
+          if b._2 == a._2
+          w <- (for { c <- cs; if c._2 == b._3 } yield c._1 + b._1)
+        } yield w + a._1)
+      } yield (a._1, v)
+    }
+    // the splice recurses level by level (ref Normalize.scala:44-52 runs
+    // to fixpoint): both correlations key equi joins, nothing crosses
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length shouldBe 2
+    val exp = for {
+      a <- (1L to 20L).map(i => (i, i % 5))
+      b <- (1L to 30L).map(i => (i, i % 5, i % 3)); if b._2 == a._2
+      c <- (1L to 40L).map(i => (i, i % 3)); if c._2 == b._3
+    } yield (a._1, (c._1 + b._1) + a._1)
+    r.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "still abort depth-3 shapes whose INNERMOST level is underivable" in {
+    // the innermost generator is a METHOD-built bag depending on the
+    // middle binder — not a spliceable chain, not a literal ctor: after
+    // the outer splice re-expands, the dependent-generator abort stands
+    // (the one-job-per-element cliff), instead of degrading silently
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    def f(y: Long): DataBag[Long] = bagL(Seq(y, y + 1))
+    onSpark { for {
+      x <- xs
+      v <- (for { y <- ys; if y == x; w <- f(y) } yield w)
+    } yield (x, v) }
+    """ shouldNot compile
+    // an INEQUALITY correlation at the innermost level, by contrast, is
+    // NOT an abort: it demotes to the documented cross + post-filter —
+    // same rule as the top-level inseparable-guard case
+    val xs = bagL(1L to 6L)
+    val ys = bagL(1L to 5L)
+    val zs = bagL(1L to 4L)
+    val r = onSpark {
+      for {
+        x <- xs
+        v <- (for { y <- ys; if y == x
+          w <- (for { z <- zs; if z < y } yield z) } yield w)
+      } yield (x, v)
+    }
+    val exp = for { x <- 1L to 6L; y <- 1L to 5L; if y == x
+      z <- 1L to 4L; if z < y } yield (x, z)
+    r.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "derive comprehensions assembled in BLOCK statements (deep default-case pass)" in {
+    val xs = bagL(1L to 15L)
+    val ys = bagL(1L to 12L)
+    val (u, n) = onSpark {
+      val a = for { x <- xs; y <- ys; if x % 4 == y % 4 } yield x + y
+      val b = for { x <- xs; y <- ys; if x % 3 == y % 3 } yield x * y
+      (a union b, a.size)
+    }
+    val ea = for { x <- 1L to 15L; y <- 1L to 12L; if x % 4 == y % 4 } yield x + y
+    val eb = for { x <- 1L to 15L; y <- 1L to 12L; if x % 3 == y % 3 } yield x * y
+    val plan = u.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+    u.collect().sorted shouldBe (ea ++ eb).sorted
+    n shouldBe ea.size.toLong
+  }
 }
