@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object ProfileRound10 {
   def main(args: Array[String]): Unit = {
-    val spark = TestSpark.spark
+    implicit val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
     import spark.implicits._
     import graft.api.{DataBag, MutableBag, PointBag}
     spark.read.parquet("/root/testdata/sf0.1/nation.parquet").count()
@@ -27,8 +27,8 @@ object ProfileRound10 {
     for (scale <- Seq(8, 16)) {
       val v = 100000L * scale
       println(s"== state $v vertices (${scale}x) ==")
-      val ccInit = DataBag.from(spark.range(v).map(i => (i, i)))
-      val prInit = DataBag.from(spark.range(v).map(i => (i, 1.0 / 3)))
+      val ccInit = DataBag.from(spark.range(v).as[Long].map(i => (i, i)))
+      val prInit = DataBag.from(spark.range(v).as[Long].map(i => (i, 1.0 / 3)))
       val rnd = new scala.util.Random(7)
       def delta(round: Int): Seq[(Long, Long)] =
         Seq.fill(100)((math.abs(rnd.nextLong()) % v, round.toLong))
@@ -39,7 +39,7 @@ object ProfileRound10 {
         time(s"cc mutable.update 10x100 @${scale}x") {
           for (r <- 1 to 10) {
             val ms = DataBag(delta(r)).foldGroup[Long, Long](_._1,
-              graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
+              graft.api.alg.Fold(Long.MaxValue, (p: (Long, Long)) => p._2, (a: Long, b: Long) => math.min(a, b)))
             val _ = mb.update(ms)((_, vo, m) => vo.map(math.min(_, m)))
           }
         }
@@ -49,7 +49,7 @@ object ProfileRound10 {
         time(s"cc mutable.updateBroadcast 10x100 @${scale}x") {
           for (r <- 1 to 10) {
             val ms = DataBag(delta(r)).foldGroup[Long, Long](_._1,
-              graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
+              graft.api.alg.Fold(Long.MaxValue, (p: (Long, Long)) => p._2, (a: Long, b: Long) => math.min(a, b)))
             val _ = mb.updateBroadcast(ms)((_, vo, m) => vo.map(math.min(_, m)))
           }
         }
@@ -90,7 +90,7 @@ object ProfileRound10 {
       locally {
         val pb = PointBag(ccInit, parts = 32, compactEvery = 100)
         val bigDelta = DataBag.from(spark.range(v / 4)
-          .map(i => (i * 3 % v, 0L)))
+          .as[Long].map(i => (i * 3 % v, 0L)))
         time(s"cc pointbag.updateBag big-delta @${scale}x") {
           pb.updateBag(bigDelta)((_, vo, m) =>
             Some(math.min(vo.getOrElse(Long.MaxValue), m)))
@@ -100,10 +100,10 @@ object ProfileRound10 {
       locally {
         val mb = MutableBag(ccInit)
         val bigDelta = DataBag.from(spark.range(v / 4)
-          .map(i => (i * 3 % v, 0L)))
+          .as[Long].map(i => (i * 3 % v, 0L)))
         time(s"cc mutable.update big-delta @${scale}x") {
           val ms = bigDelta.foldGroup[Long, Long](_._1,
-            graft.api.alg.Fold(Long.MaxValue, _._2, math.min))
+            graft.api.alg.Fold(Long.MaxValue, (p: (Long, Long)) => p._2, (a: Long, b: Long) => math.min(a, b)))
           val _ = mb.update(ms)((_, vo, m) => vo.map(math.min(_, m)))
         }
       }
