@@ -95,6 +95,44 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
     got shouldBe exp.toArray
   }
 
+  it should "derive depth-3 chains and block spellings at runtime" in {
+    // the deep default-case pass and per-level unnest re-expansion ride
+    // the same macro through the source-text channel
+    val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val xs = DataBag((1L to 12L).toSeq)
+        val ys = DataBag((1L to 10L).toSeq)
+        val zs = DataBag((1L to 8L).toSeq)
+        onSpark {
+          val deep = for {
+            x <- xs
+            v <- (for {
+              y <- ys
+              if y % 4 == x % 4
+              w <- (for { z <- zs; if z % 3 == y % 3 } yield z + y)
+            } yield w + x)
+          } yield (x, v)
+          val flat = for { x <- xs; y <- ys; if x % 5 == y % 5 } yield (x, x + y)
+          deep union flat
+        }.ds.toDF("x", "v")
+      }""")
+    val out = pipeline(spark)
+    out.queryExecution.executedPlan.toString should not include regex("(?i)cartesian")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val deepExp = for {
+      x <- 1L to 12L
+      y <- 1L to 10L; if y % 4 == x % 4
+      z <- 1L to 8L; if z % 3 == y % 3
+    } yield (x, (z + y) + x)
+    val flatExp = for { x <- 1L to 12L; y <- 1L to 10L; if x % 5 == y % 5 }
+      yield (x, x + y)
+    got shouldBe (deepExp ++ flatExp).sorted.toArray
+  }
+
   it should "fuse groupBy spellings (block vals, patterns, multi-group) at runtime" in {
     // the round's groupBy-fusion spellings ride the same macro through the
     // source-text channel: block-val aliases, the Group pattern, and two
