@@ -2170,6 +2170,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * re-parented). */
   private def expandTop(expr: Tree): Tree = {
     val typedChain = flatten(expr)
+    // a MUTABLE variable captured inside a quoted lambda is a silent
+    // wrong-answer trap, not a derivation gap: Datasets defer execution,
+    // so a later job re-evaluates the guard/yield with the variable's
+    // LATEST value (the classic fixpoint-loop bug the reference compiles
+    // away with DSCF's loop-var-to-parameter conversion,
+    // lang/core/DSCF.scala). Abort with the DSCF spelling as guidance.
+    // Reading a var in BAG position is fine — the chain is built eagerly
+    // from its current value.
+    typedChain match {
+      case Some((gens, tbody)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
+        for (t <- gens.flatMap(_.guards.map(_.cond)) :+ tbody;
+             v <- varCaptures(t).headOption)
+          c.abort(c.enclosingPosition,
+            s"onSpark: the quoted comprehension captures the mutable variable '$v' " +
+            "inside a lambda; Spark defers execution, so a later job would observe " +
+            "the variable's latest value, not the value at this point (the reference " +
+            "stages loop variables as function parameters — DSCF). Snapshot it " +
+            s"first: `val ${v}0 = $v` and use `${v}0` in the comprehension")
+      case _ => ()
+    }
     // generator-independent folds of a distributed bag hoist FIRST into
     // driver vals (the uncorrelated scalar subquery), then the macro
     // re-expands on the rewritten comprehension
@@ -2591,6 +2611,20 @@ class ComprehensionMacro(val c: blackbox.Context) {
           case _ => deepRewrite(expr)
         }
     }
+  }
+
+  /** Mutable-variable symbols referenced in `t` but not DEFINED in `t` —
+    * the deferred-execution capture hazard (typed-tree walk). */
+  private def varCaptures(t: Tree): List[Name] = {
+    val defined = t.collect {
+      case vd: ValDef if vd.mods.hasFlag(Flag.MUTABLE) && vd.symbol != null =>
+        vd.symbol
+    }.toSet
+    t.collect {
+      case i: Ident if i.symbol != null && i.symbol != NoSymbol &&
+          i.symbol.isTerm && i.symbol.asTerm.isVar && !defined(i.symbol) =>
+        i.name
+    }.distinct
   }
 
   /** The inner tree of a flatMap lambda is a (possibly block-wrapped)

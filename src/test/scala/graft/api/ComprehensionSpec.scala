@@ -1343,6 +1343,25 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
   }
 
+  it should "abort when a quoted lambda captures a MUTABLE variable" in {
+    // the classic fixpoint-loop trap: Datasets defer execution, so a later
+    // job re-evaluates the guard with the var's LATEST value (the
+    // reference compiles loop vars into function parameters — DSCF); the
+    // sieve's direct-var spelling must abort, and the val-snapshot
+    // spelling (ReferenceParitySpec's sieve) stays derivable
+    """
+    val xs = bagL(1L to 10L)
+    var p = 2L
+    onSpark { for { x <- xs; if x % p != 0L } yield x }
+    """ shouldNot compile
+    // var in BAG position is fine — the chain builds eagerly from the
+    // current value
+    var cur = bagL(1L to 5L)
+    val doubled = onSpark { for { x <- cur } yield 2L * x }
+    cur = bagL(Seq(99L)) // reassignment after build must not matter
+    doubled.collect().sorted shouldBe Seq(2L, 4L, 6L, 8L, 10L)
+  }
+
   it should "unnest DEPTH-3 dependent comprehension chains to a 3-way join plan" in {
     val as = DataBag((1L to 20L).map(i => (i, i % 5)))
     val bs = DataBag((1L to 30L).map(i => (i, i % 5, i % 3)))
