@@ -2171,23 +2171,46 @@ class ComprehensionMacro(val c: blackbox.Context) {
   private def expandTop(expr: Tree): Tree = {
     val typedChain = flatten(expr)
     // a MUTABLE variable captured inside a quoted lambda is a silent
-    // wrong-answer trap, not a derivation gap: Datasets defer execution,
-    // so a later job re-evaluates the guard/yield with the variable's
-    // LATEST value (the classic fixpoint-loop bug the reference compiles
-    // away with DSCF's loop-var-to-parameter conversion,
-    // lang/core/DSCF.scala). Abort with the DSCF spelling as guidance.
-    // Reading a var in BAG position is fine — the chain is built eagerly
-    // from its current value.
+    // wrong-answer trap left alone: Datasets defer execution, so a later
+    // job re-evaluates the guard/yield with the variable's LATEST value —
+    // the classic fixpoint-loop bug the reference compiles away with
+    // DSCF's loop-var-to-parameter conversion (lang/core/DSCF.scala).
+    // The macro applies the SAME semantics here: each captured var is
+    // snapshot into a val at chain-BUILD time and every reference in the
+    // chain substitutes (count-verified against the typed symbol counts;
+    // shadowing poisons the count and aborts instead of mis-capturing),
+    // then the macro re-expands. The reference's quoted sieve runs
+    // verbatim under this rule. Var reads in BAG position alone need no
+    // snapshot (chains build eagerly) but substituting them is the same
+    // moment, so all references rewrite uniformly.
     typedChain match {
       case Some((gens, tbody)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
-        for (t <- gens.flatMap(_.guards.map(_.cond)) :+ tbody;
-             v <- varCaptures(t).headOption)
-          c.abort(c.enclosingPosition,
-            s"onSpark: the quoted comprehension captures the mutable variable '$v' " +
-            "inside a lambda; Spark defers execution, so a later job would observe " +
-            "the variable's latest value, not the value at this point (the reference " +
-            "stages loop variables as function parameters — DSCF). Snapshot it " +
-            s"first: `val ${v}0 = $v` and use `${v}0` in the comprehension")
+        val lambdaTrees = gens.flatMap(_.guards.map(_.cond)) :+ tbody
+        val captured: List[Symbol] = lambdaTrees.flatMap(varCaptureSyms).distinct
+        if (captured.nonEmpty) {
+          val expects = captured.map(s => symRefCount(expr, s))
+          val fresh = captured.map(s =>
+            TermName(c.freshName(s.name.toString + "$dscf")))
+          var cur = c.untypecheck(expr)
+          var ok = true
+          captured.zip(fresh).zip(expects).foreach { case ((s, f), exp) =>
+            if (ok) {
+              val (nt, cnt) = substFreeName(cur, s.name.toTermName, Ident(f))
+              if (cnt == exp && exp > 0) cur = nt else ok = false
+            }
+          }
+          if (!ok)
+            c.abort(c.enclosingPosition,
+              s"onSpark: the quoted comprehension captures the mutable variable(s) " +
+              s"${captured.map(_.name).mkString(", ")} inside a lambda, and a " +
+              "same-named binder prevents the automatic build-time snapshot; " +
+              "Spark defers execution, so a later job would observe the variable's " +
+              "latest value — snapshot it manually: `val v0 = v` and use `v0`")
+          val defs = captured.zip(fresh).map { case (s, f) =>
+            q"val $f = ${Ident(s.name.toTermName)}"
+          }
+          return q"{ ..$defs; _root_.graft.api.comprehensions.onSpark($cur) }"
+        }
       case _ => ()
     }
     // generator-independent folds of a distributed bag hoist FIRST into
@@ -2615,7 +2638,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
 
   /** Mutable-variable symbols referenced in `t` but not DEFINED in `t` —
     * the deferred-execution capture hazard (typed-tree walk). */
-  private def varCaptures(t: Tree): List[Name] = {
+  private def varCaptureSyms(t: Tree): List[Symbol] = {
     val defined = t.collect {
       case vd: ValDef if vd.mods.hasFlag(Flag.MUTABLE) && vd.symbol != null =>
         vd.symbol
@@ -2623,7 +2646,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
     t.collect {
       case i: Ident if i.symbol != null && i.symbol != NoSymbol &&
           i.symbol.isTerm && i.symbol.asTerm.isVar && !defined(i.symbol) =>
-        i.name
+        i.symbol
     }.distinct
   }
 

@@ -1343,23 +1343,39 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r shouldBe (for { x <- Seq(1, 2, 3); y <- Seq(10, 20); if x % 2 == y % 3 } yield x + y)
   }
 
-  it should "abort when a quoted lambda captures a MUTABLE variable" in {
-    // the classic fixpoint-loop trap: Datasets defer execution, so a later
-    // job re-evaluates the guard with the var's LATEST value (the
-    // reference compiles loop vars into function parameters — DSCF); the
-    // sieve's direct-var spelling must abort, and the val-snapshot
-    // spelling (ReferenceParitySpec's sieve) stays derivable
-    """
+  it should "snapshot MUTABLE variables captured in quoted lambdas at build time (DSCF semantics)" in {
+    // the classic fixpoint-loop trap: Datasets defer execution, so an
+    // un-staged var capture would make a later job observe the var's
+    // LATEST value. The macro applies the reference's DSCF semantics —
+    // the captured var snapshots into a val at chain-BUILD time — so the
+    // quoted program means what it meant at that program point.
     val xs = bagL(1L to 10L)
     var p = 2L
-    onSpark { for { x <- xs; if x % p != 0L } yield x }
-    """ shouldNot compile
-    // var in BAG position is fine — the chain builds eagerly from the
-    // current value
+    val r = onSpark { for { x <- xs; if x % p != 0L } yield x }
+    p = 1L // would filter EVERYTHING if the capture were live
+    r.collect().sorted shouldBe (1L to 10L).filter(_ % 2L != 0L)
+    // per-iteration semantics in a driver loop (the sieve's shape)
+    var primes: DataBag[Long] = bagL(2L to 30L)
+    var q = 1L
+    while (q < 5L) {
+      q += 1L
+      primes = onSpark {
+        for { n <- primes; if n == q || n % q != 0L } yield n
+      }
+    }
+    primes.collect().sorted shouldBe Seq(2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L)
+    // var in BAG position builds eagerly from the current value
     var cur = bagL(1L to 5L)
     val doubled = onSpark { for { x <- cur } yield 2L * x }
     cur = bagL(Seq(99L)) // reassignment after build must not matter
     doubled.collect().sorted shouldBe Seq(2L, 4L, 6L, 8L, 10L)
+    // a same-named binder inside the chain poisons the snapshot
+    // substitution — abort rather than mis-capture
+    """
+    val xs = bagL(1L to 10L)
+    var p = 2L
+    onSpark { for { x <- xs; if x % p != 0L } yield { val p = x; p * 2L } }
+    """ shouldNot compile
   }
 
   it should "unnest DEPTH-3 dependent comprehension chains to a 3-way join plan" in {

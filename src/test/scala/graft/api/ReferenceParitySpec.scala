@@ -54,11 +54,10 @@ import graft.api.comprehensions.onSpark
   *    stance), so the reference's `g.values.collect().sorted` is
   *    `g.values.sorted` and `g.values.size` is Int (`.toLong` where the
   *    program compares with a Long).
-  *  - the sieve's `while` loop body snapshots the loop var into a `val`
-  *    before quoting (the reference's DSCF pass performs exactly this
-  *    loop-variable-to-parameter conversion at compile time,
-  *    `lang/core/DSCF.scala`; without staging, a Scala `var` is captured
-  *    by mutable reference and later jobs would observe later values).
+  *  - (the sieve runs VERBATIM: the macro snapshots loop vars captured in
+  *    quoted lambdas at chain-build time — the same semantics the
+  *    reference's DSCF pass produces by converting loop variables to
+  *    function parameters, `lang/core/DSCF.scala`.)
   */
 class ReferenceParitySpec extends AnyFreeSpec with Matchers {
 
@@ -719,12 +718,12 @@ class ReferenceParitySpec extends AnyFreeSpec with Matchers {
       act.collect() should contain theSameElementsAs exp
     }
 
-    // ref :567-596 — the sieve's `while` loop. The reference compiles the
-    // quoted loop via DSCF (loop vars become function parameters,
-    // lang/core/DSCF.scala); here loops are plain driver Scala by design
-    // stance, so the loop var is snapshotted into a `val` per round
-    // (capturing the `var` itself would let later rounds' lazy
-    // re-evaluation observe later values through the shared IntRef).
+    // ref :567-596 — the sieve's `while` loop, VERBATIM: the loop var `p`
+    // is captured inside the quoted guards, and the macro applies the
+    // reference's DSCF semantics automatically (each chain snapshots the
+    // captured var at build time — lang/core/DSCF.scala converts loop
+    // vars to function parameters; here the snapshot val is that
+    // parameter), so no spelling adaptation is needed.
     "Updated tmp sink (sieve of Eratosthenes)" in {
       val act = onSpark {
         val N = 20
@@ -735,8 +734,7 @@ class ReferenceParitySpec extends AnyFreeSpec with Matchers {
           var p = 2
 
           while (p <= math.sqrt(N)) {
-            val pc = p
-            primes = for { (n, payload) <- primes if n > pc && n % pc != 0 } yield (n, payload)
+            primes = for { (n, payload) <- primes if n > p && n % p != 0 } yield (n, payload)
             p = primes.map { _._1 }.min
           }
 
@@ -748,8 +746,7 @@ class ReferenceParitySpec extends AnyFreeSpec with Matchers {
           var p = -2
 
           while (p >= -math.sqrt(N)) {
-            val pc = p
-            primes = for { (n, payload) <- primes if n < pc && n % pc != 0 } yield (n, payload)
+            primes = for { (n, payload) <- primes if n < p && n % p != 0 } yield (n, payload)
             p = primes.map { _._1 }.max
           }
 
