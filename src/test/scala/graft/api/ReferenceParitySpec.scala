@@ -26,6 +26,12 @@ import graft.api.comprehensions.onSpark
   * edges); the reference's resource files are not copied. Parity is a
   * property of the PROGRAMS, not the fixtures.
   *
+  * Provenance: the quoted PROGRAMS are transcribed from the reference's
+  * Apache-2.0 test suite deliberately — they ARE the parity contract
+  * being verified (same stance as the adjudicated RanHash port); the
+  * engine under test, the fixtures, and the expected-value evaluations
+  * are original.
+  *
   * Scorecard (per reference group; adaptation notes in each test):
   *
   *  | group          | programs | PASS | ABORT (by declared design stance) |
