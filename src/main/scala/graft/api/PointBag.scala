@@ -136,10 +136,17 @@ final class PointBag[K, V] private (
     * (same contract as [[MutableBag.update]]'s grouped messages). */
   def updateBag[M](msgs: DataBag[(K, M)], localThreshold: Int = 10000)(
       f: (K, Option[V], M) => Option[V]): Unit = {
-    val probe = msgs.ds.limit(localThreshold + 1).collect()
-    if (probe.length <= localThreshold) {
-      if (probe.nonEmpty) { val _ = update(probe.toSeq)(f) }
-      return
+    // the probe evaluates the delta pipeline once; a LARGE delta then
+    // re-evaluates it for the shuffle. When the caller already knows the
+    // delta is big (or it is expensive to compute twice), pass
+    // localThreshold < 0 to skip the probe and go straight to the
+    // zip-partitions path — or persist the delta upstream.
+    if (localThreshold >= 0) {
+      val probe = msgs.ds.limit(localThreshold + 1).collect()
+      if (probe.length <= localThreshold) {
+        if (probe.nonEmpty) { val _ = update(probe.toSeq)(f) }
+        return
+      }
     }
     implicit val kTag: ClassTag[K] = ClassTag.AnyRef.asInstanceOf[ClassTag[K]]
     implicit val mTag: ClassTag[M] = ClassTag.AnyRef.asInstanceOf[ClassTag[M]]

@@ -142,6 +142,27 @@ class PointBagSpec extends AnyFlatSpec with Matchers {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  it should "skip the probe entirely with localThreshold < 0" in {
+    val pb = freshBag(40, parts = 8, compactEvery = 1000)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // a tiny delta still takes the zip path when the caller opts out of
+      // the probe — no limit-collect job fires before the (lazy) round
+      pb.updateBag(DataBag.from(spark.createDataset(Seq((1L, 5.0)))),
+        localThreshold = -1)((_, o, m) => Some(o.getOrElse(0.0) + m))
+      Thread.sleep(300)
+      jobs.get() shouldBe 0 // round applied lazily, no probe job
+      pb.bag().collect().toMap.apply(1L) shouldBe 6.0
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   it should "route small deltas through the driver path and match update()" in {
     val pbA = freshBag(60, parts = 8, compactEvery = 1000)
     val pbB = freshBag(60, parts = 8, compactEvery = 1000)
