@@ -3737,6 +3737,32 @@ object SparkEntry {
         .as[(Long, Long)])
       pb.updateBag(delta)((_, old, m) => Some(old.getOrElse(0L) + m))
       pb.bag().ds.toDF("c_custkey", "cents")
+    }),
+
+    // Streaming point-state maintenance: the SAME computation as q246 but
+    // arriving as micro-batches — each batch routes through
+    // PointBag.updateBag inside foreachBatch (small batches touch only
+    // their partitions; integer cents keep the merge replay/order-safe),
+    // so the final state hash-matches the identical LEFT JOIN + SUM oracle
+    "q247_stream_pointbag" -> ((s, d) => {
+      import s.implicits._
+      val state = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("cents"))
+        .as[(Long, Long)])
+      val pb = graft.api.PointBag(state, parts = 32)
+      val base = java.nio.file.Files.createTempDirectory("graft_streampb").toString
+      val deltas = tbl(s, d, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("m"))
+      deltas.repartition(4).write.parquet(s"$base/src")
+      val stream = s.readStream.schema(deltas.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      graft.streaming.Streams.streamPointBagMaintenance[Long, Long, Long](
+        stream, pb,
+        df => df.select(col("o_custkey"), col("m")).as[(Long, Long)])(
+        (_, old, m) => Some(old.getOrElse(0L) + m))
+      pb.bag().ds.toDF("c_custkey", "cents")
     })
   )
 
@@ -5701,6 +5727,13 @@ object SparkEntry {
         "WHERE o.o_totalprice > 200000.0 AND l.l_quantity > 45.0"),
 
     "q246_pointbag_delta" ->
+      ("SELECT c.c_custkey, CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) + COALESCE(s.m, 0) AS cents " +
+        "FROM customer c LEFT JOIN (" +
+        "SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS m " +
+        "FROM orders GROUP BY 1) s ON s.o_custkey = c.c_custkey"),
+
+    "q247_stream_pointbag" ->
+      // micro-batched replay of q246: same final state, same oracle
       ("SELECT c.c_custkey, CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) + COALESCE(s.m, 0) AS cents " +
         "FROM customer c LEFT JOIN (" +
         "SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS m " +

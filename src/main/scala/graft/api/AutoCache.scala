@@ -38,6 +38,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Outside a scope every hook is a no-op (one thread-local read), so the
   * plain API keeps its explicit-[[DataBag.cache]] semantics.
+  *
+  * Cost note: INSIDE a scope, named folds (`sum`/`size`/`min`/`max`/
+  * `fold`) take the object-fold batch path — fusable into one pass and
+  * memoized, but deserializing — instead of the columnar fast paths
+  * (`count()`, Catalyst agg). That is the right trade whenever a bag is
+  * folded more than once (the scope's premise); a single wide-row count
+  * with no sibling folds is cheaper OUTSIDE the scope.
   */
 object AutoCache {
 

@@ -468,4 +468,27 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Maintain an in-flight [[graft.api.PointBag]] from a stream of keyed
+    * deltas: each micro-batch routes through [[graft.api.PointBag.updateBag]]
+    * — small batches become driver-routed point rounds over only their
+    * touched partitions, large ones zip-partition merges where the state
+    * never shuffles — composing the round-10 distributed-delta machinery
+    * with Structured Streaming (the streaming twin of the at-rest
+    * [[streamSignalMaintenance]]). The merge `f` must be order-insensitive
+    * across batches (same contract as any stream aggregation replay). */
+  def streamPointBagMaintenance[K, V, M](stream: DataFrame,
+      pb: graft.api.PointBag[K, V],
+      toDelta: DataFrame => Dataset[(K, M)])(
+      f: (K, Option[V], M) => Option[V]): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          pb.updateBag(graft.api.DataBag.from(toDelta(batch.toDF())))(f)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -313,4 +313,26 @@ class StreamsSpec extends AnyFlatSpec with Matchers {
     got shouldBe exp
     got.map(_._1) should contain allOf (11L, 13L) // both near-dups caught
   }
+
+  it should "maintain a PointBag from micro-batched deltas (streamPointBagMaintenance)" in {
+    import graft.api.{DataBag, PointBag}
+    val init = (1L to 50L).map(k => (k, k * 10L))
+    val pb = PointBag(DataBag.from(spark.createDataset(init)), parts = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_spb").toString
+    // three files → three micro-batches; per-key messages are commutative
+    // adds (the replay contract); key 99 is an insert
+    val deltas = Seq((1L, 5L), (2L, 7L), (99L, 3L), (1L, 5L), (50L, 1L), (99L, 4L))
+    deltas.toDF("k", "m").repartition(3).write.parquet(s"$base/src")
+    val stream = spark.readStream
+      .schema("k LONG, m LONG").option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/src")
+    Streams.streamPointBagMaintenance[Long, Long, Long](stream, pb,
+      df => df.select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("m")).as[(Long, Long)])(
+      (_, old, m) => Some(old.getOrElse(0L) + m))
+    val got = pb.bag().collect().toMap
+    val exp = deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .foldLeft(init.toMap) { case (st, (k, m)) => st.updated(k, st.getOrElse(k, 0L) + m) }
+    got shouldBe exp
+  }
 }
