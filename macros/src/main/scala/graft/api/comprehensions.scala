@@ -2185,7 +2185,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
     // moment, so all references rewrite uniformly.
     typedChain match {
       case Some((gens, tbody)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
-        val lambdaTrees = gens.flatMap(_.guards.map(_.cond)) :+ tbody
+        // scan guards, the yield, AND the generator BAG expressions: a
+        // lambda inside a bag expr (a groupBy key, a map stage) defers and
+        // distributes exactly like a guard; non-lambda bag-position var
+        // reads evaluate at build time anyway, so the uniform snapshot is
+        // semantics-preserving for them too
+        val lambdaTrees = gens.flatMap(_.guards.map(_.cond)) ++
+          gens.map(_.bag) :+ tbody
         val captured: List[Symbol] = lambdaTrees.flatMap(varCaptureSyms).distinct
         if (captured.nonEmpty) {
           val expects = captured.map(s => symRefCount(expr, s))

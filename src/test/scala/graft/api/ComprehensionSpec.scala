@@ -1369,6 +1369,15 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val doubled = onSpark { for { x <- cur } yield 2L * x }
     cur = bagL(Seq(99L)) // reassignment after build must not matter
     doubled.collect().sorted shouldBe Seq(2L, 4L, 6L, 8L, 10L)
+    // a var captured inside a BAG-EXPRESSION lambda (a groupBy key — it
+    // defers and distributes exactly like a guard) snapshots too
+    var m = 3L
+    val grouped = onSpark {
+      for (g <- bagL(1L to 12L).groupBy(v => v % m)) yield (g.key, g.values.size)
+    }
+    m = 1000L // would collapse to one group if the capture were live
+    grouped.collect().sorted shouldBe
+      (1L to 12L).groupBy(_ % 3L).toSeq.map { case (k, vs) => (k, vs.size.toLong) }.sorted
     // a same-named binder inside the chain poisons the snapshot
     // substitution — abort rather than mis-capture
     """

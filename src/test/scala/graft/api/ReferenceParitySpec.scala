@@ -51,8 +51,8 @@ import graft.api.comprehensions.onSpark
   *  | MutableBag     | 2        | 2    | —                                 |
   *  | Normalization  | 5        | 5    | —                                 |
   *  | CSV            | 1        | 1    | —                                 |
-  *  | Miscellaneous  | 8        | 8    | — (sieve: per-round `val` capture
-  *  |                |          |      |   of the loop var, see test)      |
+  *  | Miscellaneous  | 8        | 8    | — (sieve runs VERBATIM: DSCF
+  *  |                |          |      |   var-snapshot, see test)         |
   *  | TOTAL          | 47       | 47   | 0 wrong answers                   |
   *
   * Adaptations (all spelling, none semantic — documented per test):
