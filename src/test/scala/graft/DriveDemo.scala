@@ -713,6 +713,33 @@ object DriveDemo {
       pb.delete(Seq(3L))
       println(s"pointbag: delta=$d1 get=${pb.multiget(Seq(7L, 3L, 700L))} " +
         s"n=${pb.bag().ds.count()}")
+      // round-10: distributed-delta round (state never shuffles)
+      pb.updateBag(DataBag.from(spark.range(60).as[Long].map(i => (i, 1L))),
+        localThreshold = 10)((_, old, m) => Some(old.getOrElse(0L) + m))
+      println(s"pointbag updateBag: k5=${pb.multiget(Seq(5L)).get(5L)}")
+      // round-10: depth-3 dependent comprehension + plain-fold fusion
+      import graft.api.comprehensions.onSpark
+      val as = DataBag((1L to 10L).map(i => (i, i % 3)))
+      val bs = DataBag((1L to 12L).map(i => (i, i % 3, i % 4)))
+      val cs = DataBag((1L to 14L).map(i => (i, i % 4)))
+      val deep = onSpark {
+        for {
+          a <- as
+          v <- (for { b <- bs; if b._2 == a._2
+            w <- (for { c <- cs; if c._2 == b._3 } yield c._1 + b._1) } yield w)
+        } yield (a._1, v)
+      }
+      println(s"depth-3 comprehension rows = ${deep.collect().length}")
+      val (psum, pn) = graft.api.AutoCache.scope { _ => (bag.sum, bag.size) }
+      println(s"plain-fold fusion: sum=$psum n=$pn")
+      // round-10: DSCF var-snapshot — loop var captured in a quoted guard
+      var primes: DataBag[Long] = DataBag((2L to 30L).toSeq)
+      var p = 1L
+      while (p < 5L) {
+        p += 1L
+        primes = onSpark { for { n <- primes; if n == p || n % p != 0L } yield n }
+      }
+      println(s"sieve via var-snapshot = ${primes.collect().sorted.mkString(",")}")
     }
 
     spark.stop()
