@@ -108,6 +108,32 @@ object ProfileRound10 {
         }
       }
     }
+
+    // plain-fold scope fusion: sum+size+min+max of one wide-ish bag,
+    // outside a scope (columnar fast paths, 4 jobs) vs inside (2 fused
+    // object batches) vs deferFold (1 batch)
+    locally {
+      import graft.api.alg._
+      val bag = DataBag.from(spark.read
+        .parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(org.apache.spark.sql.functions.col("l_extendedprice")
+          .cast("long")).as[Long])
+      time("folds x4 outside scope (columnar)") {
+        val _ = (bag.sum, bag.size, bag.min, bag.max)
+      }
+      time("folds x4 inside scope (2 fused batches)") {
+        val _ = graft.api.AutoCache.scope { _ =>
+          (bag.sum, bag.size, bag.min, bag.max)
+        }
+      }
+      time("folds x4 deferred (1 batch)") {
+        val _ = graft.api.AutoCache.scope { sc =>
+          val r = (sc.deferFold(bag)(Sum(Numeric[Long])), sc.deferFold(bag)(Size),
+            sc.deferFold(bag)(Min(Ordering.Long)), sc.deferFold(bag)(Max(Ordering.Long)))
+          (r._1.value, r._2.value, r._3.value, r._4.value)
+        }
+      }
+    }
     spark.stop()
   }
 }
