@@ -60,6 +60,14 @@ object Bench {
     // (max/min) exceeds 2x are listed under "noisy" so a suspect number
     // is visibly suspect in benchmark history.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    // ambient host load at run START, recorded in both artifacts: three
+    // consecutive rounds' official numbers were load-contaminated, and the
+    // artifact itself should say whether the host was busy when it ran
+    def loadavg(): String =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.getLines().next().split(" ").take(3).mkString(","))
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -74,22 +82,30 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // Outlier re-run pass: a rep that lands in a host-load window can be
-      // 10-75x the clean time, which poisoned the recorded medians of two
-      // consecutive rounds (r7: 36 noisy rows, r8: 62). When the spread
-      // exceeds 4x, buy up to 2 extra reps so clean runs outvote the
-      // loaded one; the reported median/noisy-flag then consider only the
-      // CLEAN reps (within 4x of the best), while min/max still record the
-      // full observed spread for triage.
+      // 10-75x the clean time, which poisoned the recorded medians of THREE
+      // consecutive rounds (r7: 36 noisy rows, r8: 62; r10's official run
+      // still overstated 11 queries 3-5x vs a same-tree run an hour apart).
+      // Keep buying reps (up to 4 extra) while the clean-rep median sits
+      // more than 20% AND more than 0.3s above the observed min — clean
+      // reps then outvote the loaded window; min/max still record the full
+      // spread for triage. The 0.3s absolute guard stops sub-second queries
+      // from re-running on constant scheduler jitter.
+      def cleanMedian(ts: Seq[Double]): (Seq[Double], Double) = {
+        val all = ts.sorted
+        val clean = all.filter(_ <= all.head * 4.0)
+        (clean, clean(clean.size / 2))
+      }
       var times = (1 to reps).map(_ => timeOnce())
       var extra = 0
-      while (extra < 2 && reps > 1 && {
-        val s = times.map(_._1).sorted; s.last / s.head.max(1e-9) > 4.0
+      while (extra < 4 && reps > 1 && {
+        val s = times.map(_._1).sorted
+        val (_, med) = cleanMedian(times.map(_._1))
+        med / s.head.max(1e-9) > 1.2 && med - s.head > 0.3
       }) {
         times = times :+ timeOnce(); extra += 1
       }
       val all = times.map(_._1).sorted
-      val clean = all.filter(_ <= all.head * 4.0)
-      val median = clean(clean.size / 2)
+      val (clean, median) = cleanMedian(times.map(_._1))
       // noisy = the recorded number is not a usable signal: relative spread
       // over 2x AND absolute spread over 1s (sub-second queries jitter 2x
       // on constant scheduler overhead without carrying any information)
@@ -112,7 +128,7 @@ object Bench {
     // artifact carries both signals per query.
     val mins = results.map { case (k, _, ok, _, mn, _) => "\"" + k + "\":" + (if (ok) mn else -1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
     // Full per-query history as a FILE artifact: stdout tail buffers
     // truncate the line above at 170+ queries, and recorded medians on a
     // loaded host aren't triage-able without min/max spread. One JSON file
@@ -131,7 +147,7 @@ object Bench {
       }.mkString("{\n", ",\n", "\n}")
       val minTotalHist = results.collect { case (_, _, true, _, mn, _) => mn }.sum
       val body =
-        s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus","total_sec":${f"$total%.2f"},"min_total_sec":${f"$minTotalHist%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"queries":$perQuery}"""
+        s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","total_sec":${f"$total%.2f"},"min_total_sec":${f"$minTotalHist%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"queries":$perQuery}"""
       java.nio.file.Files.writeString(dir.resolve(s"$ts.json"), body)
     }
     // End with a compact digest that always fits a ~2000-char tail: total,

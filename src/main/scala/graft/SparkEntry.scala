@@ -38,6 +38,16 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
   /** Normalize an events-shaped frame's `ts` to TimestampType. Current
     * driver dumps store parquet TIMESTAMP_MICROS natively; older
     * generations wrote INT64 nanos (surfacing as `long` under
@@ -3751,17 +3761,23 @@ object SparkEntry {
           expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("cents"))
         .as[(Long, Long)])
       val pb = graft.api.PointBag(state, parts = 32)
-      val base = java.nio.file.Files.createTempDirectory("graft_streampb").toString
-      val deltas = tbl(s, d, "orders")
-        .select(col("o_custkey"),
-          expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("m"))
-      deltas.repartition(4).write.parquet(s"$base/src")
-      val stream = s.readStream.schema(deltas.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      graft.streaming.Streams.streamPointBagMaintenance[Long, Long, Long](
-        stream, pb,
-        df => df.select(col("o_custkey"), col("m")).as[(Long, Long)])(
-        (_, old, m) => Some(old.getOrElse(0L) + m))
+      // temp source/checkpoint dirs are deleted after the (blocking)
+      // maintenance run completes — Bench replays this gate reps+ times and
+      // must not accumulate parquet copies under /tmp across runs
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_streampb")
+      val base = baseDir.toString
+      try {
+        val deltas = tbl(s, d, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("m"))
+        deltas.repartition(4).write.parquet(s"$base/src")
+        val stream = s.readStream.schema(deltas.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+        graft.streaming.Streams.streamPointBagMaintenance[Long, Long, Long](
+          stream, pb,
+          df => df.select(col("o_custkey"), col("m")).as[(Long, Long)])(
+          (_, old, m) => Some(old.getOrElse(0L) + m))
+      } finally deleteRecursively(baseDir)
       pb.bag().ds.toDF("c_custkey", "cents")
     })
   )

@@ -155,8 +155,9 @@ final class DataBag[A](val ds: Dataset[A]) extends Serializable {
   // deserializing RDD fold. Only EXACT-equivalent cases route: integral
   // types (no FP reorder effects) under the NATURAL ordering; everything
   // else (arbitrary Alg, custom Orderings, floating point) keeps the RDD
-  // path. One semantic edge moves with the routing: integral overflow now
-  // raises under ANSI mode where the RDD fold silently wrapped.
+  // path. Integral overflow raises on BOTH paths: the agg under ANSI mode,
+  // the object fold via Sum's Math.addExact — so the result never depends
+  // on whether an AutoCache scope rerouted the fold.
 
   private def integralColumn: Option[String] = {
     import org.apache.spark.sql.types._

@@ -87,7 +87,15 @@ case class Max[A](ord: Ordering[A]) extends Alg[A, Option[A]] {
 case class Sum[A](num: Numeric[A]) extends Alg[A, A] {
   def zero: A = num.zero
   def init(x: A): A = x
-  def plus(x: A, y: A): A = num.plus(x, y)
+  // Long/Int sums add exactly (raising on overflow) so the object-fold path
+  // agrees with the ANSI-checked Catalyst HashAggregate the columnar fast
+  // path routes to — result must not depend on which path a scope picks.
+  def plus(x: A, y: A): A =
+    if (num eq Numeric.LongIsIntegral)
+      Math.addExact(x.asInstanceOf[Long], y.asInstanceOf[Long]).asInstanceOf[A]
+    else if (num eq Numeric.IntIsIntegral)
+      Math.addExact(x.asInstanceOf[Int], y.asInstanceOf[Int]).asInstanceOf[A]
+    else num.plus(x, y)
 }
 
 case class Product[A](num: Numeric[A]) extends Alg[A, A] {

@@ -94,9 +94,15 @@ object Quality {
       val probe: Option[Array[org.apache.spark.sql.Row]] =
         if (localThreshold <= 0) None
         else if (sizeHint >= 0) {
-          if (sizeHint <= localThreshold)
-            Some(data.select(col("x"), col("y")).collect())
-          else None
+          if (sizeHint <= localThreshold) {
+            // trust the hint for the PATH choice but not for driver safety:
+            // cap the collect at threshold+1 so a stale/undersized hint on
+            // big data cannot pull the whole featurized join to the driver
+            // — the extra row disproves the hint and we fall back to GD
+            val rows = data.select(col("x"), col("y"))
+              .limit(localThreshold + 1).collect()
+            if (rows.length <= localThreshold) Some(rows) else None
+          } else None
         } else {
           val rows = data.select(col("x"), col("y"))
             .limit(localThreshold + 1).collect()

@@ -175,6 +175,24 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
     f(9L) shouldBe 81L
   }
 
+  it should "skip the compiler on identical re-submission (source-hash cache)" in {
+    val src = "(n: Long) => n + " + System.nanoTime() + "L" // unique source
+    val before = RuntimeQuotation.compilations.get()
+    val f1 = RuntimeQuotation.compile[Long => Long](src)
+    RuntimeQuotation.compilations.get() shouldBe (before + 1)
+    val t0 = System.nanoTime()
+    val f2 = RuntimeQuotation.compile[Long => Long](src)
+    val hitMs = (System.nanoTime() - t0) / 1e6
+    // second submission compiled NOTHING: the scalac counter is unchanged
+    // and the hit path is orders of magnitude under a compiler run
+    RuntimeQuotation.compilations.get() shouldBe (before + 1)
+    hitMs should be < 500.0
+    f1(1L) shouldBe f2(1L)
+    // distinct source is a distinct cache entry
+    RuntimeQuotation.compile[Long]("41L + 1L") shouldBe 42L
+    RuntimeQuotation.compilations.get() shouldBe (before + 2)
+  }
+
   it should "surface macro aborts as compile errors at quote time" in {
     // dependent on a DISTRIBUTED bag (the literal DataBag(seq) spelling
     // now derives a local flatMap instead — ComprehensionSpec)
