@@ -677,13 +677,42 @@ class ComprehensionMacro(val c: blackbox.Context) {
     out.toList
   }
 
+  /** Fold spellings that route through `AutoCache.foldThrough` inside a
+    * scope — safe for the [[deferNamed]] collect/read protocol (running the
+    * spelling twice costs zero extra jobs: the queue insert in collect
+    * mode, memo hits on the read). `count/exists/forall/find/sample/
+    * isEmpty/nonEmpty/collect/foldAll` run direct Spark actions and must
+    * stay eager (a collect-mode run would execute the job AND the read
+    * would run it again). */
+  private val deferableFoldNames: Set[TermName] =
+    Set("sum", "size", "min", "max", "product", "top", "bottom",
+      "reduce", "reduceOption", "minBy", "maxBy", "fold")
+      .map(TermName(_))
+
+  @annotation.tailrec
+  private def anchorKind(t: Tree): Option[TermName] = t match {
+    case Select(_, n: TermName) => Some(n)
+    case Apply(f, _) => anchorKind(f)
+    case TypeApply(f, _) => anchorKind(f)
+    case _ => None
+  }
+
   /** Hoists every generator-independent fold of a distributed bag out of
-    * the comprehension into a driver `val` — evaluated eagerly, ONCE, in
-    * occurrence order — and re-expands `onSpark` on the rewritten
-    * comprehension, where the fold value is now a plain local and the
-    * remaining shape derives as usual. Without the hoist the fold's bag
+    * the comprehension into a driver `val` and re-expands `onSpark` on the
+    * rewritten comprehension, where the fold value is now a plain local and
+    * the remaining shape derives as usual. Without the hoist the fold's bag
     * would ride an executor-side closure (a guaranteed runtime crash) or
-    * abort. Returns None when nothing qualifies. */
+    * abort.
+    *
+    * Fold-ROUTED spellings emit through [[graft.api.AutoCache.deferNamed]]:
+    * inside an active `AutoCache.scope` all hoisted folds of one bag queue
+    * FIRST and execute as ONE fused `foldAll` at the first read (the
+    * reference's FoldForestFusion on the uncorrelated-scalar hoist);
+    * outside a scope the thunk runs once eagerly — the exact `val` it
+    * replaces. Direct-action spellings (count/exists/sample/...) keep plain
+    * eager vals. Hoisted folds are mutually independent by construction, so
+    * the queue-then-read reordering is unobservable. Returns None when
+    * nothing qualifies. */
   private def hoistGlobalFolds(expr: Tree): Option[Tree] = {
     val decisions = globalFoldDecisions(expr)
     if (!decisions.contains(true)) return None
@@ -708,8 +737,246 @@ class ComprehensionMacro(val c: blackbox.Context) {
     if (i != decisions.length || names.isEmpty)
       c.abort(c.enclosingPosition,
         "internal: global fold occurrences changed after untypecheck")
-    val vals = names.toList.zip(rhss.toList).map { case (n, r) => q"val $n = $r" }
-    Some(q"{ ..$vals; _root_.graft.api.comprehensions.onSpark($rewritten) }")
+    val deferable = rhss.toList.map(r => anchorKind(r).exists(deferableFoldNames))
+    val handles = names.toList.zip(rhss.toList).zip(deferable).map {
+      case ((n, r), true) =>
+        q"val ${TermName(n.toString + "$h")} = _root_.graft.api.AutoCache.deferNamed(() => $r)"
+      case ((n, r), false) => q"val $n = $r"
+    }
+    val reads = names.toList.zip(deferable).collect { case (n, true) =>
+      q"val $n = ${TermName(n.toString + "$h")}.apply()"
+    }
+    Some(q"{ ..$handles; ..$reads; _root_.graft.api.comprehensions.onSpark($rewritten) }")
+  }
+
+  // ------------------- same-object helper-def inlining (reference Lib.expand)
+  //
+  // The reference inlines `@emma.lib` function bodies into quoted programs
+  // before deriving (compiler/lib/Lib.scala:40-55: beta reduction + cycle
+  // check over a registry of method ASTs), so a helper `def` that builds a
+  // bag from a row still participates in join derivation. There is no
+  // cross-file AST registry here; the equivalent scope is the SAME-OBJECT
+  // def — any method whose owner sits on the macro call site's own owner
+  // chain (enclosing object/class/method), whose DefDef tree is findable in
+  // the current compilation unit. That is exactly the def whose body can
+  // splice at the call site with every free reference still resolvable.
+
+  /** Owner chain of the macro call site, as a set (enclosing method, class,
+    * object, package — the scopes whose defs are safely splicable here). */
+  private def callSiteOwners: Set[Symbol] = {
+    val b = Set.newBuilder[Symbol]
+    var s = c.internal.enclosingOwner
+    while (s != null && s != NoSymbol) { b += s; s = s.owner }
+    b.result()
+  }
+
+  /** TYPED-side: a call `m(args)` / `this.m(args)` / `Obj.m(args)` to a
+    * method owned by an enclosing scope. Returns the method symbol. */
+  private def sameObjectDefCall(t: Tree): Option[MethodSymbol] = {
+    @annotation.tailrec
+    def peel(f: Tree, seenArgs: Boolean): Option[MethodSymbol] = f match {
+      case Apply(g, _) => peel(g, seenArgs = true)
+      case TypeApply(g, _) => peel(g, seenArgs)
+      case _ =>
+        val shapeOk = f match {
+          case _: Ident => true
+          case Select(_: This, _) => true
+          case Select(q, _) => q.symbol != null && q.symbol.isModule
+          case _ => false
+        }
+        if (seenArgs && shapeOk && f.symbol != null && f.symbol != NoSymbol &&
+            f.symbol.isMethod && callSiteOwners(f.symbol.owner))
+          Some(f.symbol.asMethod)
+        else None
+    }
+    peel(t, seenArgs = false)
+  }
+
+  private def returnsDataBag(m: MethodSymbol): Boolean =
+    m.returnType.baseClasses.exists(_.fullName == "graft.api.DataBag")
+
+  /** The DefDef tree for `sym` anywhere in the current compilation unit
+    * (symbols are assigned by namer, so defs typed AFTER the call site are
+    * still found). Abstract/empty bodies don't qualify. */
+  private def findUnitDefDef(sym: Symbol): Option[DefDef] = {
+    var found: Option[DefDef] = None
+    c.enclosingUnit.body.foreach {
+      case dd: DefDef if found.isEmpty && dd.symbol == sym && !dd.rhs.isEmpty =>
+        found = Some(dd)
+      case _ => ()
+    }
+    found
+  }
+
+  /** Same-object DataBag-returning defs by UNIQUE name — the registry the
+    * untyped recursive pass matches against (untypecheck erases symbols, so
+    * nested helper calls inside a spliced body resolve by name). Chain
+    * method names are excluded so `xs.map(...)` can never false-match. */
+  private lazy val unitBagDefsByName: Map[TermName, DefDef] = {
+    val chainNames = Set("map", "flatMap", "withFilter", "filter", "groupBy",
+      "union", "distinct", "apply").map(TermName(_))
+    val owners = callSiteOwners
+    val all = scala.collection.mutable.ListBuffer.empty[DefDef]
+    c.enclosingUnit.body.foreach {
+      // forcing returnType on a def whose result type is still being
+      // INFERRED elsewhere in the unit can cycle — Try skips those (they
+      // could not be splice candidates reliably anyway)
+      case dd: DefDef if dd.symbol != null && dd.symbol != NoSymbol &&
+          dd.symbol.isMethod && owners(dd.symbol.owner) && !dd.rhs.isEmpty &&
+          !chainNames(dd.name) &&
+          scala.util.Try(returnsDataBag(dd.symbol.asMethod)).getOrElse(false) =>
+        all += dd
+      case _ => ()
+    }
+    all.groupBy(_.name).collect { case (n, ds) if ds.length == 1 => (n, ds.head) }
+  }
+
+  /** UNTYPED-side: peel a call into (name, argss) — unqualified or
+    * this-qualified spellings only (the recursive pass; the typed entry
+    * already adjudicated module-qualified calls by symbol). */
+  private def peelNameCallU(t: Tree): Option[(TermName, List[List[Tree]])] = {
+    @annotation.tailrec
+    def peel(f: Tree, argss: List[List[Tree]]): Option[(TermName, List[List[Tree]])] =
+      f match {
+        case Apply(g, args) => peel(g, args :: argss)
+        case TypeApply(g, _) => peel(g, argss)
+        case Ident(n: TermName) if argss.nonEmpty => Some((n, argss))
+        case Select(_: This, n: TermName) if argss.nonEmpty => Some((n, argss))
+        case _ => None
+      }
+    peel(t, Nil)
+  }
+
+  /** Fresh-rename every lambda parameter in an UNTYPED spliced body so a
+    * helper-internal binder can never collide with a binder at the splice
+    * site — the unnester requires distinct generator names (the reference's
+    * betaReduce renames every non-parameter binding the same way,
+    * Lib.scala bndDefsSubstSeq). A rename that would mis-capture (inner
+    * shadowing poisons the substitution) leaves that lambda's own names in
+    * place — a residual collision then surfaces as the derivation abort,
+    * never a silent mis-binding. */
+  private def alphaRenameBinders(t: Tree): Tree = {
+    val tr = new Transformer {
+      override def transform(x: Tree): Tree = x match {
+        case fn @ Function(params, body) =>
+          var b = body
+          var ok = true
+          val nps = params.map { p =>
+            if (!ok) p
+            else {
+              val f = TermName(c.freshName(p.name.toString))
+              val (nb, cnt) = substFreeName(b, p.name, Ident(f))
+              if (cnt < 0) { ok = false; p }
+              else { b = nb; ValDef(p.mods, f, p.tpt, p.rhs) }
+            }
+          }
+          if (!ok) super.transform(fn)
+          else treeCopy.Function(fn, nps, transform(b))
+        case _ => super.transform(x)
+      }
+    }
+    tr.transform(t)
+  }
+
+  /** Beta-reduce one helper call: substitute each argument for its
+    * parameter, splice the untypechecked body, then recursively inline
+    * nested same-object helper calls with a cycle check (the reference's
+    * ensureAcyclic, Lib.scala:57-58). */
+  private def betaReduceU(dd: DefDef, argssU: List[List[Tree]],
+      trace: List[Symbol]): Tree = {
+    if (trace.contains(dd.symbol))
+      c.abort(c.enclosingPosition,
+        s"onSpark: cyclic helper-def calls while inlining: " +
+        (dd.symbol :: trace).reverse.map(_.name).mkString(" -> ") +
+        " — recursive bag-building defs are not derived; restructure or join explicitly")
+    if (dd.tparams.nonEmpty)
+      c.abort(c.enclosingPosition,
+        s"onSpark: helper def '${dd.name}' has type parameters — not inlined; " +
+        "monomorphize the helper or join explicitly")
+    val params = dd.vparamss.flatten
+    val args = argssU.flatten
+    if (params.length != args.length)
+      c.abort(c.enclosingPosition,
+        s"onSpark: helper def '${dd.name}' arity mismatch while inlining " +
+        s"(${params.length} parameters, ${args.length} arguments) — " +
+        "supply every argument list explicitly or join explicitly")
+    // arguments substitute DIRECTLY for their parameters (no prefix vals: a
+    // Block-wrapped bag would defeat the unnester downstream). Evaluation
+    // moves from call-time to use-time and duplicates per occurrence — the
+    // same purity premise every other derivation step (guard reordering into
+    // join keys, fold hoisting) already assumes for quoted expressions.
+    var body = alphaRenameBinders(c.untypecheck(dd.rhs.duplicate))
+    params.zip(args).foreach { case (p, a) =>
+      val (nb, cnt) = substFreeName(body, p.name, a)
+      if (cnt < 0)
+        c.abort(c.enclosingPosition,
+          s"onSpark: helper def '${dd.name}' shadows its parameter '${p.name}' " +
+          "inside its body — not inlined; rename the inner binder")
+      body = nb
+    }
+    inlineCallsU(body, dd.symbol :: trace)
+  }
+
+  /** Recursively inline same-object helper calls in an UNTYPED tree (the
+    * body of an already-spliced helper), matched by unique name. */
+  private def inlineCallsU(t: Tree, trace: List[Symbol]): Tree = {
+    val tr = new Transformer {
+      override def transform(x: Tree): Tree = peelNameCallU(x) match {
+        case Some((n, argss)) if unitBagDefsByName.contains(n) =>
+          betaReduceU(unitBagDefsByName(n), argss.map(_.map(transform)), trace)
+        case _ => super.transform(x)
+      }
+    }
+    tr.transform(t)
+  }
+
+  /** Entry: inline same-object helper `def`s whose calls build DEPENDENT
+    * generator bags. Only bags that would otherwise ABORT are rewritten
+    * (independent bags evaluate eagerly and derivable chain shapes unnest
+    * already), so this pass can only turn aborts into derivations. Returns
+    * the rewritten comprehension wrapped for re-expansion, or None. */
+  private def inlineHelperDefs(expr: Tree, gens: List[Gen]): Option[Tree] = {
+    val symsPerLevel = gens.map(levelSyms)
+    val picks: List[Option[DefDef]] = gens.zipWithIndex.map { case (g, i) =>
+      if (i == 0 || !usesAny(g.bag, symsPerLevel.take(i).flatten)) None
+      else if (isLocalBagCtor(g.bag)) None
+      else sameObjectDefCall(g.bag) match {
+        case Some(m) if returnsDataBag(m) => findUnitDefDef(m)
+        case _ => None
+      }
+    }
+    if (!picks.exists(_.isDefined)) return None
+    val uexpr = c.untypecheck(expr)
+    flatten(uexpr) match {
+      case Some((ugens, _)) if ugens.length == gens.length =>
+        val reps = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
+        picks.zip(ugens).foreach {
+          case (Some(dd), ug) =>
+            // untyped twin peel, module-qualified included (symbol already
+            // adjudicated on the typed side)
+            @annotation.tailrec
+            def peelAny(f: Tree, argss: List[List[Tree]]): Option[List[List[Tree]]] =
+              f match {
+                case Apply(g2, as) => peelAny(g2, as :: argss)
+                case TypeApply(g2, _) => peelAny(g2, argss)
+                case Ident(_) | Select(_, _) if argss.nonEmpty => Some(argss)
+                case _ => None
+              }
+            peelAny(ug.bag, Nil) match {
+              case Some(argssU) => reps += ((ug.bag, betaReduceU(dd, argssU, Nil)))
+              case None => c.abort(c.enclosingPosition,
+                "internal: helper call shape changed after untypecheck")
+            }
+          case _ => ()
+        }
+        val tf = new Transformer {
+          override def transform(t: Tree): Tree =
+            reps.collectFirst { case (o, nw) if o eq t => nw }
+              .getOrElse(super.transform(t))
+        }
+        Some(q"_root_.graft.api.comprehensions.onSpark(${tf.transform(uexpr)})")
+      case _ => None
+    }
   }
 
   // --------------------------------- multi-generator groupBy fusion
@@ -2192,6 +2459,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // semantics-preserving for them too
         val lambdaTrees = gens.flatMap(_.guards.map(_.cond)) ++
           gens.map(_.bag) :+ tbody
+        // qualified member-var reads (this.x / obj.x) cannot be snapshot by
+        // the name substitution below — abort rather than defer the read
+        val memberReads = lambdaTrees.flatMap(memberVarSelects).distinct
+        if (memberReads.nonEmpty)
+          c.abort(c.enclosingPosition,
+            s"onSpark: the quoted comprehension reads the mutable field(s) " +
+            s"${memberReads.map(_.name).mkString(", ")} through a qualifier " +
+            "inside a lambda; Spark defers execution, so a later job would " +
+            "observe the field's latest value — snapshot it manually: " +
+            "`val v0 = this.v` (or `obj.v`) before the comprehension and use `v0`")
         val captured: List[Symbol] = lambdaTrees.flatMap(varCaptureSyms).distinct
         if (captured.nonEmpty) {
           val expects = captured.map(s => symRefCount(expr, s))
@@ -2259,6 +2536,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
     typedChain match {
       case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) =>
         unnestGenerators(expr, gens) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
+    // dependent generator bags built by SAME-OBJECT helper `def`s inline by
+    // beta reduction (the reference's Lib.expand) and re-expand — the
+    // spliced chain then unnests/derives like its written-out spelling
+    typedChain match {
+      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) =>
+        inlineHelperDefs(expr, gens) match {
           case Some(res) => return res
           case None => ()
         }
@@ -2642,17 +2930,49 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
+  /** Is `s` a mutable-state read: a local `var`, or a class-field `var`'s
+    * getter (a getter whose symbol has a paired setter). */
+  private def isMutableRead(s: Symbol): Boolean =
+    s != null && s != NoSymbol && s.isTerm && {
+      val t = s.asTerm
+      t.isVar || (t.isGetter && t.setter != NoSymbol)
+    }
+
   /** Mutable-variable symbols referenced in `t` but not DEFINED in `t` —
-    * the deferred-execution capture hazard (typed-tree walk). */
+    * the deferred-execution capture hazard (typed-tree walk). Matches both
+    * local `var` reads (bare Ident) and member-`var` getter calls spelled
+    * as a bare Ident; member reads spelled `this.x`/`obj.x` surface as
+    * Select and are caught by [[memberVarSelects]] instead. */
   private def varCaptureSyms(t: Tree): List[Symbol] = {
     val defined = t.collect {
       case vd: ValDef if vd.mods.hasFlag(Flag.MUTABLE) && vd.symbol != null =>
         vd.symbol
     }.toSet
     t.collect {
-      case i: Ident if i.symbol != null && i.symbol != NoSymbol &&
-          i.symbol.isTerm && i.symbol.asTerm.isVar && !defined(i.symbol) =>
+      case i: Ident if isMutableRead(i.symbol) && !defined(i.symbol) =>
         i.symbol
+    }.distinct
+  }
+
+  /** Mutable CLASS FIELDS read through a STABLE qualifier (`this.x`,
+    * `Outer.this.x`, `SomeObject.x`) in `t` — these cannot be
+    * name-substituted by the snapshot rewrite (the untyped occurrence is a
+    * Select, not a free Ident), so the caller must abort with guidance
+    * rather than let the deferred read float. Selects rooted at an Ident
+    * (a generator binder's own var field, `x.field`) are per-element reads
+    * of row data, not captures — excluded. */
+  private def memberVarSelects(t: Tree): List[Symbol] = {
+    @annotation.tailrec
+    def stableRoot(q: Tree): Boolean = q match {
+      case _: This | _: Super => true
+      case i: Ident =>
+        i.symbol != null && i.symbol != NoSymbol && i.symbol.isModule
+      case Select(inner, _) => stableRoot(inner)
+      case _ => false
+    }
+    t.collect {
+      case sel @ Select(q, _) if isMutableRead(sel.symbol) && stableRoot(q) =>
+        sel.symbol
     }.distinct
   }
 

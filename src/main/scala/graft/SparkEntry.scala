@@ -3749,6 +3749,30 @@ object SparkEntry {
       pb.bag().ds.toDF("c_custkey", "cents")
     }),
 
+    // Same-object helper-def inlining (the reference's Lib.expand,
+    // compiler/lib/Lib.scala:40-55): a dependent generator whose bag is
+    // BUILT BY A METHOD CALL beta-reduces into the comprehension and
+    // participates in join derivation — the plan is the same single equi
+    // join the written-out spelling gets (no cartesian, no per-row jobs)
+    "q248_libdef_inline" -> ((s, d) => {
+      import s.implicits._
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      import graft.api.comprehensions.onSpark
+      def highOrders(c: CustRow): DataBag[OrderRow] =
+        for { o <- orders
+          if o.o_custkey == c.c_custkey && o.o_totalprice > 150000.0 } yield o
+      val res = onSpark {
+        for { cu <- custs; o <- highOrders(cu) }
+          yield (cu.c_custkey, cu.c_name, o.o_orderkey,
+            (o.o_totalprice * 100 + 0.5).floor.toLong)
+      }
+      res.ds.toDF("c_custkey", "c_name", "o_orderkey", "price_cents")
+    }),
+
     // Streaming point-state maintenance: the SAME computation as q246 but
     // arriving as micro-batches — each batch routes through
     // PointBag.updateBag inside foreachBatch (small batches touch only
@@ -5753,7 +5777,13 @@ object SparkEntry {
       ("SELECT c.c_custkey, CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) + COALESCE(s.m, 0) AS cents " +
         "FROM customer c LEFT JOIN (" +
         "SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS m " +
-        "FROM orders GROUP BY 1) s ON s.o_custkey = c.c_custkey")
+        "FROM orders GROUP BY 1) s ON s.o_custkey = c.c_custkey"),
+
+    "q248_libdef_inline" ->
+      ("SELECT cu.c_custkey, cu.c_name, o.o_orderkey, " +
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "WHERE o.o_totalprice > 150000.0")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

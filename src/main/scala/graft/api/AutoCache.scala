@@ -162,6 +162,10 @@ object AutoCache {
           list.add(new PendingFold(bag, a))
         }
       }
+      // COLLECT mode (see [[deferNamed]]): the algebra is queued, nothing
+      // runs — the caller discards this junk value and re-reads after the
+      // whole gang is queued, so all folds of one bag fuse into ONE job
+      if (collecting.get()) return alg.zero.asInstanceOf[B]
       runPendingFolds(bag.ds)
       memo.get(alg).asInstanceOf[B]
     }
@@ -174,6 +178,35 @@ object AutoCache {
   }
 
   private val active = new ThreadLocal[Scope]
+
+  private val collecting = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Hook for the macro's HOISTED generator-independent folds (only
+    * fold-ROUTED spellings — sum/size/min/max/product/top/bottom/reduce/
+    * minBy/maxBy/fold — are emitted through here). Inside a scope the thunk
+    * first runs once in COLLECT mode: [[Scope.namedFold]] queues each
+    * algebra into the bag's pending batch and returns a discarded zero, so
+    * N hoisted folds of one bag land in ONE pending batch before anything
+    * executes; the returned accessor re-runs the thunk for real — the first
+    * read executes the fused `foldAll`, the rest hit the memo (the
+    * reference's FoldForestFusion applied to the uncorrelated-scalar
+    * hoist). A collect-mode throw (e.g. `min`'s `.get` over the zero) is
+    * swallowed — the queue insert already happened and the read re-raises
+    * anything real. Outside a scope the thunk runs once, eagerly,
+    * exactly like the plain `val` it replaces. */
+  def deferNamed[B](thunk: () => B): () => B = {
+    val s = active.get()
+    if (s == null) { val r = thunk(); () => r }
+    else {
+      collecting.set(java.lang.Boolean.TRUE)
+      try { val _ = thunk() }
+      catch { case _: Throwable => () }
+      finally collecting.set(java.lang.Boolean.FALSE)
+      () => thunk()
+    }
+  }
 
   /** Run `body` with consumption tracking; deferred actions execute before
     * the scope's caches are dropped. Nested scopes stack (inner scope wins

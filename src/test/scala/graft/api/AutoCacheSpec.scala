@@ -130,6 +130,48 @@ class AutoCacheSpec extends AnyFlatSpec with Matchers {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  "macro-hoisted uncorrelated folds" should "fuse into ONE foldAll batch inside a scope" in {
+    import graft.api.comprehensions.onSpark
+    val (bag, acc) = countedBag(1000)
+    val xs = DataBag((1L to 100L))
+    // standalone twins for value identity (and to absorb their scans)
+    val expSum = bag.sum
+    val expMax = bag.max
+    val expSize = bag.size
+    val accTwins = acc.value
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // three generator-independent folds of ONE bag hoist into driver vals;
+      // inside a scope they must queue through deferNamed and run as ONE
+      // foldAll job (collect-then-read), plus one job for the result read —
+      // previously each hoisted val ran its own batch
+      val got = AutoCache.scope { _ =>
+        onSpark {
+          for { x <- xs; if x + bag.size > 0L; if x <= bag.max; if x != bag.sum }
+            yield x
+        }.collect()
+      }
+      got.sorted shouldBe (1L to 100L)
+      // values came from the SAME algebra results the standalone twins give
+      expSize shouldBe 1000L
+      expMax shouldBe 999L
+      expSum shouldBe (0L until 1000L).sum
+      // one scan for all three folds (not three)
+      (acc.value - accTwins) shouldBe 1000L
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      jobs.get() shouldBe 2 // fused fold batch + the comprehension's collect
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   "plain folds" should "join a pending deferFold batch of the same bag" in {
     val (bag, acc) = countedBag(500)
     import graft.api.alg._

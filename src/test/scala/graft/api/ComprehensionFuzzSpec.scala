@@ -205,6 +205,18 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
         val e13 = (for { x <- xsSeq; y <- ysSeq; if x % m == y % m } yield x + y) ++
           (for { x <- xsSeq; z <- zsSeq; if z % 4 == x % 4 } yield x * z)
         r13.collect().sorted shouldBe e13.sorted
+
+        // HELPER-DEF spelling (r11 shape; ref Lib.expand): the dependent bag
+        // is built by a same-object def — beta-reduced in place, then the
+        // depth-2 chain derives exactly like r12's written-out spelling
+        def fuzzHelper(x: Long): DataBag[Long] =
+          for { y <- ys; if y % m == x % m } yield y + x
+        val r14 = onSpark {
+          for { x <- xs; v <- fuzzHelper(x) } yield (x, v)
+        }
+        val e14 = for { x <- xsSeq; y <- ysSeq; if y % m == x % m }
+          yield (x, y + x)
+        r14.collect().sorted shouldBe e14.sorted
       }
     }
   }

@@ -14,6 +14,9 @@ import graft.api.comprehensions.onSpark
 case class TriEdge(src: Long, dst: Long)
 /** Inner-yield row for the case-class unnest shape. */
 case class PayRow(ok: Long, cents: Long)
+/** Row class with a `var` field: reads through a generator binder are
+  * per-element data, NOT deferred captures — must stay derivable. */
+case class VarCell(var v: Long)
 
 class ComprehensionSpec extends AnyFlatSpec with Matchers {
 
@@ -1384,6 +1387,115 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val xs = bagL(1L to 10L)
     var p = 2L
     onSpark { for { x <- xs; if x % p != 0L } yield { val p = x; p * 2L } }
+    """ shouldNot compile
+  }
+
+  it should "abort on mutable CLASS FIELDS read inside quoted lambdas (Select spelling)" in {
+    // a member var surfaces as Select(This(...), getter) in the typed tree
+    // — not substitutable by the name-based snapshot — so the macro must
+    // abort with guidance instead of letting the read defer (the silent
+    // wrong-answer trap the local-var snapshot closes)
+    """
+    class Holder {
+      var p = 2L
+      def run(xs: graft.api.DataBag[Long]) =
+        graft.api.comprehensions.onSpark { for { x <- xs; if x % p != 0L } yield x }
+    }
+    """ shouldNot compile
+    """
+    class Holder2 {
+      var p = 2L
+      def run(xs: graft.api.DataBag[Long]) =
+        graft.api.comprehensions.onSpark { for { x <- xs; if x % this.p != 0L } yield x }
+    }
+    """ shouldNot compile
+    // an OBJECT's var read through its module qualifier aborts too
+    """
+    object Conf { var p = 2L }
+    class Holder3 {
+      def run(xs: graft.api.DataBag[Long]) =
+        graft.api.comprehensions.onSpark { for { x <- xs; if x % Conf.p != 0L } yield x }
+    }
+    """ shouldNot compile
+    // the guided manual-snapshot spelling compiles and pins build-time value
+    class Holder4 {
+      var p = 2L
+      def run(xs: DataBag[Long]): DataBag[Long] = {
+        val p0 = p
+        onSpark { for { x <- xs; if x % p0 != 0L } yield x }
+      }
+    }
+    val h = new Holder4
+    val r = h.run(bagL(1L to 10L))
+    h.p = 1000L // must not matter: the snapshot happened at build time
+    r.collect().sorted shouldBe (1L to 10L).filter(_ % 2L != 0L)
+    // a generator binder's OWN var field is per-element row data, not a
+    // capture — reads stay derivable
+    val rows = DataBag((1L to 6L).map(i => new VarCell(i)))
+    val kept = onSpark { for { c <- rows; if c.v % 2L == 0L } yield c.v }
+    kept.collect().sorted shouldBe Seq(2L, 4L, 6L)
+  }
+
+  it should "inline same-object helper defs building dependent bags (Lib.expand)" in {
+    // a dependent generator whose bag is BUILT BY A METHOD CALL previously
+    // aborted; the macro now finds the helper's DefDef in the compilation
+    // unit (same-object scope), beta-reduces it into the generator position
+    // (the reference's Lib.expand, compiler/lib/Lib.scala:40-55), and the
+    // spliced chain derives the same equi join as the written-out spelling
+    val xs = DataBag((1L to 30L).map(i => (i, i % 5)))
+    val ys = DataBag((1L to 40L).map(i => (i * 2, i % 5)))
+    def matching(x: (Long, Long)): DataBag[(Long, Long)] =
+      for { y <- ys; if y._2 == x._2 } yield y
+    val r = onSpark { for { x <- xs; y <- matching(x) } yield (x._1, y._1) }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length shouldBe 1
+    val exp = for {
+      x <- (1L to 30L).map(i => (i, i % 5))
+      y <- (1L to 40L).map(i => (i * 2, i % 5)); if y._2 == x._2
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "inline NESTED same-object helper calls with expression args" in {
+    val xs = DataBag((1L to 20L).map(i => (i, i % 4)))
+    val ys = DataBag((1L to 50L).map(i => (i, i % 4)))
+    // outer helper delegates to an inner one; the argument `x._2 + 0L` is a
+    // computed expression (substituted directly, same purity premise as
+    // guard reordering); the inner call resolves by name in the untyped
+    // recursive pass
+    def libNarrow(k: Long): DataBag[(Long, Long)] =
+      for { y <- ys; if y._2 == k } yield y
+    def libMatch(x: (Long, Long)): DataBag[(Long, Long)] = libNarrow(x._2 + 0L)
+    val r = onSpark { for { x <- xs; y <- libMatch(x) } yield (x._1, y._1) }
+    val exp = for {
+      x <- (1L to 20L).map(i => (i, i % 4))
+      y <- (1L to 50L).map(i => (i, i % 4)); if y._2 == x._2
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "still abort on recursive and cross-file helper defs" in {
+    // recursive helper: the inliner's cycle check (or the dependent-bag
+    // abort when the snippet's detached defs are not unit-resolvable)
+    // must reject at compile time — never loop or defer to runtime
+    """
+    def rec(x: (Long, Long)): graft.api.DataBag[(Long, Long)] =
+      for { y <- rec(x); if y._2 == x._2 } yield y
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark { for { x <- xs; y <- rec(x) } yield (x._1, y._1) }
+    """ shouldNot compile
+    // helper defined in ANOTHER FILE (graft.TestSpark's object scope is not
+    // on this call site's owner chain): no AST registry exists, so the
+    // dependent method-built bag keeps its abort
+    """
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; y <- graft.api.CrossFileLib.matching(x) } yield (x._1, y._1)
+    }
     """ shouldNot compile
   }
 
