@@ -80,6 +80,22 @@ final class PointBag[K, V] private (
     * the messages fit on the driver (the point-update premise). */
   def update[M](msgs: Seq[(K, M)])(f: (K, Option[V], M) => Option[V]): Map[K, V] = {
     if (msgs.isEmpty) return Map.empty
+    val touched = applyMsgs(msgs)(f)
+    // the delta read: one job of |touched| tasks, not |parts|
+    val keys = msgs.map(_._1).toSet
+    PartitionPruningRDD.create(state, touched)
+      .mapPartitions(_.filter { case (k, _) => keys(k) }, true)
+      .collect().toMap
+  }
+
+  /** [[update]] without the result read-back — the state advances (lazily)
+    * and NO job runs until something materializes it. This is the right
+    * shape for maintenance loops that never consume the per-key results
+    * (updateBag's small-delta path, streaming point-state maintenance):
+    * each round costs zero jobs beyond its probe. Returns the touched
+    * partition ids. */
+  private def applyMsgs[M](msgs: Seq[(K, M)])(
+      f: (K, Option[V], M) => Option[V]): Set[Int] = {
     // group per partition up front: each task looks up ONLY its own slice
     val byPid: Map[Int, Map[K, Seq[M]]] = msgs.groupBy { case (k, _) => pidOf(k) }
       .view.mapValues(_.groupBy(_._1).view.mapValues(_.map(_._2)).toMap).toMap
@@ -113,11 +129,7 @@ final class PointBag[K, V] private (
       }
     }, preservesPartitioning = true)
     advance(next, Some(bc))
-    // the delta read: one job of |touched| tasks, not |parts|
-    val keys = msgs.map(_._1).toSet
-    PartitionPruningRDD.create(state, touched)
-      .mapPartitions(_.filter { case (k, _) => keys(k) }, true)
-      .collect().toMap
+    touched
   }
 
   /** Apply a DISTRIBUTED delta: the messages hash-partition WITH the
@@ -144,7 +156,9 @@ final class PointBag[K, V] private (
     if (localThreshold >= 0) {
       val probe = msgs.ds.limit(localThreshold + 1).collect()
       if (probe.length <= localThreshold) {
-        if (probe.nonEmpty) { val _ = update(probe.toSeq)(f) }
+        // no read-back: updateBag returns Unit, so the small path costs
+        // ZERO jobs beyond this probe (the state advances lazily)
+        if (probe.nonEmpty) { val _ = applyMsgs(probe.toSeq)(f) }
         return
       }
     }

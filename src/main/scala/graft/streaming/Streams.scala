@@ -483,8 +483,10 @@ object Streams {
       f: (K, Option[V], M) => Option[V]): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          pb.updateBag(graft.api.DataBag.from(toDelta(batch.toDF())))(f)
+        // no isEmpty pre-check: updateBag's limit-probe IS the emptiness
+        // check (an empty probe applies nothing), so each micro-batch costs
+        // exactly one job — the probe — until the state is next read
+        pb.updateBag(graft.api.DataBag.from(toDelta(batch.toDF())))(f)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
