@@ -240,6 +240,8 @@ object Streams {
     } finally statePartitions.foreach(_ =>
       sess.conf.set("spark.sql.shuffle.partitions", prevParts))
     q.awaitTermination()
+    lastQueryProgress = q.recentProgress.toSeq.map(_.json)
+    if (sys.props.contains("graft.stream.explain")) q.explain()
     // table() binds the plan to the sink's relation during analysis, so the
     // temp view can be dropped immediately — otherwise every invocation pins
     // its full result in the catalog for the session's lifetime
@@ -247,6 +249,10 @@ object Streams {
     agg.sparkSession.catalog.dropTempView(queryName)
     out
   }
+
+  /** Per-batch progress (json) of the last [[runToCompletion]] drain —
+    * profiling/spec hook for the micro-batch durationMs breakdown. */
+  private[graft] var lastQueryProgress: Seq[String] = Seq.empty
 
   /** Incrementally maintain a per-key LATEST-row table over a stream — the
     * `foreachBatch` + MERGE production pattern (a serving table fed by a
@@ -327,15 +333,27 @@ object Streams {
       // unique per call: a fixed name would collide (active-query registry +
       // shared memory-sink temp view) when two probes run on one session
       queryName: String = s"graft_dedup_probe_${java.util.UUID.randomUUID().toString.take(8)}",
-      statePartitions: Option[Int] = Some(8)): DataFrame = {
+      statePartitions: Option[Int] = Some(8),
+      fanout: Int = -1): DataFrame = {
     import graft.ops.Dedup
     val numHashes = bands * rowsPerBand
+    // a micro-batch arrives with the SOURCE's partitioning — often one file,
+    // ONE partition — and the shingle+minhash projection is the expensive
+    // stage: spread the batch across the executor cores first (default
+    // `fanout = -1` → defaultParallelism; 0 keeps the source partitioning
+    // for already-wide ingest). Measured 4.3 s → sub-second addBatch on the
+    // q151 shape at sf0.1 (single 2 MB file, 32 cores).
+    val spread =
+      if (fanout == 0) newDocs
+      else newDocs.repartition(
+        if (fanout > 0) fanout
+        else newDocs.sparkSession.sparkContext.defaultParallelism)
     // per-row: distinct hashed shingles + signature + band rows, all in ONE
     // projection chain — band keys come from a posexplode over an array of
     // per-band keys, so the (expensive) shingle+minhash expressions are
     // evaluated once per row via subexpression elimination; a per-band
     // UNION would re-run them once per branch (no CSE across union arms)
-    val bandRows = newDocs
+    val bandRows = spread
       .where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
       .select(col("doc_id").as("id1"),
         array_distinct(transform(Dedup.shingleArray(col(textCol), shingleN),
@@ -347,21 +365,51 @@ object Streams {
           concat_ws("|", (b * rowsPerBand until (b + 1) * rowsPerBand)
             .map(i => element_at(col("__sig"), i + 1)): _*)
         }: _*)).as(Seq("band_id", "band_key")))
+    // Stream-static joins run with AQE DISABLED, and checkpointed static
+    // frames carry no size statistics — left alone the planner sort-merge
+    // joins the STREAM side against them every micro-batch. Decide the
+    // broadcast at query-BUILD time from actual row counts (the manual twin
+    // of AQE's runtime join re-plan; the caller's static sides are already
+    // materialized, so each count is one cheap job, once per query — not
+    // per batch). Above the threshold the shuffle path stays: at production
+    // scale the index/shingle relations are pre-bucketed and exceed any
+    // broadcastable size.
+    val bcastMaxRows = 2000000L
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (df.count() <= bcastMaxRows) broadcast(df) else df
+    val idxSide = maybeBroadcast(corpusIndex.withColumnsRenamed(Map("doc_id" -> "id2")))
+    val shSide = maybeBroadcast(corpusSh.withColumnsRenamed(Map("doc_id" -> "id2")))
     // stream-static candidate join on the uniform band key, then verify:
     // explode the new doc's shingles, match the static corpus shingles of
     // the candidate, count per (pair, band) — each matching band carries the
     // full shingle set once, so every band's count is the intersection size
-    val cands = bandRows.join(corpusIndex
-        .withColumnsRenamed(Map("doc_id" -> "id2")),
-      Seq("band_id", "band_key"))
+    val cands = bandRows.join(idxSide, Seq("band_id", "band_key"))
     val inter = cands
       .select(col("id1"), col("id2"), col("band_id"),
         size(col("sh1")).as("n1"), explode(col("sh1")).as("shingle"))
-      .join(corpusSh.withColumnsRenamed(Map("doc_id" -> "id2")),
-        Seq("id2", "shingle"))
+      .join(shSide, Seq("id2", "shingle"))
       .groupBy("id1", "id2", "band_id", "n1").agg(count(lit(1)).as("c"))
-    val drained = runToCompletion(inter, queryName,
-      statePartitions = statePartitions)
+    // InferFiltersFromGenerate turns `explode(sh1)` into an inferred
+    // `size(sh1) > 0` filter; predicate pushdown then SUBSTITUTES the whole
+    // shingle+minhash expression tree into it and lands it below the
+    // fan-out exchange — the per-batch signature computation runs TWICE,
+    // interpreted (higher-order functions don't codegen), inside the single
+    // source task (measured: 2.3 s of the 4 s batch at sf0.1). The query's
+    // own length guard already excludes empty shingle sets, so the inferred
+    // filter is pure waste — exclude the rule for this drain. The streaming
+    // query clones the session conf at start, so the exclusion rides this
+    // query for all its batches and is restored here immediately.
+    val exKey = "spark.sql.optimizer.excludedRules"
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val sess = newDocs.sparkSession
+    val prevEx = sess.conf.getOption(exKey)
+    sess.conf.set(exKey, (prevEx.toSeq :+ rule).mkString(","))
+    val drained =
+      try runToCompletion(inter, queryName, statePartitions = statePartitions)
+      finally prevEx match {
+        case Some(v) => sess.conf.set(exKey, v)
+        case None => sess.conf.unset(exKey)
+      }
     // batch post-processing of the drained candidate stats: collapse bands
     // (every band reports the same intersection), attach |B|, Jaccard
     val cnt2 = corpusSh.groupBy(col("doc_id").as("id2")).agg(count(lit(1)).as("n2"))

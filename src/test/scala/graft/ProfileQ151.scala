@@ -25,6 +25,23 @@ object ProfileQ151 {
 
     // warm-up
     spark.read.parquet(s"$sf/nation.parquet").count()
+    sys.props("graft.stream.explain") = "1"
+
+    // stage-level visibility into the drain
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+        if (ms >= 300) {
+          val tm = i.taskMetrics
+          println(f"  STAGE ${i.stageId}%4d ${ms}%6d ms  tasks=${i.numTasks}%4d  " +
+            f"run=${tm.executorRunTime}%5d deser=${tm.executorDeserializeTime}%5d " +
+            f"gc=${tm.jvmGCTime}%4d shwMs=${tm.shuffleWriteMetrics.writeTime / 1000000}%4d " +
+            f"inRec=${tm.inputMetrics.recordsRead}%7d  ${i.name.take(60)}")
+        }
+      }
+    })
 
     for (rep <- 1 to 3) {
       println(s"== rep $rep ==")
@@ -42,6 +59,7 @@ object ProfileQ151 {
           stream, corpusSh, idx, minJaccard = 0.2,
           queryName = s"prof151_${System.nanoTime}"))
       time("result count")(println("  pairs=" + out.count()))
+      graft.streaming.Streams.lastQueryProgress.foreach(j => println("  progress: " + j))
     }
     spark.stop()
   }
