@@ -740,6 +740,27 @@ object DriveDemo {
         primes = onSpark { for { n <- primes; if n == p || n % p != 0L } yield n }
       }
       println(s"sieve via var-snapshot = ${primes.collect().sorted.mkString(",")}")
+      // round-11: same-object helper-def inlining (the reference's
+      // Lib.expand) — a method-built dependent bag derives an equi join
+      def matchingBs(a: (Long, Long)): DataBag[(Long, Long, Long)] =
+        for { b <- bs; if b._2 == a._2 } yield b
+      val inlined = onSpark { for { a <- as; b <- matchingBs(a) } yield (a._1, b._1) }
+      println(s"helper-def inlining rows = ${inlined.collect().length}")
+      // round-11: macro-hoisted uncorrelated folds fuse into one batch
+      // inside a scope (deferNamed collect/read)
+      val hoisted = graft.api.AutoCache.scope { _ =>
+        onSpark { for { x <- as; if x._1 <= bag.max && x._1 != bag.sum } yield x._1 }
+          .collect()
+      }
+      println(s"hoisted-fold fusion rows = ${hoisted.length}")
+      // round-11: runtime-quotation source-hash cache — second submission
+      // compiles nothing
+      val rtqSrc = "(n: Long) => n * 3L"
+      val f1 = graft.api.RuntimeQuotation.compile[Long => Long](rtqSrc)
+      val before = graft.api.RuntimeQuotation.compilations.get()
+      val f2 = graft.api.RuntimeQuotation.compile[Long => Long](rtqSrc)
+      println(s"rtq cache: f(14)=${f2(14L)} recompiled=${graft.api.RuntimeQuotation.compilations.get() != before}")
+      val _ = f1
     }
 
     spark.stop()
