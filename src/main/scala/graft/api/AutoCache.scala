@@ -202,7 +202,7 @@ object AutoCache {
     else {
       collecting.set(java.lang.Boolean.TRUE)
       try { val _ = thunk() }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       finally collecting.set(java.lang.Boolean.FALSE)
       () => thunk()
     }

@@ -17,6 +17,18 @@ class AlgSpec extends AnyFlatSpec with Matchers {
   "Size" should "count" in { runFold(xs, Size) shouldBe 5L }
   "Count" should "count matches" in { runFold(xs, Count[Int](_ > 2)) shouldBe 3L }
   "Sum" should "sum" in { runFold(xs, Sum(implicitly[Numeric[Int]])) shouldBe 14 }
+
+  it should "raise on integral overflow like the ANSI agg path (never wrap)" in {
+    // the object-fold path must agree with the ANSI-checked Catalyst
+    // HashAggregate the columnar fast path routes to — the result must not
+    // depend on whether an AutoCache scope rerouted the fold
+    an[ArithmeticException] should be thrownBy
+      runFold(Seq(Long.MaxValue, 1L), Sum(implicitly[Numeric[Long]]))
+    an[ArithmeticException] should be thrownBy
+      runFold(Seq(Int.MaxValue, 1), Sum(implicitly[Numeric[Int]]))
+    // non-integral numerics keep plain accumulation
+    runFold(Seq(1.5, 2.5), Sum(implicitly[Numeric[Double]])) shouldBe 4.0
+  }
   "Product" should "multiply" in { runFold(xs, Product(implicitly[Numeric[Int]])) shouldBe 96 }
   "Min/Max" should "find extrema, None on empty" in {
     runFold(xs, Min(Ordering.Int)) shouldBe Some(1)

@@ -1478,6 +1478,32 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe exp.sorted
   }
 
+  it should "inline curried and default-argument helper defs" in {
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    // curried: two explicit parameter lists peel into one flattened
+    // substitution (the typed call carries every list)
+    def curried(x: (Long, Long))(lo: Long): DataBag[(Long, Long)] =
+      for { y <- ys; if y._2 == x._2 && y._1 > lo } yield y
+    val r1 = onSpark { for { x <- xs; y <- curried(x)(5L) } yield (x._1, y._1) }
+    val e1 = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2 && y._1 > 5L
+    } yield (x._1, y._1)
+    r1.collect().sorted shouldBe e1.sorted
+    // default argument: scalac rewrites the call site to pass the
+    // synthetic default accessor — it substitutes like any argument and
+    // re-resolves at the splice site
+    def dflt(x: (Long, Long), lo: Long = 7L): DataBag[(Long, Long)] =
+      for { y <- ys; if y._2 == x._2 && y._1 > lo } yield y
+    val r2 = onSpark { for { x <- xs; y <- dflt(x) } yield (x._1, y._1) }
+    val e2 = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2 && y._1 > 7L
+    } yield (x._1, y._1)
+    r2.collect().sorted shouldBe e2.sorted
+  }
+
   it should "still abort on recursive and cross-file helper defs" in {
     // recursive helper: the inliner's cycle check (or the dependent-bag
     // abort when the snippet's detached defs are not unit-resolvable)
