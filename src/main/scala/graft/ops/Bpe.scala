@@ -64,7 +64,8 @@ object Bpe {
     var words = bridge.dropOriginStats(
       wordSymbols(docs, textCol).localCheckpoint())
 
-    if (words.count() <= localThreshold) {
+    val vocabRows = words.count()
+    if (vocabRows <= localThreshold) {
       import spark.implicits._
       val hist = words.collect()
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
@@ -75,9 +76,26 @@ object Bpe {
         outWords.zip(outCnts).toSeq.map { case (s, c) => (s.toSeq, c) }
           .toDF("syms", "cnt"))
     }
+    // the loop schedules several jobs PER MERGE over the vocabulary
+    // relation — size its partitioning from the (already counted) vocab so
+    // a small-vocab run (the forced-distributed twin, a near-threshold
+    // corpus) doesn't pay max-parallelism scheduling on every round; big
+    // vocabularies keep one task per ~8k words up to the session's
+    // parallelism
+    val loopParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, vocabRows / 8192L)).toInt
+    words = bridge.dropOriginStats(words.coalesce(loopParts).localCheckpoint())
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false
+    // a checkpoint per round costs one materialization JOB per merge; a
+    // short lazy mergePair chain re-evaluates cheaply inside the next
+    // round's top-pair scan, so the chain is cut every `cutEvery` rounds
+    // instead (the previous anchor's blocks stay alive until the next cut
+    // materializes — same anchor discipline as PointBag.compact)
+    val cutEvery = 4
+    var anchor = words
+    var chain = 0
     while (rank < numMerges && !done) {
       val top = words
         .select(posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
@@ -90,11 +108,16 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, c))
-        val next = bridge.dropOriginStats(
-          words.select(mergePair(col("syms"), l, r).as("syms"), col("cnt"))
-            .localCheckpoint())
-        bridge.freeLocalCheckpoint(words)
-        words = next
+        val applied = bridge.dropOriginStats(
+          words.select(mergePair(col("syms"), l, r).as("syms"), col("cnt")))
+        chain += 1
+        if (chain >= cutEvery) {
+          val cut = bridge.dropOriginStats(applied.localCheckpoint())
+          bridge.freeLocalCheckpoint(anchor)
+          anchor = cut
+          words = cut
+          chain = 0
+        } else words = applied
         rank += 1
       }
     }
@@ -158,8 +181,19 @@ object Bpe {
       .as[(Long, Int, String)]
       .mapPartitions { it =>
         val r = bc.value
+        // words repeat heavily (occurrences >> vocabulary): memoize the
+        // heap merge per DISTINCT word within the partition. Bounded so a
+        // pathological vocabulary cannot grow the task heap: past the cap,
+        // unseen words compute directly (values identical either way)
+        val memo = new java.util.HashMap[String, Array[String]]
+        val memoCap = 1 << 20
         it.map { case (id, pos, w) =>
-          (id, pos, applyRanked(w.split("").filter(_.nonEmpty), r))
+          var t = memo.get(w)
+          if (t == null) {
+            t = applyRanked(w.split("").filter(_.nonEmpty), r)
+            if (memo.size < memoCap) memo.put(w, t)
+          }
+          (id, pos, t)
         }
       }
       .toDF("doc_id", "pos", "tokens")
