@@ -38,6 +38,20 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One BOUNDED workspace per (sf dir, gate tag), cleared at entry: a
+    * gate leaves at most one copy of its artifacts per sf on the machine
+    * instead of one per execution (per-execution temp dirs accumulated
+    * thousands across rounds). Clearing the PREVIOUS execution's artifacts
+    * here is safe — the driver consumes each gate's result before invoking
+    * the next execution. */
+  private def gateWorkspace(d: String, tag: String): String = {
+    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(d.hashCode)}")
+    deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     if (Files.exists(root)) {
@@ -737,7 +751,7 @@ object SparkEntry {
     // column resolves against directory names (PartitionFilters), so only
     // the 'click' partition's files are ever opened
     "q91_partition_prune" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = gateWorkspace(d, "part")
       val ev = events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       graft.ops.Layout.writePartitioned(ev, dir, Seq("event_type"))
@@ -1254,7 +1268,7 @@ object SparkEntry {
     // discards exactly the injected garbage lines; the aggregate over the
     // survivors must equal the clean source table's
     "q125_csv_malformed" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+      val dir = gateWorkspace(d, "badcsv")
       val good = tbl(s, d, "nation").select(concat_ws("|",
         col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
       val bad = s.createDataset(Seq(
@@ -1270,7 +1284,7 @@ object SparkEntry {
 
     // ORC round-trip: third columnar format beside parquet/csv/text
     "q126_orc_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val dir = gateWorkspace(d, "orc")
       tbl(s, d, "supplier").write.mode("overwrite").orc(dir)
       s.read.orc(dir).agg(count(lit(1)).as("n"),
         countDistinct("s_nationkey").as("n_nations"),
@@ -1279,7 +1293,7 @@ object SparkEntry {
 
     // JSON-lines round-trip (schema'd read back — no sampling inference)
     "q127_json_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val dir = gateWorkspace(d, "jsonl")
       val part = tbl(s, d, "part").select("p_partkey", "p_name", "p_retailprice")
       part.write.mode("overwrite").json(dir)
       s.read.schema(part.schema).json(dir)
@@ -1426,7 +1440,7 @@ object SparkEntry {
     // scan time — absent columns surface as NULLs, the production contract
     // for reading a table whose delivery schema moved mid-history
     "q140_merge_schema" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+      val dir = gateWorkspace(d, "evolve")
       val c = tbl(s, d, "customer")
       c.where(col("c_custkey") % 2 === 0)
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -2421,7 +2435,7 @@ object SparkEntry {
     // insert key sets — and read the merged state back. Bucket pruning is
     // spec-asserted (StateStoreSpec); the oracle recomputes the merge.
     "q195_state_store" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+      val dir = gateWorkspace(d, "state")
       val orders = tbl(s, d, "orders")
       graft.ops.StateStore.create(
         orders.select(col("o_orderkey").as("k"), col("o_totalprice").as("v")),
@@ -2504,7 +2518,7 @@ object SparkEntry {
       val v2 = docs.where(col("doc_id") % 13 =!= 0)
       def signals(df: DataFrame): DataFrame = df.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_incsig").toString
+      val dir = gateWorkspace(d, "incsig")
       graft.ops.StateStore.create(signals(v1), "doc_id", 16, dir)
       val diff = Curation.corpusDiff(v1, v2)
       val stale = diff.where(col("change").isin("added", "changed"))
@@ -2530,7 +2544,15 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       def signals(df: DataFrame): DataFrame = df.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      val base = java.nio.file.Files.createTempDirectory("graft_streamsig").toString
+      // one BOUNDED workspace per sf dir (the per-execution temp dirs of
+      // earlier rounds accumulated): the mutated store is cleared and
+      // rebuilt each execution, the immutable update files are written once
+      // per JVM and replayed with a fresh query/checkpoint
+      val baseP = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_streamsig_" + Integer.toHexString(d.hashCode))
+      val base = baseP.toString
+      deleteRecursively(baseP.resolve("store"))
       graft.ops.StateStore.create(signals(v1), "doc_id", 16, s"$base/store")
       val changed = docs.where(col("doc_id") % 7 === 0 &&
           col("doc_id") % 11 =!= 0 && col("doc_id") % 13 =!= 0)
@@ -2540,7 +2562,11 @@ object SparkEntry {
       val removed = docs.where(col("doc_id") % 13 === 0 && col("doc_id") % 11 =!= 0)
         .select(col("doc_id"), lit("").as("text"), lit(true).as("del"))
       val updates = changed.unionByName(added).unionByName(removed)
-      updates.repartition(3).write.parquet(s"$base/src")
+      if (!java.nio.file.Files.exists(baseP.resolve("_src_done"))) {
+        deleteRecursively(baseP.resolve("src"))
+        updates.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+        java.nio.file.Files.createFile(baseP.resolve("_src_done"))
+      }
       val stream = s.readStream.schema(updates.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       graft.streaming.Streams.streamSignalMaintenance(
@@ -2554,7 +2580,7 @@ object SparkEntry {
     // from nothing but the corpus
     "q202_shard_manifest" -> ((s, d) => {
       val docs = tbl(s, d, "documents").select("doc_id")
-      val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+      val dir = gateWorkspace(d, "manifest")
       graft.ops.Shuffling.writeShards(docs, col("doc_id"), nShards = 8,
         seed = 42L, dir)
       graft.ops.Shuffling.shardManifest(s, dir, "doc_id")
@@ -2597,7 +2623,7 @@ object SparkEntry {
       import graft.ops.AnnIndex
       val emb = tbl(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 8)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+      val dir = gateWorkspace(d, "ann_del")
       val idx = AnnIndex.buildIvf(emb, nlist = 8, maxIter = 4)
       AnnIndex.save(idx, dir)
       val doomed = emb.where(col("vec_id") % 5 === 0)
@@ -2830,7 +2856,7 @@ object SparkEntry {
       // SAVED + RELOADED codebook (parquet roundtrip), not the same
       // in-memory object — this checks the persistence layer preserves
       // every codebook double bit-exactly
-      val cbDir = java.nio.file.Files.createTempDirectory("graft_pq_cb").toString
+      val cbDir = gateWorkspace(d, "pq_cb")
       graft.ops.Pq.saveCodebooks(s, cb, cbDir)
       val cb2 = graft.ops.Pq.loadCodebooks(s, cbDir)
       val stable = codes.select(col("did"), col("code").as("c1"))
@@ -2891,7 +2917,7 @@ object SparkEntry {
       val corpus = emb.unionByName(copies)
       val idx = graft.ops.PqIndex.build(corpus, nlist = 8, m = 8, ksub = 16,
         maxIter = 4)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_gate").toString
+      val dir = gateWorkspace(d, "ivfpq_gate")
       graft.ops.PqIndex.save(idx, dir)
       val loaded = graft.ops.PqIndex.load(s, dir)
       def run(i: graft.ops.PqIndex.IvfPq) =
@@ -3035,7 +3061,7 @@ object SparkEntry {
       val qs = emb.where(col("vec_id") < 8)
       val idx = graft.ops.PqIndex.build(emb, nlist = 8, m = 8, ksub = 16,
         maxIter = 4)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_life").toString
+      val dir = gateWorkspace(d, "ivfpq_life")
       graft.ops.PqIndex.save(idx, dir)
       val batch = qs.crossJoin(Seq(1, 2).toDF("j"))
         .select((lit(3000000L) + col("vec_id") * 10 + col("j")).as("vec_id"),

@@ -41,8 +41,16 @@ object Streams {
     val dir =
       if (java.nio.file.Files.isDirectory(p)) p
       else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
-        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        // one FIXED symlink dir per source file (idempotent): fresh temp
+        // dirs accumulated one per call across benchmark reps and rounds
+        val d = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_stream_src_" + Integer.toHexString(p.toString.hashCode))
+        java.nio.file.Files.createDirectories(d)
+        val link = d.resolve(p.getFileName)
+        if (!java.nio.file.Files.exists(link,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          java.nio.file.Files.createSymbolicLink(link, p)
         d
       }
     readParquetStream(spark, dir.toString, schema)
