@@ -918,11 +918,36 @@ class ComprehensionMacro(val c: blackbox.Context) {
   }
 
   /** Recursively inline same-object helper calls in an UNTYPED tree (the
-    * body of an already-spliced helper), matched by unique name. */
+    * body of an already-spliced helper), matched by unique name. Untyped
+    * trees carry no symbols, so LOCAL definitions and lambda params that
+    * shadow a registry name suspend that name for their subtree — a
+    * shadowed call must never rewrite to the object-level helper's body. */
   private def inlineCallsU(t: Tree, trace: List[Symbol]): Tree = {
     val tr = new Transformer {
-      override def transform(x: Tree): Tree = peelNameCallU(x) match {
-        case Some((n, argss)) if unitBagDefsByName.contains(n) =>
+      private var shadowed: Set[TermName] = Set.empty
+      private def withShadow[T](names: Iterable[TermName])(f: => T): T = {
+        val add = names.filter(unitBagDefsByName.contains).toSet
+        if (add.isEmpty) f
+        else {
+          val saved = shadowed
+          shadowed ++= add
+          try f finally shadowed = saved
+        }
+      }
+      override def transform(x: Tree): Tree = x match {
+        case b @ Block(stats, _) =>
+          val defined = stats.collect {
+            case dd: DefDef => dd.name
+            case vd: ValDef => vd.name
+          }
+          withShadow(defined)(defaultTransform(b))
+        case fn @ Function(params, _) =>
+          withShadow(params.map(_.name))(defaultTransform(fn))
+        case _ => defaultTransform(x)
+      }
+      private def defaultTransform(x: Tree): Tree = peelNameCallU(x) match {
+        case Some((n, argss))
+            if unitBagDefsByName.contains(n) && !shadowed(n) =>
           betaReduceU(unitBagDefsByName(n), argss.map(_.map(transform)), trace)
         case _ => super.transform(x)
       }
@@ -2460,8 +2485,16 @@ class ComprehensionMacro(val c: blackbox.Context) {
         val lambdaTrees = gens.flatMap(_.guards.map(_.cond)) ++
           gens.map(_.bag) :+ tbody
         // qualified member-var reads (this.x / obj.x) cannot be snapshot by
-        // the name substitution below — abort rather than defer the read
-        val memberReads = lambdaTrees.flatMap(memberVarSelects).distinct
+        // the name substitution below — abort rather than defer the read.
+        // Guards and the yield always land in lambdas (scan everywhere);
+        // BAG expressions evaluate eagerly at build except under a lambda
+        // of their own (a groupBy key) — lambda-only scan there, so
+        // `for (x <- this.bagVar) ...` stays compilable
+        val memberReads =
+          ((gens.flatMap(_.guards.map(_.cond)) :+ tbody)
+            .flatMap(t => memberVarSelects(t)) ++
+          gens.map(_.bag)
+            .flatMap(t => memberVarSelects(t, insideLambdaOnly = true))).distinct
         if (memberReads.nonEmpty)
           c.abort(c.enclosingPosition,
             s"onSpark: the quoted comprehension reads the mutable field(s) " +
@@ -2960,8 +2993,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * Select, not a free Ident), so the caller must abort with guidance
     * rather than let the deferred read float. Selects rooted at an Ident
     * (a generator binder's own var field, `x.field`) are per-element reads
-    * of row data, not captures — excluded. */
-  private def memberVarSelects(t: Tree): List[Symbol] = {
+    * of row data, not captures — excluded. With `insideLambdaOnly` the
+    * scan flags only reads under a Function node: a BAG expression's
+    * top-level member read evaluates eagerly at chain-build time (no
+    * deferred-read hazard — `for (x <- this.bagVar) ...` is fine), while
+    * any read inside a lambda (a groupBy key, a map stage) defers. */
+  private def memberVarSelects(t: Tree,
+      insideLambdaOnly: Boolean = false): List[Symbol] = {
     @annotation.tailrec
     def stableRoot(q: Tree): Boolean = q match {
       case _: This | _: Super => true
@@ -2970,10 +3008,19 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case Select(inner, _) => stableRoot(inner)
       case _ => false
     }
-    t.collect {
-      case sel @ Select(q, _) if isMutableRead(sel.symbol) && stableRoot(q) =>
-        sel.symbol
-    }.distinct
+    val out = scala.collection.mutable.ListBuffer.empty[Symbol]
+    def scan(x: Tree, inLambda: Boolean): Unit = x match {
+      case _: Function =>
+        x.children.foreach(scan(_, inLambda = true))
+      case sel @ Select(q, _)
+          if isMutableRead(sel.symbol) && stableRoot(q) &&
+            (inLambda || !insideLambdaOnly) =>
+        out += sel.symbol
+        x.children.foreach(scan(_, inLambda))
+      case _ => x.children.foreach(scan(_, inLambda))
+    }
+    scan(t, inLambda = false)
+    out.toList.distinct
   }
 
   /** The inner tree of a flatMap lambda is a (possibly block-wrapped)

@@ -38,6 +38,19 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Cache key for IMMUTABLE derived source files: the sf dir + the source
+    * table's (size, mtime) + a derivation-version token. Regenerated
+    * testdata or a changed derivation produces a different key, so a stale
+    * `_done` marker from a previous generation can never replay old files
+    * (markers survive in the tmpdir across JVMs by design). */
+  private def srcCacheTag(d: String, table: String, version: String): String = {
+    val f = java.nio.file.Paths.get(d, s"$table.parquet")
+    val sz = try java.nio.file.Files.size(f) catch { case _: Exception => 0L }
+    val mt = try java.nio.file.Files.getLastModifiedTime(f).toMillis
+      catch { case _: Exception => 0L }
+    Integer.toHexString((d, table, version, sz, mt).hashCode)
+  }
+
   /** One BOUNDED workspace per (sf dir, gate tag), cleared at entry: a
     * gate leaves at most one copy of its artifacts per sf on the machine
     * instead of one per execution (per-execution temp dirs accumulated
@@ -2550,7 +2563,7 @@ object SparkEntry {
       // per JVM and replayed with a fresh query/checkpoint
       val baseP = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_streamsig_" + Integer.toHexString(d.hashCode))
+        "graft_streamsig_" + srcCacheTag(d, "documents", "churn-n3"))
       val base = baseP.toString
       deleteRecursively(baseP.resolve("store"))
       graft.ops.StateStore.create(signals(v1), "doc_id", 16, s"$base/store")
@@ -3824,7 +3837,7 @@ object SparkEntry {
                        // exercised at half the per-batch machinery cost
       val srcBase = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        s"graft_streampb_${Integer.toHexString(d.hashCode)}_$nBatches")
+        s"graft_streampb_${srcCacheTag(d, "orders", s"cents-n$nBatches")}")
       if (!java.nio.file.Files.exists(srcBase.resolve("_done"))) {
         deleteRecursively(srcBase)
         deltas.repartition(nBatches).write.mode("overwrite")

@@ -195,15 +195,25 @@ object AutoCache {
     * hoist). A collect-mode throw (e.g. `min`'s `.get` over the zero) is
     * swallowed — the queue insert already happened and the read re-raises
     * anything real. Outside a scope the thunk runs once, eagerly,
-    * exactly like the plain `val` it replaces. */
+    * exactly like the plain `val` it replaces.
+    *
+    * Fusion boundary: the batch keys by DATASET IDENTITY, so folds of a
+    * STABLE bag val (the common hoist shape) fuse; a fold over a chain
+    * rebuilt inside the thunk (`ys.map(f).sum`) queues under the collect
+    * run's Dataset and the read's fresh Dataset misses it — such folds run
+    * correct but unfused (the orphaned queue entries never execute on
+    * their own; they ride along only if that same Dataset is folded). */
   def deferNamed[B](thunk: () => B): () => B = {
     val s = active.get()
     if (s == null) { val r = thunk(); () => r }
     else {
+      // save/restore (not set-false): a thunk whose rhs contains a NESTED
+      // expansion with its own deferNamed must not end the outer collect
+      val prev = collecting.get()
       collecting.set(java.lang.Boolean.TRUE)
       try { val _ = thunk() }
       catch { case scala.util.control.NonFatal(_) => () }
-      finally collecting.set(java.lang.Boolean.FALSE)
+      finally collecting.set(prev)
       () => thunk()
     }
   }

@@ -62,10 +62,12 @@ object RuntimeQuotation {
     * not the snippet's effects. */
   private final case class Compiled(cls: String, dir: Path, jar: Path,
       loader: ClassLoader,
-      // spark contexts (by applicationId+session identity) this jar is
-      // already registered with — a cache hit from a NEW session must
-      // still ship the jar there
-      registered: java.util.Set[String])
+      // sessions this jar is already registered with — a cache hit from a
+      // NEW session must still ship the jar there. WeakHashMap keyed by the
+      // session object itself (SparkSession has identity equals): a
+      // collected session's entry vanishes, so a later session can never
+      // alias a reused identity hash and silently skip registration
+      registered: java.util.WeakHashMap[SparkSession, java.lang.Boolean])
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Compiled]()
 
   private def sourceHash(code: String): String = {
@@ -124,7 +126,7 @@ object RuntimeQuotation {
     val loader = new java.net.URLClassLoader(
       Array(snippetDir.toUri.toURL), getClass.getClassLoader)
     Compiled(cls, snippetDir, jar, loader,
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
   }
 
   /** Ship the classes the way spark-shell does: executors fetch the jar
@@ -139,12 +141,11 @@ object RuntimeQuotation {
     * immune to the per-clone artifact-store cleanup that streaming
     * queries' cloned sessions can trigger mid-run (observed as a flaky
     * "Stream .../rtqN.jar was not found" in later, unrelated queries).
-    * Idempotent per (application, session): a cache hit from the same
-    * session skips the round-trip entirely. */
+    * Idempotent per live session: a cache hit from the same session skips
+    * the round-trip entirely (compile() is synchronized, so the weak map
+    * needs no extra locking). */
   private def register(entry: Compiled, spark: SparkSession): Unit = {
-    val sessionKey =
-      spark.sparkContext.applicationId + "#" + System.identityHashCode(spark)
-    if (entry.registered.add(sessionKey)) {
+    if (entry.registered.put(spark, java.lang.Boolean.TRUE) == null) {
       lastJar = Some(entry.jar)
       val isolated = spark.conf
         .get("spark.sql.artifact.isolation.enabled", "true").toBoolean

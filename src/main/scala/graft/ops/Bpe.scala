@@ -84,7 +84,10 @@ object Bpe {
     // parallelism
     val loopParts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, vocabRows / 8192L)).toInt
-    words = bridge.dropOriginStats(words.coalesce(loopParts).localCheckpoint())
+    val coalesced = bridge.dropOriginStats(
+      words.coalesce(loopParts).localCheckpoint())
+    bridge.freeLocalCheckpoint(words) // the pre-coalesce copy's blocks
+    words = coalesced
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var done = false

@@ -42,15 +42,23 @@ object Streams {
       if (java.nio.file.Files.isDirectory(p)) p
       else {
         // one FIXED symlink dir per source file (idempotent): fresh temp
-        // dirs accumulated one per call across benchmark reps and rounds
+        // dirs accumulated one per call across benchmark reps and rounds.
+        // Keyed by the full path's SHA-256 — a 32-bit hash could land two
+        // DIFFERENT files in one directory, and the file-stream source
+        // reads the whole dir. Concurrent first calls race on the link
+        // creation; the loser's FileAlreadyExists is benign (same target).
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val key = md.digest(p.toString.getBytes("UTF-8"))
+          .take(16).map("%02x".format(_)).mkString
         val d = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          "graft_stream_src_" + Integer.toHexString(p.toString.hashCode))
+          System.getProperty("java.io.tmpdir"), s"graft_stream_src_$key")
         java.nio.file.Files.createDirectories(d)
         val link = d.resolve(p.getFileName)
         if (!java.nio.file.Files.exists(link,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          java.nio.file.Files.createSymbolicLink(link, p)
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          try java.nio.file.Files.createSymbolicLink(link, p)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
         d
       }
     readParquetStream(spark, dir.toString, schema)
@@ -229,24 +237,39 @@ object Streams {
     * production can be pinned against a batch oracle in tests/gates. */
   def runToCompletion(agg: DataFrame, queryName: String,
       mode: OutputMode = OutputMode.Complete(),
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      appendConf: Map[String, String] = Map.empty): DataFrame = {
     // A stateful query materializes one state store per shuffle partition
     // per stateful operator PER MICRO-BATCH; for bounded drains the batch
     // session's partition count is usually oversized — `statePartitions`
-    // right-sizes it for this query (the setting is pinned into the query's
-    // checkpoint at start, so the caller's session value is restored after).
+    // right-sizes it for this query. `appendConf` comma-appends to
+    // comma-list confs (e.g. optimizer.excludedRules). Both are pinned by
+    // the query's conf CLONE at start, so the whole set→start→restore
+    // happens inside one locked window — concurrent drains on the session
+    // can neither observe each other's overrides nor corrupt the restore.
     val sess = agg.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(p => sess.conf.set("spark.sql.shuffle.partitions", p.toString))
-    val q = try {
-      agg.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(queryName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally statePartitions.foreach(_ =>
-      sess.conf.set("spark.sql.shuffle.partitions", prevParts))
+    val q = startConfLock.synchronized {
+      val overrides: Map[String, String] =
+        statePartitions.map(p =>
+          "spark.sql.shuffle.partitions" -> p.toString).toMap ++
+        appendConf.map { case (k, v) =>
+          k -> (sess.conf.getOption(k).filter(_.nonEmpty)
+            .map(_ + ",").getOrElse("") + v)
+        }
+      val prev = overrides.keys.map(k => k -> sess.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => sess.conf.set(k, v) }
+      try {
+        agg.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(queryName)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally prev.foreach {
+        case (k, Some(v)) => sess.conf.set(k, v)
+        case (k, None) => sess.conf.unset(k)
+      }
+    }
     q.awaitTermination()
     lastQueryProgress = q.recentProgress.toSeq.map(_.json)
     if (sys.props.contains("graft.stream.explain")) q.explain()
@@ -261,6 +284,9 @@ object Streams {
   /** Per-batch progress (json) of the last [[runToCompletion]] drain —
     * profiling/spec hook for the micro-batch durationMs breakdown. */
   private[graft] var lastQueryProgress: Seq[String] = Seq.empty
+
+  /** Serializes the conf-override window of [[runToCompletion]] starts. */
+  private val startConfLock = new Object
 
   /** Incrementally maintain a per-key LATEST-row table over a stream — the
     * `foreachBatch` + MERGE production pattern (a serving table fed by a
@@ -342,7 +368,14 @@ object Streams {
       // shared memory-sink temp view) when two probes run on one session
       queryName: String = s"graft_dedup_probe_${java.util.UUID.randomUUID().toString.take(8)}",
       statePartitions: Option[Int] = Some(8),
-      fanout: Int = -1): DataFrame = {
+      fanout: Int = -1,
+      // static sides at or under this many rows broadcast into the
+      // stream-side joins (streaming plans run without AQE and checkpointed
+      // frames carry no size stats). Row-count is a proxy for bytes — both
+      // relations here are narrow fixed-width rows (8-byte hashes + ids,
+      // ≈ tens of bytes/row), so the default bounds the build at tens of
+      // MB; callers with wider static relations should lower it
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
     import graft.ops.Dedup
     val numHashes = bands * rowsPerBand
     // a micro-batch arrives with the SOURCE's partitioning — often one file,
@@ -382,9 +415,10 @@ object Streams {
     // per batch). Above the threshold the shuffle path stays: at production
     // scale the index/shingle relations are pre-bucketed and exceed any
     // broadcastable size.
-    val bcastMaxRows = 2000000L
+    // the count is one cheap job over the caller's already-checkpointed
+    // static side, once per query (not per batch)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (df.count() <= bcastMaxRows) broadcast(df) else df
+      if (df.count() <= broadcastMaxRows) broadcast(df) else df
     val idxSide = maybeBroadcast(corpusIndex.withColumnsRenamed(Map("doc_id" -> "id2")))
     val shSide = maybeBroadcast(corpusSh.withColumnsRenamed(Map("doc_id" -> "id2")))
     // stream-static candidate join on the uniform band key, then verify:
@@ -404,20 +438,15 @@ object Streams {
     // interpreted (higher-order functions don't codegen), inside the single
     // source task (measured: 2.3 s of the 4 s batch at sf0.1). The query's
     // own length guard already excludes empty shingle sets, so the inferred
-    // filter is pure waste — exclude the rule for this drain. The streaming
-    // query clones the session conf at start, so the exclusion rides this
-    // query for all its batches and is restored here immediately.
-    val exKey = "spark.sql.optimizer.excludedRules"
-    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-    val sess = newDocs.sparkSession
-    val prevEx = sess.conf.getOption(exKey)
-    sess.conf.set(exKey, (prevEx.toSeq :+ rule).mkString(","))
-    val drained =
-      try runToCompletion(inter, queryName, statePartitions = statePartitions)
-      finally prevEx match {
-        case Some(v) => sess.conf.set(exKey, v)
-        case None => sess.conf.unset(exKey)
-      }
+    // filter is pure waste — exclude the rule for this drain only, through
+    // runToCompletion's locked set→start→restore window (the streaming
+    // query clones the session conf at start; the session value is restored
+    // before start returns, so concurrent/later batch queries are never
+    // affected).
+    val drained = runToCompletion(inter, queryName,
+      statePartitions = statePartitions,
+      appendConf = Map("spark.sql.optimizer.excludedRules" ->
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
     // batch post-processing of the drained candidate stats: collapse bands
     // (every band reports the same intersection), attach |B|, Jaccard
     val cnt2 = corpusSh.groupBy(col("doc_id").as("id2")).agg(count(lit(1)).as("n2"))

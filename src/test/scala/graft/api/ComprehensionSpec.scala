@@ -1434,6 +1434,14 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val rows = DataBag((1L to 6L).map(i => new VarCell(i)))
     val kept = onSpark { for { c <- rows; if c.v % 2L == 0L } yield c.v }
     kept.collect().sorted shouldBe Seq(2L, 4L, 6L)
+    // a member var in top-level BAG position is an EAGER read at
+    // chain-build time (no deferred-read hazard) — must stay compilable;
+    // only reads inside lambdas (guards, yields, groupBy keys) abort
+    class HolderHead {
+      var bagVar: DataBag[Long] = DataBag((1L to 5L).toSeq)
+      def run(): DataBag[Long] = onSpark { for { x <- bagVar } yield x + 1L }
+    }
+    (new HolderHead).run().collect().sorted shouldBe (2L to 6L)
   }
 
   it should "inline same-object helper defs building dependent bags (Lib.expand)" in {
