@@ -917,12 +917,23 @@ class ComprehensionMacro(val c: blackbox.Context) {
     inlineCallsU(body, dd.symbol :: trace)
   }
 
+  /** Mutable hit counter for [[inlineCallsU]] callers that must know
+    * whether anything was rewritten. */
+  private final class InlineHits { var n: Int = 0 }
+
   /** Recursively inline same-object helper calls in an UNTYPED tree (the
-    * body of an already-spliced helper), matched by unique name. Untyped
+    * body of an already-spliced helper, or a guard/yield position), matched
+    * by unique name. Untyped
     * trees carry no symbols, so LOCAL definitions and lambda params that
     * shadow a registry name suspend that name for their subtree — a
     * shadowed call must never rewrite to the object-level helper's body. */
-  private def inlineCallsU(t: Tree, trace: List[Symbol]): Tree = {
+  private def inlineCallsU(t: Tree, trace: List[Symbol],
+      hits: InlineHits = new InlineHits,
+      // when set, only these names inline (the TYPED-side symbol-verified
+      // calls of a guard/yield position — an imported function sharing a
+      // registry name must never splice the registry body); None inside
+      // spliced helper bodies, whose unqualified calls are same-object
+      only: Option[Set[TermName]] = None): Tree = {
     val tr = new Transformer {
       private var shadowed: Set[TermName] = Set.empty
       private def withShadow[T](names: Iterable[TermName])(f: => T): T = {
@@ -947,7 +958,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
       }
       private def defaultTransform(x: Tree): Tree = peelNameCallU(x) match {
         case Some((n, argss))
-            if unitBagDefsByName.contains(n) && !shadowed(n) =>
+            if unitBagDefsByName.contains(n) && !shadowed(n) &&
+              only.forall(_(n)) =>
+          hits.n += 1
           betaReduceU(unitBagDefsByName(n), argss.map(_.map(transform)), trace)
         case _ => super.transform(x)
       }
@@ -956,11 +969,31 @@ class ComprehensionMacro(val c: blackbox.Context) {
   }
 
   /** Entry: inline same-object helper `def`s whose calls build DEPENDENT
-    * generator bags. Only bags that would otherwise ABORT are rewritten
-    * (independent bags evaluate eagerly and derivable chain shapes unnest
-    * already), so this pass can only turn aborts into derivations. Returns
-    * the rewritten comprehension wrapped for re-expansion, or None. */
-  private def inlineHelperDefs(expr: Tree, gens: List[Gen]): Option[Tree] = {
+    * generator bags (symbol-precise), or appear in GUARD/YIELD positions
+    * (name-based — those positions are executor-side lambdas, so a
+    * DataBag-returning call there was an abort regardless; after inlining
+    * the correlated-fold/semi-join machinery gets a chain to derive).
+    * Only shapes that would otherwise ABORT are rewritten (independent
+    * bags evaluate eagerly and derivable chain shapes unnest already), so
+    * this pass can only turn aborts into derivations. Returns the
+    * rewritten comprehension wrapped for re-expansion, or None. */
+  private def inlineHelperDefs(expr: Tree, gens: List[Gen],
+      tbody: Tree): Option[Tree] = {
+    // TYPED-side verified allowlist for guard/yield positions: names whose
+    // call symbol is a same-object, unit-resolvable, DataBag-returning def
+    def typedCallNames(t: Tree): Set[TermName] = {
+      val b = Set.newBuilder[TermName]
+      t.foreach { x =>
+        sameObjectDefCall(x) match {
+          case Some(m) if returnsDataBag(m) && findUnitDefDef(m).isDefined =>
+            b += m.name.toTermName
+          case _ => ()
+        }
+      }
+      b.result()
+    }
+    val gbAllow = typedCallNames(
+      Block(gens.flatMap(_.guards.map(_.cond)), tbody))
     val symsPerLevel = gens.map(levelSyms)
     val picks: List[Option[DefDef]] = gens.zipWithIndex.map { case (g, i) =>
       if (i == 0 || !usesAny(g.bag, symsPerLevel.take(i).flatten)) None
@@ -970,10 +1003,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
         case _ => None
       }
     }
-    if (!picks.exists(_.isDefined)) return None
     val uexpr = c.untypecheck(expr)
     flatten(uexpr) match {
-      case Some((ugens, _)) if ugens.length == gens.length =>
+      case Some((ugens, ubody)) if ugens.length == gens.length =>
         val reps = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
         picks.zip(ugens).foreach {
           case (Some(dd), ug) =>
@@ -994,6 +1026,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
             }
           case _ => ()
         }
+        // guard conditions and the yield: name-based inlining restricted to
+        // the typed-side verified allowlist (shadow-tracked)
+        if (gbAllow.nonEmpty) {
+          val headHits = new InlineHits
+          (ugens.flatMap(_.guards.map(_.cond)) :+ ubody).foreach { t =>
+            val before = headHits.n
+            val nt = inlineCallsU(t, Nil, headHits, only = Some(gbAllow))
+            if (headHits.n > before) reps += ((t, nt))
+          }
+        }
+        if (reps.isEmpty) return None
         val tf = new Transformer {
           override def transform(t: Tree): Tree =
             reps.collectFirst { case (o, nw) if o eq t => nw }
@@ -2574,12 +2617,14 @@ class ComprehensionMacro(val c: blackbox.Context) {
         }
       case _ => ()
     }
-    // dependent generator bags built by SAME-OBJECT helper `def`s inline by
-    // beta reduction (the reference's Lib.expand) and re-expand — the
-    // spliced chain then unnests/derives like its written-out spelling
+    // SAME-OBJECT helper `def`s inline by beta reduction (the reference's
+    // Lib.expand) and re-expand: dependent generator bags (symbol-precise)
+    // and DataBag-returning calls in guard/yield positions (name-based) —
+    // the spliced chain then unnests / derives correlated folds like its
+    // written-out spelling
     typedChain match {
-      case Some((gens, _)) if gens.length >= 2 && isDataBag(gens.head.bag) =>
-        inlineHelperDefs(expr, gens) match {
+      case Some((gens, tbody)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
+        inlineHelperDefs(expr, gens, tbody) match {
           case Some(res) => return res
           case None => ()
         }

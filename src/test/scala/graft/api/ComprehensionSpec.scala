@@ -1486,6 +1486,27 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe exp.sorted
   }
 
+  it should "inline helper defs consumed by correlated folds in the HEAD" in {
+    // a DataBag-returning helper call in the yield was an executor-side
+    // abort; inlining it (typed-side verified names only) hands the
+    // correlated-fold machinery a chain — pre-aggregate + outer join
+    val xs = DataBag((1L to 10L).map(i => (i, i % 3)))
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    def matched(x: (Long, Long)): DataBag[Long] =
+      for { y <- ys; if y._2 == x._2 } yield y._1
+    val r = onSpark { for { x <- xs } yield (x._1, matched(x).sum) }
+    val ysSeq = (1L to 30L).map(i => (i, i % 3))
+    val exp = (1L to 10L).map(i => (i, i % 3)).map { x =>
+      (x._1, ysSeq.filter(_._2 == x._2).map(_._1).sum)
+    }
+    r.collect().sorted shouldBe exp.sorted
+    // and in a GUARD position (the HAVING shape)
+    val g = onSpark { for { x <- xs; if matched(x).size > 9L } yield x._1 }
+    val expG = (1L to 10L).map(i => (i, i % 3))
+      .filter(x => ysSeq.count(_._2 == x._2) > 9).map(_._1)
+    g.collect().sorted shouldBe expG.sorted
+  }
+
   it should "inline curried and default-argument helper defs" in {
     val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
     val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
