@@ -1,5 +1,7 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// macro annotations (the @graft.api.lib cross-file helper-def registry)
+ThisBuild / scalacOptions += "-Ymacro-annotations"
 
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -883,7 +883,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * nested same-object helper calls with a cycle check (the reference's
     * ensureAcyclic, Lib.scala:57-58). */
   private def betaReduceU(dd: DefDef, argssU: List[List[Tree]],
-      trace: List[Symbol]): Tree = {
+      trace: List[Symbol], spliceBound: Set[TermName]): Tree = {
     if (trace.contains(dd.symbol))
       c.abort(c.enclosingPosition,
         s"onSpark: cyclic helper-def calls while inlining: " +
@@ -900,21 +900,78 @@ class ComprehensionMacro(val c: blackbox.Context) {
         s"onSpark: helper def '${dd.name}' arity mismatch while inlining " +
         s"(${params.length} parameters, ${args.length} arguments) — " +
         "supply every argument list explicitly or join explicitly")
+    // free references to the helper's ENCLOSING-METHOD locals survive
+    // untypecheck as bare Idents and re-resolve BY NAME at the splice site;
+    // a comprehension binder or splice-site local sharing such a name would
+    // capture the reference silently — abort instead (the poison-and-
+    // decline discipline substFreeName already applies to parameters).
+    // Symbol-precise on the TYPED DefDef: a bare Ident whose symbol is not
+    // defined inside the def is an external local (object members render
+    // qualified as `O.this.x` in typed trees and survive intact).
+    val extLocals = externalLocalNames(dd)
+    val clash = extLocals.intersect(spliceBound)
+    if (clash.nonEmpty)
+      c.abort(c.enclosingPosition,
+        s"onSpark: helper def '${dd.name}' reads enclosing-scope local(s) " +
+        s"${clash.mkString(", ")} whose name collides with a binder at the " +
+        "splice site — not inlined (the spliced reference would re-resolve " +
+        "to the binder); rename the local or the binder")
     // arguments substitute DIRECTLY for their parameters (no prefix vals: a
     // Block-wrapped bag would defeat the unnester downstream). Evaluation
     // moves from call-time to use-time and duplicates per occurrence — the
     // same purity premise every other derivation step (guard reordering into
     // join keys, fold hoisting) already assumes for quoted expressions.
+    // Substitution is TWO-PHASE so it behaves as one SIMULTANEOUS pass:
+    // every parameter first alpha-renames to a fresh name, THEN arguments
+    // substitute for the fresh names. A sequential direct substitution
+    // would let an argument whose free identifiers include a LATER
+    // parameter's name be rewritten by that parameter's substitution
+    // (`h(hi, lo)` against `def h(lo, hi)` reading both as the call-site
+    // `lo`) — the reference's Lib.betaReduce avoids the same trap by
+    // binding each argument to a fresh symbol first.
     var body = alphaRenameBinders(c.untypecheck(dd.rhs.duplicate))
-    params.zip(args).foreach { case (p, a) =>
-      val (nb, cnt) = substFreeName(body, p.name, a)
+    val freshParams = params.map(p => TermName(c.freshName(p.name.toString)))
+    params.zip(freshParams).foreach { case (p, f) =>
+      val (nb, cnt) = substFreeName(body, p.name, Ident(f))
       if (cnt < 0)
         c.abort(c.enclosingPosition,
           s"onSpark: helper def '${dd.name}' shadows its parameter '${p.name}' " +
           "inside its body — not inlined; rename the inner binder")
       body = nb
     }
-    inlineCallsU(body, dd.symbol :: trace)
+    freshParams.zip(args).foreach { case (f, a) =>
+      // fresh names cannot be rebound inside body, so this never poisons
+      val (nb, _) = substFreeName(body, f, a)
+      body = nb
+    }
+    inlineCallsU(body, dd.symbol :: trace,
+      spliceBound = spliceBound ++ boundNamesIn(body))
+  }
+
+  /** Names of bare-Ident references in `dd.rhs` whose symbol is NOT
+    * defined inside the def itself — the helper's external METHOD-LOCAL
+    * references (typed-tree, symbol-precise: object-member reads render
+    * as `O.this.x` Selects in typed trees and are excluded by shape). */
+  private def externalLocalNames(dd: DefDef): Set[TermName] = {
+    val internal: Set[Symbol] = {
+      val b = Set.newBuilder[Symbol]
+      dd.foreach {
+        case d: DefTree if d.symbol != null && d.symbol != NoSymbol =>
+          b += d.symbol
+        case _ => ()
+      }
+      b.result()
+    }
+    val b = Set.newBuilder[TermName]
+    dd.rhs.foreach {
+      case i @ Ident(n: TermName)
+          if i.symbol != null && i.symbol != NoSymbol && i.symbol.isTerm &&
+            !internal(i.symbol) && i.symbol.owner != null &&
+            i.symbol.owner.isMethod =>
+        b += n
+      case _ => ()
+    }
+    b.result()
   }
 
   /** Mutable hit counter for [[inlineCallsU]] callers that must know
@@ -933,9 +990,13 @@ class ComprehensionMacro(val c: blackbox.Context) {
       // calls of a guard/yield position — an imported function sharing a
       // registry name must never splice the registry body); None inside
       // spliced helper bodies, whose unqualified calls are same-object
-      only: Option[Set[TermName]] = None): Tree = {
+      only: Option[Set[TermName]] = None,
+      // binder names in scope at the splice destination (poison set for
+      // the external-local recapture check in betaReduceU)
+      spliceBound: Set[TermName] = Set.empty): Tree = {
     val tr = new Transformer {
       private var shadowed: Set[TermName] = Set.empty
+      private var allShadowed: Boolean = false
       private def withShadow[T](names: Iterable[TermName])(f: => T): T = {
         val add = names.filter(unitBagDefsByName.contains).toSet
         if (add.isEmpty) f
@@ -945,23 +1006,46 @@ class ComprehensionMacro(val c: blackbox.Context) {
           try f finally shadowed = saved
         }
       }
+      private def withAllShadowed[T](f: => T): T = {
+        val saved = allShadowed
+        allShadowed = true
+        try f finally allShadowed = saved
+      }
+      /** Term names an Import statement can BIND at its site: the selector
+        * names (post-rename). A WILDCARD selector can bind anything →
+        * None (shadow every registry name). */
+      private def importBinds(sels: List[ImportSelector]): Option[List[TermName]] =
+        if (sels.exists(s => s.name == termNames.WILDCARD || s.name == null))
+          None
+        else Some(sels.flatMap { s =>
+          val n = if (s.rename != null) s.rename else s.name
+          n match { case tn: TermName => Some(tn); case _ => None }
+        })
       override def transform(x: Tree): Tree = x match {
         case b @ Block(stats, _) =>
           val defined = stats.collect {
             case dd: DefDef => dd.name
             case vd: ValDef => vd.name
           }
-          withShadow(defined)(defaultTransform(b))
+          // an Import statement shadows the names it can bind for the rest
+          // of the block (conservatively: the WHOLE block — a shadowed call
+          // must never rewrite to the registry body); a wildcard import can
+          // bind ANY name, so it suspends every registry name
+          val importNames = stats.collect { case Import(_, sels) => sels }
+            .map(importBinds)
+          if (importNames.exists(_.isEmpty)) withAllShadowed(defaultTransform(b))
+          else withShadow(defined ++ importNames.flatten.flatten)(defaultTransform(b))
         case fn @ Function(params, _) =>
           withShadow(params.map(_.name))(defaultTransform(fn))
         case _ => defaultTransform(x)
       }
       private def defaultTransform(x: Tree): Tree = peelNameCallU(x) match {
         case Some((n, argss))
-            if unitBagDefsByName.contains(n) && !shadowed(n) &&
+            if !allShadowed && unitBagDefsByName.contains(n) && !shadowed(n) &&
               only.forall(_(n)) =>
           hits.n += 1
-          betaReduceU(unitBagDefsByName(n), argss.map(_.map(transform)), trace)
+          betaReduceU(unitBagDefsByName(n), argss.map(_.map(transform)), trace,
+            spliceBound)
         case _ => super.transform(x)
       }
     }
@@ -1004,6 +1088,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
       }
     }
     val uexpr = c.untypecheck(expr)
+    // binder names in scope anywhere in the comprehension (generator
+    // binders, pattern binds, lambda params, quoted-block locals): the
+    // poison set for betaReduceU's external-local recapture check
+    val spliceBound = boundNamesIn(uexpr)
     flatten(uexpr) match {
       case Some((ugens, ubody)) if ugens.length == gens.length =>
         val reps = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
@@ -1020,7 +1108,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
                 case _ => None
               }
             peelAny(ug.bag, Nil) match {
-              case Some(argssU) => reps += ((ug.bag, betaReduceU(dd, argssU, Nil)))
+              case Some(argssU) =>
+                reps += ((ug.bag, betaReduceU(dd, argssU, Nil, spliceBound)))
               case None => c.abort(c.enclosingPosition,
                 "internal: helper call shape changed after untypecheck")
             }
@@ -1032,7 +1121,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
           val headHits = new InlineHits
           (ugens.flatMap(_.guards.map(_.cond)) :+ ubody).foreach { t =>
             val before = headHits.n
-            val nt = inlineCallsU(t, Nil, headHits, only = Some(gbAllow))
+            val nt = inlineCallsU(t, Nil, headHits, only = Some(gbAllow),
+              spliceBound = spliceBound)
             if (headHits.n > before) reps += ((t, nt))
           }
         }
@@ -2540,11 +2630,12 @@ class ComprehensionMacro(val c: blackbox.Context) {
             .flatMap(t => memberVarSelects(t, insideLambdaOnly = true))).distinct
         if (memberReads.nonEmpty)
           c.abort(c.enclosingPosition,
-            s"onSpark: the quoted comprehension reads the mutable field(s) " +
-            s"${memberReads.map(_.name).mkString(", ")} through a qualifier " +
-            "inside a lambda; Spark defers execution, so a later job would " +
-            "observe the field's latest value — snapshot it manually: " +
-            "`val v0 = this.v` (or `obj.v`) before the comprehension and use `v0`")
+            s"onSpark: the quoted comprehension reads or writes the mutable field(s) " +
+            s"${memberReads.map(_.name.toString.stripSuffix("_$eq")).distinct.mkString(", ")} " +
+            "through a qualifier inside a lambda; Spark defers execution (and runs " +
+            "lambdas on executors, where a write never propagates back) — snapshot " +
+            "reads manually (`val v0 = this.v` before the comprehension) and fold " +
+            "into a driver-side result instead of assigning")
         val captured: List[Symbol] = lambdaTrees.flatMap(varCaptureSyms).distinct
         if (captured.nonEmpty) {
           val expects = captured.map(s => symRefCount(expr, s))
@@ -3053,15 +3144,28 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case Select(inner, _) => stableRoot(inner)
       case _ => false
     }
+    // a WRITE is the same trap as a read (worse: executor-side mutation
+    // of driver state that never propagates back): the typer spells
+    // `this.x = v` as a SETTER application and `obj.f += 1` as
+    // `obj.f_$eq(obj.f + 1)`; raw field Assigns (constructor-style direct
+    // access) are matched too
+    def isMutableWrite(s: Symbol): Boolean =
+      s != null && s != NoSymbol && s.isTerm && s.asTerm.isSetter
     val out = scala.collection.mutable.ListBuffer.empty[Symbol]
     def scan(x: Tree, inLambda: Boolean): Unit = x match {
       case _: Function =>
         x.children.foreach(scan(_, inLambda = true))
       case sel @ Select(q, _)
-          if isMutableRead(sel.symbol) && stableRoot(q) &&
-            (inLambda || !insideLambdaOnly) =>
+          if (isMutableRead(sel.symbol) || isMutableWrite(sel.symbol)) &&
+            stableRoot(q) && (inLambda || !insideLambdaOnly) =>
         out += sel.symbol
         x.children.foreach(scan(_, inLambda))
+      case Assign(sel @ Select(q, _), rhs)
+          if sel.symbol != null && sel.symbol != NoSymbol &&
+            sel.symbol.isTerm && sel.symbol.asTerm.isVar && stableRoot(q) &&
+            (inLambda || !insideLambdaOnly) =>
+        out += sel.symbol
+        scan(rhs, inLambda)
       case _ => x.children.foreach(scan(_, inLambda))
     }
     scan(t, inLambda = false)

@@ -18,6 +18,13 @@ case class PayRow(ok: Long, cents: Long)
   * per-element data, NOT deferred captures — must stay derivable. */
 case class VarCell(var v: Long)
 
+/** Effect counter for the argument duplicate-evaluation pin (statics are
+  * shared across local-mode executor threads). */
+object EffCount {
+  val n = new java.util.concurrent.atomic.AtomicLong(0L)
+  def tick(): Long = { n.incrementAndGet(); 0L }
+}
+
 class ComprehensionSpec extends AnyFlatSpec with Matchers {
 
   implicit lazy val spark: SparkSession = TestSpark.spark
@@ -1550,6 +1557,106 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val xs = graft.api.DataBag(Seq((1L, 1L)))
     graft.api.comprehensions.onSpark {
       for { x <- xs; y <- graft.api.CrossFileLib.matching(x) } yield (x._1, y._1)
+    }
+    """ shouldNot compile
+  }
+
+  it should "substitute swapped same-named arguments SIMULTANEOUSLY (no sequential capture)" in {
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    def band(x: (Long, Long), lo: Long, hi: Long): DataBag[(Long, Long)] =
+      for { y <- ys; if y._2 == x._2 && y._1 >= lo && y._1 <= hi } yield y
+    val lo = 20L
+    val hi = 5L
+    // the expression passed FOR parameter `lo` is the call-site ident `hi`
+    // (and vice versa): a sequential per-parameter substitution would
+    // rewrite the injected `hi` ident with the later hi-substitution,
+    // making BOTH bounds read the call-site `lo` (y == 20 only) — the
+    // two-phase fresh-rename substitution must behave simultaneously
+    val r = onSpark { for { x <- xs; y <- band(x, hi, lo) } yield (x._1, y._1) }
+    val e = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3))
+      if y._2 == x._2 && y._1 >= 5L && y._1 <= 20L
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe e.sorted
+  }
+
+  it should "abort when an inlined helper's external local collides with a splice-site binder" in {
+    // the helper body's free reference `x` (an enclosing-scope local)
+    // survives untypecheck as a bare Ident; at the splice site a generator
+    // binder of the same name would capture it silently — the inliner must
+    // abort instead (poison-and-decline discipline)
+    """
+    val ys = bagL(1L to 30L)
+    val x = 3L
+    def near(k: Long): graft.api.DataBag[Long] =
+      for { y <- ys; if y % 7L == k % 7L && y > x } yield y
+    val xs = bagL(1L to 10L)
+    graft.api.comprehensions.onSpark { for { x <- xs; y <- near(x) } yield (x, y) }
+    """ shouldNot compile
+    // same helper, no name collision: inlines and derives
+    val ys = bagL(1L to 30L)
+    val lim = 3L
+    def near(k: Long): DataBag[Long] =
+      for { y <- ys; if y % 7L == k % 7L && y > lim } yield y
+    val xs = bagL(1L to 10L)
+    val r = onSpark { for { x <- xs; y <- near(x) } yield (x, y) }
+    val e = for { x <- 1L to 10L; y <- 1L to 30L; if y % 7L == x % 7L && y > 3L }
+      yield (x, y)
+    r.collect().sorted shouldBe e.sorted
+  }
+
+  it should "pin duplicate-evaluation semantics for inlined helper arguments" in {
+    // beta reduction substitutes the argument EXPRESSION per occurrence:
+    // evaluation moves from call-time to use-time (same purity premise as
+    // guard reordering / fold hoisting; the reference's expansion shares
+    // the caveat) — an effectful argument observably runs MORE than once
+    // per call. Documented in MIGRATION.md.
+    EffCount.n.set(0L)
+    val ys = bagL(1L to 12L)
+    def around(x: Long, p: Long): DataBag[Long] =
+      for { y <- ys; if y == x + p || y == x + p + 1L } yield y
+    val xs = bagL(1L to 10L)
+    val r = onSpark { for { x <- xs; y <- around(x, EffCount.tick()) } yield (x, y) }
+    val e = for { x <- 1L to 10L; y <- 1L to 12L; if y == x || y == x + 1L }
+      yield (x, y)
+    r.collect().sorted shouldBe e.sorted
+    // call-by-value (the reference-style fresh-val binding) would tick
+    // exactly |xs| times at most; duplicate-evaluation ticks per USE
+    EffCount.n.get() should be > 10L
+  }
+
+  it should "abort on mutable member WRITES inside quoted comprehensions" in {
+    // a pure write (no read on the rhs) through `this`: executor-side
+    // mutation never propagates back — must abort, not silently compile
+    """
+    class W1 {
+      var total = 0L
+      def run(xs: graft.api.DataBag[Long]) =
+        graft.api.comprehensions.onSpark {
+          for { x <- xs; if { this.total = x; x > 0L } } yield x
+        }
+    }
+    """ shouldNot compile
+    // object-field write in the YIELD
+    """
+    object Acc { var n = 0L }
+    class W2 {
+      def run(xs: graft.api.DataBag[Long]) =
+        graft.api.comprehensions.onSpark {
+          for { x <- xs } yield { Acc.n = x; x * 2L }
+        }
+    }
+    """ shouldNot compile
+    // compound assignment `obj.field += 1` (setter + getter spelling)
+    """
+    object Acc3 { var n = 0L }
+    class W3 {
+      def run(xs: graft.api.DataBag[Long]) =
+        graft.api.comprehensions.onSpark {
+          for { x <- xs } yield { Acc3.n += 1L; x }
+        }
     }
     """ shouldNot compile
   }
