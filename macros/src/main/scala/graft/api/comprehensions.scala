@@ -883,11 +883,25 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * nested same-object helper calls with a cycle check (the reference's
     * ensureAcyclic, Lib.scala:57-58). */
   private def betaReduceU(dd: DefDef, argssU: List[List[Tree]],
-      trace: List[Symbol], spliceBound: Set[TermName]): Tree = {
-    if (trace.contains(dd.symbol))
+      trace: List[Symbol], spliceBound: Set[TermName]): Tree =
+    betaReduceSym(dd.symbol, dd, argssU, trace, spliceBound,
+      bareRegistry = true)
+
+  /** [[betaReduceU]] generalized over the helper's identity: `sym` is the
+    * method symbol used for the cycle check (same-unit defs carry it on
+    * the DefDef; cross-file @lib defs supply the TYPED call's resolved
+    * symbol because their parsed trees have none), and `bareRegistry`
+    * gates whether bare-name calls inside the spliced body may match the
+    * same-unit registry (never for PARSED cross-file bodies — their bare
+    * names belong to the DEFINING file's scope, and the qualification
+    * pass has already rewritten every same-object sibling call). */
+  private def betaReduceSym(sym: Symbol, dd: DefDef, argssU: List[List[Tree]],
+      trace: List[Symbol], spliceBound: Set[TermName],
+      bareRegistry: Boolean): Tree = {
+    if (trace.contains(sym))
       c.abort(c.enclosingPosition,
         s"onSpark: cyclic helper-def calls while inlining: " +
-        (dd.symbol :: trace).reverse.map(_.name).mkString(" -> ") +
+        (sym :: trace).reverse.map(_.name).mkString(" -> ") +
         " — recursive bag-building defs are not derived; restructure or join explicitly")
     if (dd.tparams.nonEmpty)
       c.abort(c.enclosingPosition,
@@ -944,8 +958,34 @@ class ComprehensionMacro(val c: blackbox.Context) {
       val (nb, _) = substFreeName(body, f, a)
       body = nb
     }
-    inlineCallsU(body, dd.symbol :: trace,
-      spliceBound = spliceBound ++ boundNamesIn(body))
+    dropIdentityMaps(inlineCallsU(body, sym :: trace,
+      spliceBound = spliceBound ++ boundNamesIn(body),
+      bareRegistry = bareRegistry))
+  }
+
+  /** Drop identity `.map(y => y)` stages — what a helper body's
+    * `yield <binder>` desugars to. Without this a spliced nested helper
+    * leaves `root.withFilter(f1).map(id).withFilter(f2)` chains whose
+    * guard-over-a-mapped-binder shape the unnester's walker declines;
+    * with it the guards stack directly on the root. Matches both the
+    * bare call and the implicit-arg (encoder) Apply layer. */
+  private def dropIdentityMaps(t: Tree): Tree = {
+    object IdMap {
+      def unapply(x: Tree): Option[Tree] = x match {
+        case Apply(Select(recv, TermName("map")),
+            List(Function(List(p), Ident(n)))) if n == p.name => Some(recv)
+        case Apply(Apply(Select(recv, TermName("map")),
+            List(Function(List(p), Ident(n)))), _) if n == p.name => Some(recv)
+        case _ => None
+      }
+    }
+    val tr = new Transformer {
+      override def transform(x: Tree): Tree = x match {
+        case IdMap(recv) => transform(recv)
+        case _ => super.transform(x)
+      }
+    }
+    tr.transform(t)
   }
 
   /** Names of bare-Ident references in `dd.rhs` whose symbol is NOT
@@ -993,7 +1033,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
       only: Option[Set[TermName]] = None,
       // binder names in scope at the splice destination (poison set for
       // the external-local recapture check in betaReduceU)
-      spliceBound: Set[TermName] = Set.empty): Tree = {
+      spliceBound: Set[TermName] = Set.empty,
+      // false inside PARSED cross-file bodies: their bare names resolve in
+      // the DEFINING file's scope, never against this unit's registry
+      bareRegistry: Boolean = true): Tree = {
     val tr = new Transformer {
       private var shadowed: Set[TermName] = Set.empty
       private var allShadowed: Boolean = false
@@ -1041,15 +1084,361 @@ class ComprehensionMacro(val c: blackbox.Context) {
       }
       private def defaultTransform(x: Tree): Tree = peelNameCallU(x) match {
         case Some((n, argss))
-            if !allShadowed && unitBagDefsByName.contains(n) && !shadowed(n) &&
-              only.forall(_(n)) =>
+            if bareRegistry && !allShadowed && unitBagDefsByName.contains(n) &&
+              !shadowed(n) && only.forall(_(n)) =>
           hits.n += 1
           betaReduceU(unitBagDefsByName(n), argss.map(_.map(transform)), trace,
             spliceBound)
-        case _ => super.transform(x)
+        case _ => peelQualCallU(x) match {
+          // QUALIFIED call to a cross-file @lib def (resolution verifies
+          // the qualifier typechecks to a static module whose member
+          // carries @graftSrc, so name shadowing and the `only` allowlist
+          // do not apply — the binding is symbol-verified, not name-based)
+          case Some((qual, n, argss)) =>
+            resolveLibCallU(qual, n, spliceBound) match {
+              case Some((m, dd)) if returnsDataBag(m) =>
+                hits.n += 1
+                betaReduceSym(m, dd, argss.map(_.map(transform)), trace,
+                  spliceBound, bareRegistry = false)
+              case _ => super.transform(x)
+            }
+          case None => super.transform(x)
+        }
       }
     }
     tr.transform(t)
+  }
+
+  // ------------------- cross-file @lib helper-def inlining
+  //
+  // The reference's Lib.expand registry is GLOBAL: any `@emma.lib` def
+  // from any file inlines into quoted programs (compiler/lib/Lib.scala:
+  // 40-55; the whole emma-lib module ships that way). The graft twin:
+  // `@graft.api.lib` stores the def's rendered source (plus the defining
+  // unit's imports) in a pickled @graftSrc annotation; here the TYPED
+  // call's method symbol leads to that source, which is parsed, its free
+  // names re-bound to their definition-site meaning (owner-object decls
+  // qualify to the owner's _root_ path; import-covered names qualify
+  // through the captured imports; scala/java universe names stay bare),
+  // and the result beta-reduces with the same cycle check / alpha-rename
+  // / shadow discipline as same-unit helpers. Unresolvable frees ABORT
+  // with guidance — never a silent splice-site rebinding.
+
+  /** The (source, defining-unit imports) stored by `@graft.api.lib` on
+    * `m`, when present (annotation literals are pickled — readable across
+    * files and across compilation runs). */
+  private def libSrcOf(m: Symbol): Option[(String, String)] = {
+    if (m == null || m == NoSymbol || !m.isMethod) return None
+    if (m.owner == null || m.owner == NoSymbol || !m.owner.isModuleClass)
+      return None
+    m.annotations.collectFirst {
+      case ann if ann.tree.tpe != null && ann.tree.tpe.typeSymbol != null &&
+          ann.tree.tpe.typeSymbol.fullName == "graft.api.graftSrc" =>
+        ann.tree.children.tail match {
+          case List(Literal(Constant(s: String)), Literal(Constant(i: String))) =>
+            Some((s, i))
+          case _ => None
+        }
+    }.flatten
+  }
+
+  /** Owner chain is packages-and-objects only (a def on an instance class
+    * cannot splice — there is no static path to its siblings). */
+  @annotation.tailrec
+  private def staticOwner(s: Symbol): Boolean =
+    s == null || s == NoSymbol || s.isPackageClass || s == c.mirror.RootClass ||
+      (s.isModuleClass && staticOwner(s.owner))
+
+  /** Parse + qualify cache: @lib resolution is pure per method symbol
+    * within one expansion (the splice-site binder check happens later,
+    * per call site). Left = abort message. Right = (qualified DefDef,
+    * names left BARE — universe/import-bound — which must not collide
+    * with splice-site binders). */
+  private val libDefCache =
+    scala.collection.mutable.Map.empty[Symbol, Either[String, (DefDef, Set[TermName])]]
+
+  private def libDefOf(m: MethodSymbol): Either[String, (DefDef, Set[TermName])] =
+    libDefCache.getOrElseUpdate(m, {
+      libSrcOf(m) match {
+        case None => Left(s"'${m.fullName}' carries no @graft.api.lib source")
+        case Some((src, imports)) =>
+          if (!staticOwner(m.owner))
+            Left(s"@lib def '${m.name}' is not a member of a static object " +
+              "(instance-class members have no splice-site path)")
+          else scala.util.Try(c.parse(src)).toOption match {
+            case Some(dd: DefDef) => qualifyLibDef(m, dd, imports)
+            case _ => Left(s"@lib def '${m.name}': stored source failed to re-parse")
+          }
+      }
+    })
+
+  /** Does `path` (a dot-separated term path) typecheck at the splice
+    * site? `asType` probes the path's LAST segment as a type name. */
+  private def pathResolves(path: String, asType: Boolean): Boolean =
+    scala.util.Try {
+      if (asType) {
+        val i = path.lastIndexOf('.')
+        if (i < 0) c.typecheck(Ident(TypeName(path)), c.TYPEmode, silent = true).nonEmpty
+        else {
+          val pre = c.parse(path.substring(0, i))
+          val tn = TypeName(path.substring(i + 1))
+          c.typecheck(tq"$pre.$tn", c.TYPEmode, silent = true).nonEmpty
+        }
+      } else
+        c.typecheck(c.parse(path), c.TERMmode, silent = true).nonEmpty
+    }.getOrElse(false)
+
+  /** Re-bind the free names of a PARSED @lib body to their
+    * definition-site meaning. Returns the qualified DefDef and the free
+    * names left bare (splice-site binder collisions with those abort at
+    * reduce time). */
+  private def qualifyLibDef(m: MethodSymbol, dd: DefDef,
+      importsSrc: String): Either[String, (DefDef, Set[TermName])] = {
+    val ownerCls = m.owner
+    val ownerPath = "_root_." + ownerCls.fullName
+    // the defining unit's imports, re-parsed (order preserved)
+    val imps: List[Import] = importsSrc.split('\n').toList.filter(_.nonEmpty)
+      .flatMap(s => scala.util.Try(c.parse(s)).toOption.collect { case i: Import => i })
+    // enclosing package paths, innermost first (for RELATIVE import
+    // prefixes written under the owner's own package)
+    val pkgPaths: List[String] = {
+      val b = List.newBuilder[String]
+      var s = ownerCls.owner
+      while (s != null && s != NoSymbol && s != c.mirror.RootClass &&
+          s.fullName != "<root>" && s.fullName != "<empty>") {
+        if (s.isPackageClass || s.isPackage) b += s.fullName
+        s = s.owner
+      }
+      b.result()
+    }
+    def stripRoot(p: String): String = p.stripPrefix("_root_.")
+    // resolution memo: name -> Some(full replacement path) | None (bare)
+    val memo = scala.collection.mutable.Map.empty[Name, Option[String]]
+    val bareFree = scala.collection.mutable.Set.empty[TermName]
+    var err: Option[String] = None
+    def fail(msg: String): Option[String] = { if (err.isEmpty) err = Some(msg); None }
+    def resolveFree(n: Name): Option[String] = memo.getOrElseUpdate(n, {
+      val asType = n.isTypeName
+      if (ownerCls.info.decl(n) != NoSymbol)
+        // own-object member: highest-precedence binding at the definition
+        // site (SLS 2 — definitions beat imports), so it qualifies first
+        Some(ownerPath + "." + n)
+      else {
+        // exact import selector (import p.x / import p.{x => y})
+        val exact: Option[String] = imps.iterator.flatMap { imp =>
+          imp.selectors.iterator.collect {
+            case s if s.name != null && s.name != termNames.WILDCARD &&
+                (if (s.rename != null) s.rename else s.name).toString == n.toString =>
+              stripRoot(showCode(imp.expr)) + "." + s.name.toString
+          }
+        }.flatMap { cand =>
+          (("_root_." + cand) :: pkgPaths.map(p => "_root_." + p + "." + cand))
+            .find(pathResolves(_, asType))
+        }.take(1).toList.headOption
+        exact.orElse {
+          // wildcard imports, probed
+          imps.iterator.filter(_.selectors.exists(s =>
+              s.name == termNames.WILDCARD || s.name == null))
+            .flatMap { imp =>
+              val pre = stripRoot(showCode(imp.expr))
+              (("_root_." + pre + "." + n) ::
+                pkgPaths.map(p => "_root_." + p + "." + pre + "." + n))
+                .find(pathResolves(_, asType))
+            }.take(1).toList.headOption
+        }.orElse {
+          // own-package member (no import needed at the definition site)
+          pkgPaths.map(p => "_root_." + p + "." + n)
+            .find(pathResolves(_, asType))
+        } match {
+          case some @ Some(_) => some
+          case None =>
+            // default scala/java universe: same meaning everywhere — may
+            // stay bare (probed at the splice site, which shares it)
+            val t = scala.util.Try {
+              if (asType) c.typecheck(Ident(n), c.TYPEmode, silent = true)
+              else c.typecheck(Ident(n), c.TERMmode, silent = true)
+            }.getOrElse(EmptyTree)
+            val fn = if (t.nonEmpty && t.symbol != null && t.symbol != NoSymbol)
+              t.symbol.fullName else ""
+            if (fn.startsWith("scala.") || fn.startsWith("java.") || fn == "scala") {
+              n match { case tn: TermName => bareFree += tn; case _ => () }
+              None
+            } else fail(
+              s"@lib def '${m.name}': free name '$n' is neither a member of " +
+              s"${ownerCls.fullName}, nor covered by the defining file's " +
+              "imports, nor a scala/java universe name — fully qualify it " +
+              "inside the helper body (file-local context does not travel)")
+        }
+      }
+    })
+    // scope-aware rewrite (Block binds are over-approximated to the whole
+    // block, the same conservative discipline as the registry inliner; a
+    // body-internal WILDCARD import travels with the body, so names under
+    // it stay bare except own-object decls, which outrank imports)
+    val paramNames: Set[Name] =
+      dd.vparamss.flatten.map(_.name: Name).toSet ++ dd.tparams.map(_.name: Name)
+    def replTree(path: String, asType: Boolean): Tree =
+      if (asType) {
+        val i = path.lastIndexOf('.')
+        val pre = c.parse(path.substring(0, i))
+        tq"$pre.${TypeName(path.substring(i + 1))}"
+      } else c.parse(path)
+    val tr = new Transformer {
+      private var bound: Set[Name] = paramNames
+      private var importAll: Boolean = false
+      private def withBound[T](names: Iterable[Name])(f: => T): T = {
+        val saved = bound; bound ++= names
+        try f finally bound = saved
+      }
+      private def withImportAll[T](f: => T): T = {
+        val saved = importAll; importAll = true
+        try f finally importAll = saved
+      }
+      private def qualify(n: Name, orig: Tree): Tree =
+        if (bound(n) || bound(if (n.isTermName) n.toTypeName else n.toTermName)) orig
+        else resolveFree(n) match {
+          case Some(path) => replTree(path, n.isTypeName)
+          case None => orig
+        }
+      override def transform(x: Tree): Tree = x match {
+        case b @ Block(stats, _) =>
+          val defined: List[Name] = stats.flatMap {
+            case d: DefTree => List(d.name)
+            case _ => Nil
+          }
+          val impSels = stats.collect { case Import(_, sels) => sels }
+          val wildcard = impSels.exists(_.exists(s =>
+            s.name == termNames.WILDCARD || s.name == null))
+          val named: List[Name] = impSels.flatten.flatMap { s =>
+            if (s.name == null || s.name == termNames.WILDCARD) Nil
+            else {
+              val n = if (s.rename != null) s.rename else s.name
+              List(n, if (n.isTermName) n.toTypeName else n.toTermName)
+            }
+          }
+          val body = () => super.transform(b)
+          if (wildcard) withBound(defined ++ named)(withImportAll(body()))
+          else withBound(defined ++ named)(body())
+        case fn @ Function(params, body) =>
+          // param TYPES still qualify; the body binds the param names
+          val nps = params.map(p => treeCopy.ValDef(p, p.mods, p.name,
+            transform(p.tpt), transform(p.rhs)))
+          withBound(params.map(_.name: Name))(
+            treeCopy.Function(fn, nps, transform(body)))
+        case dloc: DefDef =>
+          withBound(dloc.vparamss.flatten.map(_.name: Name) ++
+              dloc.tparams.map(_.name: Name) ++ List(dloc.name: Name))(
+            super.transform(dloc))
+        case mt @ Match(sel, cases) =>
+          treeCopy.Match(mt, transform(sel), cases.map { cd =>
+            withBound(bindNames(cd.pat).map(n => n: Name))(
+              treeCopy.CaseDef(cd, transform(cd.pat), transform(cd.guard),
+                transform(cd.body)))
+          })
+        case Select(th: This, n: TermName)
+            if ownerCls.info.decl(n) != NoSymbol && th.qual.toString.isEmpty =>
+          // `this.sibling` inside an object body → static path
+          c.parse(ownerPath + "." + n)
+        case i @ Ident(n: TermName) if !importAll || ownerCls.info.decl(n) != NoSymbol =>
+          qualify(n, i)
+        case i @ Ident(n: TypeName) if !importAll || ownerCls.info.decl(n) != NoSymbol =>
+          qualify(n, i)
+        case _ => super.transform(x)
+      }
+    }
+    val newRhs = tr.transform(dd.rhs)
+    err match {
+      case Some(msg) => Left(msg)
+      case None => Right((treeCopy.DefDef(dd, dd.mods, dd.name, dd.tparams,
+        dd.vparamss, dd.tpt, newRhs), bareFree.toSet))
+    }
+  }
+
+  /** UNTYPED-side: peel `qual.m(args)` (non-This qualifier) into
+    * (qualifier, name, argss) — the shape cross-file @lib calls keep
+    * through untypecheck and through the qualification rewrite. */
+  private def peelQualCallU(t: Tree): Option[(Tree, TermName, List[List[Tree]])] = {
+    @annotation.tailrec
+    def peel(f: Tree, argss: List[List[Tree]]): Option[(Tree, TermName, List[List[Tree]])] =
+      f match {
+        case Apply(g, args) => peel(g, args :: argss)
+        case TypeApply(g, _) => peel(g, argss)
+        case Select(q, n: TermName) if argss.nonEmpty &&
+            (q match { case _: This => false; case _ => true }) =>
+          Some((q, n, argss))
+        case _ => None
+      }
+    peel(t, Nil)
+  }
+
+  /** Is `t` a pure term path (Idents/Selects only)? Cheap pre-filter
+    * before typechecking a qualifier. */
+  @annotation.tailrec
+  private def isTermPath(t: Tree): Boolean = t match {
+    case Ident(_: TermName) => true
+    case Select(q, _: TermName) => isTermPath(q)
+    case _ => false
+  }
+
+  /** Qualifier-resolution cache for the untyped pass (key: rendered
+    * qualifier + name). */
+  private val qualResCache =
+    scala.collection.mutable.Map.empty[(String, String), Option[MethodSymbol]]
+
+  /** UNTYPED-side cross-file resolution: typecheck the qualifier path; a
+    * static module whose member `n` carries @graftSrc resolves to that
+    * method. Returns the parsed+qualified DefDef; a stored-but-
+    * unqualifiable def ABORTS with its guidance (never silently splices
+    * or silently rebinds). */
+  private def resolveLibCallU(qual: Tree, n: TermName,
+      spliceBound: Set[TermName]): Option[(MethodSymbol, DefDef)] = {
+    if (!isTermPath(qual)) return None
+    val key = (qual.toString, n.toString)
+    val mOpt = qualResCache.getOrElseUpdate(key, {
+      val qt = scala.util.Try(
+        c.typecheck(qual.duplicate, c.TERMmode, silent = true)).getOrElse(EmptyTree)
+      val qs = if (qt.nonEmpty) qt.symbol else NoSymbol
+      if (qs == null || qs == NoSymbol || !qs.isModule) None
+      else {
+        val mem = qs.asModule.moduleClass.info.member(n)
+        val cands =
+          if (mem == NoSymbol) Nil
+          else if (mem.isTerm && mem.asTerm.isOverloaded)
+            mem.asTerm.alternatives
+          else List(mem)
+        cands.collectFirst {
+          case s if s.isMethod && libSrcOf(s).isDefined => s.asMethod
+        }
+      }
+    })
+    mOpt.flatMap { m =>
+      libDefOf(m) match {
+        case Right((dd, bare)) =>
+          val clash = bare.intersect(spliceBound)
+          if (clash.nonEmpty)
+            c.abort(c.enclosingPosition,
+              s"onSpark: @lib def '${m.name}' uses universe name(s) " +
+              s"${clash.mkString(", ")} that collide with a binder at the " +
+              "splice site — rename the binder")
+          Some((m, dd))
+        case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
+      }
+    }
+  }
+
+  /** TYPED-side: the method symbol of a call whose callee carries
+    * @graftSrc (any qualifier shape — the typed tree is symbol-precise). */
+  private def libDefCallTyped(t: Tree): Option[MethodSymbol] = {
+    @annotation.tailrec
+    def peel(f: Tree, seenArgs: Boolean): Option[MethodSymbol] = f match {
+      case Apply(g, _) => peel(g, seenArgs = true)
+      case TypeApply(g, _) => peel(g, seenArgs)
+      case _ =>
+        if (seenArgs && f.symbol != null && f.symbol != NoSymbol && f.symbol.isMethod)
+          Some(f.symbol.asMethod)
+        else None
+    }
+    peel(t, seenArgs = false).filter(m => libSrcOf(m).isDefined)
   }
 
   /** Entry: inline same-object helper `def`s whose calls build DEPENDENT
@@ -1078,25 +1467,46 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
     val gbAllow = typedCallNames(
       Block(gens.flatMap(_.guards.map(_.cond)), tbody))
-    val symsPerLevel = gens.map(levelSyms)
-    val picks: List[Option[DefDef]] = gens.zipWithIndex.map { case (g, i) =>
-      if (i == 0 || !usesAny(g.bag, symsPerLevel.take(i).flatten)) None
-      else if (isLocalBagCtor(g.bag)) None
-      else sameObjectDefCall(g.bag) match {
-        case Some(m) if returnsDataBag(m) => findUnitDefDef(m)
-        case _ => None
-      }
-    }
-    val uexpr = c.untypecheck(expr)
     // binder names in scope anywhere in the comprehension (generator
     // binders, pattern binds, lambda params, quoted-block locals): the
-    // poison set for betaReduceU's external-local recapture check
-    val spliceBound = boundNamesIn(uexpr)
+    // poison set for betaReduceU's external-local recapture check (same
+    // names on the typed tree as on its untypecheck)
+    val spliceBound = boundNamesIn(expr)
+    // cross-file @lib pick: resolve, parse, qualify; a stored-but-
+    // unqualifiable def aborts with its guidance
+    def libPick(bag: Tree): Option[(Symbol, DefDef, Boolean)] =
+      libDefCallTyped(bag).filter(returnsDataBag) match {
+        case Some(m) => libDefOf(m) match {
+          case Right((dd, bare)) =>
+            val clash = bare.intersect(spliceBound)
+            if (clash.nonEmpty)
+              c.abort(c.enclosingPosition,
+                s"onSpark: @lib def '${m.name}' uses universe name(s) " +
+                s"${clash.mkString(", ")} that collide with a binder at the " +
+                "splice site — rename the binder")
+            Some((m, dd, false))
+          case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
+        }
+        case None => None
+      }
+    val symsPerLevel = gens.map(levelSyms)
+    val picks: List[Option[(Symbol, DefDef, Boolean)]] =
+      gens.zipWithIndex.map { case (g, i) =>
+        if (i == 0 || !usesAny(g.bag, symsPerLevel.take(i).flatten)) None
+        else if (isLocalBagCtor(g.bag)) None
+        else sameObjectDefCall(g.bag) match {
+          case Some(m) if returnsDataBag(m) =>
+            findUnitDefDef(m).map(dd => (dd.symbol: Symbol, dd, true))
+              .orElse(libPick(g.bag))
+          case _ => libPick(g.bag)
+        }
+      }
+    val uexpr = c.untypecheck(expr)
     flatten(uexpr) match {
       case Some((ugens, ubody)) if ugens.length == gens.length =>
         val reps = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
         picks.zip(ugens).foreach {
-          case (Some(dd), ug) =>
+          case (Some((sym, dd, bareReg)), ug) =>
             // untyped twin peel, module-qualified included (symbol already
             // adjudicated on the typed side)
             @annotation.tailrec
@@ -1109,15 +1519,19 @@ class ComprehensionMacro(val c: blackbox.Context) {
               }
             peelAny(ug.bag, Nil) match {
               case Some(argssU) =>
-                reps += ((ug.bag, betaReduceU(dd, argssU, Nil, spliceBound)))
+                reps += ((ug.bag,
+                  betaReduceSym(sym, dd, argssU, Nil, spliceBound, bareReg)))
               case None => c.abort(c.enclosingPosition,
                 "internal: helper call shape changed after untypecheck")
             }
           case _ => ()
         }
-        // guard conditions and the yield: name-based inlining restricted to
-        // the typed-side verified allowlist (shadow-tracked)
-        if (gbAllow.nonEmpty) {
+        // guard conditions and the yield: bare-name inlining restricted to
+        // the typed-side verified allowlist (shadow-tracked); QUALIFIED
+        // cross-file @lib calls resolve symbol-verified inside inlineCallsU
+        val hasLibGY = (gens.flatMap(_.guards.map(_.cond)) :+ tbody).exists(t =>
+          t.exists(x => libDefCallTyped(x).exists(returnsDataBag)))
+        if (gbAllow.nonEmpty || hasLibGY) {
           val headHits = new InlineHits
           (ugens.flatMap(_.guards.map(_.cond)) :+ ubody).foreach { t =>
             val before = headHits.n

@@ -4,12 +4,14 @@ import scala.annotation.StaticAnnotation
 import scala.language.experimental.macros
 import scala.reflect.macros.whitebox
 
-/** Carrier for an inlinable helper def's SOURCE TEXT. Written by the
-  * [[lib]] macro annotation; read back by `comprehensions.onSpark` at a
-  * splice site in ANY file (static-annotation literal arguments are
-  * pickled with the symbol, so the source survives separate compilation
-  * runs). Not meant to be written by hand. */
-final class graftSrc(val src: String) extends StaticAnnotation
+/** Carrier for an inlinable helper def's SOURCE TEXT plus the import
+  * statements of its defining unit (newline-joined; used to reconstruct
+  * definition-site name resolution at a foreign splice site). Written by
+  * the [[lib]] macro annotation; read back by `comprehensions.onSpark`
+  * (static-annotation literal arguments are pickled with the symbol, so
+  * both survive separate compilation runs). Not meant to be written by
+  * hand. */
+final class graftSrc(val src: String, val imports: String) extends StaticAnnotation
 
 /** Mirror of the reference's `@emma.lib` (emma-language
   * compiler/lib/Lib.scala:40-55, which inlines ANY annotated def's AST
@@ -60,7 +62,16 @@ object libMacro {
           case _ => c.abort(c.enclosingPosition,
             "@lib: rendered source did not parse back to a single def")
         }
-        val ann = q"new _root_.graft.api.graftSrc($src)"
+        // capture the defining unit's import statements (any scope level —
+        // over-approximate; the splice-site resolver only consults them for
+        // names it cannot otherwise bind) so file-local imports the body
+        // relies on can be re-qualified at a foreign splice site
+        val importSrcs = scala.collection.mutable.ListBuffer.empty[String]
+        c.enclosingUnit.body.foreach {
+          case imp: Import => importSrcs += showCode(imp)
+          case _ => ()
+        }
+        val ann = q"new _root_.graft.api.graftSrc($src, ${importSrcs.mkString("\n")})"
         val newMods = Modifiers(dd.mods.flags, dd.mods.privateWithin,
           ann :: dd.mods.annotations)
         treeCopy.DefDef(dd, newMods, dd.name, dd.tparams, dd.vparamss,

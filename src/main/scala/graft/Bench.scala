@@ -68,10 +68,27 @@ object Bench {
         _.getLines().next().split(" ").take(3).mkString(","))
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      def timeOnce(): (Double, Boolean) = {
+    def load1(): Double =
+      try loadavg().split(",")(0).toDouble catch { case _: Throwable => -1.0 }
+    // Measurement runs in TWO INTERLEAVED PASSES over the full query list
+    // (pass A takes ceil(reps/2) reps per query, pass B the rest): a
+    // SUSTAINED host-load window inflates a contiguous alphabetical block
+    // of queries in one pass, but the same queries' pass-B reps run a full
+    // list-length later — the per-query min across passes survives any
+    // contention window shorter than a whole pass (r11's official slot had
+    // q208-q212 2-6x inflated across ALL same-slot reps; re-running inside
+    // the window could not help, only temporal separation can). Every rep
+    // records a wall-clock stamp + 1-min loadavg so the artifact itself
+    // attributes any residual inflation to measured host load.
+    final class QState(val name: String,
+        val fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) {
+      var times = Vector.empty[Double]
+      var oks = Vector.empty[Boolean]
+      var stamps = Vector.empty[Long]    // epoch seconds, per rep
+      var loads = Vector.empty[Double]   // 1-min loadavg, per rep
+      def timeOnce(): Unit = {
+        stamps :+= System.currentTimeMillis() / 1000L
+        loads :+= load1()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -79,39 +96,51 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        times :+= (System.nanoTime() - t0) / 1e9
+        oks :+= ok
       }
-      // Outlier re-run pass: a rep that lands in a host-load window can be
-      // 10-75x the clean time, which poisoned the recorded medians of THREE
-      // consecutive rounds (r7: 36 noisy rows, r8: 62; r10's official run
-      // still overstated 11 queries 3-5x vs a same-tree run an hour apart).
-      // Keep buying reps (up to 4 extra) while the clean-rep median sits
-      // more than 20% AND more than 0.3s above the observed min — clean
-      // reps then outvote the loaded window; min/max still record the full
-      // spread for triage. The 0.3s absolute guard stops sub-second queries
-      // from re-running on constant scheduler jitter.
-      def cleanMedian(ts: Seq[Double]): (Seq[Double], Double) = {
-        val all = ts.sorted
-        val clean = all.filter(_ <= all.head * 4.0)
-        (clean, clean(clean.size / 2))
-      }
-      var times = (1 to reps).map(_ => timeOnce())
+    }
+    val states = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) => new QState(name, fn) }
+    val repsA = (reps + 1) / 2
+    for (pass <- 0 until 2; q <- states) {
+      val n = if (pass == 0) repsA else reps - repsA
+      (1 to n).foreach(_ => q.timeOnce())
+    }
+    // Outlier re-run pass (after BOTH passes): a rep that lands in a
+    // host-load window can be 10-75x the clean time, which poisoned the
+    // recorded medians of THREE consecutive rounds (r7: 36 noisy rows,
+    // r8: 62; r10's official run still overstated 11 queries 3-5x vs a
+    // same-tree run an hour apart). Keep buying reps (up to 4 extra)
+    // while the clean-rep median sits more than 20% AND more than 0.3s
+    // above the observed min — clean reps then outvote the loaded window;
+    // min/max still record the full spread for triage. The 0.3s absolute
+    // guard stops sub-second queries from re-running on scheduler jitter.
+    def cleanMedian(ts: Seq[Double]): (Seq[Double], Double) = {
+      val all = ts.sorted
+      val clean = all.filter(_ <= all.head * 4.0)
+      (clean, clean(clean.size / 2))
+    }
+    states.foreach { q =>
       var extra = 0
       while (extra < 4 && reps > 1 && {
-        val s = times.map(_._1).sorted
-        val (_, med) = cleanMedian(times.map(_._1))
+        val s = q.times.sorted
+        val (_, med) = cleanMedian(q.times)
         med / s.head.max(1e-9) > 1.2 && med - s.head > 0.3
       }) {
-        times = times :+ timeOnce(); extra += 1
+        q.timeOnce(); extra += 1
       }
-      val all = times.map(_._1).sorted
-      val (clean, median) = cleanMedian(times.map(_._1))
+    }
+    val results = states.map { q =>
+      val all = q.times.sorted
+      val (clean, median) = cleanMedian(q.times)
       // noisy = the recorded number is not a usable signal: relative spread
       // over 2x AND absolute spread over 1s (sub-second queries jitter 2x
       // on constant scheduler overhead without carrying any information)
       val noisy = clean.last / clean.head.max(1e-9) > 2.0 &&
         clean.last - clean.head > 1.0
-      (name, median, times.forall(_._2), noisy, all.head, all.last)
+      (q.name, median, q.oks.forall(identity), noisy, all.head, all.last)
     }
     // A failed query reports -1 (not its elapsed time) so breakage can't be
     // mistaken for a speedup in benchmark history; failures also get their
@@ -128,7 +157,18 @@ object Bench {
     // artifact carries both signals per query.
     val mins = results.map { case (k, _, ok, _, mn, _) => "\"" + k + "\":" + (if (ok) mn else -1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
+    // per-query attribution: wall-clock stamp of the FIRST rep and the MAX
+    // 1-min loadavg observed across the query's reps — a block of inflated
+    // medians without a loadavg excursion beside it is code, with one it's
+    // the host (VERDICT r11: attribution beats re-running for sustained
+    // contention windows)
+    val stampsJson = states.map(q =>
+      "\"" + q.name + "\":" + q.stamps.headOption.getOrElse(0L))
+      .mkString("{", ",", "}")
+    val loadMaxJson = states.map(q =>
+      "\"" + q.name + "\":" + f"${q.loads.foldLeft(0.0)(_ max _)}%.2f")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
     // Full per-query history as a FILE artifact: stdout tail buffers
     // truncate the line above at 170+ queries, and recorded medians on a
     // loaded host aren't triage-able without min/max spread. One JSON file
@@ -142,8 +182,12 @@ object Bench {
       val dir = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
       java.nio.file.Files.createDirectories(dir)
+      val stateByName = states.map(q => q.name -> q).toMap
       val perQuery = results.map { case (k, med, ok, noisyQ, mn, mx) =>
-        s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ}"""
+        val q = stateByName(k)
+        val ts = q.stamps.mkString("[", ",", "]")
+        val ls = q.loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+        s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ,"t":$ts,"load1":$ls}"""
       }.mkString("{\n", ",\n", "\n}")
       val minTotalHist = results.collect { case (_, _, true, _, mn, _) => mn }.sum
       val body =

@@ -51,17 +51,36 @@ object SparkEntry {
     Integer.toHexString((d, table, version, sz, mt).hashCode)
   }
 
-  /** One BOUNDED workspace per (sf dir, gate tag), cleared at entry: a
-    * gate leaves at most one copy of its artifacts per sf on the machine
-    * instead of one per execution (per-execution temp dirs accumulated
-    * thousands across rounds). Clearing the PREVIOUS execution's artifacts
-    * here is safe — the driver consumes each gate's result before invoking
-    * the next execution. */
+  /** One BOUNDED workspace per (sf dir, gate tag, live JVM), cleared at
+    * entry: a gate leaves at most one copy of its artifacts per sf per
+    * LIVE JVM instead of one per execution (per-execution temp dirs
+    * accumulated thousands across rounds). The per-JVM subdir keeps two
+    * concurrently running JVMs (bench + correctness) from racing one
+    * JVM's entry-time clear against the other's lazy reads; subdirs of
+    * DEAD JVMs are reaped here, so the population stays bounded by the
+    * number of live graft JVMs. Clearing THIS JVM's previous artifacts is
+    * safe — the driver consumes each gate's result before invoking the
+    * next execution. */
   private def gateWorkspace(d: String, tag: String): String = {
-    val p = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${Integer.toHexString(d.hashCode)}")
+    Files.createDirectories(base)
+    val myPid = ProcessHandle.current().pid()
+    val ls = Files.list(base)
+    try ls.forEach { sub =>
+      val name = sub.getFileName.toString
+      if (name.startsWith("jvm")) {
+        val alive = name.stripPrefix("jvm").toLongOption.exists(pid =>
+          pid == myPid || ProcessHandle.of(pid)
+            .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE)
+            .booleanValue())
+        if (!alive) deleteRecursively(sub)
+      }
+    } finally ls.close()
+    val p = base.resolve(s"jvm$myPid")
     deleteRecursively(p)
-    java.nio.file.Files.createDirectories(p)
+    Files.createDirectories(p)
     p.toString
   }
 
@@ -3812,6 +3831,29 @@ object SparkEntry {
       res.ds.toDF("c_custkey", "c_name", "o_orderkey", "price_cents")
     }),
 
+    // CROSS-FILE helper-def inlining (the reference's @emma.lib +
+    // Lib.expand registry, compiler/lib/Lib.scala:40-55): the dependent
+    // generator's bag is built by graft.lib.QuotedLib.bigOrdersOf — a
+    // @graft.api.lib def in ANOTHER FILE whose stored source splices here,
+    // its sibling reference (bigFloor) re-qualified to the owner's static
+    // path — and derives the same single equi join as q248's same-file
+    // spelling (no cartesian, no per-row jobs)
+    "q249_crossfile_lib" -> ((s, d) => {
+      import s.implicits._
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      import graft.api.comprehensions.onSpark
+      val res = onSpark {
+        for { cu <- custs; o <- graft.lib.QuotedLib.bigOrdersOf(cu, orders) }
+          yield (cu.c_custkey, cu.c_name, o.o_orderkey,
+            (o.o_totalprice * 100 + 0.5).floor.toLong)
+      }
+      res.ds.toDF("c_custkey", "c_name", "o_orderkey", "price_cents")
+    }),
+
     // Streaming point-state maintenance: the SAME computation as q246 but
     // arriving as micro-batches — each batch routes through
     // PointBag.updateBag inside foreachBatch (small batches touch only
@@ -5829,6 +5871,13 @@ object SparkEntry {
         "FROM orders GROUP BY 1) s ON s.o_custkey = c.c_custkey"),
 
     "q248_libdef_inline" ->
+      ("SELECT cu.c_custkey, cu.c_name, o.o_orderkey, " +
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "WHERE o.o_totalprice > 150000.0"),
+
+    "q249_crossfile_lib" ->
+      // cross-file @lib spelling of q248's join — identical contract
       ("SELECT cu.c_custkey, cu.c_name, o.o_orderkey, " +
         "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents " +
         "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +

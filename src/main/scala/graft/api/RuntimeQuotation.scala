@@ -61,7 +61,6 @@ object RuntimeQuotation {
     * entry point still runs per submission — caching covers COMPILATION,
     * not the snippet's effects. */
   private final case class Compiled(cls: String, dir: Path, jar: Path,
-      loader: ClassLoader,
       // sessions this jar is already registered with — a cache hit from a
       // NEW session must still ship the jar there. WeakHashMap keyed by the
       // session object itself (SparkSession has identity equals): a
@@ -79,7 +78,15 @@ object RuntimeQuotation {
     * classes with the Spark context, and evaluate; the result is cast to
     * `T`. Compilation errors raise `RuntimeQuotationError` carrying the
     * compiler messages. Identical source (byte-for-byte) reuses the cached
-    * class files and jar — only registration and evaluation re-run. */
+    * class files and jar — only registration and evaluation re-run.
+    *
+    * DRIVER-side semantics match the uncached path: every submission
+    * instantiates through a FRESH classloader over the cached class-file
+    * dir, so snippet-internal mutable statics (an `object` counter defined
+    * in the snippet) and static-initializer effects run per submission,
+    * never shared across identical re-submissions. EXECUTOR-side the jar
+    * registers once per session, so executor statics are per (session,
+    * snippet) — keep executor-visible state out of snippet statics. */
   def compile[T](code: String)(implicit spark: SparkSession): T = synchronized {
     val key = sourceHash(code)
     val entry = cache.get(key) match {
@@ -90,7 +97,11 @@ object RuntimeQuotation {
         c
     }
     register(entry, spark)
-    entry.loader.loadClass(entry.cls).getDeclaredConstructor().newInstance()
+    // fresh per submission; NOT closed — the snippet's classes (and its
+    // lambdas inside running plans) stay loadable for the session's life
+    val loader = new java.net.URLClassLoader(
+      Array(entry.dir.toUri.toURL), getClass.getClassLoader)
+    loader.loadClass(entry.cls).getDeclaredConstructor().newInstance()
       .asInstanceOf[java.util.function.Supplier[Any]].get().asInstanceOf[T]
   }
 
@@ -121,11 +132,7 @@ object RuntimeQuotation {
 
     val jar = jarOf(snippetDir, n)
     lastJar = Some(jar)
-    // NOT closed: the snippet's classes (and its lambdas inside running
-    // plans) stay loadable for the life of the session
-    val loader = new java.net.URLClassLoader(
-      Array(snippetDir.toUri.toURL), getClass.getClassLoader)
-    Compiled(cls, snippetDir, jar, loader,
+    Compiled(cls, snippetDir, jar,
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
   }
 

@@ -1561,6 +1561,93 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "inline cross-file @lib helper defs into join derivations (same run)" in {
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    val r = onSpark {
+      for { x <- xs; y <- CrossFileLibX.matching(x, ys) } yield (x._1, y._1)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    plan should not include regex("(?i)BroadcastNestedLoop")
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length shouldBe 1
+    val e = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe e.sorted
+  }
+
+  it should "re-qualify a cross-file helper's sibling references at the splice site" in {
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    // matchingPool's body reads the bare sibling `pool`; the splice must
+    // rewrite it to CrossFileLibX's static path (and resolve the implicit
+    // SparkSession here), then derive the join
+    val r = onSpark {
+      for { x <- xs; y <- CrossFileLibX.matchingPool(x) } yield (x._1, y._1)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    val e = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe e.sorted
+    // and in a GUARD position (correlated fold over the cross-file bag)
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    val g = onSpark {
+      for { x <- xs; if CrossFileLibX.matching(x, ys).size > 9L }
+        yield x._1
+    }
+    val expG = (1L to 20L).map(i => (i, i % 3))
+      .filter(x => (1L to 30L).map(i => (i, i % 3)).count(_._2 == x._2) > 9)
+      .map(_._1)
+    g.collect().sorted shouldBe expG.sorted
+  }
+
+  it should "inline NESTED cross-file @lib calls and abort mutual recursion" in {
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    val r = onSpark {
+      for { x <- xs; y <- CrossFileLibX.matchingAbove(x, 5L, ys) } yield (x._1, y._1)
+    }
+    val e = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2 && y._1 > 5L
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe e.sorted
+    // the ping/pong pair cycles — compile-time abort, never a hang
+    """
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    val ys = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; y <- graft.api.CrossFileLibX.ping(x, ys) } yield (x._1, y._1)
+    }
+    """ shouldNot compile
+  }
+
+  it should "consume a @lib def compiled in a SEPARATE run (pickled source)" in {
+    // graft.lib.QuotedLib lives in MAIN sources (compiled before the test
+    // run); its @graftSrc annotation must be readable from the pickle and
+    // its sibling `bigFloor` must re-qualify here
+    val custs = DataBag(Seq(
+      graft.CustRow(1L, "a", 0.0), graft.CustRow(2L, "b", 0.0)))
+    val orders = DataBag(Seq(
+      graft.OrderRow(10L, 1L, 200000.0), graft.OrderRow(11L, 1L, 100.0),
+      graft.OrderRow(12L, 2L, 151000.0), graft.OrderRow(13L, 3L, 500000.0)))
+    val r = onSpark {
+      for { cu <- custs; o <- graft.lib.QuotedLib.bigOrdersOf(cu, orders) }
+        yield (cu.c_custkey, o.o_orderkey)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    r.collect().sorted shouldBe Seq((1L, 10L), (2L, 12L))
+  }
+
   it should "substitute swapped same-named arguments SIMULTANEOUSLY (no sequential capture)" in {
     val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
     val ys = DataBag((1L to 30L).map(i => (i, i % 3)))

@@ -1,0 +1,47 @@
+package graft.api
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+
+/** Cross-FILE `@lib` helpers for ComprehensionSpec: defined in a file the
+  * splice sites never see; consumed through the pickled @graftSrc
+  * registry (the reference's emma-lib consumption model,
+  * compiler/lib/Lib.scala:40-55). The cross-RUN pin additionally consumes
+  * main-source `graft.lib.QuotedLib` (compiled in a separate run). */
+object CrossFileLibX {
+
+  // encoders for the helpers' OWN standalone compilation; splice sites
+  // re-resolve implicits in their own scope
+  private implicit val tupEnc: Encoder[(Long, Long)] =
+    Encoders.product[(Long, Long)]
+
+  /** Sibling bag-builder referenced by [[matchingPool]] — tests
+    * owner-member re-qualification at a foreign splice site. */
+  def pool(implicit spark: SparkSession): DataBag[(Long, Long)] = {
+    import spark.implicits._
+    DataBag((1L to 30L).map(i => (i, i % 3)))
+  }
+
+  /** Plain parametric matcher — a dependent generator when quoted. */
+  @lib def matching(x: (Long, Long), ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
+    for { y <- ys; if y._2 == x._2 } yield y
+
+  /** References sibling [[pool]]: the splice qualifies the bare name to
+    * this object's static path and resolves the implicit SparkSession at
+    * the splice site. */
+  @lib def matchingPool(x: (Long, Long))(implicit spark: SparkSession): DataBag[(Long, Long)] =
+    for { y <- pool; if y._2 == x._2 } yield y
+
+  /** Nested cross-file call — [[matching]] must inline recursively
+    * (qualified by the re-binding pass, then resolved symbol-verified). */
+  @lib def matchingAbove(x: (Long, Long), lo: Long,
+      ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
+    for { y <- matching(x, ys); if y._1 > lo } yield y
+
+  /** Mutually recursive pair — the splice-time cycle check must abort
+    * (the defs themselves compile; only quoting them is rejected). */
+  @lib def ping(x: (Long, Long), ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
+    for { y <- pong(x, ys); if y._1 > 0L } yield y
+
+  @lib def pong(x: (Long, Long), ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
+    for { y <- ping(x, ys); if y._1 > 0L } yield y
+}
