@@ -110,14 +110,30 @@ object KMeans {
   def centroids(vectors: DataFrame, k: Int = 4, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
       localThreshold: Long = 65536,
-      localCellBudget: Long = KMeans.defaultLocalCellBudget): Array[(Int, Seq[Double])] = {
-    val pts = graft.ops.Par.spread(vectors).select(col(idCol).as("id"),
+      localCellBudget: Long = KMeans.defaultLocalCellBudget,
+      trainCap: Long = 0): Array[(Int, Seq[Double])] = {
+    val pts0 = graft.ops.Par.spread(vectors).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
 
     // gate on rows AND total cells (rows × dim): row count alone would
     // collect wide-embedding corpora (65k × dim-1536 ≈ GBs boxed) onto a
     // driver that never previously materialized the corpus
-    val n = pts.count()
+    val n0 = pts0.count()
+    // TRAIN-SET CAP: nobody trains a coarse quantizer on every vector of a
+    // 100-TB corpus — quantizer quality saturates at a few hundred points
+    // per cell. Above the cap (default max(256·k, 65536)) training runs on
+    // a DETERMINISTIC id-keyed hash sample; ASSIGNMENT still covers the
+    // full relation (callers assign separately). Sub-cap relations —
+    // every sf0.01/sf0.1 gate — are bit-identical to uncapped training.
+    val cap = if (trainCap > 0) trainCap else math.max(256L * k, 65536L)
+    val (pts, n) =
+      if (n0 > cap) {
+        val s = graft.ops.Sampling
+          .hashSample(pts0, col("id"), cap.toDouble / n0).persist()
+        val ns = s.count()
+        pts0.unpersist()
+        (s, ns)
+      } else (pts0, n0)
     val dim =
       if (n == 0) 0L
       else pts.select(org.apache.spark.sql.functions.size(col("v")))

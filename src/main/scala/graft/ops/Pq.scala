@@ -49,12 +49,13 @@ object Pq {
   def train(corpus: DataFrame, m: Int, ksub: Int = 16, maxIter: Int = 10,
       idCol: String = "vec_id", vecCol: String = "embedding",
       localThreshold: Long = 65536,
-      localCellBudget: Long = graft.lib.KMeans.defaultLocalCellBudget): Codebooks = {
+      localCellBudget: Long = graft.lib.KMeans.defaultLocalCellBudget,
+      trainCap: Long = 0): Codebooks = {
     require(m > 0 && ksub > 1, s"need m > 0, ksub > 1: m=$m ksub=$ksub")
     val d = corpus.select(size(col(vecCol))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
-    val pts = Par.spread(corpus).select(col(idCol).as("id"),
+    val pts0 = Par.spread(corpus).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v")).persist()
 
     // small training relation (the normal case — quantizer quality
@@ -67,7 +68,20 @@ object Pq {
     // gate on rows AND total cells (rows × dim): row count alone would
     // collect wide-embedding corpora (65k × dim-1536 ≈ GBs boxed) onto a
     // driver that never previously materialized the corpus
-    val n = pts.count()
+    val n0 = pts0.count()
+    // TRAIN-SET CAP (same rationale as KMeans.centroids): above
+    // max(256·ksub, 65536) rows (or the explicit trainCap) the
+    // subquantizers train on a DETERMINISTIC id-keyed hash sample;
+    // encoding still covers the full relation. Sub-cap relations — every
+    // sf0.01/sf0.1 gate — are bit-identical.
+    val cap = if (trainCap > 0) trainCap else math.max(256L * ksub, 65536L)
+    val (pts, n) =
+      if (n0 > cap) {
+        val s = Sampling.hashSample(pts0, col("id"), cap.toDouble / n0).persist()
+        val ns = s.count()
+        pts0.unpersist()
+        (s, ns)
+      } else (pts0, n0)
     if (n <= localThreshold && n * d <= localCellBudget) {
       val sorted = pts.orderBy("id").collect().map(_.getSeq[Double](1))
       pts.unpersist()

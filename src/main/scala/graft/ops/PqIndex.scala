@@ -42,12 +42,16 @@ object PqIndex {
         graft.lib.KMeans.nearestCentroids(coarse, col("__v"), 1)(0))
       .drop("__v")
 
-  /** Train coarse + product quantizers and encode the corpus. */
+  /** Train coarse + product quantizers and encode the corpus. `trainCap`
+    * (0 = auto) caps BOTH quantizers' training sets via a deterministic
+    * id-hash sample; encoding always covers the full corpus. */
   def build(corpus: DataFrame, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
       maxIter: Int = 10, idCol: String = "vec_id",
-      vecCol: String = "embedding"): IvfPq = {
-    val coarse = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol)
-    val cb = Pq.train(corpus, m, ksub, maxIter, idCol, vecCol)
+      vecCol: String = "embedding", trainCap: Long = 0): IvfPq = {
+    val coarse = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol,
+      trainCap = trainCap)
+    val cb = Pq.train(corpus, m, ksub, maxIter, idCol, vecCol,
+      trainCap = trainCap)
     IvfPq(coarse, cb, encodeWithCell(cb, coarse, corpus, idCol, vecCol))
   }
 
@@ -60,7 +64,10 @@ object PqIndex {
       .toDF("cid", "dim", "x")
       .write.mode("overwrite").parquet(s"$dir/coarse")
     Pq.saveCodebooks(spark, idx.cb, s"$dir/books")
-    idx.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    // clustered by cell (same rationale as AnnIndex.save): one file per
+    // cell per write task, not the tasks × cells fan-out
+    idx.codes.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Extend a SAVED index in place: encode the batch with the saved
@@ -71,6 +78,7 @@ object PqIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val idx = load(spark, dir)
     encodeWithCell(idx.cb, idx.coarse, newVecs, idCol, vecCol)
+      .repartition(col("cell")) // one appended file per touched cell/task
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 

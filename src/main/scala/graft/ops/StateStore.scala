@@ -51,7 +51,13 @@ object StateStore {
       s"nBuckets must be in [1, 65536]: $nBuckets")
     val spark = state.sparkSession
     import spark.implicits._
+    // cluster by bucket before the partitioned write: without it every
+    // input task writes a file into EVERY bucket it sees (tasks × buckets
+    // files — the small-files explosion that slows every later pruned
+    // read); clustered, each bucket gets one file per writing task and
+    // AQE coalesces the tiny case to a handful of tasks
     state.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
     Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -141,31 +147,28 @@ object StateStore {
           .unionByName(upserts)
       case None => upserts // pure inserts into buckets that don't exist yet
     }
-    // localCheckpoint breaks the plan's file dependency on `path` so the
-    // dynamic-partition overwrite below is not a read-your-own-write; it
-    // materializes only the TOUCHED buckets (bounded by the delta spread)
-    val merged = merged0.localCheckpoint(true)
-
-    // per-write option (not session conf): concurrent writers on the same
-    // session can't observe a half-toggled overwrite mode
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$path/data")
-
-    // dynamic overwrite only REPLACES partitions it writes rows for — a
-    // touched bucket whose every key was tombstoned produces zero output
-    // rows and would silently keep its old files. Drop those directories
-    // explicitly (driver-side, O(touched) like everything else here).
-    val alive = merged.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val emptied = buckets.filterNot(alive)
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(s"$path/data")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { b =>
-        val dir = new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b")
-        if (fs.exists(dir)) fs.delete(dir, true)
-      }
+    // ONE job: the merged touched buckets write to a TEMP dir (reading the
+    // OLD bucket files — no read-your-own-write, so no materializing
+    // checkpoint job), clustered by bucket so each touched bucket gets one
+    // file per write task (store file population stays O(buckets), not
+    // O(buckets × batches)). The driver then swaps the touched bucket
+    // DIRECTORIES in: a touched bucket absent from the temp output had
+    // every key tombstoned and is simply deleted — which retires the
+    // extra "which buckets still have rows" job the previous
+    // dynamic-partition-overwrite design needed. Per-bucket dir swap has
+    // the same non-atomicity across buckets the dynamic overwrite had.
+    val root = s"$path/data"
+    val tmp = s"$path/.upsert_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+    merged0.repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.foreach { b =>
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+      val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$b")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (fs.exists(src)) { fs.rename(src, dst); () }
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

@@ -525,12 +525,21 @@ object Streams {
     * unique-key delta contract StateStore.upsert itself carries). */
   def streamSignalMaintenance(stream: DataFrame, storePath: String,
       deleteCol: String)(signals: DataFrame => DataFrame): Unit = {
+    // store meta is immutable for the store's lifetime — read it ONCE
+    // before the stream starts instead of one meta-parquet job per batch
+    val keyCol = graft.ops.StateStore.meta(stream.sparkSession, storePath).keyCol
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
+        // no pre-checkpoint and no isEmpty probe: the batch frame is a
+        // static relation over this trigger's files, reused by the two
+        // branches below (a double scan of a micro-batch is cheaper than
+        // the materializing job), and an empty batch short-circuits inside
+        // upsert's bucket probe — per batch the whole maintenance costs
+        // the delta checkpoint, one bucket-set job, and one write job
+        // (the r11 PointBag-maintenance job-count treatment, continued)
+        locally {
+          val df = batch.toDF()
           val spark = batch.sparkSession
-          val keyCol = graft.ops.StateStore.meta(spark, storePath).keyCol
-          val df = batch.toDF().localCheckpoint(true)
           val delFlag = coalesce(col(deleteCol), lit(false))
           // tombstones are framework-derived from the batch itself — they
           // must NOT route through the user's `signals` transform (a scorer

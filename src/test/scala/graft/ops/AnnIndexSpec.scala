@@ -149,6 +149,25 @@ class AnnIndexSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "KMeans train-set cap" should "keep probe recall under sampled training" in {
+    val c = corpus()
+    // trainCap forces the deterministic id-hash sample (~half the corpus);
+    // ASSIGNMENT still covers all 80 vectors — the 100-TB contract: train
+    // on a bounded sample, assign everything
+    val idx = AnnIndex.buildIvf(c, nlist = 4, maxIter = 6, trainCap = 40)
+    idx.assigned.count() shouldBe 80
+    val qs = c.where(col("vec_id") < 8)
+    val got = AnnIndex.probe(idx, qs, k = 3, nprobe = 1)
+      .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.cosineTopK(c, qs, k = 3)
+      .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    recall should be >= 0.9
+    // deterministic: an identical second build trains on the same sample
+    val idx2 = AnnIndex.buildIvf(c, nlist = 4, maxIter = 6, trainCap = 40)
+    idx2.centroids.map(_._2) shouldBe idx.centroids.map(_._2)
+  }
+
   "AnnIndex.probe" should "match brute force on tightly clustered data" in {
     val c = corpus()
     val idx = AnnIndex.buildIvf(c, nlist = 4, maxIter = 6)
