@@ -1748,6 +1748,59 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "run quoted DO-WHILE loops and IF-assigned bags (DSCF residue shapes)" in {
+    // do-while reassigning a bag var, loop var captured in the guard: the
+    // same per-chain var snapshot the sieve's while loop gets
+    val r1 = onSpark {
+      var xs = DataBag((1L to 64L).toSeq)
+      var p = 1L
+      do {
+        xs = for { x <- xs; if x % (p + 1L) == 0L } yield x
+        p += 1L
+      } while (p < 3L)
+      xs
+    }
+    val e1 = {
+      var xs: Seq[Long] = 1L to 64L
+      var p = 1L
+      do { xs = xs.filter(_ % (p + 1L) == 0L); p += 1L } while (p < 3L)
+      xs
+    }
+    r1.collect().sorted shouldBe e1.sorted
+    // nested IF assigning a bag var across branches (statement position),
+    // then a comprehension over the assigned var
+    val a = bagL(1L to 10L)
+    val b = bagL(5L to 15L)
+    def pick(flag: Boolean): DataBag[Long] = {
+      var out = a
+      if (flag) out = onSpark { for { x <- a; if x > 3L } yield x }
+      else out = onSpark { for { x <- b; if x < 10L } yield x }
+      out
+    }
+    pick(true).collect().sorted shouldBe (4L to 10L)
+    pick(false).collect().sorted shouldBe (5L to 9L)
+    // the SAME branches quoted as one expression-position if INSIDE the
+    // quote, joined downstream against another bag
+    def quotedPick(flag: Boolean): DataBag[(Long, Long)] = onSpark {
+      val out = if (flag) (for { x <- a; if x > 3L } yield x)
+                else (for { x <- b; if x < 10L } yield x)
+      for { x <- out; y <- a; if x == y } yield (x, y)
+    }
+    quotedPick(true).collect().sorted shouldBe (4L to 10L).map(i => (i, i))
+    quotedPick(false).collect().sorted shouldBe (5L to 9L).map(i => (i, i))
+    // if/else-assigned bag var INSIDE the quote (statement position),
+    // consumed by a later chain in the same quoted block
+    val r4 = onSpark {
+      var out = a
+      var lim = 7L
+      if (lim > 5L) out = (for { x <- a; if x > lim } yield x)
+      else out = (for { x <- b; if x < lim } yield x)
+      lim = 0L // must not matter: chains snapshot captured vars at build
+      for { x <- out } yield x * 2L
+    }
+    r4.collect().sorted shouldBe Seq(16L, 18L, 20L)
+  }
+
   it should "unnest DEPTH-3 dependent comprehension chains to a 3-way join plan" in {
     val as = DataBag((1L to 20L).map(i => (i, i % 5)))
     val bs = DataBag((1L to 30L).map(i => (i, i % 5, i % 3)))
