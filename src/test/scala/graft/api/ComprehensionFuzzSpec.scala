@@ -217,6 +217,23 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
         val e14 = for { x <- xsSeq; y <- ysSeq; if y % m == x % m }
           yield (x, y + x)
         r14.collect().sorted shouldBe e14.sorted
+
+        // CROSS-FILE @lib spelling (r12 shape; ref Lib.expand consumes
+        // @emma.lib defs from any file): the dependent bag is built by
+        // CrossFileLibX.matchingAbove — parsed from its pickled source,
+        // re-qualified, and inlined RECURSIVELY (it calls sibling
+        // `matching`) — with the fuzz-varied threshold `t` substituting
+        // as a beta-reduced argument
+        val xpSeq = xsSeq.map(v => (v, v % m))
+        val ypSeq = ysSeq.map(v => (v, v % m))
+        val xp = DataBag(xpSeq); val yp = DataBag(ypSeq)
+        val r15 = onSpark {
+          for { x <- xp; y <- CrossFileLibX.matchingAbove(x, t, yp) }
+            yield (x._1, y._1)
+        }
+        val e15 = for { x <- xpSeq; y <- ypSeq; if y._2 == x._2; if y._1 > t }
+          yield (x._1, y._1)
+        r15.collect().sorted shouldBe e15.sorted
       }
     }
   }
