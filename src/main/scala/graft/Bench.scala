@@ -70,6 +70,16 @@ object Bench {
     val loadStart = loadavg()
     def load1(): Double =
       try loadavg().split(",")(0).toDouble catch { case _: Throwable => -1.0 }
+    // CPU STEAL ticks (/proc/stat field 8): hypervisor co-tenant pressure.
+    // loadavg only sees in-guest load — a shared host can inflate every
+    // query ~uniformly (observed 1.6x across 249 queries with the guest
+    // otherwise idle) while loadavg stays unremarkable; the steal counter
+    // is the signal that attributes that. Returns (stealTicks, totalTicks).
+    def stealTicks(): (Long, Long) =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { s =>
+        val f = s.getLines().next().trim.split("\\s+")
+        ((f(8).toLong, f.drop(1).map(_.toLong).sum))
+      } catch { case _: Throwable => (-1L, -1L) }
     // Measurement runs in TWO INTERLEAVED PASSES over the full query list
     // (pass A takes ceil(reps/2) reps per query, pass B the rest): a
     // SUSTAINED host-load window inflates a contiguous alphabetical block
@@ -86,9 +96,11 @@ object Bench {
       var oks = Vector.empty[Boolean]
       var stamps = Vector.empty[Long]    // epoch seconds, per rep
       var loads = Vector.empty[Double]   // 1-min loadavg, per rep
+      var steals = Vector.empty[Double]  // steal share of the rep, per rep
       def timeOnce(): Unit = {
         stamps :+= System.currentTimeMillis() / 1000L
         loads :+= load1()
+        val (s0, a0) = stealTicks()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -97,6 +109,9 @@ object Bench {
             false
           }
         times :+= (System.nanoTime() - t0) / 1e9
+        val (s1, a1) = stealTicks()
+        steals :+= (if (s0 < 0 || s1 < 0 || a1 <= a0) -1.0
+          else (s1 - s0).toDouble / (a1 - a0))
         oks :+= ok
       }
     }
@@ -168,7 +183,15 @@ object Bench {
     val loadMaxJson = states.map(q =>
       "\"" + q.name + "\":" + f"${q.loads.foldLeft(0.0)(_ max _)}%.2f")
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
+    // MIN steal share per query: the min rep is the statistic consumers
+    // read, so its contention context is what matters — a min that ran at
+    // 15% steal is still ~1.2x inflated even though it was the best rep
+    val stealMinJson = states.map { q =>
+      val best = if (q.times.isEmpty) -1.0
+        else q.steals(q.times.indexOf(q.times.min))
+      "\"" + q.name + "\":" + f"$best%.3f"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"steal_at_min":$stealMinJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
     // Full per-query history as a FILE artifact: stdout tail buffers
     // truncate the line above at 170+ queries, and recorded medians on a
     // loaded host aren't triage-able without min/max spread. One JSON file
@@ -187,7 +210,8 @@ object Bench {
         val q = stateByName(k)
         val ts = q.stamps.mkString("[", ",", "]")
         val ls = q.loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-        s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ,"t":$ts,"load1":$ls}"""
+        val ss = q.steals.map(s => f"$s%.3f").mkString("[", ",", "]")
+        s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ,"t":$ts,"load1":$ls,"steal":$ss}"""
       }.mkString("{\n", ",\n", "\n}")
       val minTotalHist = results.collect { case (_, _, true, _, mn, _) => mn }.sum
       val body =
