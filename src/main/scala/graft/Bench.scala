@@ -4,8 +4,24 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Each query is forced through the `noop` sink so the
-  * full plan (including projections a bare count() would prune) executes. */
+  * full plan (including projections a bare count() would prune) executes.
+  *
+  * TIMEOUT-SURVIVABLE: the official r12 artifact was lost to a driver-slot
+  * timeout (rc=124) because this main used to emit its stdout JSON and the
+  * history file only at process end. Now every query streams a self-contained
+  * `{"metric":"bench_query",...}` stdout line the moment its reps in a phase
+  * complete (the LAST line per name is authoritative), and the history file is
+  * re-flushed after every query via write-temp + atomic rename — a killed run
+  * still leaves a parseable artifact covering every completed query. An
+  * optional wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S) sheds optional reps
+  * (floor: one rep per pass, interleaving preserved) instead of letting the
+  * process die mid-list; shed runs record "degraded":true. */
 object Bench {
+  // All numeric artifact fields format through Locale.ROOT: the default-locale
+  // f interpolator emits comma decimals (0,051) under e.g. de_DE — invalid JSON.
+  private def fmt(v: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,6 +42,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val runT0 = System.nanoTime()
+    def elapsedS(): Double = (System.nanoTime() - runT0) / 1e9
+    // Wall-clock budget (seconds) for the WHOLE run. When the projected
+    // finish exceeds it, optional reps are shed — never the one mandatory
+    // rep per pass — so a constrained slot yields complete coverage with
+    // fewer reps rather than a truncated list.
+    val budgetS: Option[Double] =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").flatMap(s =>
+        try Some(s.toDouble) catch { case _: Throwable => None })
+    var degraded = false
     // Warm up the JVM/codegen/file-index paths so the first timed queries
     // don't absorb session startup and cold JIT: exercise the common physical
     // operators (scan, hash agg, sort-merge/broadcast join, window, higher-
@@ -75,10 +101,13 @@ object Bench {
     // query ~uniformly (observed 1.6x across 249 queries with the guest
     // otherwise idle) while loadavg stays unremarkable; the steal counter
     // is the signal that attributes that. Returns (stealTicks, totalTicks).
+    // Total sums fields 1-8 (user..steal) ONLY: guest/guest_nice (fields
+    // 9-10) are already folded into user/nice by the kernel — including
+    // them double-counts and understates the steal share under nested VMs.
     def stealTicks(): (Long, Long) =
       try scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) { s =>
         val f = s.getLines().next().trim.split("\\s+")
-        ((f(8).toLong, f.drop(1).map(_.toLong).sum))
+        ((f(8).toLong, f.slice(1, 9).map(_.toLong).sum))
       } catch { case _: Throwable => (-1L, -1L) }
     // Measurement runs in TWO INTERLEAVED PASSES over the full query list
     // (pass A takes ceil(reps/2) reps per query, pass B the rest): a
@@ -118,10 +147,94 @@ object Bench {
     val states = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) => new QState(name, fn) }
+    // ---- per-query summary (shared by streaming lines and final artifacts)
+    def cleanMedian(ts: Seq[Double]): (Seq[Double], Double) = {
+      val all = ts.sorted
+      val clean = all.filter(_ <= all.head * 4.0)
+      (clean, clean(clean.size / 2))
+    }
+    def summarize(q: QState): (Double, Boolean, Boolean, Double, Double) = {
+      val all = q.times.sorted
+      val (clean, median) = cleanMedian(q.times)
+      // noisy = the recorded number is not a usable signal: relative spread
+      // over 2x AND absolute spread over 1s (sub-second queries jitter 2x
+      // on constant scheduler overhead without carrying any information)
+      val noisy = clean.last / clean.head.max(1e-9) > 2.0 &&
+        clean.last - clean.head > 1.0
+      (median, q.oks.forall(identity), noisy, all.head, all.last)
+    }
+    def perQueryEntry(q: QState): String = {
+      val (med, ok, noisyQ, mn, mx) = summarize(q)
+      val ts = q.stamps.mkString("[", ",", "]")
+      val ls = q.loads.map(l => fmt(l, 2)).mkString("[", ",", "]")
+      val ss = q.steals.map(s => fmt(s, 3)).mkString("[", ",", "]")
+      s"""  "${q.name}": {"median":${fmt(med, 3)},"min":${fmt(mn, 3)},"max":${fmt(mx, 3)},"ok":$ok,"noisy":$noisyQ,"t":$ts,"load1":$ls,"steal":$ss}"""
+    }
+    // ---- incremental history flush: the file is rewritten (temp + atomic
+    // rename) after EVERY query so a killed process still leaves the data of
+    // every query measured so far. Partial snapshots carry "partial":true;
+    // the final flush drops it and is byte-identical to the pre-r13 format.
+    val runStamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+      .format(new java.util.Date())
+    val histDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
+    def flushHistory(done: Seq[QState], partial: Boolean): Unit = if (only.isEmpty) {
+      val withData = done.filter(_.times.nonEmpty)
+      if (withData.isEmpty) return
+      val perQuery = withData.map(perQueryEntry).mkString("{\n", ",\n", "\n}")
+      val sums = withData.map(summarize)
+      val total = sums.collect { case (med, true, _, _, _) => med }.sum
+      val minTotal = sums.collect { case (_, true, _, mn, _) => mn }.sum
+      val partialField = if (partial) "\"partial\":true," else ""
+      val degradedField = if (degraded) "\"degraded\":true," else ""
+      val body =
+        s"""{$partialField$degradedField"sf":"$sfDir","reps":$reps,"cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","total_sec":${fmt(total, 2)},"min_total_sec":${fmt(minTotal, 2)},"n":${withData.size},"n_failed":${sums.count(!_._2)},"queries":$perQuery}"""
+      try {
+        java.nio.file.Files.createDirectories(histDir)
+        val tmp = histDir.resolve(s"$runStamp.json.tmp")
+        java.nio.file.Files.writeString(tmp, body)
+        java.nio.file.Files.move(tmp, histDir.resolve(s"$runStamp.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] history flush failed: ${e.getMessage}")
+      }
+    }
+    // Streamed per-query stdout line: self-contained, emitted the moment a
+    // query's reps in a phase complete. The LAST line per name wins (later
+    // phases refine earlier ones). Distinct metric name so consumers keying
+    // on "total" never misread a partial line.
+    def emitQueryLine(q: QState, phase: Int): Unit = {
+      val (med, ok, noisyQ, mn, mx) = summarize(q)
+      val ts = q.times.map(t => fmt(t, 3)).mkString("[", ",", "]")
+      println(s"""{"metric":"bench_query","name":"${q.name}","phase":$phase,"median":${fmt(med, 3)},"min":${fmt(mn, 3)},"max":${fmt(mx, 3)},"ok":$ok,"noisy":$noisyQ,"t":$ts,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    // Budget projection: shed an OPTIONAL rep when elapsed + the cost of the
+    // remaining MANDATORY work (one rep per query per remaining pass slot,
+    // estimated at the mean rep time so far) plus this rep would overshoot.
+    var repsDone = 0
+    def meanRep(): Double = if (repsDone == 0) 0.0 else elapsedS() / repsDone
+    def shedOptional(remainingMandatory: Int): Boolean = budgetS.exists { b =>
+      val over = elapsedS() + (remainingMandatory + 1) * meanRep() > b
+      if (over) degraded = true
+      over
+    }
     val repsA = (reps + 1) / 2
-    for (pass <- 0 until 2; q <- states) {
-      val n = if (pass == 0) repsA else reps - repsA
-      (1 to n).foreach(_ => q.timeOnce())
+    for (pass <- 0 until 2) {
+      val passReps = if (pass == 0) repsA else reps - repsA
+      for ((q, qi) <- states.zipWithIndex; if passReps > 0) {
+        // mandatory reps left after this query in this pass + all of pass B
+        val passBQueries = if (pass == 0 && reps - repsA > 0) states.size else 0
+        val remainingMandatory = (states.size - qi - 1) + passBQueries
+        var done = 0
+        while (done < passReps &&
+            (done == 0 || !shedOptional(remainingMandatory))) {
+          q.timeOnce(); repsDone += 1; done += 1
+        }
+        emitQueryLine(q, pass + 1)
+        flushHistory(states, partial = true)
+      }
     }
     // Outlier re-run pass (after BOTH passes): a rep that lands in a
     // host-load window can be 10-75x the clean time, which poisoned the
@@ -132,30 +245,22 @@ object Bench {
     // above the observed min — clean reps then outvote the loaded window;
     // min/max still record the full spread for triage. The 0.3s absolute
     // guard stops sub-second queries from re-running on scheduler jitter.
-    def cleanMedian(ts: Seq[Double]): (Seq[Double], Double) = {
-      val all = ts.sorted
-      val clean = all.filter(_ <= all.head * 4.0)
-      (clean, clean(clean.size / 2))
-    }
+    // Extras are all optional: under a budget they shed first.
     states.foreach { q =>
       var extra = 0
+      var changed = false
       while (extra < 4 && reps > 1 && {
         val s = q.times.sorted
         val (_, med) = cleanMedian(q.times)
         med / s.head.max(1e-9) > 1.2 && med - s.head > 0.3
-      }) {
-        q.timeOnce(); extra += 1
+      } && !shedOptional(0)) {
+        q.timeOnce(); repsDone += 1; extra += 1; changed = true
       }
+      if (changed) { emitQueryLine(q, 3); flushHistory(states, partial = true) }
     }
     val results = states.map { q =>
-      val all = q.times.sorted
-      val (clean, median) = cleanMedian(q.times)
-      // noisy = the recorded number is not a usable signal: relative spread
-      // over 2x AND absolute spread over 1s (sub-second queries jitter 2x
-      // on constant scheduler overhead without carrying any information)
-      val noisy = clean.last / clean.head.max(1e-9) > 2.0 &&
-        clean.last - clean.head > 1.0
-      (q.name, median, q.oks.forall(identity), noisy, all.head, all.last)
+      val (med, ok, noisyQ, mn, mx) = summarize(q)
+      (q.name, med, ok, noisyQ, mn, mx)
     }
     // A failed query reports -1 (not its elapsed time) so breakage can't be
     // mistaken for a speedup in benchmark history; failures also get their
@@ -181,53 +286,34 @@ object Bench {
       "\"" + q.name + "\":" + q.stamps.headOption.getOrElse(0L))
       .mkString("{", ",", "}")
     val loadMaxJson = states.map(q =>
-      "\"" + q.name + "\":" + f"${q.loads.foldLeft(0.0)(_ max _)}%.2f")
+      "\"" + q.name + "\":" + fmt(q.loads.foldLeft(0.0)(_ max _), 2))
       .mkString("{", ",", "}")
     // MIN steal share per query: the min rep is the statistic consumers
     // read, so its contention context is what matters — a min that ran at
-    // 15% steal is still ~1.2x inflated even though it was the best rep
+    // 15% steal is still ~1.2x inflated even though it was the best rep.
+    // Gated on oks like mins: a failed query's min rep is a meaningless
+    // near-zero elapsed, so its steal context is noise — report -1.
     val stealMinJson = states.map { q =>
-      val best = if (q.times.isEmpty) -1.0
+      val best = if (q.times.isEmpty || !q.oks.forall(identity)) -1.0
         else q.steals(q.times.indexOf(q.times.min))
-      "\"" + q.name + "\":" + f"$best%.3f"
+      "\"" + q.name + "\":" + fmt(best, 3)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"steal_at_min":$stealMinJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
-    // Full per-query history as a FILE artifact: stdout tail buffers
-    // truncate the line above at 170+ queries, and recorded medians on a
-    // loaded host aren't triage-able without min/max spread. One JSON file
-    // per run (timestamped, kept in-repo) makes regression triage a file
-    // diff instead of a guess against a 2000-char tail.
-    // full runs only: SPARK_GRAFT_ONLY subset runs are iteration probes and
-    // would bury the regression trend in partial rows
-    if (only.isEmpty) {
-      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
-        .format(new java.util.Date())
-      val dir = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history"))
-      java.nio.file.Files.createDirectories(dir)
-      val stateByName = states.map(q => q.name -> q).toMap
-      val perQuery = results.map { case (k, med, ok, noisyQ, mn, mx) =>
-        val q = stateByName(k)
-        val ts = q.stamps.mkString("[", ",", "]")
-        val ls = q.loads.map(l => f"$l%.2f").mkString("[", ",", "]")
-        val ss = q.steals.map(s => f"$s%.3f").mkString("[", ",", "]")
-        s"""  "$k": {"median":${f"$med%.3f"},"min":${f"$mn%.3f"},"max":${f"$mx%.3f"},"ok":$ok,"noisy":$noisyQ,"t":$ts,"load1":$ls,"steal":$ss}"""
-      }.mkString("{\n", ",\n", "\n}")
-      val minTotalHist = results.collect { case (_, _, true, _, mn, _) => mn }.sum
-      val body =
-        s"""{"sf":"$sfDir","reps":$reps,"cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","total_sec":${f"$total%.2f"},"min_total_sec":${f"$minTotalHist%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"queries":$perQuery}"""
-      java.nio.file.Files.writeString(dir.resolve(s"$ts.json"), body)
-    }
+    val degradedField = if (degraded) "\"degraded\":true," else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$degradedField"queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"steal_at_min":$stealMinJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
+    // Final history flush: full per-query history as a FILE artifact, same
+    // path the incremental snapshots were landing on — this last write drops
+    // the "partial" marker and matches the pre-r13 byte format exactly.
+    flushHistory(states, partial = false)
     // End with a compact digest that always fits a ~2000-char tail: total,
     // failure list, and the slowest queries. Distinct metric name so
     // consumers keying on "metric" never double-count the real total.
     val slowest = results.filter(_._3).sortBy(-_._2).take(25)
-      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     // min_total = Σ per-query min — the load-robust statistic (a rep's min
     // is never inflated by a host-load window, only by genuine cost)
     val minTotal = results.collect { case (_, _, true, _, mn, _) => mn }.sum
-    println(s"""{"metric":"total_digest","value":${f"$total%.2f"},"unit":"sec","min_total":${f"$minTotal%.2f"},"n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_digest","value":${fmt(total, 2)},"unit":"sec",$degradedField"min_total":${fmt(minTotal, 2)},"n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
