@@ -1094,8 +1094,8 @@ class ComprehensionMacro(val c: blackbox.Context) {
           // the qualifier typechecks to a static module whose member
           // carries @graftSrc, so name shadowing and the `only` allowlist
           // do not apply — the binding is symbol-verified, not name-based)
-          case Some((qual, n, argss)) =>
-            resolveLibCallU(qual, n, spliceBound) match {
+          case Some((qual, n, targsU, argss)) =>
+            resolveLibCallU(qual, n, targsU, spliceBound) match {
               case Some((m, dd)) if returnsDataBag(m) =>
                 hits.n += 1
                 betaReduceSym(m, dd, argss.map(_.map(transform)), trace,
@@ -1172,6 +1172,82 @@ class ComprehensionMacro(val c: blackbox.Context) {
       }
     })
 
+  /** Monomorphize a type-parameterized @lib def at the splice site: the
+    * reference contract (Lib.expand inlines GENERIC defs — emma-lib
+    * kfold.split[A: Meta], transitiveClosure.apply[V: Meta]) re-expressed
+    * for parsed cross-file sources. `targs` are the call site's concrete
+    * type-argument TREES (typed generator calls recover them from the
+    * typer's TypeApply; untyped positions need them written explicitly).
+    * Substitutes each tparam's name with its tree everywhere in the def
+    * and drops the tparam list; context-bound evidence params (already
+    * desugared to implicit params in the stored source) become concrete
+    * and re-resolve at the splice site, which re-typechecks the splice.
+    * Higher-kinded tparams and body-shadowed tparam names abort. */
+  private def monomorphizeLibDef(m: Symbol, dd: DefDef,
+      targs: List[Tree]): Either[String, DefDef] = {
+    if (dd.tparams.exists(_.tparams.nonEmpty))
+      return Left(s"@lib def '${m.name}' has a higher-kinded type " +
+        "parameter — not inlined; monomorphize by hand or join explicitly")
+    if (targs.length != dd.tparams.length)
+      return Left(s"@lib def '${m.name}': ${dd.tparams.length} type " +
+        s"parameter(s) but ${targs.length} concrete type argument(s) " +
+        "recovered at the call site — write the type arguments explicitly")
+    val byName: Map[Name, Tree] = dd.tparams.map(_.name: Name).zip(targs).toMap
+    // a body-local type definition shadowing a tparam — or shadowing a
+    // name the spliced type-ARGUMENT trees reference — would make the
+    // blind substitution capture under it: abort (mirrors the
+    // parameter-shadow abort in betaReduceSym)
+    val targRefs: Set[Name] =
+      targs.flatMap(_.collect { case Ident(tn: TypeName) => tn: Name }).toSet
+    var shadow: Option[Name] = None
+    dd.rhs.foreach {
+      case td: TypeDef if byName.contains(td.name) || targRefs(td.name) =>
+        if (shadow.isEmpty) shadow = Some(td.name)
+      case _ => ()
+    }
+    if (shadow.isDefined)
+      return Left(s"@lib def '${m.name}' defines a local type " +
+        s"'${shadow.get}' that shadows a type parameter or a name used by " +
+        "the call's type arguments — not inlined; rename the inner type")
+    val tr = new Transformer {
+      override def transform(x: Tree): Tree = x match {
+        case Ident(n: TypeName) if byName.contains(n) => byName(n).duplicate
+        case _ => super.transform(x)
+      }
+    }
+    Right(treeCopy.DefDef(dd, dd.mods, dd.name, Nil,
+      dd.vparamss.map(_.map(vd => treeCopy.ValDef(vd, vd.mods, vd.name,
+        tr.transform(vd.tpt), tr.transform(vd.rhs)))),
+      tr.transform(dd.tpt), tr.transform(dd.rhs)))
+  }
+
+  /** Render a TYPED type argument as a tree that provably names the SAME
+    * type at the splice site (parse its printed form, re-typecheck, and
+    * require =:=; retry through dealias). A type that does not round-trip
+    * — method-local classes, existentials, splice-shadowed names — is a
+    * Left with guidance (never a silently different binding). */
+  private def typeArgTree(m: Symbol, tpe: Type): Either[String, Tree] = {
+    def probe(s: String): Option[Tree] =
+      scala.util.Try {
+        // parse in TYPE position (tuple/applied type syntax does not parse
+        // as a term) by wrapping in asInstanceOf and unwrapping the targ
+        c.parse(s"null.asInstanceOf[$s]") match {
+          case TypeApply(Select(_, _), List(tpt)) =>
+            val tt = c.typecheck(tpt.duplicate, c.TYPEmode, silent = true)
+            if (tt.nonEmpty && tt.tpe != null && tt.tpe =:= tpe) Some(tpt)
+            else None
+          case _ => None
+        }
+      }.toOption.flatten
+    probe(tpe.toString).orElse(probe(tpe.dealias.toString)) match {
+      case Some(t) => Right(t)
+      case None => Left(s"@lib def '${m.name}': inferred type argument " +
+        s"'$tpe' does not re-resolve to the same type at the splice site " +
+        "(method-local, existential, or shadowed) — ascribe a globally " +
+        "visible type argument explicitly")
+    }
+  }
+
   /** Does `path` (a dot-separated term path) typecheck at the splice
     * site? `asType` probes the path's LAST segment as a type name. */
   private def pathResolves(path: String, asType: Boolean): Boolean =
@@ -1235,7 +1311,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
           (("_root_." + cand) :: pkgPaths.map(p => "_root_." + p + "." + cand))
             .find(pathResolves(_, asType))
         }.take(1).toList.headOption
-        exact.orElse {
+        val viaImport = exact.orElse {
           // wildcard imports, probed
           imps.iterator.filter(_.selectors.exists(s =>
               s.name == termNames.WILDCARD || s.name == null))
@@ -1245,12 +1321,28 @@ class ComprehensionMacro(val c: blackbox.Context) {
                 pkgPaths.map(p => "_root_." + p + "." + pre + "." + n))
                 .find(pathResolves(_, asType))
             }.take(1).toList.headOption
-        }.orElse {
-          // own-package member (no import needed at the definition site)
-          pkgPaths.map(p => "_root_." + p + "." + n)
-            .find(pathResolves(_, asType))
-        } match {
+        }
+        // own-package member (no import needed at the definition site)
+        val viaOwnPkg = pkgPaths.map(p => "_root_." + p + "." + n)
+          .find(pathResolves(_, asType))
+        // an import AND a package member both resolving the name to
+        // DIFFERENT paths is ambiguous from here: SLS precedence depends
+        // on whether the package member was declared in the SAME unit
+        // (definitions outrank imports) or another (imports outrank
+        // package members from other units) — unknowable at a foreign
+        // splice site, so abort instead of picking either
+        ((viaImport, viaOwnPkg) match {
+          case (Some(ip), Some(op)) if ip != op => fail(
+            s"@lib def '${m.name}': free name '$n' resolves BOTH through a " +
+            s"captured import ($ip) AND as a member of the defining package " +
+            s"($op) — the definition-site binding depends on same-unit " +
+            "declaration order, which does not travel; fully qualify " +
+            s"'$n' inside the helper body")
+          case (some @ Some(_), _) => some
+          case (None, other) => other
+        }) match {
           case some @ Some(_) => some
+          case None if err.nonEmpty => None
           case None =>
             // default scala/java universe: same meaning everywhere — may
             // stay bare (probed at the splice site, which shares it)
@@ -1263,6 +1355,12 @@ class ComprehensionMacro(val c: blackbox.Context) {
             if (fn.startsWith("scala.") || fn.startsWith("java.") || fn == "scala") {
               n match { case tn: TermName => bareFree += tn; case _ => () }
               None
+            } else if (t.nonEmpty && t.symbol != null && t.symbol != NoSymbol &&
+                t.symbol.isPackage && t.symbol.owner == c.mirror.RootClass) {
+              // root of a fully-qualified path (e.g. `org` in
+              // org.apache.spark...): top-level package names are global —
+              // pin to _root_ so no splice-site binding can intercept
+              Some("_root_." + n)
             } else fail(
               s"@lib def '${m.name}': free name '$n' is neither a member of " +
               s"${ownerCls.fullName}, nor covered by the defining file's " +
@@ -1354,21 +1452,33 @@ class ComprehensionMacro(val c: blackbox.Context) {
     }
   }
 
-  /** UNTYPED-side: peel `qual.m(args)` (non-This qualifier) into
-    * (qualifier, name, argss) — the shape cross-file @lib calls keep
-    * through untypecheck and through the qualification rewrite. */
-  private def peelQualCallU(t: Tree): Option[(Tree, TermName, List[List[Tree]])] = {
+  /** UNTYPED-side: peel `qual.m[T](args)` (non-This qualifier) into
+    * (qualifier, name, explicit targs, argss) — the shape cross-file @lib
+    * calls keep through untypecheck and the qualification rewrite. Targs
+    * survive only when WRITTEN (typer-inserted TypeApplys lose their
+    * trees to untypecheck) — type-parameterized defs in untyped positions
+    * therefore require explicit type arguments. */
+  private def peelQualCallU(t: Tree)
+      : Option[(Tree, TermName, List[Tree], List[List[Tree]])] = {
     @annotation.tailrec
-    def peel(f: Tree, argss: List[List[Tree]]): Option[(Tree, TermName, List[List[Tree]])] =
+    def peel(f: Tree, targs: List[Tree], argss: List[List[Tree]])
+        : Option[(Tree, TermName, List[Tree], List[List[Tree]])] =
       f match {
-        case Apply(g, args) => peel(g, args :: argss)
-        case TypeApply(g, _) => peel(g, argss)
+        case Apply(g, args) => peel(g, targs, args :: argss)
+        case TypeApply(g, as) =>
+          // a TypeTree with no source (typer-inserted, untypechecked) is
+          // not an explicit targ — drop it
+          val explicit = as.filter {
+            case tt: TypeTree => tt.original != null || tt.tpe != null
+            case _ => true
+          }
+          peel(g, if (explicit.length == as.length) as else Nil, argss)
         case Select(q, n: TermName) if argss.nonEmpty &&
             (q match { case _: This => false; case _ => true }) =>
-          Some((q, n, argss))
+          Some((q, n, targs, argss))
         case _ => None
       }
-    peel(t, Nil)
+    peel(t, Nil, Nil)
   }
 
   /** Is `t` a pure term path (Idents/Selects only)? Cheap pre-filter
@@ -1390,7 +1500,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * method. Returns the parsed+qualified DefDef; a stored-but-
     * unqualifiable def ABORTS with its guidance (never silently splices
     * or silently rebinds). */
-  private def resolveLibCallU(qual: Tree, n: TermName,
+  private def resolveLibCallU(qual: Tree, n: TermName, targsU: List[Tree],
       spliceBound: Set[TermName]): Option[(MethodSymbol, DefDef)] = {
     if (!isTermPath(qual)) return None
     val key = (qual.toString, n.toString)
@@ -1413,13 +1523,24 @@ class ComprehensionMacro(val c: blackbox.Context) {
     })
     mOpt.flatMap { m =>
       libDefOf(m) match {
-        case Right((dd, bare)) =>
+        case Right((dd0, bare)) =>
           val clash = bare.intersect(spliceBound)
           if (clash.nonEmpty)
             c.abort(c.enclosingPosition,
               s"onSpark: @lib def '${m.name}' uses universe name(s) " +
               s"${clash.mkString(", ")} that collide with a binder at the " +
               "splice site — rename the binder")
+          val dd =
+            if (dd0.tparams.isEmpty) dd0
+            else if (targsU.isEmpty) c.abort(c.enclosingPosition,
+              s"onSpark: @lib def '${m.name}' is type-parameterized and " +
+              "this (guard/yield or nested) call site carries no explicit " +
+              "type arguments after untypecheck — write them explicitly, " +
+              s"e.g. ${m.name}[T](...)")
+            else monomorphizeLibDef(m, dd0, targsU) match {
+              case Right(d) => d
+              case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
+            }
           Some((m, dd))
         case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
       }
@@ -1427,19 +1548,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
   }
 
   /** TYPED-side: the method symbol of a call whose callee carries
-    * @graftSrc (any qualifier shape — the typed tree is symbol-precise). */
-  private def libDefCallTyped(t: Tree): Option[MethodSymbol] = {
+    * @graftSrc (any qualifier shape — the typed tree is symbol-precise),
+    * plus the call's concrete type arguments (the typer inserts the
+    * TypeApply whether they were written or inferred — the monomorphizer
+    * reads the resolved types from it). */
+  private def libDefCallTypedT(t: Tree): Option[(MethodSymbol, List[Type])] = {
     @annotation.tailrec
-    def peel(f: Tree, seenArgs: Boolean): Option[MethodSymbol] = f match {
-      case Apply(g, _) => peel(g, seenArgs = true)
-      case TypeApply(g, _) => peel(g, seenArgs)
+    def peel(f: Tree, seenArgs: Boolean,
+        targs: List[Type]): Option[(MethodSymbol, List[Type])] = f match {
+      case Apply(g, _) => peel(g, seenArgs = true, targs)
+      case TypeApply(g, as) => peel(g, seenArgs, as.map(_.tpe))
       case _ =>
         if (seenArgs && f.symbol != null && f.symbol != NoSymbol && f.symbol.isMethod)
-          Some(f.symbol.asMethod)
+          Some((f.symbol.asMethod, targs))
         else None
     }
-    peel(t, seenArgs = false).filter(m => libSrcOf(m).isDefined)
+    peel(t, seenArgs = false, Nil).filter(p => libSrcOf(p._1).isDefined)
   }
+
+  private def libDefCallTyped(t: Tree): Option[MethodSymbol] =
+    libDefCallTypedT(t).map(_._1)
 
   /** Entry: inline same-object helper `def`s whose calls build DEPENDENT
     * generator bags (symbol-precise), or appear in GUARD/YIELD positions
@@ -1473,17 +1601,30 @@ class ComprehensionMacro(val c: blackbox.Context) {
     // names on the typed tree as on its untypecheck)
     val spliceBound = boundNamesIn(expr)
     // cross-file @lib pick: resolve, parse, qualify; a stored-but-
-    // unqualifiable def aborts with its guidance
+    // unqualifiable def aborts with its guidance. Type-parameterized defs
+    // monomorphize here from the TYPED call's resolved type arguments.
     def libPick(bag: Tree): Option[(Symbol, DefDef, Boolean)] =
-      libDefCallTyped(bag).filter(returnsDataBag) match {
-        case Some(m) => libDefOf(m) match {
-          case Right((dd, bare)) =>
+      libDefCallTypedT(bag).filter(p => returnsDataBag(p._1)) match {
+        case Some((m, targTypes)) => libDefOf(m) match {
+          case Right((dd0, bare)) =>
             val clash = bare.intersect(spliceBound)
             if (clash.nonEmpty)
               c.abort(c.enclosingPosition,
                 s"onSpark: @lib def '${m.name}' uses universe name(s) " +
                 s"${clash.mkString(", ")} that collide with a binder at the " +
                 "splice site — rename the binder")
+            val dd =
+              if (dd0.tparams.isEmpty) dd0
+              else {
+                val targTrees = targTypes.map(tp => typeArgTree(m, tp) match {
+                  case Right(t) => t
+                  case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
+                })
+                monomorphizeLibDef(m, dd0, targTrees) match {
+                  case Right(d) => d
+                  case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
+                }
+              }
             Some((m, dd, false))
           case Left(msg) => c.abort(c.enclosingPosition, s"onSpark: $msg")
         }

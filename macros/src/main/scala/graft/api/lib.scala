@@ -24,15 +24,26 @@ final class graftSrc(val src: String, val imports: String) extends StaticAnnotat
   * of the enclosing object, and beta-reduces with the same cycle check /
   * alpha-rename / shadow discipline as same-file helpers.
   *
+  * Also accepted on a whole `object` (the reference's documented
+  * spelling: `@emma.lib object stat`, emma-lib/.../lib/stats/stat.scala:22
+  * — every emma-lib module ships that way): each public concrete `def`
+  * member whose declared result type names DataBag (or is inferred) gets
+  * the same carrier; vals, inner objects, and private/scalar members are
+  * left untouched.
+  *
   * Constraints (enforced at the splice site, with guidance):
   *   - the def must be a member of a top-level (or nested-in-objects)
   *     `object`;
   *   - free references in the body must be parameters, body-locals,
-  *     sibling members of the enclosing object, or names from the
-  *     default scala/java/Predef universe — file-local imports do not
-  *     travel with the source (fully qualify them inside the body);
-  *   - no type parameters, no recursion (same rules as same-file
-  *     helpers).
+  *     sibling members of the enclosing object, names covered by imports
+  *     IN SCOPE at the def (captured and re-qualified), or names from the
+  *     default scala/java/Predef universe — anything else must be fully
+  *     qualified inside the body;
+  *   - type-parameterized defs inline when the call site's concrete type
+  *     arguments are recoverable (typed generator calls always; untyped
+  *     guard/yield or nested calls need them written explicitly);
+  *     higher-kinded type parameters and recursion abort (same rules as
+  *     same-file helpers).
   *
   * Requires `-Ymacro-annotations`. */
 class lib extends StaticAnnotation {
@@ -42,43 +53,107 @@ class lib extends StaticAnnotation {
 object libMacro {
   def impl(c: whitebox.Context)(annottees: c.Tree*): c.Tree = {
     import c.universe._
+
+    /** Imports IN SCOPE at `target` inside the enclosing unit: only those
+      * on the scope chain from the unit root to the tree, positioned
+      * BEFORE it. The previous capture (every Import anywhere in the
+      * unit) let a sibling-scope `import A.foo` outrank a package-level
+      * `foo` the def actually binds — a silent mis-binding at a foreign
+      * splice site. Scope chains are packages / objects / classes only
+      * (an @lib def is a static-object member; method-local defs abort at
+      * the splice site anyway). Returns None when the target cannot be
+      * located in the unit — the caller then captures NO imports, so an
+      * import-dependent free name aborts at the splice site with
+      * fully-qualify guidance instead of guessing. */
+    def enclosingImports(target: Tree): Option[List[Import]] = {
+      def scopeStats(t: Tree): List[Tree] = t match {
+        case PackageDef(_, stats) => stats
+        case ModuleDef(_, _, Template(_, _, body)) => body
+        case ClassDef(_, _, _, Template(_, _, body)) => body
+        case _ => Nil
+      }
+      def isTarget(s: Tree): Boolean = (s eq target) || ((s, target) match {
+        case (a: DefDef, b: DefDef) => a.name == b.name && a.pos == b.pos
+        case (a: ModuleDef, b: ModuleDef) => a.name == b.name && a.pos == b.pos
+        case _ => false
+      })
+      def walk(scope: Tree, acc: List[Import]): Option[List[Import]] = {
+        var imps = acc
+        for (s <- scopeStats(scope)) {
+          if (isTarget(s)) return Some(imps)
+          s match {
+            case i: Import => imps = imps :+ i
+            case _ =>
+              walk(s, imps) match {
+                case found @ Some(_) => return found
+                case None => ()
+              }
+          }
+        }
+        None
+      }
+      walk(c.enclosingUnit.body, Nil)
+    }
+
+    /** Attach the @graftSrc carrier (re-rendered source + in-scope
+      * imports) to one def. `where` names the context for error text. */
+    def addCarrier(dd: DefDef, where: String): DefDef = {
+      if (dd.rhs.isEmpty)
+        c.abort(dd.pos, s"@lib requires a concrete body$where")
+      val src = showCode(dd)
+      // re-parse NOW so a body that does not round-trip through
+      // showCode/parse fails loudly at the DEFINITION site, not at a
+      // distant splice site
+      val reparsed =
+        try c.parse(src)
+        catch { case e: Throwable =>
+          c.abort(dd.pos,
+            s"@lib: def '${dd.name}'$where does not round-trip through " +
+            s"showCode/parse (${e.getMessage}) — simplify the body or inline manually")
+        }
+      reparsed match {
+        case _: DefDef => ()
+        case _ => c.abort(dd.pos,
+          s"@lib: rendered source of '${dd.name}'$where did not parse back to a single def")
+      }
+      val importSrcs = enclosingImports(dd)
+        .getOrElse(Nil).map(i => showCode(i))
+      val ann = q"new _root_.graft.api.graftSrc($src, ${importSrcs.mkString("\n")})"
+      val newMods = Modifiers(dd.mods.flags, dd.mods.privateWithin,
+        ann :: dd.mods.annotations)
+      treeCopy.DefDef(dd, newMods, dd.name, dd.tparams, dd.vparamss,
+        dd.tpt, dd.rhs)
+    }
+
     annottees.toList match {
       case (dd: DefDef) :: Nil =>
-        if (dd.rhs.isEmpty)
-          c.abort(c.enclosingPosition, "@lib requires a def with a concrete body")
-        val src = showCode(dd)
-        // re-parse NOW so a body that does not round-trip through
-        // showCode/parse fails loudly at the DEFINITION site, not at a
-        // distant splice site
-        val reparsed =
-          try c.parse(src)
-          catch { case e: Throwable =>
-            c.abort(c.enclosingPosition,
-              s"@lib: def does not round-trip through showCode/parse " +
-              s"(${e.getMessage}) — simplify the body or inline manually")
-          }
-        reparsed match {
-          case _: DefDef => ()
-          case _ => c.abort(c.enclosingPosition,
-            "@lib: rendered source did not parse back to a single def")
+        addCarrier(dd, "")
+      case (md @ ModuleDef(mods, name, Template(parents, self, body))) :: rest =>
+        // object-level spelling: carrier on each public concrete def whose
+        // declared result type names DataBag (or is inferred — the splice
+        // site's returnsDataBag check gates actual inlining, so an extra
+        // carrier on a scalar member is inert)
+        def eligible(d: DefDef): Boolean =
+          d.rhs.nonEmpty &&
+          d.name != termNames.CONSTRUCTOR &&
+          !d.mods.hasFlag(Flag.PRIVATE) && !d.mods.hasFlag(Flag.PROTECTED) &&
+          !d.mods.hasFlag(Flag.SYNTHETIC) &&
+          d.mods.privateWithin == typeNames.EMPTY &&
+          (d.tpt.isEmpty || showCode(d.tpt).contains("DataBag"))
+        val newBody = body.map {
+          case d: DefDef if eligible(d) => addCarrier(d, s" in @lib object $name")
+          case other => other
         }
-        // capture the defining unit's import statements (any scope level —
-        // over-approximate; the splice-site resolver only consults them for
-        // names it cannot otherwise bind) so file-local imports the body
-        // relies on can be re-qualified at a foreign splice site
-        val importSrcs = scala.collection.mutable.ListBuffer.empty[String]
-        c.enclosingUnit.body.foreach {
-          case imp: Import => importSrcs += showCode(imp)
-          case _ => ()
+        val newMd = treeCopy.ModuleDef(md, mods, name,
+          treeCopy.Template(md.impl, parents, self, newBody))
+        rest match {
+          case Nil => newMd
+          case more => Block(newMd :: more, Literal(Constant(())))
         }
-        val ann = q"new _root_.graft.api.graftSrc($src, ${importSrcs.mkString("\n")})"
-        val newMods = Modifiers(dd.mods.flags, dd.mods.privateWithin,
-          ann :: dd.mods.annotations)
-        treeCopy.DefDef(dd, newMods, dd.name, dd.tparams, dd.vparamss,
-          dd.tpt, dd.rhs)
       case _ =>
         c.abort(c.enclosingPosition,
-          "@lib supports only a single concrete `def` (no vals, classes, or objects)")
+          "@lib supports a single concrete `def` or a whole `object` " +
+          "(no vals or classes)")
     }
   }
 }

@@ -3854,6 +3854,52 @@ object SparkEntry {
       res.ds.toDF("c_custkey", "c_name", "o_orderkey", "price_cents")
     }),
 
+    // GENERIC cross-file @lib inlining (the reference's type-parameterized
+    // library story: Lib.expand inlines kfold.split[A: Meta],
+    // transitiveClosure.apply[V: Meta] — emma-lib/.../ml/kfold.scala:27,
+    // .../graphs/transitiveClosure.scala:24): QuotedLib.keyedOver[A] is
+    // monomorphized at the splice site from the TYPED call's resolved type
+    // arguments (A = Double here, inferred), its evidence encoder
+    // re-resolves at the splice, and the derivation is the same single
+    // equi join a hand-monomorphized spelling gets
+    "q250_generic_lib" -> ((s, d) => {
+      import s.implicits._
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val keyed = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)])
+      import graft.api.comprehensions.onSpark
+      val res = onSpark {
+        for { cu <- custs; p <- graft.lib.QuotedLib.keyedOver(cu.c_custkey, keyed) }
+          yield (cu.c_custkey, cu.c_name, (p._2 * 100 + 0.5).floor.toLong)
+      }
+      res.ds.toDF("c_custkey", "c_name", "price_cents")
+    }),
+
+    // OBJECT-level @lib (the reference's documented module spelling:
+    // @emma.lib object stat, emma-lib/.../lib/stats/stat.scala:22): TWO
+    // members of the annotated graft.lib.QuotedOps splice in one quote —
+    // ordersOf over pricierCents — and the scalar sibling `cents` (no
+    // carrier: declared non-bag type) re-qualifies to the owner's static
+    // path inside the spliced guard; the derivation is one equi join over
+    // the filtered orders
+    "q251_object_lib" -> ((s, d) => {
+      import s.implicits._
+      val custs = DataBag.from(tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")).as[CustRow])
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      import graft.api.comprehensions.onSpark
+      val res = onSpark {
+        for { cu <- custs
+              o <- graft.lib.QuotedOps.ordersOf(cu,
+                graft.lib.QuotedOps.pricierCents(15000000L, orders)) }
+          yield (cu.c_custkey, cu.c_name, o.o_orderkey)
+      }
+      res.ds.toDF("c_custkey", "c_name", "o_orderkey")
+    }),
+
     // Streaming point-state maintenance: the SAME computation as q246 but
     // arriving as micro-batches — each batch routes through
     // PointBag.updateBag inside foreachBatch (small batches touch only
@@ -5881,7 +5927,20 @@ object SparkEntry {
       ("SELECT cu.c_custkey, cu.c_name, o.o_orderkey, " +
         "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents " +
         "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
-        "WHERE o.o_totalprice > 150000.0")
+        "WHERE o.o_totalprice > 150000.0"),
+
+    "q250_generic_lib" ->
+      // generic @lib monomorphized at the splice — plain equi join
+      ("SELECT cu.c_custkey, cu.c_name, " +
+        "CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey"),
+
+    "q251_object_lib" ->
+      // two members of one object-level @lib module in one quote: equi
+      // join over the cents-floored price filter
+      ("SELECT cu.c_custkey, cu.c_name, o.o_orderkey " +
+        "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
+        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) > 15000000")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -234,6 +234,19 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
         val e15 = for { x <- xpSeq; y <- ypSeq; if y._2 == x._2; if y._1 > t }
           yield (x._1, y._1)
         r15.collect().sorted shouldBe e15.sorted
+
+        // GENERIC cross-file @lib spelling (r13 shape; ref Lib.expand
+        // inlines type-parameterized defs, emma-lib kfold.split[A: Meta]):
+        // matchingGen[A] monomorphizes from the typed call's inferred
+        // A = Long and derives the same equi join, with the fuzz-varied
+        // modulus key `x._2` substituting as a beta-reduced argument
+        val r16 = onSpark {
+          for { x <- xp; y <- CrossFileLibX.matchingGen(x._2, yp) }
+            yield (x._1, y._1)
+        }
+        val e16 = for { x <- xpSeq; y <- ypSeq; if y._1 == x._2 }
+          yield (x._1, y._1)
+        r16.collect().sorted shouldBe e16.sorted
       }
     }
   }

@@ -1648,6 +1648,143 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe Seq((1L, 10L), (2L, 12L))
   }
 
+  it should "monomorphize GENERIC cross-file @lib defs from the typed call's type args" in {
+    // the reference contract: Lib.expand inlines type-parameterized defs
+    // (emma-lib kfold.split[A: Meta], transitiveClosure.apply[V: Meta]) —
+    // here A is INFERRED (Long) at the call and substituted at the splice
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    val r = onSpark {
+      for { x <- xs; y <- CrossFileLibX.matchingGen(x._2, ys) } yield (x._1, y._1)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length shouldBe 1
+    val e = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._1 == x._2
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe e.sorted
+    // GUARD position with EXPLICIT type args (untyped positions cannot
+    // recover inferred ones — the abort below pins that guidance)
+    val g = onSpark {
+      for { x <- xs; if CrossFileLibX.matchingGen[Long](x._2, ys).size > 9L }
+        yield x._1
+    }
+    val expG = (1L to 20L).map(i => (i, i % 3))
+      .filter(x => (1L to 30L).map(i => (i, i % 3)).count(_._1 == x._2) > 9)
+      .map(_._1)
+    g.collect().sorted shouldBe expG.sorted
+    // guard position WITHOUT explicit type args: abort with guidance
+    """
+    implicit val sp: org.apache.spark.sql.SparkSession = null
+    import sp.implicits._
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    val ys = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; if graft.api.CrossFileLibX.matchingGen(x._2, ys).size > 0L }
+        yield x._1
+    }
+    """ shouldNot compile
+    // higher-kinded tparam: no monomorphization target — abort
+    """
+    implicit val sp: org.apache.spark.sql.SparkSession = null
+    import sp.implicits._
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    val ys = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; y <- graft.api.CrossFileLibX.higherKinded[Option](ys) }
+        yield (x._1, y._1)
+    }
+    """ shouldNot compile
+    // body-shadowed tparam: blind substitution would capture — abort
+    """
+    implicit val sp: org.apache.spark.sql.SparkSession = null
+    import sp.implicits._
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    val ys = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; y <- graft.api.CrossFileLibX.shadowedTparam(x._2, ys) }
+        yield (x._1, y._1)
+    }
+    """ shouldNot compile
+  }
+
+  it should "consume a GENERIC @lib def compiled in a SEPARATE run (q250 contract)" in {
+    // graft.lib.QuotedLib.keyedOver[A] lives in MAIN sources — the pickled
+    // source re-parses here, A monomorphizes to String from the inferred
+    // type args, and the evidence encoder re-resolves in this scope
+    val ks = DataBag((1L to 6L).toSeq)
+    val pairs = DataBag((1L to 30L).map(i => (i % 7, "v" + i)))
+    val r = onSpark {
+      for { k <- ks; p <- graft.lib.QuotedLib.keyedOver(k, pairs) }
+        yield (k, p._2)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    val e = for { k <- 1L to 6L; i <- 1L to 30L; if i % 7 == k } yield (k, "v" + i)
+    r.collect().sorted shouldBe e.sorted
+  }
+
+  it should "capture only imports whose scope encloses and precedes the @lib def" in {
+    // ScopedLib.viaFoo's body reads bare `foo` — package-level foo (30-row
+    // pool) at its definition site. SiblingScope's `import decoy.foo` is in
+    // a NON-enclosing scope: under the r12 position-blind capture it was
+    // recorded and OUTRANKED the package member, silently re-binding the
+    // splice to decoy's 1-row bag. The splice must see the package member.
+    val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
+    val r = onSpark {
+      for { x <- xs; y <- ScopedLib.viaFoo(x) } yield (x._1, y._1)
+    }
+    val e = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2
+    } yield (x._1, y._1)
+    r.collect().sorted shouldBe e.sorted
+    // the decoy fixture itself stays live (1-row bag)
+    SiblingScope.touch shouldBe 1L
+    // when the decoy import DOES enclose and precede the def, the free name
+    // resolves both through the import and as a package member — ambiguous
+    // from a foreign splice site (same-unit declaration order decides and
+    // does not travel): abort, never pick either
+    """
+    implicit val sp: org.apache.spark.sql.SparkSession = null
+    import sp.implicits._
+    val xs = graft.api.DataBag(Seq((1L, 1L)))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; y <- graft.api.AmbiguousLib.viaAmbiguousFoo(x) } yield (x._1, y._1)
+    }
+    """ shouldNot compile
+  }
+
+  it should "accept object-level @lib and consume two members of one object cross-file" in {
+    // the reference's documented module spelling (@emma.lib object stat):
+    // QuotedOps lives in MAIN sources with the object-level annotation; two
+    // member defs splice in ONE quote (ordersOf over pricierCents), and the
+    // scalar sibling `cents` re-qualifies to the owner's static path
+    val custs = DataBag(Seq(
+      graft.CustRow(1L, "a", 0.0), graft.CustRow(2L, "b", 0.0)))
+    val orders = DataBag(Seq(
+      graft.OrderRow(10L, 1L, 200000.0), graft.OrderRow(11L, 1L, 100.0),
+      graft.OrderRow(12L, 2L, 151000.0), graft.OrderRow(13L, 3L, 500000.0)))
+    val r = onSpark {
+      for { cu <- custs
+            o <- graft.lib.QuotedOps.ordersOf(cu,
+              graft.lib.QuotedOps.pricierCents(15000000L, orders)) }
+        yield (cu.c_custkey, o.o_orderkey)
+    }
+    val plan = r.toDF.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include regex("(?i)cartesian")
+    r.collect().sorted shouldBe Seq((1L, 10L), (2L, 12L))
+    // the scalar member carries NO @graftSrc (declared non-bag type) and
+    // stays a plain static method
+    graft.lib.QuotedOps.cents(1.23) shouldBe 123L
+  }
+
   it should "substitute swapped same-named arguments SIMULTANEOUSLY (no sequential capture)" in {
     val xs = DataBag((1L to 20L).map(i => (i, i % 3)))
     val ys = DataBag((1L to 30L).map(i => (i, i % 3)))

@@ -44,4 +44,24 @@ object CrossFileLibX {
 
   @lib def pong(x: (Long, Long), ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
     for { y <- ping(x, ys); if y._1 > 0L } yield y
+
+  /** GENERIC matcher — the splice site monomorphizes `A` from the typed
+    * call's resolved type arguments (reference: Lib.expand inlines
+    * type-parameterized defs, emma-lib/.../ml/kfold.scala:27). */
+  @lib def matchingGen[A](k: Long, ys: DataBag[(Long, A)])(
+      implicit ev: Encoder[(Long, A)]): DataBag[(Long, A)] =
+    for { y <- ys; if y._1 == k } yield y
+
+  /** Higher-kinded type parameter — must ABORT at the splice site (no
+    * monomorphization target), never splice. */
+  @lib def higherKinded[F[_]](ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
+    for { y <- ys; if y._1 > 0L } yield y
+
+  /** Shadows its own type parameter in the body — blind substitution
+    * would capture; must ABORT at the splice site. */
+  @lib def shadowedTparam[A](k: Long, ys: DataBag[(Long, A)])(
+      implicit ev: Encoder[(Long, A)]): DataBag[(Long, A)] = {
+    type A = Long
+    for { y <- ys; if y._1 == k } yield y
+  }
 }

@@ -193,6 +193,53 @@ class RuntimeQuotationSpec extends AnyFlatSpec with Matchers {
     RuntimeQuotation.compilations.get() shouldBe (before + 2)
   }
 
+  it should "consume cross-file @lib defs (incl. GENERIC) from runtime-submitted source" in {
+    // the pickled @graftSrc registry read inside the nsc-COMPILED expansion:
+    // the runtime compiler is a different Global than the build-time one, so
+    // this pins annotation-pickle reading on the runtime channel (q249's
+    // contract through RuntimeQuotation)
+    val pipeline = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val custs = DataBag(Seq(
+          graft.CustRow(1L, "a", 0.0), graft.CustRow(2L, "b", 0.0)))
+        val orders = DataBag(Seq(
+          graft.OrderRow(10L, 1L, 200000.0), graft.OrderRow(11L, 1L, 100.0),
+          graft.OrderRow(12L, 2L, 151000.0), graft.OrderRow(13L, 3L, 500000.0)))
+        onSpark {
+          for { cu <- custs; o <- graft.lib.QuotedLib.bigOrdersOf(cu, orders) }
+            yield (cu.c_custkey, o.o_orderkey)
+        }.ds.toDF("ck", "ok")
+      }""")
+    val out = pipeline(spark)
+    out.queryExecution.executedPlan.toString should not include regex("(?i)cartesian")
+    out.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Array((1L, 10L), (2L, 12L))
+    // GENERIC @lib member through the same channel: monomorphized from the
+    // typed call's type args inside the nsc run
+    val gen = RuntimeQuotation.compile[SparkSession => DataFrame]("""
+      (s0: org.apache.spark.sql.SparkSession) => {
+        implicit val spark: org.apache.spark.sql.SparkSession = s0
+        import spark.implicits._
+        import graft.api._
+        import graft.api.comprehensions.onSpark
+        val ks = DataBag((1L to 6L).toSeq)
+        val pairs = DataBag((1L to 30L).map(i => (i % 7, "v" + i)))
+        onSpark {
+          for { k <- ks; p <- graft.lib.QuotedLib.keyedOver(k, pairs) }
+            yield (k, p._2)
+        }.ds.toDF("k", "v")
+      }""")
+    val outG = gen(spark)
+    outG.queryExecution.executedPlan.toString should not include regex("(?i)cartesian")
+    val expG = (for { k <- 1L to 6L; i <- 1L to 30L; if i % 7 == k }
+      yield (k, "v" + i)).sorted
+    outG.collect().map(r => (r.getLong(0), r.getString(1))).sorted shouldBe expG.toArray
+  }
+
   it should "surface macro aborts as compile errors at quote time" in {
     // dependent on a DISTRIBUTED bag (the literal DataBag(seq) spelling
     // now derives a local flatMap instead — ComprehensionSpec)
