@@ -1694,11 +1694,12 @@ object SparkEntry {
       val b = docs.where(col("doc_id") % 5 === 4)
       val idx0 = Dedup.lshBands(corpus).localCheckpoint()
       val store0 = Dedup.hashedShingles(corpus).localCheckpoint()
-      val pairsA = Curation.probeIndexed(idx0, store0, a, minJaccard = 0.2)
-      // extension stays LAZY: the union reuses the checkpointed corpus
-      // artifacts and only batch A's bands/shingles are new work
-      val (idx1, store1) = Curation.extendIndex(idx0, store0, a)
-      val pairsB = Curation.probeIndexed(idx1, store1, b, minJaccard = 0.2)
+      // fused probe+extend: each batch's bands and hashed shingles are
+      // computed ONCE and shared by the probe join, verification, and the
+      // extended artifacts (the probe/extend pair used to recompute them —
+      // r13 ProfileGates12 showed duplicate signature checkpoints per batch)
+      val (pairsA, idx1, store1) = Curation.ingestBatch(idx0, store0, a, minJaccard = 0.2)
+      val (pairsB, _, _) = Curation.ingestBatch(idx1, store1, b, minJaccard = 0.2)
       pairsA.unionByName(pairsB)
     }),
 

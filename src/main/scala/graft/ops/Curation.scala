@@ -140,6 +140,39 @@ object Curation {
     (index.unionByName(Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)),
       shingleStore.unionByName(Dedup.hashedShingles(newDocs, textCol, shingleN)))
 
+  /** One INGEST STEP — [[probeIndexed]] + [[extendIndex]] fused so the
+    * batch's minhash SIGNATURE is computed (and checkpointed, inside
+    * [[Dedup.lshBands]]) exactly once: calling the two separately runs the
+    * signature pass twice — once for the probe's bands, once for the index
+    * extension's. The band rows and hashed shingles are shared as the SAME
+    * DataFrame objects, NOT re-materialized: bands are cheap narrow
+    * selects over the checkpointed signature, and an extra localCheckpoint
+    * on them costs more than it saves (measured: ProfileIngest13). At
+    * corpus scale the signature pass IS the per-batch ingest cost, so
+    * sharing it halves that. Returns (near-dup pairs of the batch vs the
+    * indexed corpus, extended index, extended shingle store). Pair
+    * semantics identical to [[probeIndexed]]. */
+  def ingestBatch(index: DataFrame, shingleStore: DataFrame,
+      newDocs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      minJaccard: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
+    val probe = Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)
+    val newSh = Dedup.hashedShingles(newDocs, textCol, shingleN)
+    val cands = probe.as("p")
+      .join(index.as("i"),
+        col("p.band_id") === col("i.band_id") &&
+          col("p.band_key") === col("i.band_key"))
+      .select(col("p.doc_id").as("id1"), col("i.doc_id").as("id2"))
+      .distinct()
+      .localCheckpoint() // semi-join AND verification reuse
+    val touched = shingleStore.join(
+      cands.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "semi")
+    val sh = newSh.unionByName(touched).localCheckpoint() // 3 verify reads
+    val pairs = Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
+      .select(col("id1").as("new_id"), col("id2").as("corpus_id"), col("jaccard"))
+    (pairs, index.unionByName(probe), shingleStore.unionByName(newSh))
+  }
+
   /** Keep-list for a pretraining corpus: language + quality thresholds +
     * exact-dedup canonical representative. One pass for signals, one
     * aggregation for dedup, one join — returns the surviving doc_ids with

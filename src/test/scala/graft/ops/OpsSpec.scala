@@ -768,6 +768,15 @@ class OpsSpec extends AnyFlatSpec with Matchers {
     val afterExt = pairs(Curation.probeIndexed(idx1, st1, b, minJaccard = 0.1))
     afterExt should contain((21L, 11L)) // the A-dup is now caught
     (afterExt -- beforeExt).map(_._2) shouldBe Set(11L) // and nothing else changed
+    // the FUSED ingest step (one signature pass per batch) is pair- and
+    // artifact-equivalent to the probeIndexed + extendIndex pair
+    val (pA, idxF, stF) = Curation.ingestBatch(idx0, st0, a, minJaccard = 0.1)
+    pairs(pA) shouldBe pairs(Curation.probeIndexed(idx0, st0, a, minJaccard = 0.1))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted
+    rows(idxF) shouldBe rows(idx1)
+    rows(stF) shouldBe rows(st1)
+    val (pB, _, _) = Curation.ingestBatch(idxF, stF, b, minJaccard = 0.1)
+    pairs(pB) shouldBe afterExt
   }
 
   "TextAnalysis.duplicatedSpans" should "agree with a sequential oracle on seeded random corpora" in {
