@@ -1677,6 +1677,29 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
       .filter(x => (1L to 30L).map(i => (i, i % 3)).count(_._1 == x._2) > 9)
       .map(_._1)
     g.collect().sorted shouldBe expG.sorted
+    // TUPLE type argument: A = (String, Long) renders as tuple-type syntax
+    // and must re-resolve =:= at the splice
+    val pairsT = DataBag((1L to 30L).map(i => (i % 7, ("v" + i, i))))
+    val rt = onSpark {
+      for { x <- xs; p <- CrossFileLibX.matchingGen(x._2, pairsT) }
+        yield (x._1, p._2._2)
+    }
+    val et = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      i <- 1L to 30L; if i % 7 == x._2
+    } yield (x._1, i)
+    rt.collect().sorted shouldBe et.sorted
+    // TWO tparams, the second bound only through a parameter's type
+    val xp2 = DataBag((1L to 20L).map(i => (i % 5, "k" + i)))
+    val ys2 = DataBag((1L to 30L).map(i => (i % 5, i)))
+    val r2 = onSpark {
+      for { x <- xp2; y <- CrossFileLibX.matching2(x, ys2) } yield (x._2, y._2)
+    }
+    val e2 = for {
+      x <- (1L to 20L).map(i => (i % 5, "k" + i))
+      y <- (1L to 30L).map(i => (i % 5, i)); if y._1 == x._1
+    } yield (x._2, y._2)
+    r2.collect().sorted shouldBe e2.sorted
     // guard position WITHOUT explicit type args: abort with guidance
     """
     implicit val sp: org.apache.spark.sql.SparkSession = null

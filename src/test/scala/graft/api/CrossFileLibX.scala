@@ -52,6 +52,12 @@ object CrossFileLibX {
       implicit ev: Encoder[(Long, A)]): DataBag[(Long, A)] =
     for { y <- ys; if y._1 == k } yield y
 
+  /** TWO type parameters, the second bound only through a parameter
+    * type — both monomorphize from the one typed call. */
+  @lib def matching2[A, B](k: (Long, B), ys: DataBag[(Long, A)])(
+      implicit ev: Encoder[(Long, A)]): DataBag[(Long, A)] =
+    for { y <- ys; if y._1 == k._1 } yield y
+
   /** Higher-kinded type parameter — must ABORT at the splice site (no
     * monomorphization target), never splice. */
   @lib def higherKinded[F[_]](ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
