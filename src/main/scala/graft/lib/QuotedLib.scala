@@ -70,4 +70,10 @@ object QuotedLib {
     * scalar sibling [[cents]]. */
   def pricierCents(lo: Long, orders: DataBag[OrderRow]): DataBag[OrderRow] =
     for { o <- orders; if cents(o.o_totalprice) > lo } yield o
+
+  /** GENERIC member of an object-level module — the object-level walk and
+    * splice-site monomorphization compose (spec-pinned). */
+  def keyedVals[A](key: Long, xs: DataBag[(Long, A)])(
+      implicit ev: org.apache.spark.sql.Encoder[(Long, A)]): DataBag[(Long, A)] =
+    for { x <- xs; if x._1 == key } yield x
 }

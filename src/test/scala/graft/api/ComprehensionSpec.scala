@@ -1806,6 +1806,16 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     // the scalar member carries NO @graftSrc (declared non-bag type) and
     // stays a plain static method
     graft.lib.QuotedOps.cents(1.23) shouldBe 123L
+    // GENERIC member of the object-level module: the object walk and
+    // splice-site monomorphization compose (A = String inferred)
+    val ks = DataBag((1L to 6L).toSeq)
+    val pairs = DataBag((1L to 30L).map(i => (i % 7, "v" + i)))
+    val rg = onSpark {
+      for { k <- ks; p <- graft.lib.QuotedOps.keyedVals(k, pairs) }
+        yield (k, p._2)
+    }
+    val eg = for { k <- 1L to 6L; i <- 1L to 30L; if i % 7 == k } yield (k, "v" + i)
+    rg.collect().sorted shouldBe eg.sorted
   }
 
   it should "substitute swapped same-named arguments SIMULTANEOUSLY (no sequential capture)" in {
