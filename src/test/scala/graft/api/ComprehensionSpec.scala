@@ -1769,6 +1769,18 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe e.sorted
     // the decoy fixture itself stays live (1-row bag)
     SiblingScope.touch shouldBe 1L
+    // cross-OBJECT @lib nesting: viaOther's body calls CrossFileLibX's
+    // @lib `matching` — the object name qualifies through the own-package
+    // probe and the inner call splices recursively
+    val ys = DataBag((1L to 30L).map(i => (i, i % 3)))
+    val rx = onSpark {
+      for { x <- xs; y <- CrossObjectLib.viaOther(x, ys) } yield (x._1, y._1)
+    }
+    val ex = for {
+      x <- (1L to 20L).map(i => (i, i % 3))
+      y <- (1L to 30L).map(i => (i, i % 3)); if y._2 == x._2 && y._1 > 2L
+    } yield (x._1, y._1)
+    rx.collect().sorted shouldBe ex.sorted
     // when the decoy import DOES enclose and precede the def, the free name
     // resolves both through the import and as a package member — ambiguous
     // from a foreign splice site (same-unit declaration order decides and

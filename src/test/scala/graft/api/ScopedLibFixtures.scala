@@ -26,6 +26,18 @@ object SiblingScope {
   def touch(implicit spark: SparkSession): Long = foo.bag.size
 }
 
+/** A @lib def whose body calls ANOTHER object's @lib def (cross-OBJECT
+  * nesting — [[CrossFileLibX.matchingAbove]] only pins same-object
+  * nesting): the body's `CrossFileLibX` qualifies through the
+  * own-package probe, then the inner call resolves symbol-verified and
+  * splices recursively. */
+object CrossObjectLib {
+  private implicit val tupEnc2: Encoder[(Long, Long)] =
+    Encoders.product[(Long, Long)]
+  @lib def viaOther(x: (Long, Long), ys: DataBag[(Long, Long)]): DataBag[(Long, Long)] =
+    for { y <- CrossFileLibX.matching(x, ys); if y._1 > 2L } yield y
+}
+
 /** Here the decoy import DOES enclose and precede the def — the captured
   * import and the defining package BOTH resolve `foo`, to different
   * paths; which one the definition site bound depends on same-unit
