@@ -52,5 +52,10 @@ lazy val root = (project in file("."))
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-    ),
+    ) ++
+      // test-only: forward the bench default-budget override into the
+      // forked run JVM (tools/bench_timeout_check.sh part B shrinks the
+      // built-in budget to exercise the env-free self-degrade path)
+      sys.props.get("graft.bench.defaultBudgetS")
+        .map(v => s"-Dgraft.bench.defaultBudgetS=$v").toSeq,
   )

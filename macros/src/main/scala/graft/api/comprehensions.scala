@@ -382,8 +382,21 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * untyped twin. */
   private case class GuardFolds(plans: List[Option[FoldPlan]])
 
+  /** [[foldPlanOf]] additionally requiring that the fold subtree reads no
+    * symbol BOUND IN THE POSITION outside the fold itself (an enclosing
+    * Block's val, an enclosing fold's lambda param): the lowered
+    * pre-aggregation is built OUTSIDE the comprehension, where such a
+    * reference is unbound — deriving it would emit a bare "not found"
+    * typer error instead of the guided abort. (When the enclosing val's
+    * rhs is bag-free, the ANF-inverse val inlining re-exposes the
+    * derivable val-free spelling on the next expansion pass.) */
+  private def foldPlanAt(allGen: Seq[Symbol], pos: Tree)(t: Tree): Option[FoldPlan] =
+    foldPlanOf(allGen, t).filter { _ =>
+      !usesAny(t, (defSymsIn(pos) -- defSymsIn(t)).toSeq)
+    }
+
   private def guardFoldsOf(allGen: Seq[Symbol], cond: Tree): Option[GuardFolds] = {
-    val occ = collectFoldCalls(cond, t => foldPlanOf(allGen, t))
+    val occ = collectFoldCalls(cond, foldPlanAt(allGen, cond))
     val derived = occ.collect { case (t, Some(_)) => t }
     if (derived.nonEmpty && distributedRefOutside(cond, derived).isEmpty)
       Some(GuardFolds(occ.map(_._2)))
@@ -795,6 +808,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
   private def returnsDataBag(m: MethodSymbol): Boolean =
     m.returnType.baseClasses.exists(_.fullName == "graft.api.DataBag")
 
+  /** A SCALAR-returning def that CONSUMES DataBag parameters — the
+    * reference's dominant library shape (`stat.sum/min/max(D)(xs:
+    * DataBag[DVector]): DVector`, emma-lib/.../stats/stat.scala:27-35; the
+    * sgd losses, the eval metrics) which `Lib.expand` inlines like any
+    * other annotated def (compiler/lib/Lib.scala:49-51 matches ANY
+    * carrier-bearing DefCall regardless of return type). */
+  private def consumesBagParam(m: MethodSymbol): Boolean =
+    scala.util.Try(m.paramLists.exists(_.exists(p =>
+      p.info.baseClasses.exists(_.fullName == "graft.api.DataBag"))))
+      .getOrElse(false)
+
+  /** Guard/yield splice eligibility: bag-returning defs (join derivation)
+    * and scalar bag consumers (their folds then reach the correlated-fold
+    * / global-hoist machinery). A call to either shape over a distributed
+    * bag is an abort today without the splice, so widening this gate can
+    * only turn aborts into derivations. Scalar defs with no bag parameter
+    * are plain driver arithmetic — never spliced (their carrier is inert). */
+  private def spliceableLib(m: MethodSymbol): Boolean =
+    returnsDataBag(m) || consumesBagParam(m)
+
   /** The DefDef tree for `sym` anywhere in the current compilation unit
     * (symbols are assigned by namer, so defs typed AFTER the call site are
     * still found). Abstract/empty bodies don't qualify. */
@@ -808,8 +841,9 @@ class ComprehensionMacro(val c: blackbox.Context) {
     found
   }
 
-  /** Same-object DataBag-returning defs by UNIQUE name — the registry the
-    * untyped recursive pass matches against (untypecheck erases symbols, so
+  /** Same-object spliceable defs by UNIQUE name — DataBag-returning plus
+    * scalar bag CONSUMERS ([[spliceableLib]]) — the registry the untyped
+    * recursive pass matches against (untypecheck erases symbols, so
     * nested helper calls inside a spliced body resolve by name). Chain
     * method names are excluded so `xs.map(...)` can never false-match. */
   private lazy val unitBagDefsByName: Map[TermName, DefDef] = {
@@ -824,7 +858,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
       case dd: DefDef if dd.symbol != null && dd.symbol != NoSymbol &&
           dd.symbol.isMethod && owners(dd.symbol.owner) && !dd.rhs.isEmpty &&
           !chainNames(dd.name) &&
-          scala.util.Try(returnsDataBag(dd.symbol.asMethod)).getOrElse(false) =>
+          scala.util.Try(spliceableLib(dd.symbol.asMethod)).getOrElse(false) =>
         all += dd
       case _ => ()
     }
@@ -1096,7 +1130,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
           // do not apply — the binding is symbol-verified, not name-based)
           case Some((qual, n, targsU, argss)) =>
             resolveLibCallU(qual, n, targsU, spliceBound) match {
-              case Some((m, dd)) if returnsDataBag(m) =>
+              case Some((m, dd)) if spliceableLib(m) =>
                 hits.n += 1
                 betaReduceSym(m, dd, argss.map(_.map(transform)), trace,
                   spliceBound, bareRegistry = false)
@@ -1199,16 +1233,35 @@ class ComprehensionMacro(val c: blackbox.Context) {
     // parameter-shadow abort in betaReduceSym)
     val targRefs: Set[Name] =
       targs.flatMap(_.collect { case Ident(tn: TypeName) => tn: Name }).toSet
+    // the STABLE PREFIX of a qualified type argument (the `graft` of
+    // `graft.CustRow`) is a TERM path rooted at an Ident: a body-local
+    // TERM definition (val/def/object/bind) of that root name would make
+    // the spliced tree's prefix re-resolve through the local — usually a
+    // loud re-typecheck failure, but a stable local with a matching member
+    // TYPE would bind silently. Collect the roots and abort on any
+    // body-local DefTree defining one.
+    val targTermRoots: Set[Name] = {
+      @annotation.tailrec
+      def root(t: Tree): Option[Name] = t match {
+        case Select(q, _) => root(q)
+        case Ident(n: TermName) => Some(n: Name)
+        case _ => None
+      }
+      targs.flatMap(_.collect { case s @ Select(_, _) => root(s) }.flatten).toSet
+    }
     var shadow: Option[Name] = None
     dd.rhs.foreach {
       case td: TypeDef if byName.contains(td.name) || targRefs(td.name) =>
         if (shadow.isEmpty) shadow = Some(td.name)
+      case d: DefTree if targTermRoots(d.name) =>
+        if (shadow.isEmpty) shadow = Some(d.name)
       case _ => ()
     }
     if (shadow.isDefined)
-      return Left(s"@lib def '${m.name}' defines a local type " +
-        s"'${shadow.get}' that shadows a type parameter or a name used by " +
-        "the call's type arguments — not inlined; rename the inner type")
+      return Left(s"@lib def '${m.name}' defines a local name " +
+        s"'${shadow.get}' that shadows a type parameter or a name (or the " +
+        "stable prefix of a qualified type) used by the call's type " +
+        "arguments — not inlined; rename the inner definition")
     val tr = new Transformer {
       override def transform(x: Tree): Tree = x match {
         case Ident(n: TypeName) if byName.contains(n) => byName(n).duplicate
@@ -1361,6 +1414,21 @@ class ComprehensionMacro(val c: blackbox.Context) {
               // org.apache.spark...): top-level package names are global —
               // pin to _root_ so no splice-site binding can intercept
               Some("_root_." + n)
+            } else if (!asType &&
+                !imps.exists(_.selectors.exists(s =>
+                  s.name != null && s.name != termNames.WILDCARD &&
+                    (if (s.rename != null) s.rename else s.name)
+                      .toString == n.toString)) &&
+                scala.util.Try(c.mirror.staticPackage("scala." + n)).isSuccess) {
+              // a scala.* SUB-PACKAGE referenced bare (`math.sqrt` — the
+              // reference's own stat.scala spelling): packages are not
+              // values, so the TERM-mode probe above cannot see them.
+              // Defaulting to the auto-imported scala._ binding is safe
+              // only when NO import selector names `n` (an imported
+              // package of the same name would outrank scala._ at the
+              // definition site and cannot be probed — those keep
+              // aborting with the fully-qualify guidance).
+              Some("_root_.scala." + n)
             } else fail(
               s"@lib def '${m.name}': free name '$n' is neither a member of " +
               s"${ownerCls.fullName}, nor covered by the defining file's " +
@@ -1586,7 +1654,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
       val b = Set.newBuilder[TermName]
       t.foreach { x =>
         sameObjectDefCall(x) match {
-          case Some(m) if returnsDataBag(m) && findUnitDefDef(m).isDefined =>
+          case Some(m) if spliceableLib(m) && findUnitDefDef(m).isDefined =>
             b += m.name.toTermName
           case _ => ()
         }
@@ -1671,7 +1739,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // the typed-side verified allowlist (shadow-tracked); QUALIFIED
         // cross-file @lib calls resolve symbol-verified inside inlineCallsU
         val hasLibGY = (gens.flatMap(_.guards.map(_.cond)) :+ tbody).exists(t =>
-          t.exists(x => libDefCallTyped(x).exists(returnsDataBag)))
+          t.exists(x => libDefCallTyped(x).exists(spliceableLib)))
         if (gbAllow.nonEmpty || hasLibGY) {
           val headHits = new InlineHits
           (ugens.flatMap(_.guards.map(_.cond)) :+ ubody).foreach { t =>
@@ -3139,6 +3207,110 @@ class ComprehensionMacro(val c: blackbox.Context) {
     lam(p, body)
   }
 
+  // ------------- scalar-val inlining in guard/yield positions (ANF-inverse)
+
+  /** The reference's Core/ANF normalization lets fold fusion and the
+    * global-fold hoist see THROUGH local `val` bindings (an inlined
+    * `stat.variance` binds `val means = mean(D)(xs)` before folding the
+    * bag again — emma-lib/.../stats/stat.scala:40-55; emma normalizes the
+    * whole program to Core, lang/core/Core.scala, so the binding is
+    * transparent there). The macro equivalent: when a guard or yield
+    * contains a Block-local scalar `val` whose rhs is BAG-FREE (after an
+    * earlier hoist round replaced its folds with driver locals) and whose
+    * value is read INSIDE a distributed-bag fold/quantifier anchor —
+    * poisoning that anchor's generator-independence — the val inlines
+    * into its occurrences (count-verified against the typed symbol
+    * counts; any disagreement declines) and the macro re-expands: the
+    * anchor is then independent and hoists, or correlates and derives.
+    * Bag-free-rhs inlining is plan-neutral for already-derivable shapes
+    * (no fold subtree changes), and the comprehension-calculus purity
+    * contract licenses the duplicated evaluation — the same premise as
+    * beta reduction's direct argument substitution. One val per pass;
+    * re-expansion iterates to a fixpoint. */
+  private def inlineScalarPositionVals(expr: Tree, gens: List[Gen],
+      tbody: Tree): Option[Tree] = {
+    val positionsT: List[Tree] = tbody :: gens.flatMap(_.guards.map(_.cond))
+    // does a distributed-bag-rooted fold/quantifier anchor in `p` read the
+    // val? (that read is exactly what blocks the anchor's hoist/derive)
+    def blockedAnchorUses(p: Tree, sym: Symbol): Boolean = {
+      var found = false
+      val trav = new Traverser {
+        override def traverse(t: Tree): Unit = t match {
+          case GlobalAnchor(recv) if isDataBag(recv) && uses(t, sym) =>
+            found = true
+          case _ => super.traverse(t)
+        }
+      }
+      trav.traverse(p)
+      found
+    }
+    // typed pick: first eligible val, position-major preorder; valIdx
+    // counts ALL ValDefs in preorder so the untyped twin pairs positionally
+    case class Pick(posIdx: Int, valIdx: Int, name: TermName, expect: Int)
+    var pick: Option[Pick] = None
+    for ((p, pi) <- positionsT.zipWithIndex if pick.isEmpty) {
+      var vi = -1
+      p.foreach {
+        case vd: ValDef =>
+          vi += 1
+          if (pick.isEmpty &&
+              !vd.mods.hasFlag(Flag.PARAM) && !vd.mods.hasFlag(Flag.LAZY) &&
+              !vd.mods.hasFlag(Flag.MUTABLE) && vd.rhs.nonEmpty &&
+              vd.symbol != null && vd.symbol != NoSymbol &&
+              !isDataBag(vd.rhs) &&
+              distributedValueRef(vd.rhs).isEmpty &&
+              !vd.rhs.exists(isLocalBagCtor) &&
+              blockedAnchorUses(p, vd.symbol)) {
+            val n = symRefCount(p, vd.symbol)
+            if (n > 0) pick = Some(Pick(pi, vi, vd.name, n))
+          }
+        case _ => ()
+      }
+    }
+    pick.flatMap { pk =>
+      val uexpr = c.untypecheck(expr)
+      flatten(uexpr).flatMap { case (ugens, ubody) =>
+        val positionsU: List[Tree] = ubody :: ugens.flatMap(_.guards.map(_.cond))
+        if (positionsU.length != positionsT.length) None
+        else {
+          val uPos = positionsU(pk.posIdx)
+          var vi = -1
+          var target: Option[ValDef] = None
+          uPos.foreach {
+            case vd: ValDef =>
+              vi += 1
+              if (vi == pk.valIdx && target.isEmpty) target = Some(vd)
+            case _ => ()
+          }
+          target.filter(_.name == pk.name).flatMap { uVal =>
+            // remove the val from its Block, then substitute name -> rhs
+            // in what remains (the rhs is gone with the stat, so no
+            // self-substitution is possible)
+            var removed = false
+            val rm = new Transformer {
+              override def transform(t: Tree): Tree = t match {
+                case b @ Block(stats, e) if !removed && stats.exists(_ eq uVal) =>
+                  removed = true
+                  val kept = stats.filterNot(_ eq uVal).map(transform)
+                  val ne = transform(e)
+                  if (kept.isEmpty) ne else treeCopy.Block(b, kept, ne)
+                case _ => super.transform(t)
+              }
+            }
+            val without = rm.transform(uPos)
+            if (!removed) None
+            else {
+              val (sub, cnt) = substFreeName(without, pk.name, uVal.rhs)
+              if (cnt != pk.expect) None
+              else Some(q"_root_.graft.api.comprehensions.onSpark(${
+                substituteTrees(uexpr, List((uPos, sub)))})")
+            }
+          }
+        }
+      }
+    }
+  }
+
   def onSpark[T: c.WeakTypeTag](expr: c.Tree): c.Tree = expandTop(expr)
 
   /** One full expansion pass over a TYPED tree — the body behind the
@@ -3229,6 +3401,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
         }
       case _ => ()
     }
+    // Block-local scalar vals (bag-free rhs) read inside a bag anchor
+    // inline so the anchor's independence becomes visible — the
+    // ANF-inverse the spliced stat.variance shape needs (method doc)
+    typedChain match {
+      case Some((gens, tbody)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
+        inlineScalarPositionVals(expr, gens, tbody) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
     // Group-PATTERN generators over groupBy bags desugar to plain-binder
     // lambdas reading .key/.values, then re-expand (so the fusion passes
     // below all apply to the pattern spelling too)
@@ -3292,7 +3475,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
         // OTHER distributed bag captured inside the yield is a guaranteed
         // executor-side crash — abort with guidance now
         val headFolds = collectFoldCalls(tbody,
-          t => foldPlanOf(symsEarly.flatten, t))
+          foldPlanAt(symsEarly.flatten, tbody))
         for (r <- distributedRefOutside(tbody,
             headFolds.collect { case (t, Some(_)) => t }))
           abortBagHead(r)
@@ -3573,7 +3756,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
             gens.head.guards.exists(g => distributedValueRef(g.cond).isDefined ||
               g.cond.exists(isLocalBagCtor))) =>
         val singleFolds = collectFoldCalls(tbody,
-          t => foldPlanOf(levelSyms(gens.head), t))
+          foldPlanAt(levelSyms(gens.head), tbody))
         for (r <- distributedRefOutside(tbody,
             singleFolds.collect { case (t, Some(_)) => t }))
           abortBagHead(r)

@@ -26,10 +26,13 @@ final class graftSrc(val src: String, val imports: String) extends StaticAnnotat
   *
   * Also accepted on a whole `object` (the reference's documented
   * spelling: `@emma.lib object stat`, emma-lib/.../lib/stats/stat.scala:22
-  * — every emma-lib module ships that way): each public concrete `def`
-  * member whose declared result type names DataBag (or is inferred) gets
-  * the same carrier; vals, inner objects, and private/scalar members are
-  * left untouched.
+  * — every emma-lib module ships that way): EVERY public concrete `def`
+  * member gets the carrier (vals, inner objects, and private members are
+  * left untouched). Which members actually inline is decided at the
+  * splice site: bag-RETURNING defs (join derivation) and scalar defs that
+  * CONSUME DataBag parameters (the reference's stat.mean shape — their
+  * folds then hoist/fuse); other scalar members keep an inert carrier and
+  * stay ordinary static calls.
   *
   * Constraints (enforced at the splice site, with guidance):
   *   - the def must be a member of a top-level (or nested-in-objects)
@@ -129,17 +132,22 @@ object libMacro {
       case (dd: DefDef) :: Nil =>
         addCarrier(dd, "")
       case (md @ ModuleDef(mods, name, Template(parents, self, body))) :: rest =>
-        // object-level spelling: carrier on each public concrete def whose
-        // declared result type names DataBag (or is inferred — the splice
-        // site's returnsDataBag check gates actual inlining, so an extra
-        // carrier on a scalar member is inert)
+        // object-level spelling: carrier on EVERY public concrete def —
+        // the reference's @emma.lib instruments every member the same way
+        // (compiler/lib/Lib.scala:49-51 matches any carrier-bearing
+        // DefCall), and since r14 the splice site also inlines SCALAR
+        // members that consume DataBag parameters (stat.mean-shaped bag
+        // consumers, emma-lib/.../stats/stat.scala:27-35); members that
+        // are neither bag-returning nor bag-consuming keep their carrier
+        // inert (the splice-site spliceableLib gate skips them). The old
+        // declared-result-type substring test also silently skipped
+        // members declaring their bag result through a type alias.
         def eligible(d: DefDef): Boolean =
           d.rhs.nonEmpty &&
           d.name != termNames.CONSTRUCTOR &&
           !d.mods.hasFlag(Flag.PRIVATE) && !d.mods.hasFlag(Flag.PROTECTED) &&
           !d.mods.hasFlag(Flag.SYNTHETIC) &&
-          d.mods.privateWithin == typeNames.EMPTY &&
-          (d.tpt.isEmpty || showCode(d.tpt).contains("DataBag"))
+          d.mods.privateWithin == typeNames.EMPTY
         val newBody = body.map {
           case d: DefDef if eligible(d) => addCarrier(d, s" in @lib object $name")
           case other => other

@@ -1755,15 +1755,22 @@ object SparkEntry {
       }
       // parity on a 1/10 corpus slice: the nested-Column path costs
       // O(words · merges), and BpeSpec already fuzzes per-word parity on
-      // arbitrary tables — the gate pins bit-exact agreement on real data
+      // arbitrary tables — the gate pins bit-exact agreement on real data.
+      // Both witnesses (parity + the distributed-train twin) are contract
+      // checks, not production work: under BenchMode.witnesses=off (bench
+      // only; Verify always runs them) they are skipped so a bench rep
+      // measures the production path — train + encodeFast + token counts
       val m50 = ms.take(50)
       val slice = corpus.where(col("doc_id") % 10 === 0)
-      val parity50 = chk(Bpe.encode(slice, m50)) == chk(Bpe.encodeFast(slice, m50))
+      val parity50 = !BenchMode.witnesses ||
+        chk(Bpe.encode(slice, m50)) == chk(Bpe.encodeFast(slice, m50))
       // localThreshold=0 forces the DISTRIBUTED loop: the twin witness must
       // exercise a different code path than trainLocal, or it's vacuous
-      val (mDist, _) = Bpe.train(corpus, numMerges = 8, localThreshold = 0)
-      val twinOk = mDist.orderBy("rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq == ms.take(8)
+      val twinOk = !BenchMode.witnesses || {
+        val (mDist, _) = Bpe.train(corpus, numMerges = 8, localThreshold = 0)
+        mDist.orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq == ms.take(8)
+      }
       Seq((tokensBefore, ms.length.toLong, parity50, tokensFast == tokensTrain,
         twinOk, tokensBefore - tokensFast >= 2L * ms.length))
         .toDF("tokens_before", "n_merges", "parity_50", "tokens_match",
@@ -2959,13 +2966,16 @@ object SparkEntry {
           .select("qid", "did").collect()
           .map(r => (r.getLong(0), r.getLong(1))).sorted
       val got = run(loaded)
-      val mem = run(idx)
+      // the in-memory twin probe is a persistence contract witness, not
+      // production work: skipped under BenchMode.witnesses=off (bench
+      // only; Verify always runs it)
+      val memOk = !BenchMode.witnesses || got.sameElements(run(idx))
       val gotSet = got.toSet
       val planted = (0L until 8L).flatMap(q => (1 to 3).map(j =>
         (q, 2000000L + q * 10 + j)))
       Seq((got.length.toLong,
           planted.forall(gotSet.contains),
-          got.sameElements(mem)))
+          memOk))
         .toDF("n_results", "all_planted_found", "loaded_matches_memory")
     }),
 
@@ -3899,6 +3909,63 @@ object SparkEntry {
           yield (cu.c_custkey, cu.c_name, o.o_orderkey)
       }
       res.ds.toDF("c_custkey", "c_name", "o_orderkey")
+    }),
+
+    // SCALAR-returning @lib def over a distributed bag (the reference's
+    // dominant library shape — stat.sum/mean are bag-CONSUMING scalar defs,
+    // emma-lib/.../stats/stat.scala:27-39, and Lib.expand inlines them like
+    // any other annotated def): dstat.meanL splices into the guard, its
+    // folds hoist into driver vals (SQL's uncorrelated scalar subquery),
+    // and the comprehension derives a plain pre-filter. Integer cents keep
+    // the mean exact (integer division), so the oracle matches bit-for-bit
+    "q252_scalar_lib" -> ((s, d) => {
+      import s.implicits._
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val cents = DataBag.from(tbl(s, d, "orders")
+        .select(expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("cents"))
+        .as[Long])
+      import graft.api.comprehensions.onSpark
+      val res = onSpark {
+        for { o <- orders
+              if (o.o_totalprice * 100 + 0.5).floor.toLong >
+                graft.lib.dstat.meanL(cents) }
+          yield (o.o_orderkey, o.o_custkey,
+            (o.o_totalprice * 100 + 0.5).floor.toLong)
+      }
+      res.ds.toDF("o_orderkey", "o_custkey", "price_cents")
+    }),
+
+    // The reference's stats PIPELINE as quoted code (the task-2 acceptance
+    // workload): a z-score feature pipeline calling @lib dstat.{meanL,
+    // stddevL} clones of emma-lib stat.{mean,stddev} — stddev's body binds
+    // `val mu = mean(xs)` before the second-pass fold, the exact shape the
+    // macro's ANF-inverse val inlining re-exposes. All first-pass moments
+    // hoist and FUSE to ONE foldAll job under the AutoCache scope; the
+    // squared-deviation pass is the second, irreducible job
+    // (StatsPipelineSpec plan-asserts the job counts). Exact arithmetic
+    // end-to-end: integer mean/variance, one IEEE sqrt and one division on
+    // bit-identical inputs — hash-matches DuckDB with no rounding slop
+    "q253_stats_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val cents = DataBag.from(tbl(s, d, "orders")
+        .select(expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("cents"))
+        .as[Long])
+      import graft.api.comprehensions.onSpark
+      val res = graft.api.AutoCache.scope { _ =>
+        onSpark {
+          for { o <- orders }
+            yield (o.o_orderkey,
+              (((o.o_totalprice * 100 + 0.5).floor.toLong -
+                  graft.lib.dstat.meanL(cents)).toDouble /
+                graft.lib.dstat.stddevL(cents) * 1000.0).floor.toLong)
+        }
+      }
+      res.ds.toDF("o_orderkey", "z_millis")
     }),
 
     // Streaming point-state maintenance: the SAME computation as q246 but
@@ -5941,7 +6008,32 @@ object SparkEntry {
       // join over the cents-floored price filter
       ("SELECT cu.c_custkey, cu.c_name, o.o_orderkey " +
         "FROM customer cu JOIN orders o ON o.o_custkey = cu.c_custkey " +
-        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) > 15000000")
+        "WHERE CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) > 15000000"),
+
+    "q252_scalar_lib" ->
+      // scalar @lib mean over the whole bag = the uncorrelated scalar
+      // subquery; integer-cents mean (floor division) is exact on both
+      // engines (DuckDB // is floor-div, Scala Long / truncates — equal
+      // for the non-negative sums here)
+      ("WITH m AS (SELECT SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) " +
+        "// COUNT(*) AS mu FROM orders) " +
+        "SELECT o_orderkey, o_custkey, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents " +
+        "FROM orders, m " +
+        "WHERE CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) > mu"),
+
+    "q253_stats_pipeline" ->
+      // z-score pipeline: integer mean + integer population variance
+      // (exact on both engines), ONE IEEE sqrt and ONE division on
+      // bit-identical inputs — no rounding slop needed anywhere
+      ("WITH c AS (SELECT o_orderkey, " +
+        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), " +
+        "m AS (SELECT SUM(cents) // COUNT(*) AS mu FROM c), " +
+        "v AS (SELECT SUM((cents - mu)*(cents - mu)) // COUNT(*) AS vr FROM c, m), " +
+        "s AS (SELECT sqrt(CAST(vr AS DOUBLE)) AS sd FROM v) " +
+        "SELECT c.o_orderkey, " +
+        "CAST(floor(CAST(cents - mu AS DOUBLE) / sd * 1000.0) AS BIGINT) AS z_millis " +
+        "FROM c, m, s")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -70,4 +70,29 @@ object CrossFileLibX {
     type A = Long
     for { y <- ys; if y._1 == k } yield y
   }
+
+  /** Mutually recursive SCALAR bag consumers (r14: scalar defs splice
+    * too) — the splice-time cycle check must abort exactly like the
+    * bag-returning [[ping]]/[[pong]] pair. */
+  @lib def pingS(xs: DataBag[Long]): Long = pongS(xs) + 1L
+
+  @lib def pongS(xs: DataBag[Long]): Long = pingS(xs) + 1L
+}
+
+/** Object-level `@lib` whose member declares its bag result through a
+  * TYPE ALIAS — the r13 eligibility test (`showCode(tpt)` contains
+  * "DataBag") silently skipped such members; since r14 every public
+  * concrete def carries the source and the splice site's resolved-type
+  * gate (returnsDataBag dealiases) decides. */
+@lib object AliasedOpsX {
+  type Rows = DataBag[(Long, Long)]
+
+  private implicit val tupEnc: Encoder[(Long, Long)] =
+    Encoders.product[(Long, Long)]
+
+  /** Row-dependent, so a quoted use MUST splice (a dependent non-ctor
+    * generator aborts without the carrier) — proving the alias-typed
+    * member got its carrier. */
+  def around(x: (Long, Long), ys: Rows): Rows =
+    for { y <- ys; if y._2 == x._2 } yield y
 }

@@ -1,0 +1,161 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.api.comprehensions.onSpark
+import graft.lib.dstat
+
+/** r14: SCALAR-returning `@lib` defs splice like bag-returning ones — the
+  * reference contract (`Lib.expand` inlines ANY annotated def,
+  * compiler/lib/Lib.scala:49-51; the shipped library is largely
+  * bag-CONSUMING scalar defs, emma-lib/.../stats/stat.scala:27-55).
+  * Covers: guard/head splicing of dstat members, the ANF-inverse
+  * val inlining that re-exposes `variance`'s val-bound mean, the fused
+  * two-pass z-score pipeline (q253's plan contract), correlated scalar
+  * consumption, the same-unit registry path, the alias-typed object-level
+  * carrier (ADVICE r13), and the retained aborts. */
+class StatsPipelineSpec extends AnyFlatSpec with Matchers {
+
+  implicit lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  behavior of "scalar-returning @lib defs"
+
+  it should "splice a scalar meanL into a guard and derive a plain pre-filter" in {
+    val vals = (1L to 100L).map(i => i * 3 % 97)
+    val xs = DataBag(vals)
+    val out = onSpark { for { x <- xs; if x > dstat.meanL(xs) } yield x }
+    val mu = vals.sum / vals.size
+    out.collect().sorted shouldBe vals.filter(_ > mu).sorted
+  }
+
+  it should "splice a scalar mean (Double) in the head; its folds hoist once" in {
+    val vals = (1L to 40L).map(i => (i * 7 % 23).toDouble)
+    val xs = DataBag(vals)
+    val out = onSpark { for { x <- xs } yield (x, x - dstat.mean(xs)) }
+    // integer-valued doubles: sums exact in any order, so mean is exact
+    val mu = vals.sum / vals.size
+    out.collect().sorted shouldBe vals.map(v => (v, v - mu)).sorted
+  }
+
+  it should "inline variance's val-bound mean (ANF-inverse) and match the two-pass value" in {
+    val vals = (1L to 50L).map(i => (i * 7 % 23).toDouble)
+    val xs = DataBag(vals)
+    val out = onSpark { for { x <- xs } yield (x, dstat.variance(xs)) }
+    val mu = vals.sum / vals.size
+    val expVar = vals.map(v => (v - mu) * (v - mu)).sum / vals.size
+    val got = out.collect()
+    got.length shouldBe vals.length
+    got.foreach { case (_, v) => v shouldBe (expVar +- 1e-9) }
+  }
+
+  it should "derive a CORRELATED scalar sumL over a keyed sub-bag (pre-aggregate + join)" in {
+    val xsv = 1L to 12L
+    val ysv = (1L to 60L).map(i => i % 25)
+    val xs = DataBag(xsv)
+    val ys = DataBag(ysv)
+    val out = onSpark {
+      for { x <- xs } yield (x, dstat.sumL(ys.withFilter(y => y % 5 == x % 5)))
+    }
+    val exp = xsv.map(x => (x, ysv.filter(y => y % 5 == x % 5).sum))
+    out.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "fuse the z-score pipeline's first-pass moments into ONE job (two passes total)" in {
+    // the q253 gate's shape: meanL + stddevL (whose body binds
+    // `val mu = meanL(xs)` before the second-pass fold). All first-pass
+    // folds (sum/size, duplicates included) queue under the AutoCache
+    // scope and execute as ONE fused foldAll; the squared-deviation pass
+    // is the second, irreducible job.
+    val seq = (1L to 400L).map(i => i * 31 % 1000)
+    val cents = DataBag(seq)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val _ = jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = AutoCache.scope { _ =>
+        onSpark {
+          for { c <- cents }
+            yield (c, ((c - dstat.meanL(cents)).toDouble /
+              dstat.stddevL(cents) * 1000.0).floor.toLong)
+        }
+      }
+      // listener events post asynchronously — wait for the count to settle
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      jobs.get() shouldBe 2 // pass 1: fused moments; pass 2: squared devs
+      val mu = seq.sum / seq.size
+      val vr = seq.map(c => (c - mu) * (c - mu)).sum / seq.size
+      val sd = math.sqrt(vr.toDouble)
+      val exp = seq.map(c => (c, ((c - mu).toDouble / sd * 1000.0).floor.toLong))
+      out.collect().sorted shouldBe exp.sorted
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  it should "splice a same-unit scalar helper with a bag parameter (registry path)" in {
+    def localMean(zs: DataBag[Long]): Long = zs.sum / zs.size
+    val vals = (1L to 30L).map(i => i * 11 % 19)
+    val xs = DataBag(vals)
+    val out = onSpark { for { x <- xs; if x > localMean(xs) } yield x }
+    val mu = vals.sum / vals.size
+    out.collect().sorted shouldBe vals.filter(_ > mu).sorted
+  }
+
+  it should "carry and splice an object-level member declaring its result through a type ALIAS" in {
+    val xsv = (1L to 20L).map(i => (i, i % 4))
+    val ysv = (1L to 40L).map(i => (i, i % 4))
+    val xs = DataBag(xsv)
+    val ys = DataBag(ysv)
+    // dependent generator: without the carrier this shape ABORTS, so a
+    // passing run proves the alias-typed member was instrumented
+    val out = onSpark {
+      for { x <- xs; y <- AliasedOpsX.around(x, ys) } yield (x._1, y._1)
+    }
+    val exp = for { x <- xsv; y <- ysv; if y._2 == x._2 } yield (x._1, y._1)
+    out.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "keep the cycle abort for mutually recursive SCALAR @lib defs" in {
+    """
+    val xs = graft.api.DataBag(Seq(1L, 2L))
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; if x > graft.api.CrossFileLibX.pingS(xs) } yield x
+    }
+    """ shouldNot compile
+  }
+
+  it should "abort a CORRELATED variance (val-bound mean over a correlated chain) with guidance" in {
+    // two-pass variance of a per-key sub-bag needs a groupBy, not a
+    // scalar splice: the spliced val's rhs still references the bag, the
+    // ANF-inverse declines (bag-free rhs only), and the head abort stands
+    """
+    val xs = graft.api.DataBag(1L to 5L)
+    val ys = graft.api.DataBag(1L to 5L)
+    graft.api.comprehensions.onSpark {
+      for { x <- xs }
+        yield (x, graft.lib.dstat.varianceL(ys.withFilter(y => y % 3 == x % 3)))
+    }
+    """ shouldNot compile
+  }
+
+  it should "leave a no-bag-param scalar @lib member as an ordinary static call" in {
+    // QuotedOps.cents carries a @graftSrc since r14 (every public member
+    // does) but is NOT spliceable (no bag parameter): the quote keeps
+    // compiling and the guard evaluates it per row as a plain call
+    val xsv = Seq(100.0, 250.0, 400.0)
+    val xs = DataBag(xsv)
+    val out = onSpark {
+      for { x <- xs; if graft.lib.QuotedOps.cents(x) > 20000L } yield x
+    }
+    out.collect().sorted shouldBe xsv.filter(v => (v * 100 + 0.5).floor.toLong > 20000L).sorted
+  }
+}

@@ -25,19 +25,26 @@ git worktree add --detach "$WT" "$REF"
 trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 cp src/main/scala/graft/Bench.scala "$WT/src/main/scala/graft/Bench.scala"
 
+# each bench writes into its OWN empty temp history dir — recovering "the
+# newest *.json" from the shared ab/ dir could pick a prior run's renamed
+# artifact under clock skew or a concurrent run
+REF_HIST=$(mktemp -d /tmp/ab_ref_hist.XXXXXX)
+CUR_HIST=$(mktemp -d /tmp/ab_cur_hist.XXXXXX)
+trap 'rm -rf "$REF_HIST" "$CUR_HIST"; git worktree remove --force "$WT" 2>/dev/null || true' EXIT
+
 echo "[ab] control bench: $REF (worktree $WT, current Bench.scala grafted)"
-( cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_HISTORY_DIR="$AB_DIR" \
+( cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_HISTORY_DIR="$REF_HIST" \
     sbt -batch "runMain graft.Bench" ) > "/tmp/ab_ref_${TS}.log" 2>&1 \
   || { echo "[ab] control bench FAILED — see /tmp/ab_ref_${TS}.log"; exit 1; }
-REF_ART=$(ls -t "$AB_DIR"/*.json | head -1)
+REF_ART=$(ls "$REF_HIST"/*.json | head -1)
 REF_OUT="$AB_DIR/ref_${REF}_${TS}.json"
 mv "$REF_ART" "$REF_OUT"
 
 echo "[ab] current-tree bench (back-to-back, same host window)"
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_HISTORY_DIR="$AB_DIR" \
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_HISTORY_DIR="$CUR_HIST" \
   sbt -batch "runMain graft.Bench" > "/tmp/ab_cur_${TS}.log" 2>&1 \
   || { echo "[ab] current bench FAILED — see /tmp/ab_cur_${TS}.log"; exit 1; }
-CUR_ART=$(ls -t "$AB_DIR"/*.json | head -1)
+CUR_ART=$(ls "$CUR_HIST"/*.json | head -1)
 CUR_OUT="$AB_DIR/cur_${TS}.json"
 mv "$CUR_ART" "$CUR_OUT"
 

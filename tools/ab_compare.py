@@ -35,8 +35,12 @@ def main() -> None:
     for r, q, ma, mb, la, lb, sa, sb in rows:
         print(f"{q:42s} {r:6.2f} {ma:8.3f} {mb:8.3f} "
               f"{la:5.1f} {lb:5.1f} {sa:6.3f} {sb:6.3f}")
-    tot_a = sum(qa[q]["min"] for q in shared if qa[q].get("ok"))
-    tot_b = sum(qb[q]["min"] for q in shared if qb[q].get("ok"))
+    # totals over BOTH-ok queries only — the same filter the per-query rows
+    # use, so a query that failed in exactly one run cannot skew the
+    # headline ratio relative to the row table
+    both = [q for q in shared if qa[q].get("ok") and qb[q].get("ok")]
+    tot_a = sum(qa[q]["min"] for q in both)
+    tot_b = sum(qb[q]["min"] for q in both)
     med = statistics.median(r[0] for r in rows) if rows else float("nan")
     print(f"\nshared={len(shared)} min_total ctl={tot_a:.1f}s cur={tot_b:.1f}s "
           f"ratio={tot_b / max(tot_a, 1e-9):.3f} per-query-median={med:.3f}")
