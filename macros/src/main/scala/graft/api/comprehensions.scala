@@ -93,15 +93,17 @@ import scala.reflect.macros.blackbox
   * `reduce`/`fold`/`sample`); without it the bag would ride an
   * executor-side closure — a guaranteed runtime crash.
   *
-  * HEAD NESTING (one level, the reference's Normalize.scala:44-52 UnnestGenerator
-  * applied to the most common shape users write): a yield whose body
-  * contains a nested comprehension over a literal `DataBag(seq)` — e.g.
-  * `yield (x, (for { w <- DataBag(1L to x) } yield w).sum)` — re-roots the
-  * inner comprehension onto the closure-safe [[LocalBag]] (whose ops and
-  * folds share the distributed bag's Alg algebras, so the value is
-  * identical) and runs it narrowly inside the map closure. A DISTRIBUTED
-  * bag captured in the yield aborts with guidance (it would crash on the
-  * executor).
+  * HEAD/GUARD NESTING at ANY depth (the reference's Normalize.scala:44-52
+  * fixpoint re-expressed for closure positions): a yield OR guard whose
+  * body contains nested comprehensions over literal `DataBag(seq)` ctors —
+  * e.g. `yield (x, (for { w <- DataBag(1L to x) } yield w).sum)`, the same
+  * fold in an `if`, or a depth-2 shape whose inner yield nests another
+  * literal-ctor comprehension — re-roots EVERY such ctor onto the
+  * closure-safe [[LocalBag]] (whose ops and folds share the distributed
+  * bag's Alg algebras, so the value is identical) and runs the whole
+  * nest narrowly inside the map/filter closure. A DISTRIBUTED bag
+  * captured in the yield or a guard still aborts with guidance (it would
+  * crash on the executor).
   *
   * Not derived (compile-time abort with guidance, never a silent
   * per-element job): dependent generators over a DISTRIBUTED bag (a later
@@ -2607,16 +2609,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
     acc
   }
 
-  /** HEAD NESTING (one level, the reference's most common
-    * Normalize.scala:44-52 shape): a yield whose body contains a nested
-    * comprehension over a literal `DataBag(seq)` — provably a local,
-    * per-element collection — re-rooted onto the closure-safe
+  /** HEAD/GUARD NESTING (the reference's Normalize.scala:44-52 fixpoint
+    * for closure positions, any depth): a yield or guard containing
+    * nested comprehensions over literal `DataBag(seq)` ctors — provably
+    * local, per-element collections — re-rooted onto the closure-safe
     * [[graft.api.LocalBag]], whose ops and folds share the distributed
-    * bag's Alg algebras, so the value is identical and the inner
-    * comprehension runs narrowly inside the map closure instead of
-    * crashing on a per-row SparkSession. Name-based on the untyped tree
-    * (symbols are gone after untypecheck); only applied when the TYPED
-    * body proved a literal ctor is present. */
+    * bag's Alg algebras, so the value is identical and the nest runs
+    * narrowly inside the map/filter closure instead of crashing on a
+    * per-row SparkSession. The transformer recurses, so a depth-2 inner
+    * yield's own ctor comprehension localizes in the same pass. Name-based
+    * on the untyped tree (symbols are gone after untypecheck); only
+    * applied when the TYPED body proved a literal ctor is present. */
   /** DataBag methods whose trailing implicit list is an Encoder — LocalBag's
     * twins take no such list, so the residual list the untypecheck keeps
     * must be dropped when the receiver chain is being localized. (Numeric/
@@ -3524,13 +3527,25 @@ class ComprehensionMacro(val c: blackbox.Context) {
               case (g, None) => guardFoldsOf(allGenSyms ++ guardSyms(g), g.cond)
             }
           }
-        // literal DataBag(seq) ctors count too: an underivable guard over
-        // one would otherwise compile the ctor into an executor-side
-        // closure (distributedValueRef only sees Ident/Select value refs)
+        // a GUARD whose condition comprehends over literal DataBag(seq)
+        // ctors — and references no other distributed bag — localizes onto
+        // LocalBag exactly like the yield (r14: the reference's Normalize
+        // treats every position alike; until now only the head localized
+        // and guards aborted). A REAL distributed reference still aborts.
+        val guardLocal: List[List[Option[Set[TermName]]]] =
+          gens.zip(semiPlans).zip(guardFoldPlans).map { case ((gen, sp), gf) =>
+            gen.guards.zip(sp).zip(gf).map {
+              case ((g, None), None)
+                  if g.cond.exists(isLocalBagCtor) &&
+                    distributedValueRef(g.cond).isEmpty =>
+                Some(ctorNamesIn(g.cond))
+              case _ => None
+            }
+          }
         for (((gen, plans), gfs) <- gens.zip(semiPlans).zip(guardFoldPlans);
              ((g, p), gf) <- gen.guards.zip(plans).zip(gfs)
              if p.isEmpty && gf.isEmpty;
-             r <- distributedValueRef(g.cond).orElse(g.cond.find(isLocalBagCtor)))
+             r <- distributedValueRef(g.cond))
           abortBagGuard(r)
         val depLocal: Set[Int] = gens.zipWithIndex.drop(1).collect {
           case (gen, i) if usesAny(gen.bag, syms.take(i).flatten) &&
@@ -3553,7 +3568,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
         }
         // rebuild from a single whole-expression untypecheck
         flatten(c.untypecheck(expr)) match {
-          case Some((ugens, ubody)) =>
+          case Some((ugens0, ubody)) =>
+            // localize ctor-comprehending guard conditions (decision matrix
+            // from the typed pass, applied positionally)
+            val ugens = ugens0.zipWithIndex.map { case (ug, gi) =>
+              val gl = guardLocal(gi)
+              if (gl.length != ug.guards.length || gl.forall(_.isEmpty)) ug
+              else ug.copy(guards = ug.guards.zip(gl).map {
+                case (gd, Some(names)) => gd.copy(cond = localizeHead(gd.cond, names))
+                case (gd, None) => gd
+              })
+            }
             val binders = ugens.map(g => Binder(g.v.name, g.pat))
             val head = ugens.head
             // level-1 guards reference only level 1: pre-filter the first
@@ -3767,14 +3792,31 @@ class ComprehensionMacro(val c: blackbox.Context) {
           case (g, None) =>
             guardFoldsOf(levelSyms(gens.head) ++ guardSyms(g), g.cond)
         }
+        // ctor-comprehending guards localize; real distributed refs abort
+        // (the multi-generator branch's r14 rule, single-generator twin)
+        val singleLocal: List[Option[Set[TermName]]] =
+          gens.head.guards.zip(singlePlans).zip(singleGF).map {
+            case ((g, None), None)
+                if g.cond.exists(isLocalBagCtor) &&
+                  distributedValueRef(g.cond).isEmpty =>
+              Some(ctorNamesIn(g.cond))
+            case _ => None
+          }
         for (((g, p), gf) <- gens.head.guards.zip(singlePlans).zip(singleGF)
              if p.isEmpty && gf.isEmpty;
-             r <- distributedValueRef(g.cond).orElse(g.cond.find(isLocalBagCtor)))
+             r <- distributedValueRef(g.cond))
           abortBagGuard(r)
         val singleHasCtor = tbody.exists(isLocalBagCtor)
         val singleCtorNames = ctorNamesIn(tbody)
         flatten(c.untypecheck(expr)) match {
-          case Some((List(g), ubody)) =>
+          case Some((List(g0), ubody)) =>
+            val g =
+              if (singleLocal.length != g0.guards.length ||
+                  singleLocal.forall(_.isEmpty)) g0
+              else g0.copy(guards = g0.guards.zip(singleLocal).map {
+                case (gd, Some(names)) => gd.copy(cond = localizeHead(gd.cond, names))
+                case (gd, None) => gd
+              })
             val first = g.guards.zip(singlePlans).zip(singleGF).foldLeft(g.bag) {
               case (acc, ((gd, Some(plan)), _)) =>
                 lowerSemi(acc, gd, plan, o => binderLam(gd.v.name, gd.pat, o))

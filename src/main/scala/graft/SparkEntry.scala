@@ -3968,6 +3968,32 @@ object SparkEntry {
       res.ds.toDF("o_orderkey", "z_millis")
     }),
 
+    // DEPTH-2 head nesting + a GUARD-position nested fold (r14: the
+    // reference's Normalize.scala:44-52 fixpoint generalized from q225's
+    // one-level head to ANY depth and to guard conditions): the guard
+    // folds a per-row literal bag (Σ 1..n > 6), and the yield's inner
+    // comprehension's OWN yield nests another literal-ctor comprehension
+    // (sum of triangulars). Both nests re-root onto LocalBag and run
+    // narrowly inside the filter/map closures; the oracle flattens the
+    // closed forms (n(n+1)/2 triangular, m(m+1)(m+2)/6 tetrahedral)
+    "q254_comprehension_deep_head" -> ((s, d) => {
+      import s.implicits._
+      import graft.api.comprehensions.onSpark
+      implicit val sp: SparkSession = s
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val res = onSpark {
+        for { o <- orders
+              if (for { w <- DataBag((1L to (o.o_orderkey % 7 + 1)).toSeq) }
+                yield w).sum > 6L }
+          yield (o.o_orderkey,
+            (for { w <- DataBag((1L to (o.o_orderkey % 5 + 1)).toSeq) }
+              yield (for { u <- DataBag((1L to w).toSeq) } yield u).sum).sum)
+      }
+      res.ds.toDF("o_orderkey", "tetra")
+    }),
+
     // Streaming point-state maintenance: the SAME computation as q246 but
     // arriving as micro-batches — each batch routes through
     // PointBag.updateBag inside foreachBatch (small batches touch only
@@ -6033,7 +6059,15 @@ object SparkEntry {
         "s AS (SELECT sqrt(CAST(vr AS DOUBLE)) AS sd FROM v) " +
         "SELECT c.o_orderkey, " +
         "CAST(floor(CAST(cents - mu AS DOUBLE) / sd * 1000.0) AS BIGINT) AS z_millis " +
-        "FROM c, m, s")
+        "FROM c, m, s"),
+
+    "q254_comprehension_deep_head" ->
+      // guard: triangular sum over n = k%7+1 exceeds 6; head: sum of
+      // triangulars 1..m = tetrahedral m(m+1)(m+2)/6 with m = k%5+1
+      ("WITH t AS (SELECT o_orderkey, o_orderkey % 7 + 1 AS n, " +
+        "o_orderkey % 5 + 1 AS m FROM orders) " +
+        "SELECT o_orderkey, (m*(m+1)*(m+2))//6 AS tetra FROM t " +
+        "WHERE n*(n+1) > 12")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

@@ -384,6 +384,74 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     out.collect().sorted shouldBe seqRef.sorted
   }
 
+  it should "localize DEPTH-2 head nesting (inner yield nests another ctor comprehension)" in {
+    // r14: the reference's Normalize fixpoint shape — the nested head
+    // comprehension's own yield comprehends over another literal ctor;
+    // the localizer recurses, so the whole nest runs inside the closure
+    val xs = bagL(1L to 6L)
+    val out = onSpark {
+      for { x <- xs; if x % 2 == 0 }
+        yield (x, (for { w <- DataBag(1L to x) }
+          yield (for { u <- DataBag(1L to w) } yield u * 2).sum).sum)
+    }
+    val seqRef = for { x <- 1L to 6L; if x % 2 == 0 }
+      yield (x, (for { w <- 1L to x }
+        yield (for { u <- 1L to w } yield u * 2).sum).sum)
+    out.collect().sorted shouldBe seqRef.sorted
+  }
+
+  it should "localize a GUARD-position nested ctor comprehension fold (r14)" in {
+    // guards comprehending over literal ctors used to abort; they now
+    // localize exactly like the yield (Normalize treats positions alike)
+    val xs = bagL(1L to 8L)
+    val out = onSpark {
+      for { x <- xs; if (for { w <- DataBag(1L to x) } yield w).sum > 6L }
+        yield x
+    }
+    out.collect().sorted shouldBe (1L to 8L).filter(x => (1L to x).sum > 6L).sorted
+  }
+
+  it should "localize a dependent-ctor EXISTS guard (not semi-joinable: the bag is per-row)" in {
+    val xs = bagL(1L to 9L)
+    val out = onSpark {
+      for { x <- xs; if DataBag(Seq(x, x + 1L)).exists(w => w % 3 == 0) } yield x
+    }
+    out.collect().sorted shouldBe
+      (1L to 9L).filter(x => Seq(x, x + 1L).exists(w => w % 3 == 0)).sorted
+  }
+
+  it should "localize guard-position ctor folds at level >= 2 of a multi-generator chain" in {
+    val xs = bagL(1L to 6L)
+    val ys = bagL(1L to 6L)
+    val out = onSpark {
+      for { x <- xs; y <- ys; if x % 3 == y % 3
+            if (for { w <- DataBag(1L to (x + y)) } yield w).size > 7L }
+        yield (x, y)
+    }
+    val seqRef = for { x <- 1L to 6L; y <- 1L to 6L; if x % 3 == y % 3
+        if (1L to (x + y)).size > 7 } yield (x, y)
+    out.collect().sorted shouldBe seqRef.sorted
+    // the equi join is still planned (localization must not demote it)
+    val plan = out.toDF.queryExecution.executedPlan.toString
+    plan should not include regex("(?i)cartesian")
+  }
+
+  it should "still abort a guard that references a DISTRIBUTED bag beside a ctor" in {
+    // the inequality-correlated fold is underivable AND unhoistable, so
+    // the distributed reference must keep aborting even though the ctor
+    // half of the guard is localizable
+    """
+    val xs = bagL(1L to 5L)
+    val ys = bagL(1L to 5L)
+    onSpark {
+      for { x <- xs
+            if (for { w <- DataBag(1L to x) } yield w).sum >
+              ys.withFilter(y => y < x).size }
+        yield x
+    }
+    """ shouldNot compile
+  }
+
   it should "localize a nested head written through a RENAMED DataBag import" in {
     // the typed tree proves ctor-ness by SYMBOL but the untyped rewriter
     // matches by NAME — a renamed companion import must still be rewritten
@@ -1088,7 +1156,7 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     r.collect().sorted shouldBe seqRef.sorted
   }
 
-  it should "reject multi-inequality forall and ctor-bag guards at compile time" in {
+  it should "reject multi-inequality forall guards; ctor-bag guards localize (r14)" in {
     // forall over a conjunction of inequalities is TWO anti joins, not one
     // composite-key anti join — deriving it would silently keep rows
     """
@@ -1096,12 +1164,14 @@ class ComprehensionSpec extends AnyFlatSpec with Matchers {
     val pairs = DataBag(Seq((1L, 2L)))
     onSpark { for { x <- xs; if pairs.forall(p => p._1 != x && p._2 != x + 1) } yield x }
     """ shouldNot compile
-    // a literal DataBag(seq) ctor in an underivable guard would compile
-    // into an executor-side closure and crash at runtime — abort instead
-    """
+    // a literal DataBag(seq) ctor in an un-semi-joinable guard no longer
+    // aborts: it re-roots onto LocalBag and evaluates per row (r14's
+    // guard-position Normalize), with Seq-identical semantics
     val xs = bagL(1L to 5L)
-    onSpark { for { x <- xs; if DataBag(Seq(1L, 2L)).exists(w => w > x) } yield x }
-    """ shouldNot compile
+    val loc = onSpark {
+      for { x <- xs; if DataBag(Seq(1L, 2L)).exists(w => w > x) } yield x
+    }
+    loc.collect().sorted shouldBe (1L to 5L).filter(x => Seq(1L, 2L).exists(_ > x)).sorted
   }
 
   it should "reject underivable distributed-bag guards at compile time" in {
