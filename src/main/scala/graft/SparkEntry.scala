@@ -3952,17 +3952,22 @@ object SparkEntry {
       val orders = DataBag.from(tbl(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .as[OrderRow])
-      val cents = DataBag.from(tbl(s, d, "orders")
-        .select(expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("cents"))
+      // WHOLE-DOLLAR units: the integer second-pass sum of squared
+      // deviations stays far inside Long through sf10 (cents squared
+      // overflowed the guarded Sum algebra at sf0.1 — dev^2 ~ 1.6e15 over
+      // 150k rows); floor of the double price is exact and identical on
+      // both engines
+      val dollars = DataBag.from(tbl(s, d, "orders")
+        .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("dollars"))
         .as[Long])
       import graft.api.comprehensions.onSpark
       val res = graft.api.AutoCache.scope { _ =>
         onSpark {
           for { o <- orders }
             yield (o.o_orderkey,
-              (((o.o_totalprice * 100 + 0.5).floor.toLong -
-                  graft.lib.dstat.meanL(cents)).toDouble /
-                graft.lib.dstat.stddevL(cents) * 1000.0).floor.toLong)
+              ((o.o_totalprice.floor.toLong -
+                  graft.lib.dstat.meanL(dollars)).toDouble /
+                graft.lib.dstat.stddevL(dollars) * 1000.0).floor.toLong)
         }
       }
       res.ds.toDF("o_orderkey", "z_millis")
@@ -6049,16 +6054,17 @@ object SparkEntry {
         "WHERE CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) > mu"),
 
     "q253_stats_pipeline" ->
-      // z-score pipeline: integer mean + integer population variance
-      // (exact on both engines), ONE IEEE sqrt and ONE division on
-      // bit-identical inputs — no rounding slop needed anywhere
+      // z-score pipeline: integer mean + integer population variance in
+      // whole dollars (exact on both engines, overflow-safe through
+      // sf10), ONE IEEE sqrt and ONE division on bit-identical inputs —
+      // no rounding slop needed anywhere
       ("WITH c AS (SELECT o_orderkey, " +
-        "CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), " +
-        "m AS (SELECT SUM(cents) // COUNT(*) AS mu FROM c), " +
-        "v AS (SELECT SUM((cents - mu)*(cents - mu)) // COUNT(*) AS vr FROM c, m), " +
+        "CAST(floor(o_totalprice) AS BIGINT) AS dollars FROM orders), " +
+        "m AS (SELECT SUM(dollars) // COUNT(*) AS mu FROM c), " +
+        "v AS (SELECT SUM((dollars - mu)*(dollars - mu)) // COUNT(*) AS vr FROM c, m), " +
         "s AS (SELECT sqrt(CAST(vr AS DOUBLE)) AS sd FROM v) " +
         "SELECT c.o_orderkey, " +
-        "CAST(floor(CAST(cents - mu AS DOUBLE) / sd * 1000.0) AS BIGINT) AS z_millis " +
+        "CAST(floor(CAST(dollars - mu AS DOUBLE) / sd * 1000.0) AS BIGINT) AS z_millis " +
         "FROM c, m, s"),
 
     "q254_comprehension_deep_head" ->
