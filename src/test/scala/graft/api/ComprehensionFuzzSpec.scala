@@ -247,6 +247,33 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
         val e16 = for { x <- xpSeq; y <- ypSeq; if y._1 == x._2 }
           yield (x._1, y._1)
         r16.collect().sorted shouldBe e16.sorted
+
+        // SCALAR @lib spelling (r14 shape; ref Lib.expand inlines scalar
+        // bag consumers — stat.scala:27-39): meanL splices into the guard
+        // and its folds hoist (uncorrelated scalar subquery); sumL over a
+        // keyed sub-bag splices in the head and derives the correlated
+        // pre-aggregate + join, with the fuzz-varied modulus in the key
+        val r17 = onSpark {
+          for { x <- xs; if x > graft.lib.dstat.meanL(zs) }
+            yield (x, graft.lib.dstat.sumL(ys.withFilter(y => y % m == x % m)))
+        }
+        val zMu = if (zsSeq.isEmpty) 0L else zsSeq.sum / zsSeq.size
+        val e17 = for { x <- xsSeq; if x > zMu }
+          yield (x, ysSeq.filter(y => y % m == x % m).sum)
+        r17.collect().sorted shouldBe e17.sorted
+
+        // GUARD-localized ctor nesting (r14 shape; ref Normalize treats
+        // every position alike): the guard folds a per-row literal bag
+        // with the fuzz-varied threshold; the head nests depth-2
+        val r18 = onSpark {
+          for { x <- xs; if (for { w <- DataBag(0L to (x % 4)) } yield w).size > t % 3 }
+            yield (x, (for { w <- DataBag(1L to (x % 3 + 1)) }
+              yield (for { u <- DataBag(1L to w) } yield u).sum).sum)
+        }
+        val e18 = for { x <- xsSeq; if (0L to (x % 4)).size > t % 3 }
+          yield (x, (for { w <- 1L to (x % 3 + 1) }
+            yield (1L to w).sum).sum)
+        r18.collect().sorted shouldBe e18.sorted
       }
     }
   }
