@@ -1421,6 +1421,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
                   s.name != null && s.name != termNames.WILDCARD &&
                     (if (s.rename != null) s.rename else s.name)
                       .toString == n.toString)) &&
+                scala.util.Try(c.mirror.staticPackage(n.toString)).isSuccess) {
+              // root of a fully-qualified path whose package Ident does
+              // not typecheck as a TERM (packages are not values — the
+              // probe above sees only the cases the typer special-cases):
+              // a TOP-LEVEL package name is global, pin to _root_
+              Some("_root_." + n)
+            } else if (!asType &&
+                !imps.exists(_.selectors.exists(s =>
+                  s.name != null && s.name != termNames.WILDCARD &&
+                    (if (s.rename != null) s.rename else s.name)
+                      .toString == n.toString)) &&
                 scala.util.Try(c.mirror.staticPackage("scala." + n)).isSuccess) {
               // a scala.* SUB-PACKAGE referenced bare (`math.sqrt` — the
               // reference's own stat.scala spelling): packages are not

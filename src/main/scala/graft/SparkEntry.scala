@@ -3999,6 +3999,40 @@ object SparkEntry {
       res.ds.toDF("o_orderkey", "tetra")
     }),
 
+    // The reference's VECTOR stats module (stat over DVector,
+    // emma-lib/.../stats/stat.scala:23-67 + the salg.scala monoids) as
+    // quoted code: graft.lib.vstat's members are scalar/array-returning
+    // bag CONSUMERS folding graft.lib.valg's componentwise vector-sum/
+    // min/max algebras over EXACT micro-unit vectors. The quoted per-dim
+    // projection splices all four members; their fold/size anchors hoist
+    // and fuse under the AutoCache scope (sum/min/max/count in ONE
+    // foldAll pass), and variance's `val mu = mean(d)(xs)` two-pass shape
+    // derives through the ANF-inverse val inlining — mirroring the
+    // reference's Core + FoldForestFusion chain. Floor-division means
+    // match DuckDB's // on negative sums (Math.floorDiv)
+    "q255_vector_stats" -> ((s, d) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val vecs = DataBag.from(tbl(s, d, "embeddings")
+        .select(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("micros"))
+        .as[Array[Long]])
+      val dims = DataBag((0L until 64L).toSeq)
+      import graft.api.comprehensions.onSpark
+      val res = graft.api.AutoCache.scope { _ =>
+        onSpark {
+          for { i <- dims }
+            yield (i,
+              graft.lib.vstat.mean(64)(vecs)(i.toInt),
+              graft.lib.vstat.variance(64)(vecs)(i.toInt),
+              graft.lib.vstat.min(64)(vecs)(i.toInt),
+              graft.lib.vstat.max(64)(vecs)(i.toInt))
+        }
+      }
+      res.ds.toDF("dim", "mean_micros", "var_micros", "min_micros", "max_micros")
+    }),
+
     // Streaming point-state maintenance: the SAME computation as q246 but
     // arriving as micro-batches — each batch routes through
     // PointBag.updateBag inside foreachBatch (small batches touch only
@@ -6073,7 +6107,22 @@ object SparkEntry {
       ("WITH t AS (SELECT o_orderkey, o_orderkey % 7 + 1 AS n, " +
         "o_orderkey % 5 + 1 AS m FROM orders) " +
         "SELECT o_orderkey, (m*(m+1)*(m+2))//6 AS tetra FROM t " +
-        "WHERE n*(n+1) > 12")
+        "WHERE n*(n+1) > 12"),
+
+    "q255_vector_stats" ->
+      // per-dim integer mean (floor-div — matches Math.floorDiv on
+      // negative sums), two-pass population variance, min, max over
+      // micro-unit embeddings; SUM casts guard DuckDB's HUGEINT widening
+      ("WITH e AS (SELECT unnest(embedding) AS x, " +
+        "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim FROM embeddings), " +
+        "mi AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS v FROM e), " +
+        "a AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n, " +
+        "MIN(v) AS mn, MAX(v) AS mx FROM mi GROUP BY 1), " +
+        "mu AS (SELECT dim, CAST(s // n AS BIGINT) AS mu, n, mn, mx FROM a) " +
+        "SELECT mi.dim AS dim, ANY_VALUE(mu.mu) AS mean_micros, " +
+        "CAST(CAST(SUM((mi.v - mu.mu)*(mi.v - mu.mu)) AS BIGINT) // ANY_VALUE(mu.n) AS BIGINT) AS var_micros, " +
+        "ANY_VALUE(mu.mn) AS min_micros, ANY_VALUE(mu.mx) AS max_micros " +
+        "FROM mi JOIN mu ON mi.dim = mu.dim GROUP BY mi.dim")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

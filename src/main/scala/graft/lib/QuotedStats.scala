@@ -68,3 +68,91 @@ import graft.api._
   /** One IEEE sqrt of an exact integer — bit-identical in any engine. */
   def stddevL(xs: DataBag[Long]): Double = math.sqrt(varianceL(xs).toDouble)
 }
+
+/** The reference's DVector statistics ALGEBRAS (`salg.scala:31-48` —
+  * componentwise vector monoids consumed by `stat.sum/min/max` through
+  * `xs.fold(salg.Sum(D))`), re-expressed over EXACT micro-unit vectors:
+  * `Array[Long]` keeps every componentwise sum parallel-order-free, so a
+  * quoted vector-stats pipeline hash-matches an engine-independent
+  * oracle (the reference's `DVector` doubles would drift with partition
+  * order). Overflow raises (Math.addExact) like the scalar Sum algebra. */
+object valg {
+
+  /** Componentwise vector sum — the `salg.Sum(D)` monoid. */
+  final case class VSum(d: Int) extends graft.api.alg.Alg[Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.ofDim[Long](d)
+    def init(x: Array[Long]): Array[Long] = x
+    def plus(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = Array.ofDim[Long](d)
+      var i = 0
+      while (i < d) { out(i) = Math.addExact(a(i), b(i)); i += 1 }
+      out
+    }
+  }
+
+  /** Componentwise minimum — `salg.Min(D)`. */
+  final case class VMin(d: Int) extends graft.api.alg.Alg[Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(d)(Long.MaxValue)
+    def init(x: Array[Long]): Array[Long] = x
+    def plus(a: Array[Long], b: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => math.min(a(i), b(i)))
+  }
+
+  /** Componentwise maximum — `salg.Max(D)`. */
+  final case class VMax(d: Int) extends graft.api.alg.Alg[Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.fill(d)(Long.MinValue)
+    def init(x: Array[Long]): Array[Long] = x
+    def plus(a: Array[Long], b: Array[Long]): Array[Long] =
+      Array.tabulate(d)(i => math.max(a(i), b(i)))
+  }
+}
+
+/** The reference's VECTOR statistics module — `@emma.lib object stat`
+  * over `DVector` (emma-lib/.../stats/stat.scala:23-67: `sum(D)(xs) =
+  * xs.fold(salg.Sum(D))`, `mean = sum * (1/count)`, two-pass
+  * `variance`) — re-expressed over exact micro-unit vectors. Every
+  * member is a SCALAR-or-array-returning bag consumer: quoted calls
+  * splice, their `fold`/`size` anchors hoist (fusing under an
+  * AutoCache scope), and `variance`'s `val mu = mean(d)(xs)` binding
+  * inlines through the ANF-inverse pass once its folds are hoisted —
+  * the same derivation chain as the reference's Core normalization +
+  * FoldForestFusion. Integer division truncates toward zero on BOTH
+  * engines (Scala `/` and DuckDB's integer `//` — measured: -7//2 = -3
+  * there), so negative-sum dims divide identically. */
+@lib object vstat {
+
+  // encoder for the members' OWN (standalone) compilation only; splice
+  // sites re-resolve implicits in their own scope
+  private implicit val vecEnc: org.apache.spark.sql.Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  def count(xs: DataBag[Array[Long]]): Long = xs.size
+
+  def sum(d: Int)(xs: DataBag[Array[Long]]): Array[Long] =
+    xs.fold(graft.lib.valg.VSum(d))
+
+  def min(d: Int)(xs: DataBag[Array[Long]]): Array[Long] =
+    xs.fold(graft.lib.valg.VMin(d))
+
+  def max(d: Int)(xs: DataBag[Array[Long]]): Array[Long] =
+    xs.fold(graft.lib.valg.VMax(d))
+
+  /** Componentwise integer mean (exact; truncating division — the
+    * semantics DuckDB's integer `//` shares). */
+  def mean(d: Int)(xs: DataBag[Array[Long]]): Array[Long] = {
+    val s = sum(d)(xs)
+    val n = count(xs)
+    Array.tabulate(d)(i => s(i) / n)
+  }
+
+  /** Two-pass componentwise population variance — the reference's shape
+    * (stat.scala:40-55: mean binds to a local val, then the squared
+    * deviations fold through the same vector-sum monoid). */
+  def variance(d: Int)(xs: DataBag[Array[Long]]): Array[Long] = {
+    val mu = mean(d)(xs)
+    val s2 = xs.map(x => Array.tabulate(d)(i =>
+      (x(i) - mu(i)) * (x(i) - mu(i)))).fold(graft.lib.valg.VSum(d))
+    val n = count(xs)
+    Array.tabulate(d)(i => s2(i) / n)
+  }
+}

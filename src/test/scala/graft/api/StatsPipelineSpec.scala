@@ -147,6 +147,28 @@ class StatsPipelineSpec extends AnyFlatSpec with Matchers {
     """ shouldNot compile
   }
 
+  it should "splice the VECTOR stats module (salg monoids) componentwise-exactly" in {
+    import graft.lib.vstat
+    // dim 1 sums to -7: a negative, non-divisible sum discriminates
+    // truncating division (Scala / and DuckDB integer //: -7/4 = -1)
+    // from floor division (-2)
+    val data = Seq(Array(1L, -5L, 3L), Array(2L, -9L, 9L),
+      Array(-4L, 6L, 0L), Array(5L, 1L, -3L))
+    val xs = DataBag(data)
+    val out = onSpark {
+      for { i <- DataBag((0L until 3L).toSeq) }
+        yield (i, vstat.mean(3)(xs)(i.toInt), vstat.variance(3)(xs)(i.toInt),
+          vstat.min(3)(xs)(i.toInt), vstat.max(3)(xs)(i.toInt))
+    }
+    val exp = (0 until 3).map { i =>
+      val col = data.map(_(i))
+      val mu = col.sum / col.size
+      val vr = col.map(v => (v - mu) * (v - mu)).sum / col.size
+      (i.toLong, mu, vr, col.min, col.max)
+    }
+    out.collect().sorted shouldBe exp.sorted
+  }
+
   it should "leave a no-bag-param scalar @lib member as an ordinary static call" in {
     // QuotedOps.cents carries a @graftSrc since r14 (every public member
     // does) but is NOT spliceable (no bag parameter): the quote keeps
