@@ -24,6 +24,11 @@ mkdir -p "$AB_DIR"
 git worktree add --detach "$WT" "$REF"
 trap 'git worktree remove --force "$WT" 2>/dev/null || true' EXIT
 cp src/main/scala/graft/Bench.scala "$WT/src/main/scala/graft/Bench.scala"
+# Bench's companions travel with it (BenchMode since r14): grafting them
+# into an older control tree is inert — old gates never read the flags —
+# so measurement parity is preserved
+[ -f src/main/scala/graft/BenchMode.scala ] && \
+  cp src/main/scala/graft/BenchMode.scala "$WT/src/main/scala/graft/BenchMode.scala"
 
 # each bench writes into its OWN empty temp history dir — recovering "the
 # newest *.json" from the shared ab/ dir could pick a prior run's renamed
