@@ -761,7 +761,20 @@ class ComprehensionMacro(val c: blackbox.Context) {
     val reads = names.toList.zip(deferable).collect { case (n, true) =>
       q"val $n = ${TermName(n.toString + "$h")}.apply()"
     }
-    Some(q"{ ..$handles; ..$reads; _root_.graft.api.comprehensions.onSpark($rewritten) }")
+    val block = q"{ ..$handles; ..$reads; _root_.graft.api.comprehensions.onSpark($rewritten) }"
+    // The reference runs fold-fusion unconditionally (SparkCompiler.scala:
+    // 36-39 pipelines foldForestFusion + addCacheCalls on every quoted
+    // program); mirror that by self-establishing the fusion scope around
+    // the hoist block whenever a fold-routed spelling hoisted. At runtime
+    // `scopeIfInactive` is a pass-through inside an existing scope, so an
+    // explicit user `AutoCache.scope` (or an enclosing expansion's own
+    // wrapper) still owns the batch/memo state and composes across sibling
+    // pipelines; only a BARE pipeline gains the scope — and with it the
+    // one-fused-foldAll plan instead of one job per hoisted fold.
+    Some(
+      if (deferable.contains(true))
+        q"_root_.graft.api.AutoCache.scopeIfInactive($block)"
+      else block)
   }
 
   // ------------------- same-object helper-def inlining (reference Lib.expand)
@@ -883,15 +896,22 @@ class ComprehensionMacro(val c: blackbox.Context) {
     peel(t, Nil)
   }
 
-  /** Fresh-rename every lambda parameter in an UNTYPED spliced body so a
-    * helper-internal binder can never collide with a binder at the splice
-    * site — the unnester requires distinct generator names (the reference's
-    * betaReduce renames every non-parameter binding the same way,
-    * Lib.scala bndDefsSubstSeq). A rename that would mis-capture (inner
-    * shadowing poisons the substitution) leaves that lambda's own names in
-    * place — a residual collision then surfaces as the derivation abort,
-    * never a silent mis-binding. */
+  /** Fresh-rename every lambda parameter AND every plain block-local
+    * `val` in an UNTYPED spliced body so a helper-internal binder can
+    * never collide with a binder at the splice site — or with ITS OWN
+    * TWIN from another splice of the same helper (two spliced copies of
+    * `variance`'s `val mu = ...` body in one yield otherwise bind the
+    * same name, and the second binder poisons the ANF-inverse pass's
+    * count-verified substitution, r15). The reference's betaReduce
+    * renames every non-parameter binding the same way (Lib.scala
+    * bndDefsSubstSeq). A rename that would mis-capture (inner shadowing
+    * poisons the substitution) leaves that binding's own name in place —
+    * a residual collision then surfaces as the derivation abort, never a
+    * silent mis-binding. */
   private def alphaRenameBinders(t: Tree): Tree = {
+    def plainVal(vd: ValDef): Boolean =
+      !vd.mods.hasFlag(Flag.PARAM) && !vd.mods.hasFlag(Flag.MUTABLE) &&
+        !vd.mods.hasFlag(Flag.LAZY) && vd.rhs.nonEmpty
     val tr = new Transformer {
       override def transform(x: Tree): Tree = x match {
         case fn @ Function(params, body) =>
@@ -908,6 +928,40 @@ class ComprehensionMacro(val c: blackbox.Context) {
           }
           if (!ok) super.transform(fn)
           else treeCopy.Function(fn, nps, transform(b))
+        case blk @ Block(stats, _)
+            if stats.exists { case vd: ValDef => plainVal(vd); case _ => false } =>
+          // rename each plain val and substitute the fresh name through
+          // the REMAINDER of the block (later stats + result expr) — one
+          // sequential pass, declining the rest on any poisoned
+          // substitution; then recurse into the rewritten block's children
+          // (super.transform never re-matches the block node itself)
+          var rest: List[Tree] = blk.children
+          val out = scala.collection.mutable.ListBuffer.empty[Tree]
+          var ok = true
+          while (rest.nonEmpty) {
+            rest.head match {
+              case vd: ValDef if ok && plainVal(vd) =>
+                val f = TermName(c.freshName(vd.name.toString))
+                var good = true
+                val subbed = rest.tail.map { s =>
+                  if (!good) s
+                  else {
+                    val (ns, cnt) = substFreeName(s, vd.name, Ident(f))
+                    if (cnt < 0) { good = false; s } else ns
+                  }
+                }
+                if (!good) { ok = false; out += vd; rest = rest.tail }
+                else {
+                  out += ValDef(vd.mods, f, vd.tpt, vd.rhs)
+                  rest = subbed
+                }
+              case other =>
+                out += other
+                rest = rest.tail
+            }
+          }
+          val all = out.toList
+          super.transform(treeCopy.Block(blk, all.init, all.last))
         case _ => super.transform(x)
       }
     }
@@ -966,6 +1020,26 @@ class ComprehensionMacro(val c: blackbox.Context) {
         s"${clash.mkString(", ")} whose name collides with a binder at the " +
         "splice site — not inlined (the spliced reference would re-resolve " +
         "to the binder); rename the local or the binder")
+    // HIGHER-ORDER parameters over bags — the reference's summarize shape
+    // (summarize.scala:22-67, function-valued statistic params applied to
+    // the bag inside the body): the argument must be a function LITERAL
+    // (an explicit lambda, or what eta-expansion / auto-eta of an @lib
+    // member leaves after untypecheck) so the application beta-reduces
+    // below and the statistic's folds reach the hoist/fusion machinery.
+    // An OPAQUE runtime function value cannot splice — its application to
+    // the distributed bag would ride the emitted closure — so it aborts
+    // with guidance (the reference's Lib.expand has the whole lambda in
+    // its IR and never faces this case).
+    params.zip(args).foreach { case (p, a) =>
+      if (fnParamOverBag(p) && stripFnLiteral(a).isEmpty)
+        c.abort(c.enclosingPosition,
+          s"onSpark: helper def '${dd.name}' takes the function-valued " +
+          s"parameter '${p.name}' over a DataBag, and the argument is an " +
+          "opaque runtime value — pass a function literal (`zs => ...`) or " +
+          "an (eta-expanded) @lib member (`dstat.meanL _`) so the " +
+          "statistic can inline and its folds fuse; an opaque function " +
+          "applied to a distributed bag inside the quote cannot derive")
+    }
     // arguments substitute DIRECTLY for their parameters (no prefix vals: a
     // Block-wrapped bag would defeat the unnester downstream). Evaluation
     // moves from call-time to use-time and duplicates per occurrence — the
@@ -994,9 +1068,84 @@ class ComprehensionMacro(val c: blackbox.Context) {
       val (nb, _) = substFreeName(body, f, a)
       body = nb
     }
+    // immediate applications of substituted function literals reduce NOW,
+    // before nested-call inlining: `s1(xs)` with a lambda substituted for
+    // `s1` becomes the lambda body over `xs`, whose own @lib calls then
+    // inline in the same pass (the reference's Lib.expand beta reduction)
+    body = betaReduceLiteralApps(body)
     dropIdentityMaps(inlineCallsU(body, sym :: trace,
       spliceBound = spliceBound ++ boundNamesIn(body),
       bareRegistry = bareRegistry))
+  }
+
+  /** A function LITERAL under the wrappers the typer/untypecheck leave on
+    * eta-expansions and ascriptions: `f _` untypechecks to a (possibly
+    * Block- or Typed-wrapped) `Function`, auto-eta of a method value
+    * likewise. Returns the literal when the tree is one. */
+  @annotation.tailrec
+  private def stripFnLiteral(t: Tree): Option[Function] = t match {
+    case f: Function => Some(f)
+    case Typed(inner, _) => stripFnLiteral(inner)
+    case Block(Nil, inner) => stripFnLiteral(inner)
+    case _ => None
+  }
+
+  /** A function-typed parameter whose DOMAIN mentions DataBag — the
+    * reference's higher-order library shape (`summarize.apply(s1:
+    * DataBag[DVector] => B1, ...)`, emma-lib/.../stats/summarize.scala:
+    * 22-67). Textual on the tpt: registry bodies are PARSED (no types),
+    * and monomorphized tpts render their concrete types — both spell
+    * `DataBag` and an arrow/Function type visibly. Used only to decide
+    * the opaque-argument ABORT (a function literal beta-reduces
+    * regardless), so a false negative merely defers the failure to the
+    * downstream captured-bag abort — never a silent mis-binding. */
+  private def fnParamOverBag(p: ValDef): Boolean = {
+    val s = showCode(p.tpt)
+    s.contains("DataBag") && (s.contains("=>") || s.contains("Function"))
+  }
+
+  /** Beta-reduce immediate applications of function LITERALS — the
+    * reference's Lib.expand beta reduction (compiler/lib/Lib.scala:49-55)
+    * that turns a spliced `summarize` body's `s1(xs)` — after the
+    * function-literal argument substituted for `s1` — into the passed
+    * statistic's direct call, so its folds reach the hoist/fusion
+    * machinery. Same two-phase fresh-rename discipline as
+    * [[betaReduceSym]]; a poisoned substitution DECLINES the reduction
+    * (the residual immediate application is still-correct driver code or
+    * surfaces as the downstream derivation abort — never a silent
+    * mis-binding). */
+  private def betaReduceLiteralApps(t: Tree): Tree = {
+    val tr = new Transformer {
+      override def transform(x: Tree): Tree = x match {
+        case Apply(fn, args) =>
+          stripFnLiteral(fn) match {
+            case Some(Function(ps, fb)) if ps.length == args.length &&
+                ps.forall(_.rhs.isEmpty) =>
+              var body = fb
+              var ok = true
+              val fresh = ps.map(p => TermName(c.freshName(p.name.toString)))
+              ps.zip(fresh).foreach { case (p, f) =>
+                if (ok) {
+                  val (nb, cnt) = substFreeName(body, p.name, Ident(f))
+                  if (cnt < 0) ok = false else body = nb
+                }
+              }
+              if (!ok) super.transform(x)
+              else {
+                fresh.zip(args).foreach { case (f, a) =>
+                  val (nb, _) = substFreeName(body, f, a.duplicate)
+                  body = nb
+                }
+                // re-scan the reduced body: nested literal applications
+                // (a statistic that itself received a function) reduce too
+                transform(body)
+              }
+            case _ => super.transform(x)
+          }
+        case _ => super.transform(x)
+      }
+    }
+    tr.transform(t)
   }
 
   /** Drop identity `.map(y => y)` stages — what a helper body's
@@ -1131,7 +1280,7 @@ class ComprehensionMacro(val c: blackbox.Context) {
           // carries @graftSrc, so name shadowing and the `only` allowlist
           // do not apply — the binding is symbol-verified, not name-based)
           case Some((qual, n, targsU, argss)) =>
-            resolveLibCallU(qual, n, targsU, spliceBound) match {
+            resolveLibCallU(qual, n, targsU, argss, spliceBound) match {
               case Some((m, dd)) if spliceableLib(m) =>
                 hits.n += 1
                 betaReduceSym(m, dd, argss.map(_.map(transform)), trace,
@@ -1343,6 +1492,15 @@ class ComprehensionMacro(val c: blackbox.Context) {
       b.result()
     }
     def stripRoot(p: String): String = p.stripPrefix("_root_.")
+    // does some ENCLOSING package of the definition site have a
+    // subpackage named `n`? Packages are not values, so the TERM-mode
+    // viaOwnPkg probe cannot see them — yet at the definition site such a
+    // RELATIVE subpackage outranks any same-named top-level or scala.*
+    // package, so the _root_ pinning branches below must not fire
+    // (ADVICE r14: `util`, `math` are classic collisions)
+    def pkgShadows(n: Name): Boolean =
+      pkgPaths.exists(p => scala.util.Try(
+        c.mirror.staticPackage(p + "." + n)).isSuccess)
     // resolution memo: name -> Some(full replacement path) | None (bare)
     val memo = scala.collection.mutable.Map.empty[Name, Option[String]]
     val bareFree = scala.collection.mutable.Set.empty[TermName]
@@ -1421,17 +1579,25 @@ class ComprehensionMacro(val c: blackbox.Context) {
                   s.name != null && s.name != termNames.WILDCARD &&
                     (if (s.rename != null) s.rename else s.name)
                       .toString == n.toString)) &&
+                !pkgShadows(n) &&
                 scala.util.Try(c.mirror.staticPackage(n.toString)).isSuccess) {
               // root of a fully-qualified path whose package Ident does
               // not typecheck as a TERM (packages are not values — the
               // probe above sees only the cases the typer special-cases):
-              // a TOP-LEVEL package name is global, pin to _root_
+              // a TOP-LEVEL package name is global, pin to _root_.
+              // Guarded on the definition site actually BINDING n there:
+              // a RELATIVE subpackage of an enclosing package sharing the
+              // name (pkgShadows) outranks the top-level package at the
+              // definition site and cannot be term-probed — those keep
+              // the fully-qualify abort instead of silently re-binding
+              // (ADVICE r14).
               Some("_root_." + n)
             } else if (!asType &&
                 !imps.exists(_.selectors.exists(s =>
                   s.name != null && s.name != termNames.WILDCARD &&
                     (if (s.rename != null) s.rename else s.name)
                       .toString == n.toString)) &&
+                !pkgShadows(n) &&
                 scala.util.Try(c.mirror.staticPackage("scala." + n)).isSuccess) {
               // a scala.* SUB-PACKAGE referenced bare (`math.sqrt` — the
               // reference's own stat.scala spelling): packages are not
@@ -1439,8 +1605,11 @@ class ComprehensionMacro(val c: blackbox.Context) {
               // Defaulting to the auto-imported scala._ binding is safe
               // only when NO import selector names `n` (an imported
               // package of the same name would outrank scala._ at the
-              // definition site and cannot be probed — those keep
-              // aborting with the fully-qualify guidance).
+              // definition site and cannot be probed) and NO enclosing
+              // package has a same-named subpackage (`util`, `math` as a
+              // RELATIVE subpackage would outrank scala._ too — ADVICE
+              // r14); both cases keep aborting with the fully-qualify
+              // guidance.
               Some("_root_.scala." + n)
             } else fail(
               s"@lib def '${m.name}': free name '$n' is neither a member of " +
@@ -1572,9 +1741,10 @@ class ComprehensionMacro(val c: blackbox.Context) {
   }
 
   /** Qualifier-resolution cache for the untyped pass (key: rendered
-    * qualifier + name). */
+    * qualifier + name + call shape — overload families share qual+name
+    * and disambiguate on argument-list arities / type-arg count). */
   private val qualResCache =
-    scala.collection.mutable.Map.empty[(String, String), Option[MethodSymbol]]
+    scala.collection.mutable.Map.empty[(String, String, List[Int], Int), Option[MethodSymbol]]
 
   /** UNTYPED-side cross-file resolution: typecheck the qualifier path; a
     * static module whose member `n` carries @graftSrc resolves to that
@@ -1582,20 +1752,44 @@ class ComprehensionMacro(val c: blackbox.Context) {
     * unqualifiable def ABORTS with its guidance (never silently splices
     * or silently rebinds). */
   private def resolveLibCallU(qual: Tree, n: TermName, targsU: List[Tree],
-      spliceBound: Set[TermName]): Option[(MethodSymbol, DefDef)] = {
+      argss: List[List[Tree]], spliceBound: Set[TermName]): Option[(MethodSymbol, DefDef)] = {
     if (!isTermPath(qual)) return None
-    val key = (qual.toString, n.toString)
+    // OVERLOADED members (the reference's summarize module ships six
+    // `apply` overloads, summarize.scala:22-67) disambiguate by call
+    // SHAPE: explicit-argument-list arities must match (the typer may
+    // have appended inferred implicit lists to argss — accept either),
+    // and when the call carries type arguments their count must match.
+    // Untyped trees have no types, so shape is the strongest available
+    // discriminator; summarize-style overload families differ exactly in
+    // first-list arity, which shape decides uniquely.
+    def shapeMatches(m: MethodSymbol): Boolean = {
+      val got = argss.map(_.length)
+      val all = m.paramLists.map(_.length)
+      val expl = m.paramLists.filterNot(_.exists(_.isImplicit)).map(_.length)
+      (got == all || got == expl) &&
+        (targsU.isEmpty || m.typeParams.length == targsU.length)
+    }
+    val key = (qual.toString, n.toString, argss.map(_.length), targsU.length)
     val mOpt = qualResCache.getOrElseUpdate(key, {
       val qt = scala.util.Try(
         c.typecheck(qual.duplicate, c.TERMmode, silent = true)).getOrElse(EmptyTree)
       val qs = if (qt.nonEmpty) qt.symbol else NoSymbol
       if (qs == null || qs == NoSymbol || !qs.isModule) None
       else {
-        val mem = qs.asModule.moduleClass.info.member(n)
+        val mem0 = qs.asModule.moduleClass.info.member(n)
+        // object-apply sugar: `summarize(s1, s2)(xs)` carries the typer's
+        // inserted `.apply` in TYPED trees, but untypecheck re-sugars it
+        // away — the peeled (qual, n) then lands on the enclosing package
+        // and the MODULE itself. When the member is a static module, the
+        // call targets its `apply` overloads.
+        val mem = if (mem0 != NoSymbol && mem0.isModule)
+          mem0.asModule.moduleClass.info.member(TermName("apply"))
+        else mem0
         val cands =
           if (mem == NoSymbol) Nil
           else if (mem.isTerm && mem.asTerm.isOverloaded)
-            mem.asTerm.alternatives
+            mem.asTerm.alternatives.filter(s =>
+              s.isMethod && shapeMatches(s.asMethod))
           else List(mem)
         cands.collectFirst {
           case s if s.isMethod && libSrcOf(s).isDefined => s.asMethod
@@ -3221,6 +3415,113 @@ class ComprehensionMacro(val c: blackbox.Context) {
     lam(p, body)
   }
 
+  // ------------- opt-in broadcast lowering for hinted guard membership
+
+  /** The reference auto-lowers a driver bag referenced inside an engine
+    * lambda to `broadcast`/`bag` pairs (emma-spark SparkBackend.scala:
+    * 66-117, SparkNtv.scala:88-97) or `.collect()` materialization
+    * (GenericSpecialization.scala:83-139) — unconditionally. Graft keeps
+    * the blanket ABORT for the general capture (an unbounded silent
+    * collect is a scale cliff) and derives the broadcast form only on the
+    * user's explicit `.broadcasted` hint: a guard anchor
+    * `small.broadcasted.exists(p)` / `.forall(p)` whose bag is
+    * generator-independent, in a guard the semi-join and fold-comparison
+    * derivations DECLINE (exactly where abortBagGuard fires today — e.g.
+    * a RANGE membership `k > lo(x) && k < hi(x)`), rewrites to a hoisted
+    * `val bc = BroadcastBag(small)` (one driver collect + one torrent
+    * broadcast, element-count bounded) with the anchor becoming
+    * `bc.exists(p)` inside the plain filter closure. Derivable guards
+    * (equality-keyed membership) are left to the superior distributed
+    * semi-join lowering — the hint there stays a join hint. Un-hinted
+    * captures keep the abort (spec-pinned). */
+  private def hoistBroadcastGuards(expr: Tree, gens: List[Gen]): Option[Tree] = {
+    object BroadcastAnchor {
+      def unapply(t: Tree): Option[(Tree, TermName, Tree)] = t match {
+        case Apply(Select(Select(bag, TermName("broadcasted")), q: TermName),
+            List(pred)) if q.toString == "exists" || q.toString == "forall" =>
+          Some((bag, q, pred))
+        case _ => None
+      }
+    }
+    val allGenSyms = gens.flatMap(levelSyms)
+    val allDefs = defSymsIn(expr)
+    // typed decisions, positional per guard: preorder anchor booleans
+    // (inside a claimed anchor only the PREDICATE is descended — the bag
+    // expr hoists whole, so anchors inside it must not be re-claimed)
+    final case class GuardPlan(gi: Int, ji: Int, decisions: List[Boolean])
+    val plans = scala.collection.mutable.ListBuffer.empty[GuardPlan]
+    for ((g, gi) <- gens.zipWithIndex; (gd, ji) <- g.guards.zipWithIndex) {
+      val derivable =
+        semiPlanOf(allGenSyms ++ guardSyms(gd), gd.cond).isDefined ||
+          guardFoldsOf(allGenSyms ++ guardSyms(gd), gd.cond).isDefined
+      val hasAnchor = gd.cond.exists {
+        case BroadcastAnchor(_, _, _) => true
+        case _ => false
+      }
+      if (!derivable && hasAnchor) {
+        val ds = scala.collection.mutable.ListBuffer.empty[Boolean]
+        val trav = new Traverser {
+          override def traverse(t: Tree): Unit = t match {
+            case BroadcastAnchor(bag, _, pred) =>
+              val ok = isDataBag(bag) && distributedValueRef(bag).isDefined &&
+                !usesAny(bag, (allDefs -- defSymsIn(bag)).toSeq)
+              ds += ok
+              if (ok) traverse(pred) else super.traverse(t)
+            case _ => super.traverse(t)
+          }
+        }
+        trav.traverse(gd.cond)
+        if (ds.contains(true)) plans += GuardPlan(gi, ji, ds.toList)
+      }
+    }
+    if (plans.isEmpty) return None
+    val uexpr = c.untypecheck(expr)
+    flatten(uexpr) match {
+      case Some((ugens, _)) if ugens.length == gens.length =>
+        // one BroadcastBag per distinct bag expression (by rendered code)
+        val bcByCode =
+          scala.collection.mutable.LinkedHashMap.empty[String, (TermName, Tree)]
+        val reps = scala.collection.mutable.ListBuffer.empty[(Tree, Tree)]
+        for (pl <- plans) {
+          // fail CLOSED on any positional mismatch: silently skipping
+          // would leave the DataBag ctor inside the emitted closure — a
+          // runtime crash where the abort is guaranteed today
+          if (pl.ji >= ugens(pl.gi).guards.length)
+            c.abort(c.enclosingPosition,
+              "onSpark: internal — guard positions changed after " +
+              "untypecheck while lowering a `.broadcasted` guard; " +
+              "restructure the guard or join explicitly")
+          val uCond = ugens(pl.gi).guards(pl.ji).cond
+          var i = 0
+          val tf = new Transformer {
+            override def transform(t: Tree): Tree = t match {
+              case BroadcastAnchor(bag, q, pred) =>
+                val d = i < pl.decisions.length && pl.decisions(i)
+                i += 1
+                if (d) {
+                  val (n, _) = bcByCode.getOrElseUpdate(showCode(bag),
+                    (TermName(c.freshName("bc$")), bag))
+                  Apply(Select(Ident(n), q), List(transform(pred)))
+                } else super.transform(t)
+              case _ => super.transform(t)
+            }
+          }
+          val nCond = tf.transform(uCond)
+          if (i != pl.decisions.length)
+            c.abort(c.enclosingPosition,
+              "onSpark: internal — `.broadcasted` guard anchors changed " +
+              "after untypecheck; restructure the guard or join explicitly")
+          reps += ((uCond, nCond))
+        }
+        val vals = bcByCode.values.toList.map { case (n, bag) =>
+          q"val $n = _root_.graft.api.BroadcastBag($bag)"
+        }
+        Some(q"{ ..$vals; _root_.graft.api.comprehensions.onSpark(${
+          substituteTrees(uexpr, reps.toList)}) }")
+      case _ => None
+    }
+  }
+
   // ------------- scalar-val inlining in guard/yield positions (ANF-inverse)
 
   /** The reference's Core/ANF normalization lets fold fusion and the
@@ -3415,6 +3716,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
         }
       case _ => ()
     }
+    // `.broadcasted`-hinted guard membership the join derivations cannot
+    // claim lowers to a hoisted BroadcastBag + closure predicate (the
+    // reference's broadcast/bag insertion, opt-in) instead of aborting
+    typedChain match {
+      case Some((gens, _)) if gens.nonEmpty && isDataBag(gens.head.bag) =>
+        hoistBroadcastGuards(expr, gens) match {
+          case Some(res) => return res
+          case None => ()
+        }
+      case _ => ()
+    }
     // Block-local scalar vals (bag-free rhs) read inside a bag anchor
     // inline so the anchor's independence becomes visible — the
     // ANF-inverse the spliced stat.variance shape needs (method doc)
@@ -3581,10 +3893,22 @@ class ComprehensionMacro(val c: blackbox.Context) {
         flatten(c.untypecheck(expr)) match {
           case Some((ugens0, ubody)) =>
             // localize ctor-comprehending guard conditions (decision matrix
-            // from the typed pass, applied positionally)
+            // from the typed pass, applied positionally). FAIL CLOSED on a
+            // positional mismatch when localization was DECIDED: silently
+            // skipping would leave the DataBag ctor inside the emitted
+            // withFilter closure — a runtime executor crash where the old
+            // code guaranteed a compile-time abort (same backstop
+            // discipline as localizeHead's residual-ctor check)
             val ugens = ugens0.zipWithIndex.map { case (ug, gi) =>
               val gl = guardLocal(gi)
-              if (gl.length != ug.guards.length || gl.forall(_.isEmpty)) ug
+              if (gl.forall(_.isEmpty)) ug
+              else if (gl.length != ug.guards.length)
+                c.abort(c.enclosingPosition,
+                  "onSpark: a guard comprehends over a literal DataBag(seq) " +
+                  "constructor, but the guard positions changed after " +
+                  "untypecheck so the localization cannot be applied — " +
+                  "hoist the inner bag into a driver val or fold outside " +
+                  "the comprehension")
               else ug.copy(guards = ug.guards.zip(gl).map {
                 case (gd, Some(names)) => gd.copy(cond = localizeHead(gd.cond, names))
                 case (gd, None) => gd
@@ -3821,9 +4145,17 @@ class ComprehensionMacro(val c: blackbox.Context) {
         val singleCtorNames = ctorNamesIn(tbody)
         flatten(c.untypecheck(expr)) match {
           case Some((List(g0), ubody)) =>
+            // single-generator twin of the multi-gen guard localization:
+            // same FAIL-CLOSED backstop on positional mismatch
             val g =
-              if (singleLocal.length != g0.guards.length ||
-                  singleLocal.forall(_.isEmpty)) g0
+              if (singleLocal.forall(_.isEmpty)) g0
+              else if (singleLocal.length != g0.guards.length)
+                c.abort(c.enclosingPosition,
+                  "onSpark: a guard comprehends over a literal DataBag(seq) " +
+                  "constructor, but the guard positions changed after " +
+                  "untypecheck so the localization cannot be applied — " +
+                  "hoist the inner bag into a driver val or fold outside " +
+                  "the comprehension")
               else g0.copy(guards = g0.guards.zip(singleLocal).map {
                 case (gd, Some(names)) => gd.copy(cond = localizeHead(gd.cond, names))
                 case (gd, None) => gd

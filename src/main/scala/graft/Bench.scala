@@ -47,14 +47,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_BENCH_WITNESS=off — bench ONLY the production path of
-    // gates that carry extra contract-witness actions (q159's parity/twin
-    // train, q215's in-memory twin probe): the witnesses stay in Verify,
-    // where the hashes are checked; a bench rep measures what production
-    // would run. Verify never sets this, so gate values there are
-    // unchanged. Default: witnesses ON (bench times comparable to history).
+    // Bench measures the PRODUCTION path: gates that carry extra
+    // contract-witness actions (q159's parity/twin train, q215's
+    // in-memory twin probe) skip the witnesses here — they stay in
+    // Verify, where the hashes are checked, so a bench rep times what a
+    // production run of the operator costs (r15 default flip: the driver
+    // slot sets no env vars, and the official artifact was paying ~5 s/
+    // rep of witness cost on q159/q215; same pattern as the built-in
+    // budget default). SPARK_GRAFT_BENCH_WITNESS=on restores the old
+    // witness-inclusive timing for comparisons against pre-r15 history;
+    // every artifact stamps `"witnesses"` so vacuous gate columns
+    // (parity_50/twin_ok/... forced true when skipped) are
+    // distinguishable from verified ones. Verify never touches this flag.
     BenchMode.witnesses =
-      !sys.env.get("SPARK_GRAFT_BENCH_WITNESS").exists(_.equalsIgnoreCase("off"))
+      sys.env.get("SPARK_GRAFT_BENCH_WITNESS").exists(_.equalsIgnoreCase("on"))
     val runT0 = System.nanoTime()
     def elapsedS(): Double = (System.nanoTime() - runT0) / 1e9
     // Wall-clock budget (seconds) for the WHOLE run. When the projected
@@ -253,7 +259,7 @@ object Bench {
       val abortField = if (contextDead)
         s""""aborted_context":true,"n_notrun":${done.count(_.notRun)},""" else ""
       val body =
-        s"""{$partialField$degradedField$abortField"sf":"$sfDir","reps":$reps,"cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","total_sec":${fmt(total, 2)},"min_total_sec":${fmt(minTotal, 2)},"n":${withData.size},"n_failed":${sums.count(!_._2)},"queries":$perQuery}"""
+        s"""{$partialField$degradedField$abortField"witnesses":${BenchMode.witnesses},"sf":"$sfDir","reps":$reps,"cpus":"$cpus","loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","total_sec":${fmt(total, 2)},"min_total_sec":${fmt(minTotal, 2)},"n":${withData.size},"n_failed":${sums.count(!_._2)},"queries":$perQuery}"""
       try {
         java.nio.file.Files.createDirectories(histDir)
         val tmp = histDir.resolve(s"$runStamp.json.tmp")
@@ -372,7 +378,7 @@ object Bench {
     val degradedField = if (degraded) "\"degraded\":true," else ""
     val abortField = if (contextDead)
       s""""aborted_context":true,"notrun":$notRunJson,""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$degradedField$abortField"queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"steal_at_min":$stealMinJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$degradedField$abortField"witnesses":${BenchMode.witnesses},"queries":$qs,"mins":$mins,"stamps":$stampsJson,"load1max":$loadMaxJson,"steal_at_min":$stealMinJson,"failed":$failed,"noisy":$noisy,"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}""")
     // Final history flush: full per-query history as a FILE artifact, same
     // path the incremental snapshots were landing on — this last write drops
     // the "partial" marker and matches the pre-r13 byte format exactly.
@@ -388,7 +394,7 @@ object Bench {
     val minTotal = results.collect { case (_, _, true, _, mn, _) => mn }.sum
     val abortDigest = if (contextDead)
       s""""aborted_context":true,"n_notrun":${notRunNames.size},""" else ""
-    println(s"""{"metric":"total_digest","value":${fmt(total, 2)},"unit":"sec",$degradedField$abortDigest"min_total":${fmt(minTotal, 2)},"n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_digest","value":${fmt(total, 2)},"unit":"sec",$degradedField$abortDigest"witnesses":${BenchMode.witnesses},"min_total":${fmt(minTotal, 2)},"n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"slowest":$slowest,"noisy_n":${results.count(_._4)},"sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
   }
 }

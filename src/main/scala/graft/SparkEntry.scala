@@ -3942,8 +3942,10 @@ object SparkEntry {
     // stddevL} clones of emma-lib stat.{mean,stddev} — stddev's body binds
     // `val mu = mean(xs)` before the second-pass fold, the exact shape the
     // macro's ANF-inverse val inlining re-exposes. All first-pass moments
-    // hoist and FUSE to ONE foldAll job under the AutoCache scope; the
-    // squared-deviation pass is the second, irreducible job
+    // hoist and FUSE to ONE foldAll job under the expansion's
+    // SELF-ESTABLISHED AutoCache scope (r15: no manual wrapper — the
+    // reference runs fold fusion unconditionally); the squared-deviation
+    // pass is the second, irreducible job
     // (StatsPipelineSpec plan-asserts the job counts). Exact arithmetic
     // end-to-end: integer mean/variance, one IEEE sqrt and one division on
     // bit-identical inputs — hash-matches DuckDB with no rounding slop
@@ -3961,14 +3963,12 @@ object SparkEntry {
         .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("dollars"))
         .as[Long])
       import graft.api.comprehensions.onSpark
-      val res = graft.api.AutoCache.scope { _ =>
-        onSpark {
-          for { o <- orders }
-            yield (o.o_orderkey,
-              ((o.o_totalprice.floor.toLong -
-                  graft.lib.dstat.meanL(dollars)).toDouble /
-                graft.lib.dstat.stddevL(dollars) * 1000.0).floor.toLong)
-        }
+      val res = onSpark {
+        for { o <- orders }
+          yield (o.o_orderkey,
+            ((o.o_totalprice.floor.toLong -
+                graft.lib.dstat.meanL(dollars)).toDouble /
+              graft.lib.dstat.stddevL(dollars) * 1000.0).floor.toLong)
       }
       res.ds.toDF("o_orderkey", "z_millis")
     }),
@@ -4005,11 +4005,14 @@ object SparkEntry {
     // bag CONSUMERS folding graft.lib.valg's componentwise vector-sum/
     // min/max algebras over EXACT micro-unit vectors. The quoted per-dim
     // projection splices all four members; their fold/size anchors hoist
-    // and fuse under the AutoCache scope (sum/min/max/count in ONE
-    // foldAll pass), and variance's `val mu = mean(d)(xs)` two-pass shape
-    // derives through the ANF-inverse val inlining — mirroring the
-    // reference's Core + FoldForestFusion chain. Floor-division means
-    // match DuckDB's // on negative sums (Math.floorDiv)
+    // and fuse under the expansion's SELF-ESTABLISHED AutoCache scope
+    // (r15: no manual wrapper — sum/min/max/count in ONE foldAll pass),
+    // and variance's `val mu = mean(d)(xs)` two-pass shape derives
+    // through the ANF-inverse val inlining — mirroring the reference's
+    // Core + FoldForestFusion chain. Integer means TRUNCATE toward zero
+    // on BOTH engines (Scala `/` and DuckDB's integer `//`; measured
+    // -7//2 = -3 in DuckDB — NOT floor division), so negative per-dim
+    // sums divide identically
     "q255_vector_stats" -> ((s, d) => {
       import s.implicits._
       implicit val sp: SparkSession = s
@@ -4020,17 +4023,74 @@ object SparkEntry {
         .as[Array[Long]])
       val dims = DataBag((0L until 64L).toSeq)
       import graft.api.comprehensions.onSpark
-      val res = graft.api.AutoCache.scope { _ =>
-        onSpark {
-          for { i <- dims }
-            yield (i,
-              graft.lib.vstat.mean(64)(vecs)(i.toInt),
-              graft.lib.vstat.variance(64)(vecs)(i.toInt),
-              graft.lib.vstat.min(64)(vecs)(i.toInt),
-              graft.lib.vstat.max(64)(vecs)(i.toInt))
-        }
+      val res = onSpark {
+        for { i <- dims }
+          yield (i,
+            graft.lib.vstat.mean(64)(vecs)(i.toInt),
+            graft.lib.vstat.variance(64)(vecs)(i.toInt),
+            graft.lib.vstat.min(64)(vecs)(i.toInt),
+            graft.lib.vstat.max(64)(vecs)(i.toInt))
       }
       res.ds.toDF("dim", "mean_micros", "var_micros", "min_micros", "max_micros")
+    }),
+
+    // The reference's HIGHER-ORDER summarize module (r15 task 2 —
+    // emma-lib/.../lib/stats/summarize.scala:22-67, its user-facing "N
+    // statistics, one pass" API): function-valued statistic parameters
+    // (eta-expanded @lib members here) beta-reduce into the spliced
+    // overload body, so summarize(meanL _, varianceL _)(dollars) derives
+    // exactly like the direct dstat calls — all first-pass moments fuse
+    // to ONE foldAll under the expansion's self-established AutoCache
+    // scope (StatsPipelineSpec plan-asserts the job counts), the
+    // squared-deviation fold is the irreducible second pass. Whole-dollar
+    // units keep Σdev² far inside Long through sf10 (q253 precedent);
+    // every intermediate is exact, so the gate hash-matches DuckDB
+    "q256_summarize" -> ((s, d) => {
+      import s.implicits._
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val dollars = DataBag.from(tbl(s, d, "orders")
+        .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("dollars"))
+        .as[Long])
+      import graft.api.comprehensions.onSpark
+      val res = onSpark {
+        for { o <- orders }
+          yield (o.o_orderkey,
+            o.o_totalprice.floor.toLong -
+              graft.lib.summarize(graft.lib.dstat.meanL _,
+                graft.lib.dstat.varianceL _)(dollars)._1,
+            graft.lib.summarize(graft.lib.dstat.meanL _,
+              graft.lib.dstat.varianceL _)(dollars)._2)
+      }
+      res.ds.toDF("o_orderkey", "dev_dollars", "var_dollars")
+    }),
+
+    // Opt-in broadcast lowering for hinted guard membership (r15 task 4 —
+    // the reference's broadcast/bag insertion, SparkBackend.scala:66-117 /
+    // SparkNtv.scala:88-97, gated on the user's explicit `.broadcasted`
+    // hint): a RANGE membership guard (no equality key, so the semi-join
+    // derivation declines — an abort before r15) lowers to ONE driver
+    // collect of the 25-row bands bag + ONE torrent broadcast, with the
+    // executors filtering orders against their local copy. The big side
+    // streams unchanged — no shuffle, no join
+    "q257_broadcast_guard" -> ((s, d) => {
+      import s.implicits._
+      val orders = DataBag.from(tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .as[OrderRow])
+      val bands = DataBag.from(tbl(s, d, "nation")
+        .select((col("n_nationkey") * lit(12000L)).cast("long").as("lo"),
+          (col("n_nationkey") * lit(12000L) + lit(6000L)).cast("long").as("hi"))
+        .as[(Long, Long)])
+      import graft.api.comprehensions.onSpark
+      val res = onSpark {
+        for { o <- orders
+              if bands.broadcasted.exists(b =>
+                o.o_totalprice >= b._1 && o.o_totalprice < b._2) }
+          yield (o.o_orderkey, o.o_totalprice)
+      }
+      res.ds.toDF("o_orderkey", "o_totalprice")
     }),
 
     // Streaming point-state maintenance: the SAME computation as q246 but
@@ -6077,9 +6137,10 @@ object SparkEntry {
 
     "q252_scalar_lib" ->
       // scalar @lib mean over the whole bag = the uncorrelated scalar
-      // subquery; integer-cents mean (floor division) is exact on both
-      // engines (DuckDB // is floor-div, Scala Long / truncates — equal
-      // for the non-negative sums here)
+      // subquery; integer-cents mean is exact on both engines — DuckDB's
+      // integer `//` TRUNCATES toward zero exactly like Scala Long `/`
+      // (measured: -7//2 = -3), so the division agrees for any sign
+      // (and the sums here are non-negative anyway)
       ("WITH m AS (SELECT SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) " +
         "// COUNT(*) AS mu FROM orders) " +
         "SELECT o_orderkey, o_custkey, " +
@@ -6110,9 +6171,11 @@ object SparkEntry {
         "WHERE n*(n+1) > 12"),
 
     "q255_vector_stats" ->
-      // per-dim integer mean (floor-div — matches Math.floorDiv on
-      // negative sums), two-pass population variance, min, max over
-      // micro-unit embeddings; SUM casts guard DuckDB's HUGEINT widening
+      // per-dim integer mean — DuckDB's integer `//` TRUNCATES toward
+      // zero exactly like Scala `/` (measured: -7//2 = -3; NOT floor
+      // division), so negative per-dim sums divide identically — then
+      // two-pass population variance, min, max over micro-unit
+      // embeddings; SUM casts guard DuckDB's HUGEINT widening
       ("WITH e AS (SELECT unnest(embedding) AS x, " +
         "CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim FROM embeddings), " +
         "mi AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE)*1000000.0 + 0.5) AS BIGINT) AS v FROM e), " +
@@ -6122,7 +6185,29 @@ object SparkEntry {
         "SELECT mi.dim AS dim, ANY_VALUE(mu.mu) AS mean_micros, " +
         "CAST(CAST(SUM((mi.v - mu.mu)*(mi.v - mu.mu)) AS BIGINT) // ANY_VALUE(mu.n) AS BIGINT) AS var_micros, " +
         "ANY_VALUE(mu.mn) AS min_micros, ANY_VALUE(mu.mx) AS max_micros " +
-        "FROM mi JOIN mu ON mi.dim = mu.dim GROUP BY mi.dim")
+        "FROM mi JOIN mu ON mi.dim = mu.dim GROUP BY mi.dim"),
+
+    "q256_summarize" ->
+      // higher-order summarize(meanL, varianceL) = the same uncorrelated
+      // scalar subqueries the direct dstat calls produce; whole-dollar
+      // integer mean/variance (DuckDB's `//` truncates toward zero like
+      // Scala `/` — sums non-negative here anyway); the Σdev² SUM casts
+      // through BIGINT to guard DuckDB's HUGEINT widening
+      ("WITH d AS (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders), " +
+        "a AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS mu, COUNT(*) AS n FROM d), " +
+        "vr AS (SELECT CAST(CAST(SUM((d.v - a.mu)*(d.v - a.mu)) AS BIGINT) // ANY_VALUE(a.n) AS BIGINT) AS vv FROM d, a) " +
+        "SELECT d.o_orderkey AS o_orderkey, d.v - a.mu AS dev_dollars, " +
+        "vr.vv AS var_dollars FROM d, a, vr"),
+
+    "q257_broadcast_guard" ->
+      // hinted range-membership guard = EXISTS over the small bands
+      // relation; band bounds are exact small integers, totalprice
+      // comparisons are plain IEEE double-vs-integer — identical in
+      // both engines
+      ("SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice " +
+        "FROM orders o WHERE EXISTS (SELECT 1 FROM " +
+        "(SELECT n_nationkey*12000 AS lo, n_nationkey*12000+6000 AS hi FROM nation) b " +
+        "WHERE o.o_totalprice >= b.lo AND o.o_totalprice < b.hi)")
   )
 
   /** Water-filling allocation CTE shared by q210/q211 — the EXACT integer

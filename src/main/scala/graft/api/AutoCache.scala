@@ -218,6 +218,19 @@ object AutoCache {
     }
   }
 
+  /** Establish a scope only when none is active — the hook behind the
+    * macro's self-established fold-fusion scope (the reference pipeline
+    * runs fold-fusion + auto-cache UNCONDITIONALLY,
+    * emma-spark SparkCompiler.scala:36-39 + compiler/opt/Caching.scala:
+    * 74-139, so a bare quoted stats pipeline must fuse without a manual
+    * `AutoCache.scope` wrapper). Inside an existing scope this is a pure
+    * pass-through: an explicit user scope (or an enclosing expansion's
+    * self-established one) keeps ownership, so sibling pipelines fuse
+    * ACROSS expansions and caches drop at the OUTER scope's exit, never
+    * early. */
+  def scopeIfInactive[T](body: => T): T =
+    if (active.get() != null) body else scope(_ => body)
+
   /** Run `body` with consumption tracking; deferred actions execute before
     * the scope's caches are dropped. Nested scopes stack (inner scope wins
     * while active). */

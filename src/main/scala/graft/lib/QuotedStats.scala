@@ -21,9 +21,18 @@ import graft.api._
   *
   * When called inside `comprehensions.onSpark`, each member splices at the
   * call site; generator-independent folds hoist into driver vals (fusing
-  * to ONE foldAll job per pass under an AutoCache.scope), and `variance`'s
-  * val-bound mean inlines so its second-pass fold hoists too — the
-  * pipeline's aggregation collapses to the irreducible two passes. */
+  * to ONE foldAll job per pass under the expansion's self-established
+  * AutoCache scope), and `variance`'s val-bound mean inlines so its
+  * second-pass fold hoists too — the pipeline's aggregation collapses to
+  * the irreducible two passes.
+  *
+  * PRECONDITION (deliberate, like the reference's `stat` module whose
+  * `mean` divides by `count` unguarded, stat.scala:37-38): the mean /
+  * variance / stddev members require a NON-EMPTY bag. The `Long` twins
+  * raise `ArithmeticException` (division by zero) on an empty bag — at
+  * the hoisted driver fold, before any distributed work; the `Double`
+  * members yield NaN. Guard with `xs.nonEmpty` at the call site when
+  * emptiness is possible. */
 @lib object dstat {
 
   // encoders for the members' OWN (standalone) compilation only — vals, so
@@ -118,7 +127,12 @@ object valg {
   * the same derivation chain as the reference's Core normalization +
   * FoldForestFusion. Integer division truncates toward zero on BOTH
   * engines (Scala `/` and DuckDB's integer `//` — measured: -7//2 = -3
-  * there), so negative-sum dims divide identically. */
+  * there), so negative-sum dims divide identically.
+  *
+  * PRECONDITION (deliberate — see [[dstat]]): `mean` and `variance`
+  * require a NON-EMPTY bag (ArithmeticException at the hoisted driver
+  * fold otherwise); `min`/`max` of an empty bag return the monoid zeros
+  * (Long.MaxValue / Long.MinValue per dim). */
 @lib object vstat {
 
   // encoder for the members' OWN (standalone) compilation only; splice
@@ -155,4 +169,73 @@ object valg {
     val n = count(xs)
     Array.tabulate(d)(i => s2(i) / n)
   }
+}
+
+/** The reference's HIGHER-ORDER statistics aggregator — `@emma.lib object
+  * summarize` (emma-lib/.../lib/stats/summarize.scala:22-67): N
+  * overloads taking FUNCTION-valued statistic parameters
+  * (`s1: DataBag[DVector] => B1, ...`) plus the bag, returning the tuple
+  * `(s1(xs), ..., sN(xs))`. The reference relies on `Lib.expand` + beta
+  * reduction so the lambdas' folds land in ONE fused pass — its
+  * user-facing "N statistics, one job" API. The graft twin is generic in
+  * the element type `A` (the reference's `DVector` is one instance);
+  * quoted calls splice, function-literal / eta-expanded-`@lib`-member
+  * arguments beta-reduce into the body (an OPAQUE runtime function value
+  * aborts with guidance), and the reduced statistics' folds hoist and
+  * fuse under the expansion's self-established AutoCache scope — so
+  * `summarize(dstat.meanL _, dstat.sumL _)(xs)` costs one foldAll job.
+  *
+  * Outside a quote each overload is an ordinary function application —
+  * N statistics, N jobs — exactly like the reference run un-expanded. */
+@lib object summarize {
+
+  def apply[A, B](
+    s: DataBag[A] => B
+  )(xs: DataBag[A]): B =
+    s(xs)
+
+  def apply[A, B1, B2](
+    s1: DataBag[A] => B1,
+    s2: DataBag[A] => B2
+  )(xs: DataBag[A]): (B1, B2) = (
+    s1(xs), s2(xs)
+  )
+
+  def apply[A, B1, B2, B3](
+    s1: DataBag[A] => B1,
+    s2: DataBag[A] => B2,
+    s3: DataBag[A] => B3
+  )(xs: DataBag[A]): (B1, B2, B3) = (
+    s1(xs), s2(xs), s3(xs)
+  )
+
+  def apply[A, B1, B2, B3, B4](
+    s1: DataBag[A] => B1,
+    s2: DataBag[A] => B2,
+    s3: DataBag[A] => B3,
+    s4: DataBag[A] => B4
+  )(xs: DataBag[A]): (B1, B2, B3, B4) = (
+    s1(xs), s2(xs), s3(xs), s4(xs)
+  )
+
+  def apply[A, B1, B2, B3, B4, B5](
+    s1: DataBag[A] => B1,
+    s2: DataBag[A] => B2,
+    s3: DataBag[A] => B3,
+    s4: DataBag[A] => B4,
+    s5: DataBag[A] => B5
+  )(xs: DataBag[A]): (B1, B2, B3, B4, B5) = (
+    s1(xs), s2(xs), s3(xs), s4(xs), s5(xs)
+  )
+
+  def apply[A, B1, B2, B3, B4, B5, B6](
+    s1: DataBag[A] => B1,
+    s2: DataBag[A] => B2,
+    s3: DataBag[A] => B3,
+    s4: DataBag[A] => B4,
+    s5: DataBag[A] => B5,
+    s6: DataBag[A] => B6
+  )(xs: DataBag[A]): (B1, B2, B3, B4, B5, B6) = (
+    s1(xs), s2(xs), s3(xs), s4(xs), s5(xs), s6(xs)
+  )
 }

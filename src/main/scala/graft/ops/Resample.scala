@@ -23,8 +23,11 @@ object Resample {
     * (`valCol` forward-filled; ticks before the first observation cannot
     * occur by construction). `tieCol` breaks ties among observations in the
     * same microsecond — pass a unique id to make the kept row total-ordered.
-    * Timestamps must be NON-NEGATIVE (`div` truncates toward zero; floor-
-    * division engines floor — negative ticks would diverge cross-engine).
+    * Timestamps must be NON-NEGATIVE: `div` truncates toward zero (as does
+    * DuckDB's integer `//` — measured -7//2 = -3 — but a genuinely
+    * flooring engine would differ), and truncation makes the bucket at 0
+    * twice as wide as every other when inputs straddle it. Epoch
+    * micros/positions satisfy the contract naturally.
     */
   def resampleFfill(df: DataFrame, key: String, tsUsCol: String,
       valCol: String, tieCol: String, stepUs: Long): DataFrame = {

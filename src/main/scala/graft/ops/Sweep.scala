@@ -28,9 +28,10 @@ object Sweep {
     * output is order-invariant under ties because tied rows share a delta.
     *
     * Times must be NON-NEGATIVE (epoch micros, positions): `div` truncates
-    * toward zero while floor-division engines (DuckDB `//`) floor, so
-    * negative times would bucket differently across engines — same contract
-    * as [[RangeJoin.intervalJoin]].
+    * toward zero (as does DuckDB's integer `//` — measured -7//2 = -3 —
+    * though a genuinely flooring engine would differ), and truncation
+    * folds (-bucket, +bucket) onto bucket 0 so negative times would
+    * mis-bucket — same contract as [[RangeJoin.intervalJoin]].
     */
   /** Buckets per super-bucket in the carry-in scan. The only
     * partition-less window in the plan runs over ONE ROW PER SUPER-BUCKET,

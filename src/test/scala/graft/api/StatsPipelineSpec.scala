@@ -64,14 +64,10 @@ class StatsPipelineSpec extends AnyFlatSpec with Matchers {
     out.collect().sorted shouldBe exp.sorted
   }
 
-  it should "fuse the z-score pipeline's first-pass moments into ONE job (two passes total)" in {
-    // the q253 gate's shape: meanL + stddevL (whose body binds
-    // `val mu = meanL(xs)` before the second-pass fold). All first-pass
-    // folds (sum/size, duplicates included) queue under the AutoCache
-    // scope and execute as ONE fused foldAll; the squared-deviation pass
-    // is the second, irreducible job.
-    val seq = (1L to 400L).map(i => i * 31 % 1000)
-    val cents = DataBag(seq)
+  /** Runs `body` under a job-count listener; returns (jobCount, result).
+    * Listener events post asynchronously — waits for the count to reach
+    * `expectAtLeast` (or 5 s), then settles 200 ms before reading. */
+  private def countJobs[T](expectAtLeast: Int)(body: => T): (Int, T) = {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -81,24 +77,72 @@ class StatsPipelineSpec extends AnyFlatSpec with Matchers {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      val out = AutoCache.scope { _ =>
-        onSpark {
+      val r = body
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.get() < expectAtLeast && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(200)
+      (jobs.get(), r)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  it should "fuse the BARE z-score pipeline's first-pass moments into ONE job (two passes total)" in {
+    // r15 (VERDICT task 1): the q253 gate's shape WITHOUT any manual
+    // AutoCache.scope wrapper — the expansion self-establishes the fusion
+    // scope (the reference runs fold-fusion unconditionally,
+    // SparkCompiler.scala:36-39). All first-pass folds (sum/size,
+    // duplicates included) queue under the self-established scope and
+    // execute as ONE fused foldAll; the squared-deviation pass is the
+    // second, irreducible job.
+    val seq = (1L to 400L).map(i => i * 31 % 1000)
+    val cents = DataBag(seq)
+    val (n, out) = countJobs(2) {
+      onSpark {
+        for { c <- cents }
+          yield (c, ((c - dstat.meanL(cents)).toDouble /
+            dstat.stddevL(cents) * 1000.0).floor.toLong)
+      }
+    }
+    n shouldBe 2 // pass 1: fused moments; pass 2: squared devs
+    val mu = seq.sum / seq.size
+    val vr = seq.map(c => (c - mu) * (c - mu)).sum / seq.size
+    val sd = math.sqrt(vr.toDouble)
+    val exp = seq.map(c => (c, ((c - mu).toDouble / sd * 1000.0).floor.toLong))
+    out.collect().sorted shouldBe exp.sorted
+  }
+
+  it should "compose with an EXPLICIT user scope: same two-pass plan, and sibling pipelines share the outer scope's memo" in {
+    // an explicit AutoCache.scope still owns the batch/memo state — the
+    // expansion's scopeIfInactive is a pass-through inside it. Two
+    // sibling quoted pipelines over the SAME bag then share fold memo
+    // slots: the second pipeline's meanL moments (sum/size of the same
+    // Dataset, same algebra values) are already memoized from pipeline
+    // 1's fused first pass, so pipeline 2 adds ZERO jobs — the two-job
+    // total is the SAME as pipeline 1 alone. A self-established
+    // per-expansion scope would have torn the memo down between
+    // siblings and re-run the moments.
+    val seq = (1L to 300L).map(i => i * 17 % 500)
+    val cents = DataBag(seq)
+    val (n, (out1, out2)) = countJobs(2) {
+      AutoCache.scope { _ =>
+        val a = onSpark {
           for { c <- cents }
             yield (c, ((c - dstat.meanL(cents)).toDouble /
               dstat.stddevL(cents) * 1000.0).floor.toLong)
         }
+        val b = onSpark {
+          for { c <- cents } yield (c, c - dstat.meanL(cents))
+        }
+        (a, b)
       }
-      // listener events post asynchronously — wait for the count to settle
-      val deadline = System.nanoTime() + 5000000000L
-      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(20)
-      Thread.sleep(200)
-      jobs.get() shouldBe 2 // pass 1: fused moments; pass 2: squared devs
-      val mu = seq.sum / seq.size
-      val vr = seq.map(c => (c - mu) * (c - mu)).sum / seq.size
-      val sd = math.sqrt(vr.toDouble)
-      val exp = seq.map(c => (c, ((c - mu).toDouble / sd * 1000.0).floor.toLong))
-      out.collect().sorted shouldBe exp.sorted
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    n shouldBe 2 // fused moments + pipeline-1 squared devs; pipeline 2 all-memo
+    val mu = seq.sum / seq.size
+    val vr = seq.map(c => (c - mu) * (c - mu)).sum / seq.size
+    val sd = math.sqrt(vr.toDouble)
+    val exp1 = seq.map(c => (c, ((c - mu).toDouble / sd * 1000.0).floor.toLong))
+    out1.collect().sorted shouldBe exp1.sorted
+    out2.collect().sorted shouldBe seq.map(c => (c, c - mu)).sorted
   }
 
   it should "splice a same-unit scalar helper with a bag parameter (registry path)" in {
@@ -167,6 +211,74 @@ class StatsPipelineSpec extends AnyFlatSpec with Matchers {
       (i.toLong, mu, vr, col.min, col.max)
     }
     out.collect().sorted shouldBe exp.sorted
+  }
+
+  behavior of "higher-order @lib defs (the reference's summarize module)"
+
+  it should "beta-reduce eta-expanded @lib members so both statistics fuse into ONE first-pass job" in {
+    // summarize(meanL _, sumL _): both statistics are first-pass-only
+    // folds of the same bag — after beta reduction their sum/size anchors
+    // hoist and fuse into a single foldAll (memo dedups the duplicate
+    // spellings from the two tuple-component occurrences), so the quoted
+    // pipeline costs ONE job. The reference's "N statistics, one pass"
+    // contract (summarize.scala:22-67).
+    val seq = (1L to 250L).map(i => i * 13 % 400)
+    val xs = DataBag(seq)
+    val (n, out) = countJobs(1) {
+      onSpark {
+        for { x <- xs }
+          yield (x,
+            x - graft.lib.summarize(dstat.meanL _, dstat.sumL _)(xs)._1,
+            graft.lib.summarize(dstat.meanL _, dstat.sumL _)(xs)._2)
+      }
+    }
+    n shouldBe 1
+    val mu = seq.sum / seq.size
+    out.collect().sorted shouldBe seq.map(x => (x, x - mu, seq.sum)).sorted
+  }
+
+  it should "derive summarize(mean, variance) through the two-pass chain and match exactly" in {
+    val seq = (1L to 180L).map(i => i * 29 % 700)
+    val xs = DataBag(seq)
+    val out = onSpark {
+      for { x <- xs }
+        yield (x, x - graft.lib.summarize(dstat.meanL _, dstat.varianceL _)(xs)._1)
+    }
+    val mu = seq.sum / seq.size
+    out.collect().sorted shouldBe seq.map(x => (x, x - mu)).sorted
+  }
+
+  it should "accept explicit function LITERAL statistics" in {
+    val seq = (1L to 90L).map(i => i * 7 % 50)
+    val xs = DataBag(seq)
+    val out = onSpark {
+      for { x <- xs; if x > graft.lib.summarize(
+        (zs: DataBag[Long]) => zs.sum / zs.size)(xs) } yield x
+    }
+    val mu = seq.sum / seq.size
+    out.collect().sorted shouldBe seq.filter(_ > mu).sorted
+  }
+
+  it should "disambiguate the overload family by call shape (three statistics)" in {
+    val seq = (1L to 120L).map(i => i * 11 % 90)
+    val xs = DataBag(seq)
+    val out = onSpark {
+      for { x <- xs }
+        yield (x,
+          graft.lib.summarize(dstat.sumL _, dstat.meanL _,
+            (zs: DataBag[Long]) => zs.size)(xs)._3)
+    }
+    out.collect().sorted shouldBe seq.map(x => (x, seq.size.toLong)).sorted
+  }
+
+  it should "abort when a function-valued statistic is an OPAQUE runtime value" in {
+    """
+    val xs = graft.api.DataBag(1L to 10L)
+    val f: graft.api.DataBag[Long] => Long = zs => zs.sum
+    graft.api.comprehensions.onSpark {
+      for { x <- xs; if x > graft.lib.summarize(f)(xs) } yield x
+    }
+    """ shouldNot compile
   }
 
   it should "leave a no-bag-param scalar @lib member as an ordinary static call" in {
