@@ -257,7 +257,12 @@ class ComprehensionFuzzSpec extends AnyFlatSpec with Matchers {
           for { x <- xs; if x > graft.lib.dstat.meanL(zs) }
             yield (x, graft.lib.dstat.sumL(ys.withFilter(y => y % m == x % m)))
         }
-        val zMu = if (zsSeq.isEmpty) 0L else zsSeq.sum / zsSeq.size
+        // zs is never empty by construction (draw(10 + …) above), and
+        // dstat.meanL's documented contract REQUIRES a non-empty bag
+        // (ArithmeticException at the hoisted driver fold otherwise —
+        // QuotedStats scaladoc, ADVICE r14): the oracle divides directly,
+        // so an empty bag would fail BOTH sides instead of diverging
+        val zMu = zsSeq.sum / zsSeq.size
         val e17 = for { x <- xsSeq; if x > zMu }
           yield (x, ysSeq.filter(y => y % m == x % m).sum)
         r17.collect().sorted shouldBe e17.sorted

@@ -248,6 +248,19 @@ class StatsPipelineSpec extends AnyFlatSpec with Matchers {
     out.collect().sorted shouldBe seq.map(x => (x, x - mu)).sorted
   }
 
+  it should "accept the exact reference spelling — bare method values (auto-eta)" in {
+    // summarize(stat.mean, stat.variance)(xs) with NO underscore — the
+    // typer eta-expands method values against the expected function type,
+    // so the inliner sees function literals and beta-reduces as usual
+    val seq = (1L to 60L).map(i => i * 3 % 40)
+    val xs = DataBag(seq)
+    val out = onSpark {
+      for { x <- xs }
+        yield (x, graft.lib.summarize(dstat.meanL, dstat.sumL)(xs)._2)
+    }
+    out.collect().sorted shouldBe seq.map(x => (x, seq.sum)).sorted
+  }
+
   it should "accept explicit function LITERAL statistics" in {
     val seq = (1L to 90L).map(i => i * 7 % 50)
     val xs = DataBag(seq)
@@ -279,6 +292,23 @@ class StatsPipelineSpec extends AnyFlatSpec with Matchers {
       for { x <- xs; if x > graft.lib.summarize(f)(xs) } yield x
     }
     """ shouldNot compile
+  }
+
+  it should "raise ArithmeticException on an EMPTY bag — the documented meanL precondition" in {
+    // deliberate failure mode (ADVICE r14 / QuotedStats scaladoc): the
+    // Long twins divide by xs.size unguarded, exactly like the
+    // reference's stat.mean (stat.scala:37-38). Plain call: raises at the
+    // driver division. Quoted call: the hoisted folds yield (0, 0) and
+    // the division — residing in the emitted filter closure — raises at
+    // the first action, surfacing through Spark's task-failure wrapper.
+    val empty = DataBag(Seq.empty[Long])
+    an[ArithmeticException] should be thrownBy dstat.meanL(empty)
+    val ex = intercept[Throwable] {
+      onSpark { for { x <- DataBag(Seq(1L)); if x > dstat.meanL(empty) } yield x }
+        .collect()
+    }
+    Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[ArithmeticException]) shouldBe true
   }
 
   it should "leave a no-bag-param scalar @lib member as an ordinary static call" in {
