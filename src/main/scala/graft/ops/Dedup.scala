@@ -316,7 +316,15 @@ object Dedup {
     * Near-Duplicates for Web Crawling" (WWW'07). */
   def simhashBandedPairs(sig: DataFrame, bits: Int, maxHamming: Int,
       blocksPerKey: Int = 1): DataFrame = {
-    val probes = simhashProbes(sig, bits, maxHamming, blocksPerKey)
+    // materialize the signature ONCE: the self-join reads `sig` from both
+    // sides (two map stages), so an un-materialized fingerprint pipeline —
+    // e.g. a multimodal decode — would re-execute per side (and per action
+    // downstream). 16 bytes/row, MEMORY_AND_DISK; lineage also truncates,
+    // keeping the join plan independent of however expensive the
+    // fingerprint derivation was. (r15, guide §2.4: the decode is the
+    // heavy proxy-producing pass — run it exactly once.)
+    val probes = simhashProbes(sig.localCheckpoint(), bits, maxHamming,
+      blocksPerKey)
     probes.as("a").join(probes.as("b"),
         col("a.probe_id") === col("b.probe_id") &&
         col("a.probe_key") === col("b.probe_key") &&
@@ -348,10 +356,19 @@ object Dedup {
     def blockVal(j: Int): Column =
       shiftrightunsigned(col("simhash"), offsets(j)).bitwiseAND(lit(mask(widths(j))))
     val combos = (0 until blocks).combinations(blocksPerKey).toSeq
-    combos.zipWithIndex.map { case (combo, ci) =>
-      sig.select(col("doc_id"), col("simhash"), lit(ci).as("probe_id"),
-        concat_ws("|", combo.map(j => blockVal(j).cast("string")): _*).as("probe_key"))
-    }.reduce(_ union _)
+    // ONE scan of `sig`, probes via explode — the previous union-of-selects
+    // re-scanned the signature relation once per combo (×2 when self-joined:
+    // 2·C(blocks,blocksPerKey) full passes over however expensive `sig` is
+    // to produce). Same rows, same schema, same types (r15, guide §2.4).
+    sig.select(col("doc_id"), col("simhash"),
+        explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+          struct(lit(ci).as("probe_id"),
+            concat_ws("|",
+              combo.map(j => blockVal(j).cast("string")): _*).as("probe_key"))
+        }: _*)).as("__probe"))
+      .select(col("doc_id"), col("simhash"),
+        col("__probe.probe_id").as("probe_id"),
+        col("__probe.probe_key").as("probe_key"))
   }
 
   /** Incremental simhash dedup-on-ingest: probe a NEW batch's probe rows

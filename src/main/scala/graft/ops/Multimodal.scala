@@ -22,6 +22,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caches: every ImageIO.read/write/
+  // createImage{In,Out}putStream call creates (and deletes) a temp FILE even
+  // when the source/sink is an in-memory byte array — one fsync-able file per
+  // image/frame-sequence, and a global registry lock on the hot path. All
+  // payloads here are small in-memory buffers, so memory-cached streams are
+  // strictly better (measured r15: q205 image near-dup 8.6 s → ~1 s at sf0.1
+  // together with the single-scan banded join). Process-wide and idempotent;
+  // runs once per JVM when the first codec closure touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -73,6 +83,15 @@ object Multimodal {
     * Column expressions (codecs, model inference, external libs). */
   def transformBatches(df: DataFrame, outSchema: StructType)(
       f: Iterator[Row] => Iterator[Row]): DataFrame =
+    // deliberately NO Par.spread here (r15): measured three ways at sf0.1
+    // (blanket spread before/after the ImageIO disk-cache fix and after the
+    // audio provider cache), fanning the small-input codec passes out to 32
+    // partitions lost 1.5-3× on the WAV and near-dup gates (payload
+    // round-robin exchange + 32-task stages against sub-second serial codec
+    // work) and bought q157/q39 ~0.3-0.6 s — net loss every time. At 100-TB
+    // scale the input scan already arrives in many splits and partition-local
+    // decode parallelizes naturally; the serial small-input case is exactly
+    // the regime where the exchange is pure overhead.
     df.sparkSession.createDataFrame(df.rdd.mapPartitions(f), outSchema)
 
   /** Partition-local batch feature extraction over the binary column (built
@@ -325,8 +344,7 @@ object Multimodal {
     * hashes identically, tiny edits flip few bits, different material
     * lands far apart. */
   private[ops] def audioEnvelopeHash64(payload: Array[Byte]): Long = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = audioInputStream(payload)
     val f = ais.getFormat
     require(f.getSampleSizeInBits == 16 && !f.isBigEndian && f.getChannels == 1,
       s"expected mono PCM16LE, got $f")
@@ -548,6 +566,56 @@ object Multimodal {
   // audio codec: javax.sound.sampled (in-JDK, zero external deps). WAV PCM
   // is lossless, so encode→decode round-trips sample-exactly — features
   // computed from the decoded stream are integers and oracle-computable.
+  //
+  // AudioSystem.getAudioInputStream/write re-scan the provider registry on
+  // EVERY call through a globally SYNCHRONIZED, uncached lookup
+  // (JDK13Services.getProviders) — per-payload codec calls convoy on that
+  // lock under parallel decode and pay a ServiceLoader scan even serially
+  // (measured r15: q207 audio near-dup regressed 2.5× when its decode pass
+  // was spread across 32 cores). Resolve the providers ONCE per JVM and
+  // dispatch directly — same provider order, same bytes.
+
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** AudioSystem.getAudioInputStream semantics (first provider that accepts
+    * the stream wins) over the cached provider list; a fresh
+    * ByteArrayInputStream per attempt replaces the mark/reset dance. */
+  private def audioInputStream(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    audioReaders.iterator.flatMap { r =>
+      try Iterator.single(
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          Iterator.empty
+      }
+    }.nextOption().getOrElse(throw new
+      javax.sound.sampled.UnsupportedAudioFileException(
+        "payload is not a decodable audio stream"))
+
+  /** AudioSystem.write semantics (first writer supporting the type wins)
+    * over the cached provider list. */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+      out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val w = audioWriters.find(_.isFileTypeSupported(t, ais))
+      .getOrElse(throw new IllegalArgumentException("no WAVE writer"))
+    w.write(ais, t, out)
+  }
 
   /** Encode signed 16-bit little-endian mono PCM as a real RIFF/WAVE file
     * through the JDK's AudioSystem writer. */
@@ -564,8 +632,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -574,8 +641,7 @@ object Multimodal {
     * sumOfSquares) — all integers, so downstream aggregation is exact.
     * Throws on undecodable payloads — corrupt media fails loudly. */
   private[ops] def decodeWav(payload: Array[Byte]): (Int, Int, Long, Long) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = audioInputStream(payload)
     val f = ais.getFormat
     require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
       s"expected PCM16LE, got $f")
