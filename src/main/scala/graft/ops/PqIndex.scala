@@ -48,22 +48,61 @@ object PqIndex {
   def build(corpus: DataFrame, nlist: Int = 8, m: Int = 8, ksub: Int = 16,
       maxIter: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding", trainCap: Long = 0): IvfPq = {
-    val coarse = graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol,
-      trainCap = trainCap)
-    val cb = Pq.train(corpus, m, ksub, maxIter, idCol, vecCol,
-      trainCap = trainCap)
+    // FUSED local training (r15, guide §1.2/§2.4): both quantizers train on
+    // the SAME rows, but KMeans.centroids + Pq.train each ran their own
+    // spread→project→persist→count→(dim probe)→sort→collect pipeline — two
+    // full preparation passes for one training set. When a cheap
+    // planning-time size estimate says the corpus is local-sized, prepare
+    // ONCE and run both LOCAL Lloyd paths over the one collected array —
+    // bit-identical to the separate local paths (same projection, same id
+    // order, same lloydLocal), ~half the training jobs. Estimate-huge (the
+    // 100-TB case) or over-cap corpora fall through to the existing
+    // independent paths, which sample per-quantizer.
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val capCoarse = if (trainCap > 0) trainCap else math.max(256L * nlist, 65536L)
+    val capPq = if (trainCap > 0) trainCap else math.max(256L * ksub, 65536L)
+    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    val localFit: Option[(Array[(Int, Seq[Double])], Pq.Codebooks)] =
+      if (est < BigInt(256) * 1024 * 1024) {
+        val pts0 = Par.spread(corpus).select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v")).persist()
+        val n0 = pts0.count()
+        if (n0 <= math.min(capCoarse, capPq) && n0 <= 65536L &&
+            n0 * d <= graft.lib.KMeans.defaultLocalCellBudget) {
+          val sorted = pts0.orderBy("id").collect().map(_.getSeq[Double](1))
+          pts0.unpersist()
+          val co = graft.lib.KMeans.lloydLocal(sorted, nlist, maxIter)
+          val dsub = d / m
+          val books = Array.tabulate(m) { s =>
+            graft.lib.KMeans.lloydLocal(
+              sorted.map(_.slice(s * dsub, s * dsub + dsub)), ksub, maxIter)
+          }
+          Some((co, Pq.Codebooks(m, dsub, books)))
+        } else { pts0.unpersist(); None }
+      } else None
+    val (coarse, cb) = localFit.getOrElse {
+      (graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol,
+        trainCap = trainCap),
+        Pq.train(corpus, m, ksub, maxIter, idCol, vecCol, trainCap = trainCap))
+    }
     IvfPq(coarse, cb, encodeWithCell(cb, coarse, corpus, idCol, vecCol))
   }
 
-  /** Persist: quantizers as flat relations, codes PARTITIONED BY CELL. */
+  /** Persist: BOTH quantizers in one flat relation (`s = -1` rows are the
+    * coarse centroids, `s >= 0` rows subquantizer `s` — one write + one
+    * read-collect round trip instead of two of each; r15), codes
+    * PARTITIONED BY CELL. */
   def save(idx: IvfPq, dir: String): Unit = {
     val spark = idx.codes.sparkSession
     import spark.implicits._
-    idx.coarse.toSeq
-      .flatMap { case (cid, v) => v.zipWithIndex.map { case (x, i) => (cid, i, x) } }
-      .toDF("cid", "dim", "x")
-      .write.mode("overwrite").parquet(s"$dir/coarse")
-    Pq.saveCodebooks(spark, idx.cb, s"$dir/books")
+    val coarseRows = idx.coarse.toSeq.flatMap { case (cid, v) =>
+      v.zipWithIndex.map { case (x, i) => (-1, cid, i, x) } }
+    val bookRows = idx.cb.books.zipWithIndex.toSeq.flatMap { case (book, s) =>
+      book.toSeq.flatMap { case (cid, v) =>
+        v.zipWithIndex.map { case (x, i) => (s, cid, i, x) } } }
+    (coarseRows ++ bookRows).toDF("s", "cid", "dim", "x")
+      .write.mode("overwrite").parquet(s"$dir/quant")
     // clustered by cell (same rationale as AnnIndex.save): one file per
     // cell per write task, not the tasks × cells fan-out
     idx.codes.repartition(col("cell")).write.mode("overwrite")
@@ -92,11 +131,16 @@ object PqIndex {
 
   /** Reload a saved index. */
   def load(spark: SparkSession, dir: String): IvfPq = {
-    val coarse = spark.read.parquet(s"$dir/coarse")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toSeq) }
-    val cb = Pq.loadCodebooks(spark, s"$dir/books")
+    val quant = spark.read.parquet(s"$dir/quant")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    def vecsOf(rows: Array[(Int, Int, Int, Double)]) =
+      rows.groupBy(_._2).toArray.sortBy(_._1)
+        .map { case (cid, rs) => (cid, rs.sortBy(_._3).map(_._4).toSeq) }
+    val coarse = vecsOf(quant.filter(_._1 == -1))
+    val books = quant.filter(_._1 >= 0).groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rs) => vecsOf(rs) }
+    val cb = Pq.Codebooks(books.length, books.head.head._2.length, books)
     val codes0 = spark.read.parquet(s"$dir/codes")
       .select(col("did"), col("code"), col("est_norm"),
         col("cell").cast("int").as("cell"))
