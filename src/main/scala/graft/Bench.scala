@@ -44,6 +44,9 @@ object Bench {
       // artifact stores, whose per-clone cleanup (streaming queries clone
       // the session) flakily unregistered a jar mid-run
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // shuffle/checkpoint scratch on the fastest local storage (see
+      // BenchMode.scratchDir — env-parameterized, tmpfs default here)
+      .config("spark.local.dir", BenchMode.scratchDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

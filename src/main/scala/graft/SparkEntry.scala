@@ -63,7 +63,11 @@ object SparkEntry {
     * next execution. */
   private def gateWorkspace(d: String, tag: String): String = {
     import java.nio.file.{Files, Paths}
-    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+    // persisted-artifact scratch follows the session scratch placement
+    // (BenchMode.scratchDir: tmpfs default, SPARK_GRAFT_LOCAL_DIR override)
+    // — still a real filesystem, so every save→load/append/delete contract
+    // is exercised unchanged; r15, guide §6
+    val base = Paths.get(BenchMode.scratchDir,
       s"graft_${tag}_${Integer.toHexString(d.hashCode)}")
     Files.createDirectories(base)
     val myPid = ProcessHandle.current().pid()
@@ -335,7 +339,7 @@ object SparkEntry {
     "q34_csv_roundtrip" -> ((s, d) => {
       implicit val ss: SparkSession = s
       implicit val enc: org.apache.spark.sql.Encoder[Nation] = Encoders.product[Nation]
-      val dir = "/tmp/graft_scratch/nation_csv"
+      val dir = s"${BenchMode.scratchDir}/graft_scratch/nation_csv"
       DataBag.from(tbl(s, d, "nation").as[Nation]).writeCSV(dir, CSV(header = true))
       DataBag.readCSV[Nation](dir, CSV(header = true)).toDF.agg(
         count(lit(1)).as("cnt"),
@@ -557,7 +561,7 @@ object SparkEntry {
 
     "q66_text_roundtrip" -> ((s, d) => {
       implicit val ss: SparkSession = s
-      val dir = "/tmp/graft_scratch/docs_text"
+      val dir = s"${BenchMode.scratchDir}/graft_scratch/docs_text"
       DataBag.from(tbl(s, d, "documents").select("text").as[String](Encoders.STRING))
         .writeText(dir)
       DataBag.readText(dir).toDF.agg(
@@ -1654,7 +1658,7 @@ object SparkEntry {
     // against the source table by the oracle)
     "q154_compaction" -> ((s, d) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val base = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_compact").toString
       try {
         tbl(s, d, "orders").repartition(64)
           .write.mode("overwrite").parquet(s"$base/frag")
@@ -2004,7 +2008,7 @@ object SparkEntry {
       import graft.ops.AnnIndex
       val emb = tbl(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 8)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_ann").toString
       try {
         val idx = AnnIndex.buildIvf(emb, nlist = 8, maxIter = 4)
         AnnIndex.save(idx, dir)
@@ -2044,7 +2048,7 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       val corpus = emb.where(col("vec_id") % 5 =!= 0)
       val batch = emb.where(col("vec_id") % 5 === 0)
-      val dir = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
+      val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_ann_ingest").toString
       try {
         AnnIndex.save(AnnIndex.buildIvf(corpus, nlist = 8, maxIter = 4), dir)
         AnnIndex.appendSaved(s, dir, batch)
@@ -2075,7 +2079,7 @@ object SparkEntry {
       val ms = m.orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val voc = Bpe.vocab(Bpe.corpusChars(docs), ms)
-      val dir = java.nio.file.Files.createTempDirectory("graft_tok").toString
+      val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_tok").toString
       try {
         Bpe.saveTokenizer(s, dir, ms, voc)
         val (lms, lvoc) = Bpe.loadTokenizer(s, dir)
@@ -2122,7 +2126,7 @@ object SparkEntry {
       import s.implicits._
       import graft.ops.Pca
       val emb = tbl(s, d, "embeddings")
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_mom").toString
+      val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_stream_mom").toString
       try {
         emb.repartition(4).write.mode("overwrite").parquet(s"$dir/src")
         val stream = s.readStream
@@ -2213,7 +2217,7 @@ object SparkEntry {
     // (contiguity spec-asserted). The gate writes, reads back, and must
     // reproduce q178's oracle exactly — the round trip loses nothing.
     "q187_write_shards" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_shards_gate").toString
+      val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_shards_gate").toString
       try {
         graft.ops.Shuffling.writeShards(
           tbl(s, d, "documents").select("doc_id"), col("doc_id"),
@@ -2257,7 +2261,7 @@ object SparkEntry {
     "q181_stream_filter_report" -> ((s, d) => {
       import s.implicits._
       val docs = tbl(s, d, "documents")
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_rep").toString
+      val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(BenchMode.scratchDir), "graft_stream_rep").toString
       try {
         docs.repartition(4).write.mode("overwrite").parquet(s"$dir/src")
         val stream = s.readStream.schema(docs.schema)
@@ -2588,8 +2592,7 @@ object SparkEntry {
       // earlier rounds accumulated): the mutated store is cleared and
       // rebuilt each execution, the immutable update files are written once
       // per JVM and replayed with a fresh query/checkpoint
-      val baseP = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+      val baseP = java.nio.file.Paths.get(BenchMode.scratchDir,
         "graft_streamsig_" + srcCacheTag(d, "documents", "churn-n3"))
       val base = baseP.toString
       deleteRecursively(baseP.resolve("store"))
@@ -4116,8 +4119,7 @@ object SparkEntry {
           expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("m"))
       val nBatches = 2 // two files → two micro-batches: replay semantics
                        // exercised at half the per-batch machinery cost
-      val srcBase = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
+      val srcBase = java.nio.file.Paths.get(BenchMode.scratchDir,
         s"graft_streampb_${srcCacheTag(d, "orders", s"cents-n$nBatches")}")
       if (!java.nio.file.Files.exists(srcBase.resolve("_done"))) {
         deleteRecursively(srcBase)

@@ -20,6 +20,8 @@ object Verify {
       // same artifact channel as Bench: SparkContext-lifetime addJar for
       // runtime-quotation classes (see Bench.scala)
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // same scratch placement as Bench (BenchMode.scratchDir)
+      .config("spark.local.dir", BenchMode.scratchDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
