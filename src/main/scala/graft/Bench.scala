@@ -28,6 +28,12 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    // JVM temp follows the scratch placement too: streaming drains create
+    // their temporary checkpoint dirs under java.io.tmpdir (memory-sink
+    // queries have no explicit checkpointLocation), and those per-batch
+    // commit-log writes were landing on the disk-backed /tmp. Set FIRST,
+    // before any temp-file machinery initializes.
+    System.setProperty("java.io.tmpdir", BenchMode.scratchDir)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

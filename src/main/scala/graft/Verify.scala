@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // same temp placement as Bench (streaming temp checkpoints etc.)
+    System.setProperty("java.io.tmpdir", BenchMode.scratchDir)
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query names to dump (debug aid)
     val only: Set[String] =

@@ -133,27 +133,40 @@ object TextAnalysis {
     * skew is bounded by document length, not corpus size.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    def gramStats(n: Int, cols: Seq[(String, Column => Column)]): DataFrame =
-      Par.spread(docs)
-        .select(col("doc_id"), explode(Dedup.shingleArray(col(textCol), n)).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(
-          sum("c").as("total"), max("c").as("maxc"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
-        .select(col("doc_id") +: cols.map { case (name, f) =>
-          f(col("total")).as(name)
-        }: _*)
-    val frac = (num: Column) => (total: Column) =>
+    // ONE tokenize+explode pass for both gram sizes (r15, guide §2.3/§2.4):
+    // 2-grams and 3-grams ride the same exploded relation under an `n` tag,
+    // so the corpus is scanned and tokenized once and both aggregations
+    // share one shuffle chain keyed (doc_id, n, g) — the previous
+    // two-subquery form scanned and shuffled the corpus once per gram size.
+    // Same per-(doc,n) totals, same joins, same output values.
+    val grams = Par.spread(docs)
+      .select(col("doc_id"), explode(array(
+        struct(lit(2).as("n"), Dedup.shingleArray(col(textCol), 2).as("gs")),
+        struct(lit(3).as("n"), Dedup.shingleArray(col(textCol), 3).as("gs")))).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), explode(col("e.gs")).as("g"))
+    // pivot both gram sizes in ONE aggregation (filtering a shared `stats`
+    // twice would re-execute the whole gram pipeline per branch); a doc with
+    // 2-grams but no 3-grams (2-token text) gets null 3-gram columns →
+    // null frac → the same coalesce(0.0) as the old per-size left joins
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n")).agg(
+        sum("c").as("total"), max("c").as("maxc"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupmass"))
+      .groupBy(col("doc_id")).agg(
+        max(when(col("n") === 2, col("maxc"))).as("maxc2"),
+        max(when(col("n") === 2, col("dupmass"))).as("dup2"),
+        max(when(col("n") === 2, col("total"))).as("tot2"),
+        max(when(col("n") === 3, col("dupmass"))).as("dup3"),
+        max(when(col("n") === 3, col("total"))).as("tot3"))
+    val frac = (num: Column, total: Column) =>
       Portable.round(num.cast("double") / total.cast("double"), 4)
-    val g2 = gramStats(2, Seq(
-      "top_2gram_frac" -> frac(col("maxc")), "dup_2gram_frac" -> frac(col("dupmass"))))
-    val g3 = gramStats(3, Seq("dup_3gram_frac" -> frac(col("dupmass"))))
     docs.select(col("doc_id"))
-      .join(g2, Seq("doc_id"), "left").join(g3, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("top_2gram_frac"), lit(0.0)).as("top_2gram_frac"),
-        coalesce(col("dup_2gram_frac"), lit(0.0)).as("dup_2gram_frac"),
-        coalesce(col("dup_3gram_frac"), lit(0.0)).as("dup_3gram_frac"))
+        coalesce(frac(col("maxc2"), col("tot2")), lit(0.0)).as("top_2gram_frac"),
+        coalesce(frac(col("dup2"), col("tot2")), lit(0.0)).as("dup_2gram_frac"),
+        coalesce(frac(col("dup3"), col("tot3")), lit(0.0)).as("dup_3gram_frac"))
   }
 
   /** Canonical text normalization for hashing/dedup: Unicode NFC (native
@@ -182,22 +195,32 @@ object TextAnalysis {
     * short for a bigram emit (0, 0). */
   def bigramLogProb(docs: DataFrame, textCol: String = "text",
       k: Double = 1.0): DataFrame = {
+    // `toks` feeds FOUR consumers (bigrams→{counts, scored}, unigram counts,
+    // vocab size) — materialize it once instead of re-running
+    // tokenize+explode per consumer; `bigrams` likewise feeds two, saving a
+    // second window shuffle+sort (r15, guide §2.4). The vocab size rides
+    // into the plan as a broadcast 1-row aggregate instead of a separate
+    // collect action — same double arithmetic (k·V computed in IEEE double
+    // either way), one action total.
     val toks = Par.spread(docs).select(col("doc_id"),
       posexplode(graft.lib.Features.tokenizeGaps(col(textCol))))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val bigrams = toks
       .select(col("doc_id"), lag(col("tok"), 1).over(w).as("w1"), col("tok").as("w2"))
       .where(col("w1").isNotNull)
+      .localCheckpoint()
     val bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val unigramCounts = toks.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = toks.agg(countDistinct("tok")).head().getLong(0)
+    val vocabDf = toks.agg(countDistinct("tok").cast("double").as("__v"))
     val scored = bigrams
       .join(bigramCounts, Seq("w1", "w2"))
       .join(broadcast(unigramCounts), Seq("w1"))
+      .crossJoin(broadcast(vocabDf))
       .select(col("doc_id"),
-        floor(log((col("c2") + lit(k)) / (col("c1") + lit(k * vocab))) * 1e6 + 0.5)
+        floor(log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("__v"))) * 1e6 + 0.5)
           .cast("long").as("lp_micros"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
         sum("lp_micros").as("sum_logprob_micros"))
