@@ -51,6 +51,7 @@ object AnnIndex {
     index.centroids.toSeq
       .flatMap { case (cid, v) => v.zipWithIndex.map { case (x, i) => (cid, i, x) } }
       .toDF("cid", "dim", "x")
+      .coalesce(1) // droplet-sized relation: one file, one commit
       .write.mode("overwrite").parquet(s"$dir/centroids")
     // clustered by cell: one file per (cell, writing task) instead of the
     // tasks × cells fan-out, and AQE coalesces tiny relations to a couple
@@ -85,7 +86,8 @@ object AnnIndex {
     * deletes are O(|ids|) appends. */
   def deleteSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    ids.toDF("did").write.mode("append").parquet(s"$dir/deleted")
+    ids.toDF("did").coalesce(1)
+      .write.mode("append").parquet(s"$dir/deleted")
   }
 
   /** Compaction: physically rewrite the assignment table without the

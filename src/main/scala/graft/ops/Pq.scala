@@ -184,6 +184,7 @@ object Pq {
         book.toSeq.flatMap { case (cid, v) =>
           v.zipWithIndex.map { case (x, i) => (s, cid, i, x) } } }
       .toDF("s", "cid", "dim", "x")
+      .coalesce(1) // droplet-sized relation: one file, one commit
       .write.mode("overwrite").parquet(dir)
   }
 

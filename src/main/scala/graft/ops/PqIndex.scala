@@ -102,6 +102,7 @@ object PqIndex {
       book.toSeq.flatMap { case (cid, v) =>
         v.zipWithIndex.map { case (x, i) => (s, cid, i, x) } } }
     (coarseRows ++ bookRows).toDF("s", "cid", "dim", "x")
+      .coalesce(1) // droplet-sized relation: one file, one commit
       .write.mode("overwrite").parquet(s"$dir/quant")
     // clustered by cell (same rationale as AnnIndex.save): one file per
     // cell per write task, not the tasks × cells fan-out
@@ -126,7 +127,8 @@ object PqIndex {
     * rewritten; probes exclude the ids immediately. */
   def deleteSaved(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
-    ids.toDF("did").write.mode("append").parquet(s"$dir/deleted")
+    ids.toDF("did").coalesce(1)
+      .write.mode("append").parquet(s"$dir/deleted")
   }
 
   /** Reload a saved index. */
