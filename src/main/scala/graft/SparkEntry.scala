@@ -38,17 +38,35 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Cache key for IMMUTABLE derived source files: the sf dir + the source
-    * table's (size, mtime) + a derivation-version token. Regenerated
-    * testdata or a changed derivation produces a different key, so a stale
-    * `_done` marker from a previous generation can never replay old files
-    * (markers survive in the tmpdir across JVMs by design). */
-  private def srcCacheTag(d: String, table: String, version: String): String = {
-    val f = java.nio.file.Paths.get(d, s"$table.parquet")
-    val sz = try java.nio.file.Files.size(f) catch { case _: Exception => 0L }
-    val mt = try java.nio.file.Files.getLastModifiedTime(f).toMillis
-      catch { case _: Exception => 0L }
-    Integer.toHexString((d, table, version, sz, mt).hashCode)
+  /** One BOUNDED per-(sf dir, tag, live JVM) staging base — same shape and
+    * dead-JVM reaping as [[gateWorkspace]] but NOT cleared on re-entry:
+    * gates stage IMMUTABLE derived source files once per JVM behind `_done`
+    * markers inside it (streaming inputs replayed by every rep). This
+    * replaces the former cross-boot `_done` markers keyed on the source
+    * table's (size, mtime) (VERDICT r15 item 5): nothing is reused across
+    * processes — a fresh JVM always restages — so back-to-back runs carry
+    * identical staging cost, while reps within one run still share the
+    * files (the per-rep min is the steady-state number either way). */
+  private def jvmStageBase(d: String, tag: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(BenchMode.scratchDir,
+      s"graft_${tag}_${Integer.toHexString(d.hashCode)}")
+    Files.createDirectories(base)
+    val myPid = ProcessHandle.current().pid()
+    val ls = Files.list(base)
+    try ls.forEach { sub =>
+      val name = sub.getFileName.toString
+      if (name.startsWith("jvm")) {
+        val alive = name.stripPrefix("jvm").toLongOption.exists(pid =>
+          pid == myPid || ProcessHandle.of(pid)
+            .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE)
+            .booleanValue())
+        if (!alive) deleteRecursively(sub)
+      }
+    } finally ls.close()
+    val p = base.resolve(s"jvm$myPid")
+    Files.createDirectories(p)
+    p
   }
 
   /** One BOUNDED workspace per (sf dir, gate tag, live JVM), cleared at
@@ -1619,8 +1637,10 @@ object SparkEntry {
     "q151_stream_dedup_probe" -> ((s, d) => {
       val docs = tbl(s, d, "documents")
       val corpus = docs.where(col("doc_id") % 5 =!= 0)
-      val idx = Dedup.lshBands(corpus).localCheckpoint()
-      val corpusSh = Dedup.hashedShingles(corpus).localCheckpoint()
+      // ONE corpus tokenize pass builds both artifacts (band index +
+      // shingle store) — they were two full scans (r16, guide §2.4); the
+      // views stay cheap reads over the fused checkpoint across batches
+      val (idx, corpusSh) = Dedup.lshIndexAndShingleStore(corpus)
       val stream = graft.streaming.Streams
         .parquetFileStream(s, s"$d/documents.parquet")
         .where(col("doc_id") % 5 === 0)
@@ -1696,8 +1716,9 @@ object SparkEntry {
       val corpus = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4)
       val a = docs.where(col("doc_id") % 5 === 0)
       val b = docs.where(col("doc_id") % 5 === 4)
-      val idx0 = Dedup.lshBands(corpus).localCheckpoint()
-      val store0 = Dedup.hashedShingles(corpus).localCheckpoint()
+      // ONE corpus tokenize pass builds both initial artifacts (r16) —
+      // band index and shingle store were two full corpus scans
+      val (idx0, store0) = Dedup.lshIndexAndShingleStore(corpus)
       // fused probe+extend: each batch's bands and hashed shingles are
       // computed ONCE and shared by the probe join, verification, and the
       // extended artifacts (the probe/extend pair used to recompute them —
@@ -2013,15 +2034,17 @@ object SparkEntry {
         val idx = AnnIndex.buildIvf(emb, nlist = 8, maxIter = 4)
         AnnIndex.save(idx, dir)
         val loaded = AnnIndex.load(s, dir)
-        def res(i: AnnIndex.Ivf) = AnnIndex.probe(i, qs, k = 3, nprobe = 2)
+        def res(df: org.apache.spark.sql.DataFrame) = df
           .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-        val fromMem = res(idx)
-        val fromDisk = res(loaded)
+        val probeDisk = AnnIndex.probe(loaded, qs, k = 3, nprobe = 2)
+        val fromMem = res(AnnIndex.probe(idx, qs, k = 3, nprobe = 2))
+        val fromDisk = res(probeDisk)
         val brute = Similarity.cosineTopK(emb, qs, k = 3)
           .select("qid", "did").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // same plan object as the fromDisk probe — constructing a THIRD
+        // probe just for the plan string paid another probe-cell job (r16)
         val pruned = """PartitionFilters: \[[^\]]*cell#""".r.findFirstIn(
-          AnnIndex.probe(loaded, qs, k = 3, nprobe = 2)
-            .queryExecution.executedPlan.toString).isDefined
+          probeDisk.queryExecution.executedPlan.toString).isDefined
         Seq((fromDisk.length.toLong, fromDisk.sameElements(fromMem),
           fromDisk.count(brute.contains).toDouble >= brute.size * 0.9, pruned))
           .toDF("n_results", "roundtrip_ok", "recall_ok", "pruned_scan")
@@ -2588,12 +2611,11 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       def signals(df: DataFrame): DataFrame = df.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      // one BOUNDED workspace per sf dir (the per-execution temp dirs of
-      // earlier rounds accumulated): the mutated store is cleared and
-      // rebuilt each execution, the immutable update files are written once
-      // per JVM and replayed with a fresh query/checkpoint
-      val baseP = java.nio.file.Paths.get(BenchMode.scratchDir,
-        "graft_streamsig_" + srcCacheTag(d, "documents", "churn-n3"))
+      // one BOUNDED workspace per (sf dir, live JVM): the mutated store is
+      // cleared and rebuilt each execution, the immutable update files are
+      // staged once per JVM (never across processes — jvmStageBase) and
+      // replayed with a fresh query/checkpoint
+      val baseP = jvmStageBase(d, "streamsig")
       val base = baseP.toString
       deleteRecursively(baseP.resolve("store"))
       graft.ops.StateStore.create(signals(v1), "doc_id", 16, s"$base/store")
@@ -4108,21 +4130,18 @@ object SparkEntry {
           expr("CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)").as("cents"))
         .as[(Long, Long)])
       val pb = graft.api.PointBag(state, parts = 32)
-      // the streamed source files are deterministic per sf dir — write them
-      // ONCE per JVM into a fixed temp path and let later executions (Bench
-      // reps) replay the same files with a fresh query/checkpoint. One
-      // bounded directory per sf, overwritten by the next JVM — no
-      // accumulation across runs (the earlier per-execution temp dirs did
-      // accumulate)
+      // the streamed source files are deterministic per sf dir — staged
+      // ONCE per (sf, live JVM) (never across processes — jvmStageBase) so
+      // later executions (Bench reps) replay the same files with a fresh
+      // query/checkpoint
       val deltas = tbl(s, d, "orders")
         .select(col("o_custkey"),
           expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("m"))
       val nBatches = 2 // two files → two micro-batches: replay semantics
                        // exercised at half the per-batch machinery cost
-      val srcBase = java.nio.file.Paths.get(BenchMode.scratchDir,
-        s"graft_streampb_${srcCacheTag(d, "orders", s"cents-n$nBatches")}")
+      val srcBase = jvmStageBase(d, "streampb")
       if (!java.nio.file.Files.exists(srcBase.resolve("_done"))) {
-        deleteRecursively(srcBase)
+        deleteRecursively(srcBase.resolve("src"))
         deltas.repartition(nBatches).write.mode("overwrite")
           .parquet(srcBase.resolve("src").toString)
         java.nio.file.Files.createFile(srcBase.resolve("_done"))

@@ -16,12 +16,20 @@ object Curation {
   def nearDuplicates(docs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val cands = Dedup.minhashLSH(docs, textCol, bands, rowsPerBand, shingleN)
-    // hashed shingles: the verify step only joins/counts shingles, so the
-    // 8-byte token halves-to-thirds the materialized relation (see
-    // Dedup.hashedShingles)
-    val sh = Dedup.hashedShingles(docs, textCol, shingleN).localCheckpoint()
-    Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
+    // ONE tokenize+shingle pass feeds BOTH stages (it used to run twice:
+    // once under the LSH signature, once under the verify shingles — at
+    // corpus scale that doubled the dominant map cost; r16, guide
+    // §1.2/§2.4). The fused checkpoint carries the signature AND the
+    // per-doc hashed shingle array (8 bytes/shingle — same bytes the old
+    // exploded-shingle checkpoint held); candidate bands and the verify
+    // relation are cheap views over it.
+    val k = bands * rowsPerBand
+    val fused = Dedup.sigAndShingles(docs, textCol, k, shingleN)
+      .localCheckpoint()
+    val cands = Dedup.minhashLSHFromBands(
+      Dedup.bandRows(Dedup.sigCols(fused, k), bands, rowsPerBand))
+    Dedup.verifyJaccard(Dedup.shingleView(fused), cands)
+      .where(col("jaccard") >= minJaccard)
   }
 
   /** Duplicate clusters: near-duplicate pairs form a graph whose connected
@@ -85,7 +93,12 @@ object Curation {
       newDocs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val probe = Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)
+    // the batch is tokenized ONCE (fused signature + shingles; r16) — it
+    // used to be shingled a second time for verification
+    val fused = Dedup.sigAndShingles(newDocs, textCol,
+      bands * rowsPerBand, shingleN).localCheckpoint()
+    val probe = Dedup.bandRows(
+      Dedup.sigCols(fused, bands * rowsPerBand), bands, rowsPerBand)
     val cands = probe.as("p")
       .join(corpusIndex.as("i"),
         col("p.band_id") === col("i.band_id") &&
@@ -95,9 +108,9 @@ object Curation {
       .localCheckpoint() // bound: reused by the semi-join AND verification
     val touched = corpus.join(
       cands.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "semi")
-    val sh = Dedup.hashedShingles(newDocs.select(col("doc_id"), col(textCol))
-        .unionByName(touched.select(col("doc_id"), col(textCol))),
-      textCol, shingleN).localCheckpoint()
+    val sh = Dedup.shingleView(fused)
+      .unionByName(Dedup.hashedShingles(touched, textCol, shingleN))
+      .localCheckpoint()
     Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
       .select(col("id1").as("new_id"), col("id2").as("corpus_id"), col("jaccard"))
   }
@@ -111,7 +124,12 @@ object Curation {
       newDocs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val probe = Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)
+    // one fused tokenize pass over the batch (r16) — bands for the probe
+    // join, hashed shingles for verification, from the same checkpoint
+    val fused = Dedup.sigAndShingles(newDocs, textCol,
+      bands * rowsPerBand, shingleN).localCheckpoint()
+    val probe = Dedup.bandRows(
+      Dedup.sigCols(fused, bands * rowsPerBand), bands, rowsPerBand)
     val cands = probe.as("p")
       .join(index.as("i"),
         col("p.band_id") === col("i.band_id") &&
@@ -121,7 +139,7 @@ object Curation {
       .localCheckpoint()
     val touched = shingleStore.join(
       cands.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "semi")
-    val sh = Dedup.hashedShingles(newDocs, textCol, shingleN)
+    val sh = Dedup.shingleView(fused)
       .unionByName(touched).localCheckpoint()
     Dedup.verifyJaccard(sh, cands).where(col("jaccard") >= minJaccard)
       .select(col("id1").as("new_id"), col("id2").as("corpus_id"), col("jaccard"))
@@ -136,19 +154,23 @@ object Curation {
   def extendIndex(index: DataFrame, shingleStore: DataFrame,
       newDocs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3)
-      : (DataFrame, DataFrame) =
-    (index.unionByName(Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)),
-      shingleStore.unionByName(Dedup.hashedShingles(newDocs, textCol, shingleN)))
+      : (DataFrame, DataFrame) = {
+    // one fused tokenize pass over the batch (r16) — the band and shingle
+    // appends derive from the same checkpointed per-doc relation
+    val (bandsNew, shNew) = Dedup.lshIndexAndShingleStore(
+      newDocs, textCol, bands, rowsPerBand, shingleN)
+    (index.unionByName(bandsNew), shingleStore.unionByName(shNew))
+  }
 
   /** One INGEST STEP — [[probeIndexed]] + [[extendIndex]] fused so the
-    * batch's minhash SIGNATURE is computed (and checkpointed, inside
-    * [[Dedup.lshBands]]) exactly once: calling the two separately runs the
-    * signature pass twice — once for the probe's bands, once for the index
-    * extension's. The band rows and hashed shingles are shared as the SAME
-    * DataFrame objects, NOT re-materialized: bands are cheap narrow
-    * selects over the checkpointed signature, and an extra localCheckpoint
+    * batch's fused tokenize pass ([[Dedup.sigAndShingles]]: minhash
+    * signature + hashed shingles, checkpointed once) runs exactly once:
+    * calling the two separately runs it twice — once for the probe, once
+    * for the index extension. The band rows and hashed shingles are shared
+    * as the SAME DataFrame objects, NOT re-materialized: both are cheap
+    * narrow views over the fused checkpoint, and an extra localCheckpoint
     * on them costs more than it saves (measured: ProfileIngest13). At
-    * corpus scale the signature pass IS the per-batch ingest cost, so
+    * corpus scale the tokenize pass IS the per-batch ingest cost, so
     * sharing it halves that. Returns (near-dup pairs of the batch vs the
     * indexed corpus, extended index, extended shingle store). Pair
     * semantics identical to [[probeIndexed]]. */
@@ -156,8 +178,12 @@ object Curation {
       newDocs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       minJaccard: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
-    val probe = Dedup.lshBands(newDocs, textCol, bands, rowsPerBand, shingleN)
-    val newSh = Dedup.hashedShingles(newDocs, textCol, shingleN)
+    // r16: the probe's bands and the batch's shingles now come from ONE
+    // fused tokenize pass (they shared the signature since r13 but still
+    // shingled the batch twice — once in lshBands' signature, once in
+    // hashedShingles)
+    val (probe, newSh) = Dedup.lshIndexAndShingleStore(
+      newDocs, textCol, bands, rowsPerBand, shingleN)
     val cands = probe.as("p")
       .join(index.as("i"),
         col("p.band_id") === col("i.band_id") &&

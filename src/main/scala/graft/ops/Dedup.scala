@@ -54,6 +54,58 @@ object Dedup {
     shingles(docs, textCol, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
 
+  /** ONE tokenize+shingle pass producing BOTH near-dup proxies of a corpus
+    * slice: the K-hash minhash signature array (`__sig` — element i+1 is
+    * [[minhashSignatures]]' `mh_i`, bit-identical) and the per-doc DISTINCT
+    * hashed shingles (`__sh` — `explode(__sh)` is row-identical to
+    * [[hashedShingles]]: xxhash64 over the same distinct shingle strings).
+    *
+    * The near-dup pipeline used to run the tokenize+shingle map (split +
+    * slice + concat per shingle — the dominant map-side cost at any corpus
+    * scale) TWICE: once under the LSH signature, once under the verify
+    * shingles. Fusing them halves that (r16, guide §1.2/§2.4: one pass for
+    * two proxies of the same payload). Callers checkpoint this relation —
+    * ~8 bytes per shingle plus the K×8-hex signature, no fatter than the
+    * exploded shingle relation the split pipeline already materialized —
+    * and derive band/shingle views from it via [[sigCols]]/[[shingleView]]. */
+  private[graft] def sigAndShingles(docs: DataFrame, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    // __arr in its OWN projection, referenced twice above it: CollapseProject
+    // keeps a non-cheap alias with multiple references in its own stage, so
+    // the shingle array is computed once per row
+    val base = Par.spread(docs)
+      .where(size(split(trim(col(textCol)), "\\s+")) >= shingleN)
+      .select(col("doc_id"), shingleArray(col(textCol), shingleN).as("__arr"))
+    base.select(col("doc_id"),
+      graft.functions.Native.minhashSig(col("__arr"), numHashes).as("__sig"),
+      transform(array_distinct(col("__arr")), s => xxhash64(s)).as("__sh"))
+  }
+
+  /** mh0..mhK-1 view of a [[sigAndShingles]] relation — column-identical to
+    * [[minhashSignatures]] output. */
+  private[graft] def sigCols(fused: DataFrame, numHashes: Int): DataFrame =
+    fused.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("__sig"), i + 1).as(s"mh$i")): _*)
+
+  /** Exploded `(doc_id, shingle)` view of a [[sigAndShingles]] relation —
+    * row-identical to [[hashedShingles]]. */
+  private[graft] def shingleView(fused: DataFrame): DataFrame =
+    fused.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+
+  /** Build BOTH persistent dedup artifacts — the banded LSH index
+    * ([[lshBands]]) and the hashed-shingle store ([[hashedShingles]]) — in
+    * ONE tokenize+shingle pass over the corpus instead of two full corpus
+    * scans. The fused per-doc relation is checkpointed once; the returned
+    * relations are cheap views over it (r16, guide §2.4). */
+  def lshIndexAndShingleStore(docs: DataFrame, textCol: String = "text",
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val fused = sigAndShingles(docs, textCol, bands * rowsPerBand, shingleN)
+      .localCheckpoint()
+    (bandRows(sigCols(fused, bands * rowsPerBand), bands, rowsPerBand),
+      shingleView(fused))
+  }
+
   /** MinHash signature: engine-portable, deterministic. Hash functions come
     * in groups of four per md5 — hash i is the 8-hex-char (32-bit) chunk
     * `i%4` of `md5(i/4 || '-' || shingle)` — so K hashes cost ceil(K/4) md5
@@ -118,15 +170,28 @@ object Dedup {
     * ([[Curation.incrementalNearDups]]) are plain equi-joins against it,
     * never touching the corpus text again. */
   def lshBands(docs: DataFrame, textCol: String = "text",
-      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
-    val sig = minhashSignatures(docs, textCol, bands * rowsPerBand, shingleN)
-      .localCheckpoint()
-    (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      sig.select(col("doc_id"), lit(b).as("band_id"),
-        concat_ws("|", cols: _*).as("band_key"))
-    }.reduce(_ union _)
-  }
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame =
+    bandRows(
+      minhashSignatures(docs, textCol, bands * rowsPerBand, shingleN)
+        .localCheckpoint(),
+      bands, rowsPerBand)
+
+  /** `(doc_id, band_id, band_key)` from a signature relation in ONE scan:
+    * the band structs explode out of each signature row. The previous
+    * union-of-selects re-read the signature relation once per band —
+    * 2·bands block reads when self-joined — and carried a bands-way Union
+    * through every downstream plan (the simhashProbes treatment; r16,
+    * guide §2.4). Same rows, same schema, same types. */
+  private[graft] def bandRows(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"mh$i"))
+          struct(lit(b).as("band_id"), concat_ws("|", cols: _*).as("band_key"))
+        }: _*)).as("__band"))
+      .select(col("doc_id"), col("__band.band_id").as("band_id"),
+        col("__band.band_key").as("band_key"))
 
   /** LSH self-join with a HOT-BUCKET guard: a band bucket of n members
     * emits n(n-1)/2 pairs, so an adversarial corpus of N identical docs
@@ -141,8 +206,16 @@ object Dedup {
     * [[lshHotBuckets]]. */
   def minhashLSH(docs: DataFrame, textCol: String = "text",
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    minhashLSHFromBands(
+      lshBands(docs, textCol, bands, rowsPerBand, shingleN), maxBucket)
+
+  /** The guarded LSH self-join of [[minhashLSH]] over an EXISTING band
+    * relation `(doc_id, band_id, band_key)` — lets callers that already
+    * materialized the bands (e.g. from a fused [[sigAndShingles]] pass)
+    * skip the second signature build. */
+  def minhashLSHFromBands(bandRows: DataFrame,
       maxBucket: Int = 10000): DataFrame = {
-    val bandRows = lshBands(docs, textCol, bands, rowsPerBand, shingleN)
     // Bucket size and representative come from a WINDOW over the exact
     // partitioning the self-join needs anyway — the window's exchange IS
     // the join-side exchange (EnsureRequirements adds none on top), so the

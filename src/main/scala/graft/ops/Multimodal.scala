@@ -28,8 +28,16 @@ object Multimodal {
   // image/frame-sequence, and a global registry lock on the hot path. All
   // payloads here are small in-memory buffers, so memory-cached streams are
   // strictly better (measured r15: q205 image near-dup 8.6 s → ~1 s at sf0.1
-  // together with the single-scan banded join). Process-wide and idempotent;
-  // runs once per JVM when the first codec closure touches this object.
+  // together with the single-scan banded join). Runs once per JVM when the
+  // first codec closure touches this object.
+  //
+  // DOCUMENTED PROCESS-GLOBAL EFFECT (ADVICE r15): first use of any
+  // Multimodal member disables ImageIO's disk-backed stream cache JVM-wide,
+  // including for an embedding application's own ImageIO use. Decoded bytes
+  // are unaffected — only the staging buffer moves from a temp file to
+  // memory; an embedder that streams multi-GB images through ImageIO and
+  // relies on disk staging can restore it with ImageIO.setUseCache(true)
+  // after touching this object.
   javax.imageio.ImageIO.setUseCache(false)
 
   val mediaSchema: StructType = StructType(Seq(
@@ -575,21 +583,32 @@ object Multimodal {
   // was spread across 32 cores). Resolve the providers ONCE per JVM and
   // dispatch directly — same provider order, same bytes.
 
-  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
-    val it = java.util.ServiceLoader
-      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
-    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
-    while (it.hasNext) b += it.next()
-    b.result()
+  /** ServiceLoader scan with AudioSystem's provider ORDER
+    * (JDK13Services/JSSecurityManager.getProvidersImpl): providers outside
+    * the `java.desktop` module — i.e. third-party SPIs — are promoted to
+    * the HEAD of the list (each inserted at index 0, so among themselves
+    * they end up in reverse ServiceLoader order, exactly like the JDK),
+    * platform providers keep ServiceLoader order at the tail. Direct
+    * dispatch therefore stays decode-compatible with AudioSystem even when
+    * a third-party audio SPI is on the classpath (r16, ADVICE r15). */
+  private def audioProviders[T](cls: Class[T]): List[T] = {
+    val it = java.util.ServiceLoader.load(cls).iterator()
+    val platform = List.newBuilder[T]
+    var third = List.empty[T]
+    while (it.hasNext) {
+      val p = it.next()
+      val mod = p.getClass.getModule
+      if (mod != null && "java.desktop" == mod.getName) platform += p
+      else third = p :: third
+    }
+    third ::: platform.result()
   }
 
-  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
-    val it = java.util.ServiceLoader
-      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
-    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
-    while (it.hasNext) b += it.next()
-    b.result()
-  }
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] =
+    audioProviders(classOf[javax.sound.sampled.spi.AudioFileReader])
+
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] =
+    audioProviders(classOf[javax.sound.sampled.spi.AudioFileWriter])
 
   /** AudioSystem.getAudioInputStream semantics (first provider that accepts
     * the stream wins) over the cached provider list; a fresh

@@ -63,6 +63,13 @@ object PqIndex {
     val capCoarse = if (trainCap > 0) trainCap else math.max(256L * nlist, 65536L)
     val capPq = if (trainCap > 0) trainCap else math.max(256L * ksub, 65536L)
     val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    // when the estimate says local-sized but the n0/cell-budget guard
+    // disagrees, the probe's persisted projection is LEFT CACHED through
+    // the fall-through trainers — both build the bit-identical projection
+    // internally (same Par.spread+select plan, so the CacheManager serves
+    // it from this cache) — instead of being discarded, which made the
+    // fall-through pay a third full preparation pass (r16, ADVICE r15)
+    var probed: Option[DataFrame] = None
     val localFit: Option[(Array[(Int, Seq[Double])], Pq.Codebooks)] =
       if (est < BigInt(256) * 1024 * 1024) {
         val pts0 = Par.spread(corpus).select(col(idCol).as("id"),
@@ -79,13 +86,14 @@ object PqIndex {
               sorted.map(_.slice(s * dsub, s * dsub + dsub)), ksub, maxIter)
           }
           Some((co, Pq.Codebooks(m, dsub, books)))
-        } else { pts0.unpersist(); None }
+        } else { probed = Some(pts0); None }
       } else None
-    val (coarse, cb) = localFit.getOrElse {
-      (graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol,
-        trainCap = trainCap),
-        Pq.train(corpus, m, ksub, maxIter, idCol, vecCol, trainCap = trainCap))
-    }
+    val (coarse, cb) =
+      try localFit.getOrElse {
+        (graft.lib.KMeans.centroids(corpus, nlist, maxIter, idCol, vecCol,
+          trainCap = trainCap),
+          Pq.train(corpus, m, ksub, maxIter, idCol, vecCol, trainCap = trainCap))
+      } finally probed.foreach(_.unpersist())
     IvfPq(coarse, cb, encodeWithCell(cb, coarse, corpus, idCol, vecCol))
   }
 
@@ -133,6 +141,15 @@ object PqIndex {
 
   /** Reload a saved index. */
   def load(spark: SparkSession, dir: String): IvfPq = {
+    // explicit failure for the pre-r15 two-relation layout (coarse/ +
+    // books/) instead of an opaque path-not-found (ADVICE r15)
+    val quantPath = new org.apache.hadoop.fs.Path(s"$dir/quant")
+    val qfs = quantPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!qfs.exists(quantPath) &&
+        qfs.exists(new org.apache.hadoop.fs.Path(s"$dir/coarse")))
+      throw new IllegalStateException(
+        s"unsupported legacy IVF-PQ index layout at $dir (pre-r15 coarse/+" +
+          "books/ relations); rebuild and re-save the index")
     val quant = spark.read.parquet(s"$dir/quant")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))

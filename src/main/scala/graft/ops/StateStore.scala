@@ -44,6 +44,15 @@ object StateStore {
     * planning-time partition filter over the touched buckets only. */
   @volatile private[graft] var lastPrunedPlan: String = ""
 
+  /** Store meta is IMMUTABLE for a store's lifetime (only [[create]]
+    * replaces it), yet [[upsert]]/[[lookup]] re-read the droplet-sized
+    * meta relation on every call — two jobs (footer + collect) per point
+    * update, the largest fixed cost of a streaming maintenance batch.
+    * Cache per path, written through by [[create]] (r16, guide §2.4).
+    * In-JVM only: a store replaced by ANOTHER process under the same path
+    * is re-read on the next fresh JVM, same as any metastore cache. */
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+
   /** Materialize a new store at `path`: data Hive-partitioned by bucket,
     * plus the meta relation. Overwrites any existing store. */
   def create(state: DataFrame, keyCol: String, nBuckets: Int, path: String): Unit = {
@@ -61,11 +70,19 @@ object StateStore {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/data")
     Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
+    metaCache.put(path, Meta(keyCol, nBuckets))
+    ()
   }
 
   def meta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/meta").collect().head
-    Meta(r.getString(0), r.getInt(1))
+    val cached = metaCache.get(path)
+    if (cached != null) cached
+    else {
+      val r = spark.read.parquet(s"$path/meta").collect().head
+      val m = Meta(r.getString(0), r.getInt(1))
+      metaCache.put(path, m)
+      m
+    }
   }
 
   /** The full state (no pruning), bucket column dropped. */
@@ -88,6 +105,11 @@ object StateStore {
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     if (dirs.isEmpty) None
     else {
+      // NOTE (r16): supplying the delta's schema here to skip footer
+      // inference breaks type reconciliation — a delta may carry a NARROWER
+      // type than the on-disk state (int delta over a long state column),
+      // which inference + unionByName coercion handle; the inference job
+      // stays (caught by the DriveDemo upsert drive).
       val pruned = spark.read.option("basePath", s"$path/data")
         .parquet(dirs: _*)
         .where(col("bucket").isin(buckets.map(Integer.valueOf): _*))
@@ -130,45 +152,63 @@ object StateStore {
   def upsert(spark: SparkSession, path: String, delta: DataFrame,
       deleteCol: Option[String] = None): Unit = {
     val m = meta(spark, path)
+    // persist, not an eager localCheckpoint: the bucket-set probe below is
+    // the FIRST action over the delta, so it materializes the cache as a
+    // side effect — the separate materializing job the eager checkpoint
+    // paid per update (one job per micro-batch in the streaming
+    // maintenance paths) is gone; the write job then reads the cached
+    // delta (r16, guide §2.4: two jobs per point update, probe + write)
     val dd = delta.withColumn("bucket", bucketOf(col(m.keyCol), m.nBuckets))
-      .localCheckpoint(true)
-    val buckets = dd.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (buckets.isEmpty) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = dd.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (buckets.isEmpty) return
 
-    val upserts = deleteCol match {
-      case Some(c) => dd.where(!coalesce(col(c), lit(false))).drop(c)
-      case None    => dd
-    }
-    val merged0 = prunedBuckets(spark, path, buckets) match {
-      case Some(pruned) =>
-        pruned.join(dd.select(col(m.keyCol)).distinct(), Seq(m.keyCol), "left_anti")
-          .select(upserts.columns.map(col).toSeq: _*)
-          .unionByName(upserts)
-      case None => upserts // pure inserts into buckets that don't exist yet
-    }
-    // ONE job: the merged touched buckets write to a TEMP dir (reading the
-    // OLD bucket files — no read-your-own-write, so no materializing
-    // checkpoint job), clustered by bucket so each touched bucket gets one
-    // file per write task (store file population stays O(buckets), not
-    // O(buckets × batches)). The driver then swaps the touched bucket
-    // DIRECTORIES in: a touched bucket absent from the temp output had
-    // every key tombstoned and is simply deleted — which retires the
-    // extra "which buckets still have rows" job the previous
-    // dynamic-partition-overwrite design needed. Per-bucket dir swap has
-    // the same non-atomicity across buckets the dynamic overwrite had.
-    val root = s"$path/data"
-    val tmp = s"$path/.upsert_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
-    merged0.repartition(col("bucket")).write.mode("overwrite")
-      .partitionBy("bucket").parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    buckets.foreach { b =>
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
-      val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$b")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (fs.exists(src)) { fs.rename(src, dst); () }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val upserts = deleteCol match {
+        case Some(c) => dd.where(!coalesce(col(c), lit(false))).drop(c)
+        case None    => dd
+      }
+      val merged0 = prunedBuckets(spark, path, buckets) match {
+        case Some(pruned) =>
+          pruned.join(dd.select(col(m.keyCol)).distinct(), Seq(m.keyCol), "left_anti")
+            .select(upserts.columns.map(col).toSeq: _*)
+            .unionByName(upserts)
+        case None => upserts // pure inserts into buckets that don't exist yet
+      }
+      // ONE job: the merged touched buckets write to a TEMP dir (reading the
+      // OLD bucket files — no read-your-own-write, so no materializing
+      // checkpoint job), clustered by bucket so each touched bucket gets one
+      // file per write task (store file population stays O(buckets), not
+      // O(buckets × batches)). The driver then swaps the touched bucket
+      // DIRECTORIES in: a touched bucket absent from the temp output had
+      // every key tombstoned and is simply deleted — which retires the
+      // extra "which buckets still have rows" job the previous
+      // dynamic-partition-overwrite design needed. Per-bucket dir swap has
+      // the same non-atomicity across buckets the dynamic overwrite had.
+      val root = s"$path/data"
+      val tmp = s"$path/.upsert_tmp_${java.util.UUID.randomUUID().toString.take(8)}"
+      // the merged write's shape is fully known up front: |touched buckets|
+      // output partitions (explicit — no reliance on AQE coalescing, and no
+      // shuffle.partitions-many empty tasks at production partition counts)
+      // and a build side whose size the delta cache already pins, so AQE's
+      // per-stage re-planning only adds scheduler round-trips here — 6 jobs
+      // for one tiny write, measured by ProfileUpsertJobs (the
+      // KMeans/ML.gd small-identical-query treatment; r16, guide §1.2)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try merged0.repartition(buckets.size, col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(tmp)
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      buckets.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+        val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$b")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) { fs.rename(src, dst); () }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    } finally dd.unpersist(false)
   }
 }

@@ -535,8 +535,9 @@ object Streams {
         // branches below (a double scan of a micro-batch is cheaper than
         // the materializing job), and an empty batch short-circuits inside
         // upsert's bucket probe — per batch the whole maintenance costs
-        // the delta checkpoint, one bucket-set job, and one write job
-        // (the r11 PointBag-maintenance job-count treatment, continued)
+        // exactly upsert's two jobs: the bucket-set probe (which also
+        // populates the delta cache) and the merged write (r16; the
+        // separate delta-checkpoint job is gone — see StateStore.upsert)
         locally {
           val df = batch.toDF()
           val spark = batch.sparkSession

@@ -85,6 +85,52 @@ class OpsSpec extends AnyFlatSpec with Matchers {
       Dedup.minhashLSH(mixed).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  // r16: lshBands switched from a bands-way union-of-selects to one
+  // explode scan, and the near-dup pipelines share ONE fused tokenize pass
+  // (sigAndShingles) between signature and verify shingles — each must be
+  // row-identical to the composed formulations it replaced
+  "Dedup.bandRows (explode form)" should "equal the union-of-selects banding row-for-row" in {
+    val corpus = (0 until 40)
+      .map(i => (i.toLong, s"tok${i % 7} alpha beta gamma tok${i % 5} delta epsilon"))
+      .toDF("doc_id", "text")
+    val bands = 4; val rowsPerBand = 2
+    val sig = Dedup.minhashSignatures(corpus, numHashes = bands * rowsPerBand)
+      .localCheckpoint()
+    val unionForm = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      sig.select(col("doc_id"), lit(b).as("band_id"),
+        concat_ws("|", cols: _*).as("band_key"))
+    }.reduce(_ union _)
+    val got = Dedup.lshBands(corpus)
+    got.schema.map(f => (f.name, f.dataType)) shouldBe
+      unionForm.schema.map(f => (f.name, f.dataType))
+    got.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted shouldBe
+      unionForm.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+  }
+
+  "Dedup.sigAndShingles" should "reproduce minhashSignatures and hashedShingles exactly" in {
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((6L, "a b"), (7L, ""))) // sub-shingle docs must drop in both paths
+      .toSeq.toDF("doc_id", "text")
+    val k = 8
+    val fused = Dedup.sigAndShingles(corpus, "text", k, 3).localCheckpoint()
+    Dedup.sigCols(fused, k).collect()
+      .map(r => (0 until k + 1).map(r.get).mkString("|")).sorted shouldBe
+      Dedup.minhashSignatures(corpus, numHashes = k).collect()
+        .map(r => (0 until k + 1).map(r.get).mkString("|")).sorted
+    Dedup.shingleView(fused).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Dedup.hashedShingles(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (bandsDf, shDf) = Dedup.lshIndexAndShingleStore(corpus)
+    bandsDf.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted shouldBe
+      Dedup.lshBands(corpus).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    shDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Dedup.hashedShingles(corpus).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+  }
+
   "Dedup.simhashBandedPairs" should "equal the brute-force all-pairs hamming filter" in {
     // ids far apart on purpose: the retired window formulation would miss
     // these; the banded generator must not

@@ -139,4 +139,34 @@ class StateStoreSpec extends AnyFlatSpec with Matchers {
     (1 to 5).foreach(r => got(r.toLong) shouldBe r * 1.0)
     got(40L) shouldBe 0.0
   }
+
+  it should "run a warm point update in at most 6 jobs" in {
+    // r16 job budget per upsert (the per-micro-batch floor of the streaming
+    // maintenance paths): bucket probe (also materializes the delta cache)
+    // + state footer inference (kept — it reconciles delta/state types)
+    // + broadcast build futures + ONE pinned-partitioning write. The meta
+    // re-read (2 jobs), the eager delta checkpoint (1), and AQE's
+    // per-stage jobs are gone — was 11 jobs before r16 (measured:
+    // ProfileUpsertJobs).
+    val dir = tmp()
+    StateStore.create((1L to 500L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      "k", 16, dir)
+    // warm call: plan/codegen caches out of the measurement
+    StateStore.upsert(spark, dir, (1L to 30L).map(k => (k, 2.0)).toDF("k", "v"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      StateStore.upsert(spark, dir, (5L to 40L).map(k => (k, 3.0)).toDF("k", "v"))
+      // listener delivery is async — give the bus a moment before reading
+      Thread.sleep(500)
+      jobs.get() should be <= 6
+    } finally spark.sparkContext.removeSparkListener(l)
+    StateStore.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap.apply(20L) shouldBe 3.0
+  }
 }
