@@ -41,9 +41,15 @@ object KMeans {
       1, n).getField("cid")
 
   private[graft] def centroidLit(centroids: Array[(Int, Seq[Double])]): Column =
-    array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cv"))
-    }: _*)
+    // ONE Literal node (typedLit of the whole array, tuple fields renamed
+    // by a foldable cast) instead of ~k·(dim+2) nested lit/array/struct
+    // nodes: every analyzer/optimizer rule walks (and copies) the whole
+    // expression tree, so the per-element form made PLANNING — not
+    // execution — the dominant cost of every quantizer probe/assign query
+    // (r16, guide §7.3; measured ~2 s driver-side per ANN lifecycle gate).
+    // Same values, same struct shape (cid, cv), constant-folded identically.
+    typedLit(centroids.toSeq)
+      .cast("array<struct<cid:int,cv:array<double>>>")
 
   /** Nearest-centroid id for a double-array column: argmin over the (small)
     * centroid array literal. */

@@ -148,13 +148,13 @@ object Pq {
         slice(v, s * cb.dsub + 1, cb.dsub), 1)(0)
     }: _*)
 
-  /** ‖centroid‖² table literal: normLut(s)(cid). */
+  /** ‖centroid‖² table literal: normLut(s)(cid). One typedLit Literal —
+    * the per-element lit() tree cost planning time on every encode query
+    * (see KMeans.centroidLit; r16). */
   private def normLut(cb: Codebooks): Column =
-    array(cb.books.map { book =>
-      array(book.sortBy(_._1).map { case (_, c) =>
-        lit(c.map(x => x * x).sum)
-      }: _*)
-    }: _*)
+    typedLit(cb.books.toSeq.map { book =>
+      book.sortBy(_._1).map { case (_, c) => c.map(x => x * x).sum }.toSeq
+    })
 
   /** ‖reconstruction‖ from the `code` column — a pure codebook lookup. */
   private[ops] def estNormExpr(cb: Codebooks): Column =
